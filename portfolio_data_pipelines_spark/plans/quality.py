@@ -1,0 +1,83 @@
+"""Declarative data-quality tests (SURVEY §2.8 Q1-Q3, §5).
+
+The reference ships one dbt test — ``not_null`` on
+``public.weather_hourly.time`` (``dbt/models/sources.yml:9-10``) — and a
+roadmap of ``accepted_values``, ``relationships``, and range sanity
+(−80 ≤ temp ≤ 60 °C, 0-100 %RH; ``README.md:192-194``). We implement the
+full set as engine-level expectations: each is a predicate whose violating
+row count must be zero, evaluated in one Spark job per expectation.
+
+Scale note: each check is a single filtered count — predicate pushdown
+applies, and checks over a partitioned table with a partition predicate
+prune to the touched partitions only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class ExpectationResult:
+    name: str
+    passed: bool
+    violations: int
+
+
+Expectation = Callable[[DataFrame], ExpectationResult]
+
+
+def _check(name: str, violation_pred: Column) -> Expectation:
+    def run(df: DataFrame) -> ExpectationResult:
+        n = df.filter(violation_pred).count()
+        return ExpectationResult(name=name, passed=(n == 0), violations=n)
+
+    return run
+
+
+def not_null(column: str) -> Expectation:
+    """dbt ``not_null`` parity (sources.yml:9-10)."""
+    return _check(f"not_null({column})", F.col(column).isNull())
+
+
+def accepted_values(column: str, values: Sequence) -> Expectation:
+    """dbt ``accepted_values`` parity (README.md:192)."""
+    return _check(
+        f"accepted_values({column})",
+        ~F.col(column).isin(list(values)) | F.col(column).isNull(),
+    )
+
+
+def row_range(column: str, lo: float, hi: float) -> Expectation:
+    """Range sanity (README.md:193: −80..60 °C, 0..100 %RH). NULLs pass."""
+    return _check(
+        f"range({column},{lo},{hi})",
+        F.col(column).isNotNull() & ~F.col(column).between(lo, hi),
+    )
+
+
+def relationships(column: str, parent: DataFrame, parent_column: str) -> Expectation:
+    """dbt ``relationships`` parity (README.md:192): FK anti-join count == 0."""
+
+    def run(df: DataFrame) -> ExpectationResult:
+        n = (
+            df.filter(F.col(column).isNotNull())
+            .join(
+                parent.select(F.col(parent_column).alias(column)),
+                on=column,
+                how="left_anti",
+            )
+            .count()
+        )
+        return ExpectationResult(name=f"relationships({column})", passed=(n == 0), violations=n)
+
+    return run
+
+
+def run_expectations(df: DataFrame, expectations: Sequence[Expectation]) -> list[ExpectationResult]:
+    """dbt-test-runner parity (Q2): evaluate all, return results."""
+    return [e(df) for e in expectations]

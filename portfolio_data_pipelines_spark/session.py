@@ -1,0 +1,91 @@
+"""SparkSession factory (SURVEY §7 M0).
+
+Encodes as session defaults the semantics the reference fixes at each
+boundary:
+
+- UTC session timezone — the reference queries the weather API with
+  ``timezone=UTC`` (``weather_hourly_pipeline.py:24``) and stores
+  ``timestamptz`` in Postgres; one canonical timezone end-to-end.
+- zstd Parquet compression — ``df.write_parquet(..., compression="zstd")``
+  (``weather_hourly_pipeline.py:73``).
+- Dynamic partition overwrite — the Spark-native equivalent of the
+  reference's idempotent delete-day-then-insert upsert
+  (``weather_hourly_pipeline.py:101-112``): ``INSERT OVERWRITE`` replaces
+  only the partitions present in the incoming batch.
+- AQE on (default in Spark 3.2+, pinned explicitly) — runtime coalescing
+  of shuffle partitions and skew-join splitting; this is what makes a
+  32-partition local test plan and a 100 TB cluster plan the same code.
+- Arrow on — every pandas interchange and Pandas UDF is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+
+
+def get_spark(
+    app_name: str = "portfolio-data-pipelines-spark",
+    master: str | None = None,
+    config: PipelineConfig | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's canonical settings.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when run outside a
+    cluster; on a real cluster, pass ``master=None`` with a cluster
+    deployment and the builder inherits ``spark-submit`` settings.
+    """
+    cfg = config or DEFAULT_CONFIG
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cfg.cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    conf: dict[str, str] = {
+        # Canonical timezone: everything is UTC end-to-end.
+        "spark.sql.session.timeZone": "UTC",
+        # Lake format parity: zstd parquet.
+        "spark.sql.parquet.compression.codec": "zstd",
+        # Idempotent day-level upsert: only overwrite partitions present
+        # in the incoming batch (K4 parity).
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # Adaptive execution: coalesce shuffle partitions, split skewed
+        # joins at runtime. Critical at 100 TB, harmless at sf0.001.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Start from a bounded shuffle width; AQE coalesces below it.
+        "spark.sql.shuffle.partitions": str(cfg.shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": cfg.max_partition_bytes,
+        # Arrow for all pandas interchange (vectorized UDF transfer).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Non-strict timestamp parsing parity (Polars strict=False →
+        # null on failure, never job failure).
+        "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written files) is
+        # otherwise an illegal type for the Spark reader; read as long
+        # and convert in the typed scan (sources/parquet.py).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+
+    # Optional S3/MinIO surface (reference s3_client.py builds a boto3
+    # client from env; we map the same env to Hadoop S3A conf).
+    if cfg.s3_endpoint:
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.endpoint": cfg.s3_endpoint,
+                "spark.hadoop.fs.s3a.access.key": cfg.s3_access_key,
+                "spark.hadoop.fs.s3a.secret.key": cfg.s3_secret_key,
+                "spark.hadoop.fs.s3a.path.style.access": "true",
+            }
+        )
+
+    if extra_conf:
+        conf.update(extra_conf)
+
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,69 @@
+"""Typed parquet scans (SURVEY §2.1 S3/S4).
+
+The reference re-reads its own parquet between stages
+(``weather_hourly_pipeline.py:86``) and resolves registered source tables
+via dbt (``sources.yml``). Here: schema-asserted ``spark.read.parquet``
+scans plus a helper that registers the whole star schema as temp views so
+``spark.sql`` queries resolve by name.
+
+Scale note: scans stay declarative so Catalyst pushes filters and prunes
+columns into the parquet reader (verify with ``PushedFilters`` /
+``ReadSchema`` in ``.explain``). Never ``mergeSchema`` on ingestion —
+contracts are explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import STAR_SCHEMA
+
+#: Columns stored as parquet TIMESTAMP(NANOS). Spark's reader rejects the
+#: type outright; with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set
+#: in the session factory) they arrive as epoch-nanos longs and are
+#: converted here, so every consumer sees the declared TimestampType.
+_NANOS_TS_COLUMNS: dict[str, set[str]] = {"events": {"ts"}}
+
+
+def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table with its declared schema.
+
+    Passing the explicit schema (rather than trusting footer inference)
+    keeps the contract stable across files and skips schema merging.
+    """
+    schema = STAR_SCHEMA.get(name)
+    nanos_cols = _NANOS_TS_COLUMNS.get(name, set())
+    reader = spark.read
+    if schema is not None:
+        if nanos_cols:
+            read_schema = T.StructType(
+                [
+                    T.StructField(f.name, T.LongType() if f.name in nanos_cols else f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
+            df = reader.schema(read_schema).parquet(f"{sf_dir}/{name}.parquet")
+            for c in nanos_cols:
+                # epoch-nanos → epoch-micros → timestamp; integer div
+                # truncates sub-microsecond precision (none in testdata).
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            return df.select(*[f.name for f in schema.fields])
+        return reader.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every star-schema table; optionally register temp views.
+
+    With views registered, ``spark.sql("SELECT ... FROM lineitem ...")``
+    resolves exactly like the dbt ``source()`` indirection (S4).
+    """
+    tables: dict[str, DataFrame] = {}
+    for name in STAR_SCHEMA:
+        df = scan_table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables

@@ -1,0 +1,51 @@
+"""Shared Spark + DuckDB fixtures for the test suite."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from portfolio_data_pipelines_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="pdp-spark-tests",
+        master="local[4]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "4g",
+        },
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB connection with the star-schema tables registered as views,
+    mirroring the driver's oracle harness."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()

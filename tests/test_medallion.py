@@ -1,0 +1,53 @@
+"""Medallion writer tests: layout, zstd, and the K4 idempotency contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.medallion import write_bronze
+from portfolio_data_pipelines_spark.schemas import WEATHER_BRONZE
+
+
+def _batch(spark, day: int, n: int = 4, temp: float = 20.0):
+    rows = [
+        (
+            dt.datetime(2025, 8, day, h),
+            temp + h,
+            50.0,
+            "-23.55",
+            "-46.63",
+            dt.datetime(2025, 8, day, 12),
+        )
+        for h in range(n)
+    ]
+    return spark.createDataFrame(rows, schema=WEATHER_BRONZE)
+
+
+class TestBronzeWriter:
+    def test_hive_layout_and_zstd(self, spark, tmp_path):
+        path = str(tmp_path / "bronze")
+        write_bronze(_batch(spark, day=20), path)
+        # Hive-style date= directories (K2 parity)
+        assert any(d.startswith("date=2025-08-20") for d in os.listdir(path))
+        part_dir = os.path.join(path, "date=2025-08-20")
+        files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        assert len(files) == 1  # one file per day per batch, like the reference
+        assert ".zstd." in files[0]
+
+    def test_dynamic_overwrite_only_touches_batch_days(self, spark, tmp_path):
+        path = str(tmp_path / "bronze2")
+        write_bronze(_batch(spark, day=20), path)
+        write_bronze(_batch(spark, day=21), path)
+        df = spark.read.parquet(path)
+        assert df.count() == 8  # day-21 write did not clobber day-20
+
+    def test_rerun_same_day_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "bronze3")
+        write_bronze(_batch(spark, day=20, temp=20.0), path)
+        write_bronze(_batch(spark, day=20, temp=30.0), path)  # reprocess day
+        df = spark.read.parquet(path)
+        assert df.count() == 4  # replaced, not appended
+        assert df.agg(F.min("temperature_2m")).first()[0] == 30.0

@@ -1,0 +1,88 @@
+"""Tests for the model registry (dbt parity) and FX models (SURVEY M4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from portfolio_data_pipelines_spark.plans.models import default_registry
+from portfolio_data_pipelines_spark.plans.registry import Model, ModelRegistry
+from portfolio_data_pipelines_spark.schemas import FX_RATES
+from portfolio_data_pipelines_spark.sources.fx import fx_payload_to_df
+
+
+class TestRegistry:
+    def test_topo_order_puts_refs_first(self):
+        reg = default_registry()
+        order = reg.topo_order(["weather_daily"])
+        assert order.index("stg_weather_hourly") < order.index("weather_daily")
+
+    def test_tag_selection_and_exclusion(self):
+        reg = default_registry()
+        assert set(reg.select(tag="weather")) == {"stg_weather_hourly", "weather_daily"}
+        assert set(reg.select(tag="fx", exclude={"fx_top10_daily"})) == {"stg_fx_rates"}
+
+    def test_unknown_ref_raises(self):
+        reg = ModelRegistry().add(Model(name="m", sql="SELECT * FROM {{ ref('nope') }}"))
+        with pytest.raises(KeyError):
+            reg.compile_sql(reg.models()["m"])
+
+    def test_duplicate_model_raises(self):
+        reg = ModelRegistry().add(Model(name="m", sql="SELECT 1"))
+        with pytest.raises(ValueError):
+            reg.add(Model(name="m", sql="SELECT 2"))
+
+
+class TestFxVertical:
+    @pytest.fixture()
+    def fx_rates(self, spark):
+        # 3 days × 15 currencies, with deliberate rate ties to pin the
+        # quote_ccy tie-break (FIXTURES.md §4 golden contract).
+        rows = []
+        for d in range(3):
+            day = dt.date(2025, 8, 20 + d)
+            for i in range(15):
+                ccy = f"C{i:02d}"
+                rate = float(100 - i - (i % 3 == 0) * 0)  # ties: C00 pairs
+                rows.append((day, "USD", ccy, rate, dt.datetime(2025, 8, 20, 12)))
+        # introduce explicit ties on each day: C13 and C14 share a rate
+        rows = [
+            (d, b, c, (87.0 if c in ("C13", "C14") else r), t) for (d, b, c, r, t) in rows
+        ]
+        df = spark.createDataFrame(rows, schema=FX_RATES)
+        df.createOrReplaceTempView("fx_rates")
+        return df
+
+    def test_fx_top10_daily(self, spark, fx_rates):
+        built = default_registry().run(spark, tag="fx")
+        top = built["marts_fx_top10_daily"]
+        rows = top.orderBy("rate_date", "rate_rank").collect()
+        per_day = {}
+        for r in rows:
+            per_day.setdefault(str(r["rate_date"]), []).append(r)
+        assert set(len(v) for v in per_day.values()) == {10}  # exactly 10/day
+        for day_rows in per_day.values():
+            rates = [r["rate"] for r in day_rows]
+            assert rates == sorted(rates, reverse=True)
+            # tie-break deterministic: equal rates ordered by quote_ccy asc
+            for a, b in zip(day_rows, day_rows[1:]):
+                if a["rate"] == b["rate"]:
+                    assert a["quote_ccy"] < b["quote_ccy"]
+
+    def test_fx_payload_flatten(self, spark):
+        payload = {
+            "base": "USD",
+            "date": "2025-08-20",
+            "rates": {"EUR": 0.9, "BRL": 5.4},
+            "_meta": {"ingested_at": "2025-08-20T12:00:00Z"},
+        }
+        df = fx_payload_to_df(spark, payload)
+        rows = {r["quote_ccy"]: r for r in df.collect()}
+        assert rows["EUR"]["rate"] == pytest.approx(0.9)
+        assert str(rows["BRL"]["rate_date"]) == "2025-08-20"
+        assert rows["BRL"]["base_ccy"] == "USD"
+
+    def test_fx_empty_payload(self, spark):
+        df = fx_payload_to_df(spark, {"rates": {}})
+        assert df.count() == 0 and df.schema == FX_RATES
