@@ -1,0 +1,60 @@
+"""Deterministic aggregation helpers (cross-engine exactness).
+
+Floating-point sums depend on accumulation order, and Spark's partial
+aggregation order is nondeterministic across partitions — so a plain
+``SUM(double)`` can differ in the last ulp between runs and between
+engines. Every double aggregate in the declared-query surface therefore
+routes through exact decimal accumulation:
+
+    sum:  SUM(CAST(x AS DECIMAL(30,4)))   — exact, order-independent
+    avg:  decimal-sum / count             — one IEEE division of identical
+                                            inputs ⇒ identical doubles
+
+The DuckDB oracle SQL uses the same construction, so results are
+bit-identical across engines. Cheap at any scale: decimal sums are
+JVM-side codegen, no UDF.
+
+Scale choice (4) is deliberate: DuckDB converts double↔decimal via double
+arithmetic (multiply/divide by 10^scale), while Spark converts via exact
+BigDecimal. The two agree exactly iff value×10^scale fits double's 53-bit
+integer range. At scale 4 that holds for per-row values < ~9e11 and sums
+< ~9e11×10^4 — comfortably true for this schema even at sf100; at scale
+10 it already breaks for multi-billion sums (observed: DuckDB off by
+4e-4 ulps on a 3.7e9 sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Exact-accumulation type: precision 30 gives sum headroom; scale 4 keeps
+#: double↔decimal conversions bit-identical across engines (see module doc).
+DEC = "decimal(30,4)"
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: str | Column) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    return F.sum(_col(c).cast(DEC)).cast("double")
+
+
+def davg(c: str | Column) -> Column:
+    """Order-independent mean: exact decimal sum / non-null count."""
+    col = _col(c)
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    """Oracle-side rendering of :func:`dsum` (ANSI/DuckDB SQL)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,4))) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    """Oracle-side rendering of :func:`davg`."""
+    return (
+        f"CAST({dsum_sql(expr)} / COUNT({expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,753 @@
+"""Relational declared queries (SURVEY §2.3-§2.7, §7 M2).
+
+Each query names the §2 operator(s) it exercises. Spark side is pure
+DataFrame API (Catalyst plans joins/aggs; explicit ``broadcast`` on
+dimension tables); oracle side is ANSI SQL for DuckDB over the same
+parquet. Scale notes inline where a choice matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import davg, davg_sql, dsum, dsum_sql
+from ..sources.parquet import scan_table
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# The weather-vertical shapes, transposed onto the events table (A2/W1/P5/P6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "daily_events_mart",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           {davg_sql('value')} AS avg_value,
+           MAX(value)          AS max_value,
+           MIN(value)          AS min_value,
+           COUNT(*)            AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def daily_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's daily mart (weather_daily.sql:4-12 — A2
+    grouped agg + W1 ordering) on the events time-series. One shuffle on
+    the date key; partial aggregation is map-side so the shuffle carries
+    one row per (partition, day)."""
+    return (
+        scan_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            davg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+@query(
+    "stg_events_projection",
+    oracle="""
+    SELECT event_id,
+           ts AS time_utc,
+           CAST(ts AS DATE) AS date_utc,
+           event_type,
+           value
+    FROM events
+    """,
+)
+def stg_events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging-view shape (stg_weather_hourly.sql:3-8 — P5 rename + P6
+    derived date bucket). Pure projection: no shuffle; column pruning
+    reaches the parquet scan."""
+    e = scan_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("ts").alias("time_utc"),
+        F.to_date("ts").alias("date_utc"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "events_filter_range",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND value BETWEEN 100 AND 200
+    """,
+)
+def events_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row filter (the WHERE surface; SURVEY §2.3 note). Predicates are
+    pushed to the parquet scan (PushedFilters in .explain)."""
+    return (
+        scan_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").between(100, 200))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "batch_min_date",
+    oracle="SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS batch_date FROM events",
+)
+def batch_min_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-min partition date (A1 — weather_hourly_pipeline.py:67,89):
+    the single value the reference uses for file name, S3 key, and the
+    idempotent delete predicate."""
+    return (
+        scan_table(spark, sf_dir, "events")
+        .agg(F.min(F.to_date("ts")).alias("batch_date"))
+    )
+
+
+@query(
+    "topk_events",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 10
+    """,
+)
+def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (W2 — README.md:156-158). Spark plans
+    TakeOrderedAndProject: per-partition top-k then a single-driver merge
+    — no full sort, no full shuffle, scales to any row count."""
+    return (
+        scan_table(spark, sf_dir, "events")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "topk_per_day_events",
+    oracle="""
+    SELECT date_utc, event_id, value, rk
+    FROM (
+        SELECT CAST(ts AS DATE) AS date_utc, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(ts AS DATE)
+                   ORDER BY value DESC, event_id ASC
+               ) AS rk
+        FROM events
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_per_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (W3 — the fx_top10_daily semantic the reference
+    named but never shipped). row_number window with deterministic
+    tie-break. Scale: one shuffle on the partition key; with AQE a skewed
+    day splits into multiple tasks."""
+    w = Window.partitionBy("date_utc").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        scan_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("date_utc"), "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan basics (P8, A3)
+# ---------------------------------------------------------------------------
+
+
+@query("count_lineitem", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row count (P8/A3 — the reference's smoke check, README.md:74)."""
+    return scan_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# Exact-decimal product expressions, valid verbatim in BOTH Spark SQL and
+# DuckDB. Casting the FACTORS (2-decimal doubles → exact decimals) and
+# multiplying in decimal avoids the double-product tie problem: a
+# 2dp×2dp×2dp product has exactly 6 true decimals, so casting the double
+# product at scale 4 hits `…50` rounding ties on ~10% of rows and the two
+# engines disagree per row. Factor-cast precisions are sized so Spark's
+# result precision stays ≤38 (no precision-loss rounding): (12,2)×(9,2)
+# →(22,4), ×(9,2)→(32,6).
+_DISC_PRICE_DEC = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(8,2))))"
+)
+_CHARGE_DEC = f"({_DISC_PRICE_DEC} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(8,2))))"
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {dsum_sql('l_quantity')}                          AS sum_qty,
+           {dsum_sql('l_extendedprice')}                     AS sum_base_price,
+           CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE)            AS sum_disc_price,
+           CAST(SUM({_CHARGE_DEC}) AS DOUBLE)                AS sum_charge,
+           {davg_sql('l_quantity')}                          AS avg_qty,
+           {davg_sql('l_extendedprice')}                     AS avg_price,
+           {davg_sql('l_discount')}                          AS avg_disc,
+           COUNT(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan→filter→groupBy→multi-agg.
+    8 aggregates over a filtered fact scan; group key has 6 distinct
+    values, so the post-shuffle reduce is trivial and the work is the
+    map-side partial agg — exactly how it should look at 100 TB."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.expr(f"CAST(SUM({_DISC_PRICE_DEC}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({_CHARGE_DEC}) AS DOUBLE)").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "orders_monthly",
+    oracle=f"""
+    SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing to month grain (F2 family): date_trunc + grouped agg."""
+    return (
+        scan_table(spark, sf_dir, "orders")
+        # trunc() returns DateType (date_trunc returns timestamp).
+        .groupBy(F.trunc("o_orderdate", "month").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_revenue"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@query(
+    "conditional_agg_daily",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS views,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def conditional_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot-style CASE WHEN counts): one pass,
+    no joins — the idiomatic way to fan one scan into many metrics."""
+    e = scan_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            dsum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(F.lit(0.0))
+            ).alias("purchase_value"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+@query(
+    "distinct_stats",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey)     AS n_customers_with_orders,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           COUNT(*)                      AS n_orders
+    FROM orders
+    """,
+)
+def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.4 'not present' extension).
+    Spark expands distinct aggs to a two-stage plan; at scale prefer
+    approx_count_distinct (see `approx_distinct_users`, rows-only)."""
+    o = scan_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "having_big_spenders",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    ORDER BY o_custkey
+    """,
+)
+def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        scan_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5 — target surface; none exist in the reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_by_segment",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim equi-join + grouped agg. The dimension side is explicitly
+    broadcast: at 100 TB the orders fact never shuffles for this join —
+    each task streams its scan against a hashed copy of customer."""
+    o = scan_table(spark, sf_dir, "orders")
+    c = scan_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_revenue"))
+        .orderBy("mktsegment")
+    )
+
+
+@query(
+    "revenue_by_region",
+    oracle=f"""
+    SELECT r.r_name AS region_name,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiway star join (orders→customer→nation→region). All dims
+    broadcast: the plan is a single pipelined scan of the fact with three
+    hash-probe stages — zero fact shuffles before the final 5-group agg."""
+    o = scan_table(spark, sf_dir, "orders")
+    c = scan_table(spark, sf_dir, "customer")
+    n = scan_table(spark, sf_dir, "nation")
+    r = scan_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_revenue"))
+        .orderBy("region_name")
+    )
+
+
+@query(
+    "customers_with_orders_semi",
+    oracle="""
+    SELECT n.n_name AS nation_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (IN-subquery semantics): customers having ≥1 order,
+    counted per nation. Semi joins never duplicate the left side, so no
+    post-join distinct is needed."""
+    c = scan_table(spark, sf_dir, "customer")
+    o = scan_table(spark, sf_dir, "orders")
+    n = scan_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("nation_name")
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    oracle="""
+    SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = scan_table(spark, sf_dir, "customer")
+    o = scan_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("mktsegment")
+    )
+
+
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + two-level aggregation: the classic customer
+    order-count histogram (zero-order customers included via the outer
+    join; COUNT(col) skips the NULL produced for them)."""
+    c = scan_table(spark, sf_dir, "customer")
+    o = scan_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@query(
+    "priority_with_heavy_items",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def priority_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-correlated-subquery shape (TPC-H Q4 skeleton) as a semi
+    join against a pre-filtered fact — the filter runs before the join,
+    shrinking the build side."""
+    o = scan_table(spark, sf_dir, "orders")
+    heavy = scan_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("orderpriority")
+    )
+
+
+@query(
+    "above_avg_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+                    / COUNT(o_totalprice) AS DOUBLE)
+        FROM orders
+    )
+    """,
+)
+def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global mean price. The mean is
+    computed once (exact decimal), broadcast as a literal predicate."""
+    o = scan_table(spark, sf_dir, "orders")
+    avg_df = o.agg(davg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+@query(
+    "top_customer_per_nation",
+    oracle=f"""
+    SELECT nation_name, c_custkey, total_spend
+    FROM (
+        SELECT n.n_name AS nation_name,
+               c.c_custkey,
+               {dsum_sql('o.o_totalprice')} AS total_spend,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.n_name
+                   ORDER BY {dsum_sql('o.o_totalprice')} DESC, c.c_custkey ASC
+               ) AS rk  -- rank on the exact decimal sum: tie-break deterministic
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_custkey
+    )
+    WHERE rk = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join → aggregate → window rank: the highest-spending customer per
+    nation with a deterministic tie-break."""
+    o = scan_table(spark, sf_dir, "orders")
+    c = scan_table(spark, sf_dir, "customer")
+    n = scan_table(spark, sf_dir, "nation")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"), "c_custkey")
+        .agg(dsum("o_totalprice").alias("total_spend"))
+    )
+    w = Window.partitionBy("nation_name").orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("nation_name", "c_custkey", "total_spend")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / grouping sets (SURVEY §2.6 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "status_set_ops",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          INTERSECT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      )) AS both_statuses,
+      (SELECT COUNT(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      )) AS only_f
+    """,
+)
+def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations on customer key sets."""
+    o = scan_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_keys.intersect(o_keys).agg(F.count(F.lit(1)).alias("both_statuses"))
+    only_f = f_keys.subtract(o_keys).agg(F.count(F.lit(1)).alias("only_f"))
+    return both.crossJoin(only_f)
+
+
+@query(
+    "events_union_fanin",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS date_utc, COUNT(*) AS n_engagements
+    FROM (
+        SELECT * FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT * FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL fan-in (the multi-location roadmap shape,
+    README.md:213 → unionByName): combine homogeneous slices then
+    aggregate once. Union is a no-shuffle plan node."""
+    e = scan_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    return (
+        clicks.unionByName(purchases)
+        .groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(F.count(F.lit(1)).alias("n_engagements"))
+        .orderBy("date_utc")
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4 extension): per (flag,status),
+    per flag, and grand total in one pass."""
+    return (
+        scan_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@query(
+    "cube_segment_status",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, o.o_orderstatus AS orderstatus,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE(c.c_mktsegment, o.o_orderstatus)
+    ORDER BY mktsegment NULLS FIRST, orderstatus NULLS FIRST
+    """,
+)
+def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over a join: all marginals of (segment × status)."""
+    o = scan_table(spark, sf_dir, "orders")
+    c = scan_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube(F.col("c_mktsegment").alias("mktsegment"), F.col("o_orderstatus").alias("orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.asc_nulls_first("mktsegment"), F.asc_nulls_first("orderstatus"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows / strings / JSON (SURVEY §2.6-§2.7 extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative analytic window per user (frame spec ROWS UNBOUNDED
+    PRECEDING..CURRENT). Decimal accumulation keeps the running sum
+    bit-identical across engines and partition orders."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scan_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(30,4)")).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+@query(
+    "part_brand_stats",
+    oracle="""
+    SELECT p_brand AS brand,
+           COUNT(*) AS n_parts,
+           COUNT(*) FILTER (WHERE p_name LIKE '%green%') AS n_green,
+           CAST(CAST(SUM(LENGTH(p_name)) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_name_len,
+           MAX(UPPER(p_type)) AS max_type_upper
+    FROM part
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (SURVEY §2.7 extension): LIKE, LENGTH,
+    UPPER inside a grouped agg — all JVM-side codegen, no UDFs."""
+    p = scan_table(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_name").like("%green%"), 1)).alias("n_green"),
+            (F.sum(F.length("p_name")).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_name_len"),
+            F.max(F.upper("p_type")).alias("max_type_upper"),
+        )
+        .orderBy("brand")
+    )
+
+
+@query(
+    "props_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (F6 — the reference round-trips JSON payloads):
+    parse the props document, bucket by key. get_json_object is JVM-side;
+    for hot paths prefer from_json with an explicit schema."""
+    e = scan_table(spark, sf_dir, "events")
+    return (
+        e.select((F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k_bucket")
+    )

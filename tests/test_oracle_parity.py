@@ -1,0 +1,87 @@
+"""Oracle-parity harness: every declared query vs DuckDB at sf0.01.
+
+Replicates the driver's compare — row count, schema (column names), and an
+order-insensitive value comparison — but stricter: exact stringified
+equality per cell (doubles must match bit-for-bit, which the decimal-sum
+convention guarantees).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from portfolio_data_pipelines_spark.queries import REGISTRY, _load_all
+
+_load_all()
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — bitwise determinism required
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(columns, rows) -> list[tuple]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_canon_cell(r[i]) for i in order) for r in rows)
+
+
+ORACLE_CASES = [name for name, spec in sorted(REGISTRY.items()) if spec.oracle]
+ROWS_ONLY_CASES = [name for name, spec in sorted(REGISTRY.items()) if not spec.oracle]
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(spec.oracle)
+    duck_cols = rel.columns
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s = _canon_rows(spark_cols, spark_rows)
+    d = _canon_rows(duck_cols, duck_rows)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_CASES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_ORACLE)
+    assert sdf.count() >= 0
+    assert len(sdf.columns) > 0
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 25
