@@ -1,0 +1,361 @@
+"""Deduplication operators (SURVEY §2.10 — LLM-pipeline extensions).
+
+Five families, each expressed Spark-first (built-in columnar functions,
+no Python UDFs anywhere in this module):
+
+- **Exact**: hash-groupBy on a content digest, keep the smallest id.
+- **N-gram Jaccard**: exact near-dup pairs via shingle inverted index —
+  the verification primitive the approximate methods reduce to.
+- **MinHash + LSH**: per-doc signature of k=NUM_PERM min-hashes, banded;
+  pairs sharing a band bucket become candidates, then exact-verified.
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dups = small
+  Hamming distance, blocked on 16-bit sub-keys.
+- **Embedding cosine**: exact pairwise cosine over `array<float>`.
+
+Scale notes (100 TB):
+- The shingle inverted index (`_shingles`) is the only quadratic-risk
+  structure: a shingle shared by m docs yields m² candidate pairs. At
+  scale, drop ultra-frequent shingles (stop-shingles) before the
+  self-join — `max_shingle_freq` does this.
+- MinHash-LSH replaces the all-pairs join with a bucket join: cost is
+  Σ bucket², controlled by bands×rows trade-off. Signatures are 64
+  JVM-side xxhash64 aggregations — one pass over the exploded shingles.
+- Embedding all-pairs cosine is O(n²) and exists as the correctness
+  baseline; the scale path is LSH bucketing (see similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_PERM = 64  # minhash permutations; also the simhash bit width
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row per distinct content value (smallest id wins).
+
+    Digest-based: groups on ``md5(content)`` so the shuffle key is a
+    fixed-width hash, not the document body — at 100 TB the shuffle
+    moves 32-byte keys + ids, never the text.
+    """
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure columnar construction: split → sliding n-gram via transform
+    over an index sequence → array_distinct → explode. No UDFs.
+    """
+    words = F.split(F.col(text_col), " ")
+    # Guard: sequence(0, negative) would generate a DESCENDING range in
+    # Spark; docs shorter than n words must yield no shingles instead.
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Inverted-index join: docs sharing ≥1 shingle meet in the shingle
+    bucket; intersection counts come from the pair group-by, union from
+    per-doc sizes. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``max_shingle_freq`` drops shingles shared by more than that many
+    docs before pairing — the stop-shingle guard that bounds the
+    quadratic blow-up at scale (a shingle in m docs creates m² pairs).
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    pairs_src = sh
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        pairs_src = sh.join(F.broadcast(keep), "shingle")
+
+    a = pairs_src.select(F.col(id_col).alias("id_a"), "shingle")
+    b = pairs_src.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """k min-hash values per doc: (id, mh_0..mh_{k-1}).
+
+    One pass: k xxhash64 evaluations per shingle (JVM codegen), k min
+    aggregates. Seed variation via a literal first argument."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    num_perm: int = NUM_PERM,
+    rows_per_band: int = 1,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates, exact-verified.
+
+    Band scheme: ``num_perm / rows_per_band`` bands of ``rows_per_band``
+    hashes; docs sharing any band bucket are candidates. With r=1, b=64
+    a pair of true Jaccard j is missed with probability (1-j)^64 —
+    ≤ 1.2e-10 at j=0.3 — so the verified output equals the exact
+    ``ngram_jaccard_pairs`` for practical purposes, at bucket-join cost
+    instead of all-pairs. Choose r>1 to trade recall for fewer
+    candidates at higher thresholds (r=4,b=16 for j≳0.8).
+    """
+    assert num_perm % rows_per_band == 0
+    n_bands = num_perm // rows_per_band
+    sh = word_shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, num_perm)
+
+    # band hash = xxhash64 of the band's signature slice
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("h"),
+        )
+        for bi in range(n_bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+
+    ca = buckets.select(F.col(id_col).alias("id_a"), "band", "h")
+    cb = buckets.select(F.col(id_col).alias("id_b"), "band", "h")
+    candidates = (
+        ca.join(cb, ["band", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact verification restricted to candidates (semi-join pruning).
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: (id, simhash).
+
+    Each distinct word votes ±1 on every bit of its xxhash64; the
+    fingerprint takes the sign of each bit's tally. All columnar:
+    explode words → 64 conditional sums → bit reassembly."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = F.xxhash64(F.col("w"))
+    tallies = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return tallies.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs with SimHash Hamming distance ≤ k.
+
+    Blocking: split the 64-bit fingerprint into 4×16-bit blocks; by
+    pigeonhole, any pair within Hamming ≤ 48/16·… (for k ≤ 3·16) shares
+    at least one exact block when k < 4 blocks differ — we use the
+    standard 4-block scheme which is exact for k ≤ 3 per-block splits
+    and a high-recall heuristic beyond. Verification computes the true
+    Hamming distance via bit_count(xor).
+    """
+    fp = simhash(df, text_col, id_col)
+    blocks = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftright(F.col("simhash"), bi * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key")
+    return (
+        a.join(b, ["block", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact all-pairs baseline)
+# ---------------------------------------------------------------------------
+
+#: Decimal scale for embedding dot products: |x·y| per term ≤ ~1, sums ≤
+#: ~64 → ×1e12 ≤ 6.4e13, far under 2^53 → double↔decimal conversions are
+#: bit-identical across engines (same argument as functions.DEC).
+_EDEC = "decimal(30,12)"
+
+
+def _dot_dec(a, b):
+    prod = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_EDEC))
+    # The merge lambda must return the accumulator's exact type: decimal
+    # addition widens (30,12)+(30,12)→(31,12), so cast back (exact at
+    # these magnitudes — sums stay < 1e2).
+    return F.aggregate(
+        prod, F.lit(0).cast(_EDEC), lambda acc, x: (acc + x).cast(_EDEC)
+    ).cast("double")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact pairwise cosine similarity ≥ threshold over array<float>.
+
+    Dot products accumulate in exact decimal (order-independent, engine-
+    independent); norms likewise; cosine is then a deterministic IEEE
+    divide. O(n²) — the correctness baseline; use the LSH route in
+    similarity.py at scale.
+    """
+    norms = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    )
+    a = norms.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("norm").alias("norm_a")
+    )
+    b = norms.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("norm").alias("norm_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _dot_dec(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,116 @@
+"""Unit tests for dedup operators: contracts beyond the oracle harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (4, "completely different words appear in this sentence here now"),
+        (5, "short doc"),  # < 3 words → no trigrams
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestExactDedup:
+    def test_keeps_smallest_id(self, docs):
+        kept = exact_dedup(docs, "text", "doc_id")
+        ids = {r["doc_id"] for r in kept.collect()}
+        assert ids == {1, 3, 4, 5}  # doc 2 deduped against doc 1
+
+
+class TestShingles:
+    def test_trigram_count(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+        got = {r["shingle"] for r in word_shingles(df, "text", "doc_id", 3).collect()}
+        assert got == {"a b c", "b c d"}
+
+    def test_short_doc_yields_none(self, docs):
+        sh = word_shingles(docs.filter(F.col("doc_id") == 5), "text", "doc_id", 3)
+        assert sh.count() == 0
+
+
+class TestJaccard:
+    def test_exact_pairs(self, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical
+        assert (1, 3) in pairs  # near-dup
+        assert all(a != 4 and b != 4 for a, b in pairs)  # unrelated doc
+
+    def test_lsh_matches_exact(self, docs):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+        )
+        lsh = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    docs, "text", "doc_id", threshold=0.3, rows_per_band=1
+                ).collect(),
+            )
+        )
+        assert lsh == exact
+
+    def test_lsh_banded_variant_runs(self, docs):
+        # r=4, b=16: the high-threshold configuration; identical docs
+        # always collide (all minhashes equal).
+        got = minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.99, rows_per_band=4
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+    def test_stop_shingle_guard(self, docs):
+        # max_shingle_freq=1 drops every shared shingle → no pairs survive
+        got = ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.01, max_shingle_freq=1
+        ).collect()
+        assert got == []
+
+
+class TestSimhash:
+    def test_identical_docs_same_fingerprint(self, docs):
+        fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+        assert fp[1] == fp[2]
+
+    def test_pairs_hamming_zero_for_dups(self, docs):
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(docs, "text", "doc_id", max_hamming=10).collect()
+        }
+        assert got[(1, 2)] == 0
+
+
+class TestEmbeddingCosine:
+    def test_parallel_and_orthogonal(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),  # parallel to 1 → cosine 1
+            (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal → cosine 0
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.5).collect()
+        }
+        assert got == {(1, 2): pytest.approx(1.0)}
