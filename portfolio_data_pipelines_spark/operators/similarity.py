@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (SURVEY §2.10).
+
+Three strategies over ``array<float>`` vectors:
+
+- **Brute-force top-k** (`cosine_topk`): broadcast the query set, score
+  every (query, candidate) pair, window-rank per query. Exact; the
+  correctness baseline. Cost O(|queries|·|corpus|) — fine when the query
+  set is small and broadcastable, which is the common batch-scoring case.
+- **IVF top-k** (`ivf_topk`): inverted-file index with deterministic
+  centroids — each vector is assigned to its nearest centroid once; a
+  query only scores vectors in its own centroid's cell (nprobe=1).
+  Recall < 1 by construction, but fully deterministic, so it has an
+  exact oracle. At 100 TB this is the shape that works: the assignment
+  is one broadcast-join pass, cells are hash-partitioned, and each query
+  touches |corpus|/n_centroids candidates.
+- **Random-hyperplane LSH top-k** (`rp_lsh_topk`): sign-projection
+  buckets from a seeded hyperplane set; candidates share a bucket in
+  any of L tables. Engine-side only (the hyperplanes are engine
+  constants) → rows-only check.
+
+All cosine math uses decimal-exact dot products (see dedup._dot_dec) so
+results are bit-identical across engines and partition orders.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _dot_dec
+
+
+def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
+    by neighbor id. The query side is broadcast — at scale the corpus
+    never shuffles; scoring is a map-side nested-loop over the broadcast
+    queries, then one shuffle of k·|queries| rows for the rank window.
+    """
+    c = _with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vc"),
+        F.col("_norm").alias("_nc"),
+    )
+    q = _with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        F.col("_norm").alias("_nq"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF build).
+
+    One broadcast join + one rank window; deterministic tie-break on
+    centroid id. Output: corpus columns + ``centroid_id``.
+    """
+    c = _with_norm(corpus, vec_col)
+    cen = _with_norm(centroids, vec_col).select(
+        F.col(centroid_id_col),
+        F.col(vec_col).alias("_vcen"),
+        F.col("_norm").alias("_ncen"),
+    )
+    scored = c.join(F.broadcast(cen)).withColumn(
+        "_sim", _dot_dec(F.col(vec_col), F.col("_vcen")) / (F.col("_norm") * F.col("_ncen"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_sim", "_rk", "_vcen", "_ncen", "_norm")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index (nprobe=1).
+
+    Both corpus and queries are assigned to their nearest centroid; each
+    query scores only candidates in its own cell. Deterministic end to
+    end (given deterministic centroids), hence oracle-checkable. At
+    scale: repartition the assigned corpus by centroid_id and the
+    candidate join becomes a co-partitioned shuffle of cell-sized pieces.
+    """
+    corpus_a = assign_centroids(corpus, centroids, vec_col, id_col, centroid_id_col)
+    queries_a = assign_centroids(queries, centroids, vec_col, id_col, centroid_id_col)
+
+    c = _with_norm(corpus_a, vec_col).select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vc"),
+        F.col("_norm").alias("_nc"),
+    )
+    q = _with_norm(queries_a, vec_col).select(
+        F.col(centroid_id_col),
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        F.col("_norm").alias("_nq"),
+    )
+    scored = (
+        c.join(F.broadcast(q), centroid_id_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each;
+    a vector's bucket in a table is the sign pattern of its projections.
+    Query candidates = corpus vectors sharing a bucket in ANY table,
+    then exact cosine + rank. Collision probability per table for angle
+    θ is (1-θ/π)^n_planes — tune n_planes/n_tables for the recall/cost
+    point. Hyperplanes are seeded engine constants (compiled into the
+    plan as literal arrays, broadcast with the plan itself).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_cols(df: DataFrame, side: str) -> DataFrame:
+        out = df
+        for t in range(n_tables):
+            bits = None
+            for p in range(n_planes):
+                lit_plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+                proj = _dot_dec(F.col(vec_col), lit_plane)
+                bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+                term = F.shiftleft(bit, p)
+                bits = term if bits is None else bits.bitwiseOR(term)
+            out = out.withColumn(f"_b{side}{t}", bits)
+        return out
+
+    c = bucket_cols(_with_norm(corpus, vec_col), "c").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vc"),
+        F.col("_norm").alias("_nc"),
+        *[F.col(f"_bc{t}") for t in range(n_tables)],
+    )
+    q = bucket_cols(_with_norm(queries, vec_col), "q").select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_vq"),
+        F.col("_norm").alias("_nq"),
+        *[F.col(f"_bq{t}") for t in range(n_tables)],
+    )
+    any_bucket = None
+    for t in range(n_tables):
+        m = F.col(f"_bc{t}") == F.col(f"_bq{t}")
+        any_bucket = m if any_bucket is None else (any_bucket | m)
+
+    scored = (
+        c.join(F.broadcast(q), any_bucket & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,80 @@
+"""Unit tests for similarity-search operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.similarity import (
+    assign_centroids,
+    cosine_topk,
+    ivf_topk,
+    rp_lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # Three tight clusters along axes, plus the query near cluster 0.
+    rows = [
+        (0, [1.0, 0.05, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.9, 0.0, 0.1, 0.0]),
+        (10, [0.0, 1.0, 0.05, 0.0]),
+        (11, [0.0, 1.0, 0.1, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.05]),
+        (21, [0.0, 0.05, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+class TestBruteForce:
+    def test_topk_order_and_exclusion(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        got = cosine_topk(vectors, q, "embedding", "vec_id", k=3).collect()
+        assert [r["neighbor_id"] for r in got] == [1, 2, 10]  # cluster 0 first
+        assert all(r["query_id"] == 0 for r in got)
+        assert [r["rank"] for r in got] == [1, 2, 3]
+        assert got[0]["cosine"] > got[1]["cosine"] > got[2]["cosine"]
+
+
+class TestIVF:
+    def test_assignment_groups_clusters(self, vectors):
+        cents = vectors.filter(F.col("vec_id").isin(0, 10, 20)).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        a = {
+            r["vec_id"]: r["centroid_id"]
+            for r in assign_centroids(vectors, cents, "embedding", "vec_id").collect()
+        }
+        assert a[1] == 0 and a[2] == 0
+        assert a[11] == 10
+        assert a[21] == 20
+
+    def test_ivf_subset_of_bruteforce_cell(self, vectors):
+        cents = vectors.filter(F.col("vec_id").isin(0, 10, 20)).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+        q = vectors.filter(F.col("vec_id") == 0)
+        got = ivf_topk(vectors, q, cents, "embedding", "vec_id", k=5).collect()
+        # nprobe=1: only cluster-0 members are candidates
+        assert {r["neighbor_id"] for r in got} == {1, 2}
+
+
+class TestRpLsh:
+    def test_near_identical_always_found(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0)
+        got = rp_lsh_topk(
+            vectors, q, "embedding", "vec_id", dim=4, k=3, n_planes=4, n_tables=4
+        ).collect()
+        # vec 1 is ~identical in direction to the query: identical sign
+        # pattern in every table → guaranteed candidate and rank 1.
+        assert got and got[0]["neighbor_id"] == 1
+
+    def test_deterministic_across_runs(self, vectors):
+        q = vectors.filter(F.col("vec_id") < 2)
+        a = sorted(map(tuple, rp_lsh_topk(vectors, q, "embedding", "vec_id", dim=4).collect()))
+        b = sorted(map(tuple, rp_lsh_topk(vectors, q, "embedding", "vec_id", dim=4).collect()))
+        assert a == b
