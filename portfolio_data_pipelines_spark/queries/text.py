@@ -1,3 +1,235 @@
-"""Text-analysis declared queries (SURVEY §2.10) — filled in milestone M6."""
+"""Text-analysis declared queries (SURVEY §2.10, M6 — training-data ops).
+
+The large-scale training-data surface over the ``documents`` table:
+token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language-ID (stopword-vote n-gram
+heuristic), and document fingerprinting (polynomial rolling hash).
+
+All four are pure ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen, zero Python UDFs — so the scan streams through one
+narrow projection stage: no shuffle except where a query aggregates.
+Higher-order functions (``filter``/``transform``/``aggregate``) express the
+per-token logic without leaving Tungsten.
+
+Cross-engine exactness notes (validated bit-identical vs DuckDB at sf0.01):
+- token splits filter out empty strings explicitly (Spark and DuckDB both
+  keep boundary empties from ``\\s+`` splits);
+- ratios are single IEEE divisions of identical integers; weighted sums
+  evaluate left-to-right in both engines;
+- the rolling hash accumulates ``(acc*31 + codepoint) % 1e9+7`` in BIGINT,
+  bounded to a 64-char prefix so cost per row is O(1) regardless of doc
+  length (at 100 TB the prefix bound is what keeps this a cheap scan).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import scan_table
+from . import query
+
+#: BPE-ish tokenizer: letter runs | digit runs | single non-alnum symbol.
+#: Same pattern is valid Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the vote heuristic. Overlaps
+#: (es/fr share "de"/"la") are fine — ties break by fixed CASE order.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+#: Rolling-hash parameters: classic 31-base polynomial mod a Mersenne-ish
+#: prime; 64-char prefix keeps acc*31+x < 2^63 with room to spare.
+FP_BASE = 31
+FP_MOD = 1_000_000_007
+FP_PREFIX = 64
+
+
+def _ws_tokens(col: str = "text") -> Column:
+    """Whitespace token array with boundary empties removed."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def _ws_tokens_sql(expr: str = "text") -> str:
+    return rf"list_filter(regexp_split_to_array({expr}, '\s+'), t -> t <> '')"
+
+
+def _stop_hits(lang: str) -> Column:
+    """Count of tokens in ``lang``'s stopword list (lower-cased match)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_ws_tokens(), lambda t: F.lower(t).isin(*words)))
+
+
+def _stop_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_ws_tokens_sql()}, t -> lower(t) IN ({words})))"
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           n_chars,
+           len({_ws_tokens_sql()}) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+           CAST(n_chars AS DOUBLE)
+             / len({_ws_tokens_sql()}) AS chars_per_token
+    FROM documents
+    WHERE n_chars > 0
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (SURVEY §2.10): whitespace tokens and a BPE-ish
+    regex token count per document, plus mean token length. Narrow map-only
+    plan — no shuffle; at 100 TB this is a single pass bounded by scan
+    bandwidth."""
+    d = scan_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    ws = F.size(_ws_tokens())
+    return d.select(
+        "doc_id",
+        "n_chars",
+        ws.alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias("bpe_tokens"),
+        (F.col("n_chars").cast("double") / ws).alias("chars_per_token"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             source,
+             n_chars,
+             len({_ws_tokens_sql()}) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / n_chars AS alpha_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+               / n_chars AS punct_ratio,
+             CAST({_stop_hits_sql('en')} AS DOUBLE)
+               / len({_ws_tokens_sql()}) AS stopword_ratio
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+           0.4 * alpha_ratio
+             + 0.3 * stopword_ratio
+             + 0.3 * (1.0 - punct_ratio) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
+    into one weighted score — the gating signal a pretraining pipeline
+    thresholds on. All ratios are single IEEE divisions of identical
+    integer counts, so the score is bit-identical across engines."""
+    d = scan_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    n_chars = F.col("n_chars")
+    n_tokens = F.size(_ws_tokens())
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / n_chars
+    punct = F.length(F.regexp_replace("text", r"[A-Za-z0-9\s]", "")).cast("double") / n_chars
+    stop = _stop_hits("en").cast("double") / F.size(_ws_tokens())
+    m = d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        punct.alias("punct_ratio"),
+        stop.alias("stopword_ratio"),
+    )
+    return m.select(
+        "*",
+        (
+            F.lit(0.4) * F.col("alpha_ratio")
+            + F.lit(0.3) * F.col("stopword_ratio")
+            + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+        ).alias("quality_score"),
+    )
+
+
+def _lang_vote_sql() -> str:
+    hits = {lang: _stop_hits_sql(lang) for lang in STOPWORDS}
+    g = "greatest(" + ", ".join(f"c_{lang}" for lang in STOPWORDS) + ")"
+    cases = " ".join(f"WHEN c_{lang} = g THEN '{lang}'" for lang in STOPWORDS)
+    cols = ", ".join(f"{sql} AS c_{lang}" for lang, sql in hits.items())
+    return f"""
+    WITH votes AS (
+      SELECT doc_id, lang, {cols} FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, {g} AS g, c_en, c_de, c_es, c_fr FROM votes
+    )
+    SELECT lang, CASE WHEN g = 0 THEN 'und' {cases} END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """
+
+
+@query("text_lang_id", oracle=_lang_vote_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (SURVEY §2.10): stopword-vote heuristic — count
+    stopword hits per candidate language, argmax with fixed tie-break
+    order, 'und' when nothing fires — then confusion-matrix counts
+    against the labeled ``lang`` column. One narrow projection + one
+    small-key shuffle (≤ |langs|² groups) regardless of corpus size."""
+    d = scan_table(spark, sf_dir, "documents")
+    votes = d.select(
+        "doc_id",
+        "lang",
+        *[_stop_hits(lang).alias(f"c_{lang}") for lang in STOPWORDS],
+    )
+    g = F.greatest(*[F.col(f"c_{lang}") for lang in STOPWORDS])
+    pred = F.when(g == 0, F.lit("und"))
+    for lang in STOPWORDS:
+        pred = pred.when(F.col(f"c_{lang}") == g, F.lit(lang))
+    return (
+        votes.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(string_split(substr(text, 1, {FP_PREFIX}), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fingerprint,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(string_split(substr(text, 1, {FP_PREFIX}), ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) % 1024 AS bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (SURVEY §2.10): polynomial rolling hash of
+    a fixed 64-char prefix, plus a 1024-way bucket — the cheap first-pass
+    key for candidate duplicate grouping upstream of MinHash. Prefix bound
+    keeps per-row cost O(1); the whole query is a map-only codegen stage."""
+    d = scan_table(spark, sf_dir, "documents")
+    fp = F.aggregate(
+        F.transform(
+            F.split(F.substring("text", 1, FP_PREFIX), ""),
+            lambda c: F.ascii(c).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + x) % FP_MOD,
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        (fp % 1024).alias("bucket"),
+    )

@@ -1,0 +1,89 @@
+"""Unit semantics for the text-analysis surface (SURVEY §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.queries.text import (
+    FP_BASE,
+    FP_MOD,
+    FP_PREFIX,
+    text_fingerprint,
+    text_lang_id,
+    text_quality_score,
+    text_token_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def _one_doc_path(spark, tmp_path, text, lang="en"):
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    _docs(spark, [(1, text, lang, "s0", len(text))]).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    return str(sf)
+
+
+def test_token_counts(spark, tmp_path):
+    row = text_token_stats(spark, _one_doc_path(spark, tmp_path, "  the cat, sat!  ")).first()
+    assert row["ws_tokens"] == 3  # boundary empties dropped
+    assert row["bpe_tokens"] == 5  # the / cat / , / sat / !
+    assert abs(row["chars_per_token"] - 17 / 3) < 1e-12
+
+
+def test_token_stats_skips_empty_docs(spark, tmp_path):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, [(1, "", "en", "s0", 0), (2, "hi there", "en", "s0", 8)]).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    rows = text_token_stats(spark, str(sf)).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
+def test_quality_score_weights(spark, tmp_path):
+    # "the the" — pure alpha, all-stopword, no punctuation → maximal score.
+    row = text_quality_score(spark, _one_doc_path(spark, tmp_path, "the the")).first()
+    assert row["punct_ratio"] == 0.0
+    assert row["stopword_ratio"] == 1.0
+    expected = 0.4 * row["alpha_ratio"] + 0.3 * 1.0 + 0.3 * 1.0
+    assert row["quality_score"] == expected
+
+
+def test_lang_id_votes_and_und(spark, tmp_path):
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(
+        spark,
+        [
+            (1, "the cat and the dog", "en", "s0", 19),
+            (2, "der hund und die katze ist", "de", "s0", 26),
+            (3, "zzz qqq xxx", "zh", "s0", 11),
+        ],
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = {(r["lang"], r["lang_pred"]): r["n_docs"] for r in text_lang_id(spark, str(sf)).collect()}
+    assert got == {("en", "en"): 1, ("de", "de"): 1, ("zh", "und"): 1}
+
+
+def test_fingerprint_matches_python_reference(spark, tmp_path):
+    text = "hello world, rolling hash"
+    row = text_fingerprint(spark, _one_doc_path(spark, tmp_path, text)).first()
+    acc = 0
+    for ch in text[:FP_PREFIX]:
+        acc = (acc * FP_BASE + ord(ch)) % FP_MOD
+    assert row["fingerprint"] == acc
+    assert row["bucket"] == acc % 1024
+
+
+def test_text_queries_are_udf_free(spark, sf_dir):
+    # The whole text surface must stay JVM-side: no BatchEvalPython /
+    # ArrowEvalPython nodes in any plan.
+    for fn in (text_token_stats, text_quality_score, text_lang_id, text_fingerprint):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, fn.__name__
