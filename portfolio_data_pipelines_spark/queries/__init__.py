@@ -47,6 +47,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     # Import for registration side effects.
     from . import relational  # noqa: F401
+    from . import temporal  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401

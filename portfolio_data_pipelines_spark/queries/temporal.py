@@ -1,0 +1,109 @@
+"""Temporal declared queries: as-of join and range/band join (SURVEY §2.5).
+
+The reference's FX vertical names a rate-lookup semantic ("latest rate at
+or before t" — the stg_fx_rates / fx_top10_daily models,
+airflow/dags/weather_hourly_pipeline.py:119) without implementing it.
+Here it is as first-class operators over the events fixture, oracled
+against DuckDB's native ``ASOF JOIN``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql
+from ..operators.temporal import asof_join, band_join
+from ..sources.parquet import scan_table
+from . import query
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def _clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One row per (user_id, ts): as-of semantics are ambiguous under
+    # exact-timestamp ties, so the right side is pre-aggregated — the
+    # same contract the oracle applies.
+    return (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+
+
+@query(
+    "asof_purchase_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value
+      FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.click_value AS asof_click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): each purchase
+    picks up the most recent click value at or before it, per user.
+    Union+window formulation: one shuffle on user_id, linear in rows —
+    no pair explosion (see operators/temporal.py scale notes). Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    return asof_join(
+        _purchases(spark, sf_dir),
+        _clicks_dedup(spark, sf_dir),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=("click_value",),
+    )
+
+
+@query(
+    "events_value_band_rollup",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0), ('high', 200.0, 1e9)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_events,
+           {dsum_sql('e.value')} AS total_value
+    FROM events e
+    JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def events_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: classify every event's value into a broadcast
+    bands dimension via a non-equi [lo, hi) predicate, then roll up.
+    The 3-row dim broadcasts, so the fact side never shuffles for the
+    join — the only strategy that survives a 100 TB fact table; the
+    rollup then shuffles 3 keys."""
+    events = scan_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        band_join(events, bands, "value", how="inner")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("band")
+    )

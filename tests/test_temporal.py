@@ -1,0 +1,82 @@
+"""Unit semantics for as-of join and band join (operators/temporal.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.temporal import asof_join, band_join
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _t(10)), (2, 1, _t(12)), (3, 2, _t(9)), (4, 3, _t(11))],
+        "id bigint, k bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(9), 10.0), (1, _t(11), 20.0), (2, _t(9), 30.0)],
+        "k bigint, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    got = {r["id"]: r["asof_v"] for r in asof_join(left, right, on="k", value_cols=("v",)).collect()}
+    assert got == {
+        1: 10.0,  # 10:00 → rate from 09:00
+        2: 20.0,  # 12:00 → rate from 11:00 (not 09:00)
+        3: 30.0,  # exact-timestamp match is inclusive
+        4: None,  # key 3 has no right rows → NULL, row preserved
+    }
+
+
+def test_asof_tolerance_drops_stale(spark):
+    left, right = _frames(spark)
+    got = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", value_cols=("v",), tolerance_seconds=3600
+        ).collect()
+    }
+    # id=1 matched a rate 1h old (kept, boundary-inclusive); id=2's match
+    # is 1h old too; make a stricter window to see the drop.
+    assert got[1] == 10.0
+    strict = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", value_cols=("v",), tolerance_seconds=1800
+        ).collect()
+    }
+    assert strict == {1: None, 2: None, 3: 30.0, 4: None}
+
+
+def test_asof_preserves_left_row_count(spark):
+    left, right = _frames(spark)
+    assert asof_join(left, right, on="k", value_cols=("v",)).count() == left.count()
+
+
+def test_band_join_half_open_intervals(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 49.9), (3, 50.0), (4, 199.9), (5, 200.0)],
+        "id bigint, value double",
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    got = {r["id"]: r["band"] for r in band_join(fact, bands, "value").collect()}
+    # [lo, hi): boundary value belongs to the upper band.
+    assert got == {1: "low", 2: "low", 3: "mid", 4: "mid", 5: "high"}
+
+
+def test_band_join_is_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10.0)], "id bigint, value double")
+    bands = spark.createDataFrame([("low", 0.0, 50.0)], "band string, lo double, hi double")
+    plan = band_join(fact, bands, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
