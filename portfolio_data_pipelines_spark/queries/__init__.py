@@ -50,6 +50,7 @@ def _load_all() -> None:
     from . import temporal  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
+    from . import multimodal  # noqa: F401
     from . import similarity  # noqa: F401
 
 

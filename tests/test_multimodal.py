@@ -1,0 +1,70 @@
+"""Unit semantics for multimodal plumbing (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    decode_image,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+
+
+def _media(spark, payloads):
+    rows = [(i, bytearray(p), "image/fake") for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "media_id bigint, content binary, media_type string")
+
+
+def test_extract_features_byte_semantics(spark):
+    payload = bytes(range(10))  # 0..9
+    row = extract_features(_media(spark, [payload])).first()
+    assert row["n_bytes"] == 10
+    assert row["first_byte"] == 0
+    assert row["byte_sum"] == sum(range(10))
+    assert row["n_frames"] == 1
+    assert row["n_sampled_frames"] == 1
+
+
+def test_extract_features_empty_payload(spark):
+    row = extract_features(_media(spark, [b""])).first()
+    assert (row["n_bytes"], row["first_byte"], row["byte_sum"], row["n_frames"]) == (0, -1, 0, 0)
+
+
+def test_frame_sampling_counts_and_content(spark):
+    # 5 frames of FRAME_BYTES → sampled indices 0 and 4 at stride 4.
+    payload = bytes(FRAME_BYTES * 5)
+    rows = sample_frames(_media(spark, [payload])).orderBy("frame_index").collect()
+    assert [r["frame_index"] for r in rows] == [0, FRAME_STRIDE]
+    assert all(len(r["frame_bytes"]) == FRAME_BYTES for r in rows)
+
+
+def test_frame_sampling_partial_tail_frame(spark):
+    payload = bytes(FRAME_BYTES + 10)  # 2 frames, second is partial
+    rows = sample_frames(_media(spark, [payload])).collect()
+    assert len(rows) == 1  # stride 4 samples only frame 0 of 2
+
+
+def test_media_from_documents_binary_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(7, "abc", "en", "s0", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    row = media_from_documents(docs).first()
+    assert bytes(row["content"]) == b"abc"
+    assert row["media_id"] == 7
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_extract_adds_no_shuffle(spark):
+    media = _media(spark, [b"xy"])
+    plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
