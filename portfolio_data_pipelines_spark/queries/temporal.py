@@ -73,6 +73,50 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_sessions_gap30m",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def user_sessions_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch face of streaming
+    ``session_window`` — SURVEY M5): sessions close after 30 min of
+    silence; end = last event + gap. Spark uses the built-in
+    ``session_window`` (one shuffle on user_id, state merged per key);
+    the oracle derives identical sessions from lag + running sum. At
+    100 TB the session merge stays linear per key — no self-join."""
+    return (
+        scan_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "events_value_band_rollup",
     oracle=f"""
     WITH bands(band, lo, hi) AS (

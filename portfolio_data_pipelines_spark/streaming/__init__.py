@@ -1,0 +1,191 @@
+"""Structured Streaming surface (SURVEY §2.9 O2, §7 M5).
+
+The reference's hourly cadence is an Airflow ``@hourly`` schedule driving
+a batch delete-day-then-insert upsert (``weather_hourly_pipeline.py:40,
+101-112``). The idiomatic Spark restatement is Structured Streaming: a
+file source watching the landing zone, event-time windows with watermarks
+for late hourly data, and a ``foreachBatch`` sink reusing the same
+idempotent medallion writer — one code path for backfill
+(``Trigger.AvailableNow``) and steady-state (processing-time trigger).
+
+Scale notes:
+- Windowed aggregations shuffle on (window, key); state is bounded by the
+  watermark — without it, state grows without bound at 100 TB. Every
+  aggregation here takes an explicit watermark delay.
+- ``applyInPandasWithState`` keys state by group: state shuffles once per
+  trigger on the grouping key; per-key state must stay small (two longs
+  and a double here), never per-event history.
+- File source at scale: maxFilesPerTrigger bounds batch size so one
+  trigger never has to process an unbounded backlog in one shot.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions import davg
+from ..schemas import STAR_SCHEMA
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def events_file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events table.
+
+    Same nanos-timestamp handling as the batch scan
+    (sources/parquet.py): read ``ts`` as epoch-nanos long, convert to
+    TimestampType, so batch and stream share one declared schema.
+    """
+    schema = STAR_SCHEMA["events"]
+    read_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    # The file source requires a directory; restrict listing to the
+    # events file(s) with a glob so sibling tables aren't picked up.
+    reader = spark.readStream.schema(read_schema).option("pathGlobFilter", "events*.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        *[f.name for f in schema.fields]
+    )
+
+
+def tumbling_daily_mart(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming restatement of the reference's daily mart (A2): tumbling
+    1-day event-time windows with a watermark bounding late-data state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            davg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.to_date("w.start").alias("date_utc"), "avg_value", "max_value", "min_value", "n_events")
+    )
+
+
+def sliding_type_counts(
+    events: DataFrame, window: str = "2 days", slide: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Sliding event-time windows per event_type — each event lands in
+    window_duration/slide windows; state still watermark-bounded."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def user_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Gap-based sessionization per user via the built-in session_window:
+    a session closes after ``gap`` of silence; the watermark lets Spark
+    finalize (and evict) sessions older than the delay."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_TOTALS_OUT = "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+_TOTALS_STATE = "n_events bigint, total_value double, last_ts_us bigint"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user totals that survive across triggers — the shape of any
+    accumulate-forever profile (fraud scores, usage meters).
+
+    State per key is three scalars, so state-store size is O(distinct
+    users), independent of event volume. Output mode: update (one row per
+    user per trigger it appeared in).
+    """
+    import datetime as dt
+
+    import pandas as pd  # noqa: F811
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = max(last_us, batch_max_us)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [dt.datetime.utcfromtimestamp(last_us / 1_000_000)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_to_bronze(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Stream → bronze lake through ``foreachBatch`` reusing the batch
+    medallion writer, so the streaming sink inherits the same idempotent
+    dynamic-partition-overwrite semantics (K4) — a replayed micro-batch
+    rewrites exactly its own day partitions."""
+    from ..operators.medallion import write_bronze
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_bronze(batch, path, partition_col="date", derive_from="ts")
+
+    writer = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
