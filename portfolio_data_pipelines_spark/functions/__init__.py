@@ -48,6 +48,22 @@ def davg(c: str | Column) -> Column:
     return (F.sum(col.cast(DEC)).cast("double") / F.count(col)).cast("double")
 
 
+def ensure_min_parallelism(df, target: int | None = None):
+    """Repartition ``df`` up to cluster parallelism iff it is narrower.
+
+    Small single-file scans arrive as 1-2 partitions (parquet can't split
+    below a row group), which serializes every downstream map stage —
+    fatal for CPU-heavy operators (shingling, hashing, all-pairs math).
+    On wide inputs (the 100 TB case: thousands of splits) this is a
+    no-op, so no gratuitous shuffle is added where the scan is already
+    parallel.
+    """
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dsum_sql(expr: str) -> str:
     """Oracle-side rendering of :func:`dsum` (ANSI/DuckDB SQL)."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,4))) AS DOUBLE)"

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import ensure_min_parallelism
+
 NUM_PERM = 64  # minhash permutations; also the simhash bit width
 
 
@@ -63,6 +65,7 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     Pure columnar construction: split → sliding n-gram via transform
     over an index sequence → array_distinct → explode. No UDFs.
     """
+    df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     # Guard: sequence(0, negative) would generate a DESCENDING range in
     # Spark; docs shorter than n words must yield no shingles instead.
@@ -238,6 +241,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     Each distinct word votes ±1 on every bit of its xxhash64; the
     fingerprint takes the sign of each bit's tally. All columnar:
     explode words → 64 conditional sums → bit reassembly."""
+    df = ensure_min_parallelism(df)
     words = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
@@ -310,20 +314,22 @@ def simhash_pairs(
 # Embedding cosine near-dup (exact all-pairs baseline)
 # ---------------------------------------------------------------------------
 
-#: Decimal scale for embedding dot products: |x·y| per term ≤ ~1, sums ≤
-#: ~64 → ×1e12 ≤ 6.4e13, far under 2^53 → double↔decimal conversions are
-#: bit-identical across engines (same argument as functions.DEC).
-_EDEC = "decimal(30,12)"
+def _dot_seq(a, b):
+    """Sequential left-to-right IEEE-double dot product.
 
-
-def _dot_dec(a, b):
-    prod = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_EDEC))
-    # The merge lambda must return the accumulator's exact type: decimal
-    # addition widens (30,12)+(30,12)→(31,12), so cast back (exact at
-    # these magnitudes — sums stay < 1e2).
+    Cross-engine exactness without decimals: ``F.aggregate`` folds
+    left-to-right over the array, and DuckDB's ``list_dot_product`` over
+    ``DOUBLE[]`` accumulates in the same order — identical float→double
+    promotions, identical multiply/add sequence ⇒ bit-identical results
+    (validated over the full fixture). Pure codegen double math: ~100×
+    cheaper than BigDecimal accumulation, which matters when an all-pairs
+    baseline evaluates millions of dots.
+    """
     return F.aggregate(
-        prod, F.lit(0).cast(_EDEC), lambda acc, x: (acc + x).cast(_EDEC)
-    ).cast("double")
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def embedding_cosine_pairs(
@@ -331,30 +337,37 @@ def embedding_cosine_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.4,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exact pairwise cosine similarity ≥ threshold over array<float>.
 
-    Dot products accumulate in exact decimal (order-independent, engine-
-    independent); norms likewise; cosine is then a deterministic IEEE
-    divide. O(n²) — the correctness baseline; use the LSH route in
-    similarity.py at scale.
+    Dot products accumulate sequentially in double (identical fold order
+    in both engines ⇒ bit-identical values). O(n²) — the correctness
+    baseline; use the LSH route in similarity.py at scale.
+
+    The corpus typically arrives in a handful of input splits, but the
+    nested-loop pair join does O(n) work per streamed row — so the
+    streamed side is repartitioned to cluster parallelism first, or the
+    whole quadratic loop runs on one or two cores.
     """
     norms = df.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col))).alias("norm"),
     )
-    a = norms.select(
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    a = norms.repartition(n_partitions).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col("norm").alias("norm_a")
     )
     b = norms.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col("norm").alias("norm_b")
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            _dot_dec(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+            _dot_seq(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -18,8 +18,9 @@ Three strategies over ``array<float>`` vectors:
   any of L tables. Engine-side only (the hyperplanes are engine
   constants) → rows-only check.
 
-All cosine math uses decimal-exact dot products (see dedup._dot_dec) so
-results are bit-identical across engines and partition orders.
+All cosine math uses sequential-double dot products (see dedup._dot_seq)
+— the same left-to-right accumulation DuckDB's list_dot_product does —
+so results are bit-identical across engines and partition orders.
 """
 
 from __future__ import annotations
@@ -28,11 +29,16 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _dot_dec
+from ..functions import ensure_min_parallelism
+from .dedup import _dot_seq
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
-    return df.withColumn("_norm", F.sqrt(_dot_dec(F.col(vec_col), F.col(vec_col))))
+    # Corpus-side math (norms, bucket hashes, candidate dots) must not be
+    # serialized onto the 1-2 partitions a small single-file scan yields.
+    return ensure_min_parallelism(df).withColumn(
+        "_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col)))
+    )
 
 
 def cosine_topk(
@@ -61,7 +67,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -90,7 +96,7 @@ def assign_centroids(
         F.col("_norm").alias("_ncen"),
     )
     scored = c.join(F.broadcast(cen)).withColumn(
-        "_sim", _dot_dec(F.col(vec_col), F.col("_vcen")) / (F.col("_norm") * F.col("_ncen"))
+        "_sim", _dot_seq(F.col(vec_col), F.col("_vcen")) / (F.col("_norm") * F.col("_ncen"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
     return (
@@ -135,7 +141,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), centroid_id_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -175,7 +181,7 @@ def rp_lsh_topk(
             bits = None
             for p in range(n_planes):
                 lit_plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-                proj = _dot_dec(F.col(vec_col), lit_plane)
+                proj = _dot_seq(F.col(vec_col), lit_plane)
                 bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
                 term = F.shiftleft(bit, p)
                 bits = term if bits is None else bits.bitwiseOR(term)
@@ -201,7 +207,7 @@ def rp_lsh_topk(
 
     scored = (
         c.join(F.broadcast(q), any_bucket & (F.col("query_id") != F.col("neighbor_id")))
-        .withColumn("cosine", _dot_dec(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -111,28 +111,16 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_cosine_dups",
     oracle="""
-    WITH e AS (
-        SELECT vec_id, CAST(x AS DOUBLE) AS x, i
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS i
-              FROM embeddings)
-    ),
-    nrm AS (
-        SELECT vec_id,
-               sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nv
-        FROM e GROUP BY vec_id
-    ),
-    dots AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
+    WITH ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nv
+        FROM embeddings
     )
-    SELECT d.id_a, d.id_b, d.dot / (na.nv * nb.nv) AS cosine
-    FROM dots d
-    JOIN nrm na ON d.id_a = na.vec_id
-    JOIN nrm nb ON d.id_b = nb.vec_id
-    WHERE d.dot / (na.nv * nb.nv) >= 0.4
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.v, b.v) / (a.nv * b.nv) AS cosine
+    FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= 0.4
     """,
 )
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,7 +1,7 @@
 """Similarity-search declared queries (SURVEY §2.10, milestone M5).
 
 Query set = vectors with ``vec_id < 5``; corpus = all 500 embeddings.
-Brute-force and IVF are fully deterministic (decimal-exact cosine,
+Brute-force and IVF are fully deterministic (sequential-double cosine,
 deterministic centroid choice and tie-breaks) → DuckDB oracles.
 Random-hyperplane LSH depends on engine-side seeded hyperplanes →
 rows-only check.
@@ -16,18 +16,15 @@ from ..operators.similarity import cosine_topk, ivf_topk, rp_lsh_topk
 from ..sources.parquet import scan_table
 from . import query
 
-#: Shared oracle scaffolding: per-element table + norms (decimal-exact).
+#: Shared oracle scaffolding: vectors as DOUBLE[] + sequential-double
+#: norms. ``list_dot_product`` folds left-to-right in double — the same
+#: accumulation order as the Spark side's ``F.aggregate`` ⇒ bit-identical.
 _E_NRM = """
-    e AS (
-        SELECT vec_id, CAST(x AS DOUBLE) AS x, i
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS i
-              FROM embeddings)
-    ),
-    nrm AS (
-        SELECT vec_id,
-               sqrt(CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE)) AS nv
-        FROM e GROUP BY vec_id
+    ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nv
+        FROM embeddings
     )
 """
 
@@ -35,25 +32,18 @@ _E_NRM = """
 @query(
     "cosine_topk_bruteforce",
     oracle=f"""
-    WITH {_E_NRM},
-    dots AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               CAST(SUM(CAST(q.x * c.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        FROM e q
-        JOIN e c ON q.i = c.i AND q.vec_id < 5 AND c.vec_id <> q.vec_id
-        GROUP BY 1, 2
-    )
+    WITH {_E_NRM}
     SELECT query_id, neighbor_id, cosine, "rank"
     FROM (
-        SELECT d.query_id, d.neighbor_id,
-               d.dot / (nq.nv * nn.nv) AS cosine,
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
                ROW_NUMBER() OVER (
-                   PARTITION BY d.query_id
-                   ORDER BY d.dot / (nq.nv * nn.nv) DESC, d.neighbor_id ASC
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            c.vec_id ASC
                ) AS "rank"
-        FROM dots d
-        JOIN nrm nq ON d.query_id = nq.vec_id
-        JOIN nrm nn ON d.neighbor_id = nn.vec_id
+        FROM ev q
+        JOIN ev c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
     )
     WHERE "rank" <= 10
     """,
@@ -72,50 +62,32 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=f"""
     WITH {_E_NRM},
-    cen AS (SELECT vec_id AS centroid_id FROM embeddings WHERE vec_id % 53 = 0),
-    simc AS (
-        SELECT v.vec_id, c.centroid_id,
-               CAST(SUM(CAST(v.x * ce.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        FROM e v
-        JOIN cen c ON TRUE
-        JOIN e ce ON ce.vec_id = c.centroid_id AND ce.i = v.i
-        GROUP BY 1, 2
-    ),
     assign AS (
-        SELECT vec_id, centroid_id
+        SELECT vec_id, v, nv, centroid_id
         FROM (
-            SELECT s.vec_id, s.centroid_id,
+            SELECT e.vec_id, e.v, e.nv, c.vec_id AS centroid_id,
                    ROW_NUMBER() OVER (
-                       PARTITION BY s.vec_id
-                       ORDER BY s.dot / (nv.nv * nc.nv) DESC, s.centroid_id ASC
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
+                                c.vec_id ASC
                    ) AS rk
-            FROM simc s
-            JOIN nrm nv ON s.vec_id = nv.vec_id
-            JOIN nrm nc ON s.centroid_id = nc.vec_id
+            FROM ev e
+            JOIN ev c ON c.vec_id % 53 = 0
         )
         WHERE rk = 1
-    ),
-    dots AS (
-        SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-               CAST(SUM(CAST(qe.x * cev.x AS DECIMAL(30,12))) AS DOUBLE) AS dot
-        FROM assign qa
-        JOIN assign ca ON ca.centroid_id = qa.centroid_id AND ca.vec_id <> qa.vec_id
-        JOIN e qe ON qe.vec_id = qa.vec_id
-        JOIN e cev ON cev.vec_id = ca.vec_id AND cev.i = qe.i
-        WHERE qa.vec_id < 5
-        GROUP BY 1, 2
     )
     SELECT query_id, neighbor_id, cosine, "rank"
     FROM (
-        SELECT d.query_id, d.neighbor_id,
-               d.dot / (nq.nv * nn.nv) AS cosine,
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
                ROW_NUMBER() OVER (
-                   PARTITION BY d.query_id
-                   ORDER BY d.dot / (nq.nv * nn.nv) DESC, d.neighbor_id ASC
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            c.vec_id ASC
                ) AS "rank"
-        FROM dots d
-        JOIN nrm nq ON d.query_id = nq.vec_id
-        JOIN nrm nn ON d.neighbor_id = nn.vec_id
+        FROM assign q
+        JOIN assign c ON c.centroid_id = q.centroid_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
     )
     WHERE "rank" <= 10
     """,
