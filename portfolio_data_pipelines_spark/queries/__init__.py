@@ -52,6 +52,7 @@ def _load_all() -> None:
     from . import dedup  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import stats  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

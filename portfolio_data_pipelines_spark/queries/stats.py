@@ -1,0 +1,211 @@
+"""Statistical-aggregate declared queries (SURVEY §2.4 extensions).
+
+The reference's aggregate surface stops at avg/min/max/count
+(dbt/models/marts/weather_daily.sql:4-11); a production mart layer also
+needs dispersion (stddev/variance), correlation, quantiles, multi-level
+rollups (GROUPING SETS) and pivots. All are Spark built-ins; the work
+here is *deterministic formulations* so every value hash-matches the
+DuckDB oracle:
+
+- Moments come from exact decimal sums (n, Σx, Σx²) combined by one
+  fixed IEEE expression — the built-in ``stddev``/``corr`` accumulate
+  doubles in partition order and are nondeterministic in the last ulp.
+- ``percentile`` (Spark) and ``quantile_cont`` (DuckDB) use the same
+  linear-interpolation definition — validated bit-identical.
+
+Scale: each query is one shuffle on its grouping key with map-side
+partial aggregation; GROUPING SETS expands to one pass per set over the
+same shuffle (Spark's Expand operator), not one scan per set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql
+from ..sources.parquet import scan_table
+from . import query
+
+
+def _var_samp(n: Column, s1: Column, s2: Column) -> Column:
+    # (Σx² − (Σx)²/n) / (n−1), every operand an exact-sum double ⇒ the
+    # expression is one deterministic IEEE evaluation in both engines.
+    return (s2 - s1 * s1 / n) / (n - F.lit(1))
+
+
+def _var_samp_sql(n: str, s1: str, s2: str) -> str:
+    return f"({s2} - {s1} * {s1} / {n}) / ({n} - 1)"
+
+
+@query(
+    "stats_value_moments",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS DOUBLE) AS n,
+             {dsum_sql('value')} AS s1,
+             {dsum_sql('value * value')} AS s2
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           s1 / n AS mean_value,
+           {_var_samp_sql('n', 's1', 's2')} AS var_value,
+           sqrt({_var_samp_sql('n', 's1', 's2')}) AS stddev_value
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def stats_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean / sample variance / stddev per event type from exact decimal
+    power sums — deterministic where the built-in ``stddev_samp`` is
+    partition-order-dependent. One shuffle, three sums."""
+    e = scan_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("value").cast("double").alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    var = _var_samp(F.col("n"), F.col("s1"), F.col("s2"))
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("s1") / F.col("n")).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "stats_price_qty_corr",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {dsum_sql('l_quantity')} AS sx,
+             {dsum_sql('l_extendedprice')} AS sy,
+             {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+             {dsum_sql('l_quantity * l_quantity')} AS sxx,
+             {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    from exact cross/power sums (the built-in ``corr`` is partition-order
+    nondeterministic). Single shuffle; five sums."""
+    li = scan_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+    )
+    return s.select("l_returnflag", corr.alias("corr_qty_price")).orderBy("l_returnflag")
+
+
+@query(
+    "stats_quantity_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition
+    (validated bit-identical). Exact percentile sorts within each group;
+    at extreme scale swap to ``approx_percentile`` and drop the oracle
+    to rows-only."""
+    li = scan_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "grouping_sets_events",
+    oracle=f"""
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS date_utc,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    ORDER BY event_type, date_utc
+    """,
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-type, per-day, and grand totals in ONE pass —
+    Spark's Expand operator replicates rows per set over a single
+    shuffle instead of three scans. NULL group labels are coalesced to
+    'ALL' so the three levels are distinguishable and hash-stable."""
+    scan_table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(CAST(CAST(ts AS DATE) AS STRING), 'ALL') AS date_utc,
+               COUNT(*) AS n_events,
+               {{dsum}} AS total_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+        ORDER BY event_type, date_utc
+        """.replace("{dsum}", "CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)")
+    )
+
+
+@query(
+    "returnflag_status_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_A,
+           {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_N,
+           {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: return-flag columns per line status. Explicit pivot values
+    keep it one pass (no extra distinct-values job) — mandatory at scale
+    where an implicit pivot first scans for the value set."""
+    li = scan_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+        .orderBy("l_linestatus")
+    )
