@@ -751,3 +751,35 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "try_parse_timestamps",
+    oracle="""
+    WITH s AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN 'not-a-time'
+                  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw
+      FROM events
+    )
+    SELECT event_id, raw,
+           try_strptime(raw, '%Y-%m-%d %H:%M:%S') AS parsed
+    FROM s
+    """,
+)
+def try_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-strict timestamp parsing (F1 — SURVEY §4 hard part #2): the
+    reference parses with Polars ``strict=False`` (weather_transform.py:
+    32,35), where malformed inputs become NULL instead of failing the
+    job. Spark parity is ``try_to_timestamp``: strings are fabricated
+    from events.ts with every 7th row corrupted; those rows must parse
+    to NULL, the rest round-trip exactly."""
+    e = scan_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 7 == 0, F.lit("not-a-time")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    return e.select(
+        "event_id",
+        raw.alias("raw"),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")).alias("parsed"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
+from ..operators.skew import salted_join
 from ..operators.temporal import asof_join, band_join
 from ..sources.parquet import scan_table
 from . import query
@@ -150,4 +151,40 @@ def events_value_band_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
         .orderBy("band")
+    )
+
+
+@query(
+    "salted_revenue_by_segment",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (SCALE.md): orders x customer through an
+    8-way salted equi-join — each hot customer key spreads over 8 shuffle
+    partitions — then revenue per market segment. The salt is internal
+    routing only, so the result (and oracle) is the plain join's."""
+    orders = scan_table(spark, sf_dir, "orders")
+    cust = scan_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # Key names differ per side; align the right side to the left key.
+    joined = salted_join(
+        orders.select("o_custkey", "o_totalprice"),
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        on="o_custkey",
+        n_salts=8,
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
     )

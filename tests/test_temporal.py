@@ -80,3 +80,25 @@ def test_band_join_is_broadcast(spark):
     bands = spark.createDataFrame([("low", 0.0, 50.0)], "band string, lo double, hi double")
     plan = band_join(fact, bands, "value")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    from portfolio_data_pipelines_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], "k bigint, lv string"
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, rv int")
+    got = sorted(tuple(r) for r in salted_join(left, right, on="k", n_salts=4).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+def test_salted_join_spreads_key_over_salts(spark):
+    from portfolio_data_pipelines_spark.operators.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # One hot key on the left; right replicated across all 4 salts.
+    left = spark.createDataFrame([(1, i) for i in range(100)], "k bigint, i int")
+    right = spark.createDataFrame([(1, 10)], "k bigint, rv int")
+    assert salted_join(left, right, on="k", n_salts=4).count() == 100
