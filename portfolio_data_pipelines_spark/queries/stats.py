@@ -209,3 +209,47 @@ def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@query("approx_distinct_users_daily")  # rows-only: HLL sketches are engine-specific
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per day via HyperLogLog++
+    (``approx_count_distinct``, rsd 2%). The 100 TB path for
+    cardinality: fixed-size sketch per group mergeable across
+    partitions, vs an exact distinct whose shuffle carries every
+    (day, user) pair. Accuracy vs exact is asserted in
+    tests/test_stats.py; no oracle because sketch estimates are
+    engine-specific."""
+    e = scan_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+@query("approx_price_percentiles")  # rows-only: t-digest-style sketch is engine-specific
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of extended price per return flag
+    (``approx_percentile``, accuracy 10000). Exact percentile sorts
+    every group; the sketch is one pass + fixed memory — the only
+    viable form at 100 TB. Accuracy asserted vs exact in tests."""
+    li = scan_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+            ).alias("p")
+        )
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p50_price"),
+            F.col("p")[1].alias("p95_price"),
+            F.col("p")[2].alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
