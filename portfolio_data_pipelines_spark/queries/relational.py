@@ -783,3 +783,71 @@ def try_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw"),
         F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")).alias("parsed"),
     )
+
+
+@query(
+    "user_event_deltas",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           value - LAG(value) OVER w AS delta_prev,
+           LEAD(event_type) OVER w AS next_type,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window breadth (W-surface): lag delta, lead lookahead,
+    and ntile bucketing per user. One shuffle on user_id serves all
+    three windows (same partitioning); deterministic via the event_id
+    ordering tie-break."""
+    e = scan_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(wv).alias("value_quartile"),
+    )
+
+
+@query(
+    "unpivot_daily_mart",
+    oracle=f"""
+    WITH mart AS (
+      SELECT CAST(ts AS DATE) AS date_utc,
+             {davg_sql('value')} AS avg_value,
+             MAX(value) AS max_value,
+             MIN(value) AS min_value
+      FROM events GROUP BY 1
+    )
+    SELECT date_utc, metric, value FROM (
+      SELECT date_utc, 'avg_value' AS metric, avg_value AS value FROM mart
+      UNION ALL
+      SELECT date_utc, 'max_value', max_value FROM mart
+      UNION ALL
+      SELECT date_utc, 'min_value', min_value FROM mart
+    )
+    ORDER BY date_utc, metric
+    """,
+)
+def unpivot_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long reshape): the daily mart's three metric columns
+    melt into (date, metric, value) rows — the tidy form downstream
+    chart/ML consumers want. Spark's ``unpivot`` is a zero-shuffle
+    Expand over the aggregated (already tiny) mart."""
+    mart = (
+        scan_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            davg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+        )
+    )
+    return mart.unpivot(
+        "date_utc", ["avg_value", "max_value", "min_value"], "metric", "value"
+    ).orderBy("date_utc", "metric")
