@@ -51,3 +51,26 @@ class TestBronzeWriter:
         df = spark.read.parquet(path)
         assert df.count() == 4  # replaced, not appended
         assert df.agg(F.min("temperature_2m")).first()[0] == 30.0
+
+
+def test_bronze_date_filter_prunes_partitions(spark, tmp_path):
+    """A date predicate on the bronze lake must prune at the partition
+    level (PartitionFilters in the scan), not post-filter rows — the
+    property that makes day-scoped queries O(day) instead of O(lake)."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.medallion import write_bronze
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    out = str(tmp_path / "bronze_prune")
+    write_bronze(
+        scan_table(spark, "/root/testdata/sf0.001", "events"),
+        out, partition_col="date", derive_from="ts",
+    )
+    one_day = spark.read.parquet(out).filter(F.col("date") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # The predicate lands in PartitionFilters (directory-level pruning),
+    # not DataFilters (row-level post-filtering).
+    assert "PartitionFilters: [isnotnull(date" in plan
+    assert "= 2024-01-05)" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert one_day.count() > 0

@@ -102,3 +102,28 @@ def test_salted_join_spreads_key_over_salts(spark):
     left = spark.createDataFrame([(1, i) for i in range(100)], "k bigint, i int")
     right = spark.createDataFrame([(1, 10)], "k bigint, rv int")
     assert salted_join(left, right, on="k", n_salts=4).count() == 100
+
+
+def test_asof_join_matches_bruteforce_on_random_data(spark):
+    """Property check: union+window as-of == brute-force per-row max."""
+    import random
+
+    rnd = random.Random(7)
+    left = [(i, rnd.randint(1, 5), _t(rnd.randint(0, 23), rnd.choice([0, 30])))
+            for i in range(60)]
+    right = [(rnd.randint(1, 5), _t(rnd.randint(0, 23), rnd.choice([0, 30])), float(j))
+             for j in range(40)]
+    # as-of contract requires a unique right row per (key, ts): keep max value.
+    dedup = {}
+    for k, ts, v in right:
+        dedup[(k, ts)] = max(v, dedup.get((k, ts), float("-inf")))
+    right = [(k, ts, v) for (k, ts), v in dedup.items()]
+
+    ldf = spark.createDataFrame(left, "id bigint, k bigint, ts timestamp")
+    rdf = spark.createDataFrame(right, "k bigint, ts timestamp, v double")
+    got = {r["id"]: r["asof_v"] for r in asof_join(ldf, rdf, on="k", value_cols=("v",)).collect()}
+
+    for i, k, lts in left:
+        candidates = [(rts, v) for rk, rts, v in right if rk == k and rts <= lts]
+        want = max(candidates)[1] if candidates else None
+        assert got[i] == want, (i, k, lts, got[i], want)
