@@ -23,7 +23,7 @@ Cross-engine exactness notes (validated bit-identical vs DuckDB at sf0.01):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import scan_table
@@ -232,4 +232,158 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fp.alias("fingerprint"),
         (fp % 1024).alias("bucket"),
+    )
+
+
+#: Chunking geometry: 32-word windows, stride 24 (8-word overlap) — the
+#: sliding-window shape used to pack documents into training sequences.
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunks",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS w,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_index,
+           array_to_string(
+             w[i*{CHUNK_STRIDE}+1 : LEAST(i*{CHUNK_STRIDE}+{CHUNK_WORDS}, n)],
+             ' ') AS chunk_text,
+           LEAST(i*{CHUNK_STRIDE}+{CHUNK_WORDS}, n) - i*{CHUNK_STRIDE} AS n_words
+    FROM w, LATERAL unnest(
+      range(0, CAST((GREATEST(n-{CHUNK_WORDS},0)+{CHUNK_STRIDE}-1)//{CHUNK_STRIDE}+1
+                    AS BIGINT))) t(i)
+    WHERE n > 0
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (SURVEY §2.10): overlapping sliding windows of
+    CHUNK_WORDS words at CHUNK_STRIDE — the doc→training-sequence
+    packing step. Array HOFs only (sequence/transform/slice/posexplode):
+    the expansion happens inside each task, no shuffle; at 100 TB cost
+    is scan + ~1.3× row expansion."""
+    d = scan_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise((F.greatest(n - CHUNK_WORDS, F.lit(0)) + CHUNK_STRIDE - 1) / CHUNK_STRIDE + 1)
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * CHUNK_STRIDE + 1, CHUNK_WORDS)),
+    )
+    return (
+        d.filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk_text"), n.alias("_n"))
+        .select(
+            "doc_id",
+            "chunk_index",
+            "chunk_text",
+            (
+                F.least(F.col("chunk_index") * CHUNK_STRIDE + CHUNK_WORDS, F.col("_n"))
+                - F.col("chunk_index") * CHUNK_STRIDE
+            ).alias("n_words"),
+        )
+    )
+
+
+@query(
+    "vocab_top_terms",
+    oracle=rf"""
+    SELECT word,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS n_occurrences
+    FROM (
+      SELECT doc_id, unnest({_ws_tokens_sql()}) AS word FROM documents
+    )
+    GROUP BY word
+    ORDER BY doc_freq DESC, word ASC
+    LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (SURVEY §2.10): top-50 terms by document
+    frequency. Explode → one shuffle on the word key with map-side
+    partial counts; the distinct-doc count rides the same shuffle. At
+    100 TB add a stop-shingle-style frequency floor before the topk."""
+    d = scan_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_ws_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count_distinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_terms_per_doc",
+    oracle=rf"""
+    WITH tokens AS (
+      SELECT doc_id, unnest({_ws_tokens_sql()}) AS word FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM tokens GROUP BY doc_id, word
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, score, "rank" FROM (
+      SELECT tf.doc_id, tf.word,
+             (CAST(tf.cnt AS DOUBLE) / doclen.dl)
+               * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (CAST(tf.cnt AS DOUBLE) / doclen.dl)
+                          * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.word ASC) AS "rank"
+      FROM tf JOIN doclen USING (doc_id) JOIN df USING (word), n
+    )
+    WHERE "rank" <= 3
+    """,
+)
+def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (SURVEY §2.10), top-3 terms per doc.
+    Rational idf (N/df instead of log(N/df)): Spark's and DuckDB's libm
+    ``ln`` differ in the last ulp on ~2.5% of inputs, so the
+    deterministic ratio form keeps the oracle bit-exact; the ranking is
+    monotone-equivalent. Doc-frequency table is broadcast into the
+    per-doc term join."""
+    d = scan_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_ws_tokens()).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tokens.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # dimension scalar; one job at plan time
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .select(
+            "doc_id",
+            "word",
+            (
+                (F.col("cnt").cast("double") / F.col("dl"))
+                * (F.lit(float(n_docs)) / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "score", "rank")
     )
