@@ -851,3 +851,47 @@ def unpivot_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mart.unpivot(
         "date_utc", ["avg_value", "max_value", "min_value"], "metric", "value"
     ).orderBy("date_utc", "metric")
+
+
+@query(
+    "hierarchical_rollup_daily",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_utc,
+             COUNT(*) AS n_events,
+             {dsum_sql('value')} AS sum_value,
+             MAX(value) AS max_value
+      FROM events
+      GROUP BY 1
+    )
+    SELECT CAST(hour_utc AS DATE) AS date_utc,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           {dsum_sql('sum_value')} AS sum_value,
+           MAX(max_value) AS max_value
+    FROM hourly
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def hierarchical_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) rollup: daily totals computed FROM the
+    hourly pre-aggregate, not from raw events — the incremental-mart
+    pattern where the second level aggregates ~24 rows/day instead of
+    re-scanning the fact table. Decimal sums re-aggregate exactly
+    (sum-of-sums == sum). At 100 TB the hourly layer is what you
+    materialize; every coarser grain derives from it."""
+    e = scan_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour_utc")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour_utc").alias("date_utc"))
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            dsum("sum_value").alias("sum_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("date_utc")
+    )
