@@ -97,3 +97,51 @@ def write_partition_overwrite(
         .write.mode("overwrite")
         .insertInto(table)
     )
+
+
+def write_warehouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batch_date,
+    date_col: str = "time",
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Idempotent day-level upsert over JDBC (K4 on a row-store warehouse).
+
+    The reference's exact contract (weather_hourly_pipeline.py:101-112):
+    DELETE the batch day, then insert the batch rows — restated with the
+    Spark JDBC writer instead of row-at-a-time ``executemany`` (the
+    reference's slowest path, SURVEY §6): the pre-delete runs as one
+    driver-side statement, then ``df.write.jdbc(mode="append")`` streams
+    partition-parallel batched inserts.
+
+    Atomicity caveat (same as the lake writer, SURVEY §4): delete and
+    insert are separate transactions here; a reader between them sees an
+    empty day. The reference wraps both in one psycopg commit — on JDBC
+    that requires routing the insert through the same connection, which
+    the parallel writer cannot do. For transactional parity use a
+    staging-table swap or a MERGE-capable warehouse.
+
+    Requires a JDBC driver jar on the Spark classpath and a reachable
+    warehouse — neither exists in this container, so this path is
+    exercised only by its (skipped-without-driver) integration test.
+    """
+    props = {k: v for k, v in (("user", user), ("password", password)) if v}
+    jvm = df.sparkSession._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url, props.get("user"), props.get("password"))
+    try:
+        stmt = conn.createStatement()
+        stmt.executeUpdate(
+            f"DELETE FROM {table} WHERE CAST({date_col} AS DATE) = DATE '{batch_date}'"
+        )
+        stmt.close()
+    finally:
+        conn.close()
+    (
+        df.write.mode("append")
+        .option("batchsize", str(batchsize))
+        .jdbc(url, table, properties=props)
+    )
