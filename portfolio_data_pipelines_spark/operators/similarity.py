@@ -175,38 +175,54 @@ def rp_lsh_topk(
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
 
-    def bucket_cols(df: DataFrame, side: str) -> DataFrame:
-        out = df
-        for t in range(n_tables):
-            bits = None
-            for p in range(n_planes):
-                lit_plane = F.array(*[F.lit(float(x)) for x in planes[t, p]])
-                proj = _dot_seq(F.col(vec_col), lit_plane)
-                bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-                term = F.shiftleft(bit, p)
-                bits = term if bits is None else bits.bitwiseOR(term)
-            out = out.withColumn(f"_b{side}{t}", bits)
-        return out
+    # Planes as a broadcast 32-row dimension in long format, instead of
+    # 32 literal 64-float arrays compiled into the plan: the expression
+    # tree stays small, projections run as one crossJoin map stage, and
+    # candidate matching becomes a hash equi-join on (table, bucket)
+    # instead of an OR-of-equalities nested-loop predicate.
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (t, p, [float(x) for x in planes[t, p]])
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        "t int, p int, plane array<double>",
+    )
 
-    c = bucket_cols(_with_norm(corpus, vec_col), "c").select(
+    def buckets(df: DataFrame, out_id: str) -> DataFrame:
+        proj = _dot_seq(F.col(vec_col), F.col("plane"))
+        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        return (
+            df.crossJoin(F.broadcast(planes_df))
+            .select(F.col(id_col).alias(out_id), "t", "p", bit.alias("_bit"))
+            # shiftleft() takes a literal count, so shift via expr on p.
+            .select(out_id, "t", F.expr("shiftleft(_bit, p)").alias("_term"))
+            .groupBy(out_id, "t")
+            .agg(F.sum("_term").alias("_bucket"))
+        )
+
+    candidates = (
+        buckets(corpus, "neighbor_id")
+        .join(F.broadcast(buckets(queries, "query_id")), ["t", "_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    c = _with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vc"),
         F.col("_norm").alias("_nc"),
-        *[F.col(f"_bc{t}") for t in range(n_tables)],
     )
-    q = bucket_cols(_with_norm(queries, vec_col), "q").select(
+    q = _with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_vq"),
         F.col("_norm").alias("_nq"),
-        *[F.col(f"_bq{t}") for t in range(n_tables)],
     )
-    any_bucket = None
-    for t in range(n_tables):
-        m = F.col(f"_bc{t}") == F.col(f"_bq{t}")
-        any_bucket = m if any_bucket is None else (any_bucket | m)
-
     scored = (
-        c.join(F.broadcast(q), any_bucket & (F.col("query_id") != F.col("neighbor_id")))
+        candidates.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
