@@ -59,11 +59,12 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle ARRAY per document: (id, shingles).
 
     Pure columnar construction: split → sliding n-gram via transform
-    over an index sequence → array_distinct → explode. No UDFs.
+    over an index sequence → array_distinct. No UDFs, no shuffle —
+    per-doc set operators (minhash signatures) can run map-side on this.
     """
     df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
@@ -76,9 +77,16 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+    return df.select(
+        F.col(id_col),
+        F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("shingles"),
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded: (id, shingle)."""
+    return shingle_arrays(df, text_col, id_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -178,8 +186,19 @@ def minhash_lsh_pairs(
     """
     assert num_perm % rows_per_band == 0
     n_bands = num_perm // rows_per_band
-    sh = word_shingles(df, text_col, id_col, n)
-    sig = minhash_signatures(sh, id_col, num_perm)
+    arrs = shingle_arrays(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    # Signatures map-side from the per-doc shingle array: k array_min
+    # scans per doc, zero shuffle — equivalent to (and replacing) the
+    # exploded groupBy/min form in minhash_signatures. NB: the seed must
+    # close over a factory, not a lambda default — a two-parameter
+    # lambda is PySpark's (element, index) form and would shadow it.
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    sig = arrs.select(F.col(id_col), *[_mh(i) for i in range(num_perm)])
 
     # band hash = xxhash64 of the band's signature slice
     band_cols = [
