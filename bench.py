@@ -43,10 +43,13 @@ def main() -> None:
     scan_table(spark, sf_dir, "events").count()
 
     timings: dict[str, float] = {}
+    families: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        fam = fn.__module__.rsplit(".", 1)[-1]
+        families[fam] = round(families.get(fam, 0.0) + timings[name], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -56,6 +59,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "families": families,
                 "sf": sf,
             }
         )
