@@ -98,12 +98,17 @@ def assign_centroids(
     scored = c.join(F.broadcast(cen)).withColumn(
         "_sim", _dot_seq(F.col(vec_col), F.col("_vcen")) / (F.col("_norm") * F.col("_ncen"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_sim", "_rk", "_vcen", "_ncen", "_norm")
+    # argmax as a hash aggregation: max_by on (sim, -centroid_id) is the
+    # same "highest sim, then smallest centroid" choice a rank window
+    # makes, without the window's per-key sort — one partial-aggregating
+    # shuffle instead of shuffle + sort.
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col(centroid_id_col),
+            F.struct(F.col("_sim"), (-F.col(centroid_id_col)).alias("_neg")),
+        ).alias(centroid_id_col)
     )
+    return corpus.join(best, id_col)
 
 
 def ivf_topk(
