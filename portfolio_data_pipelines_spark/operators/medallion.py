@@ -145,3 +145,52 @@ def write_warehouse_jdbc(
         .option("batchsize", str(batchsize))
         .jdbc(url, table, properties=props)
     )
+
+
+def compact_partition(
+    spark,
+    path: str,
+    partition_col: str,
+    partition_value,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Compact one Hive partition's small files (lake maintenance).
+
+    Streaming/micro-batch sinks accrete one file per trigger per day
+    (the many-small-files failure mode); readers then pay per-file open
+    cost and tiny row groups. This rewrites a single partition into
+    ``ceil(bytes / target_file_bytes)`` files via dynamic partition
+    overwrite, so the rewrite is idempotent and scoped to that partition
+    only — safe to run day-by-day behind the watermark while newer
+    partitions keep ingesting. Returns the file count after compaction.
+
+    At 100 TB this runs as a rolling maintenance job over closed
+    partitions; table formats (Delta OPTIMIZE / Iceberg rewrite_data_files)
+    are the managed equivalent.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    part_path = f"{path}/{partition_col}={partition_value}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(part_path)
+    fs = p.getFileSystem(hconf)
+    size = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(size / target_file_bytes))
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col(partition_col) == F.lit(partition_value))
+        .repartition(n_files)
+        .withColumn(partition_col, F.lit(partition_value))
+    )
+    (
+        df.write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return sum(
+        1 for f in fs.listStatus(p) if f.getPath().getName().endswith(".parquet")
+    )

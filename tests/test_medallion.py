@@ -74,3 +74,27 @@ def test_bronze_date_filter_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(date" in plan
     assert "= 2024-01-05)" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert one_day.count() > 0
+
+
+def test_compact_partition_merges_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.medallion import compact_partition
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    out = str(tmp_path / "frag")
+    src = scan_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    one_day = src.filter(F.col("date") == "2024-01-05")
+    # Fragment: 8 separate appends → ≥8 files in the partition.
+    for _ in range(8):
+        one_day.coalesce(1).write.mode("append").partitionBy("date").parquet(out)
+    # Materialize the pre-compaction rows: the lazy plan would re-list
+    # files after the rewrite deleted them.
+    before_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    n_files = compact_partition(spark, out, "date", "2024-01-05")
+    after = spark.read.parquet(out)
+    assert n_files == 1  # tiny partition → single file
+    assert sorted(map(tuple, after.collect())) == before_rows  # no rows lost
