@@ -6,8 +6,10 @@ Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 end-to-end (plan + execute) with a ``noop``-format write so the full
 result is computed without driver-side collection overhead.
 
-Output: ``{"metric": "...", "value": <total sec>, "unit": "sec",
-"queries": {name: sec, ...}, "sf": <float>}``
+Output (stdout): ONE compact JSON line — total, per-family subtotals and
+the flagship timing only, so the driver's tail capture never truncates it
+(r1's full per-query line overflowed the capture window → "parsed": null).
+The full per-query map is written to ``BENCH_FULL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -52,16 +54,32 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + timings[name], 4)
 
     total = round(sum(timings.values()), 4)
+    full = {
+        "metric": "declared-query suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "families": families,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # Compact stdout line (~300 B): family subtotals at 1 dp, no per-query map.
     print(
         json.dumps(
             {
                 "metric": "declared-query suite wall-clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "families": families,
+                "queries": {"daily_events_mart": timings.get("daily_events_mart")},
+                "families": {k: round(v, 1) for k, v in sorted(families.items())},
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "detail": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

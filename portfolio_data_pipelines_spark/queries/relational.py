@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql, dsum, dsum_sql
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 
 # ---------------------------------------------------------------------------
@@ -77,7 +77,7 @@ def stg_events_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "events_filter_range",
     oracle="""
     SELECT event_id, user_id, value
@@ -164,7 +164,7 @@ def topk_per_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("count_lineitem", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+@extra_query("count_lineitem", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
 def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row count (P8/A3 — the reference's smoke check, README.md:74)."""
     return scan_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -227,7 +227,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "orders_monthly",
     oracle=f"""
     SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
@@ -252,7 +252,7 @@ def orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "conditional_agg_daily",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
@@ -304,7 +304,7 @@ def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "having_big_spenders",
     oracle=f"""
     SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total_spend
@@ -330,7 +330,7 @@ def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@extra_query(
     "orders_by_segment",
     oracle=f"""
     SELECT c.c_mktsegment AS mktsegment,
@@ -469,7 +469,7 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "priority_with_heavy_items",
     oracle="""
     SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS n_orders
@@ -520,7 +520,7 @@ def above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "top_customer_per_nation",
     oracle=f"""
     SELECT nation_name, c_custkey, total_spend
@@ -591,7 +591,7 @@ def status_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.crossJoin(only_f)
 
 
-@query(
+@extra_query(
     "events_union_fanin",
     oracle="""
     SELECT CAST(ts AS DATE) AS date_utc, COUNT(*) AS n_engagements
@@ -641,7 +641,7 @@ def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "cube_segment_status",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment, o.o_orderstatus AS orderstatus,
@@ -669,7 +669,7 @@ def cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
+@extra_query(
     "user_running_value",
     oracle="""
     SELECT event_id, user_id,
@@ -791,6 +791,10 @@ def try_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, ts,
            value - LAG(value) OVER w AS delta_prev,
            LEAD(event_type) OVER w AS next_type,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
            NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS value_quartile
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -798,11 +802,13 @@ def try_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window breadth (W-surface): lag delta, lead lookahead,
-    and ntile bucketing per user. One shuffle on user_id serves all
-    three windows (same partitioning); deterministic via the event_id
-    ordering tie-break."""
+    cumulative decimal running sum (frame ROWS UNBOUNDED
+    PRECEDING..CURRENT), and ntile bucketing per user. One shuffle on
+    user_id serves all four windows (same partitioning); deterministic
+    via the event_id ordering tie-break and decimal accumulation."""
     e = scan_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wv = Window.partitionBy("user_id").orderBy("value", "event_id")
     return e.select(
         "event_id",
@@ -810,6 +816,7 @@ def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
         F.lead("event_type").over(w).alias("next_type"),
+        F.sum(F.col("value").cast("decimal(30,4)")).over(wrun).cast("double").alias("running_value"),
         F.ntile(4).over(wv).alias("value_quartile"),
     )
 
