@@ -77,6 +77,47 @@ def cosine_topk(
     )
 
 
+def _centroids_row(centroids: DataFrame, vec_col: str, centroid_id_col: str) -> DataFrame:
+    """Collapse the centroid set to ONE row holding an array of
+    (cid, vector, norm) structs — the broadcastable IVF "index". Order
+    inside the array is irrelevant: the argmax below uses a total order
+    (sim DESC, cid ASC), so the result is order-independent."""
+    cen = centroids.withColumn("_ncen", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col))))
+    return cen.agg(
+        F.collect_list(
+            F.struct(
+                F.col(centroid_id_col).alias("cid"),
+                F.col(vec_col).alias("v"),
+                F.col("_ncen").alias("n"),
+            )
+        ).alias("_cens")
+    )
+
+
+def _nearest_centroid(df_with_cens: DataFrame, vec_col: str, centroid_id_col: str) -> DataFrame:
+    """Per-row nearest-centroid argmax, fully map-side.
+
+    ``transform`` scores every centroid in the broadcast array;
+    ``array_max`` over (sim, -cid) structs picks highest sim with
+    smallest-cid tie-break (struct comparison is lexicographic). No
+    aggregation, no shuffle, no re-join — each corpus row computes its
+    own assignment inside whole-stage codegen. Requires ``_norm`` and
+    the ``_cens`` array column; drops ``_cens`` on the way out.
+    """
+    best = F.array_max(
+        F.transform(
+            F.col("_cens"),
+            lambda x: F.struct(
+                (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
+                (-x["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    return df_with_cens.withColumn(
+        centroid_id_col, (-best.getField("negcid")).cast("long")
+    ).drop("_cens")
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -86,29 +127,17 @@ def assign_centroids(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF build).
 
-    One broadcast join + one rank window; deterministic tie-break on
-    centroid id. Output: corpus columns + ``centroid_id``.
+    Zero-shuffle: the centroid set collapses to a single broadcast row
+    (`_centroids_row`) and each corpus row computes its argmax map-side
+    (`_nearest_centroid`) — r1's form aggregated per id and re-joined
+    the corpus on id, an avoidable corpus-sized shuffle join.
+    Deterministic tie-break on centroid id. Output: corpus columns +
+    ``centroid_id``.
     """
-    c = _with_norm(corpus, vec_col)
-    cen = _with_norm(centroids, vec_col).select(
-        F.col(centroid_id_col),
-        F.col(vec_col).alias("_vcen"),
-        F.col("_norm").alias("_ncen"),
+    c = _with_norm(corpus, vec_col).join(
+        F.broadcast(_centroids_row(centroids, vec_col, centroid_id_col))
     )
-    scored = c.join(F.broadcast(cen)).withColumn(
-        "_sim", _dot_seq(F.col(vec_col), F.col("_vcen")) / (F.col("_norm") * F.col("_ncen"))
-    )
-    # argmax as a hash aggregation: max_by on (sim, -centroid_id) is the
-    # same "highest sim, then smallest centroid" choice a rank window
-    # makes, without the window's per-key sort — one partial-aggregating
-    # shuffle instead of shuffle + sort.
-    best = scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col(centroid_id_col),
-            F.struct(F.col("_sim"), (-F.col(centroid_id_col)).alias("_neg")),
-        ).alias(centroid_id_col)
-    )
-    return corpus.join(best, id_col)
+    return _nearest_centroid(c, vec_col, centroid_id_col).drop("_norm")
 
 
 def ivf_topk(
@@ -124,20 +153,27 @@ def ivf_topk(
 
     Both corpus and queries are assigned to their nearest centroid; each
     query scores only candidates in its own cell. Deterministic end to
-    end (given deterministic centroids), hence oracle-checkable. At
-    scale: repartition the assigned corpus by centroid_id and the
-    candidate join becomes a co-partitioned shuffle of cell-sized pieces.
-    """
-    corpus_a = assign_centroids(corpus, centroids, vec_col, id_col, centroid_id_col)
-    queries_a = assign_centroids(queries, centroids, vec_col, id_col, centroid_id_col)
+    end (given deterministic centroids), hence oracle-checkable.
 
-    c = _with_norm(corpus_a, vec_col).select(
+    Plan shape: assignment is map-side (broadcast centroid array, see
+    `_nearest_centroid`), the cell join broadcasts the assigned query
+    set, so the corpus never shuffles until the final rank window —
+    which moves only scored candidate rows (|corpus|/n_cells per query),
+    not vectors. The norm computed for assignment is reused for scoring
+    (one `_with_norm` per side, no recompute).
+    """
+    cen_row = F.broadcast(_centroids_row(centroids, vec_col, centroid_id_col))
+    c = _nearest_centroid(
+        _with_norm(corpus, vec_col).join(cen_row), vec_col, centroid_id_col
+    ).select(
         F.col(centroid_id_col),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vc"),
         F.col("_norm").alias("_nc"),
     )
-    q = _with_norm(queries_a, vec_col).select(
+    q = _nearest_centroid(
+        _with_norm(queries, vec_col).join(cen_row), vec_col, centroid_id_col
+    ).select(
         F.col(centroid_id_col),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_vq"),
