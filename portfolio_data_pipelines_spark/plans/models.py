@@ -18,13 +18,15 @@ STG_WEATHER_HOURLY = Model(
     name="stg_weather_hourly",
     schema="stg",
     tags=frozenset({"weather"}),
+    # Columns match dbt/models/staging/stg_weather_hourly.sql:3-8 exactly
+    # (4 data columns; the ingestion audit column stays in bronze/the
+    # warehouse relation, not the staging contract).
     sql="""
         SELECT
             time AS time_utc,
             CAST(time AS DATE) AS date_utc,
             temperature_2m,
-            relative_humidity_2m,
-            ingested_at
+            relative_humidity_2m
         FROM {{ source('public', 'weather_hourly') }}
     """,
 )

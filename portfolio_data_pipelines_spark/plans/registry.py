@@ -42,6 +42,13 @@ class Model:
         return f"{self.schema}_{self.name}" if self.schema else self.name
 
     @property
+    def qualified_name(self) -> str:
+        # Persistent-catalog form: a real schema namespace
+        # (spark_catalog.stg.stg_weather_hourly) — dbt's
+        # public_stg.stg_weather_hourly parity (dbt_project.yml:11-17).
+        return f"{self.schema}.{self.name}" if self.schema else self.name
+
+    @property
     def refs(self) -> set[str]:
         return set(_REF_RE.findall(self.sql))
 
@@ -76,8 +83,13 @@ class ModelRegistry:
 
     # -- compilation --------------------------------------------------------
 
-    def compile_sql(self, model: Model) -> str:
-        """Resolve {{source}} / {{ref}} placeholders to view names."""
+    def compile_sql(self, model: Model, persistent: bool = False) -> str:
+        """Resolve {{source}} / {{ref}} placeholders to view names.
+
+        ``persistent`` resolves refs to schema-qualified names
+        (``stg.stg_weather_hourly``) instead of flattened temp-view
+        names, matching where ``run(persistent=True)`` builds them.
+        """
 
         def sub_source(m: re.Match) -> str:
             key = (m.group(1), m.group(2))
@@ -89,7 +101,8 @@ class ModelRegistry:
             name = m.group(1)
             if name not in self._models:
                 raise KeyError(f"ref to unknown model {name!r}")
-            return self._models[name].view_name
+            target = self._models[name]
+            return target.qualified_name if persistent else target.view_name
 
         sql = _SOURCE_RE.sub(sub_source, model.sql)
         return _REF_RE.sub(sub_ref, sql)
@@ -127,16 +140,34 @@ class ModelRegistry:
         spark: SparkSession,
         tag: str | None = None,
         exclude: set[str] | None = None,
+        persistent: bool = False,
     ) -> dict[str, DataFrame]:
-        """Create temp views for the selected models, dependency-first.
+        """Create views for the selected models, dependency-first.
 
         Like ``dbt run``: no data moves — views are lazy; Catalyst
         optimizes the composed plan at query time.
+
+        ``persistent=False`` (default) builds session-scoped temp views
+        named ``<schema>_<name>``. ``persistent=True`` builds
+        ``CREATE OR REPLACE VIEW`` in real catalog schemas
+        (``stg.<name>`` / ``marts.<name>``) — with a metastore-backed
+        session (``get_spark(warehouse_dir=...)``) these survive
+        restarts, the true parity with dbt's Postgres views. Persistent
+        views cannot reference temp views, so every mapped source must
+        itself be catalog-visible (a table or persistent view).
         """
         built: dict[str, DataFrame] = {}
         for name in self.topo_order(self.select(tag, exclude)):
             model = self._models[name]
-            df = spark.sql(self.compile_sql(model))
-            df.createOrReplaceTempView(model.view_name)
-            built[model.view_name] = df
+            sql = self.compile_sql(model, persistent=persistent)
+            if persistent:
+                if model.schema:
+                    spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+                spark.sql(f"CREATE OR REPLACE VIEW {model.qualified_name} AS {sql}")
+                df = spark.table(model.qualified_name)
+                built[model.qualified_name] = df
+            else:
+                df = spark.sql(sql)
+                df.createOrReplaceTempView(model.view_name)
+                built[model.view_name] = df
         return built

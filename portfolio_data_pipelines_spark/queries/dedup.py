@@ -9,8 +9,11 @@ true trigram-Jaccard pairs ≥ 0.3 and a handful of cosine pairs ≥ 0.4.
 Oracle strategy: exact methods (exact, n-gram Jaccard, embedding cosine)
 have full DuckDB oracles. MinHash-LSH's *verified* output equals the
 exact Jaccard answer with miss probability ≤ (1-j)^64 ≈ 1e-10 per pair
-(r=1, b=64), so it shares the exact oracle. SimHash depends on xxhash64
-(not available in DuckDB) → rows-only checks.
+(r=1, b=64), so it shares the exact oracle. SimHash bit votes derive
+from md5 hex nibbles (identical in both engines — see
+operators/dedup._md5_word_bit), so both SimHash queries are fully
+oracle-checked too; at max_hamming ≤ 3 the 4×16-bit-block LSH is exact
+by pigeonhole, so the pairs oracle is plain all-pairs SQL.
 """
 
 from __future__ import annotations
@@ -95,6 +98,51 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ngram_jaccard_dups_capped",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                             FOR i IN range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    freq AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY shingle),
+    kept AS (SELECT sh.doc_id, sh.shingle
+             FROM sh JOIN freq USING (shingle) WHERE freq <= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, jaccard
+    FROM (
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    WHERE jaccard >= 0.3
+    """,
+)
+def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-shingle-capped near-dup query: shingles shared by more
+    than 5 docs are dropped from the inverted index before pairing —
+    the guard that bounds the m² pair blow-up a hot shingle causes at
+    100 TB. On this fixture the capped output equals the uncapped one
+    (all true pairs rest on rare shingles; intersection counts use the
+    capped index, union sizes the full sets — replicated in the
+    oracle), demonstrating the cap is output-stable where it should be
+    a pure cost optimization."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=5
+    ).orderBy("id_a", "id_b")
+
+
 @query("minhash_lsh_dups", oracle=_JACCARD_ORACLE)
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(r=1,b=64) candidates, exact-verified at Jaccard
@@ -132,17 +180,77 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_fingerprints")  # rows-only: xxhash64 has no DuckDB equivalent
+def _simhash_fp_cte() -> str:
+    """DuckDB CTE computing the identical SimHash fingerprint per doc.
+
+    Bit votes replicate operators/dedup._md5_word_bit verbatim (strpos
+    over the hex alphabet == Spark's instr; same substring index, same
+    shift/mask). The fingerprint reassembles via a SUM of disjoint bit
+    terms — bit 63 contributes the negative two's-complement constant so
+    the BIGINT matches Spark's Java-wrapped shiftleft(1, 63)."""
+
+    def bit(i: int) -> str:
+        return (
+            f"(((strpos('0123456789abcdef', substring(md5(w), {i // 4 + 1}, 1)) - 1)"
+            f" >> {i % 4}) & 1)"
+        )
+
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS b_{i}" for i in range(64)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for i in range(64)
+    )
+    return f"""
+    words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+              FROM documents)
+        WHERE length(w) > 0
+    ),
+    tallies AS (
+        SELECT doc_id,
+               {votes}
+        FROM words
+        GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id, CAST({terms} AS BIGINT) AS simhash
+        FROM tallies
+    )
+    """
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"WITH {_simhash_fp_cte()} SELECT doc_id, simhash FROM fp",
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (word-level, xxhash64 bit votes)."""
+    """64-bit SimHash per document (word-level, md5-derived bit votes)."""
     docs = scan_table(spark, sf_dir, "documents")
     return simhash(docs, "text", "doc_id").orderBy("doc_id")
 
 
-@query("simhash_dup_pairs")  # rows-only: xxhash64 has no DuckDB equivalent
+@query(
+    "simhash_dup_pairs",
+    oracle=f"""
+    WITH {_simhash_fp_cte()}
+    SELECT id_a, id_b, hamming
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    )
+    WHERE hamming <= 2
+    """,
+)
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs: 16-bit-block LSH + exact
-    Hamming verification (≤ 2 of 64 bits).
+    Hamming verification (≤ 2 of 64 bits). At max_hamming ≤ 3 the
+    4-block pigeonhole is exact, so the all-pairs oracle matches the
+    blocked plan's output exactly.
 
     Corpus caveat: word-level SimHash keys on distinct word sets; the
     fixture's 31-word vocabulary makes identical word sets common, so

@@ -140,20 +140,9 @@ class WeatherPipeline:
         return self.run_models()
 
 
-def events_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship query shape on driver testdata: the ``weather_daily``
-    mart (A2/W1) transposed onto the ``events`` table — per-day
-    avg/max/min of ``value`` plus row count, ordered by day."""
-    from .sources.parquet import scan_table
-
-    events = scan_table(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.to_date("ts").alias("date_utc"))
-        .agg(
-            F.avg("value").alias("avg_value"),
-            F.max("value").alias("max_value"),
-            F.min("value").alias("min_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("date_utc")
-    )
+# The flagship query (the ``weather_daily`` mart transposed onto the
+# events table) has exactly one implementation — the oracled declared
+# query; re-exported here so the driver entry point and the registry
+# can never drift (r1 kept a near-twin using plain F.avg instead of
+# the deterministic decimal davg).
+from .queries.relational import daily_events_mart as events_daily_mart  # noqa: E402

@@ -30,12 +30,21 @@ def get_spark(
     master: str | None = None,
     config: PipelineConfig | None = None,
     extra_conf: dict[str, str] | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's canonical settings.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when run outside a
     cluster; on a real cluster, pass ``master=None`` with a cluster
     deployment and the builder inherits ``spark-submit`` settings.
+
+    ``warehouse_dir`` switches the session to a PERSISTENT catalog
+    (Hive-backed, embedded Derby metastore under the given directory):
+    databases, tables and ``CREATE OR REPLACE VIEW`` definitions survive
+    session restarts — the parity mode for the reference's Postgres
+    schemas (``public_stg`` / ``public_marts``,
+    ``dbt/dbt_project.yml:11-17``). On a real cluster the same flag
+    points at the shared metastore instead.
     """
     cfg = config or DEFAULT_CONFIG
     builder = SparkSession.builder.appName(app_name)
@@ -43,6 +52,8 @@ def get_spark(
         master = f"local[{cfg.cpus}]"
     if master:
         builder = builder.master(master)
+    if warehouse_dir:
+        builder = builder.enableHiveSupport()
 
     conf: dict[str, str] = {
         # Canonical timezone: everything is UTC end-to-end.
@@ -70,6 +81,19 @@ def get_spark(
         # and convert in the typed scan (sources/parquet.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
+
+    if warehouse_dir:
+        conf.update(
+            {
+                "spark.sql.warehouse.dir": f"{warehouse_dir}/warehouse",
+                # Embedded Derby metastore rooted under the warehouse dir
+                # (instead of ./metastore_db in the CWD) so any process
+                # pointing at the same dir sees the same catalog.
+                "spark.hadoop.javax.jdo.option.ConnectionURL": (
+                    f"jdbc:derby:;databaseName={warehouse_dir}/metastore_db;create=true"
+                ),
+            }
+        )
 
     # Optional S3/MinIO surface (reference s3_client.py builds a boto3
     # client from env; we map the same env to Hadoop S3A conf).

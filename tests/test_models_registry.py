@@ -86,3 +86,64 @@ class TestFxVertical:
     def test_fx_empty_payload(self, spark):
         df = fx_payload_to_df(spark, {"rates": {}})
         assert df.count() == 0 and df.schema == FX_RATES
+
+
+class TestPersistentCatalog:
+    """Persistent schema namespaces (VERDICT r1 #8): models built as
+    CREATE OR REPLACE VIEW in real schemas (stg/marts) against a
+    metastore-backed session survive a session restart. Each phase runs
+    in its own subprocess because one JVM hosts one SparkContext."""
+
+    BUILD = """
+import datetime as dt
+import sys
+sys.path.insert(0, "/root/repo")
+from portfolio_data_pipelines_spark.plans.models import STG_WEATHER_HOURLY, WEATHER_DAILY
+from portfolio_data_pipelines_spark.plans.registry import ModelRegistry
+from portfolio_data_pipelines_spark.session import get_spark
+
+spark = get_spark(app_name="persist-build", master="local[2]", warehouse_dir="{wh}",
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.sql.shuffle.partitions": "2"}})
+rows = [(dt.datetime(2024, 1, 1, h), 10.0 + h, 50.0 + h) for h in range(24)]
+src = spark.createDataFrame(rows, "time timestamp, temperature_2m double, relative_humidity_2m double")
+src.write.mode("overwrite").saveAsTable("weather_hourly_src")
+
+reg = ModelRegistry().add(STG_WEATHER_HOURLY).add(WEATHER_DAILY)
+reg.map_source("public", "weather_hourly", "default.weather_hourly_src")
+built = reg.run(spark, tag="weather", persistent=True)
+assert set(built) == {{"stg.stg_weather_hourly", "marts.weather_daily"}}, built
+assert spark.sql("SELECT * FROM marts.weather_daily").count() == 1
+print("BUILD_OK")
+spark.stop()
+"""
+
+    REOPEN = """
+import sys
+sys.path.insert(0, "/root/repo")
+from portfolio_data_pipelines_spark.session import get_spark
+
+spark = get_spark(app_name="persist-reopen", master="local[2]", warehouse_dir="{wh}",
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.sql.shuffle.partitions": "2"}})
+stg = spark.table("stg.stg_weather_hourly")
+assert stg.columns == ["time_utc", "date_utc", "temperature_2m", "relative_humidity_2m"], stg.columns
+daily = spark.sql("SELECT * FROM marts.weather_daily")
+assert daily.count() == 1
+row = daily.first()
+assert row["max_temp_c"] == 33.0, row
+print("REOPEN_OK")
+spark.stop()
+"""
+
+    def test_views_survive_session_restart(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        wh = str(tmp_path / "cat")
+        for script, marker in ((self.BUILD, "BUILD_OK"), (self.REOPEN, "REOPEN_OK")):
+            proc = subprocess.run(
+                [_sys.executable, "-c", script.format(wh=wh)],
+                capture_output=True, text=True, timeout=300,
+            )
+            assert marker in proc.stdout, proc.stderr[-3000:]
