@@ -33,6 +33,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,18 +128,25 @@ def write_warehouse_jdbc(
     staging-table swap or a MERGE-capable warehouse.
 
     Requires a JDBC driver jar on the Spark classpath and a reachable
-    warehouse — neither exists in this container, so this path is
-    exercised only by its (skipped-without-driver) integration test.
+    warehouse. The integration test drives this end-to-end against
+    embedded Derby (whose jar ships inside pyspark); Postgres/MySQL need
+    their driver vendored onto the classpath.
     """
+    # Identifiers are interpolated into SQL text (JDBC can't bind them);
+    # restrict to plain [schema.]name / column tokens so non-literal
+    # config can never smuggle SQL. The date value IS bindable — use a
+    # PreparedStatement parameter, not string interpolation.
+    for ident, what in ((table, "table"), (date_col, "date_col")):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?", ident):
+            raise ValueError(f"unsafe {what} identifier: {ident!r}")
     props = {k: v for k, v in (("user", user), ("password", password)) if v}
     jvm = df.sparkSession._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url, props.get("user"), props.get("password"))
     try:
-        stmt = conn.createStatement()
-        stmt.executeUpdate(
-            f"DELETE FROM {table} WHERE CAST({date_col} AS DATE) = DATE '{batch_date}'"
-        )
-        stmt.close()
+        ps = conn.prepareStatement(f"DELETE FROM {table} WHERE CAST({date_col} AS DATE) = ?")
+        ps.setDate(1, jvm.java.sql.Date.valueOf(str(batch_date)))
+        ps.executeUpdate()
+        ps.close()
     finally:
         conn.close()
     (

@@ -34,7 +34,18 @@ def salted_join(
     hot key over N partitions instead of one. Cost: right side ×N — use
     for a *moderately sized* right side with a skewed left; for tiny
     right sides just broadcast instead.
+
+    Only left-preserving join types are allowed: replicating the right
+    side N times would emit each unmatched right row once per salt under
+    right/full-outer semantics, breaking the produces-the-plain-join
+    contract above.
     """
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only (got how={how!r}); "
+            "right/full outer would duplicate unmatched right rows per salt"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_salts))
     lt = left.withColumn("__salt", salt.cast("int"))

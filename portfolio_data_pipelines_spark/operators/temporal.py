@@ -35,6 +35,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -50,15 +51,25 @@ def asof_join(
     right row with the greatest ``right_ts <= left_ts`` per key.
 
     Right-side value columns come back as ``asof_<name>`` (NULL when no
-    prior right row exists — left-join semantics). If multiple right rows
-    share one (key, ts), the caller must pre-aggregate; this function
-    asserts nothing and simply takes the last in (ts, tag) order, which
-    is nondeterministic under such ties.
+    prior right row exists — left-join semantics). All value columns are
+    carried as ONE struct through a single ``last(ignorenulls=True)``,
+    so the match is always one whole right row — per-column carry would
+    mix columns from different right rows when the latest row holds a
+    NULL in one of them (whole-row as-of semantics, matching DuckDB's
+    ASOF JOIN). If multiple right rows share one (key, ts), the caller
+    must pre-aggregate; this function simply takes the last in
+    (ts, tag) order, which is nondeterministic under such ties.
 
     ``tolerance_seconds`` drops matches older than the window (like
     pandas ``merge_asof(tolerance=...)``).
     """
     keys = [on] if isinstance(on, str) else list(on)
+
+    lrow_type = T.StructType([T.StructField(c, left.schema[c].dataType) for c in left.columns])
+    rrow_type = T.StructType(
+        [T.StructField("__rts", T.TimestampType())]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
     # Tag: right rows sort before left rows at equal timestamps, making
     # the match inclusive (a rate stamped exactly at the query time wins).
@@ -67,16 +78,17 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__tag"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     rt = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__rrow"),
     )
 
     w = (
@@ -85,33 +97,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).select(
-        "*",
-        *[
-            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__asof_ts"),
+        "*", F.last("__rrow", ignorenulls=True).over(w).alias("__asof")
     )
 
     out = carried.filter(F.col("__tag") == 1)
     if tolerance_seconds is not None:
-        within = F.col("__asof_ts") >= F.col("__ts") - F.expr(
+        within = F.col("__asof.__rts") >= F.col("__ts") - F.expr(
             f"INTERVAL {int(tolerance_seconds)} SECONDS"
         )
-        out = out.select(
-            "*",
-            *[
-                F.when(within, F.col(f"__asof_{c}")).alias(f"__tol_{c}")
-                for c in value_cols
-            ],
-        ).drop(*[f"__asof_{c}" for c in value_cols])
-        out = out.select(
-            "*", *[F.col(f"__tol_{c}").alias(f"__asof_{c}") for c in value_cols]
-        ).drop(*[f"__tol_{c}" for c in value_cols])
+        # Null the whole matched row when it falls outside the window —
+        # columns can never disagree about which right row matched.
+        out = out.withColumn("__asof", F.when(within, F.col("__asof")))
 
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[F.col(f"__asof.{c}").alias(f"asof_{c}") for c in value_cols],
     )
 
 

@@ -66,9 +66,23 @@ class WeatherHttpReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.options = options
         locs = options.get("locations", "-23.55,-46.63")
-        self.locations: Sequence[tuple[str, str]] = [
-            tuple(p.strip() for p in loc.split(",")) for loc in locs.split(";") if loc
-        ]
+        self.locations: Sequence[tuple[str, str]] = []
+        for loc in locs.split(";"):
+            if not loc.strip():
+                continue
+            parts = [p.strip() for p in loc.split(",")]
+            # Fail at parse time with the offending entry named — a bad
+            # tuple would otherwise surface as an opaque unpack error
+            # deep inside partitions().
+            if len(parts) != 2:
+                raise ValueError(
+                    f"locations entry {loc!r} must be 'lat,lon' (got {len(parts)} fields)"
+                )
+            try:
+                float(parts[0]), float(parts[1])
+            except ValueError:
+                raise ValueError(f"locations entry {loc!r} is not a numeric lat,lon pair")
+            self.locations.append((parts[0], parts[1]))
         self.fetcher = options.get("fetcher", "synthetic")
         self.start = dt.datetime.fromisoformat(
             options.get("start", "2025-08-01T00:00:00")

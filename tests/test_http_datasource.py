@@ -55,3 +55,13 @@ def test_feeds_daily_mart_shape(registered):
     )
     rows = mart.collect()
     assert len(rows) == 7 and all(r["n"] == 24 for r in rows)
+
+
+def test_malformed_locations_fail_at_parse_time(spark):
+    import pytest
+
+    from portfolio_data_pipelines_spark.sources.http_datasource import WeatherHttpReader
+
+    for bad in ("-23.55", "1,2,3", "abc,def"):
+        with pytest.raises(ValueError, match="locations entry"):
+            WeatherHttpReader(None, {"locations": bad})

@@ -98,3 +98,73 @@ def test_compact_partition_merges_small_files(spark, tmp_path):
     after = spark.read.parquet(out)
     assert n_files == 1  # tiny partition → single file
     assert sorted(map(tuple, after.collect())) == before_rows  # no rows lost
+
+
+def test_bronze_uri_scheme_bucket_layout(spark, tmp_path):
+    """K2 end-to-end through an explicit URI scheme: writing to a
+    file:// "bucket" exercises the same Hadoop FileSystem abstraction an
+    s3a:// target uses (scheme -> FS impl resolution, qualified-path key
+    construction); only the FS implementation differs. Asserts the
+    Hive-key layout and a round-trip read through the same URI."""
+    bucket = f"file://{tmp_path}/lake-bucket/weather"
+    write_bronze(_batch(spark, day=22), bucket)
+    local = str(tmp_path / "lake-bucket" / "weather")
+    part_dir = os.path.join(local, "date=2025-08-22")
+    assert os.path.isdir(part_dir), os.listdir(local)
+    assert any(f.endswith(".parquet") for f in os.listdir(part_dir))
+    back = spark.read.parquet(bucket)
+    assert back.count() == 4
+    assert set(back.select("date").distinct().toPandas()["date"].astype(str)) == {"2025-08-22"}
+
+
+class TestJdbcWarehouse:
+    """K4 over JDBC, driven end-to-end against embedded Derby — the one
+    JDBC engine whose driver ships inside pyspark's jars. Covers table
+    creation, the delete-then-append upsert, idempotent re-runs, and
+    the identifier guard."""
+
+    URL_TMPL = "jdbc:derby:{db};create=true"
+
+    def _ddl(self, spark, url: str, sql: str) -> None:
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(sql)
+            st.close()
+        finally:
+            conn.close()
+
+    def test_upsert_roundtrip_idempotent(self, spark, tmp_path):
+        import pytest
+
+        from portfolio_data_pipelines_spark.operators.medallion import write_warehouse_jdbc
+
+        url = self.URL_TMPL.format(db=tmp_path / "derbydb")
+        # `time` is reserved in Derby; the warehouse column is ts there.
+        self._ddl(
+            spark, url,
+            "CREATE TABLE weather_hourly (ts TIMESTAMP, temperature_2m DOUBLE)",
+        )
+        day = dt.date(2025, 8, 20)
+        batch = _batch(spark, day=20).select(
+            F.col("time").alias("ts"), "temperature_2m"
+        )
+
+        write_warehouse_jdbc(batch, url, "weather_hourly", day, date_col="ts")
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        assert spark.read.jdbc(url, "weather_hourly", properties=props).count() == 4
+
+        # Re-running the same day replaces, never duplicates (K4).
+        write_warehouse_jdbc(batch, url, "weather_hourly", day, date_col="ts")
+        assert spark.read.jdbc(url, "weather_hourly", properties=props).count() == 4
+
+        # Another day appends alongside.
+        write_warehouse_jdbc(
+            _batch(spark, day=21).select(F.col("time").alias("ts"), "temperature_2m"),
+            url, "weather_hourly", dt.date(2025, 8, 21), date_col="ts",
+        )
+        assert spark.read.jdbc(url, "weather_hourly", properties=props).count() == 8
+
+        with pytest.raises(ValueError, match="unsafe table identifier"):
+            write_warehouse_jdbc(batch, url, "weather_hourly; DROP TABLE x", day)

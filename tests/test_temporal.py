@@ -127,3 +127,31 @@ def test_asof_join_matches_bruteforce_on_random_data(spark):
         candidates = [(rts, v) for rk, rts, v in right if rk == k and rts <= lts]
         want = max(candidates)[1] if candidates else None
         assert got[i] == want, (i, k, lts, got[i], want)
+
+
+def test_asof_join_multi_value_cols_carry_one_whole_row(spark):
+    """A NULL in one value column of the LATEST right row must come
+    through as that NULL — not be backfilled from an older right row
+    (whole-row as-of semantics; per-column carry would mix rows)."""
+    ldf = spark.createDataFrame([(1, 1, _t(12, 0))], "id bigint, k bigint, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1, _t(10, 0), 10.0, "old"), (1, _t(11, 0), 20.0, None)],
+        "k bigint, ts timestamp, v double, label string",
+    )
+    row = asof_join(ldf, rdf, on="k", value_cols=("v", "label")).first()
+    assert row["asof_v"] == 20.0
+    assert row["asof_label"] is None  # from the 11:00 row, NOT "old"
+
+
+def test_salted_join_rejects_right_preserving_how(spark):
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, 1)], "k bigint, i int")
+    right = spark.createDataFrame([(1, 2)], "k bigint, rv int")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, on="k", how=how)
+    # left-preserving variants still work
+    assert salted_join(left, right, on="k", how="left_semi").count() == 1
