@@ -254,32 +254,45 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _md5_word_bit(h, i: int):
-    """Bit ``i`` (0..63) of a word's 64-bit hash, derived from the first
-    16 hex chars of its md5 — 4 bits per nibble, low bit first within a
-    nibble. md5 exists in both Spark and DuckDB with identical lowercase
-    hex output, and this instr/strpos+shift formulation is replicated
-    verbatim in the oracle SQL, so SimHash is fully oracle-checkable
-    (r1 used xxhash64, which DuckDB lacks → rows-only)."""
-    nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, i // 4 + 1, 1)) - F.lit(1)
-    return F.shiftright(nib, i % 4).bitwiseAND(F.lit(1))
+def _md5_nibble(h, j: int):
+    """Value of hex char ``j`` (0..15) of a word's md5 — 4 hash bits.
+    md5 exists in both Spark and DuckDB with identical lowercase hex
+    output, and this instr/strpos formulation is replicated verbatim in
+    the oracle SQL, so SimHash is fully oracle-checkable (r1 used
+    xxhash64, which DuckDB lacks → rows-only)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash per document: (id, simhash).
 
     Each distinct word votes ±1 on every bit of its md5-derived 64-bit
-    hash; the fingerprint takes the sign of each bit's tally. All
-    columnar: explode words → 64 conditional sums → bit reassembly."""
+    hash (bit i = nibble i//4, low bit first within a nibble); the
+    fingerprint takes the sign of each bit's tally. All columnar:
+    explode words → project the 16 nibbles ONCE per word row (64
+    per-bit substring+instr calls would quadruple the string work — the
+    agg expressions don't share subexpressions) → 64 conditional sums →
+    bit reassembly."""
     df = ensure_min_parallelism(df)
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
-    ).filter(F.length("w") > 0)
     h = F.md5(F.col("w"))
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+        .select(
+            F.col(id_col),
+            *[_md5_nibble(h, j).alias(f"_n{j}") for j in range(bits // 4)],
+        )
+    )
     tallies = words.groupBy(id_col).agg(
         *[
-            F.sum(F.when(_md5_word_bit(h, i) == 1, 1).otherwise(-1)).alias(f"b_{i}")
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"_n{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b_{i}")
             for i in range(bits)
         ]
     )
