@@ -389,6 +389,52 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bucketed_orders_lineitem_join",
+    oracle=f"""
+    SELECT o.o_orderpriority AS orderpriority,
+           COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS total_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free fact-to-fact join via bucketed tables (§2.5; the
+    co-partitioning the reference's roadmap delegates to Postgres,
+    README.md:207). Both facts are written ``bucketBy(8, orderkey)``
+    once, then the join reads co-located buckets with ZERO shuffle
+    Exchange (asserted in tests/test_bucketing.py) — at 100 TB this is
+    the only join strategy for two unbroadcastable sides that doesn't
+    re-shuffle both per query. The write is the one-time cost the
+    bucketed layout amortizes across every subsequent orderkey join."""
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    write_bucketed(
+        scan_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "bkt_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+    )
+    write_bucketed(
+        scan_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        ),
+        "bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+    )
+    return (
+        bucketed_join(spark, "bkt_orders", "bkt_lineitem", on="o_orderkey")
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("orderpriority")
+    )
+
+
+@query(
     "customers_with_orders_semi",
     oracle="""
     SELECT n.n_name AS nation_name, COUNT(*) AS n_customers

@@ -168,3 +168,46 @@ class TestJdbcWarehouse:
 
         with pytest.raises(ValueError, match="unsafe table identifier"):
             write_warehouse_jdbc(batch, url, "weather_hourly; DROP TABLE x", day)
+
+
+class TestMergeUpsert:
+    def test_update_insert_and_untouched_partitions(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import merge_upsert
+
+        path = str(tmp_path / "merge_lake")
+        merge_upsert(spark, path, _batch(spark, day=20, temp=20.0), key_cols=["time"])
+        merge_upsert(spark, path, _batch(spark, day=21, temp=40.0), key_cols=["time"])
+        assert spark.read.parquet(path).count() == 8
+
+        # One matched key (hour 0 of day 20, new temp) + one new key (hour 9).
+        upd = spark.createDataFrame(
+            [
+                (dt.datetime(2025, 8, 20, 0), 99.0, 50.0, "-23.55", "-46.63",
+                 dt.datetime(2025, 8, 20, 13)),
+                (dt.datetime(2025, 8, 20, 9), 77.0, 50.0, "-23.55", "-46.63",
+                 dt.datetime(2025, 8, 20, 13)),
+            ],
+            schema=_batch(spark, day=20).schema,
+        )
+        merge_upsert(spark, path, upd, key_cols=["time"])
+
+        lake = spark.read.parquet(path)
+        d20 = lake.filter(F.col("date") == "2025-08-20")
+        assert d20.count() == 5  # 4 original, 1 updated in place, 1 inserted
+        temps = {r["time"]: r["temperature_2m"] for r in d20.collect()}
+        assert temps[dt.datetime(2025, 8, 20, 0)] == 99.0   # WHEN MATCHED: updated
+        assert temps[dt.datetime(2025, 8, 20, 1)] == 21.0   # untouched row kept
+        assert temps[dt.datetime(2025, 8, 20, 9)] == 77.0   # WHEN NOT MATCHED: inserted
+        # Partition not present in the update batch is never rewritten.
+        d21 = lake.filter(F.col("date") == "2025-08-21")
+        assert d21.count() == 4
+        assert d21.agg(F.min("temperature_2m")).first()[0] == 40.0
+
+    def test_merge_rerun_idempotent(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import merge_upsert
+
+        path = str(tmp_path / "merge_lake2")
+        batch = _batch(spark, day=20)
+        merge_upsert(spark, path, batch, key_cols=["time"])
+        merge_upsert(spark, path, batch, key_cols=["time"])  # same batch again
+        assert spark.read.parquet(path).count() == 4
