@@ -37,6 +37,18 @@ def write_bucketed(
     sort-merge joins — the stored layout satisfies the join's ordering
     requirement outright.
     """
+    spark = df.sparkSession
+    # Idempotent across session restarts: DROP removes a cataloged
+    # table's managed location, but a location orphaned by a previous
+    # session (whose in-memory catalog died with it) would still make
+    # saveAsTable fail with LOCATION_ALREADY_EXISTS — clear it too.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *cols)
     if sort_cols is not None:
