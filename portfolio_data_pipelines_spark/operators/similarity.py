@@ -94,6 +94,19 @@ def _centroids_row(centroids: DataFrame, vec_col: str, centroid_id_col: str) -> 
     )
 
 
+def _centroid_scores(vec_col: str):
+    """(sim, -cid) struct per centroid in the broadcast ``_cens`` array;
+    lexicographic struct order == highest sim with smallest-cid
+    tie-break. Requires ``_norm``."""
+    return F.transform(
+        F.col("_cens"),
+        lambda x: F.struct(
+            (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
+            (-x["cid"]).alias("negcid"),
+        ),
+    )
+
+
 def _nearest_centroid(df_with_cens: DataFrame, vec_col: str, centroid_id_col: str) -> DataFrame:
     """Per-row nearest-centroid argmax, fully map-side.
 
@@ -104,18 +117,29 @@ def _nearest_centroid(df_with_cens: DataFrame, vec_col: str, centroid_id_col: st
     own assignment inside whole-stage codegen. Requires ``_norm`` and
     the ``_cens`` array column; drops ``_cens`` on the way out.
     """
-    best = F.array_max(
-        F.transform(
-            F.col("_cens"),
-            lambda x: F.struct(
-                (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
-                (-x["cid"]).alias("negcid"),
-            ),
-        )
-    )
+    best = F.array_max(_centroid_scores(vec_col))
     return df_with_cens.withColumn(
         centroid_id_col, (-best.getField("negcid")).cast("long")
     ).drop("_cens")
+
+
+def _probe_centroids(
+    df_with_cens: DataFrame, vec_col: str, centroid_id_col: str, nprobe: int
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest cells.
+
+    Same map-side scoring as `_nearest_centroid`; the top-P cells come
+    from sorting the (sim, -cid) structs descending and slicing — still
+    zero shuffle, one output row per probed cell. Each corpus vector
+    lives in exactly one cell, so probing P distinct cells can never
+    produce duplicate (query, neighbor) candidates.
+    """
+    top = F.slice(F.reverse(F.array_sort(_centroid_scores(vec_col))), 1, nprobe)
+    return (
+        df_with_cens.withColumn("_probe", F.explode(top))
+        .withColumn(centroid_id_col, (-F.col("_probe.negcid")).cast("long"))
+        .drop("_cens", "_probe")
+    )
 
 
 def assign_centroids(
@@ -148,19 +172,22 @@ def ivf_topk(
     id_col: str,
     k: int = 10,
     centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via an inverted-file index (nprobe=1).
+    """Approximate top-k via an inverted-file index.
 
-    Both corpus and queries are assigned to their nearest centroid; each
-    query scores only candidates in its own cell. Deterministic end to
-    end (given deterministic centroids), hence oracle-checkable.
+    The corpus is assigned to its nearest centroid; each query scores
+    candidates in its ``nprobe`` nearest cells (recall rises with
+    nprobe; nprobe = n_centroids degenerates to exact brute force —
+    asserted as a property test). Deterministic end to end (given
+    deterministic centroids), hence oracle-checkable.
 
-    Plan shape: assignment is map-side (broadcast centroid array, see
-    `_nearest_centroid`), the cell join broadcasts the assigned query
-    set, so the corpus never shuffles until the final rank window —
-    which moves only scored candidate rows (|corpus|/n_cells per query),
-    not vectors. The norm computed for assignment is reused for scoring
-    (one `_with_norm` per side, no recompute).
+    Plan shape: assignment and probing are map-side (broadcast centroid
+    array, see `_nearest_centroid` / `_probe_centroids`), the cell join
+    broadcasts the probed query set, so the corpus never shuffles until
+    the final rank window — which moves only scored candidate rows
+    (nprobe·|corpus|/n_cells per query), not vectors. The norm computed
+    for assignment is reused for scoring (one `_with_norm` per side).
     """
     cen_row = F.broadcast(_centroids_row(centroids, vec_col, centroid_id_col))
     c = _nearest_centroid(
@@ -171,8 +198,8 @@ def ivf_topk(
         F.col(vec_col).alias("_vc"),
         F.col("_norm").alias("_nc"),
     )
-    q = _nearest_centroid(
-        _with_norm(queries, vec_col).join(cen_row), vec_col, centroid_id_col
+    q = _probe_centroids(
+        _with_norm(queries, vec_col).join(cen_row), vec_col, centroid_id_col, nprobe
     ).select(
         F.col(centroid_id_col),
         F.col(id_col).alias("query_id"),

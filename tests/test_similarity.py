@@ -78,3 +78,36 @@ class TestRpLsh:
         a = sorted(map(tuple, rp_lsh_topk(vectors, q, "embedding", "vec_id", dim=4).collect()))
         b = sorted(map(tuple, rp_lsh_topk(vectors, q, "embedding", "vec_id", dim=4).collect()))
         assert a == b
+
+
+def test_ivf_nprobe_recall_monotone_and_exact_at_full_probe(spark):
+    """Recall vs brute force rises with nprobe, and probing every cell
+    makes IVF exactly equal to the brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.similarity import cosine_topk, ivf_topk
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    n_cells = centroids.count()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "embedding", "vec_id", k=10).collect()
+    }
+
+    recalls = []
+    for nprobe in (1, 3, n_cells):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, centroids, "embedding", "vec_id", k=10, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[1] > recalls[0]  # more probes find strictly more here
+    assert recalls[2] == 1.0  # full probe == brute force
