@@ -166,6 +166,32 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 day",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-time guard an LLM data
+    pipeline puts in front of the lake (at-least-once sources replay;
+    duplicate documents must not reach training data twice).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    state per key is evicted once the watermark passes it, so the state
+    store is bounded by (keys seen per watermark window), not by stream
+    lifetime — the only viable form at 100 TB. Duplicates arriving
+    later than the watermark delay are NOT caught (they are late data by
+    definition); the batch dedup operators sweep those in the silver
+    layer. ``within_watermark=False`` keeps keys forever (exact,
+    unbounded state — only for short-lived or low-cardinality streams).
+    """
+    keys = key_cols or ["event_id"]
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
 def stream_to_bronze(
     events: DataFrame,
     path: str,

@@ -113,3 +113,32 @@ def test_stream_to_bronze_is_idempotent(spark, tmp_path):
     src = scan_table(spark, SF, "events")
     assert written.count() == src.count()  # replay overwrote, not appended
     assert set(written.columns) == set(src.columns) | {"date"}
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
+    """A replayed (duplicated) source file must contribute no extra rows:
+    the streamed dedup output equals the batch-distinct answer."""
+    from portfolio_data_pipelines_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "landing")
+    batch = scan_table(spark, SF, "events")
+    # Landing files carry ts as epoch-nanos long like the source fixture
+    # (events_file_stream declares that read schema and converts).
+    # Simulate at-least-once delivery: the same batch lands twice.
+    batch.withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    import glob
+    import shutil
+
+    f = glob.glob(f"{src}/part-*.parquet")[0]
+    shutil.copy(f, f.replace("part-", "events-replay-part-"))
+    import os
+
+    os.rename(f, f.replace("part-", "events-part-"))
+
+    stream = events_file_stream(spark, src)
+    name = _run_to_memory(dedup_stream(stream, key_cols=["event_id"]), "append")
+    got = spark.table(name)
+    assert got.count() == batch.count()  # each event exactly once
+    assert got.select("event_id").distinct().count() == batch.count()
