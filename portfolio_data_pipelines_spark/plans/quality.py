@@ -60,6 +60,27 @@ def row_range(column: str, lo: float, hi: float) -> Expectation:
     )
 
 
+def unique(columns: str | Sequence[str]) -> Expectation:
+    """dbt ``unique`` parity (the 4th generic dbt test alongside
+    not_null/accepted_values/relationships): zero key groups with more
+    than one row. One shuffle on the key; the HAVING count runs on the
+    aggregated (tiny) side."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+
+    def run(df: DataFrame) -> ExpectationResult:
+        n = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .count()
+        )
+        return ExpectationResult(
+            name=f"unique({','.join(cols)})", passed=(n == 0), violations=n
+        )
+
+    return run
+
+
 def relationships(column: str, parent: DataFrame, parent_column: str) -> Expectation:
     """dbt ``relationships`` parity (README.md:192): FK anti-join count == 0."""
 

@@ -126,3 +126,15 @@ class TestPipelineEndToEnd:
         p = WeatherPipeline(spark, config=cfg, fetcher=lambda: json.dumps(bad))
         with pytest.raises(AssertionError, match="data-quality"):
             p.run()
+
+
+def test_unique_expectation(spark):
+    """dbt `unique` parity: duplicate keys are counted as violations."""
+    from portfolio_data_pipelines_spark.plans.quality import run_expectations, unique
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (3, "d"), (3, "e")], "id bigint, v string"
+    )
+    dup, composite = run_expectations(df, [unique("id"), unique(["id", "v"])])
+    assert not dup.passed and dup.violations == 2  # ids 2 and 3
+    assert composite.passed  # (id, v) pairs are all distinct
