@@ -216,11 +216,15 @@ def minhash_lsh_pairs(
 
     ca = buckets.select(F.col(id_col).alias("id_a"), "band", "h")
     cb = buckets.select(F.col(id_col).alias("id_b"), "band", "h")
+    # No distinct: the left-semi verify join below only tests key
+    # existence, so duplicate candidate pairs (one per shared band,
+    # ≤ n_bands per pair, ≈1 for typical corpora where near-dups are
+    # rare) cost less than the extra full dedup shuffle distinct() adds
+    # (~30% of query wall-clock measured at sf0.1).
     candidates = (
         ca.join(cb, ["band", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
     # Exact verification restricted to candidates (semi-join pruning).
