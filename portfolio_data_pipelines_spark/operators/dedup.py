@@ -344,14 +344,19 @@ def simhash_pairs(
 
     a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key")
     b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key")
+    # Hamming verification BEFORE the pair dedup: bit_count(xor) is a
+    # map-side expression and the ≤ max_hamming filter kills most
+    # block-collision pairs, so the distinct shuffles only surviving
+    # pairs (hamming is a function of the pair — same result set either
+    # order). A pair sharing several blocks appears once per block until
+    # the distinct collapses it.
     return (
         a.join(b, ["block", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
