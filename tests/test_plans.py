@@ -1,0 +1,65 @@
+"""Physical-plan hygiene: the scale properties the engine is designed
+around, asserted so they cannot silently regress.
+
+Each check reads the executed/optimized plan text of a declared query:
+filters must reach the parquet scan (PushedFilters), projection must
+narrow the scan (ReadSchema), dimension joins must broadcast (no
+sort-merge exchange of the fact), and ORDER BY+LIMIT must compile to
+TakeOrderedAndProject (per-partition top-k, no full sort).
+"""
+
+from __future__ import annotations
+
+from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, _load_all
+
+_load_all()
+
+SF = "/root/testdata/sf0.01"
+ALL = {**REGISTRY, **EXTRA_REGISTRY}
+
+
+def _plan(spark, name: str) -> str:
+    df = ALL[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_projection_narrows_scan_schema(spark):
+    plan = _plan(spark, "stg_events_projection")
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_id" in read_schema and "value" in read_schema
+    # Unused wide columns must not reach the scan.
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "revenue_by_region")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan  # the fact side never shuffles for joins
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = _plan(spark, "topk_events")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_bucketed_join_no_exchange_is_asserted_elsewhere():
+    # The zero-Exchange property of the bucketed join is asserted in
+    # tests/test_bucketing.py against freshly written bucketed tables.
+    assert "bucketed_orders_lineitem_join" in REGISTRY
+
+
+def test_asof_join_is_linear_not_crossproduct(spark):
+    # The as-of join must be the union+window form: no join operator at
+    # all in the plan (a theta-join form would show BroadcastNestedLoop
+    # or a range-condition SortMergeJoin and blow up on hot keys).
+    plan = _plan(spark, "asof_purchase_last_click")
+    assert "Window" in plan
+    for node in ("NestedLoop", "CartesianProduct"):
+        assert node not in plan, node
