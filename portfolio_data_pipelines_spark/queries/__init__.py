@@ -74,6 +74,7 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import streaming_live  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

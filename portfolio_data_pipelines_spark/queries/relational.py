@@ -542,7 +542,7 @@ def priority_with_heavy_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "above_avg_orders",
     oracle="""
     SELECT COUNT(*) AS n_above_avg
