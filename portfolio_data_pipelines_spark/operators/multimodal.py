@@ -72,6 +72,51 @@ def decode_image(content: bytes):  # pragma: no cover - stub by design
         ) from exc
 
 
+def decode_audio(content: bytes):  # pragma: no cover - stub by design
+    """Real audio decode — STUB. The container has no audio libraries;
+    when librosa/soundfile is available this returns (samples, rate)."""
+    try:
+        import io
+
+        import soundfile  # noqa: F401
+
+        return soundfile.read(io.BytesIO(content))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/librosa, not installed in "
+            "this environment; byte-level plumbing is exercised by "
+            "extract_features()/resize_media()"
+        ) from exc
+
+
+def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:
+    """Deterministic "resize": decimate the payload by ``scale`` (every
+    scale-th byte), the stand-in for a thumbnail/downsample pass. Real
+    pipelines swap the decimation line for PIL ``Image.resize`` /
+    ``librosa.resample`` — the Arrow plumbing (binary in, binary out,
+    partition-preserving mapInPandas, no shuffle) is identical. Output
+    keeps original and resized sizes so downstream can verify the
+    reduction ratio without touching bytes."""
+    import pandas as pd  # noqa: F811
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            resized = [bytes(b[::scale]) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "orig_bytes": [len(b) for b in pdf["content"]],
+                    "resized_bytes": [len(b) for b in resized],
+                    "content": resized,
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id bigint, orig_bytes int, resized_bytes int, content binary",
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary content column.
 

@@ -68,3 +68,33 @@ def test_extract_adds_no_shuffle(spark):
     media = _media(spark, [b"xy"])
     plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resize_media_decimates_payload(spark):
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    docs = scan_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    media = media_from_documents(docs)
+    out = resize_media(media, scale=4).collect()
+    assert len(out) == 20
+    for r in out:
+        # ceil(orig/4) bytes survive byte-decimation by 4
+        assert r["resized_bytes"] == -(-r["orig_bytes"] // 4)
+        assert len(r["content"]) == r["resized_bytes"]
+
+
+def test_decode_stubs_raise_cleanly():
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    for fn in (decode_image, decode_audio):
+        with pytest.raises(NotImplementedError):
+            fn(b"\x00\x01")
