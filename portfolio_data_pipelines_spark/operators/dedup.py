@@ -254,6 +254,65 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Pair → cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into clusters: connected components by
+    iterative min-label propagation. Returns (doc_id, cluster_id) where
+    cluster_id is the smallest doc id in the component — the canonical
+    survivor a dedup pipeline keeps.
+
+    The iterative piece LLM dedup needs after any pair generator above:
+    pairs (a,b),(b,c) must collapse to one keep-decision for {a,b,c}.
+
+    Scale design: each iteration is one shuffle (neighbor-min groupBy);
+    iteration count is the graph diameter, which for near-dup graphs is
+    tiny (dup clusters are dense, diameters of 2-4). ``localCheckpoint``
+    truncates plan lineage every round so the job graph stays O(1) per
+    iteration instead of growing unboundedly. Convergence is detected
+    with a changed-label count — one action per iteration.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

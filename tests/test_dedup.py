@@ -114,3 +114,34 @@ class TestEmbeddingCosine:
             for r in embedding_cosine_pairs(df, "embedding", "vec_id", threshold=0.5).collect()
         }
         assert got == {(1, 2): pytest.approx(1.0)}
+
+
+class TestDupClusters:
+    def test_components_resolve_chains(self, spark):
+        from portfolio_data_pipelines_spark.operators.dedup import dup_clusters
+
+        # path 1-2-3-4, pair 10-11, and 20-21-22 via a hub
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+            "id_a bigint, id_b bigint",
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_clusters_from_real_near_dup_pairs(self, spark):
+        from portfolio_data_pipelines_spark.operators.dedup import (
+            dup_clusters,
+            ngram_jaccard_pairs,
+        )
+        from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+        docs = scan_table(spark, "/root/testdata/sf0.001", "documents")
+        pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+        clusters = dup_clusters(pairs)
+        # every clustered doc maps to the smallest id in its component:
+        # cluster ids must themselves be members mapping to themselves
+        rows = clusters.collect()
+        by_id = {r["doc_id"]: r["cluster_id"] for r in rows}
+        for doc, c in by_id.items():
+            assert by_id[c] == c
+            assert c <= doc
