@@ -275,9 +275,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     with a changed-label count — one action per iteration.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # Materialize the edge list once: every iteration joins against it,
+    # and without the checkpoint each round would re-run the (possibly
+    # expensive) upstream pair generator.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    dup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -154,6 +155,54 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, threshold=0.3, num_perm=64, rows_per_band=1
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    tri AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, len(w) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+            FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair → cluster resolution (the iterative step after any pair
+    generator): connected components over the exact trigram-Jaccard
+    pairs by min-label propagation, each doc labeled with the smallest
+    id in its component. The DuckDB oracle computes the same components
+    via a recursive transitive-closure CTE — the iterative Spark loop
+    must converge to the identical fixpoint."""
+    docs = scan_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    return dup_clusters(pairs).orderBy("doc_id")
 
 
 @query(

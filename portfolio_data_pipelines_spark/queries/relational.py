@@ -283,7 +283,7 @@ def conditional_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "distinct_stats",
     oracle="""
     SELECT COUNT(DISTINCT o_custkey)     AS n_customers_with_orders,
