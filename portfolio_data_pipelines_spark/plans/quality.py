@@ -60,6 +60,39 @@ def row_range(column: str, lo: float, hi: float) -> Expectation:
     )
 
 
+def freshness(ts_column: str, max_age_hours: float, now=None) -> Expectation:
+    """dbt source ``freshness`` parity (README.md:192-194 roadmap): the
+    newest row's timestamp must be within ``max_age_hours`` of ``now``
+    (injectable for determinism; defaults to the engine clock). One
+    scalar max aggregation — with a partitioned time column the scan
+    prunes to recent partitions."""
+
+    def run(df: DataFrame) -> ExpectationResult:
+        ref = F.lit(now).cast("timestamp") if now is not None else F.current_timestamp()
+        # Seconds, not HOURS: interval HOURS literals reject fractions.
+        cutoff = ref - F.expr(f"INTERVAL {int(max_age_hours * 3600)} SECONDS")
+        # An empty source (NULL max) counts as stale, like dbt's
+        # error-on-no-data freshness behavior.
+        stale = (
+            df.agg(F.max(ts_column).alias("_max_ts"))
+            .select(
+                F.when(
+                    F.col("_max_ts").isNull() | (F.col("_max_ts") < cutoff), 1
+                )
+                .otherwise(0)
+                .alias("_stale")
+            )
+            .first()["_stale"]
+        )
+        return ExpectationResult(
+            name=f"freshness({ts_column},{max_age_hours}h)",
+            passed=(stale == 0),
+            violations=int(stale),
+        )
+
+    return run
+
+
 def unique(columns: str | Sequence[str]) -> Expectation:
     """dbt ``unique`` parity (the 4th generic dbt test alongside
     not_null/accepted_values/relationships): zero key groups with more

@@ -138,3 +138,26 @@ def test_unique_expectation(spark):
     dup, composite = run_expectations(df, [unique("id"), unique(["id", "v"])])
     assert not dup.passed and dup.violations == 2  # ids 2 and 3
     assert composite.passed  # (id, v) pairs are all distinct
+
+
+def test_freshness_expectation(spark):
+    """dbt source `freshness` parity with an injectable clock."""
+    import datetime as dt
+
+    from portfolio_data_pipelines_spark.plans.quality import freshness, run_expectations
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 8, 1, 10),), (dt.datetime(2025, 8, 1, 12),)], "ts timestamp"
+    )
+    fresh, stale = run_expectations(
+        df,
+        [
+            freshness("ts", 6, now=dt.datetime(2025, 8, 1, 15)),   # newest 3h old
+            freshness("ts", 2, now=dt.datetime(2025, 8, 1, 15)),   # newest 3h old > 2h
+        ],
+    )
+    assert fresh.passed
+    assert not stale.passed and stale.violations == 1
+    empty = spark.createDataFrame([], "ts timestamp")
+    (r,) = run_expectations(empty, [freshness("ts", 6, now=dt.datetime(2025, 8, 1))])
+    assert not r.passed  # no data counts as stale
