@@ -43,9 +43,14 @@ def write_bucketed(
     # session (whose in-memory catalog died with it) would still make
     # saveAsTable fail with LOCATION_ALREADY_EXISTS — clear it too.
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if "." in table:
+        db, name = table.split(".", 1)
+        base = spark.catalog.getDatabase(db).locationUri
+    else:
+        name = table
+        base = spark.conf.get("spark.sql.warehouse.dir")
     jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    loc = jvm.org.apache.hadoop.fs.Path(f"{base}/{name.lower()}")
     fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)

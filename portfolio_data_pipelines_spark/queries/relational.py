@@ -408,23 +408,33 @@ def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
     Exchange (asserted in tests/test_bucketing.py) — at 100 TB this is
     the only join strategy for two unbroadcastable sides that doesn't
     re-shuffle both per query. The write is the one-time cost the
-    bucketed layout amortizes across every subsequent orderkey join."""
+    bucketed layout amortizes across every subsequent orderkey join.
+
+    The bucketed tables live in a dedicated database with an explicit
+    tmp location, so the query works regardless of the harness CWD
+    (the default warehouse dir is CWD-relative and may not be
+    writable)."""
+    import os
+    import tempfile
+
     from ..operators.bucketing import bucketed_join, write_bucketed
 
+    db_loc = os.path.join(tempfile.gettempdir(), "pdp_bucketed_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{db_loc}'")
     write_bucketed(
         scan_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ),
-        "bkt_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+        "bkt.bkt_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
     )
     write_bucketed(
         scan_table(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
         ),
-        "bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+        "bkt.bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
     )
     return (
-        bucketed_join(spark, "bkt_orders", "bkt_lineitem", on="o_orderkey")
+        bucketed_join(spark, "bkt.bkt_orders", "bkt.bkt_lineitem", on="o_orderkey")
         .groupBy(F.col("o_orderpriority").alias("orderpriority"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
