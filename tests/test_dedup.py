@@ -145,3 +145,33 @@ class TestDupClusters:
         for doc, c in by_id.items():
             assert by_id[c] == c
             assert c <= doc
+
+    def test_clusters_match_union_find_on_random_graph(self, spark):
+        """Property check on a seeded random graph: the distributed
+        min-label loop must equal a reference union-find exactly."""
+        import random
+
+        from portfolio_data_pipelines_spark.operators.dedup import dup_clusters
+
+        rnd = random.Random(13)
+        edges = [(rnd.randint(0, 120), rnd.randint(0, 120)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        assert got == want
