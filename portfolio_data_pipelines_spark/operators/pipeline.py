@@ -1,0 +1,261 @@
+"""Training-data pipeline operators (SURVEY §2.10 — LLM-pipeline extensions).
+
+Four operators a pretraining data pipeline runs between raw documents and
+training sequences, each expressed Spark-first (pure `pyspark.sql.functions`
+column expressions — zero Python UDFs in this module):
+
+- **Decontamination**: drop training docs that share ≥ k n-gram shingles
+  with any benchmark/eval document (the overlap check run before every
+  pretraining launch so eval sets don't leak into the corpus).
+- **Sequence packing**: concat-and-split token-offset packing — documents
+  are laid end-to-end in a deterministic order and cut into fixed
+  ``ctx_len``-token training sequences; a doc spanning a boundary is split
+  across consecutive sequences. The global token offset is a distributed
+  two-phase prefix sum, NOT a single-partition window.
+- **Deterministic hash sampling**: per-stratum keep/drop decided by a
+  uniform value derived from ``md5(id)`` — reproducible across runs,
+  engines and cluster sizes (the property that makes ablations and
+  incremental re-runs possible), with per-source rates = data mixing.
+- **PII redaction**: regex scrubbing of emails / phone-like tokens with
+  per-doc match counts, one map-only codegen pass.
+
+Scale notes (100 TB):
+- Decontamination broadcasts the *benchmark* shingle index (benchmarks are
+  MBs while the corpus is TBs) so the corpus never shuffles — the check is
+  a map-side semi-join at scan bandwidth.
+- Packing's only wide ops are one range repartition of (id, n_tokens)
+  pairs — never the text — and a per-partition-sums aggregation whose row
+  count equals the partition count. The classic single ``Window.orderBy``
+  cumsum would serialize 100 TB through one task; the two-phase form keeps
+  every stage at full cluster parallelism.
+- Sampling and redaction are stateless map-only passes; they pipeline into
+  whatever scan precedes them without adding a stage boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+#: Email / phone shapes shared by Java regex (Spark) and RE2 (DuckDB oracle):
+#: plain character classes and bounded repeats — no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{4}"
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """(train_id, bench_id, n_overlap) for every train/benchmark doc pair
+    sharing ≥ ``min_overlap`` distinct word n-gram shingles.
+
+    The benchmark side is broadcast: eval sets are tiny relative to a
+    pretraining corpus, so the contamination check costs one map-side
+    hash-join pass over the training shingles — the corpus text itself
+    never shuffles (shingles carry ≤ n words each, and only colliding
+    ones reach the pair aggregation).
+    """
+    tsh = word_shingles(train, text_col, id_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    bsh = word_shingles(bench, text_col, id_col, n).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Training rows with every contaminated doc removed (left-anti join
+    against the flagged id set). Same broadcast shape as
+    :func:`contamination_pairs`; the anti-join key is the doc id only."""
+    flagged = (
+        contamination_pairs(train, bench, text_col, id_col, n, min_overlap)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-split)
+# ---------------------------------------------------------------------------
+
+
+def _ws_token_count(text_col: str) -> Column:
+    """Whitespace token count with boundary empties removed (matches the
+    text-family convention — see queries/text.py cross-engine notes)."""
+    return F.size(F.filter(F.split(text_col, r"\s+"), lambda t: t != ""))
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ctx_len: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-size training sequences by global token
+    offset: docs ordered by ``id_col`` are laid end-to-end and cut every
+    ``ctx_len`` tokens. Returns one row per (sequence, doc) overlap:
+    (seq_id, doc_id, seq_offset, n_tokens) — a doc that straddles a cut
+    appears in consecutive sequences with complementary token spans.
+
+    The global offset is a **two-phase distributed prefix sum**:
+
+    1. range-partition (id, token_count) pairs by id and cumsum *within*
+       each partition (parallel across the cluster);
+    2. aggregate one total per partition (rows == partition count), cumsum
+       that tiny table on the driver-side single partition, and broadcast
+       the per-partition base offsets back.
+
+    A plain ``Window.orderBy(id)`` cumsum would funnel the whole corpus
+    through one task; this form's only wide operations are the range
+    shuffle of fixed-width pairs and the |partitions|-row aggregation, so
+    it holds at 100 TB. Zero-token docs are dropped (they occupy no span).
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col), _ws_token_count(text_col).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .repartitionByRange(n_partitions, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Materialize the narrow (id, n_tokens, pid, local_end) projection once:
+    # both the span branch and the base-offset branch read it, and without
+    # the checkpoint each would re-scan the corpus text to recount tokens
+    # (~16 bytes/doc pinned vs a second full-text pass at 100 TB).
+    local = toks.withColumn(
+        "_local_end", F.sum("n_tokens").over(w_local)
+    ).localCheckpoint(eager=True)
+    # Phase 2: per-partition totals — |partitions| rows, so the global
+    # cumsum window over them is trivially cheap despite being 1-task.
+    w_base = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_ptotal"))
+        .withColumn("_base", F.coalesce(F.sum("_ptotal").over(w_base), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    spans = (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn("tok_end", F.col("_base") + F.col("_local_end"))
+        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
+    )
+    first_seq = (F.col("tok_start") / ctx_len).cast("long")
+    last_seq = ((F.col("tok_end") - 1) / ctx_len).cast("long")
+    out = spans.select(
+        F.col(id_col),
+        "tok_start",
+        "tok_end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * ctx_len
+    clip_lo = F.greatest(F.col("tok_start"), seq_lo)
+    clip_hi = F.least(F.col("tok_end"), seq_lo + ctx_len)
+    return out.select(
+        "seq_id",
+        F.col(id_col),
+        (clip_lo - seq_lo).alias("seq_offset"),
+        (clip_hi - clip_lo).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling / data mixing
+# ---------------------------------------------------------------------------
+
+
+def hash_uniform16(key: Column) -> Column:
+    """Uniform value in [0, 65536) derived from ``md5(key)``'s first 4 hex
+    chars, folded via the instr-nibble formulation (the same construction
+    as SimHash's bit votes — identical ``strpos`` SQL runs in DuckDB, so
+    sampling decisions are bit-reproducible across engines)."""
+    h = F.md5(key.cast("string"))
+
+    def nib(j: int) -> Column:
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)
+
+    return nib(0) * 4096 + nib(1) * 256 + nib(2) * 16 + nib(3)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-derived
+    uniform falls under the stratum's threshold. ``rates`` maps stratum
+    value → keep probability; anything unlisted gets ``default_rate``.
+
+    This is the data-mixing primitive: per-source rates reweight a corpus
+    without materializing intermediate copies. Decisions depend only on
+    (id, stratum) — never on partitioning, ordering, or cluster size — so
+    a re-run, an incremental append, or a different engine selects the
+    identical subset. Map-only; pipelines into the scan."""
+    u = hash_uniform16(F.col(id_col))
+    threshold = F.lit(int(default_rate * 65536))
+    for value, rate in rates.items():
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * 65536)))
+            .otherwise(threshold)
+        )
+    return df.filter(u < threshold)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
+    """Scrub emails and phone-like tokens from ``text_col``, appending
+    per-doc match counts. One narrow codegen pass: counts come from
+    ``regexp_extract_all`` sizes, the scrub from two chained
+    ``regexp_replace`` — both engines apply replacement globally (Spark by
+    default, DuckDB via the 'g' flag in the oracle)."""
+    emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0)))
+    phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "*",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

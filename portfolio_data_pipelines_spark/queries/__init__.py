@@ -75,6 +75,7 @@ def _load_all() -> None:
     from . import dedup  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import streaming_live  # noqa: F401
+    from . import pipeline  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,278 @@
+"""Training-data pipeline declared queries (SURVEY §2.10 — the pretraining
+corpus workflow: decontaminate → mix/sample → scrub → pack).
+
+`src0` plays the held-out benchmark set (25 docs); the other 19 sources are
+the training corpus. Declared here: the two ops whose semantics are richest
+(benchmark decontamination and token-offset sequence packing); the
+sampling/mixing and PII-redaction queries live in the extra registry (same
+DuckDB parity contract, outside the driver's 50-query window).
+
+Cross-engine exactness: everything in this module is integer arithmetic,
+string equality, or regex replacement — no floats anywhere except the one
+realized-rate division — so oracle parity is structural rather than
+numerical. The sampling uniform reuses SimHash's instr-nibble md5
+formulation (operators/dedup._md5_nibble) which is verbatim-replicable in
+DuckDB ``strpos``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.pipeline import (
+    EMAIL_RE,
+    PHONE_RE,
+    contamination_pairs,
+    decontaminate,
+    pack_sequences,
+    pii_redact,
+    stratified_sample,
+)
+from ..sources.parquet import scan_table
+from . import extra_query, query
+
+#: Decontamination geometry: word trigrams, ≥3 shared shingles flags a doc.
+DECONTAM_NGRAM = 3
+DECONTAM_MIN_OVERLAP = 3
+
+#: Packing context length (tokens per training sequence).
+CTX_LEN = 64
+
+#: Data-mixing keep rates by source; everything unlisted keeps 1/8.
+MIX_RATES = {"src1": 0.75, "src2": 0.5, "src3": 0.25}
+MIX_DEFAULT = 0.125
+
+_SHINGLE_CTE = """
+    tsh AS (
+        SELECT doc_id AS train_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     FOR i IN range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE source <> 'src0')
+        WHERE len(w) >= 3
+    ),
+    bsh AS (
+        SELECT doc_id AS bench_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     FOR i IN range(1, len(w) - 1)])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE source = 'src0')
+        WHERE len(w) >= 3
+    )
+"""
+
+
+def _split_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = scan_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("source") != "src0"), docs.filter(F.col("source") == "src0")
+
+
+@query(
+    "decontam_overlap_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT train_id, bench_id, COUNT(*) AS n_overlap
+    FROM tsh JOIN bsh USING (shingle)
+    GROUP BY train_id, bench_id
+    HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
+    """,
+)
+def decontam_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (SURVEY §2.10): train/benchmark doc pairs
+    sharing ≥3 distinct word trigrams — the eval-leak check run before a
+    pretraining launch. The benchmark shingle index is broadcast (eval
+    sets are MBs, the corpus is TBs), so the corpus side never shuffles
+    its text: the plan is scan → map-side join → pair aggregation."""
+    train, bench = _split_corpus(spark, sf_dir)
+    return contamination_pairs(
+        train, bench, "text", "doc_id", n=DECONTAM_NGRAM, min_overlap=DECONTAM_MIN_OVERLAP
+    ).orderBy("train_id", "bench_id")
+
+
+@extra_query(
+    "decontaminated_train_docs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    flagged AS (
+        SELECT train_id
+        FROM tsh JOIN bsh USING (shingle)
+        GROUP BY train_id, bench_id
+        HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
+    )
+    SELECT doc_id, source
+    FROM documents
+    WHERE source <> 'src0'
+      AND doc_id NOT IN (SELECT train_id FROM flagged)
+    """,
+)
+def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving training corpus after decontamination: left-anti join
+    against the flagged id set (12 of 475 docs drop on this fixture)."""
+    train, bench = _split_corpus(spark, sf_dir)
+    return (
+        decontaminate(
+            train, bench, "text", "doc_id", n=DECONTAM_NGRAM, min_overlap=DECONTAM_MIN_OVERLAP
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "packed_sequences",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS tok_end
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT s.seq_id, doc_id,
+           GREATEST(tok_end - n_tokens, s.seq_id * {CTX_LEN})
+               - s.seq_id * {CTX_LEN} AS seq_offset,
+           LEAST(tok_end, (s.seq_id + 1) * {CTX_LEN})
+               - GREATEST(tok_end - n_tokens, s.seq_id * {CTX_LEN}) AS n_tokens
+    FROM c, LATERAL unnest(range((tok_end - n_tokens) // {CTX_LEN},
+                                 (tok_end - 1) // {CTX_LEN} + 1)) s(seq_id)
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (SURVEY §2.10): documents laid end-to-end by
+    doc_id and cut into 64-token training sequences; one row per
+    (sequence, doc) overlap with the doc's token span inside that
+    sequence. The global token offset is a two-phase distributed prefix
+    sum (per-partition cumsum + |partitions|-row base-offset table) — the
+    form that holds at 100 TB where a single ordered window would
+    serialize the corpus through one task. The oracle's plain window
+    cumsum is the semantic spec at fixture scale."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "text", "doc_id", ctx_len=CTX_LEN).orderBy(
+        "seq_id", "doc_id"
+    )
+
+
+def _u16_sql(key: str) -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substring(md5(CAST({k} AS VARCHAR)), {j}, 1)) - 1)"
+    )
+    return " + ".join(
+        f"{nib.format(k=key, j=j + 1)} * {w}"
+        for j, w in enumerate((4096, 256, 16, 1))
+    )
+
+
+def _mix_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(r * 65536)}" for s, r in MIX_RATES.items()
+    )
+    return f"CASE source {cases} ELSE {int(MIX_DEFAULT * 65536)} END"
+
+
+@extra_query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_u16_sql('doc_id')} < {_mix_threshold_sql()}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing (SURVEY §2.10): per-source keep rates
+    decided by an md5-derived uniform of the doc id — reproducible across
+    runs, engines, and cluster sizes (same instr-nibble construction as
+    SimHash's oracle-checked bit votes). Map-only: no shuffle, pipelines
+    into the scan."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "doc_id", "source", MIX_RATES, MIX_DEFAULT)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@extra_query(
+    "sample_rates_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE {_u16_sql('doc_id')} < {_mix_threshold_sql()})
+               AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE {_u16_sql('doc_id')} < {_mix_threshold_sql()})
+                AS DOUBLE) / COUNT(*) AS realized_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing audit: realized vs configured keep rate per source — the
+    validation a pipeline logs after sampling. One small-key shuffle."""
+    docs = scan_table(spark, sf_dir, "documents")
+    from ..operators.pipeline import hash_uniform16
+
+    u = hash_uniform16(F.col("doc_id"))
+    threshold = F.lit(int(MIX_DEFAULT * 65536))
+    for value, rate in MIX_RATES.items():
+        threshold = (
+            F.when(F.col("source") == value, F.lit(int(rate * 65536)))
+            .otherwise(threshold)
+        )
+    kept = F.sum(F.when(u < threshold, 1).otherwise(0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            kept.alias("n_kept"),
+            (kept.cast("double") / F.count(F.lit(1))).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@extra_query(
+    "pii_redacted_docs",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g') AS redacted_text
+    FROM aug
+    """,
+)
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (SURVEY §2.10): scrub emails and phone-like tokens,
+    with per-doc match counts. The fixture text contains no PII, so each
+    doc is first augmented with a deterministic synthetic email + phone
+    (same concatenation in the oracle) — the redactor must find exactly
+    those. Narrow map-only codegen pass; Java regex and RE2 agree on
+    these character-class-only patterns."""
+    docs = scan_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_redact(aug, "text").select(
+        "doc_id", "n_emails", "n_phones", "redacted_text"
+    ).orderBy("doc_id")

@@ -755,7 +755,7 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "part_brand_stats",
     oracle="""
     SELECT p_brand AS brand,
@@ -916,7 +916,7 @@ def unpivot_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("date_utc", "metric")
 
 
-@query(
+@extra_query(
     "hierarchical_rollup_daily",
     oracle=f"""
     WITH hourly AS (

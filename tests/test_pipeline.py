@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: packing, decontamination, sampling,
+redaction (operators/pipeline.py).
+
+Oracle parity for the six declared/extra queries lives in
+test_oracle_parity.py; these tests pin the operator *invariants* that the
+value-hash compare can't express — packing completeness, partition-count
+independence, sampling determinism and monotonicity, redaction totality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.pipeline import (
+    contamination_pairs,
+    decontaminate,
+    hash_uniform16,
+    pack_sequences,
+    pii_redact,
+    stratified_sample,
+)
+from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+SF = "/root/testdata/sf0.001"
+CTX = 32
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return scan_table(spark, SF, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _token_total(docs) -> int:
+    n = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    return docs.select(F.sum(n)).first()[0]
+
+
+def test_packing_conserves_tokens(spark, docs):
+    packed = pack_sequences(docs, "text", "doc_id", ctx_len=CTX)
+    assert packed.select(F.sum("n_tokens")).first()[0] == _token_total(docs)
+
+
+def test_packing_fills_every_sequence_but_last(spark, docs):
+    packed = pack_sequences(docs, "text", "doc_id", ctx_len=CTX)
+    per_seq = packed.groupBy("seq_id").agg(F.sum("n_tokens").alias("n")).collect()
+    last = max(r["seq_id"] for r in per_seq)
+    for r in per_seq:
+        if r["seq_id"] != last:
+            assert r["n"] == CTX, f"seq {r['seq_id']} has {r['n']} tokens"
+        else:
+            assert 0 < r["n"] <= CTX
+
+
+def test_packing_spans_are_disjoint_and_contiguous(spark, docs):
+    packed = pack_sequences(docs, "text", "doc_id", ctx_len=CTX)
+    rows = packed.orderBy("seq_id", "seq_offset").collect()
+    pos = {}
+    for r in rows:
+        expect = pos.get(r["seq_id"], 0)
+        assert r["seq_offset"] == expect, f"gap in seq {r['seq_id']}"
+        pos[r["seq_id"]] = expect + r["n_tokens"]
+
+
+def test_packing_independent_of_partition_count(spark, docs):
+    a = pack_sequences(docs, "text", "doc_id", ctx_len=CTX, n_partitions=2)
+    b = pack_sequences(docs, "text", "doc_id", ctx_len=CTX, n_partitions=7)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_removes_exactly_the_flagged_ids(spark, docs):
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    pairs = contamination_pairs(train, bench, "text", "doc_id", n=3, min_overlap=2)
+    flagged = {r["train_id"] for r in pairs.select("train_id").distinct().collect()}
+    surviving = decontaminate(train, bench, "text", "doc_id", n=3, min_overlap=2)
+    survivors = {r["doc_id"] for r in surviving.select("doc_id").collect()}
+    all_train = {r["doc_id"] for r in train.select("doc_id").collect()}
+    assert survivors == all_train - flagged
+    assert flagged  # fixture must actually exercise the removal
+
+
+def test_contaminated_doc_shares_shingles(spark, docs):
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    pair = contamination_pairs(train, bench, "text", "doc_id", n=3, min_overlap=2).first()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(
+            F.col("doc_id").isin(pair["train_id"], pair["bench_id"])
+        ).collect()
+    }
+
+    def tris(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    shared = tris(texts[pair["train_id"]]) & tris(texts[pair["bench_id"]])
+    assert len(shared) == pair["n_overlap"]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_uniform_range_and_determinism(spark, docs):
+    u = docs.select(hash_uniform16(F.col("doc_id")).alias("u"))
+    lo, hi = u.select(F.min("u"), F.max("u")).first()
+    assert 0 <= lo and hi < 65536
+    assert u.collect() == u.collect()  # same plan, same rows, same values
+
+
+def test_sampling_monotone_in_rate(spark, docs):
+    small = stratified_sample(docs, "doc_id", "source", {}, 0.2)
+    large = stratified_sample(docs, "doc_id", "source", {}, 0.6)
+    s = {r["doc_id"] for r in small.select("doc_id").collect()}
+    g = {r["doc_id"] for r in large.select("doc_id").collect()}
+    assert s <= g  # same uniform, higher threshold ⇒ superset
+    assert len(s) < len(g)
+
+
+def test_sampling_respects_strata_rates(spark, docs):
+    sampled = stratified_sample(docs, "doc_id", "source", {"src1": 1.0}, 0.0)
+    kept = sampled.select("source").distinct().collect()
+    assert {r["source"] for r in kept} == {"src1"}
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert sampled.count() == n_src1
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    rows = [
+        (1, "mail me at a.b+c@example.org or 555-0199 today"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io z@w.ai and digits 123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in pii_redact(df, "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["redacted_text"] and "<PHONE>" in out[1]["redacted_text"]
+    assert "@" not in out[1]["redacted_text"].replace("<EMAIL>", "")
+    assert out[2]["n_emails"] == 0 and out[2]["redacted_text"] == "no pii here"
+    assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 1
