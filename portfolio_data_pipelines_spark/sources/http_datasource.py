@@ -62,9 +62,32 @@ def synthetic_hourly_series(lat: str, lon: str, start: dt.datetime) -> Iterator[
         yield (t, temp, rh, lat, lon, ingested)
 
 
+#: Canonical field order of the full payload row, matching
+#: WEATHER_SCHEMA_DDL.
+_FIELD_ORDER = (
+    "time",
+    "temperature_2m",
+    "relative_humidity_2m",
+    "lat",
+    "lon",
+    "ingested_at",
+)
+
+
 class WeatherHttpReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.options = options
+        # Honor the schema Spark hands down (the user's .schema(...) if
+        # given, else the source default): rows are projected to exactly
+        # its fields, in its order, so a user can prune or reorder
+        # columns. Unknown fields fail here with the offending names.
+        names = [f.name for f in schema.fields] if schema is not None else list(_FIELD_ORDER)
+        unknown = [n for n in names if n not in _FIELD_ORDER]
+        if unknown:
+            raise ValueError(
+                f"weather_http has no column(s) {unknown}; available: {list(_FIELD_ORDER)}"
+            )
+        self._projection = tuple(_FIELD_ORDER.index(n) for n in names)
         locs = options.get("locations", "-23.55,-46.63")
         self.locations: Sequence[tuple[str, str]] = []
         for loc in locs.split(";"):
@@ -94,7 +117,8 @@ class WeatherHttpReader(DataSourceReader):
 
     def read(self, partition: _LocationPartition) -> Iterator[tuple]:
         if self.fetcher == "synthetic":
-            yield from synthetic_hourly_series(partition.lat, partition.lon, self.start)
+            for row in synthetic_hourly_series(partition.lat, partition.lon, self.start):
+                yield tuple(row[i] for i in self._projection)
         elif self.fetcher == "http":  # pragma: no cover - no network in CI
             raise NotImplementedError(
                 "HTTP fetch requires network access; the synthetic fetcher "

@@ -192,6 +192,56 @@ def dedup_stream(
     return wm.dropDuplicates(keys)
 
 
+def interval_join_attribution(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    max_delay: str = "1 hour",
+    watermark: str = "1 day",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each ``left_type`` event to
+    the same user's ``right_type`` events in the preceding ``max_delay``
+    — the streaming form of click→purchase attribution (the batch as-of
+    join in operators/temporal.py answers the last-touch variant).
+
+    Both sides carry a watermark AND the join condition bounds event-time
+    distance (``r.ts BETWEEN l.ts - max_delay AND l.ts``); together they
+    let Spark evict buffered rows once the watermark passes the interval,
+    so join state is O(events per watermark window per side), not
+    O(stream lifetime) — the only viable stream-stream join at 100 TB.
+    ``how='leftOuter'`` emits unmatched left rows (NULL right columns)
+    after the watermark closes their interval.
+    """
+    left = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - INTERVAL {max_delay}"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+    )
+    return left.join(right, cond, how).select(
+        "l_event_id", "l_user_id", "l_ts", "l_value", "r_event_id", "r_ts"
+    )
+
+
 def stream_to_bronze(
     events: DataFrame,
     path: str,

@@ -65,3 +65,29 @@ def test_malformed_locations_fail_at_parse_time(spark):
     for bad in ("-23.55", "1,2,3", "abc,def"):
         with pytest.raises(ValueError, match="locations entry"):
             WeatherHttpReader(None, {"locations": bad})
+
+
+def test_user_schema_prunes_and_reorders(registered):
+    df = (
+        registered.read.format("weather_http")
+        .schema("lat string, time timestamp")
+        .option("locations", "-23.55,-46.63")
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == ["lat", "time"]
+    rows = df.collect()
+    assert len(rows) == 168
+    assert rows[0]["lat"] == "-23.55"
+
+
+def test_user_schema_unknown_column_fails_clearly(registered):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no column"):
+        (
+            registered.read.format("weather_http")
+            .schema("nope string")
+            .option("locations", "-23.55,-46.63")
+            .load()
+            .collect()
+        )

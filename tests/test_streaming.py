@@ -142,3 +142,69 @@ def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
     got = spark.table(name)
     assert got.count() == batch.count()  # each event exactly once
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_interval_join_equals_batch_interval_join(spark):
+    from portfolio_data_pipelines_spark.streaming import interval_join_attribution
+
+    name = _run_to_memory(
+        interval_join_attribution(events_file_stream(spark, SF)), "append"
+    )
+    ev = scan_table(spark, SF, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("value").alias("l_value"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = left.join(
+        right,
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.expr("l_ts - INTERVAL 1 hour"))
+        & (F.col("r_ts") <= F.col("l_ts")),
+    ).select("l_event_id", "l_user_id", "l_ts", "l_value", "r_event_id", "r_ts")
+    assert _rows(spark, name) == sorted(tuple(map(str, r)) for r in batch.collect())
+
+
+def test_interval_join_left_outer_keeps_unmatched(spark):
+    from portfolio_data_pipelines_spark.streaming import interval_join_attribution
+
+    inner = _run_to_memory(
+        interval_join_attribution(events_file_stream(spark, SF)), "append"
+    )
+    outer = _run_to_memory(
+        interval_join_attribution(events_file_stream(spark, SF), how="leftOuter"),
+        "append",
+    )
+    inner_df, outer_df = spark.table(inner), spark.table(outer)
+    ev = scan_table(spark, SF, "events")
+    matched_ids = {r[0] for r in inner_df.select("l_event_id").distinct().collect()}
+    unmatched = outer_df.filter(F.col("r_event_id").isNull())
+    unmatched_ids = {r[0] for r in unmatched.select("l_event_id").collect()}
+    batch_unmatched = {
+        r[0]
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts")
+        .collect()
+        if r[0] not in matched_ids
+    }
+    # Streaming left-outer emits an unmatched row only once the watermark
+    # closes its interval; purchases in the stream's final
+    # (watermark + max_delay) tail stay buffered when AvailableNow stops.
+    assert unmatched_ids <= batch_unmatched
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closable = {
+        r["event_id"]
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+        if r["event_id"] in batch_unmatched
+        and (max_ts - r["ts"]).total_seconds() > 25 * 3600  # 1 day wm + 1 h delay
+    }
+    assert closable <= unmatched_ids
+    assert unmatched_ids  # the fixture must actually exercise the path
+    # inner rows are exactly the matched subset of outer rows
+    assert outer_df.count() == inner_df.count() + unmatched.count()
