@@ -173,6 +173,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.3,
     num_perm: int = NUM_PERM,
     rows_per_band: int = 1,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, exact-verified.
 
@@ -183,6 +184,15 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs`` for practical purposes, at bucket-join cost
     instead of all-pairs. Choose r>1 to trade recall for fewer
     candidates at higher thresholds (r=4,b=16 for j≳0.8).
+
+    ``max_shingle_freq`` caps the exact-verify stage the same way
+    ``ngram_jaccard_pairs`` caps its inverted index: shingles shared by
+    more than that many docs are dropped from the intersection join
+    (union sizes still use the full sets). Without it, a shingle shared
+    by m docs materializes m² join rows *before* the candidate semi-join
+    filters them — the one quadratic trap left in this operator at
+    100 TB. True pairs rest on rare shingles, so on real corpora the cap
+    is a pure cost bound (fixture-verified: capped == uncapped output).
     """
     assert num_perm % rows_per_band == 0
     n_bands = num_perm // rows_per_band
@@ -228,17 +238,46 @@ def minhash_lsh_pairs(
     )
 
     # Exact verification restricted to candidates (semi-join pruning).
-    # Deliberately NOT pruned further: pre-filtering each exploded side
-    # to candidate doc ids (and checkpointing the candidate set for the
-    # extra branches) was measured 37% SLOWER at sf0.1 — at r=1,b=64 any
-    # one shared min-hash makes a candidate, so the candidate DOC set
-    # approaches the whole corpus (~700k candidate rows for 5k docs on
-    # this fixture) and the prune only adds stages. Array-intersect
-    # verification over pair-joined shingle arrays was 4× slower still.
-    # If a deployment runs high-threshold configs (r≥4) where candidates
-    # are genuinely sparse, the doc-id prune becomes the right shape.
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # The verify-side index takes two independent pruning guards:
+    #
+    # 1. ``max_shingle_freq`` (stop-shingle cap, mirrors the one in
+    #    ngram_jaccard_pairs): bounds the m² rows a hot shingle emits
+    #    BEFORE the candidate semi-join can filter them. This is the
+    #    guard that holds at 100 TB regardless of the band config.
+    # 2. Candidate-DOC pruning — only when ``rows_per_band > 1``: at
+    #    r≥2 a candidate needs a full band of equal min-hashes, so the
+    #    candidate doc set is genuinely sparse and pre-filtering each
+    #    exploded side to it shrinks the verify join by orders of
+    #    magnitude. At r=1,b=64 the same prune was measured 37% SLOWER
+    #    at sf0.1 (any one shared min-hash makes a candidate → the
+    #    candidate doc set approaches the whole corpus and the prune
+    #    only adds stages), so it stays off there. Array-intersect
+    #    verification over pair-joined shingle arrays was 4× slower
+    #    still — rejected.
+    vsh = sh
+    if max_shingle_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        vsh = sh.join(F.broadcast(keep), "shingle")
+    if rows_per_band > 1:
+        # Materialize candidates once: both the doc-id prune branches and
+        # the pair semi-join read them, and without the checkpoint each
+        # branch re-runs the banding join.
+        candidates = candidates.localCheckpoint(eager=True)
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("cid"))
+            .unionByName(candidates.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        vsh = vsh.join(
+            F.broadcast(cand_ids), vsh[id_col] == F.col("cid"), "left_semi"
+        )
+    a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -31,7 +31,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 #: Exact trigram-Jaccard pair SQL — oracle for both the exact query and
 #: the LSH-verified query (see module docstring for the recall argument).
@@ -89,19 +89,43 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ngram_jaccard_dups", oracle=_JACCARD_ORACLE)
+@extra_query("ngram_jaccard_dups", oracle=_JACCARD_ORACLE)
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (threshold 0.3) via the
-    shingle inverted-index join — the verification primitive."""
+    shingle inverted-index join — the verification primitive. Extra
+    registry (r3): the declared surface keeps the capped variant — same
+    operator with the scale guard on — and this uncapped form stays
+    under the identical local DuckDB parity."""
     docs = scan_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).orderBy(
         "id_a", "id_b"
     )
 
 
-@query(
-    "ngram_jaccard_dups_capped",
-    oracle="""
+#: Relative stop-shingle cap (SQL side): shingles in more than 1% of docs
+#: (floor 5) are stop-shingles. An absolute cap is the wrong knob across
+#: scales — with this fixture's 31-word vocabulary every shingle's document
+#: frequency grows linearly with corpus size, so freq≤5 that is a pure cost
+#: bound at sf0.01 empties the index entirely at sf0.1. The relative form
+#: is the IR stopword convention and keeps the capped queries non-trivial
+#: at every sf (25/25 pairs at sf0.01, 256/256 at sf0.1).
+_REL_CAP_SQL = "greatest(5, (SELECT count(*) // 100 FROM documents))"
+
+
+def _rel_cap(docs) -> int:
+    """Python twin of ``_REL_CAP_SQL``: max(5, n_docs // 100). The count
+    is a metadata-only parquet action; its value feeds the operator's
+    absolute ``max_shingle_freq`` knob."""
+    return max(5, docs.count() // 100)
+
+
+def _capped_jaccard_oracle(threshold: float, max_freq: int | str = _REL_CAP_SQL) -> str:
+    """Stop-shingle-capped Jaccard pair SQL: intersection counts come from
+    the capped inverted index, union sizes from the full shingle sets —
+    exactly the verify-stage semantics of the capped Spark operators
+    (``ngram_jaccard_pairs(max_shingle_freq=...)`` and the capped
+    ``minhash_lsh_pairs`` verify join)."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                              FOR i IN range(1, len(w) - 1)])) AS shingle
@@ -110,7 +134,7 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     freq AS (SELECT shingle, COUNT(*) AS freq FROM sh GROUP BY shingle),
     kept AS (SELECT sh.doc_id, sh.shingle
-             FROM sh JOIN freq USING (shingle) WHERE freq <= 5),
+             FROM sh JOIN freq USING (shingle) WHERE freq <= {max_freq}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -126,9 +150,11 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
     )
-    WHERE jaccard >= 0.3
-    """,
-)
+    WHERE jaccard >= {threshold}
+    """
+
+
+@query("ngram_jaccard_dups_capped", oracle=_capped_jaccard_oracle(0.3))
 def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stop-shingle-capped near-dup query: shingles shared by more
     than 5 docs are dropped from the inverted index before pairing —
@@ -137,23 +163,47 @@ def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all true pairs rest on rare shingles; intersection counts use the
     capped index, union sizes the full sets — replicated in the
     oracle), demonstrating the cap is output-stable where it should be
-    a pure cost optimization."""
+    a pure cost optimization. The cap is document-frequency-relative
+    (>1% of docs, floor 5 — see ``_REL_CAP_SQL``)."""
     docs = scan_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=5
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs)
     ).orderBy("id_a", "id_b")
 
 
-@query("minhash_lsh_dups", oracle=_JACCARD_ORACLE)
+@query("minhash_lsh_dups", oracle=_capped_jaccard_oracle(0.3))
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(r=1,b=64) candidates, exact-verified at Jaccard
-    ≥ 0.3. Shares the exact oracle: miss probability ≤ (1-0.3)^64 ≈
-    1.2e-10 per true pair. The payoff vs `ngram_jaccard_dups` is the
-    join structure: bucket join over band hashes instead of the full
-    shingle inverted index."""
+    ≥ 0.3. Miss probability ≤ (1-0.3)^64 ≈ 1.2e-10 per true pair, so the
+    verified output equals the exact capped-Jaccard answer — the oracle
+    is the same capped SQL the capped n-gram query uses. The payoff vs
+    `ngram_jaccard_dups` is the join structure: bucket join over band
+    hashes instead of the full shingle inverted index; the verify stage
+    runs under the stop-shingle cap (r3), bounding the m² blow-up a hot
+    shingle would cause at scale."""
     docs = scan_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.3, num_perm=64, rows_per_band=1
+        docs, "text", "doc_id", n=3, threshold=0.3, num_perm=64, rows_per_band=1,
+        max_shingle_freq=_rel_cap(docs),
+    ).orderBy("id_a", "id_b")
+
+
+@query("minhash_lsh_dups_hi", oracle=_capped_jaccard_oracle(0.8))
+def minhash_lsh_dups_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold MinHash-LSH: r=4 rows per band, b=16 bands,
+    capped Jaccard ≥ 0.8 — the config a production dedup runs when it
+    only wants hard duplicates. This is the ``rows_per_band > 1`` path:
+    candidates need a full band of 4 equal min-hashes, so the candidate
+    doc set is sparse and the verify stage pre-prunes both exploded
+    sides to it (on top of the stop-shingle cap). Shares the capped
+    exact oracle at threshold 0.8: a true pair at true-Jaccard j is
+    missed with probability (1-j^4)^16 — ≈1e-18 at the fixture's
+    typical j≈0.98 — and the output is deterministic for the fixed
+    xxhash64 seeds (fixture-verified equal to exact at every sf)."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, num_perm=64, rows_per_band=4,
+        max_shingle_freq=_rel_cap(docs),
     ).orderBy("id_a", "id_b")
 
 
@@ -199,9 +249,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by min-label propagation, each doc labeled with the smallest
     id in its component. The DuckDB oracle computes the same components
     via a recursive transitive-closure CTE — the iterative Spark loop
-    must converge to the identical fixpoint."""
+    must converge to the identical fixpoint. Pair generation runs under
+    the stop-shingle cap (output-identical on this fixture, see
+    `ngram_jaccard_dups_capped`)."""
     docs = scan_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs)
+    )
     return dup_clusters(pairs).orderBy("doc_id")
 
 
