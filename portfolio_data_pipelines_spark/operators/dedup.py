@@ -308,19 +308,29 @@ def minhash_lsh_pairs(
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components by
-    iterative min-label propagation. Returns (doc_id, cluster_id) where
-    cluster_id is the smallest doc id in the component — the canonical
-    survivor a dedup pipeline keeps.
+    min-label propagation accelerated with pointer jumping. Returns
+    (doc_id, cluster_id) where cluster_id is the smallest doc id in the
+    component — the canonical survivor a dedup pipeline keeps.
 
     The iterative piece LLM dedup needs after any pair generator above:
     pairs (a,b),(b,c) must collapse to one keep-decision for {a,b,c}.
 
-    Scale design: each iteration is one shuffle (neighbor-min groupBy);
-    iteration count is the graph diameter, which for near-dup graphs is
-    tiny (dup clusters are dense, diameters of 2-4). ``localCheckpoint``
-    truncates plan lineage every round so the job graph stays O(1) per
-    iteration instead of growing unboundedly. Convergence is detected
-    with a changed-label count — one action per iteration.
+    Scale design: each round is one neighbor-min propagation (labels
+    move one hop) followed by one pointer jump — label composition
+    ``l(x) ← l(l(x))``, valid because every label is a node id of the
+    same component, so looking the label up in the label table reaches
+    the min over twice the hop radius. Reach therefore doubles per
+    round: r_{k+1} = 2·r_k + 1 ⇒ convergence in O(log diameter) rounds
+    instead of O(diameter) — an adversarial chain of 10⁶ docs resolves
+    in ~20 rounds, not 10⁶ (plain propagation, the r2 form, degraded
+    linearly). Each round is two bounded shuffles over fixed-width
+    (id, label) pairs + one count action; ``localCheckpoint`` truncates
+    lineage so the per-round job graph stays O(1). The fixpoint —
+    labels constant on components at the component minimum — is
+    unchanged: propagation alone defines it, jumping only accelerates.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass with labels
+    still changing (r2 silently returned partially-propagated labels).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # Materialize the edge list once: every iteration joins against it,
@@ -335,31 +345,51 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select("id", F.col("id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # Pointer jump: re-resolve each label through the label table.
+        # Labels are node ids, so the lookup always hits (inner-join
+        # semantics would suffice; left+coalesce guards the invariant).
+        jumped = (
+            propagated.alias("p")
+            .join(
+                propagated.select(
+                    F.col("id").alias("_jid"), F.col("cluster_id").alias("_jcl")
+                ),
+                F.col("p.cluster_id") == F.col("_jid"),
+                "left",
             )
+            .select("id", F.coalesce(F.col("_jcl"), F.col("cluster_id")).alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels = new_labels
+        labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter; with "
+            "pointer jumping the required rounds are ~log2(component diameter)"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -175,3 +175,31 @@ class TestDupClusters:
         pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
         assert got == want
+
+    def test_adversarial_chain_converges_logarithmically(self, spark):
+        """A path graph is the worst case for plain label propagation
+        (min label travels one hop per round → O(n) rounds). Pointer
+        jumping doubles label reach per round, so a 40-node chain must
+        resolve within ~log2(40)+c rounds — max_iter=8 would fail the
+        r2 propagation-only loop (which needed 39) and now converges."""
+        from portfolio_data_pipelines_spark.operators.dedup import dup_clusters
+
+        n = 40
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a bigint, id_b bigint"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, max_iter=8).collect()
+        }
+        assert got == {i: 0 for i in range(n)}
+
+    def test_raises_on_max_iter_exhaustion(self, spark):
+        """Non-convergence must be an error, not silently wrong labels."""
+        from portfolio_data_pipelines_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(29)], "id_a bigint, id_b bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dup_clusters(pairs, max_iter=2)
