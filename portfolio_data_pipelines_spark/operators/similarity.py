@@ -219,6 +219,39 @@ def ivf_topk(
     )
 
 
+def rademacher_planes(
+    spark, dim: int, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Deterministic ±1 (Rademacher) hyperplanes: component (t, p, d) is
+    +1 iff the low bit of md5('rp:t:p:d')'s first hex nibble is set.
+
+    Rademacher entries are a standard random-projection distribution
+    (Achlioptas 2003: sign projections preserve the Johnson-Lindenstrauss
+    guarantees of Gaussian ones), and deriving them from md5 — which
+    DuckDB evaluates identically (strpos == instr over the same hex
+    alphabet, the SimHash construction) — makes the whole LSH pipeline
+    cross-engine reproducible: buckets, candidates and ranks gain a full
+    SQL oracle instead of a rows-only check. Built as expressions, not
+    literals: one row per (table, plane), the plane array materialized by
+    ``transform`` over the dimension index.
+    """
+    t_df = spark.range(n_tables).select(F.col("id").cast("int").alias("t"))
+    p_df = spark.range(n_planes).select(F.col("id").cast("int").alias("p"))
+
+    def sign(d):
+        h = F.md5(F.concat_ws(":", F.lit("rp"), F.col("t"), F.col("p"), d))
+        bit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - F.lit(1)
+        ).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    return t_df.crossJoin(p_df).select(
+        "t",
+        "p",
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), sign).alias("plane"),
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -229,6 +262,7 @@ def rp_lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    plane_dist: str = "rademacher",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH.
 
@@ -237,26 +271,34 @@ def rp_lsh_topk(
     Query candidates = corpus vectors sharing a bucket in ANY table,
     then exact cosine + rank. Collision probability per table for angle
     θ is (1-θ/π)^n_planes — tune n_planes/n_tables for the recall/cost
-    point. Hyperplanes are seeded engine constants (compiled into the
-    plan as literal arrays, broadcast with the plan itself).
-    """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    point.
 
+    ``plane_dist`` picks the hyperplane family: ``"rademacher"``
+    (default) uses md5-derived ±1 planes — deterministic across engines,
+    so the full query is oracle-checkable; ``"gaussian"`` uses seeded
+    Gaussian planes (engine-side constants, rows-only checkable).
+    """
+    spark = corpus.sparkSession
     # Planes as a broadcast 32-row dimension in long format, instead of
     # 32 literal 64-float arrays compiled into the plan: the expression
     # tree stays small, projections run as one crossJoin map stage, and
     # candidate matching becomes a hash equi-join on (table, bucket)
     # instead of an OR-of-equalities nested-loop predicate.
-    spark = corpus.sparkSession
-    planes_df = spark.createDataFrame(
-        [
-            (t, p, [float(x) for x in planes[t, p]])
-            for t in range(n_tables)
-            for p in range(n_planes)
-        ],
-        "t int, p int, plane array<double>",
-    )
+    if plane_dist == "rademacher":
+        planes_df = rademacher_planes(spark, dim, n_planes, n_tables)
+    elif plane_dist == "gaussian":
+        rng = np.random.RandomState(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        planes_df = spark.createDataFrame(
+            [
+                (t, p, [float(x) for x in planes[t, p]])
+                for t in range(n_tables)
+                for p in range(n_planes)
+            ],
+            "t int, p int, plane array<double>",
+        )
+    else:
+        raise ValueError(f"unknown plane_dist {plane_dist!r}")
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
         proj = _dot_seq(F.col(vec_col), F.col("plane"))

@@ -113,14 +113,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_rp_lsh_topk")  # rows-only: hyperplanes are engine-side constants
+@query(
+    "ann_rp_lsh_topk",
+    oracle=f"""
+    WITH {_E_NRM},
+    planes AS (
+        SELECT t, p,
+               [CASE WHEN ((strpos('0123456789abcdef',
+                                   substring(md5(concat_ws(':', 'rp', t, p, d)),
+                                             1, 1)) - 1) & 1) = 1
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                FOR d IN range(0, 64)] AS plane
+        FROM range(0, 4) ts(t), range(0, 8) ps(p)
+    ),
+    buckets AS (
+        SELECT e.vec_id, pl.t,
+               SUM(CASE WHEN list_dot_product(e.v, pl.plane) >= 0
+                        THEN (CAST(1 AS BIGINT) << pl.p) ELSE 0 END) AS bucket
+        FROM ev e, planes pl
+        GROUP BY e.vec_id, pl.t
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q
+        JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            cand.neighbor_id ASC
+               ) AS "rank"
+        FROM cand
+        JOIN ev q ON q.vec_id = cand.query_id
+        JOIN ev c ON c.vec_id = cand.neighbor_id
+    )
+    WHERE "rank" <= 10
+    """,
+)
 def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via random-hyperplane LSH (4 tables × 8 bits, seed 42):
+    """ANN top-10 via random-hyperplane LSH (4 tables × 8 bits):
     candidates share a sign-pattern bucket in any table, then exact
-    cosine + rank. On the near-uniform synthetic embeddings 8-bit
-    buckets are sparse (recall ~4% vs brute force); real corpora with
-    angular structure need fewer bits or more tables — the operator
-    exposes both knobs."""
+    cosine + rank. Hyperplanes are md5-derived Rademacher ±1 vectors
+    (r3) — deterministic in BOTH engines, so bucket assignment,
+    candidate generation and ranking all replicate in the DuckDB
+    oracle; r2's seeded Gaussian planes (still available via
+    ``plane_dist="gaussian"``) forced a rows-only check. On the
+    near-uniform synthetic embeddings 8-bit buckets are sparse (recall
+    ~4% vs brute force); real corpora with angular structure need fewer
+    bits or more tables — the operator exposes both knobs."""
     emb = scan_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return rp_lsh_topk(
