@@ -419,19 +419,29 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     sums → bit reassembly.
 
     Bit-slicing: instead of 64 per-bit conditional-sum aggregates, each
-    word row packs its 64 hash bits into 16 longs of 4×16-bit lanes
-    (bit i → lane i%4 of long i//4), and the aggregation is 16 plain
+    word row packs its 64 hash bits into 22 longs of 3×21-bit lanes
+    (bit i → lane i%3 of long i//3), and the aggregation is 22 plain
     ``sum``s plus one row count. The per-bit ones-count is then
-    ``(s_{i//4} >> 16·(i%4)) & 0xFFFF`` and the vote sign is
+    ``(s_{i//3} >> 21·(i%3)) & 0x1FFFFF`` and the vote sign is
     ``2·ones > n_words`` (identical to sign(Σ±1)). Measured 2.2× faster
-    cold at sf0.1 — most of the win is whole-stage-codegen compile time,
-    which scales with aggregate-expression count. Lane width bounds the
-    per-doc distinct-word count at 65535; beyond that the lanes carry
-    (a document with ≥64 ki distinct words is outside any real corpus —
-    split such docs upstream if one exists).
+    cold at sf0.1 than the 64-aggregate form — most of the win is
+    whole-stage-codegen compile time, which scales with
+    aggregate-expression count.
+
+    Lane width bounds the per-doc distinct-word count at 2²¹−1 ≈ 2.09M
+    (above that, lane 0's ones-count carries into lane 1). The r2 form
+    packed 4×16-bit lanes, whose top lane (shift 48) overflowed the
+    signed-long ANSI ``sum`` at ≥32768 words voting 1 — a hard
+    ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode, far below
+    the documented 65535 bound. Three 21-bit lanes keep the top shift
+    at 42, so the sum stays within a long up to the lane bound itself —
+    and 2M distinct words per document exceeds any real corpus.
     """
     df = ensure_min_parallelism(df)
     n_nibbles = bits // 4
+    lanes_per_long = 3
+    lane_bits = 21
+    n_groups = -(-bits // lanes_per_long)
     h = F.md5(F.col("w"))
     words = (
         df.select(
@@ -446,27 +456,31 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     )
 
     def packed(k: int):
-        # Long k holds bits 4k..4k+3, one 16-bit lane each.
+        # Long k holds bits 3k..3k+2, one 21-bit lane each.
         expr = None
-        for lane in range(4):
-            i = 4 * k + lane
+        for lane in range(lanes_per_long):
+            i = lanes_per_long * k + lane
+            if i >= bits:
+                break
             bit = (
                 F.shiftright(F.col(f"_n{i // 4}"), i % 4)
                 .bitwiseAND(F.lit(1))
                 .cast("long")
             )
-            term = F.shiftleft(bit, 16 * lane)
+            term = F.shiftleft(bit, lane_bits * lane)
             expr = term if expr is None else expr + term
         return expr.alias(f"g_{k}")
 
-    lanes = words.select(F.col(id_col), *[packed(k) for k in range(n_nibbles)])
+    lanes = words.select(F.col(id_col), *[packed(k) for k in range(n_groups)])
     tallies = lanes.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_nw"),
-        *[F.sum(f"g_{k}").alias(f"s_{k}") for k in range(n_nibbles)],
+        *[F.sum(f"g_{k}").alias(f"s_{k}") for k in range(n_groups)],
     )
     fingerprint = None
     for i in range(bits):
-        ones = F.shiftright(F.col(f"s_{i // 4}"), 16 * (i % 4)).bitwiseAND(F.lit(0xFFFF))
+        ones = F.shiftright(
+            F.col(f"s_{i // lanes_per_long}"), lane_bits * (i % lanes_per_long)
+        ).bitwiseAND(F.lit(0x1FFFFF))
         bit = (
             F.when(ones * 2 > F.col("_nw"), F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))

@@ -247,12 +247,18 @@ def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
     per-doc match counts. One narrow codegen pass: counts come from
     ``regexp_extract_all`` sizes, the scrub from two chained
     ``regexp_replace`` — both engines apply replacement globally (Spark by
-    default, DuckDB via the 'g' flag in the oracle)."""
+    default, DuckDB via the 'g' flag in the oracle).
+
+    Counts mirror the replacement chain exactly: emails are counted on
+    the original text, phones on the email-redacted intermediate — so
+    ``n_phones`` equals the number of ``<PHONE>`` markers actually
+    emitted. (Counting both on the original would over-count a
+    phone-shaped substring inside an email local part, e.g.
+    ``x555-1234@y.com``, which the email replacement swallows.)"""
     emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0)))
-    phones = F.size(F.regexp_extract_all(text_col, F.lit(PHONE_RE), F.lit(0)))
-    redacted = F.regexp_replace(
-        F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    email_scrubbed = F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(email_scrubbed, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(email_scrubbed, PHONE_RE, "<PHONE>")
     return df.select(
         "*",
         emails.alias("n_emails"),

@@ -249,7 +249,9 @@ def sample_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(
+               regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}')) AS n_phones,
            regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
                           '{PHONE_RE}', '<PHONE>', 'g') AS redacted_text
     FROM aug

@@ -413,28 +413,35 @@ def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
     The bucketed tables live in a dedicated database with an explicit
     tmp location, so the query works regardless of the harness CWD
     (the default warehouse dir is CWD-relative and may not be
-    writable)."""
+    writable). Both the database name and its location are keyed by the
+    session's applicationId: two concurrent runs on the same host get
+    disjoint catalogs and directories, so one run's DROP TABLE +
+    filesystem cleanup can never remove the other's bucketed tables
+    mid-query."""
     import os
+    import re
     import tempfile
 
     from ..operators.bucketing import bucketed_join, write_bucketed
 
-    db_loc = os.path.join(tempfile.gettempdir(), "pdp_bucketed_db")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{db_loc}'")
+    app_id = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    db = f"bkt_{app_id}"
+    db_loc = os.path.join(tempfile.gettempdir(), f"pdp_bucketed_db_{app_id}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
     write_bucketed(
         scan_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         ),
-        "bkt.bkt_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+        f"{db}.bkt_orders", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
     )
     write_bucketed(
         scan_table(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
         ),
-        "bkt.bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
+        f"{db}.bkt_lineitem", "o_orderkey", n_buckets=8, sort_cols="o_orderkey",
     )
     return (
-        bucketed_join(spark, "bkt.bkt_orders", "bkt.bkt_lineitem", on="o_orderkey")
+        bucketed_join(spark, f"{db}.bkt_orders", f"{db}.bkt_lineitem", on="o_orderkey")
         .groupBy(F.col("o_orderpriority").alias("orderpriority"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -98,6 +98,16 @@ class TestSimhash:
         }
         assert got[(1, 2)] == 0
 
+    def test_wide_doc_no_ansi_overflow(self, spark):
+        """80 000 distinct words in one doc (≈40 000 ones per bit): the
+        r2 4×16-bit lane packing overflowed ANSI sum() at ≥32768 words
+        voting 1 on a top-lane (shift-48) bit — a hard
+        ARITHMETIC_OVERFLOW; the 3×21-bit packing is good to ~2.09M."""
+        text = " ".join(f"w{i}" for i in range(80_000))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = simhash(df, "text", "doc_id").collect()
+        assert len(rows) == 1 and rows[0]["simhash"] is not None
+
 
 class TestEmbeddingCosine:
     def test_parallel_and_orthogonal(self, spark):

@@ -156,3 +156,16 @@ def test_pii_redact_scrubs_and_counts(spark):
     assert "@" not in out[1]["redacted_text"].replace("<EMAIL>", "")
     assert out[2]["n_emails"] == 0 and out[2]["redacted_text"] == "no pii here"
     assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 1
+
+
+def test_pii_counts_mirror_replacement_chain(spark):
+    """A phone-shaped substring inside an email local part is swallowed
+    by the email replacement — n_phones must count what was actually
+    redacted as <PHONE> (0 here), not raw matches on the original."""
+    df = spark.createDataFrame(
+        [(1, "reach x555-1234@y.com or 555-9876")], "id long, text string"
+    )
+    row = pii_redact(df, "text").collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_phones"] == 1  # only the standalone number
+    assert row["redacted_text"] == "reach <EMAIL> or <PHONE>"
