@@ -62,6 +62,7 @@ def write_bronze(
         df = df.repartition(partition_col)
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
         .partitionBy(partition_col)
         .parquet(path)
@@ -98,6 +99,7 @@ def write_partition_overwrite(
     (
         aligned.repartition(partition_col)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .insertInto(table)
     )
 
@@ -200,9 +202,14 @@ def merge_upsert(
     slice_ = existing.filter(F.col(partition_col).isin(days))
     kept = slice_.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = kept.select(*updates.columns).unionByName(updates)
+    # The dynamic mode is pinned per-write, not inherited from the
+    # session: under the default STATIC mode this overwrite would delete
+    # the ENTIRE lake path and keep only the touched partitions — silent
+    # data loss if called from a stock SparkSession.
     (
         merged.repartition(partition_col)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
         .partitionBy(partition_col)
         .parquet(path)
@@ -250,9 +257,195 @@ def compact_partition(
     )
     (
         df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
     return sum(
         1 for f in fs.listStatus(p) if f.getPath().getName().endswith(".parquet")
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned (manifest-swap) atomic commits
+# ---------------------------------------------------------------------------
+#
+# Dynamic partition overwrite on plain parquet is last-writer-wins per
+# partition: a reader can observe HALF of a multi-day batch (SURVEY §4
+# "hard parts" #1; the reference avoids this only because one Postgres txn
+# spans its whole batch, weather_hourly_pipeline.py:101-112). The versioned
+# lake closes the gap without Delta/Iceberg dependencies by separating data
+# placement from commit:
+#
+# - each batch writes its partitions under an immutable `_batch_NNNNNN/`
+#   subdirectory (never touching prior data);
+# - the commit point is the creation of ONE numbered manifest file
+#   `_manifest_vNNNNNN.json` mapping partition value → batch directory
+#   (new days layered over the previous manifest's entries);
+# - readers resolve the highest manifest version and read exactly the
+#   (partition → directory) pairs it lists.
+#
+# Atomicity follows from single-file visibility: a manifest either exists
+# or it doesn't, so a reader sees the whole batch or none of it — the same
+# design as Delta's _delta_log commit files. `create(overwrite=False)` is
+# the mutual-exclusion primitive: two concurrent committers racing for the
+# same version number — one wins, the loser gets ConcurrentCommitError and
+# retries on top of the winner's manifest. Replaced partition data stays on
+# disk (old manifests keep working — snapshot isolation for in-flight
+# readers) until `vacuum_versioned` reclaims it.
+
+_MANIFEST_RE = re.compile(r"_manifest_v(\d{6})\.json$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer claimed this manifest version first — reload the
+    latest manifest and retry the commit on top of it."""
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _latest_manifest(spark, path: str) -> tuple[int, dict]:
+    """(version, {partition value → batch dir}) of the highest-numbered
+    manifest under ``path``; (0, {}) for an empty/uncommitted lake."""
+    import json
+
+    fs, root, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        return 0, {}
+    best, best_path = 0, None
+    for st in fs.listStatus(root):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) > best:
+            best, best_path = int(m.group(1)), st.getPath()
+    if best_path is None:
+        return 0, {}
+    stream = fs.open(best_path)
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+    lines = []
+    while True:
+        line = reader.readLine()
+        if line is None:
+            break
+        lines.append(line)
+    reader.close()
+    doc = json.loads("\n".join(lines))
+    return best, doc["entries"]
+
+
+def commit_versioned(
+    spark,
+    path: str,
+    df: DataFrame,
+    partition_col: str = "date",
+    derive_from: str = "time",
+) -> int:
+    """Atomically commit a (possibly multi-partition) batch to the
+    versioned lake at ``path``; returns the committed version number.
+
+    The batch's days become visible to readers all at once when the
+    manifest file lands — a reader concurrent with the commit sees
+    either the previous manifest (no new days, old content for replaced
+    days) or the new one (the full batch), never a partial rewrite.
+
+    Scale: the data write is the same partitioned parquet write as the
+    bronze sink; the commit adds one directory listing + one small JSON
+    file. Manifest size is O(live partitions) — fine for date-grained
+    partitioning (decades ≈ 10⁴ entries); for finer grains, compact the
+    entry map into per-batch partition *lists* the way Iceberg manifests
+    do.
+    """
+    import json
+
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date(F.col(derive_from)))
+    version, entries = _latest_manifest(spark, path)
+    new_version = version + 1
+    batch_dir = f"_batch_{new_version:06d}"
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(partition_col)
+        .parquet(f"{path}/{batch_dir}")
+    )
+    fs, _, jvm = _hadoop_fs(spark, path)
+    batch_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{batch_dir}")
+    days = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(batch_path)
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
+    ]
+    new_entries = {**entries, **{d: batch_dir for d in days}}
+    manifest = json.dumps(
+        {"version": new_version, "partition_col": partition_col, "entries": new_entries},
+        sort_keys=True,
+    )
+    manifest_path = jvm.org.apache.hadoop.fs.Path(
+        f"{path}/_manifest_v{new_version:06d}.json"
+    )
+    try:
+        out = fs.create(manifest_path, False)  # overwrite=False: version claim
+    except Exception as exc:  # FileAlreadyExists → a racer claimed this version
+        raise ConcurrentCommitError(
+            f"manifest v{new_version} already exists under {path}"
+        ) from exc
+    out.write(bytearray(manifest.encode("utf-8")))
+    out.close()
+    return new_version
+
+
+def read_versioned(spark, path: str, partition_col: str = "date") -> DataFrame:
+    """Read the versioned lake at its latest committed snapshot.
+
+    Resolves the highest manifest and reads exactly the partition
+    directories it lists — uncommitted batch directories (a writer's
+    in-flight or crashed data placement) are invisible by construction.
+    One parquet read per referenced batch directory (explicit leaf
+    paths + basePath, so the partition column survives), unioned.
+    """
+    version, entries = _latest_manifest(spark, path)
+    if not entries:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    by_dir: dict[str, list[str]] = {}
+    for day, d in entries.items():
+        by_dir.setdefault(d, []).append(day)
+    parts = []
+    for d, days in sorted(by_dir.items()):
+        base = f"{path}/{d}"
+        leaves = [f"{base}/{partition_col}={day}" for day in sorted(days)]
+        parts.append(spark.read.option("basePath", base).parquet(*leaves))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def vacuum_versioned(spark, path: str) -> list[str]:
+    """Delete batch directories not referenced by the LATEST manifest,
+    plus superseded manifest files; returns what was removed.
+
+    Only directories with a version number strictly below the latest
+    manifest's are candidates — an in-flight committer's data dir
+    (version above the newest manifest) is never touched. Run behind
+    readers' snapshot horizon, like Delta VACUUM."""
+    version, entries = _latest_manifest(spark, path)
+    if version == 0:
+        return []
+    live = set(entries.values())
+    fs, root, jvm = _hadoop_fs(spark, path)
+    removed = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        bm = re.fullmatch(r"_batch_(\d{6})", name)
+        mm = _MANIFEST_RE.match(name)
+        if bm and int(bm.group(1)) < version and name not in live:
+            fs.delete(st.getPath(), True)
+            removed.append(name)
+        elif mm and int(mm.group(1)) < version:
+            fs.delete(st.getPath(), False)
+            removed.append(name)
+    return removed

@@ -211,3 +211,133 @@ class TestMergeUpsert:
         merge_upsert(spark, path, batch, key_cols=["time"])
         merge_upsert(spark, path, batch, key_cols=["time"])  # same batch again
         assert spark.read.parquet(path).count() == 4
+
+
+class TestVersionedLake:
+    """Manifest-swap atomic commits: multi-day batches become visible
+    all-or-nothing; readers pinned to an old manifest keep a consistent
+    snapshot; crashed (manifest-less) writes are invisible."""
+
+    def test_commit_read_roundtrip_and_layering(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "vlake")
+        v1 = commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        v2 = commit_versioned(
+            spark,
+            path,
+            _batch(spark, day=20, temp=99.0).unionByName(
+                _batch(spark, day=21, temp=50.0)
+            ),
+        )
+        assert (v1, v2) == (1, 2)
+        got = read_versioned(spark, path)
+        days = {
+            str(r["date"]): r["n"]
+            for r in got.groupBy("date").agg(F.count("*").alias("n")).collect()
+        }
+        assert days == {"2025-08-20": 4, "2025-08-21": 4}
+        # day 20 must come from batch 2 (temp 99-base), not batch 1
+        t20 = got.filter(F.col("date") == "2025-08-20").agg(
+            F.min("temperature_2m")
+        ).collect()[0][0]
+        assert t20 == 99.0
+
+    def test_reader_snapshot_survives_concurrent_commit(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "vlake2")
+        commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        snapshot = read_versioned(spark, path)  # resolves manifest v1
+        # a second multi-day commit replaces day 20 and adds day 21 ...
+        commit_versioned(
+            spark,
+            path,
+            _batch(spark, day=20, temp=99.0).unionByName(_batch(spark, day=21)),
+        )
+        # ... but the in-flight reader still materializes the v1 snapshot:
+        # old batch dirs are immutable and vacuum has not run.
+        rows = snapshot.collect()
+        assert len(rows) == 4
+        assert min(r["temperature_2m"] for r in rows) == 10.0
+        # a fresh read resolves v2 — all-or-nothing visibility of the batch
+        assert read_versioned(spark, path).count() == 8
+
+    def test_crashed_write_without_manifest_is_invisible(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "vlake3")
+        commit_versioned(spark, path, _batch(spark, day=20))
+        # simulate a committer that crashed after data placement, before
+        # its manifest: the directory exists but no _manifest_v000002
+        (
+            _batch(spark, day=21)
+            .withColumn("date", F.to_date("time"))
+            .write.mode("overwrite")
+            .partitionBy("date")
+            .parquet(f"{path}/_batch_000002")
+        )
+        got = read_versioned(spark, path)
+        assert {str(r["date"]) for r in got.select("date").distinct().collect()} == {
+            "2025-08-20"
+        }
+
+    def test_concurrent_version_claim_raises(self, spark, tmp_path, monkeypatch):
+        """The create(overwrite=False) guard: a committer whose manifest
+        read went stale (a racer claimed the next version between its
+        read and its create) must fail loudly, not overwrite."""
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators import medallion
+
+        path = str(tmp_path / "vlake4")
+        medallion.commit_versioned(spark, path, _batch(spark, day=20))
+        # racer lands v2 while our committer still believes latest == v1
+        with open(os.path.join(path, "_manifest_v000002.json"), "w") as f:
+            f.write('{"version": 2, "partition_col": "date", "entries": {}}')
+        monkeypatch.setattr(medallion, "_latest_manifest", lambda *_: (1, {}))
+        with _pytest.raises(medallion.ConcurrentCommitError):
+            medallion.commit_versioned(spark, path, _batch(spark, day=21))
+
+    def test_vacuum_removes_only_unreferenced(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        path = str(tmp_path / "vlake5")
+        commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        commit_versioned(spark, path, _batch(spark, day=20, temp=99.0))
+        removed = vacuum_versioned(spark, path)
+        # batch 1 is fully superseded; manifest v1 is stale
+        assert "_batch_000001" in removed and "_manifest_v000001.json" in removed
+        got = read_versioned(spark, path)
+        assert got.count() == 4
+        assert got.agg(F.min("temperature_2m")).collect()[0][0] == 99.0
+
+    def test_vacuum_keeps_partially_referenced_batches(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        path = str(tmp_path / "vlake6")
+        commit_versioned(
+            spark, path, _batch(spark, day=20).unionByName(_batch(spark, day=21))
+        )
+        commit_versioned(spark, path, _batch(spark, day=21, temp=99.0))
+        removed = vacuum_versioned(spark, path)
+        # batch 1 still serves day 20 → must survive; only manifest v1 goes
+        assert removed == ["_manifest_v000001.json"]
+        assert read_versioned(spark, path).count() == 8
