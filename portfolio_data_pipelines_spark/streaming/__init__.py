@@ -248,14 +248,38 @@ def stream_to_bronze(
     checkpoint: str,
     available_now: bool = True,
 ):
-    """Stream → bronze lake through ``foreachBatch`` reusing the batch
-    medallion writer, so the streaming sink inherits the same idempotent
-    dynamic-partition-overwrite semantics (K4) — a replayed micro-batch
-    rewrites exactly its own day partitions."""
-    from ..operators.medallion import write_bronze
+    """Stream → bronze lake through ``foreachBatch`` with exactly-once
+    output under restart/replay.
+
+    Each micro-batch writes dynamic-partition-overwrite parquet
+    partitioned by ``(date, _batch_id)``: the batch id — deterministic
+    from the checkpoint's offset log — scopes the overwrite, so
+
+    - a REPLAYED batch (crash between sink success and offset commit)
+      rewrites exactly its own ``(day, batch)`` partitions → idempotent;
+    - two different batches touching the same day land in sibling
+      ``_batch_id=`` subdirectories → no clobbering. (The r2 sink
+      overwrote whole day partitions per batch, which was idempotent
+      for replay but silently dropped an earlier batch's same-day rows
+      in multi-batch streams.)
+
+    Readers scan ``path`` with date pruning intact; ``_batch_id`` is
+    just a second partition level (compact it away with
+    ``compact_partition`` behind the watermark, like any streaming
+    small-file maintenance).
+    """
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        write_bronze(batch, path, partition_col="date", derive_from="ts")
+        (
+            batch.withColumn("date", F.to_date(F.col("ts")))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .repartition("date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", "zstd")
+            .partitionBy("date", "_batch_id")
+            .parquet(path)
+        )
 
     writer = (
         events.writeStream.foreachBatch(sink)

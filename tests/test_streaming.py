@@ -112,7 +112,67 @@ def test_stream_to_bronze_is_idempotent(spark, tmp_path):
     written = spark.read.parquet(out)
     src = scan_table(spark, SF, "events")
     assert written.count() == src.count()  # replay overwrote, not appended
-    assert set(written.columns) == set(src.columns) | {"date"}
+    assert set(written.columns) == set(src.columns) | {"date", "_batch_id"}
+
+
+def test_stream_restart_replay_is_exactly_once(spark, tmp_path):
+    """Kill-and-resume recovery: after a simulated crash between sink
+    success and offset commit (offsets/0 present, commits/0 deleted),
+    the restarted query REPLAYS batch 0 through the foreachBatch sink.
+    The (date, _batch_id)-scoped overwrite makes the replay rewrite
+    exactly its own partitions — final lake content is exactly-once,
+    and a second same-day batch is layered beside, not clobbered."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    batch = scan_table(spark, SF, "events")
+    batch.withColumn("ts", F.expr("unix_micros(ts) * 1000")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    f = glob.glob(f"{src}/part-*.parquet")[0]
+    os.rename(f, f"{src}/events-0.parquet")
+
+    q = stream_to_bronze(events_file_stream(spark, src), out, ckpt)
+    q.awaitTermination(300)
+    n = batch.count()
+    assert spark.read.parquet(out).count() == n
+
+    # crash simulation: batch 0's sink output is on disk, its offset is
+    # logged, but the commit marker is gone → restart must re-run it
+    # (the sidecar .crc must go too, or LocalFS flags the rewrite as a
+    # concurrent modification of the commit log)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # and a second file (same days!) arrives before the restart
+    shutil.copy(f"{src}/events-0.parquet", f"{src}/events-1.parquet")
+
+    q2 = stream_to_bronze(events_file_stream(spark, src), out, ckpt)
+    q2.awaitTermination(300)
+
+    written = spark.read.parquet(out)
+    assert written.count() == 2 * n  # replayed batch did not duplicate
+    assert sorted(
+        r["_batch_id"] for r in written.select("_batch_id").distinct().collect()
+    ) == [0, 1]
+    # same-day rows from both batches coexist (the r2 sink lost batch 0)
+    per_day = {
+        str(r["date"]): r["n"]
+        for r in written.groupBy("date").agg(F.count("*").alias("n")).collect()
+    }
+    src_per_day = {
+        str(r["d"]): r["n"]
+        for r in batch.select(F.to_date("ts").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_day == {d: 2 * c for d, c in src_per_day.items()}
 
 
 def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
