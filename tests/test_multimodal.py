@@ -98,3 +98,81 @@ def test_decode_stubs_raise_cleanly():
     for fn in (decode_image, decode_audio):
         with pytest.raises(NotImplementedError):
             fn(b"\x00\x01")
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: pure-Python PPM / BMP fallback decoders
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(arr) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n# synthetic fixture\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _bmp_bytes(arr) -> bytes:
+    """Minimal bottom-up 24-bit BMP encoder (BGR, 4-byte row padding)."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        arr[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(rows), 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + rows
+
+
+def _rand_img(seed, h=5, w=7):
+    import numpy as np
+
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_ppm_decode_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = _rand_img(1)
+    assert np.array_equal(decode_image(_ppm_bytes(img)), img)
+
+
+def test_bmp_decode_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = _rand_img(2, h=3, w=5)  # odd width exercises row padding
+    assert np.array_equal(decode_image(_bmp_bytes(img)), img)
+
+
+def test_decode_image_features_real_decode(spark):
+    """The decode path runs inside mapInPandas over Arrow batches: decoded
+    dims and channel means must equal numpy ground truth, and a corrupt
+    payload must yield a decode_error row, not a task failure."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    imgs = {i: _rand_img(i, h=4 + i, w=6) for i in range(3)}
+    rows = [(i, _ppm_bytes(img), "image/x-ppm") for i, img in imgs.items()]
+    rows.append((3, _bmp_bytes(imgs[0]), "image/bmp"))
+    rows.append((4, b"\x89PNG not really", "image/png"))  # undecodable
+    media = spark.createDataFrame(
+        rows, "media_id bigint, content binary, media_type string"
+    )
+    got = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    for i, img in imgs.items():
+        r = got[i]
+        assert (r["height"], r["width"]) == img.shape[:2]
+        means = img.reshape(-1, 3).mean(axis=0)
+        assert np.allclose([r["mean_r"], r["mean_g"], r["mean_b"]], means)
+        assert r["decode_error"] is None
+    assert got[3]["height"] == imgs[0].shape[0] and got[3]["decode_error"] is None
+    assert got[4]["decode_error"] is not None and got[4]["width"] == -1
