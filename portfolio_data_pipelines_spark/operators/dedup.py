@@ -26,12 +26,39 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import ensure_min_parallelism
 
 NUM_PERM = 64  # minhash permutations; also the simhash bit width
+
+# ---------------------------------------------------------------------------
+# Shared shingle scan (common-subexpression reuse across the dedup family)
+# ---------------------------------------------------------------------------
+
+#: Session-scoped memo of persisted per-doc shingle arrays, keyed by
+#: (applicationId, input plan semanticHash, text_col, id_col, n). The
+#: dedup family — capped Jaccard, both MinHash-LSH configs, cluster
+#: resolution, decontamination — all start from the identical
+#: split→n-gram→distinct scan over the corpus; without reuse each query
+#: re-reads and re-shingles the full text. At 100 TB the production form
+#: of this is a materialized shingle index (shingled once, written
+#: columnar, every dedup pass scans the index instead of the text);
+#: a persisted DataFrame is the single-session analogue. MEMORY_AND_DISK
+#: so oversized corpora spill instead of evicting to recompute.
+_SHARED_SHINGLES: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_SHARED_SHINGLES_MAX = 8
+
+
+def clear_shared_shingles() -> None:
+    """Unpersist and drop every cached shared shingle scan."""
+    while _SHARED_SHINGLES:
+        _, df = _SHARED_SHINGLES.popitem(last=False)
+        df.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -59,13 +86,34 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, shared: bool = False
+) -> DataFrame:
     """Distinct word n-gram shingle ARRAY per document: (id, shingles).
 
     Pure columnar construction: split → sliding n-gram via transform
     over an index sequence → array_distinct. No UDFs, no shuffle —
     per-doc set operators (minhash signatures) can run map-side on this.
+
+    ``shared=True`` memoizes the result per (session, input plan, params)
+    and persists it MEMORY_AND_DISK, so every dedup-family operator in
+    the session reuses one shingle scan instead of re-reading and
+    re-shingling the corpus (see ``_SHARED_SHINGLES``). The cached unit
+    is the array form — one row per doc, the smallest faithful
+    representation; exploding from it is a narrow in-memory op.
     """
+    if shared:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df.semanticHash(),
+            text_col,
+            id_col,
+            n,
+        )
+        hit = _SHARED_SHINGLES.get(key)
+        if hit is not None:
+            _SHARED_SHINGLES.move_to_end(key)
+            return hit
     df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     # Guard: sequence(0, negative) would generate a DESCENDING range in
@@ -77,15 +125,24 @@ def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    out = df.select(
         F.col(id_col),
         F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("shingles"),
     )
+    if shared:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHARED_SHINGLES[key] = out
+        while len(_SHARED_SHINGLES) > _SHARED_SHINGLES_MAX:
+            _, old = _SHARED_SHINGLES.popitem(last=False)
+            old.unpersist()
+    return out
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, shared: bool = False
+) -> DataFrame:
     """Distinct word n-gram shingles per document, exploded: (id, shingle)."""
-    return shingle_arrays(df, text_col, id_col, n).select(
+    return shingle_arrays(df, text_col, id_col, n, shared=shared).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
@@ -97,6 +154,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_shingle_freq: int | None = None,
+    shared: bool = False,
 ) -> DataFrame:
     """Exact near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
@@ -107,9 +165,14 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles shared by more than that many
     docs before pairing — the stop-shingle guard that bounds the
     quadratic blow-up at scale (a shingle in m docs creates m² pairs).
+
+    ``shared=True`` reuses the session's cached shingle scan (see
+    :func:`shingle_arrays`). Per-doc set sizes come map-side from
+    ``size(shingles)`` on the array form — no counting shuffle.
     """
-    sh = word_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    arrs = shingle_arrays(df, text_col, id_col, n, shared=shared)
+    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    sizes = arrs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
 
     pairs_src = sh
     if max_shingle_freq is not None:
@@ -174,6 +237,7 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     rows_per_band: int = 1,
     max_shingle_freq: int | None = None,
+    shared: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates, exact-verified.
 
@@ -196,7 +260,9 @@ def minhash_lsh_pairs(
     """
     assert num_perm % rows_per_band == 0
     n_bands = num_perm // rows_per_band
-    arrs = shingle_arrays(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    arrs = shingle_arrays(df, text_col, id_col, n, shared=shared).filter(
+        F.size("shingles") > 0
+    )
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     # Signatures map-side from the per-doc shingle array: k array_min
     # scans per doc, zero shuffle — equivalent to (and replacing) the
@@ -285,7 +351,8 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Per-doc set sizes map-side from the array form — no counting shuffle.
+    sizes = arrs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

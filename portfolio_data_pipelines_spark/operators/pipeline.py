@@ -57,6 +57,7 @@ def contamination_pairs(
     id_col: str,
     n: int = 3,
     min_overlap: int = 1,
+    shared: bool = False,
 ) -> DataFrame:
     """(train_id, bench_id, n_overlap) for every train/benchmark doc pair
     sharing ≥ ``min_overlap`` distinct word n-gram shingles.
@@ -66,8 +67,13 @@ def contamination_pairs(
     hash-join pass over the training shingles — the corpus text itself
     never shuffles (shingles carry ≤ n words each, and only colliding
     ones reach the pair aggregation).
+
+    ``shared=True`` memoizes+persists the train-side shingle scan (see
+    ``operators.dedup.shingle_arrays``) so the flag-pairs query and the
+    anti-join removal query — which both start from the identical
+    filtered corpus plan — shingle it once per session.
     """
-    tsh = word_shingles(train, text_col, id_col, n).select(
+    tsh = word_shingles(train, text_col, id_col, n, shared=shared).select(
         F.col(id_col).alias("train_id"), "shingle"
     )
     bsh = word_shingles(bench, text_col, id_col, n).select(
@@ -88,12 +94,13 @@ def decontaminate(
     id_col: str,
     n: int = 3,
     min_overlap: int = 1,
+    shared: bool = False,
 ) -> DataFrame:
     """Training rows with every contaminated doc removed (left-anti join
     against the flagged id set). Same broadcast shape as
     :func:`contamination_pairs`; the anti-join key is the doc id only."""
     flagged = (
-        contamination_pairs(train, bench, text_col, id_col, n, min_overlap)
+        contamination_pairs(train, bench, text_col, id_col, n, min_overlap, shared=shared)
         .select(F.col("train_id").alias(id_col))
         .distinct()
     )

@@ -97,7 +97,9 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator with the scale guard on — and this uncapped form stays
     under the identical local DuckDB parity."""
     docs = scan_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).orderBy(
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, shared=True
+    ).orderBy(
         "id_a", "id_b"
     )
 
@@ -167,7 +169,8 @@ def ngram_jaccard_dups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>1% of docs, floor 5 — see ``_REL_CAP_SQL``)."""
     docs = scan_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs)
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs),
+        shared=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -184,7 +187,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, threshold=0.3, num_perm=64, rows_per_band=1,
-        max_shingle_freq=_rel_cap(docs),
+        max_shingle_freq=_rel_cap(docs), shared=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -203,7 +206,7 @@ def minhash_lsh_dups_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = scan_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, threshold=0.8, num_perm=64, rows_per_band=4,
-        max_shingle_freq=_rel_cap(docs),
+        max_shingle_freq=_rel_cap(docs), shared=True,
     ).orderBy("id_a", "id_b")
 
 
@@ -254,7 +257,8 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ngram_jaccard_dups_capped`)."""
     docs = scan_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs)
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs),
+        shared=True,
     )
     return dup_clusters(pairs).orderBy("doc_id")
 

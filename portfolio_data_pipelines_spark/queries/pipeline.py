@@ -86,7 +86,8 @@ def decontam_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its text: the plan is scan → map-side join → pair aggregation."""
     train, bench = _split_corpus(spark, sf_dir)
     return contamination_pairs(
-        train, bench, "text", "doc_id", n=DECONTAM_NGRAM, min_overlap=DECONTAM_MIN_OVERLAP
+        train, bench, "text", "doc_id", n=DECONTAM_NGRAM,
+        min_overlap=DECONTAM_MIN_OVERLAP, shared=True,
     ).orderBy("train_id", "bench_id")
 
 
@@ -112,7 +113,8 @@ def decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, bench = _split_corpus(spark, sf_dir)
     return (
         decontaminate(
-            train, bench, "text", "doc_id", n=DECONTAM_NGRAM, min_overlap=DECONTAM_MIN_OVERLAP
+            train, bench, "text", "doc_id", n=DECONTAM_NGRAM,
+            min_overlap=DECONTAM_MIN_OVERLAP, shared=True,
         )
         .select("doc_id", "source")
         .orderBy("doc_id")

@@ -5,11 +5,14 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from portfolio_data_pipelines_spark.operators import dedup as dedup_ops
 from portfolio_data_pipelines_spark.operators.dedup import (
+    clear_shared_shingles,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    shingle_arrays,
     simhash,
     simhash_pairs,
     word_shingles,
@@ -84,6 +87,45 @@ class TestJaccard:
             docs, "text", "doc_id", threshold=0.01, max_shingle_freq=1
         ).collect()
         assert got == []
+
+
+class TestSharedShingleScan:
+    def test_shared_output_identical_and_cache_hit(self, spark, docs):
+        clear_shared_shingles()
+        plain = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+        )
+        shared = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.3, shared=True
+                ).collect(),
+            )
+        )
+        assert shared == plain
+        assert len(dedup_ops._SHARED_SHINGLES) == 1
+        # A separately-constructed but semantically identical plan hits
+        # the same cache entry (keying is by analyzed-plan semanticHash).
+        again = shingle_arrays(docs, "text", "doc_id", 3, shared=True)
+        assert len(dedup_ops._SHARED_SHINGLES) == 1
+        assert again.storageLevel.useMemory  # the persisted frame itself
+        # Different shingle width → distinct entry.
+        shingle_arrays(docs, "text", "doc_id", 2, shared=True)
+        assert len(dedup_ops._SHARED_SHINGLES) == 2
+        clear_shared_shingles()
+        assert len(dedup_ops._SHARED_SHINGLES) == 0
+
+    def test_eviction_unpersists_oldest(self, spark, docs):
+        clear_shared_shingles()
+        frames = [
+            shingle_arrays(docs, "text", "doc_id", n, shared=True)
+            for n in range(1, dedup_ops._SHARED_SHINGLES_MAX + 2)
+        ]
+        assert len(dedup_ops._SHARED_SHINGLES) == dedup_ops._SHARED_SHINGLES_MAX
+        assert not frames[0].storageLevel.useMemory  # evicted → unpersisted
+        assert frames[-1].storageLevel.useMemory
+        clear_shared_shingles()
 
 
 class TestSimhash:
