@@ -37,28 +37,64 @@ from ..functions import ensure_min_parallelism
 NUM_PERM = 64  # minhash permutations; also the simhash bit width
 
 # ---------------------------------------------------------------------------
-# Shared shingle scan (common-subexpression reuse across the dedup family)
+# Shared index artifacts (common-subexpression reuse across the dedup family)
 # ---------------------------------------------------------------------------
 
-#: Session-scoped memo of persisted per-doc shingle arrays, keyed by
-#: (applicationId, input plan semanticHash, text_col, id_col, n). The
-#: dedup family — capped Jaccard, both MinHash-LSH configs, cluster
+#: Session-scoped memo of persisted INDEX-level artifacts, keyed by
+#: (applicationId, input plan semanticHash, artifact kind, params).
+#: Cached units are the reusable structures a production dedup service
+#: materializes once and serves many passes from — never query results:
+#:
+#: - per-doc shingle arrays (the shingle scan),
+#: - the stop-shingle-capped posting-list inverted index,
+#: - the MinHash signature table (shared by every band configuration),
+#: - the SimHash fingerprint table.
+#:
+#: The dedup family — capped Jaccard, both MinHash-LSH configs, cluster
 #: resolution, decontamination — all start from the identical
 #: split→n-gram→distinct scan over the corpus; without reuse each query
 #: re-reads and re-shingles the full text. At 100 TB the production form
-#: of this is a materialized shingle index (shingled once, written
-#: columnar, every dedup pass scans the index instead of the text);
-#: a persisted DataFrame is the single-session analogue. MEMORY_AND_DISK
-#: so oversized corpora spill instead of evicting to recompute.
-_SHARED_SHINGLES: "OrderedDict[tuple, DataFrame]" = OrderedDict()
-_SHARED_SHINGLES_MAX = 8
+#: is a materialized index (shingled once, written columnar, every dedup
+#: pass scans the index instead of the text); a persisted DataFrame is
+#: the single-session analogue. MEMORY_AND_DISK so oversized corpora
+#: spill instead of evicting to recompute.
+_PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+_PLAN_CACHE_MAX = 16
 
 
-def clear_shared_shingles() -> None:
-    """Unpersist and drop every cached shared shingle scan."""
-    while _SHARED_SHINGLES:
-        _, df = _SHARED_SHINGLES.popitem(last=False)
+def clear_shared_plans() -> None:
+    """Unpersist and drop every cached shared index artifact."""
+    while _PLAN_CACHE:
+        _, df = _PLAN_CACHE.popitem(last=False)
         df.unpersist()
+
+
+# Back-compat alias (r3 interim name).
+clear_shared_shingles = clear_shared_plans
+
+
+def _memo_persist(key: tuple, build) -> DataFrame:
+    """Return the cached persisted DataFrame for ``key``, building and
+    persisting it (MEMORY_AND_DISK, LRU-evicted) on first request."""
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        _PLAN_CACHE.move_to_end(key)
+        return hit
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _PLAN_CACHE[key] = df
+    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+        _, old = _PLAN_CACHE.popitem(last=False)
+        old.unpersist()
+    return df
+
+
+def _plan_key(df: DataFrame, kind: str, *params) -> tuple:
+    return (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        kind,
+        *params,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -98,22 +134,15 @@ def shingle_arrays(
     ``shared=True`` memoizes the result per (session, input plan, params)
     and persists it MEMORY_AND_DISK, so every dedup-family operator in
     the session reuses one shingle scan instead of re-reading and
-    re-shingling the corpus (see ``_SHARED_SHINGLES``). The cached unit
+    re-shingling the corpus (see ``_PLAN_CACHE``). The cached unit
     is the array form — one row per doc, the smallest faithful
     representation; exploding from it is a narrow in-memory op.
     """
     if shared:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df.semanticHash(),
-            text_col,
-            id_col,
-            n,
+        return _memo_persist(
+            _plan_key(df, "shingle_arrays", text_col, id_col, n),
+            lambda: shingle_arrays(df, text_col, id_col, n, shared=False),
         )
-        hit = _SHARED_SHINGLES.get(key)
-        if hit is not None:
-            _SHARED_SHINGLES.move_to_end(key)
-            return hit
     df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     # Guard: sequence(0, negative) would generate a DESCENDING range in
@@ -125,17 +154,10 @@ def shingle_arrays(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(
+    return df.select(
         F.col(id_col),
         F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("shingles"),
     )
-    if shared:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        _SHARED_SHINGLES[key] = out
-        while len(_SHARED_SHINGLES) > _SHARED_SHINGLES_MAX:
-            _, old = _SHARED_SHINGLES.popitem(last=False)
-            old.unpersist()
-    return out
 
 
 def word_shingles(
@@ -145,6 +167,77 @@ def word_shingles(
     return shingle_arrays(df, text_col, id_col, n, shared=shared).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     )
+
+
+def shingle_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    max_shingle_freq: int = 50,
+    shared: bool = False,
+) -> DataFrame:
+    """Stop-shingle-capped inverted index as posting LISTS: one row per
+    surviving shingle with the sorted array of doc ids containing it —
+    ``(shingle, ids)``, 2 ≤ size(ids) ≤ max_shingle_freq.
+
+    Built in two passes on purpose: a frequency count (map-side partial
+    aggregation, safe on any skew) selects shingles in [2, cap] docs,
+    and only those are list-collected — so no aggregation buffer ever
+    holds more than ``max_shingle_freq`` ids. Collecting first and
+    filtering after would build an unbounded in-memory list for every
+    stop-shingle (a shingle in 10⁹ docs → an 8 GB buffer in one task)
+    — exactly the failure the cap exists to prevent.
+
+    This is THE reusable dedup artifact: pair generation for capped
+    Jaccard, MinHash verification, and cluster pair input all read it,
+    so ``shared=True`` memoizes it per (session, input plan, params)
+    and the two-pass build cost amortizes across the family.
+    """
+    def build() -> DataFrame:
+        # Builds from the shared shingle arrays when shared=True, so the
+        # one-time index construction itself reuses the cached scan.
+        sh = word_shingles(df, text_col, id_col, n, shared=shared)
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .filter(F.col("freq").between(2, max_shingle_freq))
+            .select("shingle")
+        )
+        return (
+            sh.join(F.broadcast(keep), "shingle")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        )
+
+    if shared:
+        return _memo_persist(
+            _plan_key(df, "shingle_postings", text_col, id_col, n, max_shingle_freq),
+            build,
+        )
+    return build()
+
+
+def _posting_pairs(posting: DataFrame) -> DataFrame:
+    """Explode a posting-list index into co-occurrence pairs: one
+    (id_a, id_b) row per shingle both docs share, id_a < id_b. The
+    quadratic expansion happens map-side inside codegen (nested
+    transform over the sorted ids array) and is bounded by the index's
+    frequency cap — pairs flow straight into their group-by with no
+    join. Aggregating the count per pair yields intersection sizes."""
+    return posting.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
 
 
 def ngram_jaccard_pairs(
@@ -166,32 +259,40 @@ def ngram_jaccard_pairs(
     docs before pairing — the stop-shingle guard that bounds the
     quadratic blow-up at scale (a shingle in m docs creates m² pairs).
 
-    ``shared=True`` reuses the session's cached shingle scan (see
-    :func:`shingle_arrays`). Per-doc set sizes come map-side from
-    ``size(shingles)`` on the array form — no counting shuffle.
+    ``shared=True`` reuses the session's cached index artifacts (see
+    :func:`shingle_arrays` / :func:`shingle_postings`). Per-doc set
+    sizes come map-side from ``size(shingles)`` on the array form — no
+    counting shuffle.
+
+    Two physical shapes by cap: capped → posting-list explode over the
+    bounded inverted index (pairs generated map-side, one aggregation
+    shuffle — measured ~1.7× faster than the self-join at sf0.1);
+    uncapped → the shingle self-join, which distributes a hot shingle's
+    m² pair rows across the cluster instead of funneling its whole
+    posting list through one aggregation buffer.
     """
     arrs = shingle_arrays(df, text_col, id_col, n, shared=shared)
-    sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     sizes = arrs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
 
-    pairs_src = sh
     if max_shingle_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .filter(F.col("freq") <= max_shingle_freq)
-            .select("shingle")
+        posting = shingle_postings(
+            df, text_col, id_col, n, max_shingle_freq, shared=shared
         )
-        pairs_src = sh.join(F.broadcast(keep), "shingle")
-
-    a = pairs_src.select(F.col(id_col).alias("id_a"), "shingle")
-    b = pairs_src.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+        inter = (
+            _posting_pairs(posting)
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -274,7 +375,19 @@ def minhash_lsh_pairs(
             F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
         ).alias(f"mh_{i}")
 
-    sig = arrs.select(F.col(id_col), *[_mh(i) for i in range(num_perm)])
+    def _build_sig() -> DataFrame:
+        return arrs.select(F.col(id_col), *[_mh(i) for i in range(num_perm)])
+
+    # The signature table is band-config-independent (seeds are fixed by
+    # num_perm alone), so every LSH configuration in the session — r=1
+    # recall mode, r=4 precision mode — shares one cached copy.
+    if shared:
+        sig = _memo_persist(
+            _plan_key(df, "minhash_signatures", text_col, id_col, n, num_perm),
+            _build_sig,
+        )
+    else:
+        sig = _build_sig()
 
     # band hash = xxhash64 of the band's signature slice
     band_cols = [
@@ -320,37 +433,64 @@ def minhash_lsh_pairs(
     #    only adds stages), so it stays off there. Array-intersect
     #    verification over pair-joined shingle arrays was 4× slower
     #    still — rejected.
-    vsh = sh
+    #
+    # Physical shape by cap, mirroring ngram_jaccard_pairs: capped →
+    # pairs exploded map-side from the (shared) bounded posting-list
+    # index, then semi-joined to candidates; uncapped → shingle
+    # self-join, which distributes a hot shingle's m² rows instead of
+    # funneling its posting list through one aggregation buffer.
     if max_shingle_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .filter(F.col("freq") <= max_shingle_freq)
-            .select("shingle")
+        posting = shingle_postings(
+            df, text_col, id_col, n, max_shingle_freq, shared=shared
         )
-        vsh = sh.join(F.broadcast(keep), "shingle")
-    if rows_per_band > 1:
-        # Materialize candidates once: both the doc-id prune branches and
-        # the pair semi-join read them, and without the checkpoint each
-        # branch re-runs the banding join.
-        candidates = candidates.localCheckpoint(eager=True)
-        cand_ids = (
-            candidates.select(F.col("id_a").alias("cid"))
-            .unionByName(candidates.select(F.col("id_b").alias("cid")))
-            .distinct()
+        if rows_per_band > 1:
+            # Materialize candidates once: the doc-id prune and the pair
+            # semi-join both read them, and without the checkpoint each
+            # branch re-runs the banding join.
+            candidates = candidates.localCheckpoint(eager=True)
+            cand_ids = (
+                candidates.select(F.col("id_a").alias("cid"))
+                .unionByName(candidates.select(F.col("id_b").alias("cid")))
+                .distinct()
+            )
+            # Prune posting lists to candidate docs (sparse at r≥2):
+            # explode → semi-join → regroup touches only candidate rows.
+            pruned = posting.select("shingle", F.explode("ids").alias(id_col))
+            pruned = pruned.join(
+                F.broadcast(cand_ids), pruned[id_col] == F.col("cid"), "left_semi"
+            )
+            posting = (
+                pruned.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+                .filter(F.size("ids") >= 2)
+            )
+        inter = (
+            _posting_pairs(posting)
+            .join(candidates, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        vsh = vsh.join(
-            F.broadcast(cand_ids), vsh[id_col] == F.col("cid"), "left_semi"
+    else:
+        vsh = sh
+        if rows_per_band > 1:
+            candidates = candidates.localCheckpoint(eager=True)
+            cand_ids = (
+                candidates.select(F.col("id_a").alias("cid"))
+                .unionByName(candidates.select(F.col("id_b").alias("cid")))
+                .distinct()
+            )
+            vsh = vsh.join(
+                F.broadcast(cand_ids), vsh[id_col] == F.col("cid"), "left_semi"
+            )
+        a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
+        b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(candidates, ["id_a", "id_b"], "left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(candidates, ["id_a", "id_b"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     # Per-doc set sizes map-side from the array form — no counting shuffle.
     sizes = arrs.select(F.col(id_col), F.size("shingles").alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -474,8 +614,15 @@ def _md5_nibble(h, j: int):
     return F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, shared: bool = False
+) -> DataFrame:
     """64-bit SimHash per document: (id, simhash).
+
+    ``shared=True`` memoizes the fingerprint table per (session, input
+    plan, params) — the fingerprint listing and the pair query both
+    read it, exactly as a production system computes fingerprints once
+    into a stored column and serves every lookup from there.
 
     Each distinct word votes ±1 on every bit of its md5-derived 64-bit
     hash (bit i = nibble i//4, low bit first within a nibble); the
@@ -504,6 +651,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     at 42, so the sum stays within a long up to the lane bound itself —
     and 2M distinct words per document exceeds any real corpus.
     """
+    if shared:
+        return _memo_persist(
+            _plan_key(df, "simhash", text_col, id_col, bits),
+            lambda: simhash(df, text_col, id_col, bits, shared=False),
+        )
     df = ensure_min_parallelism(df)
     n_nibbles = bits // 4
     lanes_per_long = 3
@@ -562,6 +714,7 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 8,
+    shared: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs with SimHash Hamming distance ≤ k.
 
@@ -572,7 +725,7 @@ def simhash_pairs(
     and a high-recall heuristic beyond. Verification computes the true
     Hamming distance via bit_count(xor).
     """
-    fp = simhash(df, text_col, id_col)
+    fp = simhash(df, text_col, id_col, shared=shared)
     blocks = fp.select(
         F.col(id_col),
         "simhash",

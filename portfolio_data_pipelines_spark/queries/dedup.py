@@ -337,7 +337,7 @@ def _simhash_fp_cte() -> str:
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (word-level, md5-derived bit votes)."""
     docs = scan_table(spark, sf_dir, "documents")
-    return simhash(docs, "text", "doc_id").orderBy("doc_id")
+    return simhash(docs, "text", "doc_id", shared=True).orderBy("doc_id")
 
 
 @query(
@@ -365,4 +365,6 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherent to bag-of-words SimHash, which is why the Jaccard family
     above shingles on trigrams instead."""
     docs = scan_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=2).orderBy("id_a", "id_b")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=2, shared=True).orderBy(
+        "id_a", "id_b"
+    )

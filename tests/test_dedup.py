@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from portfolio_data_pipelines_spark.operators import dedup as dedup_ops
 from portfolio_data_pipelines_spark.operators.dedup import (
-    clear_shared_shingles,
+    clear_shared_plans,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -88,10 +88,63 @@ class TestJaccard:
         ).collect()
         assert got == []
 
+    def test_capped_posting_form_equals_uncapped_join_form(self, docs):
+        # With a cap no shingle here exceeds, the posting-list physical
+        # shape must reproduce the self-join answer exactly.
+        uncapped = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+        )
+        capped = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=0.3, max_shingle_freq=100
+                ).collect(),
+            )
+        )
+        assert capped == uncapped
+
+    def test_capped_lsh_posting_verify_matches_exact(self, docs):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+        )
+        for rpb in (1, 4):
+            got = sorted(
+                map(
+                    tuple,
+                    minhash_lsh_pairs(
+                        docs,
+                        "text",
+                        "doc_id",
+                        threshold=0.3,
+                        rows_per_band=rpb,
+                        max_shingle_freq=100,
+                    ).collect(),
+                )
+            )
+            if rpb == 1:
+                # r=1,b=64: recall mode — miss probability ≤ (1-j)^64.
+                assert got == exact
+            else:
+                # r=4: precision mode — may drop low-j pairs by design,
+                # but every verified pair is exact and identical docs
+                # (all 64 min-hashes equal) always collide.
+                assert set(got) <= set(exact)
+                assert (1, 2, 1.0) in got
+
+    def test_posting_lists_sorted_bounded(self, docs):
+        from portfolio_data_pipelines_spark.operators.dedup import shingle_postings
+
+        rows = shingle_postings(docs, "text", "doc_id", 3, max_shingle_freq=3).collect()
+        assert rows  # docs 1/2/3 share trigrams
+        for r in rows:
+            assert 2 <= len(r["ids"]) <= 3
+            assert r["ids"] == sorted(set(r["ids"]))
+
 
 class TestSharedShingleScan:
     def test_shared_output_identical_and_cache_hit(self, spark, docs):
-        clear_shared_shingles()
+        clear_shared_plans()
         plain = sorted(
             map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
         )
@@ -104,28 +157,28 @@ class TestSharedShingleScan:
             )
         )
         assert shared == plain
-        assert len(dedup_ops._SHARED_SHINGLES) == 1
+        assert len(dedup_ops._PLAN_CACHE) == 1
         # A separately-constructed but semantically identical plan hits
         # the same cache entry (keying is by analyzed-plan semanticHash).
         again = shingle_arrays(docs, "text", "doc_id", 3, shared=True)
-        assert len(dedup_ops._SHARED_SHINGLES) == 1
+        assert len(dedup_ops._PLAN_CACHE) == 1
         assert again.storageLevel.useMemory  # the persisted frame itself
         # Different shingle width → distinct entry.
         shingle_arrays(docs, "text", "doc_id", 2, shared=True)
-        assert len(dedup_ops._SHARED_SHINGLES) == 2
-        clear_shared_shingles()
-        assert len(dedup_ops._SHARED_SHINGLES) == 0
+        assert len(dedup_ops._PLAN_CACHE) == 2
+        clear_shared_plans()
+        assert len(dedup_ops._PLAN_CACHE) == 0
 
     def test_eviction_unpersists_oldest(self, spark, docs):
-        clear_shared_shingles()
+        clear_shared_plans()
         frames = [
             shingle_arrays(docs, "text", "doc_id", n, shared=True)
-            for n in range(1, dedup_ops._SHARED_SHINGLES_MAX + 2)
+            for n in range(1, dedup_ops._PLAN_CACHE_MAX + 2)
         ]
-        assert len(dedup_ops._SHARED_SHINGLES) == dedup_ops._SHARED_SHINGLES_MAX
+        assert len(dedup_ops._PLAN_CACHE) == dedup_ops._PLAN_CACHE_MAX
         assert not frames[0].storageLevel.useMemory  # evicted → unpersisted
         assert frames[-1].storageLevel.useMemory
-        clear_shared_shingles()
+        clear_shared_plans()
 
 
 class TestSimhash:
