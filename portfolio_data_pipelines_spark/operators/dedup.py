@@ -513,7 +513,40 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _dup_clusters_driver(spark, sym: DataFrame) -> DataFrame:
+    """Driver-side component resolution for bounded edge lists:
+    union-find with path halving, union-to-min (the root is always the
+    smallest id seen, so the final root IS the component minimum).
+    Output schema matches the distributed path exactly."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in sym.collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(x, find(x)) for x in parent]
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sym.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("doc_id", id_type, nullable=False),
+            StructField("cluster_id", id_type, nullable=False),
+        ]
+    )
+    return spark.createDataFrame(labels, schema)
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 1_000_000
+) -> DataFrame:
     """Resolve near-dup PAIRS into clusters: connected components by
     min-label propagation accelerated with pointer jumping. Returns
     (doc_id, cluster_id) where cluster_id is the smallest doc id in the
@@ -521,6 +554,17 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     The iterative piece LLM dedup needs after any pair generator above:
     pairs (a,b),(b,c) must collapse to one keep-decision for {a,b,c}.
+
+    Adaptive execution: dup PAIR graphs are sparse even when the corpus
+    is not — 100 TB of text yields pair edges proportional to the
+    near-dup rate, not the corpus. When the materialized edge count is
+    ≤ ``driver_threshold`` (default 10⁶ ≈ 16 MB of id pairs), the
+    components resolve driver-side with union-find (exact, near-linear,
+    zero iterative jobs) and the labels parallelize back; above it, the
+    distributed pointer-jumping loop below runs. The edge count is known
+    for free — the edge list is materialized (localCheckpoint) for the
+    loop anyway. Pass ``driver_threshold=0`` to force the distributed
+    path.
 
     Scale design: each round is one neighbor-min propagation (labels
     move one hop) followed by one pointer jump — label composition
@@ -546,6 +590,8 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
+    if sym.count() <= 2 * driver_threshold:  # sym holds both directions
+        return _dup_clusters_driver(pairs.sparkSession, sym)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

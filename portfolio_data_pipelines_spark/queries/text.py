@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 #: BPE-ish tokenizer: letter runs | digit runs | single non-alnum symbol.
 #: Same pattern is valid Java regex (Spark) and RE2 (DuckDB oracle).
@@ -386,4 +386,125 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "score", "rank")
+    )
+
+
+@extra_query(
+    "text_repetition_filters",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, w, len(w) AS n_tokens,
+               len(list_distinct(w)) AS n_distinct
+        FROM toks WHERE len(w) >= 3
+    ),
+    bg AS (
+        SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        FROM base
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bga AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS total_bg FROM bgc GROUP BY doc_id),
+    tg AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       FOR i IN range(1, len(w) - 1)]) AS g
+        FROM base
+    ),
+    tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+    tga AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tg,
+               SUM(c) AS total_tg
+        FROM tgc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+           CAST(bga.top_bg AS DOUBLE) / bga.total_bg AS top_bigram_frac,
+           CAST(tga.dup_tg AS DOUBLE) / tga.total_tg AS dup_trigram_frac,
+           (CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= 0.2
+            AND CAST(bga.top_bg AS DOUBLE) / bga.total_bg <= 0.2
+            AND CAST(tga.dup_tg AS DOUBLE) / tga.total_tg <= 0.3) AS keep
+    FROM base b
+    JOIN bga ON bga.doc_id = b.doc_id
+    JOIN tga ON tga.doc_id = b.doc_id
+    """,
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (SURVEY §2.10): per-doc
+    distinct-token ratio, fraction of bigram positions taken by the most
+    frequent word bigram, and fraction of trigram positions inside
+    duplicated trigrams — the signals that catch boilerplate and
+    degenerate repetition which ratio heuristics (text_quality_score)
+    miss. ``keep`` folds the three thresholds into the gating decision a
+    pretraining pipeline applies.
+
+    Scale shape: n-gram construction is the shingle transform (map-side,
+    POSITIONAL — not distinct), and the two count aggregations key on
+    (doc_id, gram), so cardinality per key is bounded by document length
+    and the shuffle distributes across docs — no global hot key at any
+    corpus size. Ratios are single IEEE divisions of identical integer
+    counts, so the DuckDB oracle is bit-exact (fraction-of-positions
+    formulation rather than Gopher's fraction-of-characters: same
+    signal, integer-exact cross-engine).
+
+    Line-level Gopher filters (duplicate line / paragraph fraction) are
+    deliberately absent: the fixture corpus is single-line documents, so
+    they would be untestable constants here; the n-gram forms subsume
+    them at the resolution this corpus supports.
+    """
+    d = scan_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _ws_tokens().alias("w"))
+    base = toks.filter(F.size("w") >= 3).select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+        )
+
+    bg = base.select("doc_id", F.explode(grams(2)).alias("g"))
+    bga = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bg"), F.sum("c").alias("total_bg"))
+    )
+    tg = base.select("doc_id", F.explode(grams(3)).alias("g"))
+    tga = (
+        tg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_tg"),
+            F.sum("c").alias("total_tg"),
+        )
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_bigram_frac = F.col("top_bg").cast("double") / F.col("total_bg")
+    dup_trigram_frac = F.col("dup_tg").cast("double") / F.col("total_tg")
+    return (
+        base.join(bga, "doc_id")
+        .join(tga, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            distinct_ratio.alias("distinct_ratio"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_trigram_frac.alias("dup_trigram_frac"),
+            (
+                (distinct_ratio >= 0.2)
+                & (top_bigram_frac <= 0.2)
+                & (dup_trigram_frac <= 0.3)
+            ).alias("keep"),
+        )
     )

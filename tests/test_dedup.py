@@ -278,8 +278,14 @@ class TestDupClusters:
         want = {x: find(x) for x in parent}
 
         pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        # default (driver union-find) and forced-distributed paths must agree
         got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
         assert got == want
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, driver_threshold=0).collect()
+        }
+        assert dist == want
 
     def test_adversarial_chain_converges_logarithmically(self, spark):
         """A path graph is the worst case for plain label propagation
@@ -295,7 +301,7 @@ class TestDupClusters:
         )
         got = {
             r["doc_id"]: r["cluster_id"]
-            for r in dup_clusters(pairs, max_iter=8).collect()
+            for r in dup_clusters(pairs, max_iter=8, driver_threshold=0).collect()
         }
         assert got == {i: 0 for i in range(n)}
 
@@ -307,4 +313,4 @@ class TestDupClusters:
             [(i, i + 1) for i in range(29)], "id_a bigint, id_b bigint"
         )
         with pytest.raises(RuntimeError, match="did not converge"):
-            dup_clusters(pairs, max_iter=2)
+            dup_clusters(pairs, max_iter=2, driver_threshold=0)
