@@ -368,3 +368,69 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "text", "doc_id", max_hamming=2, shared=True).orderBy(
         "id_a", "id_b"
     )
+
+
+@extra_query(
+    "dedup_keep_docs",
+    oracle="""
+    WITH RECURSIVE
+    tri AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              FOR i IN range(1, len(w) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / CAST(len(a.s) + len(b.s)
+                              - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+            FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+        )
+        WHERE jaccard >= 0.3
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    dropped AS (
+        SELECT id FROM (SELECT id, LEAST(id, MIN(r)) AS c FROM reach GROUP BY id)
+        WHERE c < id
+    )
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM dropped)
+    """,
+)
+def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup output: the SURVIVING corpus. Composes
+    the family — capped pair generation over the shared posting index →
+    cluster resolution → keep the canonical (smallest-id) member of
+    every component plus all unclustered docs, via one anti-join on the
+    non-canonical id set. This is the query a pretraining pipeline
+    actually materializes; the pair/cluster queries above are its
+    observable intermediates. Oracle recomputes survivors through the
+    recursive-CTE component labels."""
+    docs = scan_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3, max_shingle_freq=_rel_cap(docs),
+        shared=True,
+    )
+    losers = (
+        dup_clusters(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -280,3 +280,66 @@ def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(aug, "text").select(
         "doc_id", "n_emails", "n_phones", "redacted_text"
     ).orderBy("doc_id")
+
+
+@extra_query(
+    "corpus_build_docs",
+    oracle=rf"""
+    WITH {_SHINGLE_CTE},
+    flagged AS (
+        SELECT train_id
+        FROM tsh JOIN bsh USING (shingle)
+        GROUP BY train_id, bench_id
+        HAVING COUNT(*) >= {DECONTAM_MIN_OVERLAP}
+    ),
+    kept AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE source <> 'src0'
+          AND doc_id NOT IN (SELECT train_id FROM flagged)
+          AND {{u16}} < {{mix}}
+    )
+    SELECT doc_id, source,
+           len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+               AS n_tokens,
+           len(regexp_extract_all(text, '{{email}}')) AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace(text, '{{email}}', '<EMAIL>', 'g'), '{{phone}}'))
+               AS n_phones,
+           regexp_replace(regexp_replace(text, '{{email}}', '<EMAIL>', 'g'),
+                          '{{phone}}', '<PHONE>', 'g') AS redacted_text
+    FROM kept
+    """.format(
+        u16=_u16_sql("doc_id"),
+        mix=_mix_threshold_sql(),
+        email=EMAIL_RE,
+        phone=PHONE_RE,
+    ),
+)
+def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build a pretraining pipeline materializes:
+    decontaminate (drop docs overlapping the benchmark set) → data
+    mixing (deterministic per-source sampling) → PII redaction → token
+    accounting. Every stage is one of the §2.10 operators above,
+    composed; the whole plan is scan → broadcast semi/anti joins →
+    map-only filters and regex projection — the corpus text shuffles
+    nowhere. (The fixture corpus contains no natural PII, so the
+    redaction counts are zero and redacted_text == text — the stage is
+    still in the plan and the synthetic-PII variant `pii_redacted_docs`
+    pins the scrubber itself.)"""
+    train, bench = _split_corpus(spark, sf_dir)
+    clean = decontaminate(
+        train, bench, "text", "doc_id", n=DECONTAM_NGRAM,
+        min_overlap=DECONTAM_MIN_OVERLAP, shared=True,
+    )
+    mixed = stratified_sample(clean, "doc_id", "source", MIX_RATES, MIX_DEFAULT)
+    red = pii_redact(mixed, "text")
+    from ..operators.pipeline import _ws_token_count
+
+    return red.select(
+        "doc_id",
+        "source",
+        _ws_token_count("text").alias("n_tokens"),
+        "n_emails",
+        "n_phones",
+        "redacted_text",
+    ).orderBy("doc_id")
