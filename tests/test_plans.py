@@ -63,3 +63,27 @@ def test_asof_join_is_linear_not_crossproduct(spark):
     assert "Window" in plan
     for node in ("NestedLoop", "CartesianProduct"):
         assert node not in plan, node
+
+
+def test_capped_jaccard_pairs_are_join_free(spark):
+    """The capped pair path must generate pairs map-side from posting
+    lists (Generate over the collected ids array), never via a shingle
+    self-join — no SortMergeJoin anywhere, and the only non-broadcast
+    exchanges are aggregations/repartitions."""
+    plan = _plan(spark, "ngram_jaccard_dups_capped")
+    assert "SortMergeJoin" not in plan
+    assert "collect_list" in plan  # the posting-list index build
+    assert "explode(flatten(transform" in plan  # map-side pair explosion
+
+
+def test_posting_index_build_filters_before_collect(spark):
+    """The stop-shingle frequency filter must be applied BEFORE the
+    posting-list collect (broadcast semi shape), so no aggregation
+    buffer can exceed the cap — the order the 100 TB safety argument
+    rests on."""
+    plan = _plan(spark, "ngram_jaccard_dups_capped")
+    collect_pos = plan.index("partial_collect_list")
+    freq_broadcast = plan.index("BroadcastExchange", collect_pos)
+    # The freq-keep broadcast feeds the join below (deeper in the tree
+    # than) the partial collect — i.e. the filter precedes collection.
+    assert "freq" in plan[freq_broadcast : freq_broadcast + 2000]
