@@ -219,6 +219,125 @@ def ivf_topk(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_iter: int = 2,
+    cluster_id_col: str = "cluster_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement over cosine assignment.
+
+    ``n_iter`` rounds of: map-side nearest-centroid assignment
+    (broadcast centroid array, zero shuffle — `_nearest_centroid`) then
+    per-dimension mean recomputation; returns the corpus assigned to the
+    final refined centroids as (corpus columns + ``cluster_id_col``).
+    Cluster labels are the seed ids, stable across rounds. Empty cells
+    drop out of the centroid set (their label can never be assigned
+    again) — standard Lloyd behavior.
+
+    ``exact=True`` computes each mean as a sequential left-to-right
+    double fold over the cell's values ordered by ``id_col`` — the same
+    accumulation DuckDB's ``list_dot_product`` does — so assignments are
+    bit-reproducible across engines and partition orders, at the cost of
+    a ``collect_list`` buffer of one double per cell member per
+    dimension. ``exact=False`` uses plain ``sum`` (map-side partial
+    aggregation, no per-group buffer) — the 100 TB form; means then
+    differ across runs at the ULP level, which can flip an assignment
+    only for points equidistant to that precision.
+
+    Scale shape: per round, one corpus scan (assignment is map-side) +
+    one (cell, dim)-keyed aggregation shuffle whose row count is
+    |corpus|·dim regardless of skew; the centroid table stays k rows and
+    is re-broadcast each round. Rounds are a fixed small constant —
+    k-means for corpus bucketing (SemDeDup) needs 1-3, not convergence.
+    """
+    cen = seeds.select(
+        F.col(cluster_id_col).cast("long").alias(cluster_id_col), F.col(vec_col)
+    )
+    for _ in range(n_iter):
+        assigned = assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col)
+        ex = assigned.select(
+            cluster_id_col,
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+        ).withColumn("_val", F.col("_val").cast("double"))
+        if exact:
+            dims = ex.groupBy(cluster_id_col, "_pos").agg(
+                F.array_sort(F.collect_list(F.struct("_id", "_val"))).alias("_sv")
+            )
+            mean = (
+                F.aggregate(F.col("_sv"), F.lit(0.0), lambda acc, x: acc + x["_val"])
+                / F.size("_sv")
+            ).alias("_m")
+            means = dims.select(cluster_id_col, "_pos", mean)
+        else:
+            means = ex.groupBy(cluster_id_col, "_pos").agg(
+                (F.sum("_val") / F.count("_val")).alias("_m")
+            )
+        cen = means.groupBy(cluster_id_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda x: x["_m"]
+            ).alias(vec_col)
+        )
+    return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col)
+
+
+def cluster_cosine_pairs(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    n_iter: int = 2,
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """SemDeDup-shaped embedding near-dup pairs: k-means-bucket the
+    corpus (`kmeans_refine`), then exact cosine only WITHIN each
+    cluster. Output (id_a, id_b, cosine), id_a < id_b, cosine ≥
+    threshold.
+
+    This is the scale path beside the all-pairs correctness baseline
+    (dedup.embedding_cosine_pairs): candidate pairs drop from O(n²) to
+    O(Σ|cell|²), and the pair join is a hash equi-join on the cluster
+    id — both sides partition by cell, so each cell's quadratic loop
+    runs where its vectors already live. Recall < 1 by construction
+    (near-dups straddling a cell boundary are missed — mitigate with
+    more Lloyd rounds or cell-overlap probing), but fully deterministic,
+    hence oracle-checkable. Reference analogue: SemDeDup
+    (Abbas et al. 2023) — cluster embeddings, dedup within cluster.
+    """
+    assigned = kmeans_refine(
+        corpus, seeds, vec_col, id_col, n_iter=n_iter, cluster_id_col=cluster_id_col
+    )
+    norms = assigned.withColumn(
+        "_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col)))
+    )
+    a = norms.select(
+        F.col(cluster_id_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = norms.select(
+        F.col(cluster_id_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        a.join(b, [cluster_id_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", _dot_seq(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def rademacher_planes(
     spark, dim: int, n_planes: int, n_tables: int
 ) -> DataFrame:

@@ -12,9 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import cosine_topk, ivf_topk, rp_lsh_topk
+from ..operators.similarity import (
+    cluster_cosine_pairs,
+    cosine_topk,
+    ivf_topk,
+    kmeans_refine,
+    rp_lsh_topk,
+)
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 #: Shared oracle scaffolding: vectors as DOUBLE[] + sequential-double
 #: norms. ``list_dot_product`` folds left-to-right in double — the same
@@ -111,6 +117,111 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, "embedding", "vec_id", k=10).orderBy(
         "query_id", "rank"
     )
+
+
+def _kmeans_cte(n_iter: int = 2) -> str:
+    """Unrolled Lloyd-iteration CTE chain replicating
+    operators.similarity.kmeans_refine(exact=True) bit-for-bit.
+
+    Round N: ``a{N}`` assigns every vector to its nearest ``c{N-1}``
+    centroid by cosine (smallest-cid tie-break — same total order as the
+    Spark argmax over (sim, -cid) structs); ``m{N}`` recomputes each
+    dimension's mean as a sequential double fold over the cell's values
+    ordered by vec_id (``list_dot_product(vals, ones)`` folds
+    left-to-right from 0.0 — identical to Spark's ``F.aggregate``), then
+    divides by the cell size. The final CTE ``a{n_iter+1}`` is the
+    corpus assigned to the refined centroids, carrying v/nv for
+    downstream pair math."""
+    parts = [
+        _E_NRM,
+        "c0 AS (SELECT vec_id AS cid, v, nv FROM ev WHERE vec_id % 53 = 0)",
+    ]
+
+    def assign(n: int) -> str:
+        return f"""
+    a{n} AS (
+        SELECT vec_id, v, nv, cid FROM (
+            SELECT e.vec_id, e.v, e.nv, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
+                                c.cid ASC
+                   ) AS rk
+            FROM ev e CROSS JOIN c{n - 1} c
+        ) WHERE rk = 1
+    )"""
+
+    for n in range(1, n_iter + 1):
+        parts.append(assign(n))
+        parts.append(
+            f"""
+    x{n} AS (SELECT cid, vec_id, generate_subscripts(v, 1) AS ord, unnest(v) AS val
+             FROM a{n}),
+    d{n} AS (SELECT cid, ord, list(val ORDER BY vec_id) AS vals
+             FROM x{n} GROUP BY cid, ord),
+    m{n} AS (SELECT cid, ord,
+                    list_dot_product(vals,
+                                     list_transform(vals, x -> CAST(1.0 AS DOUBLE)))
+                    / len(vals) AS m
+             FROM d{n}),
+    v{n} AS (SELECT cid, list(m ORDER BY ord) AS v FROM m{n} GROUP BY cid),
+    c{n} AS (SELECT cid, v, sqrt(list_dot_product(v, v)) AS nv FROM v{n})"""
+        )
+    parts.append(assign(n_iter + 1))
+    return ",".join(parts)
+
+
+@extra_query(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH {_kmeans_cte(2)}
+    SELECT vec_id, cid AS cluster_id FROM a3
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bucketing for embedding-space dedup/mixing: 2 Lloyd rounds
+    of cosine k-means from deterministic seeds (every 53rd vec_id → 10
+    cells), exact-reproducible means (sequential fold over vec_id-ordered
+    cell values). Output (vec_id, cluster_id) — cluster labels are the
+    seed ids. Assignment is map-side per round (broadcast centroid
+    array); the mean recomputation is one (cell, dim)-keyed shuffle of
+    |corpus|·dim skew-free rows per round."""
+    emb = scan_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return (
+        kmeans_refine(emb, seeds, "embedding", "vec_id", n_iter=2)
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    )
+
+
+@extra_query(
+    "semdedup_pairs",
+    oracle=f"""
+    WITH {_kmeans_cte(2)}
+    SELECT id_a, id_b, cosine FROM (
+        SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+               list_dot_product(p.v, q.v) / (p.nv * q.nv) AS cosine
+        FROM a3 p JOIN a3 q ON p.cid = q.cid AND p.vec_id < q.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped near-dup pairs: k-means-bucket the embeddings
+    (2 Lloyd rounds, 10 cells), exact cosine ≥ 0.4 only WITHIN each
+    cell. The scale path beside `embedding_cosine_dups`' O(n²)
+    baseline: candidates drop to O(Σ|cell|²) and the pair join
+    hash-partitions by cell. Deterministic end to end → full oracle;
+    recall vs the baseline is the cell-boundary miss rate."""
+    emb = scan_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    return cluster_cosine_pairs(
+        emb, seeds, "embedding", "vec_id", threshold=0.4, n_iter=2
+    ).orderBy("id_a", "id_b")
 
 
 @query(

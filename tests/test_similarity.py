@@ -111,3 +111,64 @@ def test_ivf_nprobe_recall_monotone_and_exact_at_full_probe(spark):
     assert recalls[0] <= recalls[1] <= recalls[2], recalls
     assert recalls[1] > recalls[0]  # more probes find strictly more here
     assert recalls[2] == 1.0  # full probe == brute force
+
+
+def test_semdedup_pairs_subset_of_allpairs_baseline(spark):
+    """Cluster-bucketed pairs must be a SUBSET of the exact all-pairs
+    result at the same threshold (bucketing can only lose cross-cell
+    pairs, never invent or rescore one), and every surviving pair's
+    cosine must be bit-identical to the baseline's."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.dedup import embedding_cosine_pairs
+    from portfolio_data_pipelines_spark.operators.similarity import cluster_cosine_pairs
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    base = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, "embedding", "vec_id", 0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cluster_cosine_pairs(
+            emb, seeds, "embedding", "vec_id", threshold=0.4, n_iter=2
+        ).collect()
+    }
+    assert got, "no within-cell pairs at all"
+    assert set(got) <= set(base)
+    for k, v in got.items():
+        assert v == base[k], (k, v, base[k])
+
+
+def test_kmeans_exact_and_approx_modes_agree(spark):
+    """exact=True (sequential-fold means) and exact=False (partial-agg
+    sums) may differ at the ULP level, but on this fixture no point is
+    equidistant to that precision — assignments must be identical. Also
+    pins basic sanity: every vector labeled, labels drawn from the seed
+    ids, >1 cluster used."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.similarity import kmeans_refine
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    seed_ids = {r["cluster_id"] for r in seeds.select("cluster_id").collect()}
+
+    def labels(exact):
+        rows = kmeans_refine(
+            emb, seeds, "embedding", "vec_id", n_iter=2, exact=exact
+        ).select("vec_id", "cluster_id").collect()
+        return {r["vec_id"]: r["cluster_id"] for r in rows}
+
+    a, b = labels(True), labels(False)
+    assert len(a) == emb.count()
+    assert set(a.values()) <= seed_ids
+    assert len(set(a.values())) > 1
+    assert a == b
