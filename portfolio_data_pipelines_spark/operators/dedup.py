@@ -870,3 +870,76 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (exact-substring contamination metric)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_coverage(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document fraction of token positions covered by word n-grams
+    that also occur in at least one OTHER document — the span-level
+    exact-duplication metric behind substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a doc
+    with high coverage is mostly boilerplate shared with the rest of the
+    corpus even when no whole-doc near-dup fires.
+
+    Output: (id, n_tokens, n_dup_spans, covered_tokens, dup_frac) — one
+    row per doc (zero-coverage docs included), n_dup_spans = number of
+    n-gram start positions whose gram is cross-doc duplicated,
+    covered_tokens = distinct token positions under any such span.
+
+    Scale shape: positional grams explode to ~|tokens| rows; the only
+    aggregations are (gram)-keyed distinct-doc counts (map-side partial,
+    hot grams produce counts not lists) and (doc)-keyed position counts
+    (bounded by doc length). The gram-match join is a hash equi-join on
+    the gram; no buffer is proportional to a gram's corpus frequency, so
+    stop-gram skew degrades the shuffle evenly, not one task. Span
+    positions re-derive map-side from the matched starts (sequence
+    explode), never materializing per-gram posting lists.
+    """
+    d = ensure_min_parallelism(df)
+    words = F.split(F.col(text_col), " ")
+    base = d.select(F.col(id_col), F.size(words).alias("n_tokens"))
+    grams = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup_grams, "gram").select(F.col(id_col), "pos")
+    spans = hits.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
+    covered = (
+        hits.select(
+            F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cp")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("covered_tokens"))
+    )
+    return (
+        base.join(spans, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_frac"),
+        )
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     dup_clusters,
+    dup_span_coverage,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -434,3 +435,48 @@ def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@extra_query(
+    "dup_span_coverage",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT t.doc_id, u.i AS pos,
+               array_to_string(list_slice(t.w, u.i + 1, u.i + 5), ' ') AS gram
+        FROM t, unnest(range(0, greatest(len(t.w) - 5 + 1, 0))) AS u(i)
+    ),
+    dup_grams AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+        ) WHERE nd >= 2
+    ),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup_grams USING (gram)),
+    spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM hits GROUP BY doc_id),
+    covered AS (
+        SELECT doc_id, COUNT(*) AS covered_tokens FROM (
+            SELECT DISTINCT h.doc_id, h.pos + u.k AS cp
+            FROM hits h, unnest(range(0, 5)) AS u(k)
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.w) AS n_tokens,
+           COALESCE(s.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(c.covered_tokens, 0) AS covered_tokens,
+           COALESCE(c.covered_tokens, 0) / len(b.w) AS dup_frac
+    FROM t b
+    LEFT JOIN spans s USING (doc_id)
+    LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def dup_span_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-duplication coverage (Lee et al. 2022 substring
+    dedup, at 5-gram granularity): per doc, how many token positions sit
+    under a 5-gram shared with another document. Complements whole-doc
+    dedup — high-coverage docs are boilerplate-heavy even when no
+    doc-level near-dup fires. Positional (non-distinct) grams, so
+    repeated in-doc boilerplate counts every occurrence."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return dup_span_coverage(docs, "text", "doc_id", n=5).orderBy("doc_id")

@@ -314,3 +314,27 @@ class TestDupClusters:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             dup_clusters(pairs, max_iter=2, driver_threshold=0)
+
+
+def test_dup_span_coverage_semantics(spark):
+    """Hand-checkable fixture: doc 1 and 2 share one exact 5-gram
+    ("a b c d e" at start of both); doc 3 shares nothing. Coverage must
+    mark exactly the 5 tokens under the shared gram, zero for doc 3,
+    and docs shorter than n yield no spans but still appear."""
+    from portfolio_data_pipelines_spark.operators.dedup import dup_span_coverage
+
+    rows = [
+        (1, "a b c d e x y z"),        # 8 tokens, dup gram at pos 0
+        (2, "a b c d e q r s t"),      # 9 tokens, dup gram at pos 0
+        (3, "k l m n o p"),            # 6 tokens, no shared grams
+        (4, "a b c"),                  # shorter than n=5: no grams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_spans"], r["covered_tokens"], r["dup_frac"])
+        for r in dup_span_coverage(df, "text", "doc_id", n=5).collect()
+    }
+    assert got[1] == (8, 1, 5, 5 / 8)
+    assert got[2] == (9, 1, 5, 5 / 9)
+    assert got[3] == (6, 0, 0, 0.0)
+    assert got[4] == (3, 0, 0, 0.0)
