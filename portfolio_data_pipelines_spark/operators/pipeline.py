@@ -118,6 +118,85 @@ def _ws_token_count(text_col: str) -> Column:
     return F.size(F.filter(F.split(text_col, r"\s+"), lambda t: t != ""))
 
 
+def running_total(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list[Column],
+    out_col: str = "cum_weight",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running total of ``weight_col`` over an arbitrary TOTAL
+    order — a **two-phase distributed prefix sum**:
+
+    1. range-partition rows by the order expressions and cumsum *within*
+       each partition (parallel across the cluster);
+    2. aggregate one total per partition (rows == partition count), cumsum
+       that tiny table on the driver-side single partition, and broadcast
+       the per-partition base offsets back.
+
+    A plain ``Window.orderBy(...)`` cumsum would funnel the whole input
+    through one task; this form's only wide operations are the range
+    shuffle of the projected rows and the |partitions|-row aggregation,
+    so it holds at 100 TB. ``order_by`` must be a total order (include a
+    unique tiebreak column) — with ties the split across a partition
+    boundary would be arbitrary and the cumsum nondeterministic.
+
+    The input projection is localCheckpoint'ed so the row branch and the
+    base-offset branch don't each recompute the upstream plan (for a
+    text scan that would be a second full-corpus pass).
+    """
+    if n_partitions is None:
+        n_partitions = df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn(
+        "_local_end", F.sum(weight_col).over(w_local)
+    ).localCheckpoint(eager=True)
+    # Phase 2: per-partition totals — |partitions| rows, so the global
+    # cumsum window over them is trivially cheap despite being 1-task.
+    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        local.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("_ptotal"))
+        .withColumn("_base", F.coalesce(F.sum("_ptotal").over(w_base), F.lit(0)))
+        .select("_pid", "_base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn(out_col, F.col("_base") + F.col("_local_end"))
+        .drop("_pid", "_local_end", "_base")
+    )
+
+
+def select_within_budget(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list[Column],
+    budget: int | float,
+    cum_col: str = "cum_weight",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy budgeted selection: walk rows in priority order and keep
+    each while the INCLUSIVE running weight stays ≤ ``budget`` — the
+    corpus-composition step that fills a token budget with the
+    highest-quality documents first. Distributed via `running_total`
+    (two-phase prefix sum), then a map-side filter; nothing about the
+    cutoff is driver-side, so the same call works when "budget" is
+    trillions of tokens.
+    """
+    return running_total(
+        df, weight_col, order_by, out_col=cum_col, n_partitions=n_partitions
+    ).filter(F.col(cum_col) <= budget)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str,
@@ -131,56 +210,18 @@ def pack_sequences(
     (seq_id, doc_id, seq_offset, n_tokens) — a doc that straddles a cut
     appears in consecutive sequences with complementary token spans.
 
-    The global offset is a **two-phase distributed prefix sum**:
-
-    1. range-partition (id, token_count) pairs by id and cumsum *within*
-       each partition (parallel across the cluster);
-    2. aggregate one total per partition (rows == partition count), cumsum
-       that tiny table on the driver-side single partition, and broadcast
-       the per-partition base offsets back.
-
-    A plain ``Window.orderBy(id)`` cumsum would funnel the whole corpus
-    through one task; this form's only wide operations are the range
-    shuffle of fixed-width pairs and the |partitions|-row aggregation, so
-    it holds at 100 TB. Zero-token docs are dropped (they occupy no span).
+    The global offset comes from `running_total`'s two-phase distributed
+    prefix sum over (id, token_count) pairs — never the text — so every
+    stage runs at full cluster parallelism (see `running_total` for why
+    the classic single-window cumsum does not). Zero-token docs are
+    dropped (they occupy no span).
     """
-    if n_partitions is None:
-        n_partitions = df.sparkSession.sparkContext.defaultParallelism
-    toks = (
-        df.select(F.col(id_col), _ws_token_count(text_col).alias("n_tokens"))
-        .filter(F.col("n_tokens") > 0)
-        .repartitionByRange(n_partitions, F.col(id_col))
-        .sortWithinPartitions(id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    toks = df.select(F.col(id_col), _ws_token_count(text_col).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
     )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Materialize the narrow (id, n_tokens, pid, local_end) projection once:
-    # both the span branch and the base-offset branch read it, and without
-    # the checkpoint each would re-scan the corpus text to recount tokens
-    # (~16 bytes/doc pinned vs a second full-text pass at 100 TB).
-    local = toks.withColumn(
-        "_local_end", F.sum("n_tokens").over(w_local)
-    ).localCheckpoint(eager=True)
-    # Phase 2: per-partition totals — |partitions| rows, so the global
-    # cumsum window over them is trivially cheap despite being 1-task.
-    w_base = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = (
-        local.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("_ptotal"))
-        .withColumn("_base", F.coalesce(F.sum("_ptotal").over(w_base), F.lit(0)))
-        .select("_pid", "_base")
-    )
-    spans = (
-        local.join(F.broadcast(bases), "_pid")
-        .withColumn("tok_end", F.col("_base") + F.col("_local_end"))
-        .withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
-    )
+    spans = running_total(
+        toks, "n_tokens", [F.col(id_col)], out_col="tok_end", n_partitions=n_partitions
+    ).withColumn("tok_start", F.col("tok_end") - F.col("n_tokens"))
     first_seq = (F.col("tok_start") / ctx_len).cast("long")
     last_seq = ((F.col("tok_end") - 1) / ctx_len).cast("long")
     out = spans.select(

@@ -27,10 +27,12 @@ from ..operators.pipeline import (
     decontaminate,
     pack_sequences,
     pii_redact,
+    select_within_budget,
     stratified_sample,
 )
 from ..sources.parquet import scan_table
 from . import extra_query, query
+from .text import QUALITY_SQL
 
 #: Decontamination geometry: word trigrams, ≥3 shared shingles flags a doc.
 DECONTAM_NGRAM = 3
@@ -342,4 +344,44 @@ def corpus_build_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emails",
         "n_phones",
         "redacted_text",
+    ).orderBy("doc_id")
+
+
+@extra_query(
+    "token_budget_corpus",
+    oracle=f"""
+    WITH q AS ({QUALITY_SQL}),
+    c AS (
+        SELECT doc_id, source, n_tokens, quality_score,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM q
+    )
+    SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+    FROM c
+    WHERE cum_tokens <= (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 FROM q)
+    """,
+)
+def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: fill HALF the corpus token budget with
+    the highest-quality documents first (quality score desc, doc_id
+    tiebreak), keeping each doc while the inclusive running token total
+    stays within budget — the composition step that turns per-doc quality
+    scores into an actual training corpus. The running total is the
+    two-phase distributed prefix sum (`select_within_budget` →
+    `running_total`), never a single-task global window."""
+    from .text import quality_frame
+
+    q = quality_frame(scan_table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tokens", "quality_score"
+    )
+    budget = q.agg(F.sum("n_tokens")).collect()[0][0] // 2
+    return select_within_budget(
+        q,
+        "n_tokens",
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        budget,
+        cum_col="cum_tokens",
     ).orderBy("doc_id")

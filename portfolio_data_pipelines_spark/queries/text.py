@@ -98,10 +98,14 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_score",
-    oracle=rf"""
-    WITH m AS (
+#: Quality-score SQL (shared: the declared quality query AND downstream
+#: corpus-composition oracles read the same scored frame).
+QUALITY_SQL = rf"""
+    SELECT doc_id, source, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+           0.4 * alpha_ratio
+             + 0.3 * stopword_ratio
+             + 0.3 * (1.0 - punct_ratio) AS quality_score
+    FROM (
       SELECT doc_id,
              source,
              n_chars,
@@ -115,19 +119,16 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE n_chars > 0
     )
-    SELECT doc_id, source, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
-           0.4 * alpha_ratio
-             + 0.3 * stopword_ratio
-             + 0.3 * (1.0 - punct_ratio) AS quality_score
-    FROM m
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
-    into one weighted score — the gating signal a pretraining pipeline
-    thresholds on. All ratios are single IEEE divisions of identical
-    integer counts, so the score is bit-identical across engines."""
-    d = scan_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+"""
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """Scored-document frame: (doc_id, source, n_tokens, alpha_ratio,
+    punct_ratio, stopword_ratio, quality_score) for non-empty docs. The
+    Spark twin of ``QUALITY_SQL`` — all ratios are single IEEE divisions
+    of identical integer counts, so the score is bit-identical across
+    engines and safe to ORDER BY cross-engine."""
+    d = d.filter(F.col("n_chars") > 0)
     n_chars = F.col("n_chars")
     n_tokens = F.size(_ws_tokens())
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double") / n_chars
@@ -149,6 +150,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
         ).alias("quality_score"),
     )
+
+
+@query("text_quality_score", oracle=QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
+    into one weighted score — the gating signal a pretraining pipeline
+    thresholds on. See `quality_frame` for the cross-engine exactness
+    argument."""
+    return quality_frame(scan_table(spark, sf_dir, "documents"))
 
 
 def _lang_vote_sql() -> str:

@@ -169,3 +169,55 @@ def test_pii_counts_mirror_replacement_chain(spark):
     assert row["n_emails"] == 1
     assert row["n_phones"] == 1  # only the standalone number
     assert row["redacted_text"] == "reach <EMAIL> or <PHONE>"
+
+
+def test_running_total_matches_single_window_and_partition_independent(spark):
+    """The two-phase prefix sum must equal a plain ordered-window cumsum
+    for every row, regardless of how many range partitions the input is
+    split into."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.pipeline import running_total
+
+    rows = [(i, (i * 7919) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expect = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    for nparts in (1, 3, 32):
+        got = {
+            r["id"]: r["cum_weight"]
+            for r in running_total(
+                df, "w", [F.col("id")], n_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, nparts
+
+
+def test_select_within_budget_boundary_semantics(spark):
+    """Inclusive running total ≤ budget: the row that first crosses the
+    budget is EXCLUDED, a row landing exactly on it is KEPT, and
+    priority order (not input order) decides who fills the budget."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.pipeline import select_within_budget
+
+    rows = [(1, 0.9, 4), (2, 0.8, 4), (3, 0.7, 4), (4, 0.6, 4)]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    kept = {
+        r["id"]
+        for r in select_within_budget(
+            df, "w", [F.col("score").desc(), F.col("id").asc()], budget=8
+        ).collect()
+    }
+    assert kept == {1, 2}  # cum 4, 8 kept; 12 crosses
+    kept9 = {
+        r["id"]
+        for r in select_within_budget(
+            df, "w", [F.col("score").desc(), F.col("id").asc()], budget=9
+        ).collect()
+    }
+    assert kept9 == {1, 2}  # 12 > 9 still excluded — no partial docs
