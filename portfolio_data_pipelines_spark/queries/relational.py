@@ -965,3 +965,42 @@ def hierarchical_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_utc")
     )
+
+
+@extra_query(
+    "event_value_ranks",
+    oracle="""
+    SELECT event_id, event_type, value,
+           RANK()         OVER wv AS rnk,
+           DENSE_RANK()   OVER wv AS drnk,
+           PERCENT_RANK() OVER wv AS prank,
+           CUME_DIST()    OVER wv AS cdist,
+           NTILE(4)       OVER wt AS quartile
+    FROM events
+    WINDOW wv AS (PARTITION BY event_type ORDER BY value ASC),
+           wt AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth (§2.6): rank / dense_rank /
+    percent_rank / cume_dist over a tie-bearing order (all four are
+    tie-stable by definition — equal values share rank, and the
+    percent/cume ratios are single IEEE divisions of identical integer
+    counts) plus ntile(4) over the tie-broken total order (ntile is
+    row-positional, so determinism REQUIRES the unique tiebreak — the
+    same total-order contract as running_total). One shuffle on the
+    partition key; rank evaluation is a sorted single pass per
+    partition."""
+    ev = scan_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("event_type").orderBy(F.asc("value"))
+    wt = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.percent_rank().over(wv).alias("prank"),
+        F.cume_dist().over(wv).alias("cdist"),
+        F.ntile(4).over(wt).alias("quartile"),
+    ).orderBy("event_id")
