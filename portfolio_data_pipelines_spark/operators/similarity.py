@@ -277,11 +277,14 @@ def kmeans_refine(
             means = ex.groupBy(cluster_id_col, "_pos").agg(
                 (F.sum("_val") / F.count("_val")).alias("_m")
             )
+        # k-row table: checkpoint eagerly so each round's plan is flat
+        # (O(1) lineage per round — the dup_clusters pattern) instead of
+        # nesting every previous round's corpus scan into the next.
         cen = means.groupBy(cluster_id_col).agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda x: x["_m"]
             ).alias(vec_col)
-        )
+        ).localCheckpoint(eager=True)
     return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col)
 
 
@@ -312,9 +315,14 @@ def cluster_cosine_pairs(
     assigned = kmeans_refine(
         corpus, seeds, vec_col, id_col, n_iter=n_iter, cluster_id_col=cluster_id_col
     )
+    # Both pair-join sides read the assignment; checkpoint the (id, vec,
+    # cell, norm) projection once so the final map-side assignment pass
+    # runs once, not twice (at scale: persist this projection
+    # MEMORY_AND_DISK — it is the reusable "index" artifact, ~vector
+    # width per row, the same stance as the dedup family's shared index).
     norms = assigned.withColumn(
         "_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col)))
-    )
+    ).localCheckpoint(eager=True)
     a = norms.select(
         F.col(cluster_id_col),
         F.col(id_col).alias("id_a"),

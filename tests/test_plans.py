@@ -87,3 +87,28 @@ def test_posting_index_build_filters_before_collect(spark):
     # The freq-keep broadcast feeds the join below (deeper in the tree
     # than) the partial collect — i.e. the filter precedes collection.
     assert "freq" in plan[freq_broadcast : freq_broadcast + 2000]
+
+
+def test_semdedup_pair_join_is_hash_equi_on_cluster(spark):
+    """The within-cell pair join must be a hash EQUI-join keyed on the
+    cluster id — never a cartesian over the corpus. Nested-loop joins
+    may appear ONLY as 1-row identity broadcasts (the centroid-array
+    attach that makes assignment map-side); every HashedRelation
+    broadcast must be keyed (an equi-join)."""
+    plan = _plan(spark, "semdedup_pairs")
+    assert "CartesianProduct" not in plan
+    # Each BroadcastNestedLoopJoin must sit on an IdentityBroadcastMode
+    # (1-row attach), not a HashedRelation of corpus rows.
+    assert plan.count("IdentityBroadcastMode") >= plan.count("BroadcastNestedLoopJoin")
+    assert "HashedRelationBroadcastMode" in plan or "SortMergeJoin" in plan
+    assert "cluster_id" in plan
+
+
+def test_budget_selection_has_no_global_single_task_window(spark):
+    """token_budget_corpus must cumsum via the two-phase prefix sum:
+    the only SinglePartition exchange feeds the |partitions|-row
+    base-offset window, and the row-level cumsum window is keyed by the
+    range-partition id."""
+    plan = _plan(spark, "token_budget_corpus")
+    assert "_pid" in plan  # per-partition local cumsum window
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
