@@ -17,6 +17,7 @@ from ..operators.similarity import (
     cosine_topk,
     ivf_topk,
     kmeans_refine,
+    quantized_topk,
     rp_lsh_topk,
 )
 from ..sources.parquet import scan_table
@@ -282,3 +283,46 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(
         emb, queries, "embedding", "vec_id", dim=64, k=10, n_planes=8, n_tables=4
     ).orderBy("query_id", "rank")
+
+
+@extra_query(
+    "ann_quantized_topk",
+    oracle="""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dims AS (SELECT generate_subscripts(v, 1) AS ord, unnest(v) AS val FROM ev),
+    amax AS (SELECT ord, MAX(ABS(val)) AS m FROM dims GROUP BY ord),
+    sc AS (SELECT list(127.0 / m ORDER BY ord) AS s FROM amax),
+    q AS (
+        SELECT e.vec_id,
+               list_transform(range(1, 65),
+                              i -> CAST(floor(e.v[i] * sc.s[i] + 0.5) AS BIGINT)) AS qv
+        FROM ev e, sc
+    ),
+    d AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+               / sqrt(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(a.qv AS DOUBLE[]))
+                      * list_dot_product(CAST(b.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])))
+                   AS qcosine
+        FROM q a JOIN q b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, qcosine, "rank" FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id ASC
+        ) AS "rank" FROM d
+    ) WHERE "rank" <= 10
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by int8-quantized cosine (FAISS-SQ8 shape): per-dimension
+    symmetric scales from the corpus max-abs, explicit half-up rounding
+    (floor(x·s + 0.5) — cross-engine unambiguous where round() is not),
+    integer dot products in the hot loop (exact, order-independent — no
+    sequential-fold trick needed). The 4×-smaller codes are the memory-
+    bandwidth lever for ANN at corpus scale; rank agreement vs exact
+    cosine is the quantization error, pinned in tests."""
+    emb = scan_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return quantized_topk(emb, queries, "embedding", "vec_id", k=10).orderBy(
+        "query_id", "rank"
+    )

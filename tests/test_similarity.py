@@ -172,3 +172,43 @@ def test_kmeans_exact_and_approx_modes_agree(spark):
     assert set(a.values()) <= seed_ids
     assert len(set(a.values())) > 1
     assert a == b
+
+
+def test_quantization_error_bounded_and_topk_overlaps_exact(spark):
+    """Dequantized components must sit within half a quantization step
+    of the original (|v - q/s| ≤ 0.5/s per dimension), codes must stay
+    in [-127, 127], and the quantized top-10 must substantially overlap
+    the exact cosine top-10 (the whole point of SQ8 is that ranking
+    survives 8-bit codes)."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qrows = quantize_embeddings(emb, "embedding", "vec_id").select(
+        "vec_id", "embedding", "qvec", "_scales"
+    ).collect()
+    for r in qrows[:50]:
+        for v, q, s in zip(r["embedding"], r["qvec"], r["_scales"]):
+            assert -127 <= q <= 127, (r["vec_id"], q)
+            assert abs(float(v) - q / s) <= 0.5 / s + 1e-12
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "embedding", "vec_id", k=10).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(emb, queries, "embedding", "vec_id", k=10).collect()
+    }
+    overlap = len(exact & quant) / len(exact)
+    # The synthetic embeddings are near-uniform (pairwise cosines packed
+    # into a narrow band), so 8-bit rank flips are far more likely than
+    # on real clustered embeddings — 0.7 is the honest floor here.
+    assert overlap >= 0.7, overlap
