@@ -900,6 +900,16 @@ def dup_span_coverage(
     stop-gram skew degrades the shuffle evenly, not one task. Span
     positions re-derive map-side from the matched starts (sequence
     explode), never materializing per-gram posting lists.
+
+    The positional gram table is materialized ONCE (build-the-index-once:
+    it feeds the frequency pass and the match join — without it each
+    consumer re-reads and re-shingles the corpus text), as is the
+    matched-starts table both output branches read; everything after the
+    gram table is narrow (id, pos) rows. At 100 TB the production form
+    additionally replaces gram STRINGS by a 64-bit hash in the
+    materialized table (~n·8 bytes vs n-word strings; cross-doc
+    collision odds ~m²/2⁶⁵ merge two grams harmlessly for a coverage
+    metric) — kept as full strings here for bit-exact oracle parity.
     """
     d = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
@@ -915,14 +925,18 @@ def dup_span_coverage(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "gram"),
-    )
+    ).localCheckpoint(eager=True)
     dup_grams = (
         grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= 2)
         .select("gram")
     )
-    hits = grams.join(dup_grams, "gram").select(F.col(id_col), "pos")
+    hits = (
+        grams.join(dup_grams, "gram")
+        .select(F.col(id_col), "pos")
+        .localCheckpoint(eager=True)
+    )
     spans = hits.groupBy(id_col).agg(F.count("*").alias("n_dup_spans"))
     covered = (
         hits.select(
