@@ -957,3 +957,74 @@ def dup_span_coverage(
             (F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")).alias("dup_frac"),
         )
     )
+
+
+def dup_span_removal(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Rewrite each document with cross-corpus duplicated n-gram spans
+    REMOVED, keeping the first occurrence corpus-wide — the transform
+    stage of substring dedup (Lee et al. 2022), where `dup_span_coverage`
+    is the metric stage.
+
+    Ownership: each distinct gram text is owned by its smallest
+    (doc_id, pos) occurrence (encoded ``doc_id·2²⁰ + pos`` so MIN is an
+    argmin — positions must be < 2²⁰ ≈ 1M tokens/doc). Every other
+    occurrence is redundant; all token positions under a redundant
+    occurrence are dropped and the survivors re-join with single spaces.
+    Overlapping self-repeats collapse aggressively (in "x x x x x x x"
+    every position but the first is under some redundant 5-gram) —
+    acceptable for boilerplate scrubbing, documented rather than hidden.
+
+    Output: (id, n_tokens, n_removed, cleaned_text).
+
+    Scale shape: same materialize-the-gram-table-once build as
+    `dup_span_coverage`; ownership is a (gram)-keyed MIN (map-side
+    partial — no posting lists), removal positions re-derive map-side,
+    and the rewrite is a per-doc array filter against the doc's own
+    removed-position set (bounded by doc length). Token positions ride
+    an ~16-byte narrow schema end to end; text is only touched at the
+    first scan and the final rewrite.
+    """
+    pos_limit = 1 << 20
+    d = ensure_min_parallelism(df)
+    words = F.split(F.col(text_col), " ")
+    base = d.select(F.col(id_col), words.alias("_w"), F.size(words).alias("n_tokens"))
+    grams = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(words) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - n),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    ).localCheckpoint(eager=True)
+    key = F.col(id_col) * pos_limit + F.col("pos")
+    owners = grams.groupBy("gram").agg(F.min(key).alias("_okey"))
+    red = (
+        grams.withColumn("_key", key)
+        .join(owners, "gram")
+        .filter(F.col("_key") != F.col("_okey"))
+    )
+    removed = red.select(
+        F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cp")
+    ).distinct()
+    rml = removed.groupBy(id_col).agg(F.collect_set("cp").alias("_rm"))
+    joined = base.join(rml, id_col, "left").withColumn(
+        "_rm", F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("_w") - 1),
+        lambda i: ~F.array_contains(F.col("_rm"), i),
+    )
+    return joined.select(
+        F.col(id_col),
+        "n_tokens",
+        F.size("_rm").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at(F.col("_w"), i + 1))
+        ).alias("cleaned_text"),
+    )

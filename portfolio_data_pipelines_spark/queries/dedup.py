@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     dup_clusters,
     dup_span_coverage,
+    dup_span_removal,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -480,3 +481,49 @@ def dup_span_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated in-doc boilerplate counts every occurrence."""
     docs = scan_table(spark, sf_dir, "documents")
     return dup_span_coverage(docs, "text", "doc_id", n=5).orderBy("doc_id")
+
+
+@extra_query(
+    "dedup_span_removed_docs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT t.doc_id, u.i AS pos,
+               array_to_string(list_slice(t.w, u.i + 1, u.i + 5), ' ') AS gram
+        FROM t, unnest(range(0, greatest(len(t.w) - 5 + 1, 0))) AS u(i)
+    ),
+    own AS (
+        SELECT gram, MIN(doc_id * 1048576 + pos) AS okey FROM g GROUP BY gram
+    ),
+    red AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN own USING (gram)
+        WHERE g.doc_id * 1048576 + g.pos <> own.okey
+    ),
+    rem AS (
+        SELECT DISTINCT doc_id, pos + u.k AS cp
+        FROM red, unnest(range(0, 5)) AS u(k)
+    ),
+    rml AS (SELECT doc_id, list(cp) AS rm FROM rem GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.w) AS n_tokens,
+           COALESCE(len(r.rm), 0) AS n_removed,
+           COALESCE(array_to_string(
+               list_transform(
+                   list_filter(range(0, len(t.w)),
+                               i -> NOT COALESCE(list_contains(r.rm, i), FALSE)),
+                   i -> t.w[i + 1]),
+               ' '), '') AS cleaned_text
+    FROM t LEFT JOIN rml r USING (doc_id)
+    """,
+)
+def dedup_span_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REWRITE (Lee et al. 2022 transform stage): every
+    cross-corpus duplicated 5-gram span is removed except its first
+    occurrence (smallest (doc_id, pos) owns the gram); survivors re-join
+    with single spaces. Returns the cleaned corpus with per-doc removal
+    counts — the metric twin is `dup_span_coverage`."""
+    docs = scan_table(spark, sf_dir, "documents")
+    return dup_span_removal(docs, "text", "doc_id", n=5).orderBy("doc_id")
