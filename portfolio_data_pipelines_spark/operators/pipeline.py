@@ -1,6 +1,6 @@
 """Training-data pipeline operators (SURVEY §2.10 — LLM-pipeline extensions).
 
-Four operators a pretraining data pipeline runs between raw documents and
+Operators a pretraining data pipeline runs between raw documents and
 training sequences, each expressed Spark-first (pure `pyspark.sql.functions`
 column expressions — zero Python UDFs in this module):
 
@@ -16,6 +16,14 @@ column expressions — zero Python UDFs in this module):
   uniform value derived from ``md5(id)`` — reproducible across runs,
   engines and cluster sizes (the property that makes ablations and
   incremental re-runs possible), with per-source rates = data mixing.
+- **Epoch upsampling**: fractional per-stratum repeat factors (2.5 epochs
+  of wiki, 1.0 of web) realized as deterministic copy explosion — the
+  other half of data mixing.
+- **Weighted sampling without replacement**: Efraimidis–Spirakis A-ES
+  keys over md5 uniforms + distributed top-k — proportional-to-weight
+  selection in one pass.
+- **Boilerplate line removal**: strip lines recurring across many
+  documents (C4-style cleaning below document granularity).
 - **PII redaction**: regex scrubbing of emails / phone-like tokens with
   per-doc match counts, one map-only codegen pass.
 
@@ -283,6 +291,159 @@ def stratified_sample(
             .otherwise(threshold)
         )
     return df.filter(u < threshold)
+
+
+def upsample_corpus(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    factors: dict[str, float],
+    default_factor: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Epoch-style corpus upsampling: repeat each row ``f`` times where
+    ``f`` is its stratum's (possibly fractional) factor — e.g. weight a
+    high-quality source at 2.5 epochs while web text runs at 1.0.
+
+    A row gets ``floor(f)`` guaranteed copies plus one more iff its
+    md5-derived uniform falls under ``frac(f)`` — so realized epoch counts
+    converge to ``f`` per stratum while every decision stays a pure
+    function of (id, stratum): reproducible across runs, engines, cluster
+    sizes, and incremental appends (the same property as
+    :func:`stratified_sample`, whose uniform stream this deliberately
+    does NOT reuse — the copy-count key is salted with ``#up`` so
+    sampling and upsampling decisions are independent).
+
+    Map-only with fan-out f̄ (the mixture's mean factor): rows explode a
+    ``sequence(0, n_copies-1)`` — no shuffle, no driver state. The
+    ``copy`` index makes downstream shuffles treat copies as distinct
+    rows and gives sequence packing a deterministic total order.
+    ``f < 1`` strata downsample (0 or 1 copies) — the operator subsumes
+    integer-epoch repetition and fractional mixing in one pass.
+    """
+    u = hash_uniform16(F.concat(F.col(id_col).cast("string"), F.lit("#up")))
+    n_copies = F.lit(int(default_factor)) + (
+        u < F.lit(int((default_factor % 1.0) * 65536))
+    ).cast("int")
+    for value, f in factors.items():
+        n = F.lit(int(f)) + (u < F.lit(int((f % 1.0) * 65536))).cast("int")
+        n_copies = F.when(F.col(strata_col) == value, n).otherwise(n_copies)
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    key_col: str = "_wrs_key",
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES): each row draws key ``ln(u) / w`` (u uniform in (0,1), w its
+    weight) and the k largest keys win — inclusion probability
+    proportional to weight, exactly one pass, no sequential draw.
+
+    The uniform is md5-derived (``#wrs``-salted id), so the "random"
+    sample is deterministic and engine-reproducible. The top-k is
+    ``orderBy(key desc, id).limit(k)`` → TakeOrderedAndProject: every
+    partition keeps its local k, only k-row heaps reach the driver —
+    no global sort, holds at any corpus size.
+
+    Cross-engine caveat (documented, not hidden): ``ln`` is the one
+    non-integer step in the sampling family; JVM ``Math.log`` and libm
+    may differ in the last ulp, which could flip the k-th/(k+1)-th
+    boundary only if two keys agree to ~1e-15 relative — vanishingly
+    unlikely for distinct (u, w) pairs, and the key column itself is
+    dropped from the output.
+    """
+    u = (
+        hash_uniform16(F.concat(F.col(id_col).cast("string"), F.lit("#wrs"))) + 1
+    ).cast("double") / F.lit(65537.0)
+    keyed = df.withColumn(key_col, F.log(u) / F.col(weight_col).cast("double"))
+    return (
+        keyed.orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(k)
+        .drop(key_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (C4/RefinedWeb-style corpus cleaning)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 3,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Strip lines that recur across ≥ ``min_docs`` distinct documents —
+    the C4/RefinedWeb boilerplate pass that removes cookie banners,
+    navigation chrome, and license footers which exact- and near-dedup
+    (document-granular) cannot touch.
+
+    Returns the input columns plus ``n_lines_kept``, ``n_lines_removed``
+    and ``cleaned_text`` (surviving lines re-joined in original order; a
+    fully-boilerplate doc yields an empty string, not a dropped row —
+    the caller decides whether to filter).
+
+    Plan shape (100 TB): lines posexplode map-side; the boilerplate set
+    is a (line)-keyed two-level aggregation — distinct (line, doc) pairs
+    collapse map-side first, then per-line doc counts, so a line
+    appearing 10⁹ times feeds partial aggregates, never one buffer. The
+    surviving-line reassembly anti-joins the exploded lines against the
+    boilerplate set (hash join on the line value — a hot boilerplate
+    line's rows spread across its hash partition) and regroups by doc
+    with ``array_sort`` on (pos, line) structs restoring order. Two
+    shuffles total (boilerplate agg, doc regroup), both on bounded keys;
+    document text crosses the wire once as its own lines.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("_pos", "_line"),
+    )
+    boiler = (
+        lines.select(id_col, "_line")
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("_line")
+    )
+    kept = (
+        lines.join(boiler, "_line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    return (
+        df.join(totals, id_col, "left")
+        .join(kept, id_col, "left")
+        .select(
+            *df.columns,
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.coalesce("_n_lines", F.lit(0)) - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

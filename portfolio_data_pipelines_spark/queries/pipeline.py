@@ -27,8 +27,11 @@ from ..operators.pipeline import (
     decontaminate,
     pack_sequences,
     pii_redact,
+    remove_boilerplate_lines,
     select_within_budget,
     stratified_sample,
+    upsample_corpus,
+    weighted_sample,
 )
 from ..sources.parquet import scan_table
 from . import extra_query, query
