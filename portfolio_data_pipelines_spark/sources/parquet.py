@@ -20,11 +20,49 @@ from pyspark.sql import types as T
 
 from ..schemas import STAR_SCHEMA
 
-#: Columns stored as parquet TIMESTAMP(NANOS). Spark's reader rejects the
-#: type outright; with ``spark.sql.legacy.parquet.nanosAsLong=true`` (set
-#: in the session factory) they arrive as epoch-nanos longs and are
-#: converted here, so every consumer sees the declared TimestampType.
+#: Columns that MAY be stored as parquet TIMESTAMP(NANOS). Spark's reader
+#: rejects that type outright; with ``spark.sql.legacy.parquet.nanosAsLong
+#: =true`` (set in the session factory) they arrive as epoch-nanos longs
+#: and are converted here, so every consumer sees the declared
+#: TimestampType. Whether a given file actually uses NANOS is detected
+#: from its footer (some generator versions write MICROS), so the
+#: conversion only applies when needed.
 _NANOS_TS_COLUMNS: dict[str, set[str]] = {"events": {"ts"}}
+
+#: (path, column) → True when the file's footer declares timestamp[ns].
+_NANOS_DETECTED: dict[tuple[str, str], bool] = {}
+
+
+def _is_nanos_column(path: str, column: str) -> bool:
+    """Inspect the parquet footer once per (path, column).
+
+    Footer-only read (no data pages) — cheap, driver-side, cached. At
+    cluster scale this mirrors what a table catalog records once at
+    registration time rather than per query.
+    """
+    key = (path, column)
+    if key not in _NANOS_DETECTED:
+        try:
+            import glob
+            import os
+
+            import pyarrow.parquet as pq
+
+            probe = path
+            if os.path.isdir(path):  # directory dataset: probe one part file
+                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+                probe = parts[0] if parts else path
+            ftype = pq.read_schema(probe).field(column).type
+            # TIMESTAMP(NANOS) footers, or raw int64 columns (this lake's
+            # contract: a long-typed event time IS epoch-nanos).
+            _NANOS_DETECTED[key] = (
+                getattr(ftype, "unit", None) == "ns" or str(ftype) == "int64"
+            )
+        except Exception:
+            # Unreadable footer / missing pyarrow: assume the modern
+            # MICROS encoding (Spark reads it natively).
+            _NANOS_DETECTED[key] = False
+    return _NANOS_DETECTED[key]
 
 
 def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -34,7 +72,10 @@ def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     keeps the contract stable across files and skips schema merging.
     """
     schema = STAR_SCHEMA.get(name)
-    nanos_cols = _NANOS_TS_COLUMNS.get(name, set())
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = {
+        c for c in _NANOS_TS_COLUMNS.get(name, set()) if _is_nanos_column(path, c)
+    }
     reader = spark.read
     if schema is not None:
         if nanos_cols:
@@ -44,14 +85,14 @@ def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     for f in schema.fields
                 ]
             )
-            df = reader.schema(read_schema).parquet(f"{sf_dir}/{name}.parquet")
+            df = reader.schema(read_schema).parquet(path)
             for c in nanos_cols:
                 # epoch-nanos → epoch-micros → timestamp; integer div
                 # truncates sub-microsecond precision (none in testdata).
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
             return df.select(*[f.name for f in schema.fields])
-        return reader.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
-    return reader.parquet(f"{sf_dir}/{name}.parquet")
+        return reader.schema(schema).parquet(path)
+    return reader.parquet(path)
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:

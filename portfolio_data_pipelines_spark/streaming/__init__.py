@@ -43,16 +43,27 @@ def events_file_stream(
 ) -> DataFrame:
     """File-source stream over the events table.
 
-    Same nanos-timestamp handling as the batch scan
-    (sources/parquet.py): read ``ts`` as epoch-nanos long, convert to
+    Same timestamp handling as the batch scan (sources/parquet.py):
+    when the fixture stores ``ts`` as TIMESTAMP(NANOS) — detected from
+    the parquet footer — read it as an epoch-nanos long and convert to
     TimestampType, so batch and stream share one declared schema.
     """
+    import glob as _glob
+
+    from ..sources.parquet import _is_nanos_column
+
     schema = STAR_SCHEMA["events"]
-    read_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in schema.fields
-        ]
+    matches = sorted(_glob.glob(f"{sf_dir}/events*.parquet"))
+    nanos = _is_nanos_column(matches[0] if matches else f"{sf_dir}/events.parquet", "ts")
+    read_schema = (
+        T.StructType(
+            [
+                T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        if nanos
+        else schema
     )
     # The file source requires a directory; restrict listing to the
     # events file(s) with a glob so sibling tables aren't picked up.
@@ -60,9 +71,9 @@ def events_file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        *[f.name for f in schema.fields]
-    )
+    if nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select(*[f.name for f in schema.fields])
 
 
 def tumbling_daily_mart(events: DataFrame, watermark: str = "1 day") -> DataFrame:
