@@ -17,7 +17,7 @@ DuckDB ``strpos``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.pipeline import (
@@ -28,6 +28,7 @@ from ..operators.pipeline import (
     pack_sequences,
     pii_redact,
     remove_boilerplate_lines,
+    running_total,
     select_within_budget,
     stratified_sample,
     upsample_corpus,
@@ -388,3 +389,43 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget,
         cum_col="cum_tokens",
     ).orderBy("doc_id")
+
+
+@extra_query(
+    "deterministic_corpus_shuffle",
+    oracle="""
+    SELECT doc_id, source, shuffle_key,
+           ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) AS shuffle_pos
+    FROM (
+      SELECT doc_id, source,
+             md5(CONCAT(CAST(doc_id AS VARCHAR), ':', 'epoch42')) AS shuffle_key
+      FROM documents
+    )
+    """,
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (SURVEY §2.10 — every
+    pretraining run needs a reproducible, cluster-size-independent
+    example order): shuffle position = rank of ``md5(doc_id:epoch)``.
+    The key is a pure function of (doc_id, epoch constant), so the
+    permutation is identical across partition counts, retries, and
+    engines — rerunning an epoch or resuming mid-run reproduces the
+    exact order, unlike ``rand()``-based shuffles. The global position
+    is a two-phase distributed prefix count over the md5 order
+    (``running_total`` with weight 1) — NOT a single-task
+    ``Window.orderBy`` row_number — so every stage runs at cluster
+    parallelism; md5 keys are uniform, so the range shuffle has no
+    skew."""
+    keyed = scan_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.lit("epoch42"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return running_total(
+        keyed.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("shuffle_key"), F.col("doc_id")],
+        out_col="shuffle_pos",
+    ).select("doc_id", "source", "shuffle_key", "shuffle_pos")

@@ -1004,3 +1004,60 @@ def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(wv).alias("cdist"),
         F.ntile(4).over(wt).alias("quartile"),
     ).orderBy("event_id")
+
+
+@extra_query(
+    "customer_order_full_outer_recon",
+    oracle=f"""
+    WITH oagg AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {dsum_sql('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+                WHEN oagg.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence,
+           COUNT(*) AS n_keys,
+           COALESCE(SUM(oagg.n_orders), 0) AS n_orders,
+           CAST(COALESCE(SUM(CAST(oagg.spend AS DECIMAL(30,4))), 0) AS DOUBLE)
+             AS total_spend
+    FROM customer c
+    FULL OUTER JOIN oagg ON c.c_custkey = oagg.o_custkey
+    GROUP BY 1
+    ORDER BY presence
+    """,
+)
+def customer_order_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation (SURVEY §2.5 — the last join shape):
+    customers vs per-customer order rollup, keyed classification of
+    which side each key appears on. The order side pre-aggregates to one
+    row per key BEFORE the full-outer join, so the join carries |keys|
+    rows, not |orders| — at 100 TB the rollup absorbs the fact-table
+    volume and the outer join is key-to-key. Spark plans this as a
+    single sort-merge full-outer on the custkey shuffle."""
+    cust = scan_table(spark, sf_dir, "customer").select("c_custkey")
+    oagg = (
+        scan_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("spend"),
+        )
+    )
+    full = cust.join(oagg, cust.c_custkey == oagg.o_custkey, "full_outer")
+    presence = (
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+    )
+    return (
+        full.groupBy(presence.alias("presence"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.sum(F.col("spend").cast("decimal(30,4)")), F.lit(0).cast("decimal(30,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("presence")
+    )

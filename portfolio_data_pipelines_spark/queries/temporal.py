@@ -9,14 +9,14 @@ against DuckDB's native ``ASOF JOIN``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
 from ..operators.skew import salted_join
 from ..operators.temporal import asof_join, band_join
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 
 def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,4 +187,157 @@ def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@extra_query(
+    "rolling_7d_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d_sum,
+           COUNT(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS rolling_7d_n
+    FROM events
+    """,
+)
+def rolling_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE-frame rolling aggregate (SURVEY §2.6 ext): per
+    user, the trailing-7-day sum/count of ``value`` at every event.
+    Spark's RANGE frame needs a numeric order key, so the frame runs
+    over ``unix_micros(ts)`` with a ±micros bound — semantically
+    identical to the oracle's ``RANGE INTERVAL 7 DAY PRECEDING`` (both
+    bounds inclusive, ties all included). One shuffle on user_id; the
+    frame is evaluated with a sliding two-pointer pass per partition —
+    linear, no per-row rescan. Sum accumulates in DECIMAL(30,4) (the
+    dsum contract) so the value is order-independent and bit-exact
+    cross-engine."""
+    seven_days_us = 7 * 86400 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-seven_days_us, 0)
+    )
+    return scan_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(30,4)")).over(w).cast("double").alias("rolling_7d_sum"),
+        F.count("value").over(w).alias("rolling_7d_n"),
+    )
+
+
+@extra_query(
+    "daily_gapfill_ffill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             {dsum_sql('value')} AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+    ),
+    spine AS (
+      SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT s.d, t.event_type,
+           LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+             PARTITION BY t.event_type ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_value_ffill,
+           daily.day_value IS NOT NULL AS observed
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN daily ON daily.d = s.d AND daily.event_type = t.event_type
+    """,
+)
+def daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill + forward fill (SURVEY §2.6 ext — the
+    time-series resample primitive): a complete (day x event_type) grid
+    from ``sequence(min_day, max_day)``, left-joined to the observed
+    daily totals, missing days forward-filled with
+    ``last(value, ignorenulls=True)``. The spine derives from two
+    broadcast-size aggregates (global min/max + distinct types), so the
+    only real shuffle is the daily rollup itself; at 100 TB the grid is
+    |days| x |types| rows — trivially small next to the fact table."""
+    events = scan_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(dsum("value").alias("day_value"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    types = events.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(daily, ["d", "event_type"], "left")
+        .select(
+            "d",
+            "event_type",
+            F.last("day_value", ignorenulls=True).over(w).alias("day_value_ffill"),
+            F.col("day_value").isNotNull().alias("observed"),
+        )
+    )
+
+
+@extra_query(
+    "scd2_user_type_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history built from a change log (SURVEY §2.6 ext /
+    dbt-snapshot parity): collapse each user's event stream into
+    contiguous [valid_from, valid_to) intervals of its ``event_type``
+    attribute — change detection via lag, interval close via lead, open
+    interval = current row. Two windows over one user_id shuffle,
+    linear per key; ties broken by event_id so the history is
+    deterministic. The batch-merge face of the same semantic lives in
+    operators/scd.py (``scd2_merge``)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = scan_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
     )

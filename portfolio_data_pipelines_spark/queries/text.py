@@ -518,3 +518,126 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+#: BM25 retrieval constants. The idf is the *rational* Robertson form
+#: (N - df + 0.5)/(df + 0.5) WITHOUT the usual log wrap: Spark's and
+#: DuckDB's libm ``ln`` differ in the last ulp on a few percent of
+#: inputs (same reason tfidf_top_terms_per_doc is log-free), and for a
+#: fixed query the log is monotone per-term, so ranking quality is
+#: preserved while every arithmetic step stays bit-identical.
+BM25_TERMS = ("hash", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@extra_query(
+    "bm25_topk_docs",
+    oracle=rf"""
+    WITH tokens AS (
+      SELECT doc_id, unnest({_ws_tokens_sql()}) AS word FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, COUNT(*) AS dl FROM tokens GROUP BY doc_id
+    ),
+    scalars AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (CAST((SELECT SUM(dl) FROM doclen) AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tokens
+      WHERE word IN ('hash', 'join', 'window')
+      GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             (((CAST(s.n_docs AS DOUBLE) - df.df) + 0.5) / (df.df + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                  / (CAST(tf.tf AS DOUBLE)
+                     + ({BM25_K1} * ((1.0 - {BM25_B})
+                        + ({BM25_B} * (CAST(doclen.dl AS DOUBLE) / s.avgdl))))))
+               AS term_score
+      FROM tf
+      JOIN doclen ON tf.doc_id = doclen.doc_id
+      JOIN df ON tf.word = df.word
+      CROSS JOIN scalars s
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             MAX(CASE WHEN word = 'hash' THEN term_score END) AS s_hash,
+             MAX(CASE WHEN word = 'join' THEN term_score END) AS s_join,
+             MAX(CASE WHEN word = 'window' THEN term_score END) AS s_window
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, s_hash, s_join, s_window,
+           ((COALESCE(s_hash, 0.0) + COALESCE(s_join, 0.0))
+             + COALESCE(s_window, 0.0)) AS bm25
+    FROM pivoted
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (SURVEY §2.10 — the lexical face of the
+    similarity-search family; the retrieval primitive behind RAG corpus
+    curation). Query terms are compile-time constants, so the token
+    stream filters to |terms| words BEFORE any shuffle — the tf table
+    carries at most |docs| x |terms| rows and df collapses to 3 rows
+    (broadcast). Per-term scores pivot into fixed columns and sum in
+    written order, so the total is evaluation-order-deterministic and
+    bit-exact vs the oracle. At 100 TB: one scan for doc lengths, one
+    filtered scan for tf — both map-side until the per-key rollups; the
+    final top-k compiles to TakeOrderedAndProject."""
+    d = scan_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_ws_tokens()).alias("word"))
+    doclen = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tokens.filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scalars = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    term_score = (
+        ((F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * (
+            (F.col("tf").cast("double") * (k1 + F.lit(1.0)))
+            / (
+                F.col("tf").cast("double")
+                + (k1 * ((F.lit(1.0) - b) + (b * (F.col("dl").cast("double") / F.col("avgdl")))))
+            )
+        )
+    )
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(scalars))
+        .select("doc_id", "word", term_score.alias("term_score"))
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        F.max(F.when(F.col("word") == "hash", F.col("term_score"))).alias("s_hash"),
+        F.max(F.when(F.col("word") == "join", F.col("term_score"))).alias("s_join"),
+        F.max(F.when(F.col("word") == "window", F.col("term_score"))).alias("s_window"),
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            "s_hash",
+            "s_join",
+            "s_window",
+            (
+                (F.coalesce(F.col("s_hash"), F.lit(0.0)) + F.coalesce(F.col("s_join"), F.lit(0.0)))
+                + F.coalesce(F.col("s_window"), F.lit(0.0))
+            ).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
