@@ -24,16 +24,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 _SOURCE_RE = re.compile(r"\{\{\s*source\(\s*'([^']*)'\s*,\s*'([^']*)'\s*\)\s*\}\}")
 _REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']*)'\s*\)\s*\}\}")
+_THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
+# dbt's incremental guard: {% if is_incremental() %} ... {% endif %}.
+# Kept on incremental runs, stripped on first build / full refresh.
+_INCR_RE = re.compile(
+    r"\{%\s*if\s+is_incremental\(\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.DOTALL
+)
 
 
 @dataclass(frozen=True)
 class Model:
-    """One named SELECT model (dbt-model parity)."""
+    """One named SELECT model (dbt-model parity).
+
+    ``materialized`` mirrors dbt: ``view`` (default — lazy, inlined by
+    Catalyst), ``table`` (physical CTAS rebuilt per run), or
+    ``incremental`` (first run = CTAS; later runs compute only the SQL's
+    output — typically filtered via the ``is_incremental()`` block
+    against ``{{ this }}`` — and merge it in on ``unique_key``, or
+    append when no key is given). Physical materializations require a
+    metastore-backed session (``run(persistent=True)``).
+    """
 
     name: str
     sql: str
     tags: frozenset[str] = field(default_factory=frozenset)
     schema: str = ""  # namespace prefix, e.g. "stg" / "marts"
+    materialized: str = "view"  # view | table | incremental
+    unique_key: tuple[str, ...] = ()
 
     @property
     def view_name(self) -> str:
@@ -83,12 +100,17 @@ class ModelRegistry:
 
     # -- compilation --------------------------------------------------------
 
-    def compile_sql(self, model: Model, persistent: bool = False) -> str:
-        """Resolve {{source}} / {{ref}} placeholders to view names.
+    def compile_sql(
+        self, model: Model, persistent: bool = False, is_incremental: bool = False
+    ) -> str:
+        """Resolve {{source}} / {{ref}} / {{this}} placeholders.
 
         ``persistent`` resolves refs to schema-qualified names
         (``stg.stg_weather_hourly``) instead of flattened temp-view
         names, matching where ``run(persistent=True)`` builds them.
+        ``is_incremental`` keeps the body of ``{% if is_incremental() %}``
+        blocks (incremental runs); otherwise the block is stripped
+        (first build / full refresh) — dbt's exact contract.
         """
 
         def sub_source(m: re.Match) -> str:
@@ -104,7 +126,11 @@ class ModelRegistry:
             target = self._models[name]
             return target.qualified_name if persistent else target.view_name
 
-        sql = _SOURCE_RE.sub(sub_source, model.sql)
+        sql = _INCR_RE.sub((lambda m: m.group(1)) if is_incremental else "", model.sql)
+        sql = _THIS_RE.sub(
+            model.qualified_name if persistent else model.view_name, sql
+        )
+        sql = _SOURCE_RE.sub(sub_source, sql)
         return _REF_RE.sub(sub_ref, sql)
 
     def topo_order(self, names: list[str]) -> list[str]:
@@ -142,10 +168,12 @@ class ModelRegistry:
         exclude: set[str] | None = None,
         persistent: bool = False,
     ) -> dict[str, DataFrame]:
-        """Create views for the selected models, dependency-first.
+        """Build the selected models, dependency-first.
 
-        Like ``dbt run``: no data moves — views are lazy; Catalyst
-        optimizes the composed plan at query time.
+        Like ``dbt run``: ``view`` models are lazy (no data moves;
+        Catalyst optimizes the composed plan at query time), while
+        ``table`` / ``incremental`` models materialize physically via
+        :meth:`_build_physical`.
 
         ``persistent=False`` (default) builds session-scoped temp views
         named ``<schema>_<name>``. ``persistent=True`` builds
@@ -159,15 +187,65 @@ class ModelRegistry:
         built: dict[str, DataFrame] = {}
         for name in self.topo_order(self.select(tag, exclude)):
             model = self._models[name]
-            sql = self.compile_sql(model, persistent=persistent)
-            if persistent:
+            if model.materialized in ("table", "incremental"):
+                if not persistent:
+                    raise ValueError(
+                        f"model {model.name!r} is materialized="
+                        f"{model.materialized!r}, which needs a metastore-"
+                        "backed session — call run(persistent=True) with "
+                        "get_spark(warehouse_dir=...)"
+                    )
+                built[model.qualified_name] = self._build_physical(spark, model)
+            elif persistent:
+                sql = self.compile_sql(model, persistent=True)
                 if model.schema:
                     spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
                 spark.sql(f"CREATE OR REPLACE VIEW {model.qualified_name} AS {sql}")
                 df = spark.table(model.qualified_name)
                 built[model.qualified_name] = df
             else:
+                sql = self.compile_sql(model, persistent=False)
                 df = spark.sql(sql)
                 df.createOrReplaceTempView(model.view_name)
                 built[model.view_name] = df
         return built
+
+    def _build_physical(self, spark: SparkSession, model: Model) -> DataFrame:
+        """Build a ``table`` / ``incremental`` model in the catalog.
+
+        ``table``: full rebuild (CTAS-overwrite) every run.
+        ``incremental``: first run is a CTAS with the is_incremental()
+        block stripped; later runs evaluate only the model SQL (whose
+        incremental block typically filters the source against
+        ``{{ this }}``'s high-water mark), then
+        - merge on ``unique_key``: existing rows whose keys reappear are
+          replaced (anti-join + union — the plain-parquet MERGE, same
+          shape as operators/medallion.merge_upsert), or
+        - append when no key is given (dbt's append strategy).
+
+        Scale: the incremental branch reads the existing table once for
+        the anti-join, shuffled on the key. For date-partitioned marts
+        prefer keying the model on the partition column so the anti-join
+        prunes to touched partitions; on Delta/Iceberg this whole branch
+        collapses into native MERGE. The merged result is
+        localCheckpoint'ed before the overwrite because Spark cannot
+        overwrite a table it is still lazily reading from.
+        """
+        if model.schema:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {model.schema}")
+        q = model.qualified_name
+        exists = spark.catalog.tableExists(q)
+        if model.materialized == "table" or not exists:
+            df = spark.sql(self.compile_sql(model, persistent=True, is_incremental=False))
+            df.write.mode("overwrite").format("parquet").saveAsTable(q)
+            return spark.table(q)
+        new = spark.sql(self.compile_sql(model, persistent=True, is_incremental=True))
+        if model.unique_key:
+            keys = list(model.unique_key)
+            existing = spark.table(q)
+            kept = existing.join(new.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.select(*new.columns).unionByName(new).localCheckpoint(eager=True)
+            merged.write.mode("overwrite").format("parquet").saveAsTable(q)
+        else:
+            new.write.mode("append").format("parquet").saveAsTable(q)
+        return spark.table(q)

@@ -147,3 +147,85 @@ spark.stop()
                 capture_output=True, text=True, timeout=300,
             )
             assert marker in proc.stdout, proc.stderr[-3000:]
+
+
+class TestIncrementalMaterialization:
+    """dbt materialized=incremental / table parity (plans/registry.py)."""
+
+    SCRIPT = """
+import sys
+sys.path.insert(0, "/root/repo")
+import datetime as dt
+from portfolio_data_pipelines_spark.plans.registry import Model, ModelRegistry
+from portfolio_data_pipelines_spark.session import get_spark
+
+spark = get_spark(app_name="incremental-build", master="local[2]", warehouse_dir="{wh}",
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.sql.shuffle.partitions": "2"}})
+
+rows = [(1, dt.datetime(2024, 1, 1), 10.0), (2, dt.datetime(2024, 1, 2), 20.0)]
+spark.createDataFrame(rows, "id bigint, ts timestamp, v double") \\
+    .write.mode("overwrite").saveAsTable("events_src")
+
+MODEL = Model(
+    name="events_latest",
+    schema="marts",
+    materialized="incremental",
+    unique_key=("id",),
+    sql='''
+        SELECT id, ts, v FROM {{{{ source('public', 'events') }}}}
+        {{% if is_incremental() %}}
+        WHERE ts > (SELECT MAX(ts) FROM {{{{ this }}}})
+        {{% endif %}}
+    ''',
+)
+reg = ModelRegistry().add(MODEL).map_source("public", "events", "default.events_src")
+
+# First run: CTAS with the incremental block stripped.
+built = reg.run(spark, persistent=True)
+assert spark.table("marts.events_latest").count() == 2
+
+# Source grows: one genuinely new id, one updated id (same key, newer ts).
+more = [(2, dt.datetime(2024, 1, 5), 99.0), (3, dt.datetime(2024, 1, 6), 30.0)]
+spark.createDataFrame(more, "id bigint, ts timestamp, v double") \\
+    .write.mode("append").saveAsTable("events_src")
+
+# Second run: only rows past the high-water mark are computed, merged on id.
+reg.run(spark, persistent=True)
+got = {{r.id: (r.v, r.ts) for r in spark.table("marts.events_latest").collect()}}
+assert len(got) == 3, got
+assert got[1][0] == 10.0
+assert got[2] == (99.0, dt.datetime(2024, 1, 5)), got[2]  # key 2 replaced, not duplicated
+assert got[3][0] == 30.0
+
+# Re-run with no new source rows: idempotent (high-water filter yields 0).
+reg.run(spark, persistent=True)
+assert spark.table("marts.events_latest").count() == 3
+
+# materialized=table: full rebuild every run.
+TBL = Model(name="events_copy", schema="marts", materialized="table",
+            sql="SELECT id, v FROM {{{{ source('public', 'events') }}}}")
+reg2 = ModelRegistry().add(TBL).map_source("public", "events", "default.events_src")
+reg2.run(spark, persistent=True)
+assert spark.table("marts.events_copy").count() == 4
+
+# Physical materializations demand a metastore-backed run.
+try:
+    reg.run(spark, persistent=False)
+    raise AssertionError("expected ValueError for non-persistent incremental run")
+except ValueError:
+    pass
+
+print("INCR_OK")
+spark.stop()
+"""
+
+    def test_incremental_merge_and_table_rebuild(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        proc = subprocess.run(
+            [_sys.executable, "-c", self.SCRIPT.format(wh=str(tmp_path / "cat"))],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert "INCR_OK" in proc.stdout, proc.stderr[-3000:]
