@@ -474,3 +474,75 @@ def pii_redact(df: DataFrame, text_col: str) -> DataFrame:
         phones.alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (fastText-style columnar inference)
+# ---------------------------------------------------------------------------
+
+#: Hashing-trick feature space: 4 md5 hex nibbles = 16 bits = 65536 buckets.
+CLF_BUCKETS = 65536
+#: Knuth multiplicative constant mapping bucket → pseudo-weight.
+CLF_MIX = 2654435761
+#: Weight denominator — a power of two, so every weight k/2^20 - 0.5 is an
+#: exact dyadic rational: doc-level double sums are EXACT (≤ 30 mantissa
+#: bits used) and therefore order-independent without decimal accumulation.
+CLF_DENOM = 1048576
+
+
+def _bucket_expr(word: Column) -> Column:
+    """16-bit feature bucket from the first 4 md5 hex nibbles of a token.
+
+    Same instr-on-hex idiom as SimHash (operators/dedup._md5_nibble) —
+    md5 is the one hash both Spark and DuckDB expose with identical
+    output, so classifier scores are fully oracle-checkable.
+    """
+    h = F.md5(word)
+    nib = lambda j: F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)  # noqa: E731
+    return nib(0) + nib(1) * 16 + nib(2) * 256 + nib(3) * 4096
+
+
+def hashed_linear_score(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Score documents with a hashed linear model — model inference as a
+    pure columnar plan (SURVEY §2.10: the model-based quality-filter
+    stage every pretraining pipeline runs after the heuristic gates).
+
+    The fastText recipe: token → hashing-trick bucket → weight lookup →
+    mean over tokens → threshold. Weights here are a deterministic
+    function of the bucket (``(bucket * CLF_MIX) % 2^20 / 2^20 - 0.5``)
+    standing in for trained parameters; swapping in a real model is a
+    broadcast join (or ``transform``-over-literal-array lookup) against
+    a weights table keyed by bucket — identical plan shape.
+
+    Scale: explode → map-side weight computation → one aggregation
+    shuffle on ``id_col`` with partial sums. No weight table is
+    shuffled (the weight is computed in-line; a trained table would
+    broadcast). Returns (id, n_tokens, margin_sum, margin, keep);
+    ``margin`` is the raw linear margin, not a sigmoid — exact
+    cross-engine, monotone-equivalent for thresholding (libm ``exp``
+    differs in last-ulp between engines).
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.filter(F.split(text_col, r"\s+"), lambda t: t != "")).alias("_w")
+    )
+    weight = (
+        ((_bucket_expr(F.col("_w")) * F.lit(CLF_MIX)) % F.lit(CLF_DENOM)).cast("double")
+        / F.lit(float(CLF_DENOM))
+    ) - F.lit(0.5)
+    return (
+        tokens.select(id_col, weight.alias("_weight"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_weight").alias("margin_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "margin_sum",
+            (F.col("margin_sum") / F.col("n_tokens")).alias("margin"),
+            (F.col("margin_sum") / F.col("n_tokens") > F.lit(threshold)).alias("keep"),
+        )
+    )

@@ -25,6 +25,7 @@ from ..operators.pipeline import (
     PHONE_RE,
     contamination_pairs,
     decontaminate,
+    hashed_linear_score,
     pack_sequences,
     pii_redact,
     remove_boilerplate_lines,
@@ -429,3 +430,46 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("shuffle_key"), F.col("doc_id")],
         out_col="shuffle_pos",
     ).select("doc_id", "source", "shuffle_key", "shuffle_pos")
+
+
+@extra_query(
+    "quality_classifier_scores",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+               AS word
+      FROM documents
+    ),
+    buckets AS (
+      SELECT doc_id,
+               (instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1)
+             + (instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 256
+             + (instr('0123456789abcdef', substr(md5(word), 4, 1)) - 1) * 4096
+               AS bucket
+      FROM tokens
+    ),
+    weighted AS (
+      SELECT doc_id,
+             (CAST((bucket * 2654435761) % 1048576 AS DOUBLE) / 1048576.0) - 0.5 AS w
+      FROM buckets
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(w) AS margin_sum,
+           SUM(w) / COUNT(*) AS margin,
+           (SUM(w) / COUNT(*)) > 0.0 AS keep
+    FROM weighted
+    GROUP BY doc_id
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (SURVEY §2.10): hashed linear
+    classifier over the documents table — see
+    ``operators.pipeline.hashed_linear_score`` for the plan shape and
+    the dyadic-weight trick that makes double sums exact and
+    order-independent (no decimal accumulation needed)."""
+    return hashed_linear_score(
+        scan_table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
