@@ -112,3 +112,56 @@ def test_budget_selection_has_no_global_single_task_window(spark):
     plan = _plan(spark, "token_budget_corpus")
     assert "_pid" in plan  # per-partition local cumsum window
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_q3_shape_broadcasts_dims_and_take_ordered(spark):
+    plan = _plan(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan  # top-10, no global sort
+    assert "BroadcastHashJoin" in plan  # customer broadcasts
+    # The date filters push into the parquet scans.
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+    assert any("o_orderdate" in s for s in pushed)
+
+
+def test_bm25_term_filter_lands_before_shuffle(spark):
+    plan = _plan(spark, "bm25_topk_docs")
+    assert "TakeOrderedAndProject" in plan
+    # df (3 rows) and the scalar row broadcast; the corpus never joins
+    # through a nested loop.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "IdentityBroadcastMode" in plan
+
+
+def test_rolling_range_frame_is_specified_range(spark):
+    plan = _plan(spark, "rolling_7d_user_value")
+    # One user_id exchange, one window node with a RANGE specifiedwindowframe.
+    assert plan.lower().count("exchange hashpartitioning(user_id") == 1
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_deterministic_shuffle_has_no_single_task_window(spark):
+    plan = _plan(spark, "deterministic_corpus_shuffle")
+    # Global rank comes from the two-phase prefix count (the range
+    # shuffle + per-partition cumsum sit behind running_total's
+    # localCheckpoint; this plan joins the broadcast base offsets) —
+    # never a global single-task row_number window over the corpus.
+    assert "_pid" in plan and "_local_end" in plan
+    assert "row_number" not in plan.lower()
+
+
+def test_scd2_merge_single_key_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.scd import scd2_init
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    events = scan_table(spark, SF, "events").select(
+        "user_id", "event_type", F.col("ts").alias("seen_at"), "event_id"
+    )
+    df = scd2_init(events, ["user_id"], ["event_type"], "seen_at")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Both window passes ride ONE user_id exchange; no join in the
+    # init path.
+    assert plan.lower().count("exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan
