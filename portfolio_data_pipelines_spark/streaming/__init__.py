@@ -253,6 +253,23 @@ def interval_join_attribution(
     )
 
 
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on: str | list, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: a (small) dimension broadcast into
+    every micro-batch — the standard lookup-enrichment shape.
+
+    The static side is re-resolved per micro-batch, so a dimension view
+    over a slowly-refreshed table picks up updates without restarting
+    the query. Broadcast keeps the stream side shuffle-free: at scale a
+    stream-static join must never shuffle the stream on the join key
+    per batch (the dimension moves to the data, not the reverse). For
+    dimensions too big to broadcast, pre-bucket both sides or go
+    stream-stream with watermarks (interval_join_attribution).
+    """
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_to_bronze(
     events: DataFrame,
     path: str,

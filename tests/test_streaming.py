@@ -268,3 +268,35 @@ def test_interval_join_left_outer_keeps_unmatched(spark):
     assert unmatched_ids  # the fixture must actually exercise the path
     # inner rows are exactly the matched subset of outer rows
     assert outer_df.count() == inner_df.count() + unmatched.count()
+
+
+def test_stream_static_enrichment_equals_batch_join(spark):
+    """Stream-static broadcast enrichment: the streamed left join against
+    a static dimension equals the batch join, and rows without a match
+    survive with nulls (left semantics)."""
+    from portfolio_data_pipelines_spark.streaming import enrich_with_dimension
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue"), ("view", "engagement")],
+        "event_type string, category string",
+    )
+    stream = enrich_with_dimension(
+        events_file_stream(spark, SF).select("event_id", "event_type", "value"),
+        dim,
+        on="event_type",
+    )
+    name = _run_to_memory(stream, "append")
+    got = _rows(spark, name)
+
+    batch = (
+        scan_table(spark, SF, "events")
+        .select("event_id", "event_type", "value")
+        .join(F.broadcast(dim), "event_type", "left")
+    )
+    want = sorted(tuple(map(str, r)) for r in batch.collect())
+    assert got == want
+    # Unmatched types must be present (left join, not inner).
+    assert any(r[-1] == "None" for r in got) or all(
+        t in ("click", "purchase", "view")
+        for t in {r[0] for r in got}
+    )
