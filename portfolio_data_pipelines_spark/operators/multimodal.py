@@ -8,11 +8,14 @@ never has to fit in executor Python memory at once.
 
 Decoding: :func:`decode_image` prefers PIL when installed and otherwise
 falls back to built-in pure-Python decoders for binary PPM (P6) and
-uncompressed 24-bit BMP — a REAL, tested decode path in this container
-(:func:`decode_image_features` drives it through Arrow batches); formats
-beyond those two raise ``NotImplementedError`` until PIL is present, as
-does audio decode (no soundfile/librosa here). The byte-level fake
-feature extractor remains the oracle-checked plumbing path.
+uncompressed 24-bit BMP; :func:`decode_audio` prefers soundfile and
+falls back to a stdlib ``wave`` PCM decoder — so BOTH modalities have a
+REAL, tested decode path in this container
+(:func:`decode_image_features` / :func:`decode_audio_features` drive
+them through Arrow batches); formats beyond those raise
+``NotImplementedError`` until the full codec libraries are present. The
+byte-level fake feature extractor remains the oracle-checked plumbing
+path.
 
 Scale notes:
 - ``mapInPandas`` keeps partition boundaries: no shuffle is introduced;
@@ -145,21 +148,50 @@ def decode_image(content: bytes):
     )
 
 
-def decode_audio(content: bytes):  # pragma: no cover - stub by design
-    """Real audio decode — STUB. The container has no audio libraries;
-    when librosa/soundfile is available this returns (samples, rate)."""
-    try:
-        import io
+def decode_audio(content: bytes):
+    """Decode an audio payload to (float32 samples in [-1, 1], rate).
 
+    Prefers soundfile when installed (full format coverage); otherwise
+    falls back to a stdlib ``wave`` decoder for PCM WAV (8/16/32-bit,
+    any channel count — channels are interleaved into shape
+    (frames, channels)) — so, like images, the decode path is REAL and
+    tested in this container, and compressed formats raise
+    ``NotImplementedError`` until soundfile is present."""
+    import io
+
+    try:
         import soundfile  # noqa: F401
 
         return soundfile.read(io.BytesIO(content))
-    except ImportError as exc:
-        raise NotImplementedError(
-            "audio decoding requires soundfile/librosa, not installed in "
-            "this environment; byte-level plumbing is exercised by "
-            "extract_features()/resize_media()"
-        ) from exc
+    except ImportError:
+        pass
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return _decode_wav(content)
+    raise NotImplementedError(
+        "only PCM WAV decodes without soundfile, which is not installed "
+        "in this environment"
+    )
+
+
+def _decode_wav(content: bytes):
+    """Stdlib PCM WAV decode: (float32 (frames, channels) in [-1,1], rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 1:  # unsigned 8-bit
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sampwidth}")
+    return samples.reshape(-1, n_ch), rate
 
 
 def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:
@@ -266,6 +298,53 @@ def decode_image_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=IMAGE_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, n_frames int, n_channels int, sample_rate int, "
+    "duration_s double, rms double, decode_error string"
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode → per-clip features, Arrow-batched.
+
+    Runs :func:`decode_audio` (soundfile when present, else the stdlib
+    PCM-WAV decoder) inside ``mapInPandas`` and emits (frames, channels,
+    rate, duration, RMS). Mirrors :func:`decode_image_features`:
+    per-row decode errors are captured, never task-fatal; binary is
+    projected away at the operator boundary; partition-preserving (no
+    shuffle)."""
+    import numpy as np
+    import pandas as pd  # noqa: F811
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_frames": np.full(n, -1, dtype=np.int32),
+                "n_channels": np.full(n, -1, dtype=np.int32),
+                "sample_rate": np.full(n, -1, dtype=np.int32),
+                "duration_s": np.full(n, np.nan),
+                "rms": np.full(n, np.nan),
+                "decode_error": np.array([None] * n, dtype=object),
+            }
+            for i, content in enumerate(pdf["content"]):
+                try:
+                    samples, rate = decode_audio(bytes(content))
+                    out["n_frames"][i] = samples.shape[0]
+                    out["n_channels"][i] = samples.shape[1] if samples.ndim > 1 else 1
+                    out["sample_rate"][i] = rate
+                    out["duration_s"][i] = samples.shape[0] / rate
+                    out["rms"][i] = float(np.sqrt(np.mean(np.square(samples))))
+                # wave.Error / struct.error / ValueError / NotImplementedError:
+                # any per-row decode failure is data, not a task fatality.
+                except Exception as exc:  # noqa: BLE001
+                    out["decode_error"][i] = f"{type(exc).__name__}: {exc}"
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame) -> DataFrame:

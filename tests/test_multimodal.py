@@ -176,3 +176,70 @@ def test_decode_image_features_real_decode(spark):
         assert r["decode_error"] is None
     assert got[3]["height"] == imgs[0].shape[0] and got[3]["decode_error"] is None
     assert got[4]["decode_error"] is not None and got[4]["width"] == -1
+
+
+def _wav_bytes(freq_hz=440.0, rate=8000, n=800, channels=1, width=2):
+    """Synthesize a PCM WAV in-memory via stdlib wave."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = math.sin(2 * math.pi * freq_hz * i / rate)
+            for _ in range(channels):
+                frames += struct.pack("<h", int(v * 32000))
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    samples, rate = decode_audio(_wav_bytes(rate=8000, n=800, channels=2))
+    assert rate == 8000
+    assert samples.shape == (800, 2)
+    assert samples.dtype == np.float32
+    assert np.all(np.abs(samples) <= 1.0)
+    # A sine at full-ish scale has RMS near 1/sqrt(2).
+    assert abs(float(np.sqrt(np.mean(samples**2))) - 0.707) < 0.05
+
+
+def test_decode_audio_rejects_non_wav_without_soundfile():
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    try:
+        import soundfile  # noqa: F401
+
+        pytest.skip("soundfile installed: fallback path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01\x02not-audio")
+
+
+def test_decode_audio_features_batch(spark):
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    rows = [
+        (1, _wav_bytes(rate=8000, n=800, channels=1)),
+        (2, _wav_bytes(rate=16000, n=3200, channels=2)),
+        (3, b"corrupt-payload"),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    got = {r.media_id: r for r in decode_audio_features(media).collect()}
+    assert got[1].n_frames == 800 and got[1].sample_rate == 8000
+    assert abs(got[1].duration_s - 0.1) < 1e-9
+    assert got[2].n_channels == 2 and abs(got[2].duration_s - 0.2) < 1e-9
+    assert abs(got[1].rms - 0.707) < 0.05
+    assert got[3].decode_error is not None and got[3].n_frames == -1
