@@ -1,0 +1,71 @@
+"""Typed parquet scan (sources/parquet.py): timestamp-unit detection.
+
+The events fixture has shipped with ``ts`` as TIMESTAMP(NANOS) in some
+generator versions and TIMESTAMP(MICROS) in others. The scan must read
+BOTH correctly — an unconditional nanos division on a micros file shifts
+every timestamp to 1970 (a silent, catastrophic corruption this suite
+pins against).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TS = dt.datetime(2024, 1, 5, 12, 30, 0)
+
+
+def _write_events(path: str, unit: str) -> None:
+    """One-row events file with ts stored at the given parquet unit."""
+    cols = {
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([TS], pa.timestamp(unit)),
+        "user_id": pa.array([7], pa.int64()),
+        "event_type": pa.array(["click"], pa.string()),
+        "value": pa.array([1.5], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    }
+    pq.write_table(pa.table(cols), path, store_schema=False)
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_scan_table_reads_both_timestamp_units(spark, tmp_path, unit):
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    _write_events(str(tmp_path / "events.parquet"), unit)
+    row = scan_table(spark, str(tmp_path), "events").first()
+    assert row.ts == TS, f"unit={unit} decoded to {row.ts}"
+    assert row.event_id == 1 and row.value == 1.5
+
+
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_file_stream_reads_both_timestamp_units(spark, tmp_path, unit):
+    from portfolio_data_pipelines_spark.streaming import events_file_stream
+
+    _write_events(str(tmp_path / "events.parquet"), unit)
+    stream = events_file_stream(spark, str(tmp_path))
+    import uuid
+
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.table(name).first()
+    assert row.ts == TS, f"unit={unit} decoded to {row.ts}"
+
+
+def test_fixture_unit_detection_matches_footer():
+    """The cached probe reports exactly what the footer says."""
+    from portfolio_data_pipelines_spark.sources.parquet import _is_nanos_column
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    unit = pq.read_schema(path).field("ts").type.unit
+    assert _is_nanos_column(path, "ts") == (unit == "ns")
