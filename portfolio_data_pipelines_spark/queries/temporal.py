@@ -341,3 +341,123 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@extra_query(
+    "purchase_funnel_counts",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM v) AS n_view,
+      (SELECT COUNT(*) FROM c) AS n_view_click,
+      (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def purchase_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (SURVEY §2.6 ext — the product-analytics
+    staple): users reaching view → click-after-view →
+    purchase-after-that-click. Each stage is a per-user MIN over the
+    previous stage's anchor — three key-partitioned aggregations riding
+    the SAME user_id shuffle (Spark reuses the partitioning across the
+    chained joins), no self-join explosion, no window over the full
+    event stream. The stage tables shrink monotonically, so each join
+    is smaller than the last; final counts are three scalar aggregates
+    combined into one row."""
+    events = scan_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@extra_query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id,
+             first_day - CAST(ISODOW(first_day) - 1 AS INTEGER) AS cohort_week
+      FROM firsts
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(e.ts AS DATE)
+               - CAST(ISODOW(CAST(e.ts AS DATE)) - 1 AS INTEGER) AS active_week
+      FROM events e
+    )
+    SELECT c.cohort_week,
+           CAST((a.active_week - c.cohort_week) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY c.cohort_week, week_offset
+    ORDER BY c.cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (SURVEY §2.6 ext): users grouped by
+    first-activity week (Monday-anchored), counted in every later week
+    they were active. Two user-keyed aggregations share one shuffle;
+    the cohort table joins the distinct-activity table on user_id (both
+    one-row-per-user-per-week — tiny next to the event stream). Week
+    anchoring subtracts days-since-Monday via each engine's own
+    day-of-week convention (Spark DAYOFWEEK is 1=Sunday, DuckDB ISODOW
+    is 1=Monday — the expressions differ, the anchored date is
+    identical)."""
+    events = scan_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    week_of = lambda d: F.date_sub(d, (F.dayofweek(d) + 5) % 7)  # noqa: E731
+    cohorts = (
+        events.groupBy("user_id")
+        .agg(F.min(day).alias("first_day"))
+        .select("user_id", week_of(F.col("first_day")).alias("cohort_week"))
+    )
+    activity = events.select(
+        "user_id", week_of(day).alias("active_week")
+    ).distinct()
+    return (
+        cohorts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
