@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
 from ..sources.parquet import scan_table
-from . import query
+from . import extra_query, query
 
 
 def _var_samp(n: Column, s1: Column, s2: Column) -> Column:
@@ -259,4 +259,88 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p")[2].alias("p99_price"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@extra_query(
+    "value_histogram_20bins",
+    oracle=f"""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin, value
+      FROM events
+    )
+    SELECT bin,
+           bin * 25.0 AS bin_lo,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS bin_value
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def value_histogram_20bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (SURVEY §2.4 ext — the distribution-profiling
+    primitive): 20 bins of width 25 over ``value``, overflow clamped to
+    the last bin. One aggregation with map-side partial counts on ≤20
+    keys — at 100 TB the shuffle moves 20 rows per map partition.
+    Fixed-width (not quantile) bins keep the binning a pure per-row
+    expression: no pre-pass, no broadcast."""
+    bin_ = F.least(F.floor(F.col("value") / 25.0).cast("bigint"), F.lit(19))
+    return (
+        scan_table(spark, sf_dir, "events")
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("bin_value"),
+        )
+        .select("bin", (F.col("bin") * 25.0).alias("bin_lo"), "n_events", "bin_value")
+        .orderBy("bin")
+    )
+
+
+@extra_query(
+    "price_quantity_linreg",
+    oracle=f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             {dsum_sql('l_quantity')} AS sx,
+             {dsum_sql('l_extendedprice')} AS sy,
+             {dsum_sql('l_quantity * l_quantity')} AS sxx,
+             {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem
+    )
+    SELECT n, sx, sy, sxx, sxy,
+           ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+           (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+             AS intercept
+    FROM s
+    """,
+)
+def price_quantity_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form least squares in ONE aggregation pass (SURVEY §2.4
+    ext): slope/intercept of extendedprice ~ quantity from the five
+    classic sums — the way regression runs at 100 TB (a single map-side-
+    combinable aggregate; no iteration, no driver data). Sums accumulate
+    in DECIMAL(30,4) (dsum) so the derived coefficients are bit-exact
+    cross-engine; the final slope/intercept arithmetic is written in
+    identical evaluation order in both engines."""
+    li = scan_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sx"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+    )
+    slope = ((F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))) / (
+        (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
