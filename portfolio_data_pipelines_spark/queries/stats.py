@@ -344,3 +344,53 @@ def price_quantity_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
     )
+
+
+@extra_query(
+    "value_zscore_outliers",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             {dsum_sql('value')} AS s1,
+             {dsum_sql('value * value')} AS s2
+      FROM events GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             SQRT((s2 / n) - ((s1 / n) * (s1 / n))) AS sd
+      FROM m
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - st.mean) / st.sd AS zscore
+    FROM events e JOIN stats st ON e.event_type = st.event_type
+    WHERE ABS((e.value - st.mean) / st.sd) > 3.0
+    """,
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (SURVEY §2.4 ext — the data-
+    quality anomaly gate): events more than 3 population-sd from their
+    type's mean. Two-pass shape that scales: a per-type moment aggregate
+    (|types| rows, broadcast back) then a map-side score+filter — no
+    window over the event stream, so the fact table never sorts. Moments
+    accumulate via dsum; mean/sd derive in identical evaluation order
+    both engines (libm sqrt is correctly rounded ⇒ bit-exact)."""
+    events = scan_table(spark, sf_dir, "events")
+    m = events.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    stats = m.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("s2") / F.col("n")) - ((F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")))).alias("sd"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )
