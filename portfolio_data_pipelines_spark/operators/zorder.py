@@ -24,10 +24,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Bits per column in the interleaved key. 16 bits x 2 cols fits a long
-#: with room for 4 columns; resolution beyond ~2^16 buckets adds nothing
-#: for file-level skipping (files are far coarser than 65k buckets).
+#: Bits per column in the interleaved key. 16 bits x 2 cols uses 32 of
+#: the 63 usable long bits; with more columns :func:`zorder_write`
+#: shrinks the per-column resolution so the Morton code never touches
+#: the sign bit (resolution beyond ~2^16 buckets adds nothing for
+#: file-level skipping anyway — files are far coarser than 65k buckets).
 DEFAULT_BITS = 16
+
+#: A Spark ``long`` has 63 value bits; bit 63 is the sign. A Morton code
+#: that writes into the sign bit makes top-bucket rows negative, breaking
+#: the monotonicity that range partitioning + sort rely on.
+_MAX_Z_BITS = 63
 
 
 def _bucketize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
@@ -75,7 +82,16 @@ def zorder_write(
     stats become selective on every z-ordered column simultaneously —
     the property :func:`zorder_file_stats` measures and
     ``tests/test_zorder.py`` pins.
+
+    ``bits`` is clamped so ``bits * len(cols) <= 63``: a Morton code that
+    reaches bit 63 of a long flips the sign on top-bucket rows and the
+    range partitioning is silently no longer monotone.
     """
+    if not cols:
+        raise ValueError("zorder_write requires at least one column")
+    bits = min(bits, _MAX_Z_BITS // len(cols))
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}) for a 63-bit key")
     agg = df.agg(
         *[f(c).cast("double").alias(f"{n}_{c}") for c in cols for n, f in (("lo", F.min), ("hi", F.max))]
     )
@@ -119,6 +135,10 @@ def zorder_file_stats(path: str, cols: list[str]) -> dict[str, float]:
                 if c not in spans:
                     continue
                 st = md.row_group(rg).column(ci).statistics
+                # Stats can be absent (disabled at write time) or min/max-less
+                # (all-null row group); skip those row groups rather than crash.
+                if st is None or not st.has_min_max:
+                    continue
                 lo, hi = float(st.min), float(st.max)
                 cur = per_file.get(c)
                 per_file[c] = (
@@ -128,6 +148,9 @@ def zorder_file_stats(path: str, cols: list[str]) -> dict[str, float]:
             spans[c].append((lo, hi))
     out: dict[str, float] = {}
     for c, file_spans in spans.items():
+        if not file_spans:  # column had no min/max stats in any file
+            out[c] = float("nan")
+            continue
         glo = min(lo for lo, _ in file_spans)
         ghi = max(hi for _, hi in file_spans)
         gspan = ghi - glo or 1.0

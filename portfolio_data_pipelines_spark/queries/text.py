@@ -601,9 +601,19 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    scalars = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    # n_docs / avgdl come from the *documents* table, not doclen: explode
+    # drops token-less docs, so deriving the collection size from doclen
+    # would diverge from the oracle's COUNT(*) FROM documents whenever a
+    # doc has empty/whitespace-only content. Both aggregates are 1-row
+    # scalars; the combine is a broadcast cross join.
+    n_docs_df = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sum_dl_df = doclen.agg(F.sum("dl").alias("sum_dl"))
+    scalars = (
+        n_docs_df.crossJoin(F.broadcast(sum_dl_df))
+        .select(
+            "n_docs",
+            (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias("avgdl"),
+        )
     )
     k1, b = F.lit(BM25_K1), F.lit(BM25_B)
     term_score = (

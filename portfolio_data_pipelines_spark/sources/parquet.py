@@ -29,40 +29,69 @@ from ..schemas import STAR_SCHEMA
 #: conversion only applies when needed.
 _NANOS_TS_COLUMNS: dict[str, set[str]] = {"events": {"ts"}}
 
-#: (path, column) → True when the file's footer declares timestamp[ns].
-_NANOS_DETECTED: dict[tuple[str, str], bool] = {}
+#: (path, column) → (file-set signature, verdict). The signature is the
+#: sorted (part-file, mtime) tuple, so a fixture regenerated in place —
+#: possibly with a different timestamp unit — invalidates the cached
+#: verdict instead of silently shifting every timestamp by 1000x.
+_NANOS_DETECTED: dict[tuple[str, str], tuple[tuple, bool]] = {}
+
+
+def _probe_files(path: str) -> list[str]:
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return parts if parts else [path]
+    return [path]
 
 
 def _is_nanos_column(path: str, column: str) -> bool:
-    """Inspect the parquet footer once per (path, column).
+    """Inspect parquet footers once per (path, column, mtime-signature).
 
-    Footer-only read (no data pages) — cheap, driver-side, cached. At
-    cluster scale this mirrors what a table catalog records once at
-    registration time rather than per query.
+    Footer-only reads (no data pages) — cheap, driver-side, cached on the
+    part-file mtimes so in-place rewrites re-probe. At cluster scale this
+    mirrors what a table catalog records once at registration time.
+
+    Contract: every part file in a directory dataset must use the SAME
+    timestamp unit for ``column`` — all footers are probed and a mix of
+    NANOS and MICROS raises rather than reading half the files shifted
+    by 1000x.
     """
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        probes = _probe_files(path)
+        sig = tuple((p, os.path.getmtime(p)) for p in probes)
+    except Exception:
+        return False
     key = (path, column)
-    if key not in _NANOS_DETECTED:
-        try:
-            import glob
-            import os
-
-            import pyarrow.parquet as pq
-
-            probe = path
-            if os.path.isdir(path):  # directory dataset: probe one part file
-                parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-                probe = parts[0] if parts else path
+    cached = _NANOS_DETECTED.get(key)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    try:
+        verdicts = set()
+        for probe in probes:
             ftype = pq.read_schema(probe).field(column).type
             # TIMESTAMP(NANOS) footers, or raw int64 columns (this lake's
             # contract: a long-typed event time IS epoch-nanos).
-            _NANOS_DETECTED[key] = (
-                getattr(ftype, "unit", None) == "ns" or str(ftype) == "int64"
+            verdicts.add(getattr(ftype, "unit", None) == "ns" or str(ftype) == "int64")
+        if len(verdicts) > 1:
+            raise ValueError(
+                f"mixed timestamp units for column {column!r} across part files "
+                f"of {path!r}: a directory dataset must be single-unit"
             )
-        except Exception:
-            # Unreadable footer / missing pyarrow: assume the modern
-            # MICROS encoding (Spark reads it natively).
-            _NANOS_DETECTED[key] = False
-    return _NANOS_DETECTED[key]
+        verdict = verdicts.pop() if verdicts else False
+    except ValueError:
+        raise
+    except Exception:
+        # Unreadable footer / missing pyarrow: assume the modern
+        # MICROS encoding (Spark reads it natively).
+        verdict = False
+    _NANOS_DETECTED[key] = (sig, verdict)
+    return verdict
 
 
 def scan_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -69,3 +69,35 @@ def test_fixture_unit_detection_matches_footer():
     path = "/root/testdata/sf0.001/events.parquet"
     unit = pq.read_schema(path).field("ts").type.unit
     assert _is_nanos_column(path, "ts") == (unit == "ns")
+
+
+def test_nanos_probe_invalidates_on_rewrite(spark, tmp_path):
+    """A fixture regenerated in place with a different timestamp unit must
+    re-probe (cache keyed on mtime), not serve the stale verdict."""
+    import os
+    import time
+
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    p = str(tmp_path / "events.parquet")
+    _write_events(p, "us")
+    assert scan_table(spark, str(tmp_path), "events").first().ts == TS
+    time.sleep(0.01)
+    _write_events(p, "ns")
+    # Force a distinct mtime even on coarse-granularity filesystems.
+    st = os.stat(p)
+    os.utime(p, (st.st_atime, st.st_mtime + 1))
+    assert scan_table(spark, str(tmp_path), "events").first().ts == TS
+
+
+def test_nanos_probe_rejects_mixed_units_in_directory(spark, tmp_path):
+    """A directory dataset mixing NANOS and MICROS part files violates the
+    single-unit contract and must raise, not read half the files shifted."""
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    _write_events(str(d / "part-0.parquet"), "us")
+    _write_events(str(d / "part-1.parquet"), "ns")
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    with pytest.raises(ValueError, match="mixed timestamp units"):
+        scan_table(spark, str(tmp_path), "events")

@@ -87,3 +87,39 @@ def test_text_queries_are_udf_free(spark, sf_dir):
     for fn in (text_token_stats, text_quality_score, text_lang_id, text_fingerprint):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, fn.__name__
+
+
+def test_bm25_scalars_count_tokenless_docs(spark, tmp_path):
+    # Regression: n_docs/avgdl must come from the documents table, not the
+    # exploded token stream — a doc with empty/whitespace-only text has no
+    # tokens, and deriving the collection size from doclen diverges from
+    # the oracle's COUNT(*) FROM documents on every BM25 score.
+    import duckdb
+
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+
+    _load_all()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(
+        spark,
+        [
+            (1, "hash join window hash", "en", "s0", 21),
+            (2, "join join filler words here", "en", "s0", 27),
+            (3, "   ", "en", "s0", 3),  # whitespace-only -> zero tokens
+            (4, "", "en", "s0", 0),  # empty -> zero tokens
+            (5, "window of the hash world", "en", "s0", 24),
+        ],
+    ).write.parquet(str(sf / "documents.parquet"))
+    spec = EXTRA_REGISTRY["bm25_topk_docs"]
+    srows = {r["doc_id"]: r["bm25"] for r in spec.fn(spark, str(sf)).collect()}
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+        )
+        drows = {r[0]: r[4] for r in con.sql(spec.oracle).fetchall()}
+    finally:
+        con.close()
+    assert srows == drows  # bit-exact doubles, including the n_docs=5 idf
