@@ -224,9 +224,11 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_count_distinct``, rsd 2%). The 100 TB path for
     cardinality: fixed-size sketch per group mergeable across
     partitions, vs an exact distinct whose shuffle carries every
-    (day, user) pair. Accuracy vs exact is asserted in
-    tests/test_stats.py; no oracle because sketch estimates are
-    engine-specific."""
+    (day, user) pair. No oracle because sketch estimates are
+    engine-specific, but the error IS hard-bounded:
+    tests/test_stats.py::test_hll_error_within_published_bound_vs_duckdb
+    pins per-day relative error vs DuckDB's exact COUNT(DISTINCT) at
+    <= 3x the configured rsd (the published HLL++ standard error)."""
     e = scan_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.to_date("ts").alias("date_utc"))
@@ -243,7 +245,10 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of extended price per return flag
     (``approx_percentile``, accuracy 10000). Exact percentile sorts
     every group; the sketch is one pass + fixed memory — the only
-    viable form at 100 TB. Accuracy asserted vs exact in tests."""
+    viable form at 100 TB. Hard-bounded vs DuckDB in tests/test_stats.py
+    ::test_approx_percentile_rank_error_within_accuracy_vs_duckdb: the
+    returned value's exact rank must sit within the contract's
+    1/accuracy rank-error band, and must be a real data value."""
     li = scan_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

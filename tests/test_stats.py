@@ -43,3 +43,55 @@ def test_approx_percentiles_bracket_exact(spark, sf_dir):
     for rf, ex in exact.items():
         assert abs(approx[rf]["p50_price"] - ex["p50"]) / ex["p50"] < 0.02
         assert abs(approx[rf]["p95_price"] - ex["p95"]) / ex["p95"] < 0.02
+
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def test_hll_error_within_published_bound_vs_duckdb(spark, duck):
+    """Hard accuracy bound for the HLL sketch: per-day relative error vs
+    DuckDB's exact COUNT(DISTINCT) must sit within 3x the configured rsd
+    (rsd IS the published HLL++ standard error 1.04/sqrt(m); the data and
+    hash are deterministic, so this is a pin, not a flaky tolerance)."""
+    approx = {
+        r["date_utc"]: r["approx_users"]
+        for r in approx_distinct_users_daily(spark, SF_ORACLE).collect()
+    }
+    exact = dict(
+        duck.sql(
+            "SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    rsd = 0.02  # the rsd configured in approx_distinct_users_daily
+    for d, n in exact.items():
+        rel_err = abs(approx[d] - n) / n
+        assert rel_err <= 3 * rsd, (d, approx[d], n, rel_err)
+
+
+def test_approx_percentile_rank_error_within_accuracy_vs_duckdb(spark, duck):
+    """Hard accuracy bound for the percentile sketch: approx_percentile's
+    contract is rank error <= 1/accuracy. For each group and each p, the
+    returned value's rank window in the exact (DuckDB) data must
+    intersect [(p - eps) * N, (p + eps) * N]. Also pins that the sketch
+    returns a real data value, not an interpolation."""
+    eps = 1.0 / 10000  # the accuracy configured in approx_price_percentiles
+    for r in approx_price_percentiles(spark, SF_ORACLE).collect():
+        rf = r["l_returnflag"]
+        for p, colname in ((0.5, "p50_price"), (0.95, "p95_price"), (0.99, "p99_price")):
+            v = r[colname]
+            n, lo, hi, present = duck.sql(
+                f"""
+                SELECT COUNT(*),
+                       SUM(CASE WHEN l_extendedprice <  {v} THEN 1 ELSE 0 END),
+                       SUM(CASE WHEN l_extendedprice <= {v} THEN 1 ELSE 0 END),
+                       MAX(CASE WHEN l_extendedprice =  {v} THEN 1 ELSE 0 END)
+                FROM lineitem WHERE l_returnflag = '{rf}'
+                """
+            ).fetchone()
+            assert present == 1, (rf, p, v, "not a data value")
+            # rank window [lo+1, hi] (1-based) must intersect the allowed
+            # rank band; +/-1 absorbs the discrete-rank boundary.
+            assert lo <= (p + eps) * n + 1, (rf, p, v, lo, n)
+            assert hi >= (p - eps) * n - 1, (rf, p, v, hi, n)
