@@ -7,8 +7,9 @@ row-at-a-time Python, and each task streams batches so one huge partition
 never has to fit in executor Python memory at once.
 
 Decoding: :func:`decode_image` prefers PIL when installed and otherwise
-falls back to built-in pure-Python decoders for binary PPM (P6) and
-uncompressed 24-bit BMP; :func:`decode_audio` prefers soundfile and
+falls back to built-in pure-Python decoders for PNG (stdlib ``zlib`` +
+scanline unfilter), binary PPM (P6) and uncompressed 24-bit BMP;
+:func:`decode_audio` prefers soundfile and
 falls back to a stdlib ``wave`` PCM decoder — so BOTH modalities have a
 REAL, tested decode path in this container
 (:func:`decode_image_features` / :func:`decode_audio_features` drive
@@ -121,14 +122,128 @@ def _decode_bmp(content: bytes):
     return rows[:, :, ::-1].copy()  # BGR → RGB
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter_row(f: int, line, prev, bpp: int):
+    """Reverse one PNG scanline filter (types 0-4) in place on int32
+    ``line`` given the reconstructed previous row ``prev`` (int32).
+
+    Sub/Average/Paeth are inherently sequential along the row (each byte
+    depends on the reconstructed byte ``bpp`` back), so those loop in
+    Python; None and Up vectorize. Fine at test scale; a real deploy
+    swaps :func:`decode_image` to PIL which does this in C.
+    """
+    stride = len(line)
+    if f == 0:
+        return line
+    if f == 2:  # Up
+        line += prev
+        line &= 0xFF
+        return line
+    if f == 1:  # Sub
+        for x in range(bpp, stride):
+            line[x] = (line[x] + line[x - bpp]) & 0xFF
+        return line
+    if f == 3:  # Average
+        for x in range(stride):
+            a = line[x - bpp] if x >= bpp else 0
+            line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        return line
+    if f == 4:  # Paeth
+        for x in range(stride):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (line[x] + pr) & 0xFF
+        return line
+    raise ValueError(f"invalid PNG filter type {f}")
+
+
+def _decode_png(content: bytes):
+    """Pure-stdlib PNG decoder → uint8 RGB ndarray (H, W, 3).
+
+    Chunk walk (IHDR/PLTE/IDAT/IEND), ``zlib`` inflate of the
+    concatenated IDAT stream, then scanline unfiltering for all 5 filter
+    types (None/Sub/Up/Average/Paeth). Supports bit depth 8 in color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA) —
+    alpha is dropped, gray is broadcast to RGB. Adam7 interlace and
+    16-bit depth raise ``NotImplementedError`` (rare in training
+    corpora; PIL covers them when installed)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # chunk header + payload + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError("fallback PNG decoder supports bit depth 8 only")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported without PIL")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        prev = _png_unfilter_row(int(arr[y, 0]), arr[y, 1:].astype(np.int32), prev, channels)
+        recon[y] = prev
+    px = recon.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[px[:, :, 0]])
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA → RGB
+
+
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 RGB ndarray (H, W, 3).
 
     Prefers PIL when installed (full format coverage); otherwise falls
-    back to the built-in pure-Python decoders for binary PPM (P6) and
+    back to the built-in pure-Python decoders for PNG (stdlib zlib +
+    scanline unfilter, :func:`_decode_png`), binary PPM (P6) and
     uncompressed 24-bit BMP — so the decode path is REAL and tested in
-    this container, and formats beyond those two raise
-    ``NotImplementedError`` until PIL is present."""
+    this container, and formats beyond those (JPEG above all, which has
+    no dependency-free decode) raise ``NotImplementedError`` until PIL
+    is present."""
     try:
         import io
 
@@ -138,13 +253,15 @@ def decode_image(content: bytes):
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     except ImportError:
         pass
+    if content[:8] == _PNG_SIGNATURE:
+        return _decode_png(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     raise NotImplementedError(
-        "only PPM (P6) and 24-bit BMP decode without PIL, which is not "
-        "installed in this environment"
+        "only PNG, PPM (P6) and 24-bit BMP decode without PIL, which is "
+        "not installed in this environment"
     )
 
 
