@@ -159,6 +159,75 @@ def write_warehouse_jdbc(
     )
 
 
+def read_warehouse_jdbc(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """Partitioned JDBC read-back of the warehouse (S-side of K4).
+
+    The reference's read path is Postgres-side views over the warehouse
+    table (``dbt/models/staging/stg_weather_hourly.sql:8`` reading
+    ``public.weather_hourly``); this is the Spark-side scan of the same
+    table. With ``partition_column`` (numeric/date/timestamp), the scan
+    issues ``num_partitions`` parallel range queries instead of one
+    single-threaded cursor — the difference between a 1-task and an
+    N-task stage when the warehouse table is large. Bounds are probed
+    with one driver-side MIN/MAX when not supplied (the same scalar
+    round-trip a catalog would cache).
+
+    Predicate pushdown is free: ``.filter(...)`` on the returned
+    DataFrame compiles into the JDBC query's WHERE clause (visible as
+    ``PushedFilters`` on the JDBCRelation in ``.explain``), so the
+    warehouse — not Spark — prunes rows. The integration test pins both
+    properties against embedded Derby.
+    """
+    for ident, what in ((table, "table"),) + (
+        ((partition_column, "partition_column"),) if partition_column else ()
+    ):
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*(\.[A-Za-z_][A-Za-z0-9_$]*)?", ident):
+            raise ValueError(f"unsafe {what} identifier: {ident!r}")
+    props = {k: v for k, v in (("user", user), ("password", password), ("driver", driver)) if v}
+    if partition_column and (lower_bound is None or upper_bound is None):
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url, props.get("user"), props.get("password"))
+        try:
+            st = conn.createStatement()
+            rs = st.executeQuery(
+                f"SELECT MIN({partition_column}), MAX({partition_column}) FROM {table}"
+            )
+            rs.next()
+            lower_bound = lower_bound if lower_bound is not None else rs.getString(1)
+            upper_bound = upper_bound if upper_bound is not None else rs.getString(2)
+            rs.close()
+            st.close()
+        finally:
+            conn.close()
+        if lower_bound is None or upper_bound is None:  # empty table
+            partition_column = None
+    # The options form (not reader.jdbc()) because the pyspark wrapper
+    # coerces bounds to int — date/timestamp partition columns need their
+    # bounds passed as strings for the JVM side to parse.
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -308,11 +377,24 @@ def _hadoop_fs(spark, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+def _read_manifest_file(fs, jvm, manifest_path) -> dict:
+    import json
+
+    stream = fs.open(manifest_path)
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+    lines = []
+    while True:
+        line = reader.readLine()
+        if line is None:
+            break
+        lines.append(line)
+    reader.close()
+    return json.loads("\n".join(lines))
+
+
 def _latest_manifest(spark, path: str) -> tuple[int, dict]:
     """(version, {partition value → batch dir}) of the highest-numbered
     manifest under ``path``; (0, {}) for an empty/uncommitted lake."""
-    import json
-
     fs, root, jvm = _hadoop_fs(spark, path)
     if not fs.exists(root):
         return 0, {}
@@ -323,17 +405,19 @@ def _latest_manifest(spark, path: str) -> tuple[int, dict]:
             best, best_path = int(m.group(1)), st.getPath()
     if best_path is None:
         return 0, {}
-    stream = fs.open(best_path)
-    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
-    lines = []
-    while True:
-        line = reader.readLine()
-        if line is None:
-            break
-        lines.append(line)
-    reader.close()
-    doc = json.loads("\n".join(lines))
-    return best, doc["entries"]
+    return best, _read_manifest_file(fs, jvm, best_path)["entries"]
+
+
+def _manifest_at(spark, path: str, version: int) -> tuple[int, dict]:
+    """Read a SPECIFIC manifest version — snapshot time travel. Raises
+    FileNotFoundError if that manifest never existed or was vacuumed."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    mp = jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest_v{version:06d}.json")
+    if not fs.exists(mp):
+        raise FileNotFoundError(
+            f"no manifest v{version} under {path} (never committed, or vacuumed)"
+        )
+    return version, _read_manifest_file(fs, jvm, mp)["entries"]
 
 
 def commit_versioned(
@@ -398,16 +482,31 @@ def commit_versioned(
     return new_version
 
 
-def read_versioned(spark, path: str, partition_col: str = "date") -> DataFrame:
-    """Read the versioned lake at its latest committed snapshot.
+def read_versioned(
+    spark, path: str, partition_col: str = "date", version: int | None = None
+) -> DataFrame:
+    """Read the versioned lake at its latest committed snapshot, or at a
+    pinned ``version`` (time travel over retained manifests).
 
-    Resolves the highest manifest and reads exactly the partition
-    directories it lists — uncommitted batch directories (a writer's
-    in-flight or crashed data placement) are invisible by construction.
-    One parquet read per referenced batch directory (explicit leaf
-    paths + basePath, so the partition column survives), unioned.
+    Resolves the manifest and reads exactly the partition directories it
+    lists — uncommitted batch directories (a writer's in-flight or
+    crashed data placement) are invisible by construction. One parquet
+    read per referenced batch directory (explicit leaf paths + basePath,
+    so the partition column survives), unioned.
+
+    Schema evolution: batches are allowed to ADD columns over time. The
+    union across batch directories merges schemas by name
+    (``allowMissingColumns``), so rows from pre-evolution batches carry
+    nulls in the new columns — the Delta/Iceberg widening behavior. A
+    snapshot read at an old version reproduces that version's schema
+    exactly (the new column does not exist there). Column drops/renames
+    are not supported — model them as adds, as the lakehouse formats do.
     """
-    version, entries = _latest_manifest(spark, path)
+    version, entries = (
+        _latest_manifest(spark, path)
+        if version is None
+        else _manifest_at(spark, path, version)
+    )
     if not entries:
         raise FileNotFoundError(f"no committed manifest under {path}")
     by_dir: dict[str, list[str]] = {}
@@ -420,7 +519,7 @@ def read_versioned(spark, path: str, partition_col: str = "date") -> DataFrame:
         parts.append(spark.read.option("basePath", base).parquet(*leaves))
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

@@ -169,6 +169,58 @@ class TestJdbcWarehouse:
         with pytest.raises(ValueError, match="unsafe table identifier"):
             write_warehouse_jdbc(batch, url, "weather_hourly; DROP TABLE x", day)
 
+    def test_partitioned_readback_with_pushdown(self, spark, tmp_path):
+        import pytest
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            read_warehouse_jdbc,
+            write_warehouse_jdbc,
+        )
+
+        url = self.URL_TMPL.format(db=tmp_path / "derbydb_rb")
+        self._ddl(
+            spark, url,
+            "CREATE TABLE weather_hourly (ts TIMESTAMP, temperature_2m DOUBLE)",
+        )
+        batches = [
+            _batch(spark, day=20).select(F.col("time").alias("ts"), "temperature_2m"),
+            _batch(spark, day=21).select(F.col("time").alias("ts"), "temperature_2m"),
+        ]
+        for day, b in zip((dt.date(2025, 8, 20), dt.date(2025, 8, 21)), batches):
+            write_warehouse_jdbc(b, url, "weather_hourly", day, date_col="ts")
+
+        got = read_warehouse_jdbc(
+            spark, url, "weather_hourly",
+            partition_column="ts", num_partitions=3,
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        # Round-trip equality vs what was written.
+        expected = sorted(
+            (r["ts"], r["temperature_2m"]) for b in batches for r in b.collect()
+        )
+        assert sorted((r["TS"], r["TEMPERATURE_2M"]) for r in got.collect()) == expected
+        # The scan is genuinely partitioned: one range query per partition.
+        assert got.rdd.getNumPartitions() == 3
+
+        # Predicate pushdown reaches the JDBCRelation (warehouse-side WHERE).
+        filtered = got.filter(F.col("TEMPERATURE_2M") > 15.0)
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "JDBCRelation" in plan
+        assert "PushedFilters" in plan and "TEMPERATURE_2M" in plan.split("PushedFilters")[1][:200]
+        exp_n = sum(1 for b in batches for r in b.collect() if r["temperature_2m"] > 15.0)
+        assert filtered.count() == exp_n
+
+        # Empty table: bounds probe finds no min/max, falls back to a plain scan.
+        self._ddl(spark, url, "CREATE TABLE empty_t (ts TIMESTAMP, v DOUBLE)")
+        empty = read_warehouse_jdbc(
+            spark, url, "empty_t", partition_column="ts",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        assert empty.count() == 0
+
+        with pytest.raises(ValueError, match="unsafe partition_column"):
+            read_warehouse_jdbc(spark, url, "weather_hourly", partition_column="ts; DROP")
+
 
 class TestMergeUpsert:
     def test_update_insert_and_untouched_partitions(self, spark, tmp_path):
@@ -341,3 +393,88 @@ class TestVersionedLake:
         # batch 1 still serves day 20 → must survive; only manifest v1 goes
         assert removed == ["_manifest_v000001.json"]
         assert read_versioned(spark, path).count() == 8
+
+
+class TestSchemaEvolution:
+    """Versioned-lake schema evolution: later batches may ADD columns;
+    snapshot reads serve each version with ITS schema, and vacuum never
+    breaks the newest-schema manifest."""
+
+    def test_added_column_merges_and_time_travels(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "evo")
+        v1 = commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        evolved = _batch(spark, day=21, temp=50.0).withColumn(
+            "station", F.lit("sp-01")
+        )
+        v2 = commit_versioned(spark, path, evolved)
+        assert (v1, v2) == (1, 2)
+
+        latest = read_versioned(spark, path)
+        assert "station" in latest.columns
+        rows = {str(r["date"]): r for r in latest.collect()}
+        # pre-evolution rows surface the new column as null
+        assert rows["2025-08-20"]["station"] is None
+        assert rows["2025-08-21"]["station"] == "sp-01"
+        assert latest.count() == 8
+
+        # snapshot at v1 reproduces the v1 schema exactly
+        old = read_versioned(spark, path, version=1)
+        assert "station" not in old.columns
+        assert old.count() == 4
+
+    def test_vacuum_keeps_evolved_manifest_readable(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        path = str(tmp_path / "evo2")
+        commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        # v2 REPLACES day 20 with the evolved schema → batch 1 unreferenced
+        commit_versioned(
+            spark,
+            path,
+            _batch(spark, day=20, temp=99.0).withColumn("station", F.lit("sp-01")),
+        )
+        removed = vacuum_versioned(spark, path)
+        assert "_batch_000001" in removed and "_manifest_v000001.json" in removed
+        got = read_versioned(spark, path)
+        assert "station" in got.columns and got.count() == 4
+        assert got.agg(F.min("temperature_2m")).collect()[0][0] == 99.0
+        # the vacuumed snapshot is gone loudly, not silently wrong
+        with _pytest.raises(FileNotFoundError):
+            read_versioned(spark, path, version=1)
+
+    def test_mixed_schema_day_union_within_latest(self, spark, tmp_path):
+        """Old and new batches both referenced by the latest manifest:
+        day-level entries from each must union with merged schema."""
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        path = str(tmp_path / "evo3")
+        commit_versioned(
+            spark, path, _batch(spark, day=20).unionByName(_batch(spark, day=21))
+        )
+        commit_versioned(
+            spark,
+            path,
+            _batch(spark, day=21, temp=99.0).withColumn("station", F.lit("x")),
+        )
+        vacuum_versioned(spark, path)  # batch 1 still serves day 20 → survives
+        got = read_versioned(spark, path)
+        per_day = {
+            str(r["date"]): r["s"]
+            for r in got.groupBy("date").agg(F.first("station").alias("s")).collect()
+        }
+        assert per_day == {"2025-08-20": None, "2025-08-21": "x"}
