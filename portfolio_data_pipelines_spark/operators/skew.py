@@ -9,6 +9,12 @@ task owns the whole key.
 Correctness contract: a salted join produces exactly the rows of the
 plain join (the salt is an internal routing key), so the operator is
 oracle-checkable against ordinary SQL.
+
+``tests/test_skew_aqe.py`` pins the AQE counterpart: the runtime
+``skew=true`` SMJ rewrite fires on the same skewed fixture and is
+row-identical to :func:`salted_join` — and documents where the manual
+salt is still required (skewed AGGREGATIONS, which AQE never splits;
+stats-invisible post-broadcast skew; anti/semi shapes AQE can't split).
 """
 
 from __future__ import annotations
