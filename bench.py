@@ -59,13 +59,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     families: dict[str, float] = {}
+    families_cold: dict[str, float] = {}
     for name, fn in sorted(all_queries().items()):
         cold[name] = round(run_once(fn), 4)
         timings[name] = round(run_once(fn), 4)
         fam = fn.__module__.rsplit(".", 1)[-1]
         families[fam] = round(families.get(fam, 0.0) + timings[name], 4)
+        families_cold[fam] = round(families_cold.get(fam, 0.0) + cold[name], 4)
 
     total = round(sum(timings.values()), 4)
+    cold_total = round(sum(cold.values()), 4)
     full = {
         "metric": "declared-query suite wall-clock",
         "value": total,
@@ -73,8 +76,9 @@ def main() -> None:
         "timing": "second-of-2 per query (plan warmed)",
         "queries": timings,
         "queries_cold": cold,
-        "cold_total": round(sum(cold.values()), 4),
+        "cold_total": cold_total,
         "families": families,
+        "families_cold": families_cold,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -89,7 +93,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {"daily_events_mart": timings.get("daily_events_mart")},
+                # warm AND cold side by side so round-over-round comparison
+                # never conflates timing methodology with regression
+                "cold_total": cold_total,
                 "families": {k: round(v, 1) for k, v in sorted(families.items())},
+                "families_cold": {k: round(v, 1) for k, v in sorted(families_cold.items())},
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_FULL.json",
