@@ -774,3 +774,156 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Backoff penalty for the bigram LM: stupid backoff with alpha = 0.5,
+#: i.e. exactly -1.0 in log2 — dyadic, so the penalty is the same exact
+#: integer (-LM_Q) in both engines (Brants et al. 2007 use 0.4; 0.5
+#: keeps the fixed-point arithmetic closed).
+LM2_BACKOFF_FX = -LM_Q
+#: keep-threshold (log2-prob units) for the bigram gate — dyadic
+#: (-4 - 31/32), discriminative on the held-out fixture scores
+#: (range ~[-5.23, -4.72]); real corpora tune to their LM distribution.
+LM2_KEEP_LOG2 = -4.96875
+
+
+@extra_query(
+    "bigram_logprob_filter",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_ws_tokens_sql()} AS w FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE doc_id % 2 = 0),
+    score AS (SELECT * FROM docs WHERE doc_id % 2 = 1),
+    uni AS (
+      SELECT word, COUNT(*) AS c
+      FROM (SELECT unnest(w) AS word FROM train) GROUP BY word
+    ),
+    tot AS (
+      SELECT {_llog2_fx_sql('(SUM(c) + COUNT(*))')} AS llog_nv FROM uni
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT t.w[u.i + 1] AS w1, t.w[u.i + 2] AS w2
+        FROM train t, unnest(range(0, greatest(len(t.w) - 1, 0))) AS u(i)
+      ) GROUP BY w1, w2
+    ),
+    trans AS (
+      SELECT s.doc_id, s.w[u.i + 1] AS w1, s.w[u.i + 2] AS w2
+      FROM score s, unnest(range(0, greatest(len(s.w) - 1, 0))) AS u(i)
+    ),
+    scored AS (
+      SELECT tr.doc_id,
+             CASE WHEN b.c12 IS NOT NULL
+                  THEN {_llog2_fx_sql('b.c12')} - {_llog2_fx_sql('u1.c')}
+                  ELSE {LM2_BACKOFF_FX} + {_llog2_fx_sql('(COALESCE(u2.c, 0) + 1)')}
+                       - tt.llog_nv
+             END AS lp,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS backoff
+      FROM trans tr
+      LEFT JOIN big b ON tr.w1 = b.w1 AND tr.w2 = b.w2
+      LEFT JOIN uni u1 ON tr.w1 = u1.word
+      LEFT JOIN uni u2 ON tr.w2 = u2.word
+      CROSS JOIN tot tt
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+           SUM(lp) AS logprob_fx,
+           (CAST(SUM(lp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {LM_Q}.0))
+             AS mean_log2_prob,
+           ((CAST(SUM(lp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * {LM_Q}.0))
+             > {LM2_KEEP_LOG2}) AS keep
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram LM quality gate (KenLM-lite v2; SURVEY §2.10).
+
+    The CCNet shape: the LM is trained on a REFERENCE corpus (here the
+    even doc_ids) and scores a held-out candidate corpus (the odd ones),
+    so the backoff path genuinely fires on unseen bigrams — unlike a
+    self-trained model where every transition trivially exists. Scoring
+    is stupid backoff (Brants et al. 2007, the score KenLM's filter mode
+    popularized at web scale): seen bigram → c12/c1; unseen → alpha *
+    add-one unigram with alpha = 0.5 (exactly -1 in log2, so the penalty
+    stays a dyadic integer).
+
+    Same exactness machinery as :func:`unigram_logprob_filter`: every
+    log is the Q20 fixed-point dyadic log2, every per-transition term a
+    BIGINT, one IEEE division at the end — bit-for-bit vs DuckDB.
+
+    100 TB shape: counts are two aggregations over the (smaller)
+    reference corpus; at web scale the bigram table is count-pruned and
+    either broadcast (top-K) or shuffle-joined on (w1, w2) — the
+    candidate side's transitions explode map-side (arrays_zip of two
+    slices, no shuffle), so the scoring join is the only wide op. The
+    n_backoff column doubles as the OOV-rate diagnostic every corpus
+    report wants."""
+    d = scan_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _ws_tokens().alias("w"))
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    uni = (
+        train.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).select(
+        F.expr(_llog2_fx_sql("(n + v)")).alias("llog_nv")
+    )
+    pairs = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2)) "
+        "ELSE array() END"
+    )
+    big = (
+        train.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    trans = score.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2u"))
+    scored = (
+        trans.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.expr(_llog2_fx_sql("c12")) - F.expr(_llog2_fx_sql("c1")),
+            )
+            .otherwise(
+                F.lit(LM2_BACKOFF_FX)
+                + F.expr(_llog2_fx_sql("(COALESCE(c2u, 0) + 1)"))
+                - F.col("llog_nv")
+            )
+            .alias("lp"),
+            F.when(F.col("c12").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("backoff"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum("backoff").cast("long").alias("n_backoff"),
+        F.sum("lp").alias("logprob_fx"),
+    )
+    mean = F.col("logprob_fx").cast("double") / (
+        F.col("n_transitions").cast("double") * F.lit(float(LM_Q))
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_transitions",
+            "n_backoff",
+            "logprob_fx",
+            mean.alias("mean_log2_prob"),
+            (mean > F.lit(LM2_KEEP_LOG2)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -172,3 +172,32 @@ def test_unigram_filter_scores_relative_rarity(spark, tmp_path):
     # "the" has c=7 of N=8: llog2 fine; both docs' flags follow threshold
     for r in rows.values():
         assert r["keep"] == (r["mean_log2_prob"] > -5.125)
+
+
+def test_bigram_filter_backoff_and_ranking(spark, tmp_path):
+    """Held-out bigram gate: seen-bigram docs out-score docs needing
+    backoff, and n_backoff counts exactly the unseen transitions."""
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+
+    _load_all()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # train (even ids): establishes "a b" and "b c" as seen bigrams
+    # score (odd ids): doc 1 = all-seen transitions; doc 3 = unseen pair
+    _docs(
+        spark,
+        [
+            (0, "a b c a b c", "en", "s0", 11),
+            (2, "a b c", "en", "s0", 5),
+            (1, "a b c", "en", "s0", 5),  # transitions a-b, b-c: both seen
+            (3, "c a q b", "en", "s0", 7),  # c-a seen? no ("c a" occurs in doc0: c a) -> seen; a-q, q-b unseen
+        ],
+    ).write.parquet(str(sf / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in EXTRA_REGISTRY["bigram_logprob_filter"].fn(spark, str(sf)).collect()
+    }
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_backoff"] == 0
+    assert rows[3]["n_backoff"] == 2  # a-q and q-b unseen ("c a" is seen in doc 0)
+    assert rows[1]["mean_log2_prob"] > rows[3]["mean_log2_prob"]
