@@ -473,3 +473,104 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(
         scan_table(spark, sf_dir, "documents"), "text", "doc_id"
     ).orderBy("doc_id")
+
+
+#: Blocked domains for the C4-style provenance gate. A real deploy reads
+#: a large blocklist table and broadcast-joins it; a literal array keeps
+#: the fixture query map-only with the same semantics.
+BLOCKED_DOMAINS = ("ads.example.com", "spam.example.net", "tracker.example.org")
+#: Synthetic source domains cycled by doc_id so the fixture (whose text
+#: has no URLs) exercises both blocked and allowed paths.
+AUG_DOMAINS = (
+    "news.example.com",
+    "ads.example.com",
+    "blog.example.org",
+    "spam.example.net",
+    "docs.example.io",
+)
+#: Scheme + host extractor: group 1 is the registrable host. Character
+#: classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def _aug_domain_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % {len(AUG_DOMAINS)} = {i} THEN '{d}'"
+        for i, d in enumerate(AUG_DOMAINS)
+    )
+    return f"(CASE {whens} END)"
+
+
+@extra_query(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' via https://' || {_aug_domain_case_sql()}
+                    || '/p/' || CAST(doc_id AS VARCHAR)
+                    || ' and https://mirror.example.com/x' AS text
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '{URL_HOST_RE}', 1) AS host_list
+        FROM aug
+    )
+    SELECT doc_id,
+           len(host_list) AS n_urls,
+           len(list_filter(host_list,
+                           h -> h IN ('ads.example.com', 'spam.example.net',
+                                      'tracker.example.org'))) AS n_blocked,
+           (len(list_filter(host_list,
+                            h -> h IN ('ads.example.com', 'spam.example.net',
+                                       'tracker.example.org'))) = 0) AS keep
+    FROM hosts
+    ORDER BY doc_id
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-domain blocklist gate (SURVEY §2.10 — the C4/RefinedWeb
+    provenance filter: drop documents citing blocklisted hosts). The
+    fixture text has no URLs, so each doc is augmented with two
+    deterministic synthetic URLs (one doc_id-cycled domain, one fixed
+    mirror) — the same concatenation in the oracle, so the extractor
+    must find exactly those.
+
+    Plan: pure map-only codegen — ``regexp_extract_all`` pulls the host
+    of every URL, a HOF filter counts blocklist hits, no shuffle at all
+    (the ORDER BY is presentation). At 100 TB the literal IN-list
+    becomes a broadcast anti-join against a blocklist table (millions of
+    domains); the scan shape is unchanged. Same honest-augmentation
+    idiom as ``pii_redacted_docs``."""
+    whens = F.col("doc_id") % len(AUG_DOMAINS)
+    dom = F.when(whens == 0, AUG_DOMAINS[0])
+    for i, d in enumerate(AUG_DOMAINS[1:], start=1):
+        dom = dom.when(whens == i, d)
+    docs = scan_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" via https://"),
+            dom,
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and https://mirror.example.com/x"),
+        ).alias("text"),
+    )
+    hosts = aug.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(URL_HOST_RE), F.lit(1)).alias("host_list"),
+    )
+    n_blocked = F.size(
+        F.filter(F.col("host_list"), lambda h: h.isin(*BLOCKED_DOMAINS))
+    )
+    return (
+        hosts.select(
+            "doc_id",
+            F.size("host_list").alias("n_urls"),
+            n_blocked.alias("n_blocked"),
+            (n_blocked == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -221,3 +221,21 @@ def test_select_within_budget_boundary_semantics(spark):
         ).collect()
     }
     assert kept9 == {1, 2}  # 12 > 9 still excluded — no partial docs
+
+
+def test_domain_blocklist_semantics(spark, sf_dir):
+    """2/5 of the synthetic domains are blocklisted; every doc gets 2
+    URLs, keep iff its cycled domain is clean, and the plan is map-only
+    (no Exchange before the presentation sort)."""
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+
+    _load_all()
+    df = EXTRA_REGISTRY["domain_blocklist_filter"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["n_urls"] == 2 for r in rows)
+    for r in rows:
+        blocked_cycle = r["doc_id"] % 5 in (1, 3)  # ads / spam positions
+        assert r["n_blocked"] == (1 if blocked_cycle else 0)
+        assert r["keep"] == (not blocked_cycle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure codegen, no Python
