@@ -1145,3 +1145,95 @@ def returned_item_report_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@extra_query(
+    "promo_revenue_share_1997",
+    oracle=f"""
+    SELECT {dsum_sql("CASE WHEN p.p_type = 'PROMO' "
+                     "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             AS promo_revenue,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+           (CAST({dsum_sql("CASE WHEN p.p_type = 'PROMO' "
+                           "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                 AS DOUBLE)
+            / CAST({dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS DOUBLE))
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def promo_revenue_share_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of 1997 revenue from
+    PROMO-type parts. The shipdate window pushes into the lineitem scan;
+    part broadcasts (dim); the conditional revenue and the total come
+    out of ONE aggregation pass (no second scan for the denominator).
+    Decimal sums keep both numerators exact; the share is a single IEEE
+    division of identical operands, so it is bit-equal cross-engine."""
+    l = (
+        scan_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    )
+    p = scan_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(dsum(promo).alias("promo_revenue"), dsum(rev).alias("total_revenue"))
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue").cast("double") / F.col("total_revenue").cast("double")).alias(
+            "promo_share"
+        ),
+    )
+
+
+@extra_query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where the
+    supplier and the ordering customer share a nation — the one TPC-H
+    join topology with an equality constraint BETWEEN two dimensions,
+    not just star edges. Orders' date window pushes into its scan;
+    supplier, customer and nation broadcast; the only big shuffle is
+    lineitem->orders on orderkey. The c_nationkey = s_nationkey
+    constraint rides the customer broadcast join as a residual
+    condition — no extra shuffle."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    o = scan_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    s = scan_table(spark, sf_dir, "supplier")
+    c = scan_table(spark, sf_dir, "customer")
+    n = scan_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
