@@ -420,6 +420,31 @@ def _manifest_at(spark, path: str, version: int) -> tuple[int, dict]:
     return version, _read_manifest_file(fs, jvm, mp)["entries"]
 
 
+def _manifest_asof(spark, path: str, ts: str) -> tuple[int, dict]:
+    """Highest retained manifest committed at or before ISO timestamp
+    ``ts`` — Delta's ``timestampAsOf``. Manifests are tiny JSON files,
+    so reading every retained one is a handful of driver-side round
+    trips (a catalog would index commit times). Pre-``committed_at``
+    manifests (older layouts) count as arbitrarily old."""
+    fs, root, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(root):
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    best, best_doc = 0, None
+    for st in fs.listStatus(root):
+        m = _MANIFEST_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        doc = _read_manifest_file(fs, jvm, st.getPath())
+        if doc.get("committed_at", "") <= ts and int(m.group(1)) > best:
+            best, best_doc = int(m.group(1)), doc
+    if best_doc is None:
+        raise FileNotFoundError(
+            f"no manifest under {path} committed at or before {ts} "
+            "(too early, or that history was vacuumed)"
+        )
+    return best, best_doc["entries"]
+
+
 def commit_versioned(
     spark,
     path: str,
@@ -464,8 +489,18 @@ def commit_versioned(
         if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
     ]
     new_entries = {**entries, **{d: batch_dir for d in days}}
+    import datetime as _dt
+
     manifest = json.dumps(
-        {"version": new_version, "partition_col": partition_col, "entries": new_entries},
+        {
+            "version": new_version,
+            "partition_col": partition_col,
+            "entries": new_entries,
+            # UTC commit time enables timestampAsOf reads (_manifest_asof).
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S.%fZ"
+            ),
+        },
         sort_keys=True,
     )
     manifest_path = jvm.org.apache.hadoop.fs.Path(
@@ -483,10 +518,17 @@ def commit_versioned(
 
 
 def read_versioned(
-    spark, path: str, partition_col: str = "date", version: int | None = None
+    spark,
+    path: str,
+    partition_col: str = "date",
+    version: int | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
-    """Read the versioned lake at its latest committed snapshot, or at a
-    pinned ``version`` (time travel over retained manifests).
+    """Read the versioned lake at its latest committed snapshot, at a
+    pinned ``version``, or ``as_of`` an ISO-8601 UTC timestamp (the
+    highest manifest committed at or before it — Delta ``timestampAsOf``
+    / Iceberg ``snapshot-as-of``); time travel works over retained
+    manifests.
 
     Resolves the manifest and reads exactly the partition directories it
     lists — uncommitted batch directories (a writer's in-flight or
@@ -502,11 +544,14 @@ def read_versioned(
     exactly (the new column does not exist there). Column drops/renames
     are not supported — model them as adds, as the lakehouse formats do.
     """
-    version, entries = (
-        _latest_manifest(spark, path)
-        if version is None
-        else _manifest_at(spark, path, version)
-    )
+    if version is not None and as_of is not None:
+        raise ValueError("pass either version or as_of, not both")
+    if version is not None:
+        version, entries = _manifest_at(spark, path, version)
+    elif as_of is not None:
+        version, entries = _manifest_asof(spark, path, as_of)
+    else:
+        version, entries = _latest_manifest(spark, path)
     if not entries:
         raise FileNotFoundError(f"no committed manifest under {path}")
     by_dir: dict[str, list[str]] = {}
@@ -521,6 +566,33 @@ def read_versioned(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def compact_versioned(
+    spark,
+    path: str,
+    partitions: Sequence[str] | None = None,
+    partition_col: str = "date",
+) -> int:
+    """OPTIMIZE for the versioned lake: rewrite the given partition
+    values (default: every live partition) of the LATEST snapshot into
+    one fresh batch — one file per partition after the commit's
+    per-partition repartition — and commit it, so readers atomically
+    flip from many small files to the compacted layout. Old batches
+    stay until :func:`vacuum_versioned` (snapshot isolation, as with
+    every commit). Returns the committed version.
+
+    The Delta/Iceberg OPTIMIZE cost model: one read + one write of just
+    the compacted partitions, amortized over every later scan; at 100 TB
+    this runs per closed partition behind the ingestion watermark, and
+    untouched partitions are neither read nor rewritten."""
+    snap = read_versioned(spark, path, partition_col=partition_col)
+    if partitions is not None:
+        values = [str(v) for v in partitions]
+        snap = snap.filter(F.col(partition_col).cast("string").isin(values))
+        if not snap.take(1):
+            raise ValueError(f"no rows in partitions {values} under {path}")
+    return commit_versioned(spark, path, snap, partition_col=partition_col)
 
 
 def vacuum_versioned(spark, path: str) -> list[str]:

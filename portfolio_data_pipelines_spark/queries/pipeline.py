@@ -376,7 +376,15 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays within budget — the composition step that turns per-doc quality
     scores into an actual training corpus. The running total is the
     two-phase distributed prefix sum (`select_within_budget` →
-    `running_total`), never a single-task global window."""
+    `running_total`), never a single-task global window.
+
+    Demo-query caveat: the budget here is DERIVED from the corpus (one
+    scalar ``sum(n_tokens)`` action → a full extra pass over documents
+    before the selection pass). In real use the token budget is an
+    INPUT (\"select 500B tokens\"), so production callers pass the
+    number straight to ``select_within_budget`` and this query is
+    single-pass; the derivation exists only to make the fixture
+    self-contained."""
     from .text import quality_frame
 
     q = quality_frame(scan_table(spark, sf_dir, "documents")).select(

@@ -478,3 +478,94 @@ class TestSchemaEvolution:
             for r in got.groupBy("date").agg(F.first("station").alias("s")).collect()
         }
         assert per_day == {"2025-08-20": None, "2025-08-21": "x"}
+
+
+class TestTimeTravelAndCompaction:
+    """timestampAsOf reads + OPTIMIZE-style compaction on the versioned
+    lake — the Delta/Iceberg parity features the manifest design covers
+    without dependencies."""
+
+    @staticmethod
+    def _committed_at(path, version):
+        import json
+
+        with open(os.path.join(path, f"_manifest_v{version:06d}.json")) as f:
+            return json.load(f)["committed_at"]
+
+    def test_asof_reads_between_commits(self, spark, tmp_path):
+        import time
+
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "tt")
+        commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        time.sleep(0.05)
+        commit_versioned(spark, path, _batch(spark, day=20, temp=99.0))
+        t1 = self._committed_at(path, 1)
+        t2 = self._committed_at(path, 2)
+        assert t1 < t2
+        # as-of v1's commit instant → v1 content; as-of v2's → v2
+        old = read_versioned(spark, path, as_of=t1)
+        assert old.agg(F.min("temperature_2m")).collect()[0][0] == 10.0
+        new = read_versioned(spark, path, as_of=t2)
+        assert new.agg(F.min("temperature_2m")).collect()[0][0] == 99.0
+        with _pytest.raises(FileNotFoundError):  # before any commit
+            read_versioned(spark, path, as_of="1999-01-01T00:00:00.000000Z")
+        with _pytest.raises(ValueError):
+            read_versioned(spark, path, version=1, as_of=t1)
+
+    def test_compact_coalesces_snapshot_into_one_batch(self, spark, tmp_path):
+        import glob
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            compact_versioned,
+            read_versioned,
+            vacuum_versioned,
+        )
+
+        path = str(tmp_path / "opt")
+        for day in (20, 21, 22):
+            commit_versioned(spark, path, _batch(spark, day=day, temp=float(day)))
+        before = sorted(
+            (str(r["date"]), r["temperature_2m"])
+            for r in read_versioned(spark, path).collect()
+        )
+        v = compact_versioned(spark, path)
+        assert v == 4
+        after = read_versioned(spark, path)
+        assert sorted((str(r["date"]), r["temperature_2m"]) for r in after.collect()) == before
+        # all days now live in the single compacted batch; old ones reclaim
+        removed = vacuum_versioned(spark, path)
+        assert {"_batch_000001", "_batch_000002", "_batch_000003"} <= set(removed)
+        files = glob.glob(f"{path}/_batch_000004/date=*/*.parquet")
+        assert len(files) == 3  # one file per day after per-partition repartition
+
+    def test_partition_scoped_compaction(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            compact_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "opt2")
+        for day in (20, 21, 22):
+            commit_versioned(spark, path, _batch(spark, day=day, temp=float(day)))
+        compact_versioned(spark, path, partitions=["2025-08-20", "2025-08-21"])
+        import json
+
+        with open(os.path.join(path, "_manifest_v000004.json")) as f:
+            entries = json.load(f)["entries"]
+        assert entries["2025-08-20"] == "_batch_000004"
+        assert entries["2025-08-21"] == "_batch_000004"
+        assert entries["2025-08-22"] == "_batch_000003"  # untouched
+        assert read_versioned(spark, path).count() == 12
+        with _pytest.raises(ValueError, match="no rows"):
+            compact_versioned(spark, path, partitions=["2030-01-01"])
