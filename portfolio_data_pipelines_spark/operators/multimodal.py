@@ -234,16 +234,142 @@ def _decode_png(content: bytes):
     return np.ascontiguousarray(px[:, :, :3])  # RGBA → RGB
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width from
+    ``min_code_size + 1`` up to 12 bits, CLEAR resets the table. Returns
+    exactly ``expected`` pixel indices or raises ValueError."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int):
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return None
+        v = 0
+        for i in range(width):
+            v |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    def fresh_table():
+        return [(i,) for i in range(clear)] + [(), ()]
+
+    table = fresh_table()
+    width = min_code_size + 1
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code is None:
+            break
+        if code == clear:
+            table, width, prev = fresh_table(), min_code_size + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW: first code after clear not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # the KwKwK case
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW: code {code} beyond table size {len(table)}")
+        out.extend(entry)
+        if len(out) > expected:
+            raise ValueError("GIF LZW: more pixels than the image descriptor declares")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(f"GIF LZW: {len(out)} pixels decoded, expected {expected}")
+    return out
+
+
+#: GIF interlace passes: (start row, step).
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(content: bytes):
+    """Pure-stdlib GIF decoder → uint8 RGB ndarray (H, W, 3), first frame.
+
+    GIF87a/89a: logical screen descriptor, global/local color tables,
+    extension blocks skipped, first image descriptor's LZW stream
+    decoded (:func:`_gif_lzw_decode`), optional 4-pass interlace
+    unwoven, palette applied. Animated GIFs yield frame 1 — the corpus
+    convention for thumbnailing."""
+    import struct
+
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = content[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    try:
+        while pos < len(content):
+            block = content[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label byte then sub-blocks
+                pos += 2
+                while content[pos] != 0:
+                    pos += 1 + content[pos]
+                pos += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"bad GIF block 0x{block:02x}")
+            _ix, _iy, iw, ih, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                table = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(bytes(data), min_code, iw * ih), np.uint16
+            ).reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, ih, step)]
+                deinterlaced = np.empty_like(idx)
+                deinterlaced[rows] = idx
+                idx = deinterlaced
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF palette index out of range")
+            return np.ascontiguousarray(table[idx])
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 RGB ndarray (H, W, 3).
 
     Prefers PIL when installed (full format coverage); otherwise falls
     back to the built-in pure-Python decoders for PNG (stdlib zlib +
-    scanline unfilter, :func:`_decode_png`), binary PPM (P6) and
-    uncompressed 24-bit BMP — so the decode path is REAL and tested in
-    this container, and formats beyond those (JPEG above all, which has
-    no dependency-free decode) raise ``NotImplementedError`` until PIL
-    is present."""
+    scanline unfilter, :func:`_decode_png`), GIF (LZW + palette,
+    :func:`_decode_gif`), binary PPM (P6) and uncompressed 24-bit BMP —
+    so the decode path is REAL and tested in this container, and formats
+    beyond those (JPEG above all, which has no dependency-free decode)
+    raise ``NotImplementedError`` until PIL is present."""
     try:
         import io
 
@@ -255,13 +381,15 @@ def decode_image(content: bytes):
         pass
     if content[:8] == _PNG_SIGNATURE:
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
     raise NotImplementedError(
-        "only PNG, PPM (P6) and 24-bit BMP decode without PIL, which is "
-        "not installed in this environment"
+        "only PNG, GIF, PPM (P6) and 24-bit BMP decode without PIL, "
+        "which is not installed in this environment"
     )
 
 

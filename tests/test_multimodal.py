@@ -395,3 +395,161 @@ def test_decode_image_features_png_in_spark(spark):
         )
         assert r["decode_error"] is None
     assert got[9]["decode_error"] is not None and got[9]["width"] == -1
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: pure-stdlib GIF fallback decoder
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_literals(indices, m):
+    """Valid GIF LZW stream of pure literal codes at fixed width m+1,
+    with a CLEAR before the decoder's table would force a width bump —
+    the classic 'uncompressed GIF' encoding."""
+    clear, end = 1 << m, (1 << m) + 1
+    width, safe = m + 1, (1 << m) - 2
+    codes = []
+    for i, k in enumerate(indices):
+        if i % safe == 0:
+            codes.append(clear)
+        codes.append(int(k))
+    codes.append(end)
+    out, acc, nacc = bytearray(), 0, 0
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(idx, palette, interlaced=False, with_extension=False):
+    """Minimal GIF89a encoder: global color table, optional interlace
+    (rows stored in 4-pass order), optional graphic-control extension."""
+    import struct
+
+    import numpy as np
+
+    h, w = idx.shape
+    bits = max(1, (len(palette) - 1).bit_length())
+    m = max(2, bits)
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    if with_extension:  # graphic control ext: must be skipped by decoder
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = idx
+    ipacked = 0
+    if interlaced:
+        order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+        rows = idx[order]
+        ipacked |= 0x40
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    out += bytes([m])
+    stream = _gif_lzw_literals(rows.flatten(), m)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _pal_img(seed, h=6, w=5, ncolors=16):
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    palette = rs.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    idx = rs.randint(0, ncolors, (h, w), dtype=np.uint8)
+    return idx, palette
+
+
+def test_gif_decode_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    idx, palette = _pal_img(31)
+    assert np.array_equal(decode_image(_gif_bytes(idx, palette)), palette[idx])
+    # with a skipped extension block in front of the image descriptor
+    assert np.array_equal(
+        decode_image(_gif_bytes(idx, palette, with_extension=True)), palette[idx]
+    )
+    # small palette (4 colors → 2-bit codes, the GIF minimum)
+    idx4, pal4 = _pal_img(32, ncolors=4)
+    assert np.array_equal(decode_image(_gif_bytes(idx4, pal4)), pal4[idx4])
+    # wide image: literal stream spans several 255-byte sub-blocks and
+    # several CLEAR-separated chunks
+    idxw, palw = _pal_img(33, h=20, w=40, ncolors=256)
+    assert np.array_equal(decode_image(_gif_bytes(idxw, palw)), palw[idxw])
+
+
+def test_gif_decode_interlaced():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    idx, palette = _pal_img(34, h=13, w=4)  # odd height exercises pass bounds
+    got = decode_image(_gif_bytes(idx, palette, interlaced=True))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_gif_decode_rejects_corrupt():
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    idx, palette = _pal_img(35)
+    good = _gif_bytes(idx, palette)
+    with pytest.raises(ValueError):  # truncated mid-stream
+        decode_image(good[: len(good) // 2])
+    bad = bytearray(good)
+    bad[-10] ^= 0x55  # corrupt LZW bits → code beyond table / wrong count
+    with pytest.raises(ValueError):
+        decode_image(bytes(bad))
+
+
+def test_real_lzw_compression_decodes():
+    """Not just the literal encoding: a hand-built stream that exercises
+    table references and the KwKwK case. m=2, sequence built from the
+    worked example semantics: literals then a table-entry reference."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import _gif_lzw_decode
+
+    # codes: CLEAR, 1, 2, 6 (= entry [1,2] added by the 2nd code), END
+    m = 2
+    clear, end = 4, 5
+    width = 3
+    codes = [clear, 1, 2, 6, end]
+    acc = nacc = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    assert _gif_lzw_decode(bytes(data), m, 4) == [1, 2, 1, 2]
+    # KwKwK: CLEAR, 1, 6 → 6 == next table slot → prev+prev[0] = [1,1]
+    codes = [clear, 1, 6, end]
+    acc = nacc = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    assert _gif_lzw_decode(bytes(data), m, 3) == [1, 1, 1]
