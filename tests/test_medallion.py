@@ -569,3 +569,28 @@ class TestTimeTravelAndCompaction:
         assert read_versioned(spark, path).count() == 12
         with _pytest.raises(ValueError, match="no rows"):
             compact_versioned(spark, path, partitions=["2030-01-01"])
+
+
+def test_read_versioned_prunes_partitions_in_scan(spark, tmp_path):
+    """A date filter over the versioned-lake read must prune at the FILE
+    level inside every per-batch scan (PartitionFilters on the
+    FileSourceScan), not post-union — the property that keeps day-scoped
+    reads O(day) instead of O(lake) at 100 TB."""
+    from portfolio_data_pipelines_spark.operators.medallion import (
+        commit_versioned,
+        read_versioned,
+    )
+
+    path = str(tmp_path / "prune")
+    commit_versioned(
+        spark, path, _batch(spark, day=20).unionByName(_batch(spark, day=21))
+    )
+    commit_versioned(spark, path, _batch(spark, day=22))
+    snap = read_versioned(spark, path).filter(F.col("date") == "2025-08-21")
+    assert snap.count() == 4
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    # every scan carries the pushed partition predicate
+    scans = [seg for seg in plan.split("FileScan") if "PartitionFilters" in seg]
+    assert scans, plan
+    assert all("2025-08-21" in seg.split("PartitionFilters", 1)[1][:200] or
+               "date" in seg.split("PartitionFilters", 1)[1][:200] for seg in scans)
