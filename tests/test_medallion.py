@@ -594,3 +594,60 @@ def test_read_versioned_prunes_partitions_in_scan(spark, tmp_path):
     assert scans, plan
     assert all("2025-08-21" in seg.split("PartitionFilters", 1)[1][:200] or
                "date" in seg.split("PartitionFilters", 1)[1][:200] for seg in scans)
+
+
+class TestDiffVersions:
+    """CDC-lite between snapshots: inserts, updates, deletes per key,
+    including across an ADD-column schema evolution."""
+
+    def test_insert_update_delete(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            diff_versions,
+        )
+
+        path = str(tmp_path / "cdc")
+        v1_rows = _batch(spark, day=20, n=3, temp=10.0)  # hours 0,1,2
+        commit_versioned(spark, path, v1_rows)
+        # v2 REPLACES day 20: hour 0 unchanged, hour 1 new temp (update),
+        # hour 2 gone (delete), hour 3 added (insert)
+        import datetime as _dt
+
+        from portfolio_data_pipelines_spark.schemas import WEATHER_BRONZE
+
+        rows = [
+            (_dt.datetime(2025, 8, 20, 0), 10.0, 50.0, "-23.55", "-46.63", _dt.datetime(2025, 8, 20, 12)),
+            (_dt.datetime(2025, 8, 20, 1), 42.0, 50.0, "-23.55", "-46.63", _dt.datetime(2025, 8, 20, 12)),
+            (_dt.datetime(2025, 8, 20, 3), 13.0, 50.0, "-23.55", "-46.63", _dt.datetime(2025, 8, 20, 12)),
+        ]
+        commit_versioned(spark, path, spark.createDataFrame(rows, schema=WEATHER_BRONZE))
+        got = {
+            r["time"]: r["_change_type"]
+            for r in diff_versions(spark, path, 1, 2, key_cols=["time"]).collect()
+        }
+        assert got == {
+            _dt.datetime(2025, 8, 20, 1): "update",
+            _dt.datetime(2025, 8, 20, 2): "delete",
+            _dt.datetime(2025, 8, 20, 3): "insert",
+        }
+
+    def test_schema_evolution_diff(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            diff_versions,
+        )
+
+        path = str(tmp_path / "cdc2")
+        commit_versioned(spark, path, _batch(spark, day=20, n=2, temp=10.0))
+        # v2 re-commits the SAME rows with an added column: only rows whose
+        # new column is non-null should read as updates
+        evolved = _batch(spark, day=20, n=2, temp=10.0).withColumn(
+            "station", F.when(F.hour("time") == 1, F.lit("sp-01"))
+        )
+        commit_versioned(spark, path, evolved)
+        got = {
+            r["time"].hour: (r["_change_type"], r["station"])
+            for r in diff_versions(spark, path, 1, 2, key_cols=["time"]).collect()
+        }
+        # hour 0: station null on both sides after alignment → unchanged
+        assert got == {1: ("update", "sp-01")}
