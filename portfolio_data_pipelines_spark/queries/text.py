@@ -681,7 +681,7 @@ def _llog2_fx_sql(expr: str) -> str:
     """Piecewise-linear log2 of a positive count, in exact Q20 fixed point.
 
     llog2(c) = f + (c / 2^f - 1) where f = floor(log2(c)) — the classic
-    frexp-style approximation (max error < 0.086 bits, monotone). Every
+    frexp-style approximation (max error < 0.0861 bits, monotone). Every
     step is integer-exact: POWER(2.0, f) and the multiply by 2^20 are
     exact doubles below 2^53, FLOOR snaps to the exact integer, and the
     result is a BIGINT — so Spark and DuckDB agree bit-for-bit and
@@ -737,7 +737,7 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: no libm ``ln`` anywhere. The log is the
     frexp-style dyadic approximation ``llog2(c) = f + (c/2^f - 1)`` in
     Q20 fixed point (:func:`_llog2_fx_sql` — integer-exact in both
-    engines, monotone, < 0.086-bit error), so every per-doc sum is a
+    engines, monotone, < 0.0861-bit error), so every per-doc sum is a
     BIGINT and the single final division is one IEEE op on identical
     operands. ``log P(t) = llog2(c_t) - llog2(N)`` — scores are exact
     rationals, the perplexity ranking is preserved.
