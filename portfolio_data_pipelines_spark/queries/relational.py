@@ -1237,3 +1237,45 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@extra_query(
+    "late_shipment_priority_counts",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority check): orders in a window having
+    AT LEAST ONE lineitem shipped >30 days after the order date, counted
+    by priority — the EXISTS topology with a NON-EQUI residual. As a
+    left-semi join the probe emits each order at most once (no distinct
+    needed, no fact-row multiplication); the equi part (orderkey) drives
+    the shuffle and the date comparison rides as a residual condition —
+    no cartesian anywhere. The date window pushes into the orders
+    scan."""
+    o = scan_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = scan_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
