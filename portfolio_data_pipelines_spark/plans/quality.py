@@ -135,3 +135,56 @@ def relationships(column: str, parent: DataFrame, parent_column: str) -> Expecta
 def run_expectations(df: DataFrame, expectations: Sequence[Expectation]) -> list[ExpectationResult]:
     """dbt-test-runner parity (Q2): evaluate all, return results."""
     return [e(df) for e in expectations]
+
+
+# ---------------------------------------------------------------------------
+# Observed writes: quality counters collected DURING the write (zero extra
+# passes) via df.observe — the 100 TB upgrade over one-job-per-expectation.
+# ---------------------------------------------------------------------------
+
+#: Violation-count metric builders mirroring the expectation vocabulary.
+#: Each returns (name, aggregate Column) for use with observe_write.
+def m_null_count(column: str) -> tuple[str, Column]:
+    return f"nulls_{column}", F.count_if(F.col(column).isNull())
+
+
+def m_out_of_range(column: str, lo: float, hi: float) -> tuple[str, Column]:
+    return (
+        f"oor_{column}",
+        F.count_if(F.col(column).isNotNull() & ~F.col(column).between(lo, hi)),
+    )
+
+
+def m_row_count() -> tuple[str, Column]:
+    return "n_rows", F.count(F.lit(1))
+
+
+def observe_write(
+    df: DataFrame,
+    path: str,
+    metrics: Sequence[tuple[str, Column]],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> dict:
+    """Write ``df`` while collecting aggregate quality metrics from the
+    SAME pass (``df.observe`` + ``Observation``): the metrics piggyback
+    on the write's scan, so a row count, null counter and range counter
+    cost ZERO additional jobs — vs :func:`run_expectations`, which runs
+    one filtered count per check (fine for a dev loop, a full extra
+    scan each at 100 TB). Returns {metric name: value}.
+
+    This is the production shape for write-path quality gates: land the
+    data, read the observed counters, and quarantine/alert when a
+    counter is nonzero — without ever re-reading what was just
+    written."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [col.alias(name) for name, col in metrics]
+    observed = df.observe(obs, named[0], *named[1:])
+    writer = observed.write.format(fmt).mode(mode).option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return dict(obs.get)

@@ -165,3 +165,30 @@ def test_scd2_merge_single_key_shuffle(spark):
     # init path.
     assert plan.lower().count("exchange hashpartitioning(user_id") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_observe_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """Quality counters ride the write's own scan: values must match
+    independently computed answers, and the write must land the data."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.plans.quality import (
+        m_null_count,
+        m_out_of_range,
+        m_row_count,
+        observe_write,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0), (4, 55.0)], "id bigint, temp double"
+    )
+    out = str(tmp_path / "observed")
+    got = observe_write(
+        df,
+        out,
+        [m_row_count(), m_null_count("temp"), m_out_of_range("temp", -80.0, 60.0)],
+    )
+    assert got == {"n_rows": 4, "nulls_temp": 1, "oor_temp": 1}
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert back.filter(F.col("temp").isNull()).count() == 1
