@@ -927,3 +927,78 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Vocabulary size for the token-ID encoding demo (top-K by frequency).
+VOCAB_K = 512
+#: Out-of-vocabulary id — conventionally vocab_size or a sentinel; -1
+#: keeps the in-vocab id space dense [0, K).
+OOV_ID = -1
+
+
+@extra_query(
+    "token_ids_encoded",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, {_ws_tokens_sql()} AS w FROM documents
+    ),
+    tokens AS (
+      SELECT d.doc_id, u.i AS pos, d.w[u.i + 1] AS word
+      FROM docs d, unnest(range(0, len(d.w))) AS u(i)
+    ),
+    vocab AS (
+      SELECT word,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) - 1
+                  AS BIGINT) AS id
+      FROM tokens GROUP BY word
+      ORDER BY COUNT(*) DESC, word ASC
+      LIMIT {VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(CASE WHEN v.id IS NULL THEN 1 END), 0) AS BIGINT)
+             AS n_oov,
+           list(COALESCE(v.id, {OOV_ID}) ORDER BY t.pos) AS token_ids
+    FROM tokens t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def token_ids_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary token-ID encoding (SURVEY §2.10 — the corpus → ids
+    step between cleaning and the tokenizer handoff): build a top-K
+    frequency vocabulary (deterministic id = rank by count desc, word
+    asc) and encode every document as its id sequence, OOV → -1.
+
+    Plan: the token stream is posexploded once; the K-row vocab comes
+    from a count agg + top-K (the ROW_NUMBER window runs over K rows —
+    a bounded dim-side op) and BROADCASTS into the encoding join; ids
+    re-assemble per doc via sort_array over (pos, id) structs — no
+    global sort, one doc_id shuffle. At 100 TB the vocab is a persisted
+    table (BPE merges or sentencepiece output) and this query is just
+    the broadcast-join + re-assemble shape with K in the millions,
+    still broadcastable."""
+    d = scan_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.posexplode(_ws_tokens()).alias("pos", "word")
+    )
+    counts = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    top = counts.orderBy(F.desc("c"), F.asc("word")).limit(VOCAB_K)
+    w = Window.orderBy(F.desc("c"), F.asc("word"))
+    vocab = top.select("word", (F.row_number().over(w) - 1).cast("long").alias("id"))
+    enc = tokens.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(OOV_ID)).cast("long").alias("id"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == OOV_ID).cast("long")).alias("n_oov"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )

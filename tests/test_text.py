@@ -201,3 +201,39 @@ def test_bigram_filter_backoff_and_ranking(spark, tmp_path):
     assert rows[1]["n_backoff"] == 0
     assert rows[3]["n_backoff"] == 2  # a-q and q-b unseen ("c a" is seen in doc 0)
     assert rows[1]["mean_log2_prob"] > rows[3]["mean_log2_prob"]
+
+
+def test_token_ids_roundtrip_semantics(spark, tmp_path):
+    """Encoding invariants: ids follow frequency rank (count desc, word
+    asc), OOV maps to -1, and id order preserves token order."""
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+    from portfolio_data_pipelines_spark.queries.text import OOV_ID
+
+    _load_all()
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # freq: b=3, a=2, c=1 → ids b=0, a=1, c=2 (unique words fit VOCAB_K)
+    # doc 3 carries 520 unique singleton words so the 512-slot vocab
+    # overflows and the OOV branch actually fires (the sf0.01 fixture
+    # has <512 distinct words, so only this test covers OOV).
+    rare = " ".join(f"w{i:03d}" for i in range(520))
+    _docs(
+        spark,
+        [
+            (1, "a b c b", "en", "s0", 7),
+            (2, "b a", "en", "s0", 3),
+            (3, rare, "en", "s0", len(rare)),
+        ],
+    ).write.parquet(str(sf / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in EXTRA_REGISTRY["token_ids_encoded"].fn(spark, str(sf)).collect()
+    }
+    assert list(rows[1]["token_ids"]) == [1, 0, 2, 0]
+    assert list(rows[2]["token_ids"]) == [0, 1]
+    assert rows[1]["n_oov"] == 0 and rows[1]["n_tokens"] == 4
+    # vocab: a,b,c (count>1) + the 509 lexicographically-first singletons
+    # → the last 11 of doc 3's words are OOV
+    assert rows[3]["n_tokens"] == 520
+    assert rows[3]["n_oov"] == 520 - (512 - 3)
+    assert sum(1 for i in rows[3]["token_ids"] if i == OOV_ID) == rows[3]["n_oov"]
