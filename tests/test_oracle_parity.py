@@ -94,3 +94,11 @@ def test_entry_contract(spark):
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_every_extra_query_is_fully_oracled():
+    """The extra registry's contract: local-only queries exist PRECISELY
+    to stay under DuckDB value-hash parity — a new entry without an
+    oracle is a coverage regression, not a convenience."""
+    missing = [n for n, s in EXTRA_REGISTRY.items() if not s.oracle]
+    assert missing == [], missing
