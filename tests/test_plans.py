@@ -192,3 +192,30 @@ def test_observe_write_collects_metrics_in_one_pass(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 4
     assert back.filter(F.col("temp").isNull()).count() == 1
+
+
+def test_q14_shape_single_agg_pass_with_pushed_window(spark):
+    plan = _plan(spark, "promo_revenue_share_1997")
+    assert "BroadcastHashJoin" in plan  # part is the broadcast dim
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_shipdate" in s for s in pushed)  # window reaches the scan
+    # numerator + denominator from ONE aggregate (no second scan of lineitem)
+    assert plan.count("FileScan parquet") <= 2  # lineitem + part, once each
+
+
+def test_q5_dim_dim_constraint_rides_broadcast_join(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    # the c_nationkey = s_nationkey constraint is a join condition, not a
+    # post-join filter over a wider result
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_exists_is_left_semi_without_cartesian(spark):
+    plan = _plan(spark, "late_shipment_priority_counts")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
