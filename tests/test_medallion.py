@@ -651,3 +651,35 @@ class TestDiffVersions:
         }
         # hour 0: station null on both sides after alignment → unchanged
         assert got == {1: ("update", "sp-01")}
+
+
+def test_compact_after_schema_evolution_widens_old_days(spark, tmp_path):
+    """Compacting a snapshot whose batches have different schemas must
+    rewrite old days WITH the widened schema (null-filled new columns) —
+    after compaction plus vacuum, one batch serves everything and the
+    per-day values are unchanged."""
+    from portfolio_data_pipelines_spark.operators.medallion import (
+        commit_versioned,
+        compact_versioned,
+        read_versioned,
+        vacuum_versioned,
+    )
+
+    path = str(tmp_path / "evo_opt")
+    commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+    commit_versioned(
+        spark, path, _batch(spark, day=21, temp=50.0).withColumn("station", F.lit("sp"))
+    )
+    compact_versioned(spark, path)
+    vacuum_versioned(spark, path)
+    got = read_versioned(spark, path)
+    per_day = {
+        str(r["date"]): (r["s"], r["t"])
+        for r in got.groupBy("date")
+        .agg(F.first("station").alias("s"), F.min("temperature_2m").alias("t"))
+        .collect()
+    }
+    assert per_day == {"2025-08-20": (None, 10.0), "2025-08-21": ("sp", 50.0)}
+    import glob
+
+    assert not glob.glob(f"{path}/_batch_00000[12]")  # old batches reclaimed
