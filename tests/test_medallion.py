@@ -683,3 +683,32 @@ def test_compact_after_schema_evolution_widens_old_days(spark, tmp_path):
     import glob
 
     assert not glob.glob(f"{path}/_batch_00000[12]")  # old batches reclaimed
+
+
+def test_jdbc_readback_numeric_partition_column(spark, tmp_path):
+    """Numeric partitionColumn with explicit and probed bounds: all rows
+    exactly once across the range queries."""
+    from portfolio_data_pipelines_spark.operators.medallion import read_warehouse_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbynum;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE t (id INT, v DOUBLE)")
+    for i in range(50):
+        st.executeUpdate(f"INSERT INTO t VALUES ({i}, {i * 1.5})")
+    st.close()
+    conn.close()
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    # explicit bounds
+    got = read_warehouse_jdbc(
+        spark, url, "t", partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=49, driver=drv,
+    )
+    assert got.rdd.getNumPartitions() == 4
+    assert sorted(r["ID"] for r in got.collect()) == list(range(50))
+    # probed bounds (driver-side MIN/MAX)
+    probed = read_warehouse_jdbc(
+        spark, url, "t", partition_column="id", num_partitions=3, driver=drv
+    )
+    assert sorted(r["ID"] for r in probed.collect()) == list(range(50))
