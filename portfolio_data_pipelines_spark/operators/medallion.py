@@ -33,6 +33,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 from collections.abc import Sequence
 
@@ -197,6 +198,10 @@ def read_warehouse_jdbc(
     props = {k: v for k, v in (("user", user), ("password", password), ("driver", driver)) if v}
     if partition_column and (lower_bound is None or upper_bound is None):
         jvm = spark._jvm
+        if driver:
+            # DriverManager only auto-registers JDBC4 service-loaded drivers;
+            # mirror the Spark reader's behavior of honoring the explicit class.
+            jvm.java.lang.Class.forName(driver)
         conn = jvm.java.sql.DriverManager.getConnection(url, props.get("user"), props.get("password"))
         try:
             st = conn.createStatement()
@@ -377,6 +382,15 @@ def _hadoop_fs(spark, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+def _parse_iso_ts(ts: str) -> _dt.datetime:
+    """Parse an ISO-8601 timestamp (``Z`` suffix accepted) into an
+    aware UTC datetime; naive inputs are taken as UTC."""
+    parsed = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    if parsed.tzinfo is None:
+        parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+    return parsed.astimezone(_dt.timezone.utc)
+
+
 def _read_manifest_file(fs, jvm, manifest_path) -> dict:
     import json
 
@@ -425,7 +439,14 @@ def _manifest_asof(spark, path: str, ts: str) -> tuple[int, dict]:
     ``ts`` — Delta's ``timestampAsOf``. Manifests are tiny JSON files,
     so reading every retained one is a handful of driver-side round
     trips (a catalog would index commit times). Pre-``committed_at``
-    manifests (older layouts) count as arbitrarily old."""
+    manifests (older layouts) count as arbitrarily old.
+
+    Both sides are parsed as real datetimes (``Z`` normalized to
+    ``+00:00``) rather than compared lexicographically — a caller ts of
+    ``...T12:00:00Z`` with no fractional part would otherwise sort
+    *after* ``...T12:00:00.999999Z`` ('.' < 'Z') and non-UTC offsets
+    would silently misorder."""
+    cutoff = _parse_iso_ts(ts)
     fs, root, jvm = _hadoop_fs(spark, path)
     if not fs.exists(root):
         raise FileNotFoundError(f"no committed manifest under {path}")
@@ -435,7 +456,12 @@ def _manifest_asof(spark, path: str, ts: str) -> tuple[int, dict]:
         if not m:
             continue
         doc = _read_manifest_file(fs, jvm, st.getPath())
-        if doc.get("committed_at", "") <= ts and int(m.group(1)) > best:
+        committed = doc.get("committed_at")
+        committed_dt = (
+            _parse_iso_ts(committed) if committed
+            else _dt.datetime.min.replace(tzinfo=_dt.timezone.utc)
+        )
+        if committed_dt <= cutoff and int(m.group(1)) > best:
             best, best_doc = int(m.group(1)), doc
     if best_doc is None:
         raise FileNotFoundError(
@@ -489,8 +515,6 @@ def commit_versioned(
         if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
     ]
     new_entries = {**entries, **{d: batch_dir for d in days}}
-    import datetime as _dt
-
     manifest = json.dumps(
         {
             "version": new_version,
@@ -589,9 +613,15 @@ def compact_versioned(
     snap = read_versioned(spark, path, partition_col=partition_col)
     if partitions is not None:
         values = [str(v) for v in partitions]
+        # Validate against the manifest's live-partition keys driver-side
+        # (no extra Spark action) — a take(1) here would execute the full
+        # filtered read once and the write would recompute it, doubling
+        # the documented one-read-one-write cost.
+        _, entries = _latest_manifest(spark, path)
+        missing = sorted(set(values) - set(entries))
+        if missing:
+            raise ValueError(f"no rows in partitions {missing} under {path}")
         snap = snap.filter(F.col(partition_col).cast("string").isin(values))
-        if not snap.take(1):
-            raise ValueError(f"no rows in partitions {values} under {path}")
     return commit_versioned(spark, path, snap, partition_col=partition_col)
 
 

@@ -182,6 +182,8 @@ def observe_write(
 
     obs = Observation()
     named = [col.alias(name) for name, col in metrics]
+    if not named:
+        raise ValueError("observe_write requires at least one metric")
     observed = df.observe(obs, named[0], *named[1:])
     writer = observed.write.format(fmt).mode(mode).option("compression", "zstd")
     if partition_by:

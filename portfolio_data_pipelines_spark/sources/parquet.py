@@ -64,7 +64,12 @@ def _is_nanos_column(path: str, column: str) -> bool:
         import pyarrow.parquet as pq
 
         probes = _probe_files(path)
-        sig = tuple((p, os.path.getmtime(p)) for p in probes)
+        # st_mtime_ns + st_size: plain mtime has 1s granularity on some
+        # filesystems, so a fixture regenerated in place within the same
+        # second would keep a stale unit verdict.
+        sig = tuple(
+            (p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in probes
+        )
     except Exception:
         return False
     key = (path, column)

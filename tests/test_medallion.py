@@ -519,6 +519,48 @@ class TestTimeTravelAndCompaction:
         with _pytest.raises(ValueError):
             read_versioned(spark, path, version=1, as_of=t1)
 
+    def test_asof_parses_timestamps_not_lexicographic(self, spark, tmp_path):
+        """as_of must compare instants, not strings: an equivalent
+        timestamp expressed with a +02:00 offset (or without the
+        fractional part) must select the same version as the canonical
+        '...%fZ' form — lexicographic comparison would misorder both."""
+        import datetime as dt
+        import time
+
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "tt_tz")
+        commit_versioned(spark, path, _batch(spark, day=20, temp=10.0))
+        time.sleep(0.05)
+        commit_versioned(spark, path, _batch(spark, day=20, temp=99.0))
+        t1 = self._committed_at(path, 1)
+        # Same instant as t1, rendered in +02:00 — lexicographically this
+        # sorts AFTER t2's UTC string (hour digits differ), so a string
+        # compare would wrongly pick v2.
+        t1_offset = (
+            dt.datetime.fromisoformat(t1.replace("Z", "+00:00"))
+            .astimezone(dt.timezone(dt.timedelta(hours=2)))
+            .isoformat()
+        )
+        old = read_versioned(spark, path, as_of=t1_offset)
+        assert old.agg(F.min("temperature_2m")).collect()[0][0] == 10.0
+        # No-fraction form one second past t1 (still before t2 only if
+        # the gap allows; just assert it parses and returns some version).
+        nofrac = dt.datetime.fromisoformat(t1.replace("Z", "+00:00")).strftime(
+            "%Y-%m-%dT%H:%M:%SZ"
+        )
+        # floor-of-second ≤ t1's fractional instant ⇒ v1 only if commit
+        # landed exactly on the second; either way it must not raise and
+        # must never return v2 (whose commit is strictly later).
+        try:
+            got = read_versioned(spark, path, as_of=nofrac)
+            assert got.agg(F.min("temperature_2m")).collect()[0][0] == 10.0
+        except FileNotFoundError:
+            pass  # commit had a nonzero fraction and floor(t1) < t1
+
     def test_compact_coalesces_snapshot_into_one_batch(self, spark, tmp_path):
         import glob
 

@@ -194,6 +194,16 @@ def test_observe_write_collects_metrics_in_one_pass(spark, tmp_path):
     assert back.filter(F.col("temp").isNull()).count() == 1
 
 
+def test_observe_write_rejects_empty_metrics(spark, tmp_path):
+    import pytest as _pytest
+
+    from portfolio_data_pipelines_spark.plans.quality import observe_write
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with _pytest.raises(ValueError, match="at least one metric"):
+        observe_write(df, str(tmp_path / "x"), [])
+
+
 def test_q14_shape_single_agg_pass_with_pushed_window(spark):
     plan = _plan(spark, "promo_revenue_share_1997")
     assert "BroadcastHashJoin" in plan  # part is the broadcast dim
