@@ -1,0 +1,283 @@
+"""Byte-pair-encoding subword tokenizer as a columnar Spark plan.
+
+The reference pipeline stops at whole-word tokens (its dbt models never
+tokenize; see ``/root/reference/dbt/models/staging/stg_weather_hourly.sql``
+for the extent of its string handling) — subword tokenization is part of
+the driver-mandated LLM-pipeline surface (SURVEY §2.10): every real
+training pipeline encodes text with a subword vocabulary (BPE,
+Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+Subword Units") before the model sees it.
+
+Design, Spark-first:
+
+**Train** (`train_bpe_spark`): classic BPE learns merges over a
+*word-frequency table*, not the raw corpus — the corpus is touched
+exactly once (one distributed word-count agg); every merge round after
+that runs on the distinct-word table, which is vocabulary-sized
+(bounded ≪ corpus at any scale; English web text plateaus in the tens
+of millions of distinct words while the corpus grows unbounded). Each
+round is ONE distributed pair-count aggregation plus a single-row
+``take`` of the argmax pair (the same driver-side scalar round-trip a
+catalog stats probe makes), and the winning merge is applied as a
+columnar string replace. ``localCheckpoint`` every few rounds caps the
+lineage.
+
+**Encode** (`bpe_encode_ids_sql` / the `bpe_token_ids` query): the
+learned merge table is applied as a chain of literal string replaces
+over a delimiter-framed symbol string — a PURE PROJECTION: zero joins,
+zero shuffles, whole-stage-codegen friendly. Applying the merges
+exhaustively in rank order reproduces the classic priority-queue
+encoder: a pair involving a merge-product symbol is necessarily
+learned *after* the merge that created the symbol, so by the time a
+rule's turn comes, no earlier-rank pair can reappear.
+
+**Symbol-string representation.** A word's symbol sequence is framed
+as ``|s1||s2||...||sn|`` — every symbol carries its OWN leading and
+trailing delimiter, so the replace for merge ``(a, b)`` searches
+``|a||b|`` and writes ``|ab|``. Because matches never share
+characters, a single greedy left-to-right ``replace`` (the semantics
+of both Spark's and DuckDB's ``replace``) merges every occurrence in
+one pass — with shared delimiters (``" a b "``) the second of two
+back-to-back occurrences would lose its leading delimiter to the
+first match and be skipped. Tokens are restricted to ``[a-z]+`` so
+``|`` can never occur inside a symbol.
+
+The same construction is emitted for DuckDB (`bpe_encode_ids_duckdb`),
+which is how the encode query gets a full value-hash oracle: both
+engines run the identical replace chain against the same static merge
+table.
+"""
+
+from __future__ import annotations
+
+import string
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: How often to truncate the training lineage. Each round adds one
+#: `replace` projection; a localCheckpoint every N rounds keeps the
+#: recompute-per-round cost O(N) projections over a vocab-sized table.
+_CHECKPOINT_EVERY = 16
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference implementation (Sennrich et al. algorithm 1).
+# Used to pin the distributed trainer / columnar encoder in tests and to
+# derive the static fixture tokenizer below. Driver-side only — never on
+# the data path.
+# ---------------------------------------------------------------------------
+
+
+def train_bpe_local(
+    word_freqs: dict[str, int], num_merges: int, min_freq: int = 2
+) -> list[tuple[str, str]]:
+    """Classic BPE training over a word→frequency dict. Deterministic
+    tie-break: (count desc, left symbol asc, right symbol asc) — the
+    distributed trainer uses the identical ordering."""
+    seqs: list[tuple[list[str], int]] = [
+        (list(w), f) for w, f in sorted(word_freqs.items())
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: Counter[tuple[str, str]] = Counter()
+        for syms, freq in seqs:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for syms, _ in seqs:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [a + b]
+                else:
+                    i += 1
+    return merges
+
+
+def encode_word_local(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder: apply each merge exhaustively, in rank order,
+    greedy left-to-right — the semantics the replace chain reproduces."""
+    syms = list(word)
+    for a, b in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == a and syms[i + 1] == b:
+                syms[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return syms
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Token list in id order: the 26-letter base alphabet, then merge
+    products by rank. First occurrence wins when two merge paths
+    produce the same surface string (e.g. (a,bc) and (ab,c) → "abc"),
+    so ids stay dense and lookup-by-first-match agrees in both
+    engines."""
+    seen: dict[str, None] = dict.fromkeys(string.ascii_lowercase)
+    for a, b in merges:
+        seen.setdefault(a + b, None)
+    return list(seen)
+
+
+# ---------------------------------------------------------------------------
+# Distributed trainer.
+# ---------------------------------------------------------------------------
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over ``[a-z]+`` tokens of ``text_col`` — the ONE
+    corpus-sized pass of BPE training; everything after runs on this
+    vocabulary-sized table."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _framed(word_expr: str) -> str:
+    """Spark SQL: frame a word's characters as |c1||c2||...||cn|."""
+    chars = f"filter(split({word_expr}, ''), x -> x <> '')"
+    return f"concat('|', array_join({chars}, '||'), '|')"
+
+
+def train_bpe_spark(
+    words: DataFrame,
+    num_merges: int,
+    min_freq: int = 2,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, str]]:
+    """Distributed BPE training over a (word, freq) table.
+
+    Per round: one pair-count aggregation (explode adjacent symbol
+    pairs weighted by word frequency, groupBy pair, sum) and one
+    1-row ``take`` of the argmax under the deterministic tie-break
+    (count desc, a asc, b asc) — then the merge is applied as a single
+    columnar ``replace`` over the symbol strings. The table never
+    leaves the executors; only the per-round winning pair does.
+    """
+    syms = words.select(
+        F.col(freq_col).cast("long").alias("freq"),
+        F.expr(_framed(word_col)).alias("s"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for r in range(num_merges):
+        toks = "split(trim(BOTH '|' FROM s), '\\\\|\\\\|')"
+        pair_rows = (
+            syms.select(
+                "freq",
+                F.expr(
+                    f"explode(zip_with(slice({toks}, 1, size({toks}) - 1),"
+                    f" slice({toks}, 2, size({toks}) - 1),"
+                    " (a, b) -> struct(a, b)))"
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .take(1)
+        )
+        if not pair_rows or pair_rows[0]["cnt"] < min_freq:
+            break
+        a, b = pair_rows[0]["a"], pair_rows[0]["b"]
+        merges.append((a, b))
+        syms = syms.withColumn(
+            "s", F.expr(f"replace(s, '|{a}||{b}|', '|{a}{b}|')")
+        )
+        if (r + 1) % _CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint(eager=True)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Columnar encoder — emitted for both dialects so the query oracles.
+# ---------------------------------------------------------------------------
+
+
+def _replace_chain(expr: str, merges: list[tuple[str, str]]) -> str:
+    for a, b in merges:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return expr
+
+
+def bpe_encode_ids_sql(text_expr: str, merges: list[tuple[str, str]]) -> str:
+    """Spark SQL expression: ``text_expr`` → flat array<bigint> of BPE
+    token ids. Pure projection — no join, no shuffle; the merge table
+    and vocabulary are literals folded into the plan (at production
+    vocab sizes they'd broadcast, same plan shape).
+
+    OOV: ``array_position`` returns 0 for a symbol outside the
+    vocabulary, so ``- 1`` yields the conventional -1 unk id (dead code
+    while tokens are ``[a-z]+`` and the alphabet is complete, kept for
+    symmetry with `token_ids_encoded`).
+    """
+    vocab = ", ".join(f"'{t}'" for t in bpe_vocab(merges))
+    merged = _replace_chain(_framed("w"), merges)
+    subs = f"split(trim(BOTH '|' FROM {merged}), '\\\\|\\\\|')"
+    per_word = f"transform({subs}, s -> array_position(array({vocab}), s) - 1)"
+    words = f"regexp_extract_all(lower({text_expr}), '[a-z]+', 0)"
+    return f"flatten(transform({words}, w -> {per_word}))"
+
+
+def bpe_encode_ids_duckdb(text_expr: str, merges: list[tuple[str, str]]) -> str:
+    """The identical construction in DuckDB SQL (the oracle side).
+    ``list_position`` likewise returns 0 when absent → ``- 1`` = unk."""
+    vocab = ", ".join(f"'{t}'" for t in bpe_vocab(merges))
+    framed = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    merged = _replace_chain(framed, merges)
+    subs = f"string_split(trim({merged}, '|'), '||')"
+    per_word = (
+        f"list_transform({subs},"
+        f" s -> CAST(list_position([{vocab}], s) - 1 AS BIGINT))"
+    )
+    words = f"regexp_extract_all(lower({text_expr}), '[a-z]+')"
+    return f"flatten(list_transform({words}, w -> {per_word}))"
+
+
+# ---------------------------------------------------------------------------
+# The fixture tokenizer: trained once, at import, from a deterministic
+# embedded reference corpus (how production tokenizers work — trained
+# offline on a reference corpus, then applied to every incoming batch).
+# Training at import keeps the merge table, the pytest parity check,
+# and the DuckDB oracle all derived from one source of truth instead of
+# a hand-maintained literal list.
+# ---------------------------------------------------------------------------
+
+#: Reference corpus word frequencies — the generator vocabulary of the
+#: synthetic ``documents`` table (TESTDATA.md), Zipf-ish weighted, so
+#: the learned merges are meaningful subwords for the data the
+#: `bpe_token_ids` query encodes.
+FIXTURE_WORD_FREQS: dict[str, int] = {
+    "the": 900, "a": 700, "scan": 420, "merge": 400, "join": 390,
+    "sort": 370, "order": 360, "table": 340, "window": 320, "small": 300,
+    "hash": 290, "part": 280, "key": 270, "fast": 260, "data": 250,
+    "row": 240, "group": 230, "query": 220, "spark": 210, "slow": 200,
+    "filter": 190, "customer": 180, "line": 170, "batch": 160,
+    "value": 150, "stream": 140, "shuffle": 130, "broadcast": 120,
+    "partition": 110, "agg": 100, "limit": 90, "count": 80,
+}
+
+#: Number of merges for the fixture tokenizer — enough to produce
+#: multi-character subwords for every high-frequency word above while
+#: keeping the replace chain comfortably inside codegen limits.
+FIXTURE_NUM_MERGES = 48
+
+#: The static merge table the `bpe_token_ids` query (and its oracle)
+#: apply. Deterministic: pure function of the two constants above.
+FIXTURE_MERGES: list[tuple[str, str]] = train_bpe_local(
+    FIXTURE_WORD_FREQS, FIXTURE_NUM_MERGES
+)

@@ -1002,3 +1002,58 @@ def token_ids_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE subword encoding (SURVEY §2.10): the subword step below
+# `token_ids_encoded`'s word-level vocabulary. Merge table + encoder live
+# in operators/bpe.py; the identical replace-chain construction is emitted
+# for DuckDB, which is what makes this oracle a full value-hash check of
+# the subword ids themselves.
+# ---------------------------------------------------------------------------
+
+from ..operators.bpe import (  # noqa: E402  (keeps the BPE block together)
+    FIXTURE_MERGES,
+    bpe_encode_ids_duckdb,
+    bpe_encode_ids_sql,
+)
+
+
+@extra_query(
+    "bpe_token_ids",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_subwords,
+           ids AS token_ids
+    FROM (
+      SELECT doc_id, {bpe_encode_ids_duckdb("text", FIXTURE_MERGES)} AS ids
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE subword token-id encoding of every document against the
+    static fixture tokenizer (trained offline — operators/bpe.py — the
+    production shape: tokenizers are trained once on a reference corpus
+    and then applied to every incoming batch).
+
+    Plan: a PURE PROJECTION — the merge table is a chain of literal
+    string replaces over a delimiter-framed symbol string and the
+    vocabulary is an array literal, so encoding is zero-join,
+    zero-shuffle, whole-stage-codegen work; the only exchange is the
+    deterministic final ORDER BY. At 100 TB this scales embarrassingly:
+    every partition encodes independently at scan speed."""
+    d = scan_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(bpe_encode_ids_sql("text", FIXTURE_MERGES)).alias("token_ids"),
+        )
+        .select(
+            "doc_id",
+            F.size("token_ids").cast("long").alias("n_subwords"),
+            "token_ids",
+        )
+        .orderBy("doc_id")
+    )
