@@ -369,6 +369,20 @@ def compact_partition(
 # readers) until `vacuum_versioned` reclaims it.
 
 _MANIFEST_RE = re.compile(r"_manifest_v(\d{6})\.json$")
+_CHECKPOINT_RE = re.compile(r"_checkpoint_v(\d{6})\.json$")
+
+#: Write a rolled-up checkpoint every N commits. Without it, finding the
+#: latest manifest is an O(versions) directory listing and a time-travel
+#: read is O(versions) manifest reads — at one commit/hour that is 8,760
+#: round trips per year per read. With it (Delta's ``_last_checkpoint``
+#: design), any read touches ≤ 1 pointer + 1 checkpoint + N tail
+#: manifests, independent of table age.
+CHECKPOINT_EVERY = 10
+
+#: Test/ops instrumentation: small-file round-trips per category. Reset
+#: and read by tests to pin the O(1)-reads-per-lookup property; never on
+#: the data path.
+IO_STATS = {"manifest_reads": 0, "lists": 0}
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -394,6 +408,7 @@ def _parse_iso_ts(ts: str) -> _dt.datetime:
 def _read_manifest_file(fs, jvm, manifest_path) -> dict:
     import json
 
+    IO_STATS["manifest_reads"] += 1
     stream = fs.open(manifest_path)
     reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
     lines = []
@@ -406,20 +421,113 @@ def _read_manifest_file(fs, jvm, manifest_path) -> dict:
     return json.loads("\n".join(lines))
 
 
+def _write_small_file(fs, jvm, path_str: str, text: str, overwrite: bool):
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), overwrite)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def _mpath(jvm, path: str, version: int):
+    return jvm.org.apache.hadoop.fs.Path(f"{path}/_manifest_v{version:06d}.json")
+
+
+def _read_last_checkpoint(fs, jvm, path: str) -> dict | None:
+    """The ``_last_checkpoint`` pointer ({"version": N}), or None on a
+    pre-checkpoint layout (old lake, or fewer than CHECKPOINT_EVERY
+    commits and never vacuumed)."""
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/_last_checkpoint")
+    if not fs.exists(p):
+        return None
+    return _read_manifest_file(fs, jvm, p)
+
+
+def _tail_versions(fs, jvm, path: str, start: int) -> list[int]:
+    """Manifest versions strictly after ``start``, found by forward
+    existence probes (no directory listing). Commits are claimed by
+    sequential create-exclusive manifests and vacuum re-checkpoints at
+    the latest version, so the tail beyond a checkpoint is contiguous."""
+    out, v = [], start + 1
+    while fs.exists(_mpath(jvm, path, v)):
+        out.append(v)
+        v += 1
+    return out
+
+
+def write_checkpoint(spark, path: str, version: int) -> None:
+    """Roll up commit metadata through ``version`` into
+    ``_checkpoint_v{version}.json`` ({"version", "commit_times"}) and
+    repoint ``_last_checkpoint`` at it — Delta's checkpoint design, JSON
+    instead of parquet because the index is O(versions) tiny rows.
+
+    Cost is amortized: builds on the previous checkpoint plus the ≤N
+    manifests committed since, so each commit pays O(1) small-file I/O
+    on average no matter how old the table is."""
+    import json
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    times: dict[int, str | None] = {}
+    lc = _read_last_checkpoint(fs, jvm, path)
+    start = 0
+    if lc is not None:
+        cp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_checkpoint_v{lc['version']:06d}.json"
+        )
+        if fs.exists(cp):
+            doc = _read_manifest_file(fs, jvm, cp)
+            times = {int(k): v for k, v in doc["commit_times"].items()}
+            start = lc["version"]
+    for v in range(start + 1, version + 1):
+        mp = _mpath(jvm, path, v)
+        if fs.exists(mp):
+            times[v] = _read_manifest_file(fs, jvm, mp).get("committed_at")
+    doc = json.dumps(
+        {
+            "version": version,
+            "commit_times": {str(v): t for v, t in sorted(times.items())},
+        },
+        sort_keys=True,
+    )
+    _write_small_file(
+        fs, jvm, f"{path}/_checkpoint_v{version:06d}.json", doc, overwrite=True
+    )
+    _write_small_file(
+        fs, jvm, f"{path}/_last_checkpoint",
+        json.dumps({"version": version}), overwrite=True,
+    )
+
+
 def _latest_manifest(spark, path: str) -> tuple[int, dict]:
-    """(version, {partition value → batch dir}) of the highest-numbered
-    manifest under ``path``; (0, {}) for an empty/uncommitted lake."""
+    version, doc = _latest_manifest_doc(spark, path)
+    return version, (doc or {}).get("entries", {})
+
+
+def _latest_manifest_doc(spark, path: str) -> tuple[int, dict | None]:
+    """(version, manifest doc) of the highest-numbered manifest under
+    ``path``; (0, None) for an empty/uncommitted lake.
+
+    Checkpointed lakes resolve in O(1): one ``_last_checkpoint`` read +
+    forward existence probes over the ≤CHECKPOINT_EVERY tail + one
+    manifest read — never a directory listing. Pre-checkpoint layouts
+    fall back to the O(versions) listing."""
     fs, root, jvm = _hadoop_fs(spark, path)
     if not fs.exists(root):
-        return 0, {}
+        return 0, None
+    lc = _read_last_checkpoint(fs, jvm, path)
+    if lc is not None:
+        tail = _tail_versions(fs, jvm, path, lc["version"])
+        best = tail[-1] if tail else lc["version"]
+        if best == 0:
+            return 0, None
+        return best, _read_manifest_file(fs, jvm, _mpath(jvm, path, best))
+    IO_STATS["lists"] += 1
     best, best_path = 0, None
     for st in fs.listStatus(root):
         m = _MANIFEST_RE.match(st.getPath().getName())
         if m and int(m.group(1)) > best:
             best, best_path = int(m.group(1)), st.getPath()
     if best_path is None:
-        return 0, {}
-    return best, _read_manifest_file(fs, jvm, best_path)["entries"]
+        return 0, None
+    return best, _read_manifest_file(fs, jvm, best_path)
 
 
 def _manifest_at(spark, path: str, version: int) -> tuple[int, dict]:
@@ -450,18 +558,52 @@ def _manifest_asof(spark, path: str, ts: str) -> tuple[int, dict]:
     fs, root, jvm = _hadoop_fs(spark, path)
     if not fs.exists(root):
         raise FileNotFoundError(f"no committed manifest under {path}")
+
+    def _is_before(committed: str | None) -> bool:
+        if not committed:
+            return True  # pre-committed_at layouts count as arbitrarily old
+        return _parse_iso_ts(committed) <= cutoff
+
+    lc = _read_last_checkpoint(fs, jvm, path)
+    if lc is not None:
+        # Checkpointed path: the rolled-up commit-time index + the ≤N
+        # tail manifests — O(1) reads regardless of table age.
+        cp = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/_checkpoint_v{lc['version']:06d}.json"
+        )
+        times: dict[int, str | None] = {}
+        if fs.exists(cp):
+            doc = _read_manifest_file(fs, jvm, cp)
+            times = {int(k): v for k, v in doc["commit_times"].items()}
+        tail_docs: dict[int, dict] = {}
+        for v in _tail_versions(fs, jvm, path, lc["version"]):
+            tail_docs[v] = _read_manifest_file(fs, jvm, _mpath(jvm, path, v))
+            times[v] = tail_docs[v].get("committed_at")
+        cands = [v for v, t in times.items() if _is_before(t)]
+        if not cands:
+            raise FileNotFoundError(
+                f"no manifest under {path} committed at or before {ts} "
+                "(too early, or that history was vacuumed)"
+            )
+        best = max(cands)
+        if best in tail_docs:
+            return best, tail_docs[best]["entries"]
+        mp = _mpath(jvm, path, best)
+        if not fs.exists(mp):
+            raise FileNotFoundError(
+                f"manifest v{best} under {path} was vacuumed — as-of {ts} "
+                "is outside the retention window"
+            )
+        return best, _read_manifest_file(fs, jvm, mp)["entries"]
+
+    IO_STATS["lists"] += 1
     best, best_doc = 0, None
     for st in fs.listStatus(root):
         m = _MANIFEST_RE.match(st.getPath().getName())
         if not m:
             continue
         doc = _read_manifest_file(fs, jvm, st.getPath())
-        committed = doc.get("committed_at")
-        committed_dt = (
-            _parse_iso_ts(committed) if committed
-            else _dt.datetime.min.replace(tzinfo=_dt.timezone.utc)
-        )
-        if committed_dt <= cutoff and int(m.group(1)) > best:
+        if _is_before(doc.get("committed_at")) and int(m.group(1)) > best:
             best, best_doc = int(m.group(1)), doc
     if best_doc is None:
         raise FileNotFoundError(
@@ -527,17 +669,18 @@ def commit_versioned(
         },
         sort_keys=True,
     )
-    manifest_path = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/_manifest_v{new_version:06d}.json"
-    )
     try:
-        out = fs.create(manifest_path, False)  # overwrite=False: version claim
+        # overwrite=False: the exclusive create IS the version claim
+        _write_small_file(
+            fs, jvm, f"{path}/_manifest_v{new_version:06d}.json",
+            manifest, overwrite=False,
+        )
     except Exception as exc:  # FileAlreadyExists → a racer claimed this version
         raise ConcurrentCommitError(
             f"manifest v{new_version} already exists under {path}"
         ) from exc
-    out.write(bytearray(manifest.encode("utf-8")))
-    out.close()
+    if new_version % CHECKPOINT_EVERY == 0:
+        write_checkpoint(spark, path, new_version)
     return new_version
 
 
@@ -686,28 +829,59 @@ def diff_versions(
     )
 
 
-def vacuum_versioned(spark, path: str) -> list[str]:
-    """Delete batch directories not referenced by the LATEST manifest,
-    plus superseded manifest files; returns what was removed.
+def vacuum_versioned(
+    spark, path: str, retain_hours: float | None = None, now: str | None = None
+) -> list[str]:
+    """Delete history outside the retention window; returns what was
+    removed. With ``retain_hours=None`` (the default, the original
+    behavior) only the latest snapshot survives; with a window, every
+    manifest whose ``committed_at`` falls inside ``[now - retain_hours,
+    now]`` is retained — time-travel reads (``version=`` / ``as_of=``)
+    inside the window keep working after the vacuum, outside it they
+    raise loudly (Delta VACUUM + ``delta.logRetentionDuration``
+    semantics in one knob). ``now`` is injectable for tests.
 
-    Only directories with a version number strictly below the latest
-    manifest's are candidates — an in-flight committer's data dir
-    (version above the newest manifest) is never touched. Run behind
-    readers' snapshot horizon, like Delta VACUUM."""
-    version, entries = _latest_manifest(spark, path)
+    A batch directory is reclaimed only when NO retained manifest
+    references it; an in-flight committer's data dir (version above the
+    newest manifest) is never touched. After deleting, the lake is
+    re-checkpointed at the latest version so the checkpoint's forward
+    probes never cross a vacuumed hole and the commit-time index drops
+    vacuumed versions."""
+    version, latest_doc = _latest_manifest_doc(spark, path)
     if version == 0:
         return []
-    live = set(entries.values())
     fs, root, jvm = _hadoop_fs(spark, path)
+    cutoff = None
+    if retain_hours is not None:
+        now_dt = _parse_iso_ts(now) if now else _dt.datetime.now(_dt.timezone.utc)
+        cutoff = now_dt - _dt.timedelta(hours=retain_hours)
+    IO_STATS["lists"] += 1
+    listing = list(fs.listStatus(root))
+    retained_docs = {version: latest_doc}
+    for st in listing:
+        mm = _MANIFEST_RE.match(st.getPath().getName())
+        if not mm or int(mm.group(1)) == version:
+            continue
+        if cutoff is not None:
+            doc = _read_manifest_file(fs, jvm, st.getPath())
+            committed = doc.get("committed_at")
+            if committed and _parse_iso_ts(committed) >= cutoff:
+                retained_docs[int(mm.group(1))] = doc
+    live = {d for doc in retained_docs.values() for d in doc["entries"].values()}
     removed = []
-    for st in fs.listStatus(root):
+    for st in listing:
         name = st.getPath().getName()
         bm = re.fullmatch(r"_batch_(\d{6})", name)
         mm = _MANIFEST_RE.match(name)
+        cm = _CHECKPOINT_RE.match(name)
         if bm and int(bm.group(1)) < version and name not in live:
             fs.delete(st.getPath(), True)
             removed.append(name)
-        elif mm and int(mm.group(1)) < version:
+        elif mm and int(mm.group(1)) < version and int(mm.group(1)) not in retained_docs:
             fs.delete(st.getPath(), False)
             removed.append(name)
+        elif cm:  # superseded below by the fresh post-vacuum checkpoint
+            fs.delete(st.getPath(), False)
+            removed.append(name)
+    write_checkpoint(spark, path, version)
     return removed

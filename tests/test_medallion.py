@@ -754,3 +754,148 @@ def test_jdbc_readback_numeric_partition_column(spark, tmp_path):
         spark, url, "t", partition_column="id", num_partitions=3, driver=drv
     )
     assert sorted(r["ID"] for r in probed.collect()) == list(range(50))
+
+
+class TestCheckpointAndRetention:
+    """Manifest checkpointing (_last_checkpoint + rolled-up commit-time
+    index every CHECKPOINT_EVERY commits) and retention-policy vacuum —
+    the two pieces that keep manifest I/O O(1) and history bounded as
+    the table ages."""
+
+    @staticmethod
+    def _tiny(spark, temp: float):
+        return spark.createDataFrame(
+            [("2025-08-20", temp)], "date string, temperature_2m double"
+        )
+
+    def test_100_commits_reads_bounded_by_checkpoint(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators import medallion as med
+
+        path = str(tmp_path / "cp100")
+        for i in range(100):
+            med.commit_versioned(spark, path, self._tiny(spark, float(i)))
+        # checkpoint landed at v100 and the pointer tracks it
+        assert os.path.exists(os.path.join(path, "_checkpoint_v000100.json"))
+        assert os.path.exists(os.path.join(path, "_last_checkpoint"))
+
+        med.IO_STATS.update(manifest_reads=0, lists=0)
+        snap = med.read_versioned(spark, path)
+        assert snap.agg(F.max("temperature_2m")).collect()[0][0] == 99.0
+        # pointer + latest manifest; never a directory listing, never a
+        # per-version scan
+        assert med.IO_STATS["lists"] == 0
+        assert med.IO_STATS["manifest_reads"] <= 2 + med.CHECKPOINT_EVERY
+
+        # time travel through the checkpoint's commit-time index
+        import json
+
+        with open(os.path.join(path, "_manifest_v000042.json")) as f:
+            t42 = json.load(f)["committed_at"]
+        med.IO_STATS.update(manifest_reads=0, lists=0)
+        old = med.read_versioned(spark, path, as_of=t42)
+        assert old.agg(F.max("temperature_2m")).collect()[0][0] == 41.0
+        assert med.IO_STATS["lists"] == 0
+        assert med.IO_STATS["manifest_reads"] <= 3 + med.CHECKPOINT_EVERY
+
+    def test_checkpoint_cadence_and_tail_probing(self, spark, tmp_path, monkeypatch):
+        from portfolio_data_pipelines_spark.operators import medallion as med
+
+        monkeypatch.setattr(med, "CHECKPOINT_EVERY", 3)
+        path = str(tmp_path / "cp3")
+        for i in range(7):
+            med.commit_versioned(spark, path, self._tiny(spark, float(i)))
+        assert os.path.exists(os.path.join(path, "_checkpoint_v000003.json"))
+        assert os.path.exists(os.path.join(path, "_checkpoint_v000006.json"))
+        import json
+
+        with open(os.path.join(path, "_last_checkpoint")) as f:
+            assert json.load(f)["version"] == 6
+        with open(os.path.join(path, "_checkpoint_v000006.json")) as f:
+            doc = json.load(f)
+        assert sorted(map(int, doc["commit_times"])) == [1, 2, 3, 4, 5, 6]
+        med.IO_STATS.update(manifest_reads=0, lists=0)
+        v, entries = med._latest_manifest(spark, path)
+        assert v == 7 and entries
+        assert med.IO_STATS["lists"] == 0
+        assert med.IO_STATS["manifest_reads"] == 2  # pointer + v7 manifest
+
+    def test_vacuum_retention_window(self, spark, tmp_path, monkeypatch):
+        import json
+        import time
+
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators import medallion as med
+
+        monkeypatch.setattr(med, "CHECKPOINT_EVERY", 3)
+        path = str(tmp_path / "ret")
+        for i in range(1, 6):
+            med.commit_versioned(spark, path, self._tiny(spark, float(i)))
+            time.sleep(0.02)
+
+        def committed(v):
+            with open(os.path.join(path, f"_manifest_v{v:06d}.json")) as f:
+                return json.load(f)["committed_at"]
+
+        t = {v: committed(v) for v in range(1, 6)}
+        now = t[5]
+        # retention window reaching back to v3's commit, exclusive of v2
+        span_h = (
+            med._parse_iso_ts(now) - med._parse_iso_ts(t[3])
+        ).total_seconds() / 3600
+        removed = med.vacuum_versioned(
+            spark, path, retain_hours=span_h + 1e-9, now=now
+        )
+        assert "_manifest_v000001.json" in removed
+        assert "_manifest_v000002.json" in removed
+        assert "_batch_000001" in removed and "_batch_000002" in removed
+        assert "_manifest_v000003.json" not in removed
+
+        # inside retention: version- and time-travel both survive
+        assert (
+            med.read_versioned(spark, path, version=3)
+            .agg(F.max("temperature_2m")).collect()[0][0] == 3.0
+        )
+        assert (
+            med.read_versioned(spark, path, as_of=t[4])
+            .agg(F.max("temperature_2m")).collect()[0][0] == 4.0
+        )
+        # outside retention: loud failures, not silent fallbacks
+        with _pytest.raises(FileNotFoundError):
+            med.read_versioned(spark, path, version=2)
+        with _pytest.raises(FileNotFoundError):
+            med.read_versioned(spark, path, as_of=t[1])
+
+        # vacuum re-checkpointed at the latest version: reads stay O(1)
+        # and the commit-time index dropped the vacuumed versions
+        with open(os.path.join(path, "_last_checkpoint")) as f:
+            assert json.load(f)["version"] == 5
+        with open(os.path.join(path, "_checkpoint_v000005.json")) as f:
+            assert sorted(map(int, json.load(f)["commit_times"])) == [3, 4, 5]
+        med.IO_STATS.update(manifest_reads=0, lists=0)
+        assert (
+            med.read_versioned(spark, path)
+            .agg(F.max("temperature_2m")).collect()[0][0] == 5.0
+        )
+        assert med.IO_STATS["lists"] == 0
+
+    def test_vacuum_default_retains_only_latest_and_recheckpoints(
+        self, spark, tmp_path
+    ):
+        from portfolio_data_pipelines_spark.operators import medallion as med
+
+        path = str(tmp_path / "ret0")
+        for i in range(1, 4):
+            med.commit_versioned(spark, path, self._tiny(spark, float(i)))
+        removed = med.vacuum_versioned(spark, path)
+        assert {"_batch_000001", "_batch_000002",
+                "_manifest_v000001.json", "_manifest_v000002.json"} <= set(removed)
+        assert (
+            med.read_versioned(spark, path)
+            .agg(F.max("temperature_2m")).collect()[0][0] == 3.0
+        )
+        # post-vacuum lakes are checkpointed even below CHECKPOINT_EVERY
+        assert os.path.exists(os.path.join(path, "_last_checkpoint"))
+        med.IO_STATS.update(manifest_reads=0, lists=0)
+        med._latest_manifest(spark, path)
+        assert med.IO_STATS["lists"] == 0
