@@ -49,3 +49,9 @@ def duck():
         )
     yield con
     con.close()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale-sensitivity harness tests"
+    )
