@@ -639,7 +639,8 @@ def commit_versioned(
 
     if partition_col not in df.columns:
         df = df.withColumn(partition_col, F.to_date(F.col(derive_from)))
-    version, entries = _latest_manifest(spark, path)
+    version, prev_doc = _latest_manifest_doc(spark, path)
+    entries = (prev_doc or {}).get("entries", {})
     new_version = version + 1
     batch_dir = f"_batch_{new_version:06d}"
     (
@@ -651,17 +652,42 @@ def commit_versioned(
     )
     fs, _, jvm = _hadoop_fs(spark, path)
     batch_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{batch_dir}")
-    days = [
-        st.getPath().getName().split("=", 1)[1]
-        for st in fs.listStatus(batch_path)
-        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
-    ]
+    day_bytes: dict[str, int] = {}
+    for st in fs.listStatus(batch_path):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(f"{partition_col}="):
+            day_bytes[name.split("=", 1)[1]] = sum(
+                f.getLen() for f in fs.listStatus(st.getPath()) if f.isFile()
+            )
+    days = list(day_bytes)
+    # Per-day row counts for the manifest's partition_stats: a
+    # metadata-only count over the just-written batch (parquet count
+    # pushdown — footer reads, no data pages). This is the collect-once
+    # moment the mini-CBO (operators/cbo.py) feeds on at query time.
+    day_rows = {
+        r["d"]: r["cnt"]
+        for r in spark.read.parquet(f"{path}/{batch_dir}")
+        .groupBy(F.col(partition_col).cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
     new_entries = {**entries, **{d: batch_dir for d in days}}
+    prev_pstats = (prev_doc or {}).get("partition_stats", {})
+    new_pstats = {
+        **{d: s for d, s in prev_pstats.items() if d in new_entries},
+        **{
+            d: {"rows": int(day_rows.get(d, 0)), "bytes": day_bytes[d]}
+            for d in days
+        },
+    }
     manifest = json.dumps(
         {
             "version": new_version,
             "partition_col": partition_col,
             "entries": new_entries,
+            # Day-granular (rows, bytes), carried forward like entries —
+            # the live table's size is one manifest read away.
+            "partition_stats": new_pstats,
             # UTC commit time enables timestampAsOf reads (_manifest_asof).
             "committed_at": _dt.datetime.now(_dt.timezone.utc).strftime(
                 "%Y-%m-%dT%H:%M:%S.%fZ"

@@ -371,17 +371,29 @@ def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiway star join (orders→customer→nation→region). All dims
-    broadcast: the plan is a single pipelined scan of the fact with three
-    hash-probe stages — zero fact shuffles before the final 5-group agg."""
+    """Multiway star join (orders→customer→nation→region). Join strategy
+    comes from the mini-CBO (operators/cbo.py): each dim's footer stats
+    are probed once (cached) and every side under the broadcast
+    threshold is broadcast — at sf scales that reproduces the
+    hand-hinted all-dims-broadcast plan (pinned in tests/test_cbo.py),
+    while an oversized dim would automatically fall back to a shuffle
+    join instead of OOMing the build side. The plan is a single
+    pipelined scan of the fact with three hash-probe stages — zero fact
+    shuffles before the final 5-group agg."""
+    from ..operators.cbo import stats_for_parquet, stats_join
+
     o = scan_table(spark, sf_dir, "orders")
     c = scan_table(spark, sf_dir, "customer")
     n = scan_table(spark, sf_dir, "nation")
     r = scan_table(spark, sf_dir, "region")
+    st = {t: stats_for_parquet(spark, f"{sf_dir}/{t}.parquet")
+          for t in ("customer", "nation", "region")}
+    # The fact chain's intermediate size is unknown (left_stats=None →
+    # never broadcast left); each dim side is judged by its own stats.
+    j = stats_join(o, c, o.o_custkey == c.c_custkey, right_stats=st["customer"])
+    j = stats_join(j, n, c.c_nationkey == n.n_nationkey, right_stats=st["nation"])
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        stats_join(j, r, n.n_regionkey == r.r_regionkey, right_stats=st["region"])
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_revenue"))
         .orderBy("region_name")

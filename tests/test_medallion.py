@@ -356,7 +356,7 @@ class TestVersionedLake:
         # racer lands v2 while our committer still believes latest == v1
         with open(os.path.join(path, "_manifest_v000002.json"), "w") as f:
             f.write('{"version": 2, "partition_col": "date", "entries": {}}')
-        monkeypatch.setattr(medallion, "_latest_manifest", lambda *_: (1, {}))
+        monkeypatch.setattr(medallion, "_latest_manifest_doc", lambda *_: (1, None))
         with _pytest.raises(medallion.ConcurrentCommitError):
             medallion.commit_versioned(spark, path, _batch(spark, day=21))
 
