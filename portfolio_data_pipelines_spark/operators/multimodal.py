@@ -163,16 +163,26 @@ def _png_unfilter_row(f: int, line, prev, bpp: int):
     raise ValueError(f"invalid PNG filter type {f}")
 
 
+#: Adam7 pass grid: (x offset, y offset, x stride, y stride) per pass.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def _decode_png(content: bytes):
     """Pure-stdlib PNG decoder → uint8 RGB ndarray (H, W, 3).
 
     Chunk walk (IHDR/PLTE/IDAT/IEND), ``zlib`` inflate of the
     concatenated IDAT stream, then scanline unfiltering for all 5 filter
-    types (None/Sub/Up/Average/Paeth). Supports bit depth 8 in color
-    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA) —
-    alpha is dropped, gray is broadcast to RGB. Adam7 interlace and
-    16-bit depth raise ``NotImplementedError`` (rare in training
-    corpora; PIL covers them when installed)."""
+    types (None/Sub/Up/Average/Paeth). Supports bit depths 8 and 16
+    (16-bit samples are big-endian pairs; the MSB is kept — the 8-bit
+    RGB output contract) in color types 0 (gray), 2 (RGB), 3 (palette,
+    depth 8), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped, gray is
+    broadcast to RGB — plus Adam7 interlacing (7 independently-filtered
+    sub-images placed at the pass offsets/strides). Sub-byte depths
+    (1/2/4) raise ``NotImplementedError`` (rare in training corpora;
+    PIL covers them when installed)."""
     import struct
     import zlib
 
@@ -198,27 +208,69 @@ def _decode_png(content: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError("fallback PNG decoder supports bit depth 8 only")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported without PIL")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            "fallback PNG decoder supports bit depths 8 and 16 only"
+        )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color_type}")
+    if color_type == 3 and depth != 8:
+        raise NotImplementedError("palette PNG supported at bit depth 8 only")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        prev = _png_unfilter_row(int(arr[y, 0]), arr[y, 1:].astype(np.int32), prev, channels)
-        recon[y] = prev
-    px = recon.astype(np.uint8).reshape(h, w, channels)
+    # PNG filters operate on BYTES with the left-neighbor offset equal to
+    # the bytes-per-pixel, so depth 16 reuses the same unfilter with
+    # bpp = channels * 2.
+    bpp = channels * (depth // 8)
+
+    def unfilter(buf: bytes, pw: int, ph: int):
+        """Unfilter a (sub-)image of pw×ph pixels from the head of
+        ``buf``; returns (uint8 array (ph, pw*bpp), bytes consumed)."""
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if len(buf) < need:
+            raise ValueError("PNG pixel data size mismatch")
+        a = np.frombuffer(buf[:need], np.uint8).reshape(ph, stride + 1)
+        out = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            prev = _png_unfilter_row(
+                int(a[y, 0]), a[y, 1:].astype(np.int32), prev, bpp
+            )
+            out[y] = prev
+        return out, need
+
+    if interlace == 0:
+        data, consumed = unfilter(raw, w, h)
+        if consumed != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+        full = data.reshape(h, w, bpp)
+    elif interlace == 1:
+        # Adam7: 7 passes, each an independently-filtered sub-image
+        # placed on the (x0 + i*dx, y0 + j*dy) grid. Empty passes (small
+        # images) contribute zero bytes, including their filter bytes.
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, consumed = unfilter(raw[offset:], pw, ph)
+            offset += consumed
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if depth == 16:
+        # big-endian sample pairs; keep the MSB — the uint8 RGB contract
+        px = np.ascontiguousarray(full.reshape(h, w, channels, 2)[:, :, :, 0])
+    else:
+        px = full.reshape(h, w, channels)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:

@@ -262,24 +262,26 @@ def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def _png_bytes(arr, color_type=2, filters=None, depth=8, interlace=0, palette=None):
-    """Minimal PNG encoder with explicit per-row filter types (0-4), the
-    forward transform of the decoder's unfilter — so a roundtrip proves
-    every filter type reconstructs."""
-    import struct
-    import zlib
+#: Adam7 pass grid (mirrors the decoder's table).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(data, bpp, filters):
+    """Forward-filter a byte image (rows of pw*bpp bytes) with explicit
+    per-row filter types (0-4) — the exact inverse of the decoder's
+    unfilter, so a roundtrip proves every type reconstructs."""
     import numpy as np
 
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    h, w = arr.shape[:2]
-    data = arr.reshape(h, w * channels).astype(np.int32)
-    filters = filters or [0] * h
-    bpp = channels
-    lines, prev = [], np.zeros(w * channels, np.int32)
-    for y in range(h):
-        f, cur = filters[y], data[y]
-        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]]) if len(cur) > bpp else np.zeros_like(cur)
+    lines, prev = [], np.zeros(data.shape[1], np.int32)
+    for y in range(data.shape[0]):
+        f, cur = filters[y], data[y].astype(np.int32)
+        left = (
+            np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            if len(cur) > bpp else np.zeros_like(cur)
+        )
         if f == 0:
             filt = cur.copy()
         elif f == 1:
@@ -299,6 +301,43 @@ def _png_bytes(arr, color_type=2, filters=None, depth=8, interlace=0, palette=No
                 filt[x] = cur[x] - pr
         lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return lines
+
+
+def _png_bytes(arr, color_type=2, filters=None, depth=8, interlace=0, palette=None):
+    """Minimal PNG encoder: explicit per-row filter types, 8- or 16-bit
+    samples (big-endian), optional Adam7 interlacing (each pass filtered
+    independently, filters cycling across all sub-image rows)."""
+    import itertools
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    h, w = arr.shape[:2]
+    if depth == 8:
+        byte_img = arr.reshape(h, w, channels).astype(np.uint8)
+    else:  # 16-bit: big-endian sample pairs
+        a16 = arr.reshape(h, w, channels).astype(np.uint16)
+        byte_img = np.zeros((h, w, channels * 2), np.uint8)
+        byte_img[..., 0::2] = (a16 >> 8).astype(np.uint8)
+        byte_img[..., 1::2] = (a16 & 0xFF).astype(np.uint8)
+    bpp = byte_img.shape[2]
+    fcycle = itertools.cycle(filters or [0])
+    lines = []
+    if interlace == 0:
+        rows = byte_img.reshape(h, w * bpp)
+        lines += _png_filter_rows(rows, bpp, [next(fcycle) for _ in range(h)])
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = byte_img[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            lines += _png_filter_rows(
+                sub.reshape(ph, pw * bpp), bpp, [next(fcycle) for _ in range(ph)]
+            )
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -341,17 +380,95 @@ def test_png_decode_gray_alpha_palette_variants():
     assert np.array_equal(got, palette[idx[:, :, 0]])
 
 
+def test_png_16bit_roundtrip_all_filter_types():
+    """16-bit samples are big-endian pairs filtered byte-wise with
+    bpp = channels*2; the decoder keeps the MSB (8-bit RGB contract)."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(11)
+    rgb16 = rng.randint(0, 65536, (6, 5, 3), dtype=np.uint16)
+    got = decode_image(_png_bytes(rgb16, color_type=2, depth=16,
+                                  filters=[0, 1, 2, 3, 4, 2]))
+    assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8))
+
+    gray16 = rng.randint(0, 65536, (4, 3, 1), dtype=np.uint16)
+    got = decode_image(_png_bytes(gray16, color_type=0, depth=16,
+                                  filters=[4, 3, 2, 1]))
+    exp = np.repeat((gray16 >> 8).astype(np.uint8), 3, axis=2)
+    assert np.array_equal(got, exp)
+
+    rgba16 = rng.randint(0, 65536, (3, 4, 4), dtype=np.uint16)
+    got = decode_image(_png_bytes(rgba16, color_type=6, depth=16,
+                                  filters=[1, 4, 3]))
+    assert np.array_equal(got, (rgba16[:, :, :3] >> 8).astype(np.uint8))
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: 7 independently-filtered sub-images reassembled on the
+    pass grid — exercised at sizes that hit every pass shape, including
+    images small enough that whole passes are empty."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    for seed, (h, w) in enumerate([(8, 8), (9, 10), (3, 3), (1, 1), (2, 16)]):
+        img = _rand_img(20 + seed, h=h, w=w)
+        png = _png_bytes(img, color_type=2, interlace=1,
+                         filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(decode_image(png), img), (h, w)
+
+    # interlace + alpha and interlace + palette
+    rng = np.random.RandomState(31)
+    rgba = rng.randint(0, 256, (7, 6, 4), dtype=np.uint8)
+    got = decode_image(_png_bytes(rgba, color_type=6, interlace=1,
+                                  filters=[2, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+    palette = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (9, 9, 1), dtype=np.uint8)
+    got = decode_image(_png_bytes(idx, color_type=3, palette=palette,
+                                  interlace=1, filters=[3, 1, 0]))
+    assert np.array_equal(got, palette[idx[:, :, 0]])
+
+
+def test_png_adam7_16bit_combined_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(41)
+    img16 = rng.randint(0, 65536, (10, 9, 3), dtype=np.uint16)
+    png = _png_bytes(img16, color_type=2, depth=16, interlace=1,
+                     filters=[4, 2, 1, 3, 0])
+    assert np.array_equal(decode_image(png), (img16 >> 8).astype(np.uint8))
+
+
 def test_png_decode_rejects_unsupported_and_corrupt():
     import numpy as np
     import pytest
 
     from portfolio_data_pipelines_spark.operators.multimodal import decode_image
 
+    import struct
+    import zlib
+
     img = _rand_img(8, h=3, w=3)
-    with pytest.raises(NotImplementedError):  # 16-bit depth
-        decode_image(_png_bytes(img, depth=16))
-    with pytest.raises(NotImplementedError):  # Adam7
-        decode_image(_png_bytes(img, interlace=1))
+    # sub-byte depth: the one remaining honest stub
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    sub_byte = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(sub_byte)
+    # palette is 8-bit-only in this decoder
+    pal = np.zeros((2, 3), np.uint8)
+    with pytest.raises(NotImplementedError):
+        decode_image(_png_bytes(
+            np.zeros((2, 2, 1), np.uint16), color_type=3, palette=pal, depth=16
+        ))
     good = _png_bytes(img)
     with pytest.raises(ValueError):  # truncated mid-IDAT: payload shorter than length
         decode_image(good[: good.index(b"IDAT") + 6])
