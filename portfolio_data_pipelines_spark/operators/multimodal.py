@@ -7,8 +7,10 @@ row-at-a-time Python, and each task streams batches so one huge partition
 never has to fit in executor Python memory at once.
 
 Decoding: :func:`decode_image` prefers PIL when installed and otherwise
-falls back to built-in pure-Python decoders for PNG (stdlib ``zlib`` +
-scanline unfilter), binary PPM (P6) and uncompressed 24-bit BMP;
+falls back to built-in pure-Python decoders for baseline JPEG (Huffman +
+IDCT + YCbCr), PNG (stdlib ``zlib`` + scanline unfilter, all filter
+types, Adam7, 8/16-bit), GIF (LZW), binary PPM (P6) and uncompressed
+24-bit BMP;
 :func:`decode_audio` prefers soundfile and
 falls back to a stdlib ``wave`` PCM decoder — so BOTH modalities have a
 REAL, tested decode path in this container
@@ -412,16 +414,305 @@ def _decode_gif(content: bytes):
     raise ValueError("GIF contains no image data")
 
 
+#: JPEG zig-zag scan order: index k in the entropy stream → position in
+#: the natural (row-major) 8×8 block.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_matrix():
+    """8×8 DCT-II basis C with C[u,x] = c(u)/2 · cos((2x+1)uπ/16);
+    IDCT(S) = Cᵀ·S·C, FDCT(b) = C·b·Cᵀ — the separable form."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        alpha = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = alpha / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def _jpeg_huff_lut(counts, symbols):
+    """Canonical Huffman (length, code) → symbol map from a DHT's
+    BITS/HUFFVAL lists (ITU-T T.81 Annex C code construction)."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    byte-unstuffed). Exhaustion raises ValueError (truncated stream)."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.nbits = data, 0, len(data) * 8
+
+    def bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lut) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = lut.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_split_ecs(content: bytes, start: int) -> list[bytes]:
+    """Entropy-coded data from ``start``, split on restart markers, with
+    FF00 byte stuffing removed. Stops at the first real marker."""
+    segs, cur, i, n = [], bytearray(), start, len(content)
+    while i < n:
+        b = content[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = content[i + 1]
+        if m == 0x00:  # stuffed literal FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn: new segment, fresh DC predictors
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker (EOI or next segment) ends the scan
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_jpeg(content: bytes):
+    """Pure-stdlib baseline JPEG decoder → uint8 RGB ndarray (H, W, 3).
+
+    Baseline/extended sequential Huffman JPEG (SOF0/SOF1): marker walk
+    (DQT/DHT/SOF/DRI/SOS), canonical Huffman entropy decode with byte
+    unstuffing and restart-marker support, dequantization in zig-zag
+    order, separable float IDCT, level shift, per-component planes at
+    their sampling factors, nearest-neighbor chroma upsampling, and
+    BT.601 YCbCr→RGB. Grayscale (1 component) and 3-component scans of
+    any sampling grid (4:4:4, 4:2:2, 4:2:0, ...) are supported.
+    Progressive (SOF2), hierarchical and arithmetic-coded variants raise
+    ``NotImplementedError`` — PIL covers them when installed."""
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → lut
+    frame = None
+    restart = 0
+    pos = 2
+    scan = None
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = content[pos + 1]
+        if marker in (0xD8, 0xD9):  # SOI/EOI
+            break
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment")
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        data = content[pos + 4 : pos + 2 + seglen]
+        if len(data) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(data):
+                prec, tid = data[i] >> 4, data[i] & 15
+                i += 1
+                if prec:
+                    vals = [
+                        int.from_bytes(data[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+                else:
+                    vals = list(data[i : i + 64])
+                    i += 64
+                qt[tid] = vals
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(data):
+                cls, tid = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(data[i + 17 : i + 17 + nsym])
+                huff[(cls, tid)] = _jpeg_huff_lut(counts, symbols)
+                i += 17 + nsym
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            precision = data[0]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG samples supported")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            ncomp = data[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG not supported without PIL"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "hierarchical/arithmetic JPEG not supported without PIL"
+            )
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(data[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = data[0]
+            scan = []
+            for s in range(ns):
+                cs, tables = data[1 + 2 * s], data[2 + 2 * s]
+                scan.append({"cs": cs, "dc": tables >> 4, "ac": tables & 15})
+            segs = _jpeg_split_ecs(content, pos + 2 + seglen)
+            break
+        # APPn/COM/unknown: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if w == 0 or h == 0:
+        raise ValueError("empty JPEG frame")
+    by_id = {c["id"]: c for c in comps}
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "multi-scan sequential JPEG not supported without PIL"
+        )
+    scomps = []
+    for s in scan:
+        c = by_id.get(s["cs"])
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        scomps.append({**c, **s})
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scomps) == 1:
+        # non-interleaved: MCU is one block on the component's own grid
+        scomps[0] = {**scomps[0], "h": 1, "v": 1}
+        hmax = vmax = 1
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dctm = _jpeg_dct_matrix()
+    planes = {
+        c["cs"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in scomps
+    }
+    for c in scomps:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references missing quant table")
+        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+
+    def decode_block(bits, c, pred):
+        czz = np.zeros(64, dtype=np.float64)
+        q = qt[c["tq"]]
+        t = bits.huff(huff[(0, c["dc"])])
+        diff = _jpeg_extend(bits.bits(t), t) if t else 0
+        pred += diff
+        czz[0] = pred * q[0]
+        k = 1
+        while k < 64:
+            rs = bits.huff(huff[(1, c["ac"])])
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past end of block")
+            czz[k] = _jpeg_extend(bits.bits(size), size) * q[k]
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[list(_JPEG_ZIGZAG)] = czz
+        block = dctm.T @ coef.reshape(8, 8) @ dctm
+        return np.clip(np.round(block + 128.0), 0, 255), pred
+
+    n_mcu = mcux * mcuy
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    preds = {c["cs"]: 0 for c in scomps}
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            bits = _JpegBits(segs[seg_i])
+            preds = {c["cs"]: 0 for c in scomps}
+        my, mx = divmod(m, mcux)
+        for c in scomps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    block, preds[c["cs"]] = decode_block(bits, c, preds[c["cs"]])
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["cs"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for c in scomps:
+        p = planes[c["cs"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = out_planes[0].astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(out_planes) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(content: bytes):
     """Decode an image payload to a uint8 RGB ndarray (H, W, 3).
 
     Prefers PIL when installed (full format coverage); otherwise falls
-    back to the built-in pure-Python decoders for PNG (stdlib zlib +
+    back to the built-in pure-Python decoders for baseline JPEG (marker
+    walk + Huffman + IDCT, :func:`_decode_jpeg`), PNG (stdlib zlib +
     scanline unfilter, :func:`_decode_png`), GIF (LZW + palette,
     :func:`_decode_gif`), binary PPM (P6) and uncompressed 24-bit BMP —
-    so the decode path is REAL and tested in this container, and formats
-    beyond those (JPEG above all, which has no dependency-free decode)
-    raise ``NotImplementedError`` until PIL is present."""
+    so the decode path is REAL and tested in this container. Progressive
+    JPEG and formats beyond those raise ``NotImplementedError`` until
+    PIL is present."""
     try:
         import io
 
@@ -431,6 +722,8 @@ def decode_image(content: bytes):
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     except ImportError:
         pass
+    if content[:2] == b"\xff\xd8":
+        return _decode_jpeg(content)
     if content[:8] == _PNG_SIGNATURE:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
@@ -440,8 +733,8 @@ def decode_image(content: bytes):
     if content[:2] == b"BM":
         return _decode_bmp(content)
     raise NotImplementedError(
-        "only PNG, GIF, PPM (P6) and 24-bit BMP decode without PIL, "
-        "which is not installed in this environment"
+        "only baseline JPEG, PNG, GIF, PPM (P6) and 24-bit BMP decode "
+        "without PIL, which is not installed in this environment"
     )
 
 

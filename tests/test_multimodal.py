@@ -670,3 +670,326 @@ def test_real_lzw_compression_decodes():
     if nacc:
         data.append(acc & 0xFF)
     assert _gif_lzw_decode(bytes(data), m, 3) == [1, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# JPEG: minimal baseline encoder (forward transform of the decoder) and
+# roundtrip / rejection tests.
+# ---------------------------------------------------------------------------
+
+#: Single-length canonical tables: 12 DC symbols at 4 bits, 162 AC
+#: symbols at 8 bits — valid Kraft, exercises real DHT parsing without
+#: embedding Annex K.
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_COUNTS = [0] * 7 + [len(_JPEG_AC_SYMBOLS)] + [0] * 8
+
+
+def _jpeg_codes(counts, symbols):
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nacc = 0, 0
+
+    def flush(self):
+        while self.nacc:
+            self.put(1, 1)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _jpeg_encode_block(w, block, q, pred, dc_codes, ac_codes, zigzag, dctm):
+    import numpy as np
+
+    coef = dctm @ (block.astype(np.float64) - 128.0) @ dctm.T
+    czz = np.round(coef.reshape(64)[list(zigzag)] / np.array(q, np.float64))
+    czz = czz.astype(int)
+    diff = czz[0] - pred
+
+    def magnitude(v):
+        t = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << t) - 1
+        return t, bits
+
+    t, bits = magnitude(diff)
+    ln, code = dc_codes[t]
+    w.put(code, ln)
+    if t:
+        w.put(bits, t)
+    run = 0
+    for k in range(1, 64):
+        v = czz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_codes[0xF0]
+            w.put(code, ln)
+            run -= 16
+        t, bits = magnitude(int(v))
+        ln, code = ac_codes[(run << 4) | t]
+        w.put(code, ln)
+        w.put(bits, t)
+        run = 0
+    if run:
+        ln, code = ac_codes[0x00]
+        w.put(code, ln)
+    return czz[0]
+
+
+def _jpeg_bytes(planes, sampling, qval=1, restart=0):
+    """Baseline JPEG from component planes (gray: [Y]; color:
+    [Y, Cb, Cr] at full resolution — chroma is box-subsampled by the
+    sampling factors). ``sampling`` is (h, v) for Y; chroma is (1, 1)."""
+    import struct
+
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_dct_matrix,
+    )
+
+    dctm = _jpeg_dct_matrix()
+    q = [qval] * 64
+    dc_codes = _jpeg_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_codes = _jpeg_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    h, w_ = planes[0].shape
+    ncomp = len(planes)
+    hy, vy = sampling if ncomp == 3 else (1, 1)
+    hmax, vmax = (hy, vy) if ncomp == 3 else (1, 1)
+    mcux = -(-w_ // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def pad(p, ph, pw):
+        out = np.zeros((ph, pw), p.dtype)
+        out[: p.shape[0], : p.shape[1]] = p
+        # edge-replicate padding keeps block DC stable
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    comp_planes = []
+    factors = []
+    for i, p in enumerate(planes):
+        if ncomp == 3 and i > 0:
+            p = p[::vy, ::hy]  # box subsample (top-left)
+            factors.append((1, 1))
+        else:
+            factors.append((hy, vy) if ncomp == 3 else (1, 1))
+        fh, fv = factors[-1]
+        comp_planes.append(pad(p, mcuy * 8 * fv, mcux * 8 * fh))
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(q)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w_, ncomp)
+    for i in range(ncomp):
+        fh, fv = factors[i]
+        sof += bytes([i + 1, (fh << 4) | fv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    writer = _JpegWriter()
+    preds = [0] * ncomp
+    n_mcu = mcux * mcuy
+    rst = 0
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            out += writer.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _JpegWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for i in range(ncomp):
+            fh, fv = factors[i]
+            for by in range(fv):
+                for bx in range(fh):
+                    y0 = (my * fv + by) * 8
+                    x0 = (mx * fh + bx) * 8
+                    block = comp_planes[i][y0 : y0 + 8, x0 : x0 + 8]
+                    preds[i] = _jpeg_encode_block(
+                        writer, block, q, preds[i], dc_codes, ac_codes,
+                        _JPEG_ZIGZAG, dctm,
+                    )
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ycbcr_to_rgb_ref(y, cb, cr):
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_gray_roundtrip_near_exact():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    got = decode_image(_jpeg_bytes([img.astype(np.float64)], (1, 1)))
+    assert got.shape == (16, 24, 3)
+    # quant table of 1s → only DCT rounding noise survives
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 2, err.max()
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_jpeg_gray_non_multiple_of_8_dims():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (11, 13), dtype=np.uint8)
+    got = decode_image(_jpeg_bytes([img.astype(np.float64)], (1, 1)))
+    assert got.shape == (11, 13, 3)
+    err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+    assert err.max() <= 2
+
+
+def test_jpeg_color_420_roundtrip():
+    """4:2:0: chroma constant per 2×2 so box-subsample+replicate is
+    lossless; only DCT rounding noise remains."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(7)
+    h, w = 18, 22
+    y = rng.randint(0, 256, (h, w)).astype(np.float64)
+    cb = np.repeat(np.repeat(rng.randint(0, 256, (h // 2 + 1, w // 2 + 1)), 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    cr = np.repeat(np.repeat(rng.randint(0, 256, (h // 2 + 1, w // 2 + 1)), 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    got = decode_image(_jpeg_bytes([y, cb, cr], (2, 2)))
+    exp = _ycbcr_to_rgb_ref(y, cb, cr)
+    err = np.abs(got.astype(int) - exp.astype(int))
+    assert got.shape == exp.shape
+    assert err.max() <= 6, err.max()  # Y and chroma rounding compound
+
+
+def test_jpeg_color_444_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(8)
+    h, w = 8, 16
+    y, cb, cr = (rng.randint(0, 256, (h, w)).astype(np.float64) for _ in range(3))
+    got = decode_image(_jpeg_bytes([y, cb, cr], (1, 1)))
+    exp = _ycbcr_to_rgb_ref(y, cb, cr)
+    assert np.abs(got.astype(int) - exp.astype(int)).max() <= 6
+
+
+def test_jpeg_restart_markers():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (16, 32), dtype=np.uint8).astype(np.float64)
+    plain = decode_image(_jpeg_bytes([img], (1, 1)))
+    with_rst = decode_image(_jpeg_bytes([img], (1, 1), restart=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_quantization_path():
+    """A non-trivial quant table: reconstruction is lossy but close for
+    a smooth image, and the dequant multiply is actually exercised."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+    img = (128 + 60 * np.sin(xx / 5.0) * np.cos(yy / 4.0)).astype(np.float64)
+    got = decode_image(_jpeg_bytes([img], (1, 1), qval=16))
+    err = np.abs(got[:, :, 0].astype(np.float64) - img)
+    assert err.mean() <= 8.0, err.mean()
+
+
+def test_jpeg_rejects_progressive_and_corrupt():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = np.zeros((8, 8), np.float64)
+    good = _jpeg_bytes([img], (1, 1))
+    # progressive: rewrite SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_image(good[: len(good) // 2])
+    # garbage after SOI
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8garbage not a jpeg")
+    # missing SOS/SOF
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xd9")
+    # 12-bit precision
+    sof12 = bytearray(good)
+    i = sof12.index(b"\xff\xc0")
+    sof12[i + 4] = 12
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(sof12))
+
+
+def test_jpeg_decode_error_rows_in_spark(spark):
+    """Corrupt JPEG payloads become decode_error rows, never task
+    failures — same contract as the PNG/GIF paths."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    img = (np.ones((8, 8)) * 100.0)
+    good = _jpeg_bytes([img], (1, 1))
+    rows = [(1, good, "image/jpeg"), (2, b"\xff\xd8broken", "image/jpeg")]
+    media = spark.createDataFrame(rows, "media_id long, content binary, mime string")
+    got = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert got[1]["decode_error"] is None
+    assert got[1]["width"] == 8 and got[1]["height"] == 8
+    assert got[2]["decode_error"] is not None
