@@ -111,3 +111,133 @@ def test_properties_file_importable():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming: arbitrary within-watermark arrival permutations and arbitrary
+# micro-batch splits must reproduce the batch oracle exactly.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def watermarked_arrivals(draw):
+    """(events, file_chunks): events as (ts, value); arrival order is a
+    bounded-displacement shuffle (sort by ts + jitter, |jitter| ≤ 6 h —
+    half the 1-day watermark with margin, so no event ever arrives more
+    than the watermark behind the running max event time); the arrival
+    list is split into 1-4 contiguous micro-batch files."""
+    import datetime as dt
+
+    n = draw(st.integers(5, 30))
+    base = dt.datetime(2024, 3, 1)
+    events = [
+        (
+            base + dt.timedelta(minutes=int(m)),
+            float(v),
+        )
+        for m, v in zip(
+            draw(st.lists(st.integers(0, 5 * 24 * 60), min_size=n, max_size=n)),
+            draw(st.lists(st.integers(-1000, 1000), min_size=n, max_size=n)),
+        )
+    ]
+    jitters = draw(
+        st.lists(st.integers(-360, 360), min_size=n, max_size=n)
+    )
+    arrival = [
+        e for e, _ in sorted(
+            zip(events, jitters),
+            key=lambda p: (p[0][0] + dt.timedelta(minutes=p[1]), p[0][1]),
+        )
+    ]
+    n_files = draw(st.integers(1, 4))
+    cuts = sorted(draw(
+        st.lists(st.integers(1, n - 1), min_size=n_files - 1,
+                 max_size=n_files - 1, unique=True)
+    ))
+    chunks, prev = [], 0
+    for c in cuts + [n]:
+        chunks.append(arrival[prev:c])
+        prev = c
+    return events, [c for c in chunks if c]
+
+
+@given(data=watermarked_arrivals())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_stream_windows_equal_batch_under_any_arrival_order(spark, data):
+    """Any within-watermark event-time permutation, split arbitrarily
+    into micro-batches, must append EXACTLY the batch oracle's windows:
+    no in-watermark event dropped, no window emitted twice. Two
+    far-future sentinel files force the final watermark advance + flush
+    (their own window stays open and is never emitted)."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.functions import davg
+    from portfolio_data_pipelines_spark.streaming import tumbling_daily_mart
+
+    events, chunks = data
+    sentinel_ts = dt.datetime(2024, 3, 1) + dt.timedelta(days=40)
+    outdir = tempfile.mkdtemp(prefix="stream_prop_")
+
+    def write_chunk(i, rows):
+        table = pa.table({
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+        })
+        p = os.path.join(outdir, f"chunk_{i:04d}.parquet")
+        pq.write_table(table, p)
+        os.utime(p, (time.time() + i, time.time() + i))  # arrival order
+
+    for i, c in enumerate(chunks):
+        write_chunk(i, c)
+    # sentinel 1 advances the watermark past every real window; sentinel 2
+    # triggers the batch in which the closed windows are emitted
+    write_chunk(len(chunks), [(sentinel_ts, 0.0)])
+    write_chunk(len(chunks) + 1, [(sentinel_ts + dt.timedelta(hours=1), 0.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    )
+    name = "p" + uuid.uuid4().hex[:12]
+    q = (
+        tumbling_daily_mart(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = [
+        tuple(map(str, r))
+        for r in spark.table(name)
+        .filter(F.col("date_utc") < "2024-04-01")  # exclude sentinel window
+        .collect()
+    ]
+    assert len(got) == len({g[0] for g in got})  # append-once per window
+    batch = (
+        spark.createDataFrame(events, "ts timestamp, value double")
+        .groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            davg("value").alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    exp = [tuple(map(str, r)) for r in batch.collect()]
+    assert sorted(got) == sorted(exp)
