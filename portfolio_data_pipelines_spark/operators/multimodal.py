@@ -738,15 +738,258 @@ def decode_image(content: bytes):
     )
 
 
+class _FlacBits:
+    """MSB-first bit reader for FLAC frames. Exhaustion raises
+    ValueError (truncated stream)."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data, self.pos = data, pos_bits
+        self.nbits = len(data) * 8
+
+    def bits(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated FLAC stream")
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | (
+                (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+            )
+            self.pos += 1
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.bits(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway FLAC unary code")
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_utf8_number(bits: _FlacBits) -> int:
+    """FLAC's UTF-8-style variable-length frame/sample number."""
+    first = bits.bits(8)
+    if first < 0x80:
+        return first
+    n = 0
+    while (first << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("invalid FLAC frame number coding")
+    v = first & (0x7F >> n)
+    for _ in range(n - 1):
+        c = bits.bits(8)
+        if c >> 6 != 0b10:
+            raise ValueError("invalid FLAC frame number continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residuals(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual section (both 4- and 5-bit parameter
+    methods, escape partitions included)."""
+    method = bits.bits(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    plen, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = bits.bits(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("invalid FLAC partition order")
+        param = bits.bits(plen)
+        if param == escape:
+            raw = bits.bits(5)
+            out.extend(bits.signed(raw) if raw else 0 for _ in range(n))
+        else:
+            for _ in range(n):
+                q = bits.unary()
+                r = bits.bits(param) if param else 0
+                zz = (q << param) | r
+                out.append((zz >> 1) ^ -(zz & 1))  # zigzag → signed
+    return out
+
+
+def _flac_subframe(bits: _FlacBits, blocksize: int, bps: int) -> list[int]:
+    if bits.bits(1):
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = bits.bits(6)
+    wasted = 0
+    if bits.bits(1):  # wasted-bits flag: unary count - 1
+        wasted = bits.unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        out = [bits.signed(eff)] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [bits.signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype - 8
+        out = [bits.signed(eff) for _ in range(order)]
+        res = _flac_residuals(bits, blocksize, order)
+        coefs = {
+            0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1],
+        }[order]
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs))
+            out.append(pred + r)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        out = [bits.signed(eff) for _ in range(order)]
+        precision = bits.bits(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = bits.signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [bits.signed(precision) for _ in range(order)]
+        res = _flac_residuals(bits, blocksize, order)
+        for r in res:
+            pred = sum(c * out[-i - 1] for i, c in enumerate(coefs)) >> shift
+            out.append(pred + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _decode_flac(content: bytes):
+    """Pure-stdlib FLAC decoder → (float32 (frames, channels) in [-1,1],
+    rate). STREAMINFO metadata walk, then frame-by-frame: frame header
+    (blocksize/rate/channel-assignment codes, UTF-8 frame number),
+    subframes (CONSTANT, VERBATIM, FIXED 0-4, LPC to order 32) with
+    Rice-coded residuals (4/5-bit params, escape partitions, wasted
+    bits), and inter-channel decorrelation (left/side, right/side,
+    mid/side). Reference: the FLAC format spec (RFC 9639)."""
+    import numpy as np
+
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(content):
+        header = content[pos]
+        last, btype = header >> 7, header & 0x7F
+        length = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:
+            if length < 34:
+                raise ValueError("short FLAC STREAMINFO")
+            b = _FlacBits(body)
+            b.bits(16), b.bits(16), b.bits(24), b.bits(24)
+            rate = b.bits(20)
+            channels = b.bits(3) + 1
+            bps = b.bits(5) + 1
+            total = b.bits(36)
+            streaminfo = (rate, channels, bps, total)
+        pos += 4 + length
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, channels, bps, total = streaminfo
+    if rate == 0:
+        raise ValueError("FLAC sample rate 0")
+    bits = _FlacBits(content, pos * 8)
+    out: list[list[int]] = []
+    while bits.pos + 32 <= bits.nbits and (not total or len(out) < total):
+        if bits.bits(14) != 0b11111111111110:
+            raise ValueError("lost FLAC frame sync")
+        bits.bits(1)  # reserved
+        bits.bits(1)  # blocking strategy
+        bs_code = bits.bits(4)
+        sr_code = bits.bits(4)
+        ch_code = bits.bits(4)
+        ss_code = bits.bits(3)
+        bits.bits(1)  # reserved
+        _flac_utf8_number(bits)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC blocksize code")
+        elif bs_code == 6:
+            blocksize = bits.bits(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.bits(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            bits.bits(8)
+        elif sr_code in (13, 14):
+            bits.bits(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        ss_map = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+        if ss_code not in ss_map:
+            raise ValueError("reserved FLAC sample size code")
+        fbps = ss_map[ss_code]
+        bits.bits(8)  # header CRC-8 (not verified — PIL-less parity tool)
+        if ch_code < 8:
+            nch = ch_code + 1
+            if nch != channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            subs = [_flac_subframe(bits, blocksize, fbps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if channels != 2:
+                raise ValueError("stereo decorrelation in non-stereo stream")
+            # side channel carries one extra bit
+            if ch_code == 8:  # left/side
+                left = _flac_subframe(bits, blocksize, fbps)
+                side = _flac_subframe(bits, blocksize, fbps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(bits, blocksize, fbps + 1)
+                right = _flac_subframe(bits, blocksize, fbps)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:  # mid/side
+                mid = _flac_subframe(bits, blocksize, fbps)
+                side = _flac_subframe(bits, blocksize, fbps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    subs[0].append((m + s) >> 1)
+                    subs[1].append((m - s) >> 1)
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        bits.align()
+        bits.bits(16)  # frame CRC-16 (not verified)
+        out.extend(zip(*subs))
+    if total and len(out) > total:
+        out = out[:total]
+    arr = np.asarray(out, dtype=np.float64)
+    if arr.size == 0:
+        arr = arr.reshape(0, channels)
+    scale = float(1 << (bps - 1))
+    return (arr / scale).astype(np.float32), rate
+
+
 def decode_audio(content: bytes):
     """Decode an audio payload to (float32 samples in [-1, 1], rate).
 
     Prefers soundfile when installed (full format coverage); otherwise
-    falls back to a stdlib ``wave`` decoder for PCM WAV (8/16/32-bit,
-    any channel count — channels are interleaved into shape
-    (frames, channels)) — so, like images, the decode path is REAL and
-    tested in this container, and compressed formats raise
-    ``NotImplementedError`` until soundfile is present."""
+    falls back to stdlib decoders for PCM WAV (8/16/32-bit, any channel
+    count — channels are interleaved into shape (frames, channels)) and
+    FLAC (:func:`_decode_flac`: STREAMINFO + frames, all subframe
+    types, Rice residuals, stereo decorrelation) — so, like images, the
+    decode path is REAL and tested in this container, and formats
+    beyond those (MP3/AAC/OGG, which have no dependency-free decode)
+    raise ``NotImplementedError`` until soundfile is present."""
     import io
 
     try:
@@ -757,9 +1000,11 @@ def decode_audio(content: bytes):
         pass
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return _decode_wav(content)
+    if content[:4] == b"fLaC":
+        return _decode_flac(content)
     raise NotImplementedError(
-        "only PCM WAV decodes without soundfile, which is not installed "
-        "in this environment"
+        "only PCM WAV and FLAC decode without soundfile, which is not "
+        "installed in this environment"
     )
 
 

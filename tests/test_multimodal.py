@@ -993,3 +993,313 @@ def test_jpeg_decode_error_rows_in_spark(spark):
     assert got[1]["decode_error"] is None
     assert got[1]["width"] == 8 and got[1]["height"] == 8
     assert got[2]["decode_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# FLAC: minimal encoder (forward transform of the decoder) + roundtrips.
+# FLAC is lossless, so every roundtrip asserts exact sample equality.
+# ---------------------------------------------------------------------------
+
+
+class _FlacWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+
+    def put_signed(self, v, nbits):
+        self.put(v & ((1 << nbits) - 1), nbits)
+
+    def align(self):
+        while self.n:
+            self.put(0, 1)
+
+
+def _flac_rice(w, residuals, blocksize, order, porder=0, param=None,
+               escape_bits=None):
+    """Rice-coded residual section, method 0 (4-bit params). Partition
+    sizes follow the spec: first partition is short by the predictor
+    order; blocksize must be divisible by 2^porder."""
+    w.put(0, 2)
+    w.put(porder, 4)
+    nparts = 1 << porder
+    assert blocksize % nparts == 0, "blocksize must divide by 2^porder"
+    per = blocksize >> porder
+    sizes = [per - order] + [per] * (nparts - 1)
+    assert sum(sizes) == len(residuals)
+    idx = 0
+    for p in range(nparts):
+        chunk = residuals[idx : idx + sizes[p]]
+        idx += sizes[p]
+        if escape_bits is not None:
+            w.put(0xF, 4)
+            w.put(escape_bits, 5)
+            for v in chunk:
+                w.put_signed(v, escape_bits)
+            continue
+        zz = [2 * v if v >= 0 else -2 * v - 1 for v in chunk]
+        pp = param
+        if pp is None:
+            pp = 0
+            while pp < 14 and sum(z >> pp for z in zz) > 2 * len(zz):
+                pp += 1
+        w.put(pp, 4)
+        for z in zz:
+            q = z >> pp
+            assert q < 2**16, "rice quotient blowup; pick a larger param"
+            w.put(0, q) if q else None
+            w.put(1, 1)
+            if pp:
+                w.put(z & ((1 << pp) - 1), pp)
+
+
+def _flac_subframe_bits(w, samples, bps, kind, porder=0, escape_bits=None,
+                        wasted=0):
+    w.put(0, 1)
+    if wasted:
+        samples = [s >> wasted for s in samples]
+        bps = bps - wasted
+    if kind == "constant":
+        w.put(0, 6)
+        w.put(1 if wasted else 0, 1)
+        if wasted:
+            w.put(1, wasted)  # unary wasted-1: (wasted-1) zeros then 1
+        w.put_signed(samples[0], bps)
+        return
+    if kind == "verbatim":
+        w.put(1, 6)
+    elif kind == "fixed2":
+        w.put(10, 6)
+    elif kind == "lpc2":
+        w.put(33, 6)  # 32 + order - 1
+    else:
+        raise AssertionError(kind)
+    if wasted:
+        w.put(0, 1)
+        w.put(1, 1)
+        # re-emit properly: flag bit then unary(wasted-1)
+        raise AssertionError("wasted bits only supported for constant here")
+    w.put(0, 1)
+    if kind == "verbatim":
+        for s in samples:
+            w.put_signed(s, bps)
+        return
+    if kind == "fixed2":
+        res = [
+            samples[i] - (2 * samples[i - 1] - samples[i - 2])
+            for i in range(2, len(samples))
+        ]
+        w.put_signed(samples[0], bps)
+        w.put_signed(samples[1], bps)
+        _flac_rice(w, res, len(samples), 2, porder=porder, escape_bits=escape_bits)
+        return
+    # lpc2: coefficients [2, -1], precision 15, shift 0 — same predictor
+    # as fixed2 but through the generic LPC path
+    w.put_signed(samples[0], bps)
+    w.put_signed(samples[1], bps)
+    w.put(15 - 1, 4)
+    w.put_signed(0, 5)
+    w.put_signed(2, 15)
+    w.put_signed(-1, 15)
+    res = [
+        samples[i] - ((2 * samples[i - 1] + (-1) * samples[i - 2]) >> 0)
+        for i in range(2, len(samples))
+    ]
+    _flac_rice(w, res, len(samples), 2, porder=porder, escape_bits=escape_bits)
+
+
+def _flac_bytes(samples, rate, blocksize=None, kind="verbatim", channel_mode=None,
+                porder=0, escape_bits=None, wasted=0):
+    """Baseline FLAC from an int array (n, ch): STREAMINFO + fixed-size
+    frames. ``channel_mode`` None → independent; 'ls'/'rs'/'ms' → the
+    stereo decorrelation modes."""
+    import struct
+
+    import numpy as np
+
+    samples = np.asarray(samples, dtype=np.int64)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    bs = blocksize or n
+    bps = 16
+    out = bytearray(b"fLaC")
+    w = _FlacWriter()
+    w.put(bs, 16)
+    w.put(bs, 16)
+    w.put(0, 24)
+    w.put(0, 24)
+    w.put(rate, 20)
+    w.put(ch - 1, 3)
+    w.put(bps - 1, 5)
+    w.put(n, 36)
+    info = bytes(w.out) + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(info))[1:] + info
+
+    for f0 in range(0, n, bs):
+        block = samples[f0 : f0 + bs]
+        nb = block.shape[0]
+        w = _FlacWriter()
+        w.put(0b11111111111110, 14)
+        w.put(0, 1)
+        w.put(0, 1)  # fixed blocking
+        w.put(7, 4)  # 16-bit blocksize-1 follows
+        w.put(0, 4)  # rate from STREAMINFO
+        modes = {None: ch - 1, "ls": 8, "rs": 9, "ms": 10}
+        w.put(modes[channel_mode], 4)
+        w.put(4, 3)  # 16-bit samples
+        w.put(0, 1)
+        w.put(f0 // bs, 8)  # frame number (UTF-8 single byte; <128 frames)
+        w.put(nb - 1, 16)
+        w.put(0, 8)  # header CRC-8 (decoder does not verify)
+        cols = [list(map(int, block[:, c])) for c in range(ch)]
+        if channel_mode is None:
+            for c in cols:
+                _flac_subframe_bits(w, c, bps, kind, porder, escape_bits, wasted)
+        else:
+            left, right = cols
+            side = [a - b for a, b in zip(left, right)]
+            if channel_mode == "ls":
+                _flac_subframe_bits(w, left, bps, kind, porder, escape_bits)
+                _flac_subframe_bits(w, side, bps + 1, kind, porder, escape_bits)
+            elif channel_mode == "rs":
+                _flac_subframe_bits(w, side, bps + 1, kind, porder, escape_bits)
+                _flac_subframe_bits(w, right, bps, kind, porder, escape_bits)
+            else:
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                _flac_subframe_bits(w, mid, bps, kind, porder, escape_bits)
+                _flac_subframe_bits(w, side, bps + 1, kind, porder, escape_bits)
+        w.align()
+        w.put(0, 16)  # frame CRC-16 (decoder does not verify)
+        out += bytes(w.out)
+    return bytes(out)
+
+
+def _flac_expect(samples):
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    return (s / 32768.0).astype(np.float32)
+
+
+def test_flac_verbatim_mono_roundtrip():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, 300)
+    got, rate = decode_audio(_flac_bytes(s, 8000))
+    assert rate == 8000
+    assert np.array_equal(got, _flac_expect(s))
+
+
+def test_flac_multi_frame_and_partial_tail():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(4)
+    s = rng.randint(-32768, 32768, 1000)  # 4 frames of 300 + tail 100
+    got, rate = decode_audio(_flac_bytes(s, 44100, blocksize=300))
+    assert np.array_equal(got, _flac_expect(s))
+
+
+def test_flac_fixed_and_lpc_predictors_lossless():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    t = np.arange(600)
+    smooth = (8000 * np.sin(t / 20.0)).astype(np.int64)
+    for kind in ("fixed2", "lpc2"):
+        got, _ = decode_audio(_flac_bytes(smooth, 16000, kind=kind))
+        assert np.array_equal(got, _flac_expect(smooth)), kind
+
+
+def test_flac_rice_partitions_and_escape():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    t = np.arange(512)  # partitions of 128; first is short by the order
+    smooth = (5000 * np.cos(t / 15.0)).astype(np.int64)
+    got, _ = decode_audio(_flac_bytes(smooth, 8000, kind="fixed2", porder=2))
+    assert np.array_equal(got, _flac_expect(smooth))
+    got, _ = decode_audio(
+        _flac_bytes(smooth, 8000, kind="fixed2", escape_bits=17)
+    )
+    assert np.array_equal(got, _flac_expect(smooth))
+
+
+def test_flac_stereo_decorrelation_modes():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    rng = np.random.RandomState(5)
+    st = rng.randint(-30000, 30000, (400, 2))
+    for mode in (None, "ls", "rs", "ms"):
+        got, _ = decode_audio(_flac_bytes(st, 22050, channel_mode=mode))
+        assert np.array_equal(got, _flac_expect(st)), mode
+
+
+def test_flac_constant_subframe_and_wasted_bits():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    s = np.full(256, 1200, np.int64)
+    got, _ = decode_audio(_flac_bytes(s, 8000, kind="constant"))
+    assert np.array_equal(got, _flac_expect(s))
+    s4 = np.full(256, 4096, np.int64)  # 1 wasted bit: all values even
+    got, _ = decode_audio(_flac_bytes(s4, 8000, kind="constant", wasted=1))
+    assert np.array_equal(got, _flac_expect(s4))
+
+
+def test_flac_rejects_corrupt():
+    import numpy as np
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    good = _flac_bytes(np.arange(100), 8000)
+    with pytest.raises(ValueError):
+        decode_audio(good[: len(good) - 30])  # truncated frame
+    with pytest.raises(ValueError):
+        decode_audio(b"fLaC\x00\x00")  # truncated metadata
+    bad_sync = bytearray(good)
+    # flip the first frame sync byte (right after the 4+4+34 metadata)
+    bad_sync[42] = 0x00
+    with pytest.raises(ValueError):
+        decode_audio(bytes(bad_sync))
+
+
+def test_flac_decode_features_in_spark(spark):
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    rng = np.random.RandomState(6)
+    s = rng.randint(-32768, 32768, 400)
+    rows = [
+        (1, _flac_bytes(s, 8000), "audio/flac"),
+        (2, b"fLaC broken payload", "audio/flac"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary, mime string")
+    got = {r["media_id"]: r for r in decode_audio_features(media).collect()}
+    assert got[1]["decode_error"] is None
+    assert got[1]["n_frames"] == 400 and got[1]["sample_rate"] == 8000
+    assert got[2]["decode_error"] is not None
