@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import davg, davg_sql, dsum, dsum_sql
+from ..operators.cbo import stats_join
 from ..sources.parquet import scan_table
 from . import extra_query, query
 
@@ -1075,6 +1076,15 @@ def customer_order_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _dim_stats(spark, sf_dir: str, name: str):
+    """Footer stats for a star-schema dim — feeds the mini-CBO's
+    broadcast decision (operators/cbo.py), replacing hand F.broadcast
+    hints in the TPC-H shapes. Cached per path (mtime-keyed)."""
+    from ..operators.cbo import stats_for_parquet
+
+    return stats_for_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
 @extra_query(
     "shipping_priority_top10",
     oracle=f"""
@@ -1111,8 +1121,11 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > "1998-01-01"
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        stats_join(
+            l.join(o, l.l_orderkey == o.o_orderkey),
+            c, o.o_custkey == c.c_custkey,
+            right_stats=_dim_stats(spark, sf_dir, "customer"),
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -1148,9 +1161,15 @@ def returned_item_report_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = scan_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = scan_table(spark, sf_dir, "nation")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        stats_join(
+            stats_join(
+                l.join(o, l.l_orderkey == o.o_orderkey),
+                c, o.o_custkey == c.c_custkey,
+                right_stats=_dim_stats(spark, sf_dir, "customer"),
+            ),
+            n, c.c_nationkey == n.n_nationkey,
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
+        )
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -1191,7 +1210,8 @@ def promo_revenue_share_1997(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     agg = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        stats_join(l, p, l.l_partkey == p.p_partkey,
+                   right_stats=_dim_stats(spark, sf_dir, "part"))
         .agg(dsum(promo).alias("promo_revenue"), dsum(rev).alias("total_revenue"))
     )
     return agg.select(
@@ -1238,13 +1258,19 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = scan_table(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(
-            F.broadcast(c),
-            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        stats_join(
+            stats_join(
+                stats_join(
+                    l.join(o, l.l_orderkey == o.o_orderkey),
+                    s, l.l_suppkey == s.s_suppkey,
+                    right_stats=_dim_stats(spark, sf_dir, "supplier"),
+                ),
+                c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+                right_stats=_dim_stats(spark, sf_dir, "customer"),
+            ),
+            n, s.s_nationkey == n.n_nationkey,
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(dsum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
