@@ -1057,3 +1057,62 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@extra_query(
+    "bpe_token_ids_dedup_join",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(ids) AS BIGINT) AS n_subwords,
+           ids AS token_ids
+    FROM (
+      SELECT doc_id, {bpe_encode_ids_duckdb("text", FIXTURE_MERGES)} AS ids
+      FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def bpe_token_ids_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_token_ids` by its SCALE path: words repeat heavily in any
+    corpus (Zipf), so encode each DISTINCT word once and broadcast-join
+    the per-word id sequences back onto the positional token stream —
+    the replace chain runs O(|vocab|) times instead of O(corpus tokens).
+    Same result (same oracle), pinned equal to the pure-projection
+    variant in tests.
+
+    Plan: posexplode → distinct-word agg (vocabulary-sized) → map-side
+    encode → broadcast hash join (the distinct-word table is
+    vocab-sized at any corpus scale) → one doc_id shuffle to re-assemble
+    ordered sequences via sort_array over (pos, ids) structs. At 100 TB
+    the distinct-word table is also where a persisted tokenization cache
+    would live (encode once per NEW word per batch)."""
+    d = scan_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos", "word"),
+    )
+    word_ids = (
+        toks.select("word")
+        .distinct()
+        .withColumn("ids", F.expr(bpe_encode_ids_sql("word", FIXTURE_MERGES)))
+    )
+    return (
+        toks.join(F.broadcast(word_ids), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            F.size("token_ids").cast("long").alias("n_subwords"),
+            "token_ids",
+        )
+        .orderBy("doc_id")
+    )

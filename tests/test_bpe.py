@@ -172,3 +172,27 @@ def test_bpe_token_ids_matches_oracle_sf0001(spark):
     )
     exp = [(d, n, list(ids)) for d, n, ids in con.execute(spec.oracle).fetchall()]
     assert got == exp
+
+
+def test_bpe_dedup_join_variant_equals_projection(spark):
+    """The scale path (distinct-word encode + broadcast join) must return
+    exactly the pure-projection result, with the expected plan shape:
+    one broadcast join, no sort-merge join."""
+    from portfolio_data_pipelines_spark.queries.text import (
+        bpe_token_ids,
+        bpe_token_ids_dedup_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [
+        (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
+        for r in bpe_token_ids(spark, sf).collect()
+    ]
+    b = [
+        (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
+        for r in bpe_token_ids_dedup_join(spark, sf).collect()
+    ]
+    assert a == b
+    plan = bpe_token_ids_dedup_join(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
