@@ -241,3 +241,84 @@ def test_stream_windows_equal_batch_under_any_arrival_order(spark, data):
     )
     exp = [tuple(map(str, r)) for r in batch.collect()]
     assert sorted(got) == sorted(exp)
+
+
+@given(data=watermarked_arrivals())
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_stream_session_windows_equal_batch_under_any_arrival_order(spark, data):
+    """Same contract for gap-based sessionization: session merging is
+    the stateful operation most sensitive to arrival order (a late
+    event can FUSE two sessions), so within-watermark permutations are
+    the real test of the state machine. Events are assigned round-robin
+    user ids so sessions both merge and stay apart."""
+    import datetime as dt
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.streaming import user_session_windows
+
+    events, chunks = data
+
+    def uid(ts, v):
+        # deterministic content-derived user id: duplicates agree on
+        # both the streamed and the batch side
+        return (int(ts.timestamp()) // 60 + int(v)) % 3 + 1
+
+    with_users = [(ts, v, uid(ts, v)) for ts, v in events]
+    sentinel_ts = dt.datetime(2024, 3, 1) + dt.timedelta(days=40)
+    outdir = tempfile.mkdtemp(prefix="stream_sess_")
+
+    def write_chunk(i, rows):
+        table = pa.table({
+            "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        p = os.path.join(outdir, f"chunk_{i:04d}.parquet")
+        pq.write_table(table, p)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    for i, c in enumerate(chunks):
+        write_chunk(i, [(ts, v, uid(ts, v)) for ts, v in c])
+    write_chunk(len(chunks), [(sentinel_ts, 0.0, 99)])
+    write_chunk(len(chunks) + 1, [(sentinel_ts + dt.timedelta(hours=1), 0.0, 99)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, value double, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(outdir)
+    )
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        user_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = sorted(
+        tuple(map(str, r))
+        for r in spark.table(name).filter(F.col("user_id") != 99).collect()
+    )
+    batch = (
+        spark.createDataFrame(with_users, "ts timestamp, value double, user_id bigint")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "total_value")
+    )
+    exp = sorted(tuple(map(str, r)) for r in batch.collect())
+    assert got == exp
