@@ -488,9 +488,10 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def _jpeg_split_ecs(content: bytes, start: int) -> list[bytes]:
+def _jpeg_split_ecs(content: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``start``, split on restart markers, with
-    FF00 byte stuffing removed. Stops at the first real marker."""
+    FF00 byte stuffing removed. Stops at the first real marker; returns
+    (segments, index of that marker's 0xFF)."""
     segs, cur, i, n = [], bytearray(), start, len(content)
     while i < n:
         b = content[i]
@@ -508,10 +509,10 @@ def _jpeg_split_ecs(content: bytes, start: int) -> list[bytes]:
             segs.append(bytes(cur))
             cur = bytearray()
             i += 2
-        else:  # real marker (EOI or next segment) ends the scan
+        else:  # real marker (EOI or next scan) ends the scan
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_jpeg(content: bytes):
@@ -522,8 +523,11 @@ def _decode_jpeg(content: bytes):
     unstuffing and restart-marker support, dequantization in zig-zag
     order, separable float IDCT, level shift, per-component planes at
     their sampling factors, nearest-neighbor chroma upsampling, and
-    BT.601 YCbCr→RGB. Grayscale (1 component) and 3-component scans of
-    any sampling grid (4:4:4, 4:2:2, 4:2:0, ...) are supported.
+    BT.601 YCbCr→RGB. Grayscale (1 component) and 3-component frames of
+    any sampling grid (4:4:4, 4:2:2, 4:2:0, ...) are supported, as both
+    a single interleaved scan and multiple scans (each scan interleaved
+    over its components, or non-interleaved over one component's own
+    block grid; DHT/DRI may be redefined between scans).
     Progressive (SOF2), hierarchical and arithmetic-coded variants raise
     ``NotImplementedError`` — PIL covers them when installed."""
     import numpy as np
@@ -535,7 +539,88 @@ def _decode_jpeg(content: bytes):
     frame = None
     restart = 0
     pos = 2
-    scan = None
+    planes: dict[int, "np.ndarray"] = {}
+    decoded: set[int] = set()
+    dctm = _jpeg_dct_matrix()
+
+    def decode_block(bits, c, pred):
+        czz = np.zeros(64, dtype=np.float64)
+        q = qt[c["tq"]]
+        t = bits.huff(huff[(0, c["dc"])])
+        diff = _jpeg_extend(bits.bits(t), t) if t else 0
+        pred += diff
+        czz[0] = pred * q[0]
+        k = 1
+        while k < 64:
+            rs = bits.huff(huff[(1, c["ac"])])
+            r, size = rs >> 4, rs & 15
+            if size == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past end of block")
+            czz[k] = _jpeg_extend(bits.bits(size), size) * q[k]
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[list(_JPEG_ZIGZAG)] = czz
+        block = dctm.T @ coef.reshape(8, 8) @ dctm
+        return np.clip(np.round(block + 128.0), 0, 255), pred
+
+    def decode_scan(scan, segs):
+        by_id = {c["id"]: c for c in frame["comps"]}
+        scomps = []
+        for s in scan:
+            c = by_id.get(s["cs"])
+            if c is None:
+                raise ValueError("JPEG scan references unknown component")
+            scomps.append({**c, **s})
+        for c in scomps:
+            if c["tq"] not in qt:
+                raise ValueError("JPEG scan references missing quant table")
+            if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+                raise ValueError("JPEG scan references missing Huffman table")
+        hmax, vmax = frame["hmax"], frame["vmax"]
+        if len(scomps) > 1:
+            # interleaved: MCU = the sampling-factor block grid
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            units = [
+                (c, c["h"], c["v"]) for c in scomps
+            ]
+        else:
+            # non-interleaved: MCU = ONE block on the component's own
+            # (unpadded) grid — ceil(comp_w/8) × ceil(comp_h/8), where the
+            # component dims scale by its sampling factors
+            c = scomps[0]
+            comp_w = -(-frame["w"] * c["h"] // hmax)
+            comp_h = -(-frame["h"] * c["v"] // vmax)
+            mcux, mcuy = -(-comp_w // 8), -(-comp_h // 8)
+            units = [(c, 1, 1)]
+        n_mcu = mcux * mcuy
+        seg_i = 0
+        bits = _JpegBits(segs[0])
+        preds = {c["cs"]: 0 for c in scomps}
+        for m in range(n_mcu):
+            if restart and m and m % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                bits = _JpegBits(segs[seg_i])
+                preds = {c["cs"]: 0 for c in scomps}
+            my, mx = divmod(m, mcux)
+            for c, ch, cv in units:
+                for by in range(cv):
+                    for bx in range(ch):
+                        block, preds[c["cs"]] = decode_block(
+                            bits, c, preds[c["cs"]]
+                        )
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[c["cs"]][y0 : y0 + 8, x0 : x0 + 8] = block
+                decoded.add(c["cs"])
+
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -583,7 +668,21 @@ def _decode_jpeg(content: bytes):
             for c in range(ncomp):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            if w == 0 or h == 0:
+                raise ValueError("empty JPEG frame")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
+                "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
+            }
+            planes = {
+                c["id"]: np.zeros(
+                    (frame["mcuy"] * 8 * c["v"], frame["mcux"] * 8 * c["h"]),
+                    dtype=np.float64,
+                )
+                for c in comps
+            }
         elif marker == 0xC2:
             raise NotImplementedError(
                 "progressive JPEG not supported without PIL"
@@ -595,98 +694,28 @@ def _decode_jpeg(content: bytes):
         elif marker == 0xDD:  # DRI
             restart = int.from_bytes(data[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = data[0]
             scan = []
             for s in range(ns):
                 cs, tables = data[1 + 2 * s], data[2 + 2 * s]
                 scan.append({"cs": cs, "dc": tables >> 4, "ac": tables & 15})
-            segs = _jpeg_split_ecs(content, pos + 2 + seglen)
-            break
+            segs, pos = _jpeg_split_ecs(content, pos + 2 + seglen)
+            decode_scan(scan, segs)
+            continue  # more scans / tables may follow
         # APPn/COM/unknown: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not decoded:
         raise ValueError("JPEG missing SOF or SOS")
     w, h, comps = frame["w"], frame["h"], frame["comps"]
-    if w == 0 or h == 0:
-        raise ValueError("empty JPEG frame")
-    by_id = {c["id"]: c for c in comps}
-    if len(scan) != len(comps):
-        raise NotImplementedError(
-            "multi-scan sequential JPEG not supported without PIL"
-        )
-    scomps = []
-    for s in scan:
-        c = by_id.get(s["cs"])
-        if c is None:
-            raise ValueError("JPEG scan references unknown component")
-        scomps.append({**c, **s})
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if len(scomps) == 1:
-        # non-interleaved: MCU is one block on the component's own grid
-        scomps[0] = {**scomps[0], "h": 1, "v": 1}
-        hmax = vmax = 1
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    dctm = _jpeg_dct_matrix()
-    planes = {
-        c["cs"]: np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
-        for c in scomps
-    }
-    for c in scomps:
-        if c["tq"] not in qt:
-            raise ValueError("JPEG scan references missing quant table")
-        if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
-            raise ValueError("JPEG scan references missing Huffman table")
-
-    def decode_block(bits, c, pred):
-        czz = np.zeros(64, dtype=np.float64)
-        q = qt[c["tq"]]
-        t = bits.huff(huff[(0, c["dc"])])
-        diff = _jpeg_extend(bits.bits(t), t) if t else 0
-        pred += diff
-        czz[0] = pred * q[0]
-        k = 1
-        while k < 64:
-            rs = bits.huff(huff[(1, c["ac"])])
-            r, size = rs >> 4, rs & 15
-            if size == 0:
-                if r == 15:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise ValueError("JPEG AC run past end of block")
-            czz[k] = _jpeg_extend(bits.bits(size), size) * q[k]
-            k += 1
-        coef = np.zeros(64, dtype=np.float64)
-        coef[list(_JPEG_ZIGZAG)] = czz
-        block = dctm.T @ coef.reshape(8, 8) @ dctm
-        return np.clip(np.round(block + 128.0), 0, 255), pred
-
-    n_mcu = mcux * mcuy
-    seg_i = 0
-    bits = _JpegBits(segs[0])
-    preds = {c["cs"]: 0 for c in scomps}
-    for m in range(n_mcu):
-        if restart and m and m % restart == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("JPEG missing restart segment")
-            bits = _JpegBits(segs[seg_i])
-            preds = {c["cs"]: 0 for c in scomps}
-        my, mx = divmod(m, mcux)
-        for c in scomps:
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    block, preds[c["cs"]] = decode_block(bits, c, preds[c["cs"]])
-                    y0 = (my * c["v"] + by) * 8
-                    x0 = (mx * c["h"] + bx) * 8
-                    planes[c["cs"]][y0 : y0 + 8, x0 : x0 + 8] = block
+    missing = {c["id"] for c in comps} - decoded
+    if missing:
+        raise ValueError(f"JPEG scans never covered components {sorted(missing)}")
+    hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
-    for c in scomps:
-        p = planes[c["cs"]]
+    for c in comps:
+        p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
     if len(out_planes) == 1:

@@ -760,7 +760,7 @@ def _jpeg_encode_block(w, block, q, pred, dc_codes, ac_codes, zigzag, dctm):
     return czz[0]
 
 
-def _jpeg_bytes(planes, sampling, qval=1, restart=0):
+def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
     """Baseline JPEG from component planes (gray: [Y]; color:
     [Y, Cb, Cr] at full resolution — chroma is box-subsampled by the
     sampling factors). ``sampling`` is (h, v) for Y; chroma is (1, 1)."""
@@ -816,6 +816,30 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0):
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    if scan_mode == "separate":
+        # one non-interleaved scan per component, over the component's
+        # own (unpadded) block grid
+        for i in range(ncomp):
+            sos = bytes([1, i + 1, 0x00, 0, 63, 0])
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            fh, fv = factors[i]
+            comp_w = -(-w_ * fh // hmax)
+            comp_h = -(-h * fv // vmax)
+            bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+            writer = _JpegWriter()
+            pred = 0
+            for m in range(bw * bh):
+                my, mx = divmod(m, bw)
+                block = comp_planes[i][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                pred = _jpeg_encode_block(
+                    writer, block, q, pred, dc_codes, ac_codes,
+                    _JPEG_ZIGZAG, dctm,
+                )
+            out += writer.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00])
@@ -1303,3 +1327,28 @@ def test_flac_decode_features_in_spark(spark):
     assert got[1]["decode_error"] is None
     assert got[1]["n_frames"] == 400 and got[1]["sample_rate"] == 8000
     assert got[2]["decode_error"] is not None
+
+
+def test_jpeg_multi_scan_sequential_roundtrip():
+    """Multi-scan sequential: one non-interleaved scan per component
+    (DHT-shared) must reconstruct identically to the interleaved single
+    scan — including a subsampled chroma grid, whose non-interleaved
+    block grid is the component's own ceil(comp_dim/8), not the padded
+    MCU grid."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(12)
+    h, w = 18, 22
+    y = rng.randint(0, 256, (h, w)).astype(np.float64)
+    cb = np.repeat(np.repeat(rng.randint(0, 256, (h // 2 + 1, w // 2 + 1)), 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    cr = np.repeat(np.repeat(rng.randint(0, 256, (h // 2 + 1, w // 2 + 1)), 2, 0), 2, 1)[:h, :w].astype(np.float64)
+    inter = decode_image(_jpeg_bytes([y, cb, cr], (2, 2)))
+    multi = decode_image(_jpeg_bytes([y, cb, cr], (2, 2), scan_mode="separate"))
+    assert np.array_equal(inter, multi)
+
+    g = rng.randint(0, 256, (11, 13)).astype(np.float64)
+    a = decode_image(_jpeg_bytes([g], (1, 1)))
+    b = decode_image(_jpeg_bytes([g], (1, 1), scan_mode="separate"))
+    assert np.array_equal(a, b)
