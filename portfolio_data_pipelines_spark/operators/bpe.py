@@ -50,6 +50,7 @@ table.
 
 from __future__ import annotations
 
+import re
 import string
 from collections import Counter
 
@@ -194,6 +195,8 @@ def train_bpe_spark(
         if not pair_rows or pair_rows[0]["cnt"] < min_freq:
             break
         a, b = pair_rows[0]["a"], pair_rows[0]["b"]
+        # the winning pair is embedded into a SQL replace literal below
+        _check_symbols([(a, b)])
         merges.append((a, b))
         syms = syms.withColumn(
             "s", F.expr(f"replace(s, '|{a}||{b}|', '|{a}{b}|')")
@@ -208,7 +211,17 @@ def train_bpe_spark(
 # ---------------------------------------------------------------------------
 
 
+def _check_symbols(pairs) -> None:
+    """Merge symbols are embedded into SQL string literals (both
+    dialects) — restrict to the ``[a-z]+`` token alphabet so a stray
+    quote or delimiter can neither break the expression nor inject."""
+    for a, b in pairs:
+        if not re.fullmatch(r"[a-z]+", a + b):
+            raise ValueError(f"BPE symbols must be [a-z]+, got {(a, b)!r}")
+
+
 def _replace_chain(expr: str, merges: list[tuple[str, str]]) -> str:
+    _check_symbols(merges)
     for a, b in merges:
         expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
     return expr

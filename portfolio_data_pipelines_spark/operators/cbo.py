@@ -65,10 +65,20 @@ class TableStats:
 def stats_for_parquet(spark, path: str) -> TableStats:
     """(rows, bytes) for a parquet file or directory of part files —
     driver-side footer + stat probe, cached on file signatures. The
-    probe a catalog would persist at registration time."""
-    from ..sources.parquet import _probe_files
-
-    files = [p for p in _probe_files(path) if os.path.exists(p)]
+    probe a catalog would persist at registration time. Directories are
+    walked recursively so hive-partitioned layouts count their leaf
+    part files, not the directory inode."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(path)
+            for f in names
+            if f.endswith(".parquet")
+        )
+    elif os.path.exists(path):
+        files = [path]
+    else:
+        files = []
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
     sig = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in files)

@@ -196,3 +196,16 @@ def test_bpe_dedup_join_variant_equals_projection(spark):
     plan = bpe_token_ids_dedup_join(spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_rejects_non_alpha_symbols():
+    """Merge symbols are embedded in SQL literals — anything outside
+    [a-z]+ must be rejected, not interpolated."""
+    import pytest as _pytest
+
+    from portfolio_data_pipelines_spark.operators.bpe import bpe_encode_ids_sql
+
+    with _pytest.raises(ValueError, match="BPE symbols"):
+        bpe_encode_ids_sql("text", [("a", "b'); drop--")])
+    with _pytest.raises(ValueError, match="BPE symbols"):
+        bpe_encode_ids_sql("text", [("A", "b")])

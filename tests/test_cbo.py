@@ -195,3 +195,21 @@ def test_star_query_through_planner_matches_hand_hint_shape(spark):
     plan = _plan(revenue_by_region(spark, SF))
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_parquet_stats_walk_partitioned_dir(spark, tmp_path):
+    """A hive-partitioned directory must aggregate its leaf part files,
+    not stat the directory inode."""
+    out = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [("2025-08-20", 1.0), ("2025-08-21", 2.0), ("2025-08-21", 3.0)],
+        "date string, v double",
+    )
+    df.write.partitionBy("date").parquet(out)
+    st = stats_for_parquet(spark, out)
+    assert st.rows == 3
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+    assert st.bytes == total
