@@ -830,6 +830,8 @@ def _flac_residuals(bits: _FlacBits, blocksize: int, order: int) -> list[int]:
     plen, escape = (4, 0xF) if method == 0 else (5, 0x1F)
     porder = bits.bits(4)
     nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("FLAC blocksize not divisible by 2^partition_order")
     out: list[int] = []
     for p in range(nparts):
         n = (blocksize >> porder) - (order if p == 0 else 0)

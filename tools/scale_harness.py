@@ -135,9 +135,7 @@ def main() -> None:
         },
     )
     docs = scan_table(spark, args.base, "documents").select("doc_id", "text")
-    bench = docs.filter(F.col("doc_id") < 50).select(
-        F.col("doc_id").alias("bench_id").alias("doc_id"), "text"
-    )
+    bench = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
     bench.cache().count()
 
     with tempfile.TemporaryDirectory() as tmp:
