@@ -68,6 +68,7 @@ def _load_all() -> None:
     # rows-only tail (approx sketches, seeded LSH) must never push an
     # oracle-backed query past the window.
     from . import relational  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import temporal  # noqa: F401
     from . import stats  # noqa: F401
     from . import similarity  # noqa: F401

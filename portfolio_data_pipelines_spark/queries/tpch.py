@@ -1,0 +1,919 @@
+"""Remaining TPC-H query shapes, adapted to the testdata schema.
+
+Rounds 3-4 covered Q1/Q3/Q4/Q5/Q10/Q13/Q14 (``relational.py``); this
+module completes the family — every remaining TPC-H topology that the
+testdata schema can express: Q2, Q6, Q7, Q8, Q9, Q11, Q12, Q15, Q17,
+Q18, Q19, Q20, Q21, Q22. The schema has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns, so the
+shapes that need them are adapted (documented per query): supplier-part
+relationships derive from ``lineitem`` pairs, supply cost proxies from
+``p_retailprice``, lateness from ``l_shipdate - o_orderdate``. What is
+preserved is the *operator topology* — correlated scalar subqueries,
+disjunctive predicate pushdown, exists/not-exists self-joins, having
+over scalar thresholds — which is what matters for plan quality.
+
+Reference: the reference repo models one aggregate view
+(``dbt/models/weather_daily.sql``); this family is driver-mandated
+breadth (SURVEY §2.5-§2.7). All queries are extra-registry with full
+DuckDB value-hash oracles; double sums route through exact decimal
+accumulation (``functions.dsum``) for cross-engine bit-equality.
+
+Scale notes inline: dims broadcast via the stats-driven planner
+(``operators/cbo.stats_join``); fact-fact joins shuffle on their keys
+only; scalar thresholds ride broadcast nested-loop joins of 1-row
+frames, never a data-sized cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dsum, dsum_sql
+from ..operators.cbo import stats_join
+from ..sources.parquet import scan_table
+from . import extra_query
+
+
+def _dim_stats(spark, sf_dir: str, name: str):
+    from ..operators.cbo import stats_for_parquet
+
+    return stats_for_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+_REV = "l.l_extendedprice * (1 - l.l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue change: the pure pushdown benchmark
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "forecast_revenue_q6",
+    oracle=f"""
+    SELECT {dsum_sql('l.l_extendedprice * l.l_discount')} AS revenue
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_discount BETWEEN 0.05 AND 0.07
+      AND l.l_quantity < 24
+    """,
+)
+def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): single-table filtered scalar
+    aggregate — the canonical predicate-pushdown benchmark. All three
+    predicates (date window, discount band, quantity cap) push into the
+    parquet scan as row-group filters; no join, no shuffle beyond the
+    1-row final agg. At 100 TB this is the shape where min/max footer
+    stats skip whole files."""
+    l = scan_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (bidirectional pair filter)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "volume_shipping_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql(_REV)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue flowing between a nation
+    PAIR in either direction — nation appears TWICE (supplier side and
+    customer side) and the disjunctive pair constraint couples the two
+    broadcast edges. Both nation copies broadcast; the pair filter is a
+    residual over broadcast columns, so it costs nothing extra; the only
+    big shuffle is lineitem->orders on orderkey. The shipdate window
+    pushes into the lineitem scan."""
+    l = scan_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = scan_table(spark, sf_dir, "orders")
+    s = scan_table(spark, sf_dir, "supplier")
+    c = scan_table(spark, sf_dir, "customer")
+    n1 = scan_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = scan_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        stats_join(
+            stats_join(
+                stats_join(
+                    stats_join(
+                        l.join(o, l.l_orderkey == o.o_orderkey),
+                        s, l.l_suppkey == s.s_suppkey,
+                        right_stats=_dim_stats(spark, sf_dir, "supplier"),
+                    ),
+                    c, o.o_custkey == c.c_custkey,
+                    right_stats=_dim_stats(spark, sf_dir, "customer"),
+                ),
+                n1, F.col("s_nationkey") == F.col("n1_key"),
+                right_stats=_dim_stats(spark, sf_dir, "nation"),
+            ),
+            n2, F.col("c_nationkey") == F.col("n2_key"),
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
+        )
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(dsum(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional numerator / total denominator)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "market_share_q8",
+    oracle=f"""
+    SELECT o_year,
+           (CAST({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 AS DOUBLE)
+            / CAST({dsum_sql('volume')} AS DOUBLE)) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ASIA's
+    consumption of PROMO parts, per year — conditional numerator and
+    unconditional denominator out of ONE aggregation pass (no second
+    scan). Part's type filter prunes the fact via the broadcast hash
+    join's build side; region gates the customer side through two more
+    broadcast hops; supplier nation feeds the CASE. The only big shuffle
+    is lineitem->orders. Decimal sums keep both operands exact, so the
+    final share division is bit-equal cross-engine."""
+    p = scan_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = scan_table(spark, sf_dir, "lineitem")
+    o = scan_table(spark, sf_dir, "orders")
+    c = scan_table(spark, sf_dir, "customer")
+    s = scan_table(spark, sf_dir, "supplier")
+    n1 = scan_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = scan_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = scan_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = stats_join(
+        stats_join(
+            stats_join(
+                stats_join(
+                    stats_join(
+                        stats_join(
+                            l.join(o, l.l_orderkey == o.o_orderkey),
+                            p, l.l_partkey == p.p_partkey,
+                            right_stats=_dim_stats(spark, sf_dir, "part"),
+                        ),
+                        c, o.o_custkey == c.c_custkey,
+                        right_stats=_dim_stats(spark, sf_dir, "customer"),
+                    ),
+                    n1, F.col("c_nationkey") == F.col("n1_key"),
+                    right_stats=_dim_stats(spark, sf_dir, "nation"),
+                ),
+                r, F.col("n1_region") == F.col("r_regionkey"),
+                right_stats=_dim_stats(spark, sf_dir, "region"),
+            ),
+            s, F.col("l_suppkey") == F.col("s_suppkey"),
+            right_stats=_dim_stats(spark, sf_dir, "supplier"),
+        ),
+        n2, F.col("s_nationkey") == F.col("n2_key"),
+        right_stats=_dim_stats(spark, sf_dir, "nation"),
+    )
+    volume = _rev()
+    national = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(national).alias("national"), dsum(volume).alias("total"))
+        .select(
+            "o_year",
+            (F.col("national").cast("double") / F.col("total").cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product type profit (cost proxy: no partsupp in schema)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "product_profit_q9",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - 0.4 * p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1 ASC, 2 DESC
+    """,
+)
+def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit) adapted: the schema has no
+    partsupp, so supply cost is proxied as 0.4 x p_retailprice per unit
+    (the topology — LIKE-filtered part gating a 4-way fact join, profit
+    expression mixing fact and dim columns, nation x year rollup — is
+    preserved). The LIKE filter prunes part BEFORE broadcast; lineitem->
+    orders is the one big shuffle. The profit expression is pure
+    double arithmetic identically ordered in both engines, then decimal-
+    summed for order-independence."""
+    p = scan_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = scan_table(spark, sf_dir, "lineitem")
+    s = scan_table(spark, sf_dir, "supplier")
+    o = scan_table(spark, sf_dir, "orders")
+    n = scan_table(spark, sf_dir, "nation")
+    profit = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        stats_join(
+            stats_join(
+                stats_join(
+                    l.join(o, l.l_orderkey == o.o_orderkey),
+                    p, l.l_partkey == p.p_partkey,
+                    right_stats=_dim_stats(spark, sf_dir, "part"),
+                ),
+                s, F.col("l_suppkey") == F.col("s_suppkey"),
+                right_stats=_dim_stats(spark, sf_dir, "supplier"),
+            ),
+            n, F.col("s_nationkey") == F.col("n_nationkey"),
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important value concentration (HAVING over a scalar subquery)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "important_value_q11",
+    oracle=f"""
+    WITH nation_lines AS (
+      SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_5'
+    )
+    SELECT l_partkey, {dsum_sql('value')} AS part_value
+    FROM nation_lines
+    GROUP BY l_partkey
+    HAVING {dsum_sql('value')}
+         > 0.002 * (SELECT {dsum_sql('value')} FROM nation_lines)
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+def important_value_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock) adapted: partsupp value becomes
+    shipped-line value from NATION_5 suppliers; the defining topology —
+    per-key aggregate HAVING-compared against a FRACTION OF THE GLOBAL
+    aggregate (scalar subquery) — is intact. Spark computes the grouped
+    frame ONCE, derives the global total from a second pass over the
+    (part-sized, not fact-sized) grouped frame, and broadcasts the 1-row
+    threshold back as a nested-loop join — the fact is scanned once, and
+    the threshold join moves one row. Decimal sums both sides; the 0.002
+    multiplication is one IEEE op on identical doubles."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    s = scan_table(spark, sf_dir, "supplier")
+    n = scan_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    lines = stats_join(
+        stats_join(
+            l, s, l.l_suppkey == s.s_suppkey,
+            right_stats=_dim_stats(spark, sf_dir, "supplier"),
+        ),
+        n, F.col("s_nationkey") == F.col("n_nationkey"),
+        right_stats=_dim_stats(spark, sf_dir, "nation"),
+    ).select("l_partkey", _rev().alias("value"))
+    per_part = lines.groupBy("l_partkey").agg(dsum("value").alias("part_value"))
+    # Global total re-aggregated from the grouped frame: exact because both
+    # passes sum the same decimal(30,4) lattice (associative), and the
+    # grouped frame is ~|part| rows, not |lineitem|.
+    total = per_part.agg(
+        F.sum(F.col("part_value").cast("decimal(30,4)")).cast("double").alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.002 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping priority classes by lateness band (no l_shipmode in schema)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "lateness_priority_q12",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ON-TIME' END AS ship_band,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def lateness_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority) adapted: the
+    schema has no l_shipmode, so the grouping key is a derived lateness
+    band (shipped >60 days after order date). The defining operator —
+    pivot-style conditional counts (urgent/high vs rest) inside one
+    grouped pass over a fact-fact join — is preserved. The date window
+    pushes into the lineitem scan; one shuffle on orderkey, one on the
+    (2-value) band key."""
+    l = scan_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = scan_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), "LATE"
+    ).otherwise("ON-TIME")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("ship_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (aggregate joined against its own maximum)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "top_supplier_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l.l_suppkey AS supplier_no,
+             {dsum_sql(_REV)} AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier joined
+    against ITS OWN maximum — the view-reused-twice topology. Spark
+    computes the (supplier-sized) revenue frame once, reduces it to a
+    1-row max, and broadcasts that back as a nested-loop join — the
+    fact is scanned once and nothing fact-sized moves twice. Ties (all
+    suppliers at the max) are all returned, as in the spec; decimal
+    revenue makes the max/equality comparison exact cross-engine."""
+    l = scan_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = scan_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev()).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        stats_join(
+            revenue.join(F.broadcast(max_rev))
+            .filter(F.col("total_revenue") == F.col("max_revenue")),
+            s, F.col("supplier_no") == F.col("s_suppkey"),
+            right_stats=_dim_stats(spark, sf_dir, "supplier"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "small_qty_revenue_q17",
+    oracle=f"""
+    WITH part_avg AS (
+      SELECT l.l_partkey AS avg_partkey,
+             CAST({dsum_sql('l.l_quantity')} / COUNT(l.l_quantity) AS DOUBLE)
+               AS avg_qty
+      FROM lineitem l
+      GROUP BY 1
+    )
+    SELECT CAST({dsum_sql('l.l_extendedprice')} / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.avg_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND p.p_size < 10
+      AND l.l_quantity < 0.5 * a.avg_qty
+    """,
+)
+def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems below HALF
+    THE PART'S OWN average quantity — the correlated-aggregate-subquery
+    topology, decorrelated into a grouped frame joined back on partkey.
+    The per-part average frame is part-sized (bounded by |part|, not
+    |lineitem|) so it broadcasts; the brand/size filter prunes part
+    before ITS broadcast; the fact is scanned once per side of the
+    decorrelation (the unavoidable two-pass of Q17). Decimal-sum/count
+    averaging and the single 0.5 multiply are bit-equal cross-engine."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    p = scan_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10)
+    )
+    part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double")
+         / F.count("l_quantity")).cast("double").alias("avg_qty")
+    )
+    return (
+        stats_join(
+            l, p, l.l_partkey == p.p_partkey,
+            right_stats=_dim_stats(spark, sf_dir, "part"),
+        )
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING-filtered key set rejoined to facts)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "large_volume_customers_q18",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {dsum_sql('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) > 250
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def large_volume_customers_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose TOTAL lineitem
+    quantity exceeds a threshold, rejoined to their lines and customers
+    — the HAVING-derived key set topology. The qualifying key set is
+    computed with one map-side-combined agg on orderkey, then drives a
+    LEFT SEMI join back into lineitem (keys only move, no row
+    multiplication); customer broadcasts. Both lineitem passes shuffle
+    on the same orderkey, so AQE can reuse the exchange. Top-100 via
+    TakeOrderedAndProject."""
+    c = scan_table(spark, sf_dir, "customer")
+    o = scan_table(spark, sf_dir, "orders")
+    l = scan_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        stats_join(
+            l.join(big_orders.withColumnRenamed("l_orderkey", "big_orderkey"),
+                   F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+            .join(o, F.col("l_orderkey") == o.o_orderkey),
+            c, F.col("o_custkey") == c.c_custkey,
+            right_stats=_dim_stats(spark, sf_dir, "customer"),
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (disjunction of conjunctive predicate bundles)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "disjunctive_revenue_q19",
+    oracle=f"""
+    SELECT {dsum_sql(_REV)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def disjunctive_revenue_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): an OR of three conjunctive
+    bundles mixing part and lineitem columns — the disjunctive-predicate
+    benchmark. The join stays a single equi hash join on partkey with
+    the whole disjunction as a residual; Catalyst additionally extracts
+    the common l_quantity/p_size envelopes ([1,40] / [1,50]) as pushed
+    conjuncts. ONE scan of each table, no union-of-three-joins
+    (the naive plan reads the fact three times)."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    p = scan_table(spark, sf_dir, "part")
+    bundle = (
+        ((F.col("p_brand") == "Brand#1")
+         & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2")
+           & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3")
+           & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        stats_join(
+            l, p, l.l_partkey == p.p_partkey,
+            right_stats=_dim_stats(spark, sf_dir, "part"),
+        )
+        .filter(bundle)
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess contribution (nested aggregate semi-join chain)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "excess_suppliers_q20",
+    oracle=f"""
+    WITH supp_part AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             {dsum_sql('l.l_quantity')} AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%blue%'
+      GROUP BY 1, 2
+    ),
+    part_total AS (
+      SELECT l_partkey AS tot_partkey,
+             CAST(SUM(CAST(supp_qty AS DECIMAL(30,4))) AS DOUBLE) AS total_qty
+      FROM supp_part
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sp.l_suppkey
+      FROM supp_part sp
+      JOIN part_total pt ON sp.l_partkey = pt.tot_partkey
+      WHERE sp.supp_qty > 0.15 * pt.total_qty
+    )
+    ORDER BY s.s_name
+    """,
+)
+def excess_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess stock) adapted: available stock becomes
+    shipped quantity, and the excess test compares a supplier's share of
+    a part against 15% of that part's total — preserving the defining
+    topology: aggregate-inside-IN-inside-semi-join, two nested
+    aggregation levels deep. Spark: the (supplier,part) rollup is
+    computed once; the per-part total re-aggregates THAT frame (not the
+    fact); qualifying suppliers drive a LEFT SEMI into supplier. The
+    fact is scanned once; everything after the first rollup is
+    supplier-x-part-sized. LIKE-filtered part broadcasts."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    p = scan_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = scan_table(spark, sf_dir, "supplier")
+    n = scan_table(spark, sf_dir, "nation")
+    supp_part = (
+        stats_join(
+            l, p, l.l_partkey == p.p_partkey,
+            right_stats=_dim_stats(spark, sf_dir, "part"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity").alias("supp_qty"))
+    )
+    part_total = (
+        supp_part.groupBy(F.col("l_partkey").alias("tot_partkey"))
+        .agg(F.sum(F.col("supp_qty").cast("decimal(30,4)")).cast("double").alias("total_qty"))
+    )
+    excess = (
+        supp_part.join(F.broadcast(part_total), F.col("l_partkey") == F.col("tot_partkey"))
+        .filter(F.col("supp_qty") > 0.15 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        stats_join(
+            s.join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi"),
+            n, F.col("s_nationkey") == F.col("n_nationkey"),
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS self-joins)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "waiting_suppliers_q21",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_7'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    """,
+)
+def waiting_suppliers_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) adapted:
+    lateness is l_shipdate > o_orderdate + 90d (no l_receiptdate /
+    l_commitdate in schema). The defining topology is intact: the SOLE
+    late supplier in a multi-supplier order = fact joined with EXISTS
+    (another supplier touched the order) and NOT EXISTS (another
+    supplier was ALSO late) — a semi- and an anti-self-join on the same
+    key. All three lineitem passes shuffle on orderkey (AQE exchange
+    reuse); supplier and nation broadcast; the status filter pushes
+    into the orders scan. At 100 TB this is 3 co-partitioned passes
+    over one fact, no cartesian."""
+    s = scan_table(spark, sf_dir, "supplier")
+    n = scan_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    o = scan_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = scan_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    l1 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .select(F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey"))
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        stats_join(
+            stats_join(
+                sole_late, s, F.col("l_suppkey") == s.s_suppkey,
+                right_stats=_dim_stats(spark, sf_dir, "supplier"),
+            ),
+            n, F.col("s_nationkey") == F.col("n_nationkey"),
+            right_stats=_dim_stats(spark, sf_dir, "nation"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (scalar-avg threshold + anti-join)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "sales_opportunity_q22",
+    oracle=f"""
+    WITH threshold AS (
+      SELECT CAST({dsum_sql('c_acctbal')} / COUNT(c_acctbal) AS DOUBLE) AS avg_bal
+      FROM customer
+      WHERE c_acctbal > 0.0
+        AND c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'MACHINERY')
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS numcust,
+           {dsum_sql('c.c_acctbal')} AS totacctbal
+    FROM customer c, threshold t
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'MACHINERY')
+      AND c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity) adapted: country
+    codes (no c_phone in schema) become market segments. The topology is
+    intact: a scalar AVG subquery over positive balances gates
+    customers, who must ALSO have no RECENT orders (anti-join; the
+    spec's 7-year dormancy window becomes orders since 2000) —
+    threshold + NOT EXISTS in one query. The 1-row threshold broadcasts
+    as a nested-loop join; the anti-join's date filter and o_custkey
+    projection both push into the orders scan; segment rollup is 3
+    groups. Decimal sum/count makes the average and the > comparison
+    bit-equal cross-engine."""
+    segs = ("AUTOMOBILE", "FURNITURE", "MACHINERY")
+    c = scan_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment").isin(*segs))
+    o = (
+        scan_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    threshold = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(30,4)")).cast("double")
+         / F.count("c_acctbal")).cast("double").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN + multiway join-back)
+# ---------------------------------------------------------------------------
+
+
+@extra_query(
+    "min_cost_supplier_q2",
+    oracle="""
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    candidates AS (
+      SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+             n.n_name
+      FROM part p
+      JOIN shipped sp ON sp.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand
+    FROM candidates c
+    WHERE c.s_acctbal = (
+      SELECT MIN(c2.s_acctbal) FROM candidates c2
+      WHERE c2.p_partkey = c.p_partkey
+    )
+    ORDER BY c.s_acctbal DESC, c.n_name ASC, c.s_name ASC, c.p_partkey ASC
+    LIMIT 100
+    """,
+)
+def min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) adapted: partsupp becomes
+    the DISTINCT (partkey, suppkey) pairs observed in lineitem, and
+    supply cost becomes s_acctbal — preserving the defining topology: a
+    correlated MIN subquery per part, decorrelated into a grouped-min
+    frame joined back on partkey, wrapped in a 4-way dim join. The
+    size/type filter prunes part FIRST (the candidate set is small from
+    the start); the distinct pair projection is the only fact-sized
+    pass; min-frame and join-back are candidate-sized. Ties at the min
+    all survive, as in the spec."""
+    l = scan_table(spark, sf_dir, "lineitem")
+    p = scan_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = scan_table(spark, sf_dir, "supplier")
+    n = scan_table(spark, sf_dir, "nation")
+    shipped = l.select("l_partkey", "l_suppkey").distinct()
+    candidates = stats_join(
+        stats_join(
+            stats_join(
+                shipped, p, F.col("l_partkey") == p.p_partkey,
+                right_stats=_dim_stats(spark, sf_dir, "part"),
+            ),
+            s, F.col("l_suppkey") == s.s_suppkey,
+            right_stats=_dim_stats(spark, sf_dir, "supplier"),
+        ),
+        n, F.col("s_nationkey") == F.col("n_nationkey"),
+        right_stats=_dim_stats(spark, sf_dir, "nation"),
+    ).select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    min_bal = candidates.groupBy(F.col("p_partkey").alias("min_partkey")).agg(
+        F.min("s_acctbal").alias("min_acctbal")
+    )
+    return (
+        candidates.join(
+            F.broadcast(min_bal),
+            (F.col("p_partkey") == F.col("min_partkey"))
+            & (F.col("s_acctbal") == F.col("min_acctbal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )

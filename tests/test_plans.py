@@ -229,3 +229,53 @@ def test_q4_exists_is_left_semi_without_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
     assert any("o_orderdate" in s for s in pushed)
+
+
+def test_q6_all_predicates_reach_lineitem_scan(spark):
+    plan = _plan(spark, "forecast_revenue_q6")
+    assert "FileScan parquet" in plan and plan.count("FileScan parquet") == 1
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "Exchange" not in plan.replace("Exchange SinglePartition", "")
+
+
+def test_q19_disjunction_is_single_join_not_union(spark):
+    plan = _plan(spark, "disjunctive_revenue_q19")
+    # one scan per table — not the naive union-of-three-joins plan
+    assert plan.count("FileScan parquet") == 2
+    assert "Union" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_self_joins_are_semi_and_anti_without_cartesian(spark):
+    plan = _plan(spark, "waiting_suppliers_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # the suppkey inequality rides the orderkey equi-join as a residual
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderstatus" in s for s in pushed)
+
+
+def test_q17_decorrelated_avg_broadcasts_back(spark):
+    plan = _plan(spark, "small_qty_revenue_q17")
+    # the per-part average frame joins back via broadcast, not a shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_max_threshold_is_one_row_broadcast(spark):
+    plan = _plan(spark, "top_supplier_q15")
+    # Catalyst rewrites the crossJoin + equality filter into a broadcast
+    # HASH join keyed on the revenue value itself (the 1-row max side is
+    # the build) — strictly better than a nested loop, and never a
+    # data-sized cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_having_keys_drive_left_semi(spark):
+    plan = _plan(spark, "large_volume_customers_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
