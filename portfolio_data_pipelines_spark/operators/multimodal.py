@@ -177,14 +177,17 @@ def _decode_png(content: bytes):
 
     Chunk walk (IHDR/PLTE/IDAT/IEND), ``zlib`` inflate of the
     concatenated IDAT stream, then scanline unfiltering for all 5 filter
-    types (None/Sub/Up/Average/Paeth). Supports bit depths 8 and 16
-    (16-bit samples are big-endian pairs; the MSB is kept — the 8-bit
-    RGB output contract) in color types 0 (gray), 2 (RGB), 3 (palette,
-    depth 8), 4 (gray+alpha) and 6 (RGBA) — alpha is dropped, gray is
-    broadcast to RGB — plus Adam7 interlacing (7 independently-filtered
-    sub-images placed at the pass offsets/strides). Sub-byte depths
-    (1/2/4) raise ``NotImplementedError`` (rare in training corpora;
-    PIL covers them when installed)."""
+    types (None/Sub/Up/Average/Paeth). Supports every legal bit depth:
+    8; 16 (big-endian pairs; the MSB is kept — the 8-bit RGB output
+    contract); and sub-byte 1/2/4 (samples packed MSB-first within
+    scanline bytes, as the spec's only sub-byte layout, valid for gray
+    and palette color types; gray values rescale exactly to 8-bit since
+    2^d - 1 divides 255). Color types: 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha) and 6 (RGBA) — alpha is dropped, gray is broadcast
+    to RGB — plus Adam7 interlacing (7 independently-filtered
+    sub-images placed at the pass offsets/strides; each pass packs its
+    own scanlines, so sub-byte passes have independent byte
+    boundaries)."""
     import struct
     import zlib
 
@@ -210,28 +213,32 @@ def _decode_png(content: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            "fallback PNG decoder supports bit depths 8 and 16 only"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color_type}")
-    if color_type == 3 and depth != 8:
-        raise NotImplementedError("palette PNG supported at bit depth 8 only")
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG sub-byte depth {depth} invalid for color type {color_type}"
+        )
+    if color_type == 3 and depth == 16:
+        raise ValueError("PNG palette color type is limited to bit depths 1-8")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     # PNG filters operate on BYTES with the left-neighbor offset equal to
-    # the bytes-per-pixel, so depth 16 reuses the same unfilter with
-    # bpp = channels * 2.
-    bpp = channels * (depth // 8)
+    # the bytes-per-pixel (floored to 1 for sub-byte depths), so depth 16
+    # reuses the same unfilter with bpp = channels * 2 and depths 1/2/4
+    # with bpp = 1.
+    bpp = max(1, channels * depth // 8)
 
     def unfilter(buf: bytes, pw: int, ph: int):
         """Unfilter a (sub-)image of pw×ph pixels from the head of
-        ``buf``; returns (uint8 array (ph, pw*bpp), bytes consumed)."""
-        stride = pw * bpp
+        ``buf``; returns (uint8 array (ph, stride), bytes consumed)
+        where stride is the packed scanline byte width."""
+        stride = (pw * channels * depth + 7) // 8
         need = ph * (stride + 1)
         if len(buf) < need:
             raise ValueError("PNG pixel data size mismatch")
@@ -245,11 +252,25 @@ def _decode_png(content: bytes):
             out[y] = prev
         return out, need
 
+    def to_samples(data, pw: int, ph: int):
+        """Packed scanline bytes (ph, stride) → per-pixel samples
+        (ph, pw, bpp). Sub-byte samples unpack MSB-first and keep their
+        raw 0..2^depth-1 values (rescaling happens once at the end)."""
+        if depth == 1:
+            return np.unpackbits(data, axis=1)[:, :pw, None]
+        if depth == 2:
+            quads = (data[:, :, None] >> np.array([6, 4, 2, 0])) & 3
+            return quads.reshape(ph, -1)[:, :pw, None].astype(np.uint8)
+        if depth == 4:
+            pairs = (data[:, :, None] >> np.array([4, 0])) & 15
+            return pairs.reshape(ph, -1)[:, :pw, None].astype(np.uint8)
+        return data.reshape(ph, pw, bpp)
+
     if interlace == 0:
         data, consumed = unfilter(raw, w, h)
         if consumed != len(raw):
             raise ValueError("PNG pixel data size mismatch")
-        full = data.reshape(h, w, bpp)
+        full = to_samples(data, w, h)
     elif interlace == 1:
         # Adam7: 7 passes, each an independently-filtered sub-image
         # placed on the (x0 + i*dx, y0 + j*dy) grid. Empty passes (small
@@ -263,7 +284,7 @@ def _decode_png(content: bytes):
                 continue
             sub, consumed = unfilter(raw[offset:], pw, ph)
             offset += consumed
-            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            full[y0::dy, x0::dx, :] = to_samples(sub, pw, ph)
         if offset != len(raw):
             raise ValueError("PNG pixel data size mismatch")
     else:
@@ -274,6 +295,9 @@ def _decode_png(content: bytes):
     else:
         px = full.reshape(h, w, channels)
     if color_type == 0:
+        if depth < 8:
+            # exact: 2^d - 1 divides 255 for d in (1, 2, 4)
+            px = px * np.uint8(255 // ((1 << depth) - 1))
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
         return px

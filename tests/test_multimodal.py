@@ -304,10 +304,25 @@ def _png_filter_rows(data, bpp, filters):
     return lines
 
 
+def _png_pack_subbyte(sub, depth):
+    """Pack a (ph, pw) sample array into MSB-first scanline bytes
+    (ph, ceil(pw*depth/8)) — the spec's only sub-byte layout."""
+    import numpy as np
+
+    ph, pw = sub.shape
+    per = 8 // depth
+    pad = (-pw) % per
+    padded = np.pad(sub.astype(np.uint16), ((0, 0), (0, pad)))
+    shifts = np.arange(per)[::-1] * depth
+    grouped = padded.reshape(ph, -1, per)
+    return ((grouped << shifts).sum(axis=2) & 0xFF).astype(np.uint8)
+
+
 def _png_bytes(arr, color_type=2, filters=None, depth=8, interlace=0, palette=None):
-    """Minimal PNG encoder: explicit per-row filter types, 8- or 16-bit
-    samples (big-endian), optional Adam7 interlacing (each pass filtered
-    independently, filters cycling across all sub-image rows)."""
+    """Minimal PNG encoder: explicit per-row filter types, sub-byte
+    (1/2/4, MSB-first packed), 8- or 16-bit (big-endian) samples,
+    optional Adam7 interlacing (each pass filtered independently,
+    filters cycling across all sub-image rows)."""
     import itertools
     import struct
     import zlib
@@ -316,28 +331,41 @@ def _png_bytes(arr, color_type=2, filters=None, depth=8, interlace=0, palette=No
 
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     h, w = arr.shape[:2]
-    if depth == 8:
+    if depth in (1, 2, 4):
+        samp = arr.reshape(h, w).astype(np.uint8)
+        byte_img, bpp = None, 1
+    elif depth == 8:
         byte_img = arr.reshape(h, w, channels).astype(np.uint8)
+        bpp = channels
     else:  # 16-bit: big-endian sample pairs
         a16 = arr.reshape(h, w, channels).astype(np.uint16)
         byte_img = np.zeros((h, w, channels * 2), np.uint8)
         byte_img[..., 0::2] = (a16 >> 8).astype(np.uint8)
         byte_img[..., 1::2] = (a16 & 0xFF).astype(np.uint8)
-    bpp = byte_img.shape[2]
+        bpp = channels * 2
     fcycle = itertools.cycle(filters or [0])
     lines = []
     if interlace == 0:
-        rows = byte_img.reshape(h, w * bpp)
+        rows = (
+            _png_pack_subbyte(samp, depth)
+            if byte_img is None else byte_img.reshape(h, w * bpp)
+        )
         lines += _png_filter_rows(rows, bpp, [next(fcycle) for _ in range(h)])
     else:
         for x0, y0, dx, dy in _ADAM7:
-            sub = byte_img[y0::dy, x0::dx, :]
-            ph, pw = sub.shape[:2]
-            if ph == 0 or pw == 0:
-                continue
-            lines += _png_filter_rows(
-                sub.reshape(ph, pw * bpp), bpp, [next(fcycle) for _ in range(ph)]
-            )
+            if byte_img is None:
+                sub = samp[y0::dy, x0::dx]
+                ph, pw = sub.shape
+                if ph == 0 or pw == 0:
+                    continue
+                rows = _png_pack_subbyte(sub, depth)
+            else:
+                sub = byte_img[y0::dy, x0::dx, :]
+                ph, pw = sub.shape[:2]
+                if ph == 0 or pw == 0:
+                    continue
+                rows = sub.reshape(ph, pw * bpp)
+            lines += _png_filter_rows(rows, bpp, [next(fcycle) for _ in range(ph)])
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
     if palette is not None:
@@ -444,6 +472,57 @@ def test_png_adam7_16bit_combined_roundtrip():
     assert np.array_equal(decode_image(png), (img16 >> 8).astype(np.uint8))
 
 
+def test_png_subbyte_gray_roundtrip_all_depths():
+    """Depths 1/2/4 gray: MSB-first packed samples, filters at byte
+    granularity (bpp=1), exact 8-bit rescale (2^d - 1 divides 255).
+    Widths chosen to leave partial trailing bytes in every depth."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(51)
+    for depth, w in [(1, 13), (2, 9), (4, 5)]:
+        maxval = (1 << depth) - 1
+        samp = rng.randint(0, maxval + 1, (6, w, 1), dtype=np.uint8)
+        png = _png_bytes(samp, color_type=0, depth=depth,
+                         filters=[0, 1, 2, 3, 4, 2])
+        exp = np.repeat(samp * (255 // maxval), 3, axis=2)
+        assert np.array_equal(decode_image(png), exp), depth
+
+
+def test_png_subbyte_palette_roundtrip():
+    """Depths 1/2/4 palette: packed indexes map through PLTE unscaled."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(52)
+    for depth, w in [(1, 11), (2, 7), (4, 6)]:
+        ncolors = 1 << depth
+        palette = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncolors, (5, w, 1), dtype=np.uint8)
+        png = _png_bytes(idx, color_type=3, depth=depth, palette=palette,
+                         filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(decode_image(png), palette[idx[:, :, 0]]), depth
+
+
+def test_png_subbyte_adam7_interlace_roundtrip():
+    """Sub-byte + Adam7: each pass packs its own scanlines, so byte
+    boundaries reset per pass — sizes hit ragged pass widths."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(53)
+    for depth, (h, w) in [(1, (9, 17)), (2, (10, 9)), (4, (3, 3))]:
+        maxval = (1 << depth) - 1
+        samp = rng.randint(0, maxval + 1, (h, w, 1), dtype=np.uint8)
+        png = _png_bytes(samp, color_type=0, depth=depth, interlace=1,
+                         filters=[0, 1, 2, 3, 4])
+        exp = np.repeat(samp * (255 // maxval), 3, axis=2)
+        assert np.array_equal(decode_image(png), exp), depth
+
+
 def test_png_decode_rejects_unsupported_and_corrupt():
     import numpy as np
     import pytest
@@ -454,21 +533,30 @@ def test_png_decode_rejects_unsupported_and_corrupt():
     import zlib
 
     img = _rand_img(8, h=3, w=3)
-    # sub-byte depth: the one remaining honest stub
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    sub_byte = (
+    # sub-byte depths are only legal for gray/palette color types
+    ihdr_rgb4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad_rgb4 = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_rgb4)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="sub-byte"):
+        decode_image(bad_rgb4)
+    # ...and palette tops out at depth 8 (16 is illegal per spec)
+    pal = np.zeros((2, 3), np.uint8)
+    with pytest.raises(ValueError, match="palette"):
+        decode_image(_png_bytes(
+            np.zeros((2, 2, 1), np.uint16), color_type=3, palette=pal, depth=16
+        ))
+    # depth-4 scanline with too few packed bytes for the declared dims
+    ihdr4 = struct.pack(">IIBBBBB", 4, 2, 4, 0, 0, 0, 0)
+    short4 = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr4)
         + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_image(sub_byte)
-    # palette is 8-bit-only in this decoder
-    pal = np.zeros((2, 3), np.uint8)
-    with pytest.raises(NotImplementedError):
-        decode_image(_png_bytes(
-            np.zeros((2, 2, 1), np.uint16), color_type=3, palette=pal, depth=16
-        ))
+    with pytest.raises(ValueError):
+        decode_image(short4)
     good = _png_bytes(img)
     with pytest.raises(ValueError):  # truncated mid-IDAT: payload shorter than length
         decode_image(good[: good.index(b"IDAT") + 6])
