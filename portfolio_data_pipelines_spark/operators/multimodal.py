@@ -552,7 +552,18 @@ def _decode_jpeg(content: bytes):
     a single interleaved scan and multiple scans (each scan interleaved
     over its components, or non-interleaved over one component's own
     block grid; DHT/DRI may be redefined between scans).
-    Progressive (SOF2), hierarchical and arithmetic-coded variants raise
+
+    Progressive JPEG (SOF2) is fully supported: coefficients accumulate
+    in zig-zag order across scans — DC first (diff-coded, shifted left
+    by the successive-approximation low bit Al), DC refinement (one
+    appended bit per block), AC first (spectral band Ss..Se with EOB-run
+    codes EOBn), and AC refinement (libjpeg's correction-bit algorithm:
+    ±1<<Al for newly-nonzero coefficients, one buffered correction bit
+    per already-nonzero coefficient, ZRL runs counting only zero-history
+    positions) — then one dequantize + IDCT pass at the end. Restart
+    markers reset DC predictors AND the EOB run.
+
+    Hierarchical and arithmetic-coded variants raise
     ``NotImplementedError`` — PIL covers them when installed."""
     import numpy as np
 
@@ -564,6 +575,7 @@ def _decode_jpeg(content: bytes):
     restart = 0
     pos = 2
     planes: dict[int, "np.ndarray"] = {}
+    coefs: dict[int, "np.ndarray"] = {}  # progressive: (by, bx, 64) zig-zag
     decoded: set[int] = set()
     dctm = _jpeg_dct_matrix()
 
@@ -645,6 +657,151 @@ def _decode_jpeg(content: bytes):
                         planes[c["cs"]][y0 : y0 + 8, x0 : x0 + 8] = block
                 decoded.add(c["cs"])
 
+    def decode_scan_prog(scan, segs, ss, se, ah, al):
+        """One progressive scan into the zig-zag coefficient stores.
+
+        DC scans (ss == 0) may interleave all frame components; AC scans
+        carry exactly one component on its own unpadded block grid (the
+        spec's rule). First passes (ah == 0) create coefficients shifted
+        left by al; refinement passes (ah == al + 1) append one bit."""
+        by_id = {c["id"]: c for c in frame["comps"]}
+        scomps = []
+        for s in scan:
+            c = by_id.get(s["cs"])
+            if c is None:
+                raise ValueError("JPEG scan references unknown component")
+            scomps.append({**c, **s})
+        hmax, vmax = frame["hmax"], frame["vmax"]
+        p1, m1 = 1 << al, -1 << al
+        if ss == 0:
+            if se != 0:
+                raise ValueError("JPEG DC scan with nonzero spectral end")
+            if ah == 0:
+                for c in scomps:
+                    if (0, c["dc"]) not in huff:
+                        raise ValueError("JPEG scan references missing Huffman table")
+            if len(scomps) > 1:
+                mcux, mcuy = frame["mcux"], frame["mcuy"]
+                units = [(c, c["h"], c["v"]) for c in scomps]
+            else:
+                c = scomps[0]
+                comp_w = -(-frame["w"] * c["h"] // hmax)
+                comp_h = -(-frame["h"] * c["v"] // vmax)
+                mcux, mcuy = -(-comp_w // 8), -(-comp_h // 8)
+                units = [(c, 1, 1)]
+            seg_i = 0
+            bits = _JpegBits(segs[0])
+            preds = {c["cs"]: 0 for c in scomps}
+            for m in range(mcux * mcuy):
+                if restart and m and m % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("JPEG missing restart segment")
+                    bits = _JpegBits(segs[seg_i])
+                    preds = {c["cs"]: 0 for c in scomps}
+                my, mx = divmod(m, mcux)
+                for c, ch, cv in units:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            blk = coefs[c["cs"]][my * cv + by, mx * ch + bx]
+                            if ah == 0:
+                                t = bits.huff(huff[(0, c["dc"])])
+                                diff = _jpeg_extend(bits.bits(t), t) if t else 0
+                                preds[c["cs"]] += diff
+                                blk[0] = preds[c["cs"]] << al
+                            elif bits.bits(1):
+                                blk[0] = int(blk[0]) | p1
+                    decoded.add(c["cs"])
+            return
+        # AC scan: single component, its own (unpadded) block grid
+        if len(scomps) != 1:
+            raise ValueError("JPEG progressive AC scan must be non-interleaved")
+        c = scomps[0]
+        if (1, c["ac"]) not in huff:
+            raise ValueError("JPEG scan references missing Huffman table")
+        aclut = huff[(1, c["ac"])]
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        nbx, nby = -(-comp_w // 8), -(-comp_h // 8)
+        store = coefs[c["cs"]]
+        seg_i = 0
+        bits = _JpegBits(segs[0])
+        eobrun = 0
+        for m in range(nbx * nby):
+            if restart and m and m % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                bits = _JpegBits(segs[seg_i])
+                eobrun = 0
+            my, mx = divmod(m, nbx)
+            blk = store[my, mx]
+            if ah == 0:
+                # AC first pass: band values shifted left by al; EOBn
+                # codes (r<15, size 0) carry a run of all-zero bands
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = bits.huff(aclut)
+                    r, size = rs >> 4, rs & 15
+                    if size == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past spectral band")
+                    blk[k] = _jpeg_extend(bits.bits(size), size) << al
+                    k += 1
+            else:
+                # AC refinement: libjpeg's correction-bit algorithm
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = bits.huff(aclut)
+                        r, size = rs >> 4, rs & 15
+                        if size:
+                            if size != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement size must be 1"
+                                )
+                            sval = p1 if bits.bits(1) else m1
+                        else:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += bits.bits(r)
+                                break
+                            sval = 0  # ZRL: skip 16 zero-history coefs
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0:
+                                if bits.bits(1) and (cur & p1) == 0:
+                                    blk[k] = cur + (p1 if cur >= 0 else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if sval and k <= se:
+                            blk[k] = sval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if bits.bits(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+        decoded.add(c["cs"])
+
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -681,7 +838,7 @@ def _decode_jpeg(content: bytes):
                 symbols = list(data[i + 17 : i + 17 + nsym])
                 huff[(cls, tid)] = _jpeg_huff_lut(counts, symbols)
                 i += 17 + nsym
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision = data[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG samples supported")
@@ -699,6 +856,7 @@ def _decode_jpeg(content: bytes):
             frame = {
                 "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
                 "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
+                "prog": marker == 0xC2,
             }
             planes = {
                 c["id"]: np.zeros(
@@ -707,10 +865,16 @@ def _decode_jpeg(content: bytes):
                 )
                 for c in comps
             }
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG not supported without PIL"
-            )
+            if frame["prog"]:
+                # coefficients accumulate across scans on the padded
+                # (interleaved-MCU) block grid, zig-zag order per block
+                coefs = {
+                    c["id"]: np.zeros(
+                        (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "hierarchical/arithmetic JPEG not supported without PIL"
@@ -726,7 +890,12 @@ def _decode_jpeg(content: bytes):
                 cs, tables = data[1 + 2 * s], data[2 + 2 * s]
                 scan.append({"cs": cs, "dc": tables >> 4, "ac": tables & 15})
             segs, pos = _jpeg_split_ecs(content, pos + 2 + seglen)
-            decode_scan(scan, segs)
+            if frame["prog"]:
+                ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+                ahal = data[3 + 2 * ns]
+                decode_scan_prog(scan, segs, ss, se, ahal >> 4, ahal & 15)
+            else:
+                decode_scan(scan, segs)
             continue  # more scans / tables may follow
         # APPn/COM/unknown: skip
         pos += 2 + seglen
@@ -736,6 +905,22 @@ def _decode_jpeg(content: bytes):
     missing = {c["id"] for c in comps} - decoded
     if missing:
         raise ValueError(f"JPEG scans never covered components {sorted(missing)}")
+    if frame["prog"]:
+        # single dequantize + IDCT pass over the accumulated coefficients
+        for c in comps:
+            if c["tq"] not in qt:
+                raise ValueError("JPEG frame references missing quant table")
+            q = np.array(qt[c["tq"]], dtype=np.float64)
+            store = coefs[c["id"]]
+            plane = planes[c["id"]]
+            for by in range(store.shape[0]):
+                for bx in range(store.shape[1]):
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[list(_JPEG_ZIGZAG)] = store[by, bx] * q
+                    block = dctm.T @ coef.reshape(8, 8) @ dctm
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(block + 128.0), 0, 255
+                    )
     hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
     for c in comps:

@@ -962,6 +962,269 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
     return bytes(out)
 
 
+#: Progressive AC table: the sequential symbols plus EOBn (r<<4 | 0 for
+#: r = 1..14) — 176 symbols at 8 bits, Kraft-valid.
+_JPEG_ACP_SYMBOLS = _JPEG_AC_SYMBOLS + [(r << 4) for r in range(1, 15)]
+_JPEG_ACP_COUNTS = [0] * 7 + [len(_JPEG_ACP_SYMBOLS)] + [0] * 8
+
+
+def _jpeg_magnitude(v):
+    t = int(abs(v)).bit_length()
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def _jpeg_progressive_bytes(planes, sampling, qval=1, dc_al=1, ac_al=2,
+                            bands=((1, 5), (6, 63)), restart=0):
+    """Progressive JPEG (SOF2) from component planes — the forward
+    transform of the decoder's progressive path. Scan script: DC first
+    (interleaved, Al=dc_al) + DC refinements to 0; per component and
+    spectral band, AC first (Al=ac_al) + AC refinements to 0 with
+    EOB-run and libjpeg correction-bit buffering. ``restart`` applies
+    to the DC scans (resets predictors and emits RSTn)."""
+    import struct
+
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_dct_matrix,
+    )
+
+    dctm = _jpeg_dct_matrix()
+    q = np.array([qval] * 64, np.float64)
+    dc_codes = _jpeg_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
+    ac_codes = _jpeg_codes(_JPEG_ACP_COUNTS, _JPEG_ACP_SYMBOLS)
+    h, w_ = planes[0].shape
+    ncomp = len(planes)
+    hy, vy = sampling if ncomp == 3 else (1, 1)
+    hmax, vmax = (hy, vy) if ncomp == 3 else (1, 1)
+    mcux, mcuy = -(-w_ // (8 * hmax)), -(-h // (8 * vmax))
+
+    def pad(p, ph, pw):
+        out = np.zeros((ph, pw), p.dtype)
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    factors, czz = [], []  # per comp: (nby, nbx, 64) quantized zig-zag ints
+    for i, p in enumerate(planes):
+        if ncomp == 3 and i > 0:
+            p = p[::vy, ::hy]
+            factors.append((1, 1))
+        else:
+            factors.append((hy, vy) if ncomp == 3 else (1, 1))
+        fh, fv = factors[-1]
+        pp = pad(p, mcuy * 8 * fv, mcux * 8 * fh)
+        nby, nbx = mcuy * fv, mcux * fh
+        arr = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = dctm @ (blk.astype(np.float64) - 128.0) @ dctm.T
+                arr[by, bx] = np.round(
+                    coef.reshape(64)[list(_JPEG_ZIGZAG)] / q
+                ).astype(np.int64)
+        czz.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes([qval] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w_, ncomp)
+    for i in range(ncomp):
+        fh, fv = factors[i]
+        sof += bytes([i + 1, (fh << 4) | fv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht += bytes([0x10]) + bytes(_JPEG_ACP_COUNTS) + bytes(_JPEG_ACP_SYMBOLS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # --- DC first scan (interleaved over all comps, Al = dc_al) ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, dc_al)
+    w = _JpegWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            w = _JpegWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcux)
+        for i in range(ncomp):
+            fh, fv = factors[i]
+            for by in range(fv):
+                for bx in range(fh):
+                    v = int(czz[i][my * fv + by, mx * fh + bx, 0]) >> dc_al
+                    t, b = _jpeg_magnitude(v - preds[i])
+                    preds[i] = v
+                    ln, code = dc_codes[t]
+                    w.put(code, ln)
+                    if t:
+                        w.put(b, t)
+    out += w.flush()
+
+    # --- DC refinement scans (one bit per block, Al descending) ---
+    for al in range(dc_al - 1, -1, -1):
+        out += sos_header(list(range(1, ncomp + 1)), 0, 0, al + 1, al)
+        w = _JpegWriter()
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                out += w.flush()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                w = _JpegWriter()
+            my, mx = divmod(m, mcux)
+            for i in range(ncomp):
+                fh, fv = factors[i]
+                for by in range(fv):
+                    for bx in range(fh):
+                        w.put((int(czz[i][my * fv + by, mx * fh + bx, 0]) >> al) & 1, 1)
+        out += w.flush()
+
+    # --- AC scans: per component, per band; first pass then refinements ---
+    for i in range(ncomp):
+        fh, fv = factors[i]
+        comp_w, comp_h = -(-w_ * fh // hmax), -(-h * fv // vmax)
+        nbx, nby = -(-comp_w // 8), -(-comp_h // 8)
+        blocks = [czz[i][m // nbx, m % nbx] for m in range(nbx * nby)]
+        for ss, se in bands:
+            # first pass at Al = ac_al
+            out += sos_header([i + 1], ss, se, 0, ac_al)
+            w = _JpegWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    rr = eobrun.bit_length() - 1
+                    ln, code = ac_codes[rr << 4]
+                    w.put(code, ln)
+                    if rr:
+                        w.put(eobrun - (1 << rr), rr)
+                    eobrun = 0
+
+            rst = 0
+            for m, blk in enumerate(blocks):
+                if restart and m and m % restart == 0:
+                    flush_eob()
+                    out += w.flush()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
+                    w = _JpegWriter()
+                vals = {
+                    k: (abs(int(blk[k])) >> ac_al)
+                    * (1 if blk[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                }
+                nz = [k for k in range(ss, se + 1) if vals[k]]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(ss, nz[-1] + 1):
+                    v = vals[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        ln, code = ac_codes[0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    t, b = _jpeg_magnitude(v)
+                    ln, code = ac_codes[(run << 4) | t]
+                    w.put(code, ln)
+                    w.put(b, t)
+                    run = 0
+                if nz[-1] < se:
+                    eobrun += 1
+            flush_eob()
+            out += w.flush()
+
+            # refinement passes Al = ac_al-1 .. 0
+            for al in range(ac_al - 1, -1, -1):
+                out += sos_header([i + 1], ss, se, al + 1, al)
+                w = _JpegWriter()
+                eobrun, bebuf = 0, []
+
+                def flush_eob_r():
+                    nonlocal eobrun, bebuf
+                    if eobrun:
+                        rr = eobrun.bit_length() - 1
+                        ln, code = ac_codes[rr << 4]
+                        w.put(code, ln)
+                        if rr:
+                            w.put(eobrun - (1 << rr), rr)
+                        for bit in bebuf:
+                            w.put(bit, 1)
+                        bebuf = []
+                        eobrun = 0
+
+                rst = 0
+                for m, blk in enumerate(blocks):
+                    if restart and m and m % restart == 0:
+                        flush_eob_r()
+                        out += w.flush()
+                        out += bytes([0xFF, 0xD0 + (rst & 7)])
+                        rst += 1
+                        w = _JpegWriter()
+                    absv = {k: abs(int(blk[k])) >> al for k in range(ss, se + 1)}
+                    eobpos = max(
+                        (k for k in range(ss, se + 1) if absv[k] == 1),
+                        default=ss - 1,
+                    )
+                    run, br = 0, []
+                    for k in range(ss, se + 1):
+                        t = absv[k]
+                        if t == 0:
+                            run += 1
+                            continue
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        # newly nonzero
+                        while run > 15 and k <= eobpos:
+                            flush_eob_r()
+                            ln, code = ac_codes[0xF0]
+                            w.put(code, ln)
+                            run -= 16
+                            for bit in br:
+                                w.put(bit, 1)
+                            br = []
+                        flush_eob_r()
+                        ln, code = ac_codes[(run << 4) | 1]
+                        w.put(code, ln)
+                        w.put(1 if blk[k] > 0 else 0, 1)
+                        for bit in br:
+                            w.put(bit, 1)
+                        br = []
+                        run = 0
+                    if run > 0 or br:
+                        eobrun += 1
+                        bebuf += br
+                        if eobrun == 0x7FFF or len(bebuf) > 900:
+                            flush_eob_r()
+                flush_eob_r()
+                out += w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _ycbcr_to_rgb_ref(y, cb, cr):
     import numpy as np
 
@@ -1057,6 +1320,66 @@ def test_jpeg_quantization_path():
     assert err.mean() <= 8.0, err.mean()
 
 
+def test_jpeg_progressive_gray_matches_baseline_exactly():
+    """Progressive and baseline streams carry identical quantized
+    coefficients, and both decode through the same IDCT — so the
+    outputs must be bit-identical, at every successive-approximation
+    depth."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(61)
+    img = rng.randint(0, 256, (21, 18)).astype(np.float64)
+    base = decode_image(_jpeg_bytes([img], (1, 1)))
+    for dc_al, ac_al in [(0, 0), (1, 2), (2, 3)]:
+        prog = _jpeg_progressive_bytes([img], (1, 1), dc_al=dc_al, ac_al=ac_al)
+        assert np.array_equal(decode_image(prog), base), (dc_al, ac_al)
+
+
+def test_jpeg_progressive_color_420_matches_baseline():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(62)
+    y = rng.randint(0, 256, (19, 22)).astype(np.float64)
+    cb = rng.randint(0, 256, (19, 22)).astype(np.float64)
+    cr = rng.randint(0, 256, (19, 22)).astype(np.float64)
+    base = decode_image(_jpeg_bytes([y, cb, cr], (2, 2)))
+    prog = _jpeg_progressive_bytes([y, cb, cr], (2, 2), dc_al=1, ac_al=2,
+                                   bands=((1, 9), (10, 35), (36, 63)))
+    assert np.array_equal(decode_image(prog), base)
+
+
+def test_jpeg_progressive_eob_runs_and_flat_blocks():
+    """Mostly-flat image: whole bands are zero across many consecutive
+    blocks, so EOBn codes with n > 1 and the refinement correction-bit
+    buffer both genuinely fire."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = np.full((40, 40), 128.0)
+    img[3, 5] = 200.0  # one busy block among many flat ones
+    img[25, 30] = 60.0
+    base = decode_image(_jpeg_bytes([img], (1, 1)))
+    prog = _jpeg_progressive_bytes([img], (1, 1), dc_al=1, ac_al=1)
+    assert np.array_equal(decode_image(prog), base)
+
+
+def test_jpeg_progressive_dc_restart_markers():
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(63)
+    img = rng.randint(0, 256, (24, 32)).astype(np.float64)
+    base = decode_image(_jpeg_bytes([img], (1, 1)))
+    prog = _jpeg_progressive_bytes([img], (1, 1), dc_al=1, ac_al=1, restart=3)
+    assert np.array_equal(decode_image(prog), base)
+
+
 def test_jpeg_rejects_progressive_and_corrupt():
     import struct
 
@@ -1067,10 +1390,15 @@ def test_jpeg_rejects_progressive_and_corrupt():
 
     img = np.zeros((8, 8), np.float64)
     good = _jpeg_bytes([img], (1, 1))
-    # progressive: rewrite SOF0 marker to SOF2
+    # a baseline stream mislabeled SOF2: its sequential scan header
+    # (Ss=0, Se=63) is illegal for a progressive DC scan
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="spectral"):
         decode_image(prog)
+    # arithmetic-coded frames stay honestly stubbed
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(NotImplementedError):
+        decode_image(arith)
     # truncated entropy stream
     with pytest.raises(ValueError):
         decode_image(good[: len(good) // 2])
