@@ -1223,13 +1223,14 @@ def decode_audio(content: bytes):
     """Decode an audio payload to (float32 samples in [-1, 1], rate).
 
     Prefers soundfile when installed (full format coverage); otherwise
-    falls back to stdlib decoders for PCM WAV (8/16/32-bit, any channel
-    count — channels are interleaved into shape (frames, channels)) and
-    FLAC (:func:`_decode_flac`: STREAMINFO + frames, all subframe
-    types, Rice residuals, stereo decorrelation) — so, like images, the
-    decode path is REAL and tested in this container, and formats
-    beyond those (MP3/AAC/OGG, which have no dependency-free decode)
-    raise ``NotImplementedError`` until soundfile is present."""
+    falls back to stdlib decoders for WAV (PCM 8/16/24/32-bit, IEEE
+    float 32/64, G.711 mu-law and A-law, IMA ADPCM — any channel count,
+    interleaved into shape (frames, channels)) and FLAC
+    (:func:`_decode_flac`: STREAMINFO + frames, all subframe types,
+    Rice residuals, stereo decorrelation) — so, like images, the decode
+    path is REAL and tested in this container, and formats beyond those
+    (MP3/AAC/OGG, which have no dependency-free decode) raise
+    ``NotImplementedError`` until soundfile is present."""
     import io
 
     try:
@@ -1248,25 +1249,167 @@ def decode_audio(content: bytes):
     )
 
 
-def _decode_wav(content: bytes):
-    """Stdlib PCM WAV decode: (float32 (frames, channels) in [-1,1], rate)."""
-    import io
-    import wave
+#: IMA ADPCM quantizer tables (IMA 1992 reference, public domain).
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
 
+
+def _ima_adpcm_decode(raw: bytes, n_ch: int, block_align: int):
+    """IMA ADPCM (WAV format 0x11): block-structured nibble stream.
+
+    Each block opens with a 4-byte header per channel (int16 predictor =
+    the block's first output sample, uint8 step index); the payload
+    interleaves 4-byte (8-nibble) chunks per channel, low nibble first.
+    The decoder is the IMA reference: diff = step>>3 plus step scaled by
+    the nibble's magnitude bits, sign bit 8, predictor clamped to int16,
+    index stepped by the adjust table and clamped to [0, 88]."""
     import numpy as np
 
-    with wave.open(io.BytesIO(content), "rb") as w:
-        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
-    if sampwidth == 1:  # unsigned 8-bit
-        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif sampwidth == 2:
-        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif sampwidth == 4:
-        samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    if block_align < 4 * n_ch + 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError("invalid IMA ADPCM block alignment")
+    spb = 1 + (block_align - 4 * n_ch) * 2 // n_ch  # samples/block/channel
+    out = []
+    for b0 in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[b0 : b0 + block_align]
+        preds, idxs = [], []
+        for c in range(n_ch):
+            p = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            i = block[4 * c + 2]
+            if i > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            preds.append(p)
+            idxs.append(i)
+        chans = [[preds[c]] for c in range(n_ch)]
+        data = block[4 * n_ch :]
+        # nibble groups: 4 bytes per channel, channels round-robin
+        for g in range(0, len(data), 4 * n_ch):
+            for c in range(n_ch):
+                for byte in data[g + 4 * c : g + 4 * c + 4]:
+                    for nib in (byte & 15, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = preds[c] + (-diff if nib & 8 else diff)
+                        p = max(-32768, min(32767, p))
+                        preds[c] = p
+                        chans[c].append(p)
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_ADJ[nib & 7]))
+        for c in range(n_ch):
+            chans[c] = chans[c][:spb]
+        out.append(np.stack([np.array(ch, np.float32) for ch in chans], axis=1))
+    if not out:
+        raise ValueError("IMA ADPCM stream shorter than one block")
+    return np.concatenate(out, axis=0) / 32768.0
+
+
+def _g711_tables():
+    """Expansion LUTs for G.711 companded bytes → int16 (ITU-T G.711)."""
+    import numpy as np
+
+    ulaw = np.zeros(256, np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 15
+        mag = ((mant << 3) + 0x84 << exp) - 0x84
+        ulaw[b] = -mag if sign else mag
+    alaw = np.zeros(256, np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 7, a & 15
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        # A-law sign bit SET means positive (opposite of mu-law)
+        alaw[b] = mag if sign else -mag
+    return ulaw, alaw
+
+
+def _decode_wav(content: bytes):
+    """RIFF/WAVE decode: (float32 (frames, channels) in [-1,1], rate).
+
+    Walks the chunk list directly (the stdlib ``wave`` module reads
+    only PCM), dispatching on the fmt tag: 1 = PCM (8-bit unsigned,
+    16/24/32-bit signed little-endian), 3 = IEEE float (32/64),
+    6 = A-law, 7 = mu-law (G.711 expansion LUTs), 0x11 = IMA ADPCM
+    (:func:`_ima_adpcm_decode`). WAVE_FORMAT_EXTENSIBLE resolves
+    through its SubFormat GUID."""
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 0xFFFE:  # EXTENSIBLE: first 2 GUID bytes = format
+        if len(fmt) < 26:
+            raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt chunk")
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if n_ch == 0:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 1:  # PCM
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            trimmed = data[: len(data) - len(data) % 3]
+            b = np.frombuffer(trimmed, np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v & 0x800000) << 1  # sign-extend
+            samples = v.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise NotImplementedError(f"unsupported PCM sample width {bits}")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"invalid IEEE-float WAV bit width {bits}")
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        ulaw, alaw = _g711_tables()
+        lut = ulaw if audio_format == 7 else alaw
+        samples = lut[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
+    elif audio_format == 0x11:  # IMA ADPCM
+        return _ima_adpcm_decode(data, n_ch, block_align), rate
     else:
-        raise NotImplementedError(f"unsupported PCM sample width {sampwidth}")
-    return samples.reshape(-1, n_ch), rate
+        raise NotImplementedError(f"unsupported WAV format tag {audio_format:#x}")
+    frames = len(samples) // n_ch
+    return samples[: frames * n_ch].reshape(-1, n_ch), rate
 
 
 def resize_media(media: DataFrame, scale: int = 4) -> DataFrame:

@@ -213,6 +213,180 @@ def test_decode_wav_roundtrip():
     assert abs(float(np.sqrt(np.mean(samples**2))) - 0.707) < 0.05
 
 
+def _wav_container(fmt_tag, n_ch, rate, block_align, bits, data, extra=b""):
+    """Raw RIFF/WAVE container for non-PCM format tags."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, n_ch, rate, rate * block_align, block_align, bits
+    ) + extra
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_g711_matches_audioop():
+    """Every companded byte value decodes exactly as CPython's G.711
+    reference (audioop), for both mu-law and A-law."""
+    import numpy as np
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    all_bytes = bytes(range(256))
+    for fmt_tag, conv in [(7, audioop.ulaw2lin), (6, audioop.alaw2lin)]:
+        wav = _wav_container(fmt_tag, 1, 8000, 1, 8, all_bytes)
+        got, rate = decode_audio(wav)
+        assert rate == 8000 and got.shape == (256, 1)
+        exp = np.frombuffer(conv(all_bytes, 2), "<i2").astype(np.float32) / 32768.0
+        assert np.array_equal(got[:, 0], exp), fmt_tag
+
+
+def test_decode_wav_g711_known_values():
+    """Spot-pins that hold even without audioop: mu-law 0xFF/0x7F are
+    +0/-0, 0x00 is -32124; A-law 0xD5/0x55 are +8/-8."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    got, _ = decode_audio(_wav_container(7, 1, 8000, 1, 8, bytes([0xFF, 0x7F, 0x00])))
+    assert np.array_equal(got[:, 0] * 32768.0, np.float32([0, 0, -32124]))
+    got, _ = decode_audio(_wav_container(6, 1, 8000, 1, 8, bytes([0xD5, 0x55])))
+    assert np.array_equal(got[:, 0] * 32768.0, np.float32([8, -8]))
+
+
+def _ima_encode(samples, n_ch, samples_per_block):
+    """Reference IMA ADPCM encoder: simulates the decoder, so its
+    internal reconstruction is the decode ground truth."""
+    import struct
+
+    from portfolio_data_pipelines_spark.operators.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+    )
+
+    frames = len(samples) // n_ch
+    block_align = 4 * n_ch + (samples_per_block - 1) * n_ch // 2
+    out, recon = bytearray(), []
+    preds = [0] * n_ch
+    idxs = [0] * n_ch
+    for b0 in range(0, frames - samples_per_block + 1, samples_per_block):
+        for c in range(n_ch):
+            preds[c] = samples[b0 * n_ch + c]
+            out += struct.pack("<hBB", preds[c], idxs[c], 0)
+        recon.extend(samples[b0 * n_ch : b0 * n_ch + n_ch])
+        nibbles = {c: [] for c in range(n_ch)}
+        for s in range(1, samples_per_block):
+            for c in range(n_ch):
+                val = samples[(b0 + s) * n_ch + c]
+                step = _IMA_STEPS[idxs[c]]
+                delta = val - preds[c]
+                nib = 8 if delta < 0 else 0
+                if delta < 0:
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # decoder mirror
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                preds[c] = max(-32768, min(32767, preds[c] + (-diff if nib & 8 else diff)))
+                idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_ADJ[nib & 7]))
+                nibbles[c].append(nib)
+                recon.append(preds[c])
+        # serialize: 4-byte chunks per channel, round-robin, low nibble first
+        per_chunk = 8
+        n_groups = (samples_per_block - 1) // per_chunk
+        for g in range(n_groups):
+            for c in range(n_ch):
+                chunk = nibbles[c][g * per_chunk : (g + 1) * per_chunk]
+                for i in range(0, per_chunk, 2):
+                    out.append(chunk[i] | (chunk[i + 1] << 4))
+    return bytes(out), block_align, recon
+
+
+def test_decode_wav_ima_adpcm_exact_reconstruction():
+    """The IMA encoder simulates the decoder, so decode must equal the
+    encoder's internal reconstruction EXACTLY — mono and stereo, with
+    multiple blocks and step-index carry between blocks."""
+    import math
+
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    spb = 17  # 1 header sample + 16 nibbles = two 4-byte chunks/channel
+    for n_ch in (1, 2):
+        n_frames = spb * 3
+        samples = [
+            int(20000 * math.sin(2 * math.pi * 440 * (i // n_ch) / 8000))
+            + (137 if i % n_ch else 0)
+            for i in range(n_frames * n_ch)
+        ]
+        data, block_align, recon = _ima_encode(samples, n_ch, spb)
+        wav = _wav_container(0x11, n_ch, 8000, block_align, 4, data,
+                             extra=b"\x02\x00" + spb.to_bytes(2, "little"))
+        got, rate = decode_audio(wav)
+        assert rate == 8000 and got.shape == (n_frames, n_ch)
+        exp = np.array(recon, np.float32).reshape(-1, n_ch) / 32768.0
+        assert np.array_equal(got, exp), n_ch
+        # and once the step size has adapted (after the first block's
+        # slope-overload transient), the lossy reconstruction tracks
+        # the source signal
+        src = np.array(samples, np.float32).reshape(-1, n_ch) / 32768.0
+        assert float(np.abs(got[spb:] - src[spb:]).max()) < 0.15
+
+
+def test_decode_wav_float_and_24bit():
+    import struct
+
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    vals = np.float32([0.0, 0.5, -0.25, 1.0, -1.0, 0.125])
+    wav = _wav_container(3, 2, 16000, 8, 32, vals.tobytes())
+    got, rate = decode_audio(wav)
+    assert rate == 16000
+    assert np.array_equal(got, vals.reshape(-1, 2))
+
+    ints = [0, 1, -1, 8388607, -8388608, 4242424]
+    raw = b"".join(struct.pack("<i", v)[:3] for v in ints)
+    got, rate = decode_audio(_wav_container(1, 1, 44100, 3, 24, raw))
+    assert np.array_equal(got[:, 0], np.float32(ints) / 8388608.0)
+
+
+def test_decode_wav_rejects_unknown_format_and_corrupt():
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError, match="format tag"):
+        decode_audio(_wav_container(0x55, 1, 8000, 1, 8, b"\x00\x01"))  # MP3-in-WAV
+    with pytest.raises(ValueError):
+        decode_audio(_wav_container(7, 1, 8000, 1, 8, b"")[:20])  # truncated
+    with pytest.raises(ValueError):  # fmt chunk missing
+        import struct
+        body = b"data" + struct.pack("<I", 2) + b"\x00\x00"
+        decode_audio(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
 def test_decode_audio_rejects_non_wav_without_soundfile():
     from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
 
