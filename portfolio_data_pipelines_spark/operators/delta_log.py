@@ -1,0 +1,484 @@
+"""Delta Lake transaction-log writer/reader (wire format, pure Python).
+
+The Delta protocol is an open spec (delta-io PROTOCOL.md): a table is a
+directory of parquet data files plus an ordered ``_delta_log/`` of
+NDJSON commit files (one action object per line) — ``protocol``,
+``metaData``, ``add``, ``remove`` — with optional parquet checkpoints
+referenced by ``_last_checkpoint``. No Delta package is needed to
+produce or consume it; this module implements the format directly so
+tables written here are readable by any standard Delta reader (
+delta-spark, delta-rs, DuckDB delta, Trino), and the homegrown
+versioned lake (``operators/medallion.py``) can be exported IN PLACE as
+a valid Delta table with one metadata-only pass.
+
+Reference behavior: the reference repo's roadmap names Delta/MERGE
+(``README.md:204,209``) but ships none; this is the driver-mandated
+lakehouse surface.
+
+Scale notes:
+- A commit is one staging write + per-file renames + ONE small NDJSON
+  file — commit cost is O(files in the batch), independent of table
+  size, exactly like Delta writers.
+- Readers replay ``_last_checkpoint`` + the JSON tail, never the full
+  history: O(CHECKPOINT_EVERY) small reads regardless of table age.
+- ``remove`` actions tombstone files WITHOUT deleting them, so version
+  reads stay valid until a vacuum; the live-file set is a driver-side
+  dict keyed by relative path — O(live files), the same bound every
+  Delta implementation carries.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .medallion import _hadoop_fs, _write_small_file
+
+#: Parquet checkpoint cadence, mirroring delta-spark's default.
+DELTA_CHECKPOINT_EVERY = 10
+
+
+def _log_path(version: int) -> str:
+    return f"_delta_log/{version:020d}.json"
+
+
+def _now_ms() -> int:
+    return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1000)
+
+
+def _list_log_versions(fs, jvm, path: str) -> list[int]:
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    if not fs.exists(log_dir):
+        return []
+    out = []
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and len(name) == 25:
+            try:
+                out.append(int(name[:20]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_text(fs, jvm, path_str: str) -> str:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(stream, "UTF-8")
+    )
+    lines = []
+    while True:
+        line = reader.readLine()
+        if line is None:
+            break
+        lines.append(line)
+    reader.close()
+    return "\n".join(lines)
+
+
+def _schema_string(df: DataFrame) -> str:
+    """Spark's schema JSON is byte-compatible with Delta's
+    ``schemaString`` (Delta adopted Spark's type JSON)."""
+    return df.schema.json()
+
+
+def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
+    return {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(df),
+            "partitionColumns": partition_cols,
+            "configuration": {},
+            "createdTime": _now_ms(),
+        }
+    }
+
+
+_PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
+    """All parquet files under ``root/sub``, as (relative path from
+    root, size, partitionValues dict) — partition values parsed from
+    ``col=value`` directory names along the way."""
+    out = []
+    base = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}" if sub else root)
+
+    def walk(p, rel_prefix, pvals):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            rel = f"{rel_prefix}{name}"
+            if st.isDirectory():
+                nvals = dict(pvals)
+                if "=" in name:
+                    k, v = name.split("=", 1)
+                    nvals[k] = v
+                walk(st.getPath(), rel + "/", nvals)
+            elif name.endswith(".parquet"):
+                out.append((rel, st.getLen(), pvals))
+
+    walk(base, f"{sub}/" if sub else "", {})
+    if partition_col is not None:
+        for rel, _sz, pv in out:
+            if partition_col not in pv:
+                raise ValueError(
+                    f"file {rel} missing partition dir {partition_col}="
+                )
+    return out
+
+
+def write_delta(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``mode="append"`` adds files; ``mode="overwrite"`` adds files AND
+    tombstones every previously-live file with ``remove`` actions (the
+    physical files stay, so older versions remain readable — Delta's
+    time-travel contract). Data is staged under ``_staging_v{N}`` and
+    renamed into place so the commit attributes exactly its own files;
+    the NDJSON commit file is created exclusively (create-if-absent), so
+    a concurrent writer racing for the same version fails cleanly
+    rather than corrupting the log."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    new_version = (versions[-1] + 1) if versions else 0
+    prev_adds: dict[str, dict] = {}
+    if versions:
+        prev_adds = _replay_log(spark, path, None)[1]
+
+    # stage the data write, then rename into the table layout
+    staging = f"_staging_v{new_version:020d}"
+    writer = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(f"{path}/{staging}")
+    staged = _relative_files(fs, jvm, path, staging, partition_col)
+    adds = []
+    now = _now_ms()
+    for rel, size, pvals in staged:
+        # strip the staging prefix; prefix the file name with the
+        # version so names stay unique across commits into the same
+        # partition directory
+        inner = rel[len(staging) + 1 :]
+        parts = inner.rsplit("/", 1)
+        fname = f"v{new_version:06d}-{parts[-1]}"
+        final_rel = (parts[0] + "/" + fname) if len(parts) == 2 else fname
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed for {rel}")
+        adds.append(
+            {
+                "add": {
+                    "path": final_rel,
+                    "partitionValues": pvals,
+                    "size": size,
+                    "modificationTime": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+
+    actions: list[dict] = []
+    if new_version == 0:
+        actions.append(_PROTOCOL_ACTION)
+        actions.append(
+            _metadata_action(
+                df, [partition_col] if partition_col is not None else []
+            )
+        )
+    if mode == "overwrite":
+        for rel in sorted(prev_adds):
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version > 0 and new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def _replay_log(
+    spark: SparkSession, path: str, version: int | None
+) -> tuple[int, dict[str, dict], dict | None]:
+    """Replay the log up to ``version`` (latest if None): returns
+    (resolved version, live adds by relative path, metaData).
+
+    Latest reads start from ``_last_checkpoint`` when present (one small
+    JSON + one parquet + the commit tail), never the full history;
+    pinned-version reads at or after the checkpoint do the same."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    target = versions[-1] if version is None else version
+    if target not in versions:
+        raise FileNotFoundError(f"version {target} not in {path}/_delta_log")
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    start = 0
+    lc_path = f"{path}/_delta_log/_last_checkpoint"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(lc_path)):
+        lc = json.loads(_read_text(fs, jvm, lc_path))
+        if lc["version"] <= target:
+            cp = f"{path}/_delta_log/{lc['version']:020d}.checkpoint.parquet"
+            for row in spark.read.parquet(cp).collect():
+                d = row.asDict(recursive=True)
+                if d.get("metaData") and d["metaData"].get("id"):
+                    meta = d["metaData"]
+                if d.get("add") and d["add"].get("path"):
+                    a = d["add"]
+                    adds[a["path"]] = a
+            start = lc["version"] + 1
+    for v in versions:
+        if v < start or v > target:
+            continue
+        text = _read_text(fs, jvm, f"{path}/{_log_path(v)}")
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+    return target, adds, meta
+
+
+def read_delta(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the Delta table at ``path`` (latest, or a pinned version).
+
+    Live files are passed as explicit paths (tombstoned files sharing
+    the same partition directories are excluded by construction);
+    partition columns are restored from each file's ``partitionValues``
+    and cast to the ``schemaString`` type — files themselves do not
+    contain partition columns, per the Delta layout."""
+    target, adds, meta = _replay_log(spark, path, version)
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    if not adds:
+        return spark.createDataFrame(
+            [], schema=_spark_schema_from_string(meta["schemaString"])
+        )
+    pcols = meta.get("partitionColumns", [])
+    schema = _spark_schema_from_string(meta["schemaString"])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    # group live files by their partition values; one read per group
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in sorted(adds.items()):
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        groups.setdefault(key, []).append(f"{path}/{rel}")
+    parts = []
+    for key, files in sorted(groups.items()):
+        p = spark.read.parquet(*files)
+        for c, v in zip(pcols, key):
+            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # project to the declared schema's column order
+    return out.select(*[f.name for f in schema.fields])
+
+
+def _spark_schema_from_string(schema_string: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(schema_string))
+
+
+def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
+    """Write a parquet checkpoint of the table state at ``version`` and
+    point ``_last_checkpoint`` at it — the Delta reader fast path.
+
+    The checkpoint carries one row per action (protocol, metaData, and
+    each live add) in the spec's flattened column layout; sizes stay
+    O(live files), and subsequent reads cost one small JSON + one
+    parquet + the commit tail."""
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, LongType, MapType, StringType, StructField,
+        StructType,
+    )
+
+    target, adds, meta = _replay_log(spark, path, version)
+    if meta is None:
+        raise ValueError("cannot checkpoint a log without metaData")
+    add_t = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("dataChange", BooleanType()),
+        ]
+    )
+    meta_t = StructType(
+        [
+            StructField("id", StringType()),
+            StructField(
+                "format",
+                StructType(
+                    [
+                        StructField("provider", StringType()),
+                        StructField(
+                            "options", MapType(StringType(), StringType())
+                        ),
+                    ]
+                ),
+            ),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("configuration", MapType(StringType(), StringType())),
+            StructField("createdTime", LongType()),
+        ]
+    )
+    proto_t = StructType(
+        [
+            StructField("minReaderVersion", LongType()),
+            StructField("minWriterVersion", LongType()),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField("protocol", proto_t),
+            StructField("metaData", meta_t),
+            StructField("add", add_t),
+        ]
+    )
+    rows = [
+        {"protocol": _PROTOCOL_ACTION["protocol"], "metaData": None, "add": None},
+        {"protocol": None, "metaData": meta, "add": None},
+    ]
+    for rel in sorted(adds):
+        a = adds[rel]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": a["path"],
+                    "partitionValues": a.get("partitionValues", {}),
+                    "size": int(a.get("size", 0)),
+                    "modificationTime": int(a.get("modificationTime", 0)),
+                    "dataChange": bool(a.get("dataChange", True)),
+                },
+            }
+        )
+    # the spec's checkpoint is a single FILE named
+    # NNN.checkpoint.parquet — write to a temp dir, then promote the
+    # lone part file to that name
+    cp_path = f"{path}/_delta_log/{target:020d}.checkpoint.parquet"
+    tmp = f"{path}/_delta_log/_cp_tmp_{target:020d}"
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    part = next(
+        st.getPath()
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(cp_path)
+    fs.delete(dst, False)
+    if not fs.rename(part, dst):
+        raise IOError(f"rename failed for checkpoint {cp_path}")
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    _write_small_file(
+        fs, jvm, f"{path}/_delta_log/_last_checkpoint",
+        json.dumps({"version": target, "size": len(rows)}),
+        overwrite=True,
+    )
+
+
+def export_versioned_as_delta(
+    spark: SparkSession, path: str, partition_col: str = "date"
+) -> int:
+    """Export the homegrown versioned lake at ``path`` as a Delta table
+    IN PLACE: one metadata-only pass writes ``_delta_log/`` referencing
+    the lake's existing ``_batch_*/{col}={v}/*.parquet`` files (Delta
+    add paths may point into subdirectories), so any standard Delta
+    reader can open the lake without copying a byte of data. Returns
+    the Delta version written (0).
+
+    The export snapshots the CURRENT lake manifest; re-running after
+    further lake commits raises (the log is append-only — use
+    ``write_delta`` for subsequent Delta-native commits, or re-export
+    to a fresh directory)."""
+    from .medallion import _latest_manifest_doc
+
+    version, doc = _latest_manifest_doc(spark, path)
+    if doc is None:
+        raise FileNotFoundError(f"no versioned-lake manifest under {path}")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if _list_log_versions(fs, jvm, path):
+        raise ValueError(f"{path} already has a _delta_log; export is one-shot")
+    entries: dict[str, str] = doc["entries"]
+    pcol = doc.get("partition_col", partition_col)
+    adds = []
+    now = _now_ms()
+    sample_dir = None
+    for day, batch_dir in sorted(entries.items()):
+        leaf = f"{batch_dir}/{pcol}={day}"
+        sample_dir = sample_dir or leaf
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")):
+            if not st.getPath().getName().endswith(".parquet"):
+                continue
+            adds.append(
+                {
+                    "add": {
+                        "path": f"{leaf}/{st.getPath().getName()}",
+                        "partitionValues": {pcol: day},
+                        "size": st.getLen(),
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    if not adds:
+        raise ValueError(f"versioned lake under {path} lists no data files")
+    # schema = the WIDEST file schema across batch dirs (the lake allows
+    # additive evolution) + the partition column from directory names
+    one_leaf_per_batch: dict[str, str] = {}
+    for day, batch_dir in sorted(entries.items()):
+        one_leaf_per_batch.setdefault(batch_dir, f"{batch_dir}/{pcol}={day}")
+    full = None
+    for batch_dir, leaf in sorted(one_leaf_per_batch.items()):
+        p = spark.read.option("basePath", f"{path}/{batch_dir}").parquet(
+            f"{path}/{leaf}"
+        )
+        full = p if full is None else full.unionByName(
+            p, allowMissingColumns=True
+        )
+    actions = [_PROTOCOL_ACTION, _metadata_action(full, [pcol])]
+    actions.extend(adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(fs, jvm, f"{path}/{_log_path(0)}", ndjson, overwrite=False)
+    return 0

@@ -1,0 +1,206 @@
+"""Delta Lake wire-format tests: the transaction log written by
+``operators/delta_log.py`` must conform to the open Delta protocol
+(NDJSON actions, 20-digit commit names, relative add paths, partition
+values in metadata not files, parquet checkpoints + _last_checkpoint)
+and replay to exactly the committed data at every version."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    DELTA_CHECKPOINT_EVERY,
+    checkpoint_delta,
+    export_versioned_as_delta,
+    read_delta,
+    write_delta,
+)
+
+
+def _df(spark, rows, schema="id bigint, v double, date date"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _rows(spark, df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _day(s):
+    import datetime
+
+    return datetime.date.fromisoformat(s)
+
+
+class TestWriteRead:
+    def test_unpartitioned_append_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "t0")
+        d1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+        d2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+        assert write_delta(spark, d1, path) == 0
+        assert write_delta(spark, d2, path) == 1
+        got = read_delta(spark, path)
+        assert _rows(spark, got) == [(1, "a"), (2, "b"), (3, "c")]
+        assert got.columns == ["id", "s"]
+
+    def test_partitioned_append_overwrite_time_travel(self, spark, tmp_path):
+        path = str(tmp_path / "t1")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))])
+        d1 = _df(spark, [(3, 3.0, _day("2021-01-02"))])
+        d2 = _df(spark, [(9, 9.0, _day("2021-02-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, d1, path, partition_col="date")
+        write_delta(spark, d2, path, partition_col="date", mode="overwrite")
+        # latest: only the overwrite survives
+        assert _rows(spark, read_delta(spark, path)) == [(9, 9.0, _day("2021-02-01"))]
+        # pinned versions replay the pre-overwrite states (files kept)
+        assert _rows(spark, read_delta(spark, path, version=0)) == _rows(spark, d0)
+        assert _rows(spark, read_delta(spark, path, version=1)) == _rows(
+            spark, d0.unionByName(d1)
+        )
+        # partition column is restored from partitionValues with its type
+        got = read_delta(spark, path, version=1)
+        assert dict(got.dtypes)["date"] == "date"
+        # and the data files themselves do NOT contain the partition col
+        files = [
+            str(p)
+            for p in (tmp_path / "t1").rglob("*.parquet")
+            if "_delta_log" not in str(p)
+        ]
+        raw = spark.read.parquet(files[0])
+        assert "date" not in raw.columns
+
+    def test_partition_pruning_survives_restored_column(self, spark, tmp_path):
+        path = str(tmp_path / "t_prune")
+        d0 = _df(spark, [(i, float(i), _day(f"2021-01-{1 + i % 3:02d}")) for i in range(30)])
+        write_delta(spark, d0, path, partition_col="date")
+        got = read_delta(spark, path).filter(F.col("date") == "2021-01-02")
+        assert got.count() == 10
+
+
+class TestLogConformance:
+    def test_commit_file_layout(self, spark, tmp_path):
+        path = str(tmp_path / "t2")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, d0, path, partition_col="date", mode="overwrite")
+        log = tmp_path / "t2" / "_delta_log"
+        names = sorted(
+            p.name for p in log.iterdir() if not p.name.startswith(".")
+        )  # Hadoop local FS adds .crc sidecars
+        assert names == [f"{0:020d}.json", f"{1:020d}.json"]
+        v0 = [json.loads(x) for x in (log / names[0]).read_text().splitlines()]
+        # protocol first, then metaData, then adds — each line ONE action
+        assert set(v0[0]) == {"protocol"}
+        assert v0[0]["protocol"]["minReaderVersion"] == 1
+        assert set(v0[1]) == {"metaData"}
+        meta = v0[1]["metaData"]
+        assert meta["format"] == {"provider": "parquet", "options": {}}
+        assert meta["partitionColumns"] == ["date"]
+        schema = json.loads(meta["schemaString"])
+        assert [f["name"] for f in schema["fields"]] == ["id", "v", "date"]
+        adds = [a["add"] for a in v0[2:]]
+        assert adds and all(set(a) >= {"path", "partitionValues", "size"} for a in adds)
+        assert all(not a["path"].startswith("/") for a in adds)  # relative
+        assert all(a["partitionValues"] == {"date": "2021-01-01"} for a in adds)
+        # the overwrite commit tombstones v0's files before its adds
+        v1 = [json.loads(x) for x in (log / names[1]).read_text().splitlines()]
+        kinds = [next(iter(a)) for a in v1]
+        assert "remove" in kinds and "add" in kinds
+        assert kinds.index("remove") < kinds.index("add")
+        removed = {a["remove"]["path"] for a in v1 if "remove" in a}
+        assert removed == {a["path"] for a in adds}
+
+    def test_concurrent_same_version_commit_fails(self, spark, tmp_path, monkeypatch):
+        """A racer claiming the same version between the log listing and
+        the commit write must fail the exclusive create, never corrupt
+        the log: stale the listing so both writers target version 1."""
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = str(tmp_path / "t3")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        real_list = dl._list_log_versions
+        monkeypatch.setattr(dl, "_list_log_versions", lambda *a: [0])
+        write_delta(spark, d0, path, partition_col="date")  # claims v1
+        with pytest.raises(Exception):  # second writer with the stale view
+            write_delta(spark, d0, path, partition_col="date")
+        monkeypatch.setattr(dl, "_list_log_versions", real_list)
+        # the log is intact: v0 and exactly one v1
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (1, 1.0, _day("2021-01-01")),
+        ]
+
+
+class TestCheckpoint:
+    def test_checkpoint_written_and_used(self, spark, tmp_path):
+        path = str(tmp_path / "t4")
+        base = _df(spark, [(0, 0.0, _day("2021-01-01"))])
+        write_delta(spark, base, path, partition_col="date")
+        for i in range(1, DELTA_CHECKPOINT_EVERY + 1):
+            di = _df(spark, [(i, float(i), _day(f"2021-01-{1 + i % 9:02d}"))])
+            write_delta(spark, di, path, partition_col="date")
+        log = tmp_path / "t4" / "_delta_log"
+        cp = log / f"{DELTA_CHECKPOINT_EVERY:020d}.checkpoint.parquet"
+        assert cp.is_file()  # a single FILE, per the spec
+        lc = json.loads((log / "_last_checkpoint").read_text())
+        assert lc["version"] == DELTA_CHECKPOINT_EVERY
+        full = _rows(spark, read_delta(spark, path))
+        assert len(full) == DELTA_CHECKPOINT_EVERY + 1
+        # the checkpoint must make pre-checkpoint commits unnecessary:
+        # delete them and the latest read must still replay correctly
+        for v in range(DELTA_CHECKPOINT_EVERY):
+            (log / f"{v:020d}.json").unlink()
+        assert _rows(spark, read_delta(spark, path)) == full
+
+    def test_manual_checkpoint_at_version(self, spark, tmp_path):
+        path = str(tmp_path / "t5")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        d1 = _df(spark, [(2, 2.0, _day("2021-01-02"))])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, d1, path, partition_col="date")
+        checkpoint_delta(spark, path, 1)
+        lc = json.loads(
+            (tmp_path / "t5" / "_delta_log" / "_last_checkpoint").read_text()
+        )
+        assert lc["version"] == 1
+        assert len(_rows(spark, read_delta(spark, path))) == 2
+
+
+class TestLakeExport:
+    def test_export_versioned_lake_in_place(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+            read_versioned,
+        )
+
+        path = str(tmp_path / "lake")
+        d0 = spark.createDataFrame(
+            [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))],
+            "id bigint, v double, date date",
+        )
+        d1 = spark.createDataFrame(  # replaces day 2, adds day 3
+            [(3, 3.0, _day("2021-01-02")), (4, 4.0, _day("2021-01-03"))],
+            "id bigint, v double, date date",
+        )
+        commit_versioned(spark, path, d0, partition_col="date")
+        commit_versioned(spark, path, d1, partition_col="date")
+        export_versioned_as_delta(spark, path)
+        # a Delta reader over the SAME directory sees the lake snapshot
+        got = read_delta(spark, path)
+        exp = read_versioned(spark, path).select("id", "v", "date")
+        assert _rows(spark, got.select("id", "v", "date")) == _rows(spark, exp)
+        # add paths point into the existing batch dirs — no data copied
+        log = tmp_path / "lake" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        adds = [a["add"] for a in v0 if "add" in a]
+        assert all(a["path"].startswith("_batch_") for a in adds)
+        # the replaced day references the REPLACING batch only
+        day2 = [a for a in adds if a["partitionValues"]["date"] == "2021-01-02"]
+        assert day2 and all(a["path"].startswith("_batch_000002/") for a in day2)
+        # export is one-shot
+        with pytest.raises(ValueError, match="one-shot"):
+            export_versioned_as_delta(spark, path)
