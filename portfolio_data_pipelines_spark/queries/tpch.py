@@ -690,7 +690,9 @@ def excess_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         stats_join(
-            s.join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi"),
+            # the qualifying key list is bounded by |supplier| — broadcast
+            # it so the semi-join never shuffles the supplier table
+            s.join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"), "left_semi"),
             n, F.col("s_nationkey") == F.col("n_nationkey"),
             right_stats=_dim_stats(spark, sf_dir, "nation"),
         )

@@ -279,3 +279,44 @@ def test_q18_having_keys_drive_left_semi(spark):
     assert "LeftSemi" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_one_fact_shuffle_among_broadcast_dims(spark):
+    plan = _plan(spark, "volume_shipping_q7")
+    # lineitem->orders is the only data-sized hash exchange; every dim
+    # (supplier, customer, both nation copies) broadcasts
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + at most one join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_seven_way_join_stays_broadcast_star(spark):
+    plan = _plan(spark, "market_share_q8")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("p_type" in s for s in pushed)  # part filter reaches its scan
+
+
+def test_q20_nested_aggregates_broadcast_the_key_list(spark):
+    plan = _plan(spark, "excess_suppliers_q20")
+    # the supplier-bounded qualifying set broadcasts into the left-semi
+    assert "LeftSemi, BuildRight" in plan or (
+        "LeftSemi" in plan and "BroadcastExchange" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_q22_scalar_thresholds_are_one_row_nested_loops(spark):
+    for name in ("important_value_q11", "sales_opportunity_q22"):
+        plan = _plan(spark, name)
+        # the global-aggregate threshold rides a broadcast nested loop of
+        # a 1-row frame; the data-sized joins are all hash joins
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q2_correlated_min_join_back_no_cartesian(spark):
+    plan = _plan(spark, "min_cost_supplier_q2")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
