@@ -322,3 +322,77 @@ def test_stream_session_windows_equal_batch_under_any_arrival_order(spark, data)
     )
     exp = sorted(tuple(map(str, r)) for r in batch.collect())
     assert got == exp
+
+
+@given(
+    depth=st.sampled_from([1, 2, 4]),
+    h=st.integers(1, 16),
+    w=st.integers(1, 20),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_subbyte_roundtrip_property(depth, h, w, interlace, seed):
+    """Any sub-byte gray PNG — any dims (ragged trailing bytes, empty
+    Adam7 passes), any filters — reconstructs exactly after the
+    2^d-1-divides-255 rescale."""
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    rs = np.random.RandomState(seed)
+    maxval = (1 << depth) - 1
+    samp = rs.randint(0, maxval + 1, (h, w, 1), dtype=np.uint8)
+    filters = [int(f) for f in rs.randint(0, 5, h)]
+    png = _png_bytes(samp, color_type=0, depth=depth, interlace=interlace,
+                     filters=filters)
+    exp = np.repeat(samp * (255 // maxval), 3, axis=2)
+    assert np.array_equal(decode_image(png), exp)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_ch=st.sampled_from([1, 2]),
+    n_blocks=st.integers(1, 4),
+    amplitude=st.integers(1, 32767),
+)
+@settings(max_examples=30, deadline=None)
+def test_ima_adpcm_decode_equals_encoder_reconstruction(seed, n_ch, n_blocks, amplitude):
+    """IMA ADPCM decode must EXACTLY equal the encoder's simulated
+    reconstruction for arbitrary int16 signals — the encoder IS a
+    decoder simulation, so any divergence is a decoder bug."""
+    from tests.test_multimodal import _ima_encode, _wav_container
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    rs = np.random.RandomState(seed)
+    spb = 9  # 1 header sample + 8 nibbles = one 4-byte chunk per channel
+    n_frames = spb * n_blocks
+    samples = [int(v) for v in rs.randint(-amplitude, amplitude, n_frames * n_ch)]
+    data, block_align, recon = _ima_encode(samples, n_ch, spb)
+    wav = _wav_container(0x11, n_ch, 8000, block_align, 4, data)
+    got, rate = decode_audio(wav)
+    exp = np.array(recon, np.float32).reshape(-1, n_ch) / 32768.0
+    assert rate == 8000
+    assert np.array_equal(got, exp)
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 24),
+    w=st.integers(8, 24),
+    dc_al=st.integers(0, 2),
+    ac_al=st.integers(0, 3),
+)
+@settings(max_examples=15, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(seed, h, w, dc_al, ac_al):
+    """Any progressive scan script (random successive-approximation
+    depths over random gray images) decodes bit-identical to the
+    baseline stream of the same quantized coefficients."""
+    from tests.test_multimodal import _jpeg_bytes, _jpeg_progressive_bytes
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w)).astype(np.float64)
+    base = decode_image(_jpeg_bytes([img], (1, 1)))
+    prog = _jpeg_progressive_bytes([img], (1, 1), dc_al=dc_al, ac_al=ac_al,
+                                   bands=((1, 20), (21, 63)))
+    assert np.array_equal(decode_image(prog), base)
