@@ -155,8 +155,9 @@ def write_delta(
     versions = _list_log_versions(fs, jvm, path)
     new_version = (versions[-1] + 1) if versions else 0
     prev_adds: dict[str, dict] = {}
+    prev_meta: dict | None = None
     if versions:
-        prev_adds = _replay_log(spark, path, None)[1]
+        _, prev_adds, prev_meta = _replay_log(spark, path, None)
 
     # stage the data write, then rename into the table layout
     staging = f"_staging_v{new_version:020d}"
@@ -201,6 +202,24 @@ def write_delta(
                 df, [partition_col] if partition_col is not None else []
             )
         )
+    elif prev_meta is not None and _schema_string(df) != prev_meta["schemaString"]:
+        # additive schema evolution: a commit whose frame widens the
+        # schema emits an updated metaData action (same table id), as
+        # Delta's mergeSchema writes do; readers then project to the
+        # widened schema and older files surface nulls for new columns
+        prev_fields = {
+            f["name"] for f in json.loads(prev_meta["schemaString"])["fields"]
+        }
+        new_fields = {f.name for f in df.schema.fields}
+        if not prev_fields <= new_fields:
+            raise ValueError(
+                "schema evolution is additive-only: missing columns "
+                f"{sorted(prev_fields - new_fields)} (model drops/renames "
+                "as adds, as the lakehouse formats do)"
+            )
+        evolved = dict(prev_meta)
+        evolved["schemaString"] = _schema_string(df)
+        actions.append({"metaData": evolved})
     if mode == "overwrite":
         for rel in sorted(prev_adds):
             actions.append(
@@ -298,13 +317,20 @@ def read_delta(
         groups.setdefault(key, []).append(f"{path}/{rel}")
     parts = []
     for key, files in sorted(groups.items()):
-        p = spark.read.parquet(*files)
+        # mergeSchema: files inside one group may straddle an additive
+        # schema evolution
+        p = spark.read.option("mergeSchema", "true").parquet(*files)
         for c, v in zip(pcols, key):
             p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
         parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    # columns the declared schema has but no live file carries (all
+    # pre-evolution data was overwritten, say) surface as nulls
+    for f in schema.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     # project to the declared schema's column order
     return out.select(*[f.name for f in schema.fields])
 

@@ -80,6 +80,38 @@ class TestWriteRead:
         assert got.count() == 10
 
 
+class TestSchemaEvolution:
+    def test_additive_evolution_emits_metadata_and_widens(self, spark, tmp_path):
+        path = str(tmp_path / "t_evo")
+        d0 = spark.createDataFrame([(1, "a")], "id bigint, s string")
+        d1 = spark.createDataFrame(
+            [(2, "b", 9.5)], "id bigint, s string, score double"
+        )
+        write_delta(spark, d0, path)
+        write_delta(spark, d1, path)
+        got = read_delta(spark, path)
+        assert got.columns == ["id", "s", "score"]
+        rows = {r["id"]: r for r in got.collect()}
+        assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+        # pinned pre-evolution version keeps the narrow schema
+        assert read_delta(spark, path, version=0).columns == ["id", "s"]
+        # the evolution commit carries a metaData action with the SAME id
+        log = tmp_path / "t_evo" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        v1 = [json.loads(x) for x in (log / f"{1:020d}.json").read_text().splitlines()]
+        m0 = next(a["metaData"] for a in v0 if "metaData" in a)
+        m1 = next(a["metaData"] for a in v1 if "metaData" in a)
+        assert m1["id"] == m0["id"]
+        assert "score" in m1["schemaString"] and "score" not in m0["schemaString"]
+
+    def test_column_drop_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t_evo2")
+        d0 = spark.createDataFrame([(1, "a")], "id bigint, s string")
+        write_delta(spark, d0, path)
+        with pytest.raises(ValueError, match="additive-only"):
+            write_delta(spark, spark.createDataFrame([(2,)], "id bigint"), path)
+
+
 class TestLogConformance:
     def test_commit_file_layout(self, spark, tmp_path):
         path = str(tmp_path / "t2")
