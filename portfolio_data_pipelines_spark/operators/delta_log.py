@@ -50,19 +50,35 @@ def _now_ms() -> int:
     return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1000)
 
 
+def _read_last_checkpoint_doc(fs, jvm, path: str) -> dict | None:
+    lc = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log/_last_checkpoint")
+    if not fs.exists(lc):
+        return None
+    return json.loads(_read_text(fs, jvm, f"{path}/_delta_log/_last_checkpoint"))
+
+
 def _list_log_versions(fs, jvm, path: str) -> list[int]:
+    """Commit versions present in the log, WITHOUT a directory listing:
+    start at ``_last_checkpoint`` (when present) and probe forward with
+    existence checks until the first gap — versions are contiguous by
+    construction (each is claimed by exclusive create), so reads cost
+    O(tail since checkpoint) small RPCs at any table age, matching the
+    medallion lake's probe pattern (``medallion._tail_versions``)."""
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
     if not fs.exists(log_dir):
         return []
+    lc = _read_last_checkpoint_doc(fs, jvm, path)
+    start = int(lc["version"]) if lc else 0
+    if not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(start)}")
+    ):
+        return []
     out = []
-    for st in fs.listStatus(log_dir):
-        name = st.getPath().getName()
-        if name.endswith(".json") and len(name) == 25:
-            try:
-                out.append(int(name[:20]))
-            except ValueError:
-                continue
-    return sorted(out)
+    v = start
+    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")):
+        out.append(v)
+        v += 1
+    return out
 
 
 def _read_text(fs, jvm, path_str: str) -> str:
@@ -102,10 +118,24 @@ def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
+def _unescape_partition_value(v: str) -> str | None:
+    """Hive/Spark escape partition dir values with %XX sequences and
+    write NULLs as ``__HIVE_DEFAULT_PARTITION__``; the log's
+    partitionValues carry the LOGICAL value (Delta readers take them
+    literally), so decode before logging."""
+    import re
+
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
+    )
+
+
 def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
     """All parquet files under ``root/sub``, as (relative path from
-    root, size, partitionValues dict) — partition values parsed from
-    ``col=value`` directory names along the way."""
+    root, size, partitionValues dict) — partition values parsed (and
+    unescaped) from ``col=value`` directory names along the way."""
     out = []
     base = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}" if sub else root)
 
@@ -117,7 +147,7 @@ def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
                 nvals = dict(pvals)
                 if "=" in name:
                     k, v = name.split("=", 1)
-                    nvals[k] = v
+                    nvals[k] = _unescape_partition_value(v)
                 walk(st.getPath(), rel + "/", nvals)
             elif name.endswith(".parquet"):
                 out.append((rel, st.getLen(), pvals))
@@ -158,9 +188,20 @@ def write_delta(
     prev_meta: dict | None = None
     if versions:
         _, prev_adds, prev_meta = _replay_log(spark, path, None)
+    if prev_meta is not None:
+        expected = prev_meta.get("partitionColumns", [])
+        given = [partition_col] if partition_col is not None else []
+        if expected != given:
+            raise ValueError(
+                f"table is partitioned by {expected}, commit specifies "
+                f"{given} — a mismatched commit would corrupt partition "
+                "metadata"
+            )
 
-    # stage the data write, then rename into the table layout
-    staging = f"_staging_v{new_version:020d}"
+    # stage the data write (uuid-suffixed so concurrent writers racing
+    # for the same version can never touch each other's staged files),
+    # then rename into the table layout
+    staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("overwrite").option("compression", "zstd")
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
@@ -254,29 +295,32 @@ def _replay_log(
     versions = _list_log_versions(fs, jvm, path)
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
-    target = versions[-1] if version is None else version
-    if target not in versions:
+    tip = versions[-1]
+    target = tip if version is None else version
+    if target > tip or target < 0:
         raise FileNotFoundError(f"version {target} not in {path}/_delta_log")
     adds: dict[str, dict] = {}
     meta: dict | None = None
     start = 0
-    lc_path = f"{path}/_delta_log/_last_checkpoint"
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(lc_path)):
-        lc = json.loads(_read_text(fs, jvm, lc_path))
-        if lc["version"] <= target:
-            cp = f"{path}/_delta_log/{lc['version']:020d}.checkpoint.parquet"
-            for row in spark.read.parquet(cp).collect():
-                d = row.asDict(recursive=True)
-                if d.get("metaData") and d["metaData"].get("id"):
-                    meta = d["metaData"]
-                if d.get("add") and d["add"].get("path"):
-                    a = d["add"]
-                    adds[a["path"]] = a
-            start = lc["version"] + 1
-    for v in versions:
-        if v < start or v > target:
-            continue
-        text = _read_text(fs, jvm, f"{path}/{_log_path(v)}")
+    lc = _read_last_checkpoint_doc(fs, jvm, path)
+    if lc is not None and lc["version"] <= target:
+        cp = f"{path}/_delta_log/{lc['version']:020d}.checkpoint.parquet"
+        for row in spark.read.parquet(cp).collect():
+            d = row.asDict(recursive=True)
+            if d.get("metaData") and d["metaData"].get("id"):
+                meta = d["metaData"]
+            if d.get("add") and d["add"].get("path"):
+                a = d["add"]
+                adds[a["path"]] = a
+        start = lc["version"] + 1
+    for v in range(start, target + 1):
+        log_file = f"{path}/{_log_path(v)}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(log_file)):
+            raise FileNotFoundError(
+                f"commit {v} missing from {path}/_delta_log "
+                "(cleaned up before this pinned version's checkpoint)"
+            )
+        text = _read_text(fs, jvm, log_file)
         for line in text.splitlines():
             if not line.strip():
                 continue
@@ -310,13 +354,40 @@ def read_delta(
     pcols = meta.get("partitionColumns", [])
     schema = _spark_schema_from_string(meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    # group live files by their partition values; one read per group
+    # Fast path (the layout this writer produces): every live file sits
+    # at {col}={val}/.../{file} with the partition dirs DIRECTLY under
+    # the table root in partition-column order — Spark's discovery
+    # grammar — so ONE reader call with the declared schema and
+    # basePath covers the whole table: no per-partition reads, no
+    # union chain, O(1) plan nodes no matter how many partitions. The
+    # explicit schema doubles as schema-on-read: pre-evolution files
+    # surface typed nulls for newer columns, and no partition-type
+    # inference runs. Layouts with intermediate non-partition dirs
+    # (e.g. the lake export's _batch_*/) take the grouped fallback.
+    def _hive_layout(rel: str) -> bool:
+        segs = rel.split("/")[:-1]
+        return len(segs) == len(pcols) and all(
+            s.startswith(f"{c}=") for s, c in zip(segs, pcols)
+        )
+
+    if all(_hive_layout(rel) for rel in adds):
+        files = [f"{path}/{rel}" for rel in sorted(adds)]
+        return (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*files)
+            .select(*[f.name for f in schema.fields])
+        )
+    # Fallback for logs written elsewhere whose paths do not encode the
+    # partition values: group by partitionValues, one read per group.
     groups: dict[tuple, list[str]] = {}
     for rel, a in sorted(adds.items()):
         key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
         groups.setdefault(key, []).append(f"{path}/{rel}")
     parts = []
-    for key, files in sorted(groups.items()):
+    for key, files in sorted(
+        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+    ):
         # mergeSchema: files inside one group may straddle an additive
         # schema evolution
         p = spark.read.option("mergeSchema", "true").parquet(*files)
@@ -470,10 +541,8 @@ def export_versioned_as_delta(
     pcol = doc.get("partition_col", partition_col)
     adds = []
     now = _now_ms()
-    sample_dir = None
     for day, batch_dir in sorted(entries.items()):
         leaf = f"{batch_dir}/{pcol}={day}"
-        sample_dir = sample_dir or leaf
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")):
             if not st.getPath().getName().endswith(".parquet"):
                 continue

@@ -664,6 +664,8 @@ def _decode_jpeg(content: bytes):
         carry exactly one component on its own unpadded block grid (the
         spec's rule). First passes (ah == 0) create coefficients shifted
         left by al; refinement passes (ah == al + 1) append one bit."""
+        if not (0 <= ss <= 63 and 0 <= se <= 63 and ss <= se):
+            raise ValueError("JPEG scan spectral selection out of range")
         by_id = {c["id"]: c for c in frame["comps"]}
         scomps = []
         for s in scan:
@@ -1275,10 +1277,11 @@ def _ima_adpcm_decode(raw: bytes, n_ch: int, block_align: int):
 
     if block_align < 4 * n_ch + 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
         raise ValueError("invalid IMA ADPCM block alignment")
-    spb = 1 + (block_align - 4 * n_ch) * 2 // n_ch  # samples/block/channel
     out = []
-    for b0 in range(0, len(raw) - block_align + 1, block_align):
+    for b0 in range(0, len(raw), block_align):
         block = raw[b0 : b0 + block_align]
+        if len(block) < 4 * n_ch:  # trailing fragment too short for headers
+            break
         preds, idxs = [], []
         for c in range(n_ch):
             p = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
@@ -1289,6 +1292,9 @@ def _ima_adpcm_decode(raw: bytes, n_ch: int, block_align: int):
             idxs.append(i)
         chans = [[preds[c]] for c in range(n_ch)]
         data = block[4 * n_ch :]
+        # a truncated final block keeps only its complete nibble groups
+        data = data[: len(data) - len(data) % (4 * n_ch)]
+        spb = 1 + len(data) * 2 // n_ch  # samples/channel in THIS block
         # nibble groups: 4 bytes per channel, channels round-robin
         for g in range(0, len(data), 4 * n_ch):
             for c in range(n_ch):
@@ -1351,7 +1357,7 @@ def _decode_wav(content: bytes):
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_frames = 12, None, None, None
     while pos + 8 <= len(content):
         tag = content[pos : pos + 4]
         size = int.from_bytes(content[pos + 4 : pos + 8], "little")
@@ -1362,6 +1368,10 @@ def _decode_wav(content: bytes):
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and size >= 4:
+            # true per-channel frame count — authoritative for
+            # compressed formats whose last block may be padded
+            fact_frames = int.from_bytes(body[0:4], "little")
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None or len(fmt) < 16:
         raise ValueError("WAV missing fmt or data chunk")
@@ -1405,7 +1415,10 @@ def _decode_wav(content: bytes):
         lut = ulaw if audio_format == 7 else alaw
         samples = lut[np.frombuffer(data, np.uint8)].astype(np.float32) / 32768.0
     elif audio_format == 0x11:  # IMA ADPCM
-        return _ima_adpcm_decode(data, n_ch, block_align), rate
+        decoded = _ima_adpcm_decode(data, n_ch, block_align)
+        if fact_frames is not None:
+            decoded = decoded[:fact_frames]
+        return decoded, rate
     else:
         raise NotImplementedError(f"unsupported WAV format tag {audio_format:#x}")
     frames = len(samples) // n_ch

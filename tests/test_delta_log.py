@@ -111,6 +111,30 @@ class TestSchemaEvolution:
         with pytest.raises(ValueError, match="additive-only"):
             write_delta(spark, spark.createDataFrame([(2,)], "id bigint"), path)
 
+    def test_partition_column_mismatch_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t_pmis")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_delta(spark, d0, path)  # forgot partition_col
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_delta(spark, d0, path, partition_col="id")
+
+    def test_special_character_partition_values_roundtrip(self, spark, tmp_path):
+        """Spark escapes '=' ':' '%' in partition dir names (%XX); the
+        log must carry the LOGICAL value and the read must restore it."""
+        path = str(tmp_path / "t_esc")
+        d0 = spark.createDataFrame(
+            [(1, "a=b:c"), (2, "plain"), (3, "100%")], "id bigint, k string"
+        )
+        write_delta(spark, d0, path, partition_col="k")
+        got = _rows(spark, read_delta(spark, path))
+        assert got == [(1, "a=b:c"), (2, "plain"), (3, "100%")]
+        log = tmp_path / "t_esc" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        pvals = {a["add"]["partitionValues"]["k"] for a in v0 if "add" in a}
+        assert pvals == {"a=b:c", "plain", "100%"}  # unescaped in the log
+
 
 class TestLogConformance:
     def test_commit_file_layout(self, spark, tmp_path):

@@ -1554,6 +1554,60 @@ def test_jpeg_progressive_dc_restart_markers():
     assert np.array_equal(decode_image(prog), base)
 
 
+def test_jpeg_progressive_rejects_out_of_range_spectral_band():
+    """A fuzzed SOS with Se > 63 must raise ValueError (caught by the
+    Spark decode_error path), never IndexError."""
+    import numpy as np
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_image
+
+    img = np.random.RandomState(3).randint(0, 256, (8, 8)).astype(np.float64)
+    prog = bytearray(_jpeg_progressive_bytes([img], (1, 1), dc_al=0, ac_al=0,
+                                             bands=((1, 63),)))
+    # the AC scan's SOS: find its header (Ss=1, Se=63) and corrupt Se
+    i = prog.find(bytes([0xFF, 0xDA]))          # DC scan SOS
+    i = prog.find(bytes([0xFF, 0xDA]), i + 2)   # AC scan SOS
+    assert i > 0
+    # SOS layout: FFDA len(2) ns [cs tables] Ss Se AhAl
+    se_pos = i + 4 + 1 + 2 + 1
+    assert prog[se_pos] == 63
+    prog[se_pos] = 100
+    with pytest.raises(ValueError, match="spectral"):
+        decode_image(bytes(prog))
+
+
+def test_ima_adpcm_truncated_final_block_and_fact_trim():
+    """A data chunk whose last block is cut mid-way decodes every
+    complete nibble group and drops the fragment; a fact chunk trims
+    padded trailing samples to the true frame count."""
+    import numpy as np
+
+    from portfolio_data_pipelines_spark.operators.multimodal import decode_audio
+
+    spb = 17
+    samples = [(i * 37) % 1000 - 500 for i in range(spb * 2)]
+    data, block_align, recon = _ima_encode(samples, 1, spb)
+    # cut the final block after its header + one 4-byte nibble group:
+    # 9 samples of its 17 survive (1 header + 8 nibbles)
+    cut = block_align + 4 + 4
+    wav = _wav_container(0x11, 1, 8000, block_align, 4, data[:cut])
+    got, _ = decode_audio(wav)
+    exp = np.array(recon[: spb + 9], np.float32).reshape(-1, 1) / 32768.0
+    assert np.array_equal(got, exp)
+    # fact chunk: claim only 20 true frames of the 34 decoded
+    import struct
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 20)
+    full = _wav_container(0x11, 1, 8000, block_align, 4, data)
+    # splice the fact chunk before the data chunk
+    di = full.index(b"data")
+    wav2 = full[:di] + fact + full[di:]
+    wav2 = wav2[:4] + struct.pack("<I", len(wav2) - 8) + wav2[8:]
+    got2, _ = decode_audio(wav2)
+    assert got2.shape == (20, 1)
+    assert np.array_equal(got2, np.array(recon[:20], np.float32).reshape(-1, 1) / 32768.0)
+
+
 def test_jpeg_rejects_progressive_and_corrupt():
     import struct
 
