@@ -114,6 +114,28 @@ def stats_for_versioned(spark, path: str) -> TableStats | None:
     )
 
 
+def stats_for_delta(spark, path: str) -> TableStats:
+    """Live-snapshot (rows, bytes) of a Delta table from its transaction
+    log alone — add actions carry ``size`` and a ``stats`` JSON with
+    ``numRecords``, so no data file is ever opened. Rows fall back to
+    None when any live file lacks stats (e.g. written by a stats-less
+    writer); bytes are always available."""
+    import json as _json
+
+    from .delta_log import _replay_log
+
+    _, adds, _meta = _replay_log(spark, path, None)
+    total_bytes = sum(int(a.get("size", 0)) for a in adds.values())
+    rows: int | None = 0
+    for a in adds.values():
+        s = a.get("stats")
+        if not s:
+            rows = None
+            break
+        rows += int(_json.loads(s)["numRecords"])
+    return TableStats(rows=rows, bytes=total_bytes)
+
+
 def _eligible(stats: TableStats | None, threshold: int) -> bool:
     return stats is not None and stats.bytes <= threshold
 

@@ -96,6 +96,23 @@ def _read_text(fs, jvm, path_str: str) -> str:
     return "\n".join(lines)
 
 
+def _footer_num_rows(path_str: str) -> int | None:
+    """Row count from the parquet footer (driver-side, one small read);
+    None when the path is not locally readable (remote FS without a
+    local mount) — stats are optional in the spec."""
+    import os
+
+    local = path_str[7:] if path_str.startswith("file://") else path_str
+    if not os.path.exists(local):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        return int(pq.read_metadata(local).num_rows)
+    except Exception:
+        return None
+
+
 def _schema_string(df: DataFrame) -> str:
     """Spark's schema JSON is byte-compatible with Delta's
     ``schemaString`` (Delta adopted Spark's type JSON)."""
@@ -222,17 +239,19 @@ def write_delta(
         fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             raise IOError(f"rename failed for {rel}")
-        adds.append(
-            {
-                "add": {
-                    "path": final_rel,
-                    "partitionValues": pvals,
-                    "size": size,
-                    "modificationTime": now,
-                    "dataChange": True,
-                }
-            }
-        )
+        add = {
+            "path": final_rel,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        n_rows = _footer_num_rows(f"{path}/{final_rel}")
+        if n_rows is not None:
+            # the spec's per-file stats JSON — numRecords feeds data
+            # skipping in standard readers and the mini-CBO here
+            add["stats"] = json.dumps({"numRecords": n_rows})
+        adds.append({"add": add})
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
 
     actions: list[dict] = []
@@ -435,6 +454,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("size", LongType()),
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
+            StructField("stats", StringType()),
         ]
     )
     meta_t = StructType(
@@ -486,6 +506,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
                     "size": int(a.get("size", 0)),
                     "modificationTime": int(a.get("modificationTime", 0)),
                     "dataChange": bool(a.get("dataChange", True)),
+                    "stats": a.get("stats"),
                 },
             }
         )

@@ -226,6 +226,50 @@ class TestCheckpoint:
         assert len(_rows(spark, read_delta(spark, path))) == 2
 
 
+class TestStats:
+    def test_add_actions_carry_numrecords_and_cbo_reads_them(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.cbo import (
+            stats_for_delta,
+            stats_join,
+        )
+
+        path = str(tmp_path / "t_stats")
+        d0 = _df(spark, [(i, float(i), _day(f"2021-01-{1 + i % 3:02d}")) for i in range(30)])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, _df(spark, [(99, 9.0, _day("2021-02-01"))]), path,
+                    partition_col="date")
+        log = tmp_path / "t_stats" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        adds = [a["add"] for a in v0 if "add" in a]
+        assert all("stats" in a for a in adds)
+        assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 30
+        # log-only stats: rows and bytes without touching a data file
+        st = stats_for_delta(spark, path)
+        assert st.rows == 31 and st.bytes > 0
+        # and they drive the join planner: the small delta table
+        # broadcasts as the build side
+        fact = spark.range(1000).withColumn("id", (F.col("id") % 31))
+        dim = read_delta(spark, path).withColumnRenamed("id", "d_id")
+        joined = stats_join(fact, dim, F.col("id") == F.col("d_id"),
+                            right_stats=st)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # fact ids 0..30; dim has 0..29 and 99 → id=30's 32 rows drop
+        assert joined.count() == 968
+
+    def test_checkpoint_preserves_stats(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.cbo import stats_for_delta
+
+        path = str(tmp_path / "t_stats_cp")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, d0, path, partition_col="date")
+        checkpoint_delta(spark, path, 1)
+        # stats must survive the checkpoint replay path
+        st = stats_for_delta(spark, path)
+        assert st.rows == 2
+
+
 class TestLakeExport:
     def test_export_versioned_lake_in_place(self, spark, tmp_path):
         from portfolio_data_pipelines_spark.operators.medallion import (
