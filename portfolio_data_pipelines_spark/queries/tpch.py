@@ -324,7 +324,7 @@ def product_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation_lines
     GROUP BY l_partkey
     HAVING {dsum_sql('value')}
-         > 0.002 * (SELECT {dsum_sql('value')} FROM nation_lines)
+         > 0.0002 * (SELECT {dsum_sql('value')} FROM nation_lines)
     ORDER BY part_value DESC, l_partkey ASC
     """,
 )
@@ -336,7 +336,10 @@ def important_value_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame ONCE, derives the global total from a second pass over the
     (part-sized, not fact-sized) grouped frame, and broadcasts the 1-row
     threshold back as a nested-loop join — the fact is scanned once, and
-    the threshold join moves one row. Decimal sums both sides; the 0.002
+    the threshold join moves one row. The 0.0002 fraction mirrors the
+    spec's 0.0001/SF scaling intent: it yields non-trivial survivor
+    sets at both sf0.01 and sf0.1 (the spec shrinks the fraction as SF
+    grows for the same reason). Decimal sums both sides; the fraction
     multiplication is one IEEE op on identical doubles."""
     l = scan_table(spark, sf_dir, "lineitem")
     s = scan_table(spark, sf_dir, "supplier")
@@ -358,7 +361,7 @@ def important_value_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > 0.002 * F.col("total_value"))
+        .filter(F.col("part_value") > 0.0002 * F.col("total_value"))
         .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
