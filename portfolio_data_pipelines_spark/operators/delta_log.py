@@ -536,6 +536,52 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     )
 
 
+def vacuum_delta(
+    spark: SparkSession,
+    path: str,
+    retain_hours: float = 168.0,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Physically delete data files that are NOT referenced by the
+    current version and whose modification time is older than the
+    retention window — Delta's VACUUM contract. Returns the deleted
+    relative paths.
+
+    Time travel to versions whose files were reclaimed fails on read
+    (as in Delta); versions whose files all survive keep working. The
+    walk skips ``_delta_log`` and in-flight ``_staging_*`` dirs, so
+    concurrent commits are safe as long as retention exceeds the
+    longest plausible commit duration (Delta's default is 7 days for
+    the same reason). ``now_ms`` exists for deterministic tests."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    _, live, _meta = _replay_log(spark, path, None)
+    cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
+        retain_hours * 3600 * 1000
+    )
+    deleted: list[str] = []
+
+    def walk(p, rel_prefix):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if rel_prefix == "" and (
+                name == "_delta_log" or name.startswith("_staging_")
+            ):
+                continue
+            rel = f"{rel_prefix}{name}"
+            if st.isDirectory():
+                walk(st.getPath(), rel + "/")
+            elif (
+                name.endswith(".parquet")
+                and rel not in live
+                and st.getModificationTime() < cutoff
+            ):
+                fs.delete(st.getPath(), False)
+                deleted.append(rel)
+
+    walk(jvm.org.apache.hadoop.fs.Path(path), "")
+    return sorted(deleted)
+
+
 def export_versioned_as_delta(
     spark: SparkSession, path: str, partition_col: str = "date"
 ) -> int:

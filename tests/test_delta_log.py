@@ -16,6 +16,7 @@ from portfolio_data_pipelines_spark.operators.delta_log import (
     checkpoint_delta,
     export_versioned_as_delta,
     read_delta,
+    vacuum_delta,
     write_delta,
 )
 
@@ -224,6 +225,45 @@ class TestCheckpoint:
         )
         assert lc["version"] == 1
         assert len(_rows(spark, read_delta(spark, path))) == 2
+
+
+class TestVacuum:
+    def test_vacuum_reclaims_tombstones_keeps_live_and_recent(self, spark, tmp_path):
+        path = str(tmp_path / "t_vac")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        d1 = _df(spark, [(2, 2.0, _day("2021-01-02"))])
+        write_delta(spark, d0, path, partition_col="date")
+        write_delta(spark, d1, path, partition_col="date", mode="overwrite")
+        latest = _rows(spark, read_delta(spark, path))
+        # retention still covers the tombstones: nothing is reclaimed
+        assert vacuum_delta(spark, path, retain_hours=1.0) == []
+        assert _rows(spark, read_delta(spark, path, version=0)) == _rows(spark, d0)
+        # zero retention (now pushed far forward): tombstones reclaimed
+        import time
+        future = int((time.time() + 3600) * 1000)
+        deleted = vacuum_delta(spark, path, retain_hours=0.0, now_ms=future)
+        assert deleted and all("2021-01-01" in p for p in deleted)
+        # the live version is untouched...
+        assert _rows(spark, read_delta(spark, path)) == latest
+        # ...and time travel to the reclaimed version fails on read
+        with pytest.raises(Exception):
+            read_delta(spark, path, version=0).collect()
+
+    def test_vacuum_reclaims_orphaned_staging_leftovers_only_when_old(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t_vac2")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        # an orphan from a crashed commit: a parquet file no log references
+        orphan = tmp_path / "t_vac2" / "date=2021-01-01" / "orphan.parquet"
+        orphan.write_bytes(b"not really parquet")
+        assert vacuum_delta(spark, path, retain_hours=1.0) == []  # too young
+        import time
+        future = int((time.time() + 3600) * 1000)
+        deleted = vacuum_delta(spark, path, retain_hours=0.0, now_ms=future)
+        assert deleted == ["date=2021-01-01/orphan.parquet"]
+        assert _rows(spark, read_delta(spark, path)) == _rows(spark, d0)
 
 
 class TestStats:
