@@ -102,7 +102,11 @@ def _footer_num_rows(path_str: str) -> int | None:
     local mount) — stats are optional in the spec."""
     import os
 
-    local = path_str[7:] if path_str.startswith("file://") else path_str
+    if path_str.startswith("file:"):
+        # normalize file:/p, file://p and file:///p alike
+        local = "/" + path_str.split(":", 1)[1].lstrip("/")
+    else:
+        local = path_str
     if not os.path.exists(local):
         return None
     try:
@@ -185,6 +189,7 @@ def write_delta(
     path: str,
     partition_col: str | None = None,
     mode: str = "append",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -195,7 +200,14 @@ def write_delta(
     renamed into place so the commit attributes exactly its own files;
     the NDJSON commit file is created exclusively (create-if-absent), so
     a concurrent writer racing for the same version fails cleanly
-    rather than corrupting the log."""
+    rather than corrupting the log.
+
+    ``txn=(appId, version)`` records the spec's transaction action and
+    makes the commit IDEMPOTENT per app: a commit whose version is at or
+    below the app's highest recorded txn is skipped (returns the current
+    table version, writes nothing) — the ledger Structured Streaming
+    sinks use for exactly-once delivery across restarts
+    (:func:`delta_stream_sink`)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     fs, _, jvm = _hadoop_fs(spark, path)
@@ -203,8 +215,12 @@ def write_delta(
     new_version = (versions[-1] + 1) if versions else 0
     prev_adds: dict[str, dict] = {}
     prev_meta: dict | None = None
+    prev_txns: dict[str, int] = {}
     if versions:
-        _, prev_adds, prev_meta = _replay_log(spark, path, None)
+        _, prev_adds, prev_meta, prev_txns = _replay_log(spark, path, None)
+    if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
+        # this (appId, version) already committed — exactly-once replay
+        return versions[-1]
     if prev_meta is not None:
         expected = prev_meta.get("partitionColumns", [])
         given = [partition_col] if partition_col is not None else []
@@ -280,6 +296,10 @@ def write_delta(
         evolved = dict(prev_meta)
         evolved["schemaString"] = _schema_string(df)
         actions.append({"metaData": evolved})
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
+        )
     if mode == "overwrite":
         for rel in sorted(prev_adds):
             actions.append(
@@ -303,9 +323,10 @@ def write_delta(
 
 def _replay_log(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[int, dict[str, dict], dict | None]:
+) -> tuple[int, dict[str, dict], dict | None, dict[str, int]]:
     """Replay the log up to ``version`` (latest if None): returns
-    (resolved version, live adds by relative path, metaData).
+    (resolved version, live adds by relative path, metaData, and the
+    highest committed txn version per appId — the exactly-once ledger).
 
     Latest reads start from ``_last_checkpoint`` when present (one small
     JSON + one parquet + the commit tail), never the full history;
@@ -320,6 +341,7 @@ def _replay_log(
         raise FileNotFoundError(f"version {target} not in {path}/_delta_log")
     adds: dict[str, dict] = {}
     meta: dict | None = None
+    txns: dict[str, int] = {}
     start = 0
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
@@ -331,6 +353,11 @@ def _replay_log(
             if d.get("add") and d["add"].get("path"):
                 a = d["add"]
                 adds[a["path"]] = a
+            if d.get("txn") and d["txn"].get("appId"):
+                t = d["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
         start = lc["version"] + 1
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
@@ -350,7 +377,12 @@ def _replay_log(
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return target, adds, meta
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(
+                    txns.get(t["appId"], -1), int(t["version"])
+                )
+    return target, adds, meta, txns
 
 
 def read_delta(
@@ -363,7 +395,7 @@ def read_delta(
     partition columns are restored from each file's ``partitionValues``
     and cast to the ``schemaString`` type — files themselves do not
     contain partition columns, per the Delta layout."""
-    target, adds, meta = _replay_log(spark, path, version)
+    target, adds, meta, _txns = _replay_log(spark, path, version)
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if not adds:
@@ -444,7 +476,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         StructType,
     )
 
-    target, adds, meta = _replay_log(spark, path, version)
+    target, adds, meta, txns = _replay_log(spark, path, version)
     if meta is None:
         raise ValueError("cannot checkpoint a log without metaData")
     add_t = StructType(
@@ -483,23 +515,43 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("minWriterVersion", LongType()),
         ]
     )
+    txn_t = StructType(
+        [
+            StructField("appId", StringType()),
+            StructField("version", LongType()),
+            StructField("lastUpdated", LongType()),
+        ]
+    )
     schema = StructType(
         [
             StructField("protocol", proto_t),
             StructField("metaData", meta_t),
             StructField("add", add_t),
+            StructField("txn", txn_t),
         ]
     )
     rows = [
-        {"protocol": _PROTOCOL_ACTION["protocol"], "metaData": None, "add": None},
-        {"protocol": None, "metaData": meta, "add": None},
+        {"protocol": _PROTOCOL_ACTION["protocol"], "metaData": None,
+         "add": None, "txn": None},
+        {"protocol": None, "metaData": meta, "add": None, "txn": None},
     ]
+    for app_id in sorted(txns):
+        # the spec keeps the latest txn per appId in checkpoints, so the
+        # exactly-once ledger survives log cleanup
+        rows.append(
+            {
+                "protocol": None, "metaData": None, "add": None,
+                "txn": {"appId": app_id, "version": int(txns[app_id]),
+                        "lastUpdated": 0},
+            }
+        )
     for rel in sorted(adds):
         a = adds[rel]
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
+                "txn": None,
                 "add": {
                     "path": a["path"],
                     "partitionValues": a.get("partitionValues", {}),
@@ -536,6 +588,35 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     )
 
 
+def delta_stream_sink(
+    path: str,
+    partition_col: str | None = None,
+    app_id: str = "delta-stream",
+):
+    """Exactly-once Structured Streaming sink into a Delta table:
+    ``writeStream.foreachBatch(delta_stream_sink(path, ...))``.
+
+    Each micro-batch commits with the spec's ``txn`` action keyed
+    (app_id, batch_id); after a crash-and-restart, replayed batch ids
+    at or below the app's highest recorded txn are skipped without
+    writing — the same ledger delta-spark's streaming sink uses. At
+    scale this is the only correct contract: checkpoint recovery WILL
+    replay the last in-flight batch, and dedup-by-data is a full-table
+    scan while dedup-by-txn is one log replay."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        write_delta(
+            batch.sparkSession,
+            batch,
+            path,
+            partition_col=partition_col,
+            mode="append",
+            txn=(app_id, int(batch_id)),
+        )
+
+    return sink
+
+
 def vacuum_delta(
     spark: SparkSession,
     path: str,
@@ -554,7 +635,7 @@ def vacuum_delta(
     longest plausible commit duration (Delta's default is 7 days for
     the same reason). ``now_ms`` exists for deterministic tests."""
     fs, _, jvm = _hadoop_fs(spark, path)
-    _, live, _meta = _replay_log(spark, path, None)
+    _, live, _meta, _txns = _replay_log(spark, path, None)
     cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
         retain_hours * 3600 * 1000
     )

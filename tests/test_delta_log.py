@@ -227,6 +227,56 @@ class TestCheckpoint:
         assert len(_rows(spark, read_delta(spark, path))) == 2
 
 
+class TestExactlyOnce:
+    def test_txn_makes_commits_idempotent(self, spark, tmp_path):
+        path = str(tmp_path / "t_txn")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        v = write_delta(spark, d0, path, partition_col="date", txn=("app", 0))
+        assert v == 0
+        # replaying the same (app, batch) writes NOTHING
+        v2 = write_delta(spark, d0, path, partition_col="date", txn=("app", 0))
+        assert v2 == 0
+        assert len(_rows(spark, read_delta(spark, path))) == 1
+        # the next batch commits; a different app's batch 0 also commits
+        write_delta(spark, d0, path, partition_col="date", txn=("app", 1))
+        write_delta(spark, d0, path, partition_col="date", txn=("other", 0))
+        assert len(_rows(spark, read_delta(spark, path))) == 3
+        # txn actions appear in the log per the spec
+        log = tmp_path / "t_txn" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        t = next(a["txn"] for a in v0 if "txn" in a)
+        assert t["appId"] == "app" and t["version"] == 0
+
+    def test_txn_ledger_survives_checkpoint(self, spark, tmp_path):
+        path = str(tmp_path / "t_txn_cp")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date", txn=("app", 0))
+        write_delta(spark, d0, path, partition_col="date", txn=("app", 1))
+        checkpoint_delta(spark, path, 1)
+        # the ledger must be read from the checkpoint, not just the tail
+        v3 = write_delta(spark, d0, path, partition_col="date", txn=("app", 1))
+        assert v3 == 1  # replay skipped
+        assert len(_rows(spark, read_delta(spark, path))) == 2
+
+    def test_stream_sink_exactly_once_across_replay(self, spark, tmp_path):
+        """Drive the foreachBatch sink as Structured Streaming would:
+        batches 0,1 commit; a crash-restart replays batch 1 — the table
+        must not double it."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            delta_stream_sink,
+        )
+
+        path = str(tmp_path / "t_sink")
+        sink = delta_stream_sink(path, partition_col="date", app_id="job42")
+        b0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        b1 = _df(spark, [(2, 2.0, _day("2021-01-02"))])
+        sink(b0, 0)
+        sink(b1, 1)
+        sink(b1, 1)  # checkpoint-recovery replay
+        got = _rows(spark, read_delta(spark, path))
+        assert got == [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))]
+
+
 class TestVacuum:
     def test_vacuum_reclaims_tombstones_keeps_live_and_recent(self, spark, tmp_path):
         path = str(tmp_path / "t_vac")
