@@ -394,3 +394,26 @@ class TestLakeExport:
         # export is one-shot
         with pytest.raises(ValueError, match="one-shot"):
             export_versioned_as_delta(spark, path)
+
+    def test_delta_native_commits_continue_after_export(self, spark, tmp_path):
+        """The migration path: export the lake in place, then keep
+        committing with write_delta — mixed layouts (lake batch dirs +
+        root-level hive dirs) must read back as one table."""
+        from portfolio_data_pipelines_spark.operators.medallion import (
+            commit_versioned,
+        )
+
+        path = str(tmp_path / "lake2")
+        d0 = spark.createDataFrame(
+            [(1, 1.0, _day("2021-01-01"))], "id bigint, v double, date date"
+        )
+        commit_versioned(spark, path, d0, partition_col="date")
+        export_versioned_as_delta(spark, path)
+        d1 = spark.createDataFrame(
+            [(2, 2.0, _day("2021-01-02"))], "id bigint, v double, date date"
+        )
+        assert write_delta(spark, d1, path, partition_col="date") == 1
+        got = _rows(spark, read_delta(spark, path).select("id", "v", "date"))
+        assert got == [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))]
+        # version 0 still reads as the pure lake snapshot
+        assert len(_rows(spark, read_delta(spark, path, version=0))) == 1
