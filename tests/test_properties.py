@@ -396,3 +396,58 @@ def test_progressive_jpeg_equals_baseline_property(seed, h, w, dc_al, ac_al):
     prog = _jpeg_progressive_bytes([img], (1, 1), dc_al=dc_al, ac_al=ac_al,
                                    bands=((1, 20), (21, 63)))
     assert np.array_equal(decode_image(prog), base)
+
+
+@st.composite
+def delta_scripts(draw):
+    """A random commit script: each step appends or overwrites a small
+    batch of (id, day) rows; days come from a tiny pool so overwrites
+    and multi-file partitions actually collide."""
+    n_commits = draw(st.integers(1, 5))
+    script = []
+    next_id = 0
+    for _ in range(n_commits):
+        mode = draw(st.sampled_from(["append", "append", "overwrite"]))
+        n_rows = draw(st.integers(1, 4))
+        rows = []
+        for _ in range(n_rows):
+            day = draw(st.sampled_from(["2021-01-01", "2021-01-02", "2021-01-03"]))
+            rows.append((next_id, day))
+            next_id += 1
+        script.append((mode, rows))
+    return script
+
+
+@given(script=delta_scripts())
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_delta_log_matches_model_at_every_version(spark, tmp_path_factory, script):
+    """Model-based check: after any sequence of append/overwrite
+    commits, read_delta at EVERY version must equal a trivial Python
+    model (append extends the live set, overwrite replaces it)."""
+    import datetime
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        read_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path_factory.mktemp("delta_model") / "t")
+    model_versions = []
+    live: list[tuple] = []
+    for mode, rows in script:
+        df = spark.createDataFrame(
+            [(i, datetime.date.fromisoformat(d)) for i, d in rows],
+            "id bigint, date date",
+        )
+        live = (live + rows) if mode == "append" else list(rows)
+        write_delta(spark, df, path, partition_col="date", mode=mode)
+        model_versions.append(list(live))
+    for v, expected in enumerate(model_versions):
+        got = sorted(
+            (r["id"], r["date"].isoformat())
+            for r in read_delta(spark, path, version=v).collect()
+        )
+        assert got == sorted(expected), f"version {v}"
