@@ -190,6 +190,7 @@ def write_delta(
     partition_col: str | None = None,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
+    replace_partitions: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -207,9 +208,22 @@ def write_delta(
     below the app's highest recorded txn is skipped (returns the current
     table version, writes nothing) — the ledger Structured Streaming
     sinks use for exactly-once delivery across restarts
-    (:func:`delta_stream_sink`)."""
+    (:func:`delta_stream_sink`).
+
+    ``replace_partitions`` (overwrite mode only) scopes the tombstones
+    to the named partition values — Delta's ``replaceWhere``: only
+    previously-live files whose partition value is in the list are
+    removed, other partitions keep their files. This is the day-level
+    idempotent re-run contract (the reference's delete-day-then-insert,
+    ``etl/load/postgres_loader.py``) on the Delta log."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if replace_partitions is not None and (
+        mode != "overwrite" or partition_col is None
+    ):
+        raise ValueError(
+            "replace_partitions requires mode='overwrite' and a partition_col"
+        )
     fs, _, jvm = _hadoop_fs(spark, path)
     versions = _list_log_versions(fs, jvm, path)
     new_version = (versions[-1] + 1) if versions else 0
@@ -240,6 +254,17 @@ def write_delta(
         writer = writer.partitionBy(partition_col)
     writer.parquet(f"{path}/{staging}")
     staged = _relative_files(fs, jvm, path, staging, partition_col)
+    if replace_partitions is not None:
+        allowed = set(replace_partitions)
+        stray = sorted(
+            {pv[partition_col] for _r, _s, pv in staged} - allowed
+        )
+        if stray:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+            raise ValueError(
+                f"replace_partitions excludes staged partition values {stray} "
+                "— the written data must satisfy the replacement predicate"
+            )
     adds = []
     now = _now_ms()
     for rel, size, pvals in staged:
@@ -301,7 +326,16 @@ def write_delta(
             {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
         )
     if mode == "overwrite":
-        for rel in sorted(prev_adds):
+        doomed = sorted(prev_adds)
+        if replace_partitions is not None:
+            keep = set(replace_partitions)
+            doomed = [
+                rel
+                for rel in doomed
+                if prev_adds[rel].get("partitionValues", {}).get(partition_col)
+                in keep
+            ]
+        for rel in doomed:
             actions.append(
                 {
                     "remove": {

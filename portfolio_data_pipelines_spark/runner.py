@@ -87,7 +87,26 @@ class WeatherPipeline:
             return StageResult(date=None, path=None, rows=0)
         d = batch_partition_date(df)
         path = f"{self.cfg.lake_root}/weather"
-        write_bronze(df, path)
+        if self.cfg.lake_format == "delta":
+            # Transaction-logged bronze: the reference's day-level
+            # idempotent re-run contract becomes a replaceWhere-scoped
+            # overwrite — re-running a batch tombstones exactly its own
+            # days' files, and every ingest stays time-travelable.
+            from .operators.delta_log import write_delta
+
+            with_date = df.withColumn("date", F.to_date(F.col("time")))
+            days = [
+                r["date"].isoformat()
+                for r in with_date.select("date").distinct().collect()
+                if r["date"] is not None
+            ]
+            write_delta(
+                self.spark, with_date, path,
+                partition_col="date", mode="overwrite",
+                replace_partitions=days,
+            )
+        else:
+            write_bronze(df, path)
         rows = df.count()
         return StageResult(date=d.isoformat() if d else None, path=path, rows=rows)
 
@@ -101,8 +120,14 @@ class WeatherPipeline:
             manifest = self.transform_and_store()
         if manifest.path is None:
             raise ValueError("empty batch: nothing to load")
+        if self.cfg.lake_format == "delta":
+            from .operators.delta_log import read_delta
+
+            bronze = read_delta(self.spark, manifest.path)
+        else:
+            bronze = self.spark.read.parquet(manifest.path)
         wh = (
-            self.spark.read.parquet(manifest.path)
+            bronze
             # P4 projection narrowing: lat/lon stay lake-only.
             .select("time", "temperature_2m", "relative_humidity_2m", "ingested_at")
             # The warehouse contract declares time not-null (dbt

@@ -417,3 +417,83 @@ class TestLakeExport:
         assert got == [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))]
         # version 0 still reads as the pure lake snapshot
         assert len(_rows(spark, read_delta(spark, path, version=0))) == 1
+
+
+class TestReplaceWhere:
+    def test_partition_scoped_overwrite(self, spark, tmp_path):
+        path = str(tmp_path / "t_rw")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))])
+        write_delta(spark, d0, path, partition_col="date")
+        # replace ONLY day 2; day 1 keeps its files
+        d1 = _df(spark, [(9, 9.0, _day("2021-01-02"))])
+        write_delta(spark, d1, path, partition_col="date", mode="overwrite",
+                    replace_partitions=["2021-01-02"])
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (9, 9.0, _day("2021-01-02")),
+        ]
+        # re-running the same day-batch is idempotent in content
+        write_delta(spark, d1, path, partition_col="date", mode="overwrite",
+                    replace_partitions=["2021-01-02"])
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (9, 9.0, _day("2021-01-02")),
+        ]
+
+    def test_replace_where_rejects_stray_partitions(self, spark, tmp_path):
+        path = str(tmp_path / "t_rw2")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        stray = _df(spark, [(2, 2.0, _day("2021-03-03"))])
+        with pytest.raises(ValueError, match="replacement predicate"):
+            write_delta(spark, stray, path, partition_col="date",
+                        mode="overwrite", replace_partitions=["2021-01-01"])
+        # nothing changed, and the rejected staging dir was cleaned up
+        assert _rows(spark, read_delta(spark, path)) == [(1, 1.0, _day("2021-01-01"))]
+        assert not list((tmp_path / "t_rw2").glob("_staging_*"))
+
+    def test_replace_requires_overwrite_and_partition(self, spark, tmp_path):
+        path = str(tmp_path / "t_rw3")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        with pytest.raises(ValueError, match="replace_partitions requires"):
+            write_delta(spark, d0, path, partition_col="date",
+                        replace_partitions=["2021-01-01"])  # append mode
+        with pytest.raises(ValueError, match="replace_partitions requires"):
+            write_delta(spark, d0, path, mode="overwrite",
+                        replace_partitions=["2021-01-01"])  # no partition col
+
+
+class TestDeltaBronzePipeline:
+    def test_weather_pipeline_on_delta_bronze_idempotent(self, spark, tmp_path):
+        """The reference DAG on a Delta bronze: run twice with the same
+        payload — day-level replaceWhere keeps the mart identical, and
+        the first ingest stays time-travelable."""
+        import dataclasses
+        import json as _json
+
+        from portfolio_data_pipelines_spark.config import PipelineConfig
+        from portfolio_data_pipelines_spark.runner import WeatherPipeline
+
+        payload = {
+            "latitude": -23.55, "longitude": -46.63,
+            "hourly": {
+                "time": [f"2021-01-01T{h:02d}:00" for h in range(6)],
+                "temperature_2m": [20.0 + h for h in range(6)],
+                "relative_humidity_2m": [50.0 + h for h in range(6)],
+            },
+        }
+        raw = _json.dumps(payload)
+        cfg = PipelineConfig(lake_root=str(tmp_path / "lake"), lake_format="delta")
+        pipe = WeatherPipeline(spark, config=cfg, fetcher=lambda: raw)
+        built1 = pipe.run(raw)
+        built2 = pipe.run(raw)  # re-run: same day replaced, not duplicated
+        key = next(k for k in built1 if k.endswith("weather_daily"))
+        m1 = sorted(tuple(r) for r in built1[key].collect())
+        m2 = sorted(tuple(r) for r in built2[key].collect())
+        assert m1 == m2 and len(m1) == 1
+        from portfolio_data_pipelines_spark.operators.delta_log import read_delta
+        bronze = read_delta(spark, f"{cfg.lake_root}/weather")
+        assert bronze.count() == 6  # not 12: day-level overwrite
+        # both ingests exist as versions
+        v0 = read_delta(spark, f"{cfg.lake_root}/weather", version=0)
+        assert v0.count() == 6
