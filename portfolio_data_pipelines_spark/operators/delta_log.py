@@ -622,6 +622,159 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     )
 
 
+def merge_delta(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE INTO the Delta table at ``path``: rows matching ``source``
+    on ``key_cols`` are replaced, new keys are inserted (WHEN MATCHED
+    THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *). Returns the
+    committed version.
+
+    Copy-on-write at FILE granularity, the Delta MERGE algorithm: a
+    semi-join of the target against the source keys identifies the
+    touched files (via ``input_file_name``); ONLY those files are
+    rewritten — their non-matching rows survive alongside the full
+    source — then one commit tombstones the touched files and adds the
+    rewrites. Untouched files are neither read twice nor rewritten, so
+    cost is O(files containing matching keys), not O(table). Ambiguous
+    sources (duplicate keys) are rejected, as Delta does.
+
+    The reference's roadmap names exactly this (``README.md:209``);
+    ``operators/medallion.merge_upsert`` is the plain-parquet
+    restatement at partition granularity."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    _, adds, meta, _txns = _replay_log(spark, path, None)
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    schema = _spark_schema_from_string(meta["schemaString"])
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"merge source missing target columns {missing}")
+    if source.groupBy(*key_cols).count().filter(F.col("count") > 1).take(1):
+        raise ValueError(
+            "merge source has duplicate keys — ambiguous WHEN MATCHED"
+        )
+    source = source.select(*cols)
+    pcols = meta.get("partitionColumns", [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    # target WITH provenance: explicit live files + restored partition
+    # cols + the physical file each row came from
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in sorted(adds.items()):
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        groups.setdefault(key, []).append(rel)
+    parts = []
+    for key, rels in sorted(
+        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+    ):
+        p = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{path}/{r}" for r in rels])
+            .withColumn("_file", F.input_file_name())
+        )
+        for c, v in zip(pcols, key):
+            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
+        parts.append(p)
+    target = parts[0]
+    for p in parts[1:]:
+        target = target.unionByName(p, allowMissingColumns=True)
+    for f in schema.fields:
+        if f.name not in target.columns:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+
+    src_keys = F.broadcast(source.select(*key_cols).distinct())
+    touched_uris = {
+        r["_file"]
+        for r in target.join(src_keys, key_cols, "left_semi")
+        .select("_file").distinct().collect()
+    }
+    # map absolute scan URIs back to log-relative paths by FULL relative
+    # suffix — basenames are NOT unique across partition dirs (one job's
+    # tasks reuse part-file names in every partition they write), so
+    # only the whole rel path identifies a file. URIs may carry %XX
+    # escapes for special partition values; compare both forms.
+    from urllib.parse import unquote
+
+    touched_rels = sorted(
+        rel
+        for rel in adds
+        if any(
+            u.endswith("/" + rel) or unquote(u).endswith("/" + rel)
+            for u in touched_uris
+        )
+    )
+    new_version = versions[-1] + 1
+    if not touched_rels and source.isEmpty():
+        return versions[-1]
+    survivors = (
+        target.filter(F.col("_file").isin(*touched_uris))
+        .join(src_keys, key_cols, "left_anti")
+        .select(*cols)
+        if touched_uris
+        else spark.createDataFrame([], schema=schema)
+    )
+    new_data = survivors.unionByName(source)
+
+    staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
+    writer = new_data.write.mode("overwrite").option("compression", "zstd")
+    pcol = pcols[0] if pcols else None
+    if pcol is not None:
+        writer = writer.partitionBy(pcol)
+    writer.parquet(f"{path}/{staging}")
+    staged = _relative_files(fs, jvm, path, staging, pcol)
+    now = _now_ms()
+    new_adds = []
+    for rel, size, pvals in staged:
+        inner = rel[len(staging) + 1 :]
+        segs = inner.rsplit("/", 1)
+        fname = f"v{new_version:06d}-{segs[-1]}"
+        final_rel = (segs[0] + "/" + fname) if len(segs) == 2 else fname
+        src_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        dst_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
+        fs.mkdirs(dst_p.getParent())
+        if not fs.rename(src_p, dst_p):
+            raise IOError(f"rename failed for {rel}")
+        add = {
+            "path": final_rel,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        n_rows = _footer_num_rows(f"{path}/{final_rel}")
+        if n_rows is not None:
+            add["stats"] = json.dumps({"numRecords": n_rows})
+        new_adds.append({"add": add})
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for rel in touched_rels
+    ]
+    actions.extend(new_adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
 def delta_stream_sink(
     path: str,
     partition_col: str | None = None,

@@ -497,3 +497,92 @@ class TestDeltaBronzePipeline:
         # both ingests exist as versions
         v0 = read_delta(spark, f"{cfg.lake_root}/weather", version=0)
         assert v0.count() == 6
+
+
+class TestMerge:
+    def test_merge_updates_and_inserts(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import merge_delta
+
+        path = str(tmp_path / "t_merge")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02"))])
+        write_delta(spark, d0, path, partition_col="date")
+        src = _df(spark, [(2, 20.0, _day("2021-01-02")),   # matched → update
+                          (3, 3.0, _day("2021-01-03"))])   # new → insert
+        v = merge_delta(spark, path, src, key_cols=["id"])
+        assert v == 1
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (2, 20.0, _day("2021-01-02")),
+            (3, 3.0, _day("2021-01-03")),
+        ]
+        # pre-merge state is still time-travelable
+        assert _rows(spark, read_delta(spark, path, version=0)) == _rows(spark, d0)
+
+    def test_merge_rewrites_only_touched_files(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import merge_delta
+
+        path = str(tmp_path / "t_merge2")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        d1 = _df(spark, [(2, 2.0, _day("2021-01-02"))])
+        d2 = _df(spark, [(3, 3.0, _day("2021-01-03"))])
+        for d in (d0, d1, d2):
+            write_delta(spark, d, path, partition_col="date")
+        src = _df(spark, [(2, 22.0, _day("2021-01-02"))])
+        merge_delta(spark, path, src, key_cols=["id"])
+        log = tmp_path / "t_merge2" / "_delta_log"
+        v3 = [json.loads(x) for x in (log / f"{3:020d}.json").read_text().splitlines()]
+        removed = [a["remove"]["path"] for a in v3 if "remove" in a]
+        added = [a["add"]["path"] for a in v3 if "add" in a]
+        # ONLY the day-2 file was tombstoned and rewritten
+        assert removed and all("2021-01-02" in p for p in removed)
+        assert added and all("2021-01-02" in p for p in added)
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (2, 22.0, _day("2021-01-02")),
+            (3, 3.0, _day("2021-01-03")),
+        ]
+
+    def test_merge_keeps_nonmatching_rows_of_touched_files(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import merge_delta
+
+        path = str(tmp_path / "t_merge3")
+        # one file holds BOTH keys; merging one key must keep the other
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        src = _df(spark, [(2, 99.0, _day("2021-01-01"))])
+        merge_delta(spark, path, src, key_cols=["id"])
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2021-01-01")),
+            (2, 99.0, _day("2021-01-01")),
+        ]
+
+    def test_merge_single_commit_shared_basenames_not_overmatched(self, spark, tmp_path):
+        """Within ONE commit, partitionBy reuses part-file basenames
+        across partition dirs; merging keys of one partition must not
+        tombstone the same-named files of the others (regression: a
+        basename-keyed file match mass-removed untouched partitions)."""
+        from portfolio_data_pipelines_spark.operators.delta_log import merge_delta
+
+        path = str(tmp_path / "t_merge5")
+        d0 = _df(spark, [(i, float(i), _day(f"2021-01-{1 + i % 3:02d}"))
+                         for i in range(30)]).coalesce(1)
+        write_delta(spark, d0, path, partition_col="date")
+        src = _df(spark, [(1, 111.0, _day("2021-01-02"))])  # id 1 lives on day 2
+        merge_delta(spark, path, src, key_cols=["id"])
+        got = _rows(spark, read_delta(spark, path))
+        assert len(got) == 30  # nothing lost
+        assert (1, 111.0, _day("2021-01-02")) in got
+        log = tmp_path / "t_merge5" / "_delta_log"
+        v1 = [json.loads(x) for x in (log / f"{1:020d}.json").read_text().splitlines()]
+        removed = [a["remove"]["path"] for a in v1 if "remove" in a]
+        assert removed and all("2021-01-02" in p for p in removed)
+
+    def test_merge_rejects_ambiguous_source(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import merge_delta
+
+        path = str(tmp_path / "t_merge4")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]), path,
+                    partition_col="date")
+        dup = _df(spark, [(1, 2.0, _day("2021-01-01")), (1, 3.0, _day("2021-01-01"))])
+        with pytest.raises(ValueError, match="duplicate keys"):
+            merge_delta(spark, path, dup, key_cols=["id"])
