@@ -586,3 +586,47 @@ class TestMerge:
         dup = _df(spark, [(1, 2.0, _day("2021-01-01")), (1, 3.0, _day("2021-01-01"))])
         with pytest.raises(ValueError, match="duplicate keys"):
             merge_delta(spark, path, dup, key_cols=["id"])
+
+
+class TestChangeFeed:
+    def test_incremental_reads_pull_only_new_commits(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t_cdc")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]), path,
+                    partition_col="date")
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-02"))]), path,
+                    partition_col="date")
+        write_delta(spark, _df(spark, [(3, 3.0, _day("2021-01-03"))]), path,
+                    partition_col="date")
+        got = read_delta_changes(spark, path, from_version=0)
+        rows = sorted((r["id"], r["_commit_version"]) for r in got.collect())
+        assert rows == [(2, 1), (3, 2)]
+        # bounded window, and empty window yields an empty typed frame
+        mid = read_delta_changes(spark, path, from_version=0, to_version=1)
+        assert [r["id"] for r in mid.collect()] == [2]
+        none = read_delta_changes(spark, path, from_version=2, to_version=2)
+        assert none.count() == 0 and "_commit_version" in none.columns
+
+    def test_change_feed_includes_merge_rewrites(self, spark, tmp_path):
+        """A consumer at version N sees a later MERGE's rewritten files
+        (survivors + updates) — at-least-once per changed file, the
+        append-feed contract."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            merge_delta,
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t_cdc2")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-01"))])
+        # one file holds both keys, so the merge rewrite carries the
+        # survivor too (separate files would leave id=1's file untouched
+        # — and out of the feed, correctly)
+        write_delta(spark, d0.coalesce(1), path, partition_col="date")
+        merge_delta(spark, path, _df(spark, [(2, 22.0, _day("2021-01-01"))]),
+                    key_cols=["id"])
+        got = sorted((r["id"], r["v"]) for r in
+                     read_delta_changes(spark, path, 0).collect())
+        assert got == [(1, 1.0), (2, 22.0)]
