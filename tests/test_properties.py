@@ -406,14 +406,28 @@ def delta_scripts(draw):
     n_commits = draw(st.integers(1, 5))
     script = []
     next_id = 0
-    for _ in range(n_commits):
-        mode = draw(st.sampled_from(["append", "append", "overwrite"]))
+    for step in range(n_commits):
+        mode = draw(st.sampled_from(
+            ["append", "append", "overwrite"] + (["merge"] if step else [])
+        ))
         n_rows = draw(st.integers(1, 4))
         rows = []
         for _ in range(n_rows):
             day = draw(st.sampled_from(["2021-01-01", "2021-01-02", "2021-01-03"]))
-            rows.append((next_id, day))
-            next_id += 1
+            if mode == "merge" and next_id and draw(st.booleans()):
+                rid = draw(st.integers(0, next_id - 1))  # update an old key
+            else:
+                rid = next_id
+                next_id += 1
+            rows.append((rid, day))
+        # merge sources must be unambiguous on the key
+        if mode == "merge":
+            seen, dedup = set(), []
+            for rid, day in rows:
+                if rid not in seen:
+                    seen.add(rid)
+                    dedup.append((rid, day))
+            rows = dedup
         script.append((mode, rows))
     return script
 
@@ -424,12 +438,14 @@ def delta_scripts(draw):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_delta_log_matches_model_at_every_version(spark, tmp_path_factory, script):
-    """Model-based check: after any sequence of append/overwrite
+    """Model-based check: after any sequence of append/overwrite/merge
     commits, read_delta at EVERY version must equal a trivial Python
-    model (append extends the live set, overwrite replaces it)."""
+    model (append extends the live set, overwrite replaces it, merge
+    upserts by id)."""
     import datetime
 
     from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
         read_delta,
         write_delta,
     )
@@ -442,8 +458,13 @@ def test_delta_log_matches_model_at_every_version(spark, tmp_path_factory, scrip
             [(i, datetime.date.fromisoformat(d)) for i, d in rows],
             "id bigint, date date",
         )
-        live = (live + rows) if mode == "append" else list(rows)
-        write_delta(spark, df, path, partition_col="date", mode=mode)
+        if mode == "merge":
+            ids = {i for i, _ in rows}
+            live = [r for r in live if r[0] not in ids] + rows
+            merge_delta(spark, path, df, key_cols=["id"])
+        else:
+            live = (live + rows) if mode == "append" else list(rows)
+            write_delta(spark, df, path, partition_col="date", mode=mode)
         model_versions.append(list(live))
     for v, expected in enumerate(model_versions):
         got = sorted(
