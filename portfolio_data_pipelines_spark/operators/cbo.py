@@ -124,7 +124,7 @@ def stats_for_delta(spark, path: str) -> TableStats:
 
     from .delta_log import _replay_log
 
-    _, adds, _meta, _txns = _replay_log(spark, path, None)
+    adds = _replay_log(spark, path, None).adds
     total_bytes = sum(int(a.get("size", 0)) for a in adds.values())
     rows: int | None = 0
     for a in adds.values():

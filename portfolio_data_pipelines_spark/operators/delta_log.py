@@ -32,6 +32,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import uuid
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,6 +41,22 @@ from .medallion import _hadoop_fs, _write_small_file
 
 #: Parquet checkpoint cadence, mirroring delta-spark's default.
 DELTA_CHECKPOINT_EVERY = 10
+
+#: Tombstone records older than this are dropped from checkpoints
+#: (Delta's log-retention default, 30 days); vacuum retention windows
+#: longer than this cannot rely on recorded deletion times.
+TOMBSTONE_RETENTION_MS = 30 * 24 * 3600 * 1000
+
+
+class LogState(NamedTuple):
+    """Resolved log replay: live adds by relative path, metaData, the
+    per-app txn ledger, and tombstones (rel path → deletionTimestamp)."""
+
+    version: int
+    adds: dict
+    meta: dict | None
+    txns: dict
+    removes: dict
 
 
 def _log_path(version: int) -> str:
@@ -183,6 +200,72 @@ def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
     return out
 
 
+def _stage_commit_files(
+    spark,
+    fs,
+    jvm,
+    path: str,
+    df: DataFrame,
+    partition_col: str | None,
+    new_version: int,
+    replace_partitions: list | None = None,
+) -> list[dict]:
+    """Stage ``df`` under a uuid-suffixed dir, rename the part files
+    into the table layout with a version-prefixed name, and return the
+    add actions (with per-file numRecords stats when locally readable).
+    Shared by :func:`write_delta` and :func:`merge_delta` so the commit
+    mechanics can never diverge. On a replace_partitions violation the
+    staging dir is cleaned up and ValueError raised."""
+    staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(f"{path}/{staging}")
+    staged = _relative_files(fs, jvm, path, staging, partition_col)
+    if replace_partitions is not None:
+        allowed = set(replace_partitions)
+        stray = sorted(
+            {pv[partition_col] for _r, _s, pv in staged} - allowed,
+            key=lambda x: (x is None, str(x)),
+        )
+        if stray:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+            raise ValueError(
+                f"replace_partitions excludes staged partition values {stray} "
+                "— the written data must satisfy the replacement predicate"
+            )
+    adds = []
+    now = _now_ms()
+    for rel, size, pvals in staged:
+        # strip the staging prefix; prefix the file name with the
+        # version so names stay unique across commits into the same
+        # partition directory
+        inner = rel[len(staging) + 1 :]
+        segs = inner.rsplit("/", 1)
+        fname = f"v{new_version:06d}-{segs[-1]}"
+        final_rel = (segs[0] + "/" + fname) if len(segs) == 2 else fname
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed for {rel}")
+        add = {
+            "path": final_rel,
+            "partitionValues": pvals,
+            "size": size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        n_rows = _footer_num_rows(f"{path}/{final_rel}")
+        if n_rows is not None:
+            # the spec's per-file stats JSON — numRecords feeds data
+            # skipping in standard readers and the mini-CBO here
+            add["stats"] = json.dumps({"numRecords": n_rows})
+        adds.append({"add": add})
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+    return adds
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -231,7 +314,8 @@ def write_delta(
     prev_meta: dict | None = None
     prev_txns: dict[str, int] = {}
     if versions:
-        _, prev_adds, prev_meta, prev_txns = _replay_log(spark, path, None)
+        st = _replay_log(spark, path, None)
+        prev_adds, prev_meta, prev_txns = st.adds, st.meta, st.txns
     if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
         # this (appId, version) already committed — exactly-once replay
         return versions[-1]
@@ -245,55 +329,11 @@ def write_delta(
                 "metadata"
             )
 
-    # stage the data write (uuid-suffixed so concurrent writers racing
-    # for the same version can never touch each other's staged files),
-    # then rename into the table layout
-    staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
-    writer = df.write.mode("overwrite").option("compression", "zstd")
-    if partition_col is not None:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(f"{path}/{staging}")
-    staged = _relative_files(fs, jvm, path, staging, partition_col)
-    if replace_partitions is not None:
-        allowed = set(replace_partitions)
-        stray = sorted(
-            {pv[partition_col] for _r, _s, pv in staged} - allowed
-        )
-        if stray:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
-            raise ValueError(
-                f"replace_partitions excludes staged partition values {stray} "
-                "— the written data must satisfy the replacement predicate"
-            )
-    adds = []
+    adds = _stage_commit_files(
+        spark, fs, jvm, path, df, partition_col, new_version,
+        replace_partitions=replace_partitions,
+    )
     now = _now_ms()
-    for rel, size, pvals in staged:
-        # strip the staging prefix; prefix the file name with the
-        # version so names stay unique across commits into the same
-        # partition directory
-        inner = rel[len(staging) + 1 :]
-        parts = inner.rsplit("/", 1)
-        fname = f"v{new_version:06d}-{parts[-1]}"
-        final_rel = (parts[0] + "/" + fname) if len(parts) == 2 else fname
-        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(src, dst):
-            raise IOError(f"rename failed for {rel}")
-        add = {
-            "path": final_rel,
-            "partitionValues": pvals,
-            "size": size,
-            "modificationTime": now,
-            "dataChange": True,
-        }
-        n_rows = _footer_num_rows(f"{path}/{final_rel}")
-        if n_rows is not None:
-            # the spec's per-file stats JSON — numRecords feeds data
-            # skipping in standard readers and the mini-CBO here
-            add["stats"] = json.dumps({"numRecords": n_rows})
-        adds.append({"add": add})
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
 
     actions: list[dict] = []
     if new_version == 0:
@@ -357,10 +397,11 @@ def write_delta(
 
 def _replay_log(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[int, dict[str, dict], dict | None, dict[str, int]]:
-    """Replay the log up to ``version`` (latest if None): returns
-    (resolved version, live adds by relative path, metaData, and the
-    highest committed txn version per appId — the exactly-once ledger).
+) -> LogState:
+    """Replay the log up to ``version`` (latest if None) into a
+    :class:`LogState` — live adds, metaData, the per-app txn ledger
+    (exactly-once), and tombstones with their deletion timestamps
+    (vacuum's retention basis).
 
     Latest reads start from ``_last_checkpoint`` when present (one small
     JSON + one parquet + the commit tail), never the full history;
@@ -376,6 +417,7 @@ def _replay_log(
     adds: dict[str, dict] = {}
     meta: dict | None = None
     txns: dict[str, int] = {}
+    removes: dict[str, int] = {}
     start = 0
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
@@ -392,6 +434,9 @@ def _replay_log(
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
+            if d.get("remove") and d["remove"].get("path"):
+                r = d["remove"]
+                removes[r["path"]] = int(r.get("deletionTimestamp", 0))
         start = lc["version"] + 1
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
@@ -409,14 +454,17 @@ def _replay_log(
                 meta = action["metaData"]
             elif "add" in action:
                 adds[action["add"]["path"]] = action["add"]
+                removes.pop(action["add"]["path"], None)
             elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
+                rm = action["remove"]
+                adds.pop(rm["path"], None)
+                removes[rm["path"]] = int(rm.get("deletionTimestamp", 0))
             elif "txn" in action:
                 t = action["txn"]
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
-    return target, adds, meta, txns
+    return LogState(target, adds, meta, txns, removes)
 
 
 def read_delta(
@@ -429,7 +477,8 @@ def read_delta(
     partition columns are restored from each file's ``partitionValues``
     and cast to the ``schemaString`` type — files themselves do not
     contain partition columns, per the Delta layout."""
-    target, adds, meta, _txns = _replay_log(spark, path, version)
+    st = _replay_log(spark, path, version)
+    target, adds, meta = st.version, st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if not adds:
@@ -510,7 +559,12 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         StructType,
     )
 
-    target, adds, meta, txns = _replay_log(spark, path, version)
+    st = _replay_log(spark, path, version)
+    target, adds, meta, txns = st.version, st.adds, st.meta, st.txns
+    # tombstones ride the checkpoint (within retention) so vacuum can
+    # still date deletions after old commits are cleaned up
+    cutoff = _now_ms() - TOMBSTONE_RETENTION_MS
+    removes = {r: ts for r, ts in st.removes.items() if ts >= cutoff}
     if meta is None:
         raise ValueError("cannot checkpoint a log without metaData")
     add_t = StructType(
@@ -556,45 +610,54 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("lastUpdated", LongType()),
         ]
     )
+    remove_t = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("deletionTimestamp", LongType()),
+            StructField("dataChange", BooleanType()),
+        ]
+    )
     schema = StructType(
         [
             StructField("protocol", proto_t),
             StructField("metaData", meta_t),
             StructField("add", add_t),
             StructField("txn", txn_t),
+            StructField("remove", remove_t),
         ]
     )
+    base = {"protocol": None, "metaData": None, "add": None, "txn": None,
+            "remove": None}
     rows = [
-        {"protocol": _PROTOCOL_ACTION["protocol"], "metaData": None,
-         "add": None, "txn": None},
-        {"protocol": None, "metaData": meta, "add": None, "txn": None},
+        {**base, "protocol": _PROTOCOL_ACTION["protocol"]},
+        {**base, "metaData": meta},
     ]
+    for rel in sorted(removes):
+        rows.append(
+            {**base,
+             "remove": {"path": rel, "deletionTimestamp": int(removes[rel]),
+                        "dataChange": True}}
+        )
     for app_id in sorted(txns):
         # the spec keeps the latest txn per appId in checkpoints, so the
         # exactly-once ledger survives log cleanup
         rows.append(
-            {
-                "protocol": None, "metaData": None, "add": None,
-                "txn": {"appId": app_id, "version": int(txns[app_id]),
-                        "lastUpdated": 0},
-            }
+            {**base,
+             "txn": {"appId": app_id, "version": int(txns[app_id]),
+                     "lastUpdated": 0}}
         )
     for rel in sorted(adds):
         a = adds[rel]
         rows.append(
-            {
-                "protocol": None,
-                "metaData": None,
-                "txn": None,
-                "add": {
-                    "path": a["path"],
-                    "partitionValues": a.get("partitionValues", {}),
-                    "size": int(a.get("size", 0)),
-                    "modificationTime": int(a.get("modificationTime", 0)),
-                    "dataChange": bool(a.get("dataChange", True)),
-                    "stats": a.get("stats"),
-                },
-            }
+            {**base,
+             "add": {
+                 "path": a["path"],
+                 "partitionValues": a.get("partitionValues", {}),
+                 "size": int(a.get("size", 0)),
+                 "modificationTime": int(a.get("modificationTime", 0)),
+                 "dataChange": bool(a.get("dataChange", True)),
+                 "stats": a.get("stats"),
+             }}
         )
     # the spec's checkpoint is a single FILE named
     # NNN.checkpoint.parquet — write to a temp dir, then promote the
@@ -643,7 +706,7 @@ def read_delta_changes(
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
     tip = versions[-1] if to_version is None else to_version
-    _, _adds, meta, _txns = _replay_log(spark, path, tip)
+    meta = _replay_log(spark, path, tip).meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
@@ -666,13 +729,22 @@ def read_delta_changes(
 
         empty = StructType(schema.fields + [StructField("_commit_version", LongType())])
         return spark.createDataFrame([], schema=empty)
-    parts = []
+    # one read per (commit, partition values) group — O(commits x
+    # touched partitions) scan nodes, not O(files)
+    groups: dict[tuple, list[str]] = {}
     for v, a in new_adds:
-        p = spark.read.parquet(f"{path}/{a['path']}")
-        for c in pcols:
-            p = p.withColumn(
-                c, F.lit(a.get("partitionValues", {}).get(c)).cast(ptypes[c])
-            )
+        key = (v,) + tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        groups.setdefault(key, []).append(a["path"])
+    parts = []
+    for key, rels in sorted(
+        groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+    ):
+        v, pvals = key[0], key[1:]
+        p = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{path}/{r}" for r in rels]
+        )
+        for c, pv in zip(pcols, pvals):
+            p = p.withColumn(c, F.lit(pv).cast(ptypes[c]))
         for f in schema.fields:
             if f.name not in p.columns:
                 p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -710,7 +782,8 @@ def merge_delta(
     versions = _list_log_versions(fs, jvm, path)
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
-    _, adds, meta, _txns = _replay_log(spark, path, None)
+    st = _replay_log(spark, path, None)
+    adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
@@ -724,6 +797,12 @@ def merge_delta(
         )
     source = source.select(*cols)
     pcols = meta.get("partitionColumns", [])
+    if len(pcols) > 1:
+        raise ValueError(
+            "merge_delta supports at most one partition column "
+            f"(table has {pcols}) — a partial rewrite would drop the "
+            "others' partitionValues"
+        )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     # target WITH provenance: explicit live files + restored partition
@@ -744,9 +823,16 @@ def merge_delta(
         for c, v in zip(pcols, key):
             p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
         parts.append(p)
-    target = parts[0]
-    for p in parts[1:]:
-        target = target.unionByName(p, allowMissingColumns=True)
+    if parts:
+        target = parts[0]
+        for p in parts[1:]:
+            target = target.unionByName(p, allowMissingColumns=True)
+    else:
+        # zero live files (e.g. truncated by an empty overwrite): the
+        # merge degenerates to a pure insert
+        target = spark.createDataFrame([], schema=schema).withColumn(
+            "_file", F.lit("")
+        )
     for f in schema.fields:
         if f.name not in target.columns:
             target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -784,37 +870,11 @@ def merge_delta(
     )
     new_data = survivors.unionByName(source)
 
-    staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
-    writer = new_data.write.mode("overwrite").option("compression", "zstd")
     pcol = pcols[0] if pcols else None
-    if pcol is not None:
-        writer = writer.partitionBy(pcol)
-    writer.parquet(f"{path}/{staging}")
-    staged = _relative_files(fs, jvm, path, staging, pcol)
+    new_adds = _stage_commit_files(
+        spark, fs, jvm, path, new_data, pcol, new_version
+    )
     now = _now_ms()
-    new_adds = []
-    for rel, size, pvals in staged:
-        inner = rel[len(staging) + 1 :]
-        segs = inner.rsplit("/", 1)
-        fname = f"v{new_version:06d}-{segs[-1]}"
-        final_rel = (segs[0] + "/" + fname) if len(segs) == 2 else fname
-        src_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        dst_p = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
-        fs.mkdirs(dst_p.getParent())
-        if not fs.rename(src_p, dst_p):
-            raise IOError(f"rename failed for {rel}")
-        add = {
-            "path": final_rel,
-            "partitionValues": pvals,
-            "size": size,
-            "modificationTime": now,
-            "dataChange": True,
-        }
-        n_rows = _footer_num_rows(f"{path}/{final_rel}")
-        if n_rows is not None:
-            add["stats"] = json.dumps({"numRecords": n_rows})
-        new_adds.append({"add": add})
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
 
     actions: list[dict] = [
         {
@@ -876,14 +936,26 @@ def vacuum_delta(
     retention window — Delta's VACUUM contract. Returns the deleted
     relative paths.
 
-    Time travel to versions whose files were reclaimed fails on read
-    (as in Delta); versions whose files all survive keep working. The
-    walk skips ``_delta_log`` and in-flight ``_staging_*`` dirs, so
-    concurrent commits are safe as long as retention exceeds the
-    longest plausible commit duration (Delta's default is 7 days for
-    the same reason). ``now_ms`` exists for deterministic tests."""
+    Retention is measured from the tombstone's ``deletionTimestamp``
+    (the moment the file left the live set) — a file written long ago
+    but removed a minute ago is NOT reclaimable, so concurrent readers
+    that resolved it just before the removing commit stay safe (Delta's
+    contract). Orphans the log never referenced (crashed stagings) age
+    by file modification time, their only signal. Time travel to
+    versions whose files were reclaimed fails on read (as in Delta);
+    versions whose files all survive keep working. The walk skips
+    ``_delta_log`` and in-flight ``_staging_*`` dirs. ``now_ms`` exists
+    for deterministic tests. Retention windows beyond 30 days exceed
+    the checkpoint tombstone retention (``TOMBSTONE_RETENTION_MS``) and
+    raise."""
+    if retain_hours * 3600 * 1000 > TOMBSTONE_RETENTION_MS:
+        raise ValueError(
+            "vacuum retention exceeds checkpoint tombstone retention "
+            "(30 days) — deletion times that old may no longer be recorded"
+        )
     fs, _, jvm = _hadoop_fs(spark, path)
-    _, live, _meta, _txns = _replay_log(spark, path, None)
+    st_log = _replay_log(spark, path, None)
+    live, removes = st_log.adds, st_log.removes
     cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
         retain_hours * 3600 * 1000
     )
@@ -899,13 +971,11 @@ def vacuum_delta(
             rel = f"{rel_prefix}{name}"
             if st.isDirectory():
                 walk(st.getPath(), rel + "/")
-            elif (
-                name.endswith(".parquet")
-                and rel not in live
-                and st.getModificationTime() < cutoff
-            ):
-                fs.delete(st.getPath(), False)
-                deleted.append(rel)
+            elif name.endswith(".parquet") and rel not in live:
+                age_basis = removes.get(rel, st.getModificationTime())
+                if age_basis < cutoff:
+                    fs.delete(st.getPath(), False)
+                    deleted.append(rel)
 
     walk(jvm.org.apache.hadoop.fs.Path(path), "")
     return sorted(deleted)

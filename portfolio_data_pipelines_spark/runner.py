@@ -95,10 +95,13 @@ class WeatherPipeline:
             from .operators.delta_log import write_delta
 
             with_date = df.withColumn("date", F.to_date(F.col("time")))
+            # null dates (unparseable timestamps, F1's non-strict parse)
+            # stay in bronze for audit — they live in the null partition,
+            # which the replace set must include or the commit rejects
+            # the staged data
             days = [
-                r["date"].isoformat()
+                r["date"].isoformat() if r["date"] is not None else None
                 for r in with_date.select("date").distinct().collect()
-                if r["date"] is not None
             ]
             write_delta(
                 self.spark, with_date, path,

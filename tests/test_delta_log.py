@@ -630,3 +630,54 @@ class TestChangeFeed:
         got = sorted((r["id"], r["v"]) for r in
                      read_delta_changes(spark, path, 0).collect())
         assert got == [(1, 1.0), (2, 22.0)]
+
+
+def test_vacuum_keys_retention_on_deletion_time_not_file_age(spark, tmp_path):
+    """A file WRITTEN long ago but tombstoned a moment ago must survive
+    vacuum (regression: mtime-based aging deleted it instantly,
+    breaking concurrent readers and fresh time travel)."""
+    import os
+    import time
+
+    path = str(tmp_path / "t_vac_dt")
+    d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+    write_delta(spark, d0, path, partition_col="date")
+    # backdate the data file far beyond any retention window
+    old = time.time() - 40 * 24 * 3600
+    for p in (tmp_path / "t_vac_dt").rglob("*.parquet"):
+        if "_delta_log" not in str(p):
+            os.utime(p, (old, old))
+    write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-01"))]), path,
+                partition_col="date", mode="overwrite")
+    # the tombstone is seconds old: retention still covers it
+    assert vacuum_delta(spark, path, retain_hours=1.0) == []
+    assert _rows(spark, read_delta(spark, path, version=0)) == _rows(spark, d0)
+    # retention beyond the checkpoint tombstone horizon is refused
+    with pytest.raises(ValueError, match="tombstone retention"):
+        vacuum_delta(spark, path, retain_hours=24 * 31.0)
+
+
+def test_delta_bronze_keeps_unparseable_timestamp_rows(spark, tmp_path):
+    """F1's non-strict parse leaves malformed times as NULL; with a
+    Delta bronze those rows land in the null partition and the commit
+    must succeed (regression: the replace set excluded None and the
+    whole ingest failed)."""
+    import json as _json
+
+    from portfolio_data_pipelines_spark.config import PipelineConfig
+    from portfolio_data_pipelines_spark.runner import WeatherPipeline
+
+    payload = {
+        "latitude": 0.0, "longitude": 0.0,
+        "hourly": {
+            "time": ["2021-01-01T00:00", "not-a-timestamp", "2021-01-01T02:00"],
+            "temperature_2m": [20.0, 21.0, 22.0],
+            "relative_humidity_2m": [50.0, 51.0, 52.0],
+        },
+    }
+    cfg = PipelineConfig(lake_root=str(tmp_path / "lake"), lake_format="delta")
+    pipe = WeatherPipeline(spark, config=cfg, fetcher=lambda: _json.dumps(payload))
+    pipe.run(_json.dumps(payload))
+    bronze = read_delta(spark, f"{cfg.lake_root}/weather")
+    assert bronze.count() == 3  # the bad row is retained for audit
+    assert bronze.filter(F.col("time").isNull()).count() == 1
