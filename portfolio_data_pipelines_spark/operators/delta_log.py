@@ -209,6 +209,7 @@ def _stage_commit_files(
     partition_col: str | None,
     new_version: int,
     replace_partitions: list | None = None,
+    data_change: bool = True,
 ) -> list[dict]:
     """Stage ``df`` under a uuid-suffixed dir, rename the part files
     into the table layout with a version-prefixed name, and return the
@@ -254,7 +255,7 @@ def _stage_commit_files(
             "partitionValues": pvals,
             "size": size,
             "modificationTime": now,
-            "dataChange": True,
+            "dataChange": data_change,
         }
         n_rows = _footer_num_rows(f"{path}/{final_rel}")
         if n_rows is not None:
@@ -923,6 +924,87 @@ def delta_stream_sink(
         )
 
     return sink
+
+
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    partitions: list[str] | None = None,
+) -> int | None:
+    """OPTIMIZE-style bin-packing: partitions holding more than one
+    live file are rewritten as one file each, committed with
+    ``dataChange=false`` adds and removes — readers see identical rows,
+    the change feed correctly skips the commit (it filters on
+    dataChange), and time travel to pre-compaction versions keeps
+    working because the small files are only tombstoned. Returns the
+    committed version, or None when nothing needed compaction.
+
+    ``partitions`` restricts the pass to the named partition values —
+    at scale you compact the partitions the streaming sink just
+    peppered with micro-batch files, not the whole table."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    pcols = st.meta.get("partitionColumns", [])
+    if len(pcols) > 1:
+        raise ValueError("optimize_delta supports at most one partition column")
+    pcol = pcols[0] if pcols else None
+    schema = _spark_schema_from_string(st.meta["schemaString"])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in sorted(st.adds.items()):
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        if partitions is not None and (not key or key[0] not in partitions):
+            continue
+        groups.setdefault(key, []).append(rel)
+    doomed_groups = {k: rels for k, rels in groups.items() if len(rels) > 1}
+    if not doomed_groups:
+        return None
+    parts = []
+    for key, rels in sorted(
+        doomed_groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+    ):
+        p = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{path}/{r}" for r in rels]
+        )
+        for c, v in zip(pcols, key):
+            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
+        for f in schema.fields:
+            if f.name not in p.columns:
+                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
+        # one output file per compacted partition
+        parts.append(p.select(*[f.name for f in schema.fields]).coalesce(1))
+    compacted = parts[0]
+    for p in parts[1:]:
+        compacted = compacted.unionByName(p)
+    new_version = versions[-1] + 1
+    adds = _stage_commit_files(
+        spark, fs, jvm, path, compacted, pcol, new_version, data_change=False
+    )
+    now = _now_ms()
+    actions: list[dict] = [
+        {
+            "remove": {
+                "path": rel,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for rels in doomed_groups.values()
+        for rel in sorted(rels)
+    ]
+    actions.extend(adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
 
 
 def vacuum_delta(

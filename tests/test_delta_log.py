@@ -681,3 +681,55 @@ def test_delta_bronze_keeps_unparseable_timestamp_rows(spark, tmp_path):
     bronze = read_delta(spark, f"{cfg.lake_root}/weather")
     assert bronze.count() == 3  # the bad row is retained for audit
     assert bronze.filter(F.col("time").isNull()).count() == 1
+
+
+class TestOptimize:
+    def test_optimize_compacts_to_one_file_per_partition(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            optimize_delta,
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t_opt")
+        for i in range(4):  # 4 commits × 1 file into the same day
+            write_delta(
+                spark,
+                _df(spark, [(i, float(i), _day("2021-01-01"))]).coalesce(1),
+                path, partition_col="date",
+            )
+        write_delta(spark, _df(spark, [(9, 9.0, _day("2021-01-02"))]).coalesce(1),
+                    path, partition_col="date")
+        before = _rows(spark, read_delta(spark, path))
+        v = optimize_delta(spark, path)
+        assert v == 5
+        assert _rows(spark, read_delta(spark, path)) == before  # rows identical
+        log = tmp_path / "t_opt" / "_delta_log"
+        v5 = [json.loads(x) for x in (log / f"{5:020d}.json").read_text().splitlines()]
+        adds = [a["add"] for a in v5 if "add" in a]
+        removed = [a["remove"] for a in v5 if "remove" in a]
+        # day 1's four files → one; single-file day 2 untouched
+        assert len(adds) == 1 and adds[0]["partitionValues"] == {"date": "2021-01-01"}
+        assert len(removed) == 4
+        assert all(not a["dataChange"] for a in adds)
+        assert all(not r["dataChange"] for r in removed)
+        # the change feed skips the compaction commit entirely
+        feed = read_delta_changes(spark, path, from_version=4)
+        assert feed.count() == 0
+        # pre-compaction versions still read
+        assert len(_rows(spark, read_delta(spark, path, version=4))) == 5
+        # idempotent: nothing left to compact
+        assert optimize_delta(spark, path) is None
+
+    def test_optimize_scoped_to_partitions(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import optimize_delta
+
+        path = str(tmp_path / "t_opt2")
+        for day in ("2021-01-01", "2021-01-02"):
+            for i in range(2):
+                write_delta(spark, _df(spark, [(i, 1.0, _day(day))]).coalesce(1),
+                            path, partition_col="date")
+        v = optimize_delta(spark, path, partitions=["2021-01-02"])
+        log = tmp_path / "t_opt2" / "_delta_log"
+        vN = [json.loads(x) for x in (log / f"{v:020d}.json").read_text().splitlines()]
+        assert all("2021-01-02" in a["remove"]["path"] for a in vN if "remove" in a)
+        assert len(_rows(spark, read_delta(spark, path))) == 4
