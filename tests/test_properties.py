@@ -408,8 +408,12 @@ def delta_scripts(draw):
     next_id = 0
     for step in range(n_commits):
         mode = draw(st.sampled_from(
-            ["append", "append", "overwrite"] + (["merge"] if step else [])
+            ["append", "append", "overwrite"]
+            + (["merge", "optimize"] if step else [])
         ))
+        if mode == "optimize":
+            script.append((mode, []))
+            continue
         n_rows = draw(st.integers(1, 4))
         rows = []
         for _ in range(n_rows):
@@ -446,27 +450,34 @@ def test_delta_log_matches_model_at_every_version(spark, tmp_path_factory, scrip
 
     from portfolio_data_pipelines_spark.operators.delta_log import (
         merge_delta,
+        optimize_delta,
         read_delta,
         write_delta,
     )
 
     path = str(tmp_path_factory.mktemp("delta_model") / "t")
-    model_versions = []
+    by_version: dict[int, list[tuple]] = {}
     live: list[tuple] = []
     for mode, rows in script:
-        df = spark.createDataFrame(
-            [(i, datetime.date.fromisoformat(d)) for i, d in rows],
-            "id bigint, date date",
-        )
-        if mode == "merge":
-            ids = {i for i, _ in rows}
-            live = [r for r in live if r[0] not in ids] + rows
-            merge_delta(spark, path, df, key_cols=["id"])
+        if mode == "optimize":
+            # bin-packing must leave the live set untouched; no-ops
+            # (nothing to compact) consume no version
+            v = optimize_delta(spark, path)
         else:
-            live = (live + rows) if mode == "append" else list(rows)
-            write_delta(spark, df, path, partition_col="date", mode=mode)
-        model_versions.append(list(live))
-    for v, expected in enumerate(model_versions):
+            df = spark.createDataFrame(
+                [(i, datetime.date.fromisoformat(d)) for i, d in rows],
+                "id bigint, date date",
+            )
+            if mode == "merge":
+                ids = {i for i, _ in rows}
+                live = [r for r in live if r[0] not in ids] + rows
+                v = merge_delta(spark, path, df, key_cols=["id"])
+            else:
+                live = (live + rows) if mode == "append" else list(rows)
+                v = write_delta(spark, df, path, partition_col="date", mode=mode)
+        if v is not None:
+            by_version[v] = list(live)
+    for v, expected in by_version.items():
         got = sorted(
             (r["id"], r["date"].isoformat())
             for r in read_delta(spark, path, version=v).collect()
