@@ -56,6 +56,7 @@ class LogState(NamedTuple):
     adds: dict
     meta: dict | None
     txns: dict
+    #: rel path → {"deletionTimestamp": ms, "dataChange": bool}
     removes: dict
 
 
@@ -437,7 +438,10 @@ def _replay_log(
                 )
             if d.get("remove") and d["remove"].get("path"):
                 r = d["remove"]
-                removes[r["path"]] = int(r.get("deletionTimestamp", 0))
+                removes[r["path"]] = {
+                    "deletionTimestamp": int(r.get("deletionTimestamp", 0)),
+                    "dataChange": bool(r.get("dataChange", True)),
+                }
         start = lc["version"] + 1
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
@@ -459,13 +463,59 @@ def _replay_log(
             elif "remove" in action:
                 rm = action["remove"]
                 adds.pop(rm["path"], None)
-                removes[rm["path"]] = int(rm.get("deletionTimestamp", 0))
+                removes[rm["path"]] = {
+                    "deletionTimestamp": int(rm.get("deletionTimestamp", 0)),
+                    "dataChange": bool(rm.get("dataChange", True)),
+                }
             elif "txn" in action:
                 t = action["txn"]
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
     return LogState(target, adds, meta, txns, removes)
+
+
+def _read_file_groups(
+    spark,
+    path: str,
+    adds: dict,
+    pcols: list,
+    ptypes: dict,
+    schema,
+    extra_cols=None,
+):
+    """Read live files grouped by partitionValues (one scan per group,
+    mergeSchema within), restore partition columns with their declared
+    types, null-fill declared-but-absent columns, and union. Shared by
+    read_delta's fallback, merge_delta, and optimize_delta.
+    ``extra_cols`` maps extra column names to per-group Column factories
+    (e.g. input_file_name for merge provenance)."""
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in sorted(adds.items()):
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        groups.setdefault(key, []).append(rel)
+    parts = []
+    for key, rels in sorted(
+        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+    ):
+        p = spark.read.option("mergeSchema", "true").parquet(
+            *[f"{path}/{r}" for r in rels]
+        )
+        if extra_cols:
+            for name, factory in extra_cols.items():
+                p = p.withColumn(name, factory())
+        for c, v in zip(pcols, key):
+            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
+        parts.append(p)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    for f in schema.fields:
+        if f.name not in out.columns:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out
 
 
 def read_delta(
@@ -515,28 +565,7 @@ def read_delta(
         )
     # Fallback for logs written elsewhere whose paths do not encode the
     # partition values: group by partitionValues, one read per group.
-    groups: dict[tuple, list[str]] = {}
-    for rel, a in sorted(adds.items()):
-        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        groups.setdefault(key, []).append(f"{path}/{rel}")
-    parts = []
-    for key, files in sorted(
-        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
-    ):
-        # mergeSchema: files inside one group may straddle an additive
-        # schema evolution
-        p = spark.read.option("mergeSchema", "true").parquet(*files)
-        for c, v in zip(pcols, key):
-            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
-        parts.append(p)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
-    # columns the declared schema has but no live file carries (all
-    # pre-evolution data was overwritten, say) surface as nulls
-    for f in schema.fields:
-        if f.name not in out.columns:
-            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+    out = _read_file_groups(spark, path, adds, pcols, ptypes, schema)
     # project to the declared schema's column order
     return out.select(*[f.name for f in schema.fields])
 
@@ -565,7 +594,10 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     # tombstones ride the checkpoint (within retention) so vacuum can
     # still date deletions after old commits are cleaned up
     cutoff = _now_ms() - TOMBSTONE_RETENTION_MS
-    removes = {r: ts for r, ts in st.removes.items() if ts >= cutoff}
+    removes = {
+        r: rm for r, rm in st.removes.items()
+        if rm["deletionTimestamp"] >= cutoff
+    }
     if meta is None:
         raise ValueError("cannot checkpoint a log without metaData")
     add_t = StructType(
@@ -634,10 +666,12 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         {**base, "metaData": meta},
     ]
     for rel in sorted(removes):
+        rm = removes[rel]
         rows.append(
             {**base,
-             "remove": {"path": rel, "deletionTimestamp": int(removes[rel]),
-                        "dataChange": True}}
+             "remove": {"path": rel,
+                        "deletionTimestamp": int(rm["deletionTimestamp"]),
+                        "dataChange": bool(rm["dataChange"])}}
         )
     for app_id in sorted(txns):
         # the spec keeps the latest txn per appId in checkpoints, so the
@@ -808,35 +842,16 @@ def merge_delta(
 
     # target WITH provenance: explicit live files + restored partition
     # cols + the physical file each row came from
-    groups: dict[tuple, list[str]] = {}
-    for rel, a in sorted(adds.items()):
-        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        groups.setdefault(key, []).append(rel)
-    parts = []
-    for key, rels in sorted(
-        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
-    ):
-        p = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[f"{path}/{r}" for r in rels])
-            .withColumn("_file", F.input_file_name())
-        )
-        for c, v in zip(pcols, key):
-            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
-        parts.append(p)
-    if parts:
-        target = parts[0]
-        for p in parts[1:]:
-            target = target.unionByName(p, allowMissingColumns=True)
-    else:
+    target = _read_file_groups(
+        spark, path, adds, pcols, ptypes, schema,
+        extra_cols={"_file": F.input_file_name},
+    )
+    if target is None:
         # zero live files (e.g. truncated by an empty overwrite): the
         # merge degenerates to a pure insert
         target = spark.createDataFrame([], schema=schema).withColumn(
             "_file", F.lit("")
         )
-    for f in schema.fields:
-        if f.name not in target.columns:
-            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
 
     src_keys = F.broadcast(source.select(*key_cols).distinct())
     touched_uris = {
@@ -943,45 +958,42 @@ def optimize_delta(
     at scale you compact the partitions the streaming sink just
     peppered with micro-batch files, not the whole table."""
     fs, _, jvm = _hadoop_fs(spark, path)
-    versions = _list_log_versions(fs, jvm, path)
-    if not versions:
-        raise FileNotFoundError(f"no _delta_log under {path}")
     st = _replay_log(spark, path, None)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
     if len(pcols) > 1:
         raise ValueError("optimize_delta supports at most one partition column")
+    if partitions is not None and not pcols:
+        raise ValueError(
+            "partitions scope given but the table is unpartitioned"
+        )
     pcol = pcols[0] if pcols else None
     schema = _spark_schema_from_string(st.meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    groups: dict[tuple, list[str]] = {}
+    doomed_adds: dict[str, dict] = {}
+    by_key: dict[tuple, list[str]] = {}
     for rel, a in sorted(st.adds.items()):
         key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        if partitions is not None and (not key or key[0] not in partitions):
+        if partitions is not None and key[0] not in partitions:
             continue
-        groups.setdefault(key, []).append(rel)
-    doomed_groups = {k: rels for k, rels in groups.items() if len(rels) > 1}
+        by_key.setdefault(key, []).append(rel)
+    doomed_groups = {k: rels for k, rels in by_key.items() if len(rels) > 1}
     if not doomed_groups:
         return None
-    parts = []
-    for key, rels in sorted(
-        doomed_groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
-    ):
-        p = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{path}/{r}" for r in rels]
-        )
-        for c, v in zip(pcols, key):
-            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
-        for f in schema.fields:
-            if f.name not in p.columns:
-                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
-        # one output file per compacted partition
-        parts.append(p.select(*[f.name for f in schema.fields]).coalesce(1))
-    compacted = parts[0]
-    for p in parts[1:]:
-        compacted = compacted.unionByName(p)
-    new_version = versions[-1] + 1
+    for rels in doomed_groups.values():
+        for rel in rels:
+            doomed_adds[rel] = st.adds[rel]
+    compacted = _read_file_groups(
+        spark, path, doomed_adds, pcols, ptypes, schema
+    ).select(*[f.name for f in schema.fields])
+    # ~one output file per compacted partition: one task per partition
+    # value after the repartition
+    if pcol is not None:
+        compacted = compacted.repartition(len(doomed_groups), pcol)
+    else:
+        compacted = compacted.coalesce(1)
+    new_version = st.version + 1
     adds = _stage_commit_files(
         spark, fs, jvm, path, compacted, pcol, new_version, data_change=False
     )
@@ -1054,7 +1066,11 @@ def vacuum_delta(
             if st.isDirectory():
                 walk(st.getPath(), rel + "/")
             elif name.endswith(".parquet") and rel not in live:
-                age_basis = removes.get(rel, st.getModificationTime())
+                rm = removes.get(rel)
+                age_basis = (
+                    rm["deletionTimestamp"] if rm is not None
+                    else st.getModificationTime()
+                )
                 if age_basis < cutoff:
                     fs.delete(st.getPath(), False)
                     deleted.append(rel)

@@ -733,3 +733,25 @@ class TestOptimize:
         vN = [json.loads(x) for x in (log / f"{v:020d}.json").read_text().splitlines()]
         assert all("2021-01-02" in a["remove"]["path"] for a in vN if "remove" in a)
         assert len(_rows(spark, read_delta(spark, path))) == 4
+
+
+def test_checkpoint_preserves_tombstone_datachange_flag(spark, tmp_path):
+    """A checkpoint after an OPTIMIZE must keep its tombstones'
+    dataChange=false (regression: the checkpoint rewrote them as
+    dataChange=true, turning a pure compaction into phantom deletions
+    for any standard reader replaying the checkpoint)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import optimize_delta
+
+    path = str(tmp_path / "t_cp_dc")
+    for i in range(2):
+        write_delta(spark, _df(spark, [(i, float(i), _day("2021-01-01"))]).coalesce(1),
+                    path, partition_col="date")
+    v = optimize_delta(spark, path)
+    checkpoint_delta(spark, path, v)
+    cp = spark.read.parquet(
+        str(tmp_path / "t_cp_dc" / "_delta_log" / f"{v:020d}.checkpoint.parquet")
+    )
+    rm = [r["remove"].asDict() for r in cp.collect() if r["remove"] is not None]
+    assert rm and all(r["dataChange"] is False for r in rm)
+    # and replaying THROUGH the checkpoint still reads correctly
+    assert len(_rows(spark, read_delta(spark, path))) == 2
