@@ -755,3 +755,41 @@ def test_checkpoint_preserves_tombstone_datachange_flag(spark, tmp_path):
     assert rm and all(r["dataChange"] is False for r in rm)
     # and replaying THROUGH the checkpoint still reads correctly
     assert len(_rows(spark, read_delta(spark, path))) == 2
+
+
+def test_lakehouse_lifecycle_stream_optimize_vacuum(spark, tmp_path):
+    """The whole lifecycle in one story: micro-batches stream in with
+    exactly-once txns, OPTIMIZE packs the small files, VACUUM reclaims
+    them after retention — and the data never changes."""
+    import time
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delta_stream_sink,
+        optimize_delta,
+        read_delta_changes,
+    )
+
+    path = str(tmp_path / "t_life")
+    sink = delta_stream_sink(path, partition_col="date", app_id="life")
+    for b in range(4):  # 4 micro-batches into one day
+        sink(_df(spark, [(b, float(b), _day("2021-01-01"))]).coalesce(1), b)
+    sink(_df(spark, [(2, 2.0, _day("2021-01-01"))]).coalesce(1), 2)  # replay: skipped
+    before = _rows(spark, read_delta(spark, path))
+    assert len(before) == 4
+    v = optimize_delta(spark, path)
+    assert v == 4
+    assert _rows(spark, read_delta(spark, path)) == before
+    # consumer catching up from batch 1 sees batches 2-3 but NOT the
+    # compaction
+    feed = read_delta_changes(spark, path, from_version=1)
+    assert sorted(r["id"] for r in feed.collect()) == [2, 3]
+    # vacuum reclaims the four micro-files after retention
+    future = int((time.time() + 3600) * 1000)
+    deleted = vacuum_delta(spark, path, retain_hours=0.0, now_ms=future)
+    assert len(deleted) == 4
+    assert _rows(spark, read_delta(spark, path)) == before
+    data_files = [
+        p for p in (tmp_path / "t_life").rglob("*.parquet")
+        if "_delta_log" not in str(p)
+    ]
+    assert len(data_files) == 1  # just the compacted file remains
