@@ -793,3 +793,19 @@ def test_lakehouse_lifecycle_stream_optimize_vacuum(spark, tmp_path):
         if "_delta_log" not in str(p)
     ]
     assert len(data_files) == 1  # just the compacted file remains
+
+
+def test_fast_path_read_partition_prunes_at_the_scan(spark, tmp_path):
+    """A filter on the restored partition column must reach the scan as
+    a PartitionFilter (file-index pruning) in the fast-path read — the
+    property that keeps a 10k-partition table read from touching every
+    file at planning time."""
+    path = str(tmp_path / "t_pp")
+    d0 = _df(spark, [(i, float(i), _day(f"2021-01-{1 + i % 3:02d}")) for i in range(30)])
+    write_delta(spark, d0, path, partition_col="date")
+    q = read_delta(spark, path).filter(F.col("date") == "2021-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "date" in m.group(1)
+    assert q.count() == 10
