@@ -64,6 +64,67 @@ def _log_path(version: int) -> str:
     return f"_delta_log/{version:020d}.json"
 
 
+# The spec says add/remove ``path`` is an RFC 2396 URI (standard readers
+# URL-decode it before resolving against the table root), so the logical
+# path must be URI-ENCODED even though the physical file name is the
+# hive-escaped form: a partition value "100%" lives on disk under
+# ``k=100%25/`` and appears in the log as ``k=100%2525/``. The safe set
+# is RFC 2396 pchar + mark (what java.net.URI leaves unescaped), so '='
+# in partition dirs stays literal — matching delta-spark's output.
+_URI_PATH_SAFE = "/:@&=+$,-_.!~*'()"
+
+
+def _encode_path(rel: str) -> str:
+    from urllib.parse import quote
+
+    return quote(rel, safe=_URI_PATH_SAFE)
+
+
+def _decode_path(rel: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(rel)
+
+
+def _normalize_uri(u: str, decode: bool) -> str:
+    """One canonical (physical) form for a file location so scan URIs
+    and ``{table_root}/{rel}`` compare exactly. ``decode=True`` for
+    Spark's ``input_file_name`` output, which is URL-encoded (space →
+    %20, a literal ``%`` in a hive-escaped dir → %25); ``decode=False``
+    for the table side, where ``rel`` is already the physical name.
+    Both collapse ``file:`` authority variants (``file:/p`` /
+    ``file:///p``) to a bare ``/p``; other schemes stay verbatim."""
+    from urllib.parse import unquote
+
+    if decode:
+        u = unquote(u)
+    if u.startswith("file:"):
+        return "/" + u[len("file:"):].lstrip("/")
+    return u
+
+
+def _warn_if_commit_unsafe(path: str) -> None:
+    """Commit exclusivity here relies on create-if-absent, which is
+    atomic on HDFS/local/ABFS but NOT on S3(-compatible) stores, where
+    Hadoop's ``create(overwrite=false)`` is check-then-act: two racing
+    writers can both "win" a version and corrupt the log. Delta solves
+    this with an external LogStore (DynamoDB lock / S3 conditional
+    writes); this module has none, so object-store roots get a loud
+    warning — single-writer deployments are fine, concurrent writers
+    must serialize commits externally."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("s3", "s3a", "s3n", "gs", "oss", "cos"):
+        import warnings
+
+        warnings.warn(
+            f"Delta commits to {scheme}:// rely on create-if-absent, which "
+            "is not atomic on object stores — concurrent writers to this "
+            "table must be serialized externally (Delta's LogStore role).",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _now_ms() -> int:
     return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1000)
 
@@ -155,6 +216,20 @@ def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
 
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+#: (from, to) Spark-schema-JSON type pairs a schema-evolution commit may
+#: apply to an existing column: parquet's widening primitive promotions,
+#: which Spark 4's parquet readers apply on the fly (SPARK-40876) so the
+#: old files stay readable under the widened schemaString.
+_SAFE_UPCASTS = {
+    ("byte", "short"),
+    ("byte", "integer"),
+    ("byte", "long"),
+    ("short", "integer"),
+    ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+}
 
 
 def _unescape_partition_value(v: str) -> str | None:
@@ -252,7 +327,8 @@ def _stage_commit_files(
         if not fs.rename(src, dst):
             raise IOError(f"rename failed for {rel}")
         add = {
-            "path": final_rel,
+            # logical (URI-encoded) form of the physical relative path
+            "path": _encode_path(final_rel),
             "partitionValues": pvals,
             "size": size,
             "modificationTime": now,
@@ -309,6 +385,7 @@ def write_delta(
         raise ValueError(
             "replace_partitions requires mode='overwrite' and a partition_col"
         )
+    _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     versions = _list_log_versions(fs, jvm, path)
     new_version = (versions[-1] + 1) if versions else 0
@@ -350,16 +427,38 @@ def write_delta(
         # schema emits an updated metaData action (same table id), as
         # Delta's mergeSchema writes do; readers then project to the
         # widened schema and older files surface nulls for new columns
-        prev_fields = {
-            f["name"] for f in json.loads(prev_meta["schemaString"])["fields"]
+        prev_by_name = {
+            f["name"]: f for f in json.loads(prev_meta["schemaString"])["fields"]
         }
-        new_fields = {f.name for f in df.schema.fields}
-        if not prev_fields <= new_fields:
+        new_json = json.loads(_schema_string(df))["fields"]
+        new_fields = {f["name"] for f in new_json}
+        if not set(prev_by_name) <= new_fields:
             raise ValueError(
                 "schema evolution is additive-only: missing columns "
-                f"{sorted(prev_fields - new_fields)} (model drops/renames "
-                "as adds, as the lakehouse formats do)"
+                f"{sorted(set(prev_by_name) - new_fields)} (model drops/"
+                "renames as adds, as the lakehouse formats do)"
             )
+        # Columns present in BOTH schemas must keep their type (or take
+        # one of parquet's safe widenings) — accepting a same-name type
+        # change would rewrite schemaString and leave every subsequent
+        # read failing on a parquet type mismatch, i.e. an unreadable
+        # table. Mirrors Delta's mergeSchema rules.
+        for f in new_json:
+            pf = prev_by_name.get(f["name"])
+            if pf is None:
+                continue
+            if pf["type"] != f["type"] and (
+                pf["type"],
+                f["type"],
+            ) not in _SAFE_UPCASTS:
+                raise ValueError(
+                    f"schema evolution cannot change column {f['name']!r} "
+                    f"from {pf['type']} to {f['type']}: existing files "
+                    "keep the old parquet type, so the table would become "
+                    "unreadable. Only the safe numeric widenings "
+                    "(byte→short→int→long, float→double) are accepted; "
+                    "model other changes as a new column."
+                )
         evolved = dict(prev_meta)
         evolved["schemaString"] = _schema_string(df)
         actions.append({"metaData": evolved})
@@ -381,7 +480,7 @@ def write_delta(
             actions.append(
                 {
                     "remove": {
-                        "path": rel,
+                        "path": _encode_path(rel),
                         "deletionTimestamp": now,
                         "dataChange": True,
                     }
@@ -430,6 +529,8 @@ def _replay_log(
                 meta = d["metaData"]
             if d.get("add") and d["add"].get("path"):
                 a = d["add"]
+                # log paths are URI-encoded; state is keyed physical
+                a["path"] = _decode_path(a["path"])
                 adds[a["path"]] = a
             if d.get("txn") and d["txn"].get("appId"):
                 t = d["txn"]
@@ -438,6 +539,7 @@ def _replay_log(
                 )
             if d.get("remove") and d["remove"].get("path"):
                 r = d["remove"]
+                r["path"] = _decode_path(r["path"])
                 removes[r["path"]] = {
                     "deletionTimestamp": int(r.get("deletionTimestamp", 0)),
                     "dataChange": bool(r.get("dataChange", True)),
@@ -458,10 +560,13 @@ def _replay_log(
             if "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
-                adds[action["add"]["path"]] = action["add"]
-                removes.pop(action["add"]["path"], None)
+                a = action["add"]
+                a["path"] = _decode_path(a["path"])
+                adds[a["path"]] = a
+                removes.pop(a["path"], None)
             elif "remove" in action:
                 rm = action["remove"]
+                rm["path"] = _decode_path(rm["path"])
                 adds.pop(rm["path"], None)
                 removes[rm["path"]] = {
                     "deletionTimestamp": int(rm.get("deletionTimestamp", 0)),
@@ -669,7 +774,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         rm = removes[rel]
         rows.append(
             {**base,
-             "remove": {"path": rel,
+             "remove": {"path": _encode_path(rel),
                         "deletionTimestamp": int(rm["deletionTimestamp"]),
                         "dataChange": bool(rm["dataChange"])}}
         )
@@ -686,7 +791,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         rows.append(
             {**base,
              "add": {
-                 "path": a["path"],
+                 "path": _encode_path(a["path"]),
                  "partitionValues": a.get("partitionValues", {}),
                  "size": int(a.get("size", 0)),
                  "modificationTime": int(a.get("modificationTime", 0)),
@@ -757,7 +862,9 @@ def read_delta_changes(
                 continue
             action = json.loads(line)
             if "add" in action and action["add"].get("dataChange", True):
-                new_adds.append((v, action["add"]))
+                a = action["add"]
+                a["path"] = _decode_path(a["path"])
+                new_adds.append((v, a))
     out_fields = [f.name for f in schema.fields] + ["_commit_version"]
     if not new_adds:
         from pyspark.sql.types import LongType, StructField, StructType
@@ -813,6 +920,7 @@ def merge_delta(
     The reference's roadmap names exactly this (``README.md:209``);
     ``operators/medallion.merge_upsert`` is the plain-parquet
     restatement at partition granularity."""
+    _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     versions = _list_log_versions(fs, jvm, path)
     if not versions:
@@ -859,21 +967,24 @@ def merge_delta(
         for r in target.join(src_keys, key_cols, "left_semi")
         .select("_file").distinct().collect()
     }
-    # map absolute scan URIs back to log-relative paths by FULL relative
-    # suffix — basenames are NOT unique across partition dirs (one job's
-    # tasks reuse part-file names in every partition they write), so
-    # only the whole rel path identifies a file. URIs may carry %XX
-    # escapes for special partition values; compare both forms.
-    from urllib.parse import unquote
-
-    touched_rels = sorted(
-        rel
-        for rel in adds
-        if any(
-            u.endswith("/" + rel) or unquote(u).endswith("/" + rel)
-            for u in touched_uris
-        )
-    )
+    # Map absolute scan URIs back to log-relative paths via an EXACT
+    # normalized-URI lookup — a suffix match would false-positive when
+    # one add's relative path is a path-suffix of another's (possible in
+    # foreign-written/exported layouts with nested dirs), silently
+    # tombstoning an untouched file without rewriting its rows.
+    uri_to_rel = {
+        _normalize_uri(f"{path}/{rel}", decode=False): rel for rel in adds
+    }
+    touched_rels = []
+    for u in touched_uris:
+        rel = uri_to_rel.get(_normalize_uri(u, decode=True))
+        if rel is None:
+            raise ValueError(
+                f"scanned file {u} does not map to any live add entry — "
+                "log and filesystem views diverged"
+            )
+        touched_rels.append(rel)
+    touched_rels = sorted(touched_rels)
     new_version = versions[-1] + 1
     if not touched_rels and source.isEmpty():
         return versions[-1]
@@ -895,7 +1006,7 @@ def merge_delta(
     actions: list[dict] = [
         {
             "remove": {
-                "path": rel,
+                "path": _encode_path(rel),
                 "deletionTimestamp": now,
                 "dataChange": True,
             }
@@ -957,6 +1068,7 @@ def optimize_delta(
     ``partitions`` restricts the pass to the named partition values —
     at scale you compact the partitions the streaming sink just
     peppered with micro-batch files, not the whole table."""
+    _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
     if st.meta is None:
@@ -1001,7 +1113,7 @@ def optimize_delta(
     actions: list[dict] = [
         {
             "remove": {
-                "path": rel,
+                "path": _encode_path(rel),
                 "deletionTimestamp": now,
                 "dataChange": False,
             }
@@ -1113,7 +1225,7 @@ def export_versioned_as_delta(
             adds.append(
                 {
                     "add": {
-                        "path": f"{leaf}/{st.getPath().getName()}",
+                        "path": _encode_path(f"{leaf}/{st.getPath().getName()}"),
                         "partitionValues": {pcol: day},
                         "size": st.getLen(),
                         "modificationTime": now,

@@ -809,3 +809,175 @@ def test_fast_path_read_partition_prunes_at_the_scan(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "date" in m.group(1)
     assert q.count() == 10
+
+
+class TestAdviceHardening:
+    """Round-6 ADVICE items: type-change evolution guard, URI-encoded
+    log paths, exact merge file mapping, object-store commit warning."""
+
+    def test_same_name_type_change_rejected(self, spark, tmp_path):
+        """A commit that keeps a column name but changes its type must
+        be refused — accepting it would rewrite schemaString while old
+        files keep the old parquet type, leaving every subsequent read
+        failing (an unreadable table)."""
+        path = str(tmp_path / "t_typechg")
+        write_delta(
+            spark, spark.createDataFrame([(1, 2)], "id bigint, n bigint"), path
+        )
+        with pytest.raises(ValueError, match="cannot change column"):
+            write_delta(
+                spark,
+                spark.createDataFrame([(2, "x")], "id bigint, n string"),
+                path,
+            )
+        # the rejected commit left the table fully readable
+        assert _rows(spark, read_delta(spark, path)) == [(1, 2)]
+
+    def test_safe_numeric_widening_accepted(self, spark, tmp_path):
+        """Parquet's widening promotions (int->long, float->double) are
+        the one type change evolution may apply: Spark 4's readers
+        upcast the old files on the fly under the widened schema."""
+        path = str(tmp_path / "t_widen")
+        write_delta(
+            spark, spark.createDataFrame([(1, 1.5)], "n int, f float"), path
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame([(2**40, 2.5)], "n long, f double"),
+            path,
+        )
+        got = read_delta(spark, path)
+        assert dict(got.dtypes) == {"n": "bigint", "f": "double"}
+        assert _rows(spark, got) == [(1, 1.5), (2**40, 2.5)]
+
+    def test_log_paths_are_uri_encoded(self, spark, tmp_path):
+        """The spec says add/remove paths are RFC 2396 URIs that readers
+        URL-decode: a hive-escaped dir for value '100%' is physically
+        k=100%25/, so the log must carry k=100%2525/... — decoding the
+        logical path must yield exactly the physical file."""
+        from urllib.parse import unquote
+
+        path = str(tmp_path / "t_uri")
+        d0 = spark.createDataFrame(
+            [(1, "100%"), (2, "a b"), (3, "plain")], "id bigint, k string"
+        )
+        write_delta(spark, d0, path, partition_col="k")
+        log = tmp_path / "t_uri" / "_delta_log"
+        v0 = [
+            json.loads(x)
+            for x in (log / f"{0:020d}.json").read_text().splitlines()
+        ]
+        add_paths = [a["add"]["path"] for a in v0 if "add" in a]
+        assert any(p.startswith("k=100%2525/") for p in add_paths)
+        assert any(p.startswith("k=a%20b/") for p in add_paths)
+        for p in add_paths:
+            # URL-decoding the logical path resolves the physical file
+            assert (tmp_path / "t_uri" / unquote(p)).exists()
+        # overwrite: remove paths use the same encoding as the adds
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, "100%")], "id bigint, k string"),
+            path,
+            partition_col="k",
+            mode="overwrite",
+        )
+        v1 = [
+            json.loads(x)
+            for x in (log / f"{1:020d}.json").read_text().splitlines()
+        ]
+        removed = {a["remove"]["path"] for a in v1 if "remove" in a}
+        assert removed == set(add_paths)
+        # and the table still reads back the logical values
+        assert _rows(spark, read_delta(spark, path)) == [(9, "100%")]
+
+    def test_merge_exact_mapping_no_path_suffix_false_positive(
+        self, spark, tmp_path
+    ):
+        """Foreign-written layout where one add's relative path is a
+        full path-suffix of another's (x.parquet vs a/x.parquet): a
+        merge touching only a/x.parquet must NOT tombstone x.parquet —
+        the old endswith matching silently dropped its rows."""
+        import shutil
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            merge_delta,
+        )
+
+        root = tmp_path / "t_suffix"
+        (root / "a").mkdir(parents=True)
+
+        def _one_file(rows, dest):
+            stage = tmp_path / ("stage_" + dest.name.replace("/", "_"))
+            spark.createDataFrame(rows, "id bigint, s string").coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(stage))
+            part = next(stage.glob("*.parquet"))
+            shutil.copy(part, dest)
+            return dest.stat().st_size
+
+        s1 = _one_file([(1, "keep")], root / "x.parquet")
+        s2 = _one_file([(2, "old")], root / "a" / "x.parquet")
+        schema_string = spark.createDataFrame(
+            [], "id bigint, s string"
+        ).schema.json()
+        log_dir = root / "_delta_log"
+        log_dir.mkdir()
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "0000",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            },
+            {
+                "add": {
+                    "path": "x.parquet",
+                    "partitionValues": {},
+                    "size": s1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "a/x.parquet",
+                    "partitionValues": {},
+                    "size": s2,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ]
+        (log_dir / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in actions)
+        )
+        src = spark.createDataFrame([(2, "new")], "id bigint, s string")
+        merge_delta(spark, str(root), src, key_cols=["id"])
+        got = _rows(spark, read_delta(spark, str(root)))
+        assert got == [(1, "keep"), (2, "new")]
+        v1 = [
+            json.loads(x)
+            for x in (log_dir / f"{1:020d}.json").read_text().splitlines()
+        ]
+        removed = {a["remove"]["path"] for a in v1 if "remove" in a}
+        assert removed == {"a/x.parquet"}  # x.parquet untouched
+
+    def test_object_store_commit_warns_local_does_not(self, spark):
+        import warnings
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _warn_if_commit_unsafe,
+        )
+
+        with pytest.warns(RuntimeWarning, match="not atomic"):
+            _warn_if_commit_unsafe("s3a://bucket/table")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _warn_if_commit_unsafe("/tmp/table")
+            _warn_if_commit_unsafe("file:/tmp/table")
+            _warn_if_commit_unsafe("hdfs://nn/table")

@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from portfolio_data_pipelines_spark.queries.stats import (
     approx_distinct_users_daily,
+    approx_distinct_users_daily_raw,
     approx_price_percentiles,
+    approx_price_percentiles_raw,
 )
 from portfolio_data_pipelines_spark.sources.parquet import scan_table
 
@@ -14,7 +16,7 @@ from portfolio_data_pipelines_spark.sources.parquet import scan_table
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     approx = {
         r["date_utc"]: r["approx_users"]
-        for r in approx_distinct_users_daily(spark, sf_dir).collect()
+        for r in approx_distinct_users_daily_raw(spark, sf_dir).collect()
     }
     exact = {
         r["date_utc"]: r["n"]
@@ -29,7 +31,7 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
 
 
 def test_approx_percentiles_bracket_exact(spark, sf_dir):
-    approx = {r["l_returnflag"]: r for r in approx_price_percentiles(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in approx_price_percentiles_raw(spark, sf_dir).collect()}
     exact = {
         r["l_returnflag"]: r
         for r in scan_table(spark, sf_dir, "lineitem")
@@ -55,7 +57,7 @@ def test_hll_error_within_published_bound_vs_duckdb(spark, duck):
     hash are deterministic, so this is a pin, not a flaky tolerance)."""
     approx = {
         r["date_utc"]: r["approx_users"]
-        for r in approx_distinct_users_daily(spark, SF_ORACLE).collect()
+        for r in approx_distinct_users_daily_raw(spark, SF_ORACLE).collect()
     }
     exact = dict(
         duck.sql(
@@ -77,7 +79,7 @@ def test_approx_percentile_rank_error_within_accuracy_vs_duckdb(spark, duck):
     intersect [(p - eps) * N, (p + eps) * N]. Also pins that the sketch
     returns a real data value, not an interpolation."""
     eps = 1.0 / 10000  # the accuracy configured in approx_price_percentiles
-    for r in approx_price_percentiles(spark, SF_ORACLE).collect():
+    for r in approx_price_percentiles_raw(spark, SF_ORACLE).collect():
         rf = r["l_returnflag"]
         for p, colname in ((0.5, "p50_price"), (0.95, "p95_price"), (0.99, "p99_price")):
             v = r[colname]
@@ -95,3 +97,22 @@ def test_approx_percentile_rank_error_within_accuracy_vs_duckdb(spark, duck):
             # rank band; +/-1 absorbs the discrete-rank boundary.
             assert lo <= (p + eps) * n + 1, (rf, p, v, lo, n)
             assert hi >= (p - eps) * n - 1, (rf, p, v, hi, n)
+
+
+def test_contract_form_queries_report_within_bound(spark, sf_dir):
+    """The DECLARED sketch queries are the oracle-checkable contract
+    form: exact answer (hash-matched vs DuckDB by the parity suite)
+    plus a computed within_bound flag. Here: the flag must come out
+    True for every group — i.e. the sketches actually satisfy their
+    published error bounds on real data — and the exact arms carry the
+    agreed column names."""
+    hll = approx_distinct_users_daily(spark, sf_dir).collect()
+    assert hll and all(r["within_bound"] for r in hll)
+    assert {"date_utc", "exact_users", "n_events", "within_bound"} == set(
+        hll[0].asDict()
+    )
+    pct = approx_price_percentiles(spark, sf_dir).collect()
+    assert pct and all(r["within_bound"] for r in pct)
+    assert {
+        "l_returnflag", "p50_exact", "p95_exact", "p99_exact", "within_bound"
+    } == set(pct[0].asDict())
