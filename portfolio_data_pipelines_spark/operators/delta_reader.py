@@ -1,0 +1,194 @@
+"""Independent Delta Lake table reader — spec-only, zero shared code.
+
+This module plays the role of an EXTERNAL Delta implementation for
+conformance testing: it reads tables produced by ``delta_log.py`` (or
+any Delta writer) purely from the open protocol (delta-io PROTOCOL.md),
+sharing NO code with the writer — it parses ``_last_checkpoint``, the
+parquet checkpoint, and the NDJSON commits itself, resolves data files
+with pyarrow (not Spark), and returns plain Python rows. The in-sandbox
+environment has no second Delta implementation (no delta-spark JAR, no
+``deltalake`` wheel, no DuckDB delta extension — probed round 6), so
+this is the strongest available cross-validation of the wire format:
+``tests/test_delta_external_reader.py`` pins it equal to ``read_delta``
+across the full table lifecycle (append/overwrite/time travel/special
+partition values/schema evolution/merge/OPTIMIZE/checkpoint/vacuum/
+lake export).
+
+Deliberate independence rules (kept even where sharing would be DRY):
+- no imports from ``delta_log`` — spec constants are re-derived here;
+- data files are read with pyarrow, not Spark, so a Spark-side read bug
+  cannot cancel itself out;
+- paths are resolved exactly as the spec says an external reader would:
+  URL-decode the logical ``path`` of each action, join to the table
+  root.
+
+Local-filesystem only (the sandbox has no object store); an external
+deployment would swap ``os`` calls for its store's SDK.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import re
+from urllib.parse import unquote
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme down to the plain local path."""
+    if path.startswith("file:"):
+        return "/" + path[len("file:"):].lstrip("/")
+    return path
+
+
+def _list_commit_versions(log_dir: str) -> list[int]:
+    """All commit versions present, by DIRECTORY LISTING — the way a
+    foreign reader discovers a table it did not write."""
+    out = []
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_checkpoint_actions(log_dir: str, version: int) -> list[dict]:
+    """Flattened checkpoint rows back to action dicts, via pyarrow."""
+    import pyarrow.parquet as pq
+
+    cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    actions = []
+    for row in pq.read_table(cp).to_pylist():
+        for kind in ("protocol", "metaData", "add", "remove", "txn"):
+            v = row.get(kind)
+            # a struct column materializes for every row; a row carries
+            # the action whose required field is populated
+            if v and (
+                (kind == "protocol" and v.get("minReaderVersion") is not None)
+                or (kind == "metaData" and v.get("id"))
+                or (kind in ("add", "remove") and v.get("path"))
+                or (kind == "txn" and v.get("appId"))
+            ):
+                actions.append({kind: v})
+    return actions
+
+
+def _replay(path: str, version: int | None):
+    """Replay the log to (live adds, metaData) at ``version`` (latest
+    when None), starting from the newest eligible checkpoint."""
+    root = _local(path)
+    log_dir = os.path.join(root, "_delta_log")
+    versions = _list_commit_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    target = versions[-1] if version is None else version
+    start = 0
+    actions: list[dict] = []
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        lc = json.loads(open(lc_path).read())
+        if lc["version"] <= target:
+            actions.extend(_read_checkpoint_actions(log_dir, lc["version"]))
+            start = lc["version"] + 1
+    for v in range(start, target + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(f"commit {v} missing from {log_dir}")
+        for line in open(commit).read().splitlines():
+            if line.strip():
+                actions.append(json.loads(line))
+
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    protocol: dict | None = None
+    for action in actions:
+        if "protocol" in action:
+            protocol = action["protocol"]
+        elif "metaData" in action:
+            meta = action["metaData"]
+        elif "add" in action:
+            a = action["add"]
+            # the spec: path is an RFC 2396 URI — decode to the
+            # physical relative path before resolving
+            adds[unquote(a["path"])] = a
+        elif "remove" in action:
+            adds.pop(unquote(action["remove"]["path"]), None)
+    if protocol is None or meta is None:
+        raise ValueError("log has no protocol/metaData action")
+    if int(protocol["minReaderVersion"]) > 1:
+        raise ValueError(
+            f"table requires reader version {protocol['minReaderVersion']}"
+        )
+    return root, adds, meta
+
+
+def _cast_partition_value(v: str | None, type_name: str):
+    """partitionValues are logical STRINGS in the log; cast to the
+    schemaString type the way external readers do."""
+    if v is None:
+        return None
+    if type_name in ("byte", "short", "integer", "long"):
+        return int(v)
+    if type_name in ("float", "double"):
+        return float(v)
+    if type_name == "boolean":
+        return v == "true"
+    if type_name == "date":
+        return _dt.date.fromisoformat(v)
+    if type_name.startswith("decimal"):
+        import decimal
+
+        return decimal.Decimal(v)
+    return v
+
+
+def read_delta_external(path: str, version: int | None = None):
+    """Read the Delta table at ``path`` from the wire format alone.
+
+    Returns ``(column_names, rows)`` where rows are plain tuples in
+    schemaString column order — partition columns restored from each
+    add's ``partitionValues`` (files do not contain them), absent
+    columns (pre-evolution files) null-filled, numeric columns upcast
+    per the declared schema. Order is unspecified, as in any table
+    scan."""
+    import pyarrow.parquet as pq
+
+    root, adds, meta = _replay(path, version)
+    schema = json.loads(meta["schemaString"])["fields"]
+    pcols = meta.get("partitionColumns", [])
+    names = [f["name"] for f in schema]
+    types = {f["name"]: f["type"] for f in schema}
+    rows: list[tuple] = []
+    for rel in sorted(adds):
+        a = adds[rel]
+        fpath = os.path.join(root, rel)
+        table = pq.read_table(fpath)
+        pvals = {
+            c: _cast_partition_value(
+                a.get("partitionValues", {}).get(c), types[c]
+            )
+            for c in pcols
+        }
+        cols_present = set(table.column_names)
+        data = table.to_pylist()
+        for r in data:
+            row = []
+            for n in names:
+                if n in pvals:
+                    row.append(pvals[n])
+                elif n in cols_present:
+                    v = r[n]
+                    if v is not None and types[n] in (
+                        "byte", "short", "integer", "long"
+                    ):
+                        v = int(v)
+                    elif v is not None and types[n] == "double":
+                        v = float(v)
+                    row.append(v)
+                else:
+                    row.append(None)  # pre-evolution file
+            rows.append(tuple(row))
+    return names, rows
