@@ -27,6 +27,132 @@ from portfolio_data_pipelines_spark.session import get_spark  # noqa: E402
 from portfolio_data_pipelines_spark.sources.parquet import scan_table  # noqa: E402
 
 
+def run_lakehouse_family(spark, sf_dir: str):
+    """Bench the Delta-log lifecycle vs its plain versioned-lake twin on
+    the events table: write, full read, MERGE, OPTIMIZE/compact, and the
+    incremental change read. Each step is timed on the SECOND of two
+    full lifecycle rounds (fresh roots), mirroring the per-query
+    warm-run methodology. Also returns the read-amplification evidence:
+    live files a full read touches before vs after OPTIMIZE (from the
+    Delta log's own live-set — the same number an executor fan-out
+    sees).
+
+    Steps where the Delta twin is expected to cost more than the plain
+    lake, by design (the log buys semantics):
+    - merge: file-granular copy-on-write MERGE reads+rewrites only the
+      files holding matching keys but pays a key semi-join for the
+      touched-file discovery; the lake twin rewrites whole partitions
+      with no discovery pass.
+    - changes: read_delta_changes scans only the new files (log tail),
+      while the lake twin diff_versions full-outer-joins two snapshots
+      — the LAKE side is the expensive one here.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        _replay_log,
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+    from portfolio_data_pipelines_spark.operators.medallion import (
+        commit_versioned,
+        compact_versioned,
+        diff_versions,
+        read_versioned,
+    )
+
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .withColumn("date", F.to_date("ts").cast("string"))
+        .drop("props")  # JSON payload irrelevant to the lifecycle bench
+        .cache()
+    )
+    events.count()
+    two_days = [r["date"] for r in events.select("date").distinct().orderBy("date").limit(2).collect()]
+    merge_src = (
+        events.filter(F.col("date").isin(two_days))
+        .withColumn("value", F.col("value") * 2)
+    ).cache()
+    merge_src.count()
+
+    timings: dict[str, float] = {}
+    meta: dict[str, int] = {}
+    for rnd in (0, 1):  # second round = warm numbers
+        root = tempfile.mkdtemp(prefix="bench_lake_")
+        dpath, lpath = f"{root}/delta", f"{root}/lake"
+
+        def step(name, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            return out
+
+        step("lakehouse_delta_write", lambda: write_delta(
+            spark, events, dpath, partition_col="date"))
+        v_write = step("lakehouse_lake_write", lambda: commit_versioned(
+            spark, lpath, events, partition_col="date", derive_from="date"))
+        step("lakehouse_delta_read", lambda: read_delta(spark, dpath)
+             .write.format("noop").mode("overwrite").save())
+        step("lakehouse_lake_read", lambda: read_versioned(spark, lpath)
+             .write.format("noop").mode("overwrite").save())
+        step("lakehouse_delta_merge", lambda: merge_delta(
+            spark, dpath, merge_src, key_cols=["event_id"]))
+
+        def lake_merge():
+            # the versioned lake's MERGE shape: anti-join the touched
+            # days' slice against the update keys, commit the merged
+            # days (day-scoped replace — the K4 upsert contract)
+            slice_ = read_versioned(spark, lpath).filter(
+                F.col("date").isin(two_days)
+            )
+            kept = slice_.join(
+                merge_src.select("event_id").distinct(), ["event_id"],
+                "left_anti",
+            )
+            merged = kept.select(*merge_src.columns).unionByName(merge_src)
+            return commit_versioned(
+                spark, lpath, merged, partition_col="date",
+                derive_from="date",
+            )
+
+        step("lakehouse_lake_merge", lake_merge)
+        # Pepper the touched days with micro-appends (the streaming-sink
+        # file pattern) so OPTIMIZE has real work; the plain lake cannot
+        # append to a partition (commit = day-level REPLACE), which is
+        # itself part of what the log buys — its compaction twin below
+        # rewrites the same days from their single batch.
+        micro = merge_src.limit(500)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            write_delta(spark, micro, dpath, partition_col="date")
+        timings["lakehouse_delta_micro_appends"] = round(
+            time.perf_counter() - t0, 4
+        )
+        meta["files_before_optimize"] = len(_replay_log(spark, dpath, None).adds)
+        step("lakehouse_delta_optimize", lambda: optimize_delta(
+            spark, dpath, partitions=two_days))
+        meta["files_after_optimize"] = len(_replay_log(spark, dpath, None).adds)
+        step("lakehouse_lake_compact", lambda: compact_versioned(
+            spark, lpath, partitions=two_days, partition_col="date"))
+        step("lakehouse_delta_changes", lambda: read_delta_changes(
+            spark, dpath, from_version=0)
+            .write.format("noop").mode("overwrite").save())
+        step("lakehouse_lake_changes", lambda: diff_versions(
+            spark, lpath, v_write, v_write + 1,
+            key_cols=["event_id"], partition_col="date")
+            .write.format("noop").mode("overwrite").save())
+        shutil.rmtree(root, ignore_errors=True)
+    events.unpersist()
+    merge_src.unpersist()
+    return timings, meta
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
@@ -67,6 +193,13 @@ def main() -> None:
         families[fam] = round(families.get(fam, 0.0) + timings[name], 4)
         families_cold[fam] = round(families_cold.get(fam, 0.0) + cold[name], 4)
 
+    # Lakehouse lifecycle family (Delta log vs plain versioned lake) —
+    # not a declared query (it writes tables), so benched and reported
+    # as its own family, EXCLUDED from `value` to keep the headline
+    # number comparable with earlier rounds and the recorded baseline.
+    lake_timings, lake_meta = run_lakehouse_family(spark, sf_dir)
+    lakehouse_total = round(sum(lake_timings.values()), 4)
+
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
     full = {
@@ -81,6 +214,13 @@ def main() -> None:
         "families_cold": families_cold,
         "sf": sf,
         "n_queries": len(timings),
+        # lakehouse lifecycle family: Delta-log steps vs plain-lake
+        # twins, warm (second of two lifecycle rounds); excluded from
+        # `value` (it writes tables rather than running a declared
+        # query). read-amp = live files a full read touches.
+        "lakehouse": lake_timings,
+        "lakehouse_total": lakehouse_total,
+        "lakehouse_read_amp": lake_meta,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -96,8 +236,12 @@ def main() -> None:
                 # warm AND cold side by side so round-over-round comparison
                 # never conflates timing methodology with regression
                 "cold_total": cold_total,
-                "families": {k: round(v, 1) for k, v in sorted(families.items())},
+                "families": {
+                    **{k: round(v, 1) for k, v in sorted(families.items())},
+                    "lakehouse(excl)": round(lakehouse_total, 1),
+                },
                 "families_cold": {k: round(v, 1) for k, v in sorted(families_cold.items())},
+                "lakehouse_read_amp": lake_meta,
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_FULL.json",

@@ -262,6 +262,144 @@ def bpe_encode_ids_duckdb(text_expr: str, merges: list[tuple[str, str]]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Scale encoder: realistic vocabularies (2k-100k merges).
+#
+# The single-projection replace chain above is the right plan for small
+# merge tables (the declared `bpe_token_ids` query: zero joins, zero
+# shuffles) but it cannot reach production vocabulary sizes. Measured on
+# this Spark (4.1, round 6): the SQL string fails to PARSE at ~512
+# nested `replace` calls (ANTLR recursion → java.lang.StackOverflowError),
+# and whole-stage codegen has already fallen back to interpreted
+# evaluation well before that. The scale path below restructures the
+# encode around two bounds that hold at any corpus size:
+#
+# 1. **Encode distinct words, not the corpus.** The merge chain runs on
+#    the DISTINCT-WORD table (vocabulary-sized, ≪ corpus), then joins
+#    back — the same argument `train_bpe_spark` already exploits for
+#    training. The corpus is touched twice (distinct + join-back),
+#    independent of merge count.
+# 2. **Chunk the chain; break projection collapse.** Merges apply in
+#    chunks of ``chunk`` Column-API `replace` calls (no SQL parser, so
+#    no ANTLR limit) with a ``localCheckpoint`` every
+#    ``checkpoint_every`` chunks — without the barrier, Catalyst's
+#    CollapseProject would fold every chunk back into one
+#    depth-unbounded expression. Max live tree depth is
+#    chunk × checkpoint_every regardless of vocabulary size.
+#
+# Token-id lookup likewise swaps the literal-array `array_position` (a
+# 32k-literal expression at real vocab sizes) for a broadcast join
+# against the vocabulary table. Verified in tests/test_bpe.py: 2,048
+# merges encode in bounded wall-time with ids exactly equal to
+# `encode_word_local`.
+# ---------------------------------------------------------------------------
+
+
+def _apply_merges_chunked(
+    framed: DataFrame,
+    merges: list[tuple[str, str]],
+    sym_col: str = "s",
+    chunk: int = 64,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Apply the full merge chain to the framed symbol strings in
+    bounded-depth chunks (see scale-encoder notes above)."""
+    _check_symbols(merges)
+    df = framed
+    for ci in range(0, len(merges), chunk):
+        col = F.col(sym_col)
+        for a, b in merges[ci : ci + chunk]:
+            col = F.call_function(
+                "replace", col, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            )
+        df = df.withColumn(sym_col, col)
+        if (ci // chunk + 1) % checkpoint_every == 0:
+            df = df.localCheckpoint(eager=True)
+    return df
+
+
+def bpe_encode_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "token_ids",
+    chunk: int = 64,
+) -> DataFrame:
+    """Encode ``text_col`` to BPE token ids at PRODUCTION vocabulary
+    scale: ``(id_col, out_col array<bigint>)``, one row per input row
+    (wordless rows get an empty array).
+
+    Plan: distinct words (one shuffle on word) → chunked merge chain
+    over the vocabulary-sized word table → symbol-id lookup via a
+    broadcast join with the vocabulary → join encoded words back to the
+    corpus word stream and reassemble per row in original order. The
+    merge chain's cost is O(merges × distinct words) — never touches
+    the corpus — and the corpus pays exactly two passes (word explode,
+    join-back) plus the per-row regroup."""
+    spark = df.sparkSession
+    words_expr = f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    distinct_words = (
+        df.select(F.explode(F.expr(words_expr)).alias("word")).distinct()
+    )
+    framed = distinct_words.select(
+        "word", F.expr(_framed("word")).alias("s")
+    )
+    merged = _apply_merges_chunked(framed, merges, chunk=chunk)
+    vocab_df = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(bpe_vocab(merges))],
+        "sym string, tok_id bigint",
+    )
+    syms = merged.select(
+        "word",
+        F.posexplode(
+            F.expr("split(trim(BOTH '|' FROM s), '\\\\|\\\\|')")
+        ).alias("pos", "sym"),
+    )
+    encoded_words = (
+        syms.join(F.broadcast(vocab_df), "sym", "left")
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos",
+                        F.coalesce("tok_id", F.lit(-1)).alias("tok_id"),
+                    )
+                )
+            ).alias("ps")
+        )
+        .select(
+            "word", F.expr("transform(ps, x -> x.tok_id)").alias("word_ids")
+        )
+    )
+    doc_words = df.select(
+        id_col, F.posexplode(F.expr(words_expr)).alias("wpos", "word")
+    )
+    assembled = (
+        doc_words.join(encoded_words, "word")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "word_ids"))
+            ).alias("ws")
+        )
+        .select(
+            id_col,
+            F.expr("flatten(transform(ws, x -> x.word_ids))").alias(out_col),
+        )
+    )
+    # wordless rows re-enter with an empty id array
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .withColumn(
+            out_col,
+            F.coalesce(out_col, F.array().cast("array<bigint>")),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # The fixture tokenizer: trained once, at import, from a deterministic
 # embedded reference corpus (how production tokenizers work — trained
 # offline on a reference corpus, then applied to every incoming batch).

@@ -644,35 +644,38 @@ def read_delta(
     pcols = meta.get("partitionColumns", [])
     schema = _spark_schema_from_string(meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    # Fast path (the layout this writer produces): every live file sits
-    # at {col}={val}/.../{file} with the partition dirs DIRECTLY under
-    # the table root in partition-column order — Spark's discovery
-    # grammar — so ONE reader call with the declared schema and
-    # basePath covers the whole table: no per-partition reads, no
-    # union chain, O(1) plan nodes no matter how many partitions. The
-    # explicit schema doubles as schema-on-read: pre-evolution files
-    # surface typed nulls for newer columns, and no partition-type
-    # inference runs. Layouts with intermediate non-partition dirs
-    # (e.g. the lake export's _batch_*/) take the grouped fallback.
+    fast = _fast_hive_read(spark, path, adds, schema, pcols)
+    if fast is not None:
+        return fast.select(*[f.name for f in schema.fields])
+    # Fallback for logs written elsewhere whose paths do not encode the
+    # partition values: group by partitionValues, one read per group.
+    out = _read_file_groups(spark, path, adds, pcols, ptypes, schema)
+    # project to the declared schema's column order
+    return out.select(*[f.name for f in schema.fields])
+
+
+def _fast_hive_read(spark, path: str, adds: dict, schema, pcols):
+    """Fast path (the layout this writer produces): every live file sits
+    at {col}={val}/.../{file} with the partition dirs DIRECTLY under
+    the table root in partition-column order — Spark's discovery
+    grammar — so ONE reader call with the declared schema and basePath
+    covers the whole set: no per-partition reads, no union chain, O(1)
+    plan nodes no matter how many partitions. The explicit schema
+    doubles as schema-on-read: pre-evolution files surface typed nulls
+    for newer columns, and no partition-type inference runs. Returns
+    None for layouts with intermediate non-partition dirs (e.g. the
+    lake export's _batch_*/), which take the grouped fallback."""
+
     def _hive_layout(rel: str) -> bool:
         segs = rel.split("/")[:-1]
         return len(segs) == len(pcols) and all(
             s.startswith(f"{c}=") for s, c in zip(segs, pcols)
         )
 
-    if all(_hive_layout(rel) for rel in adds):
-        files = [f"{path}/{rel}" for rel in sorted(adds)]
-        return (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(*files)
-            .select(*[f.name for f in schema.fields])
-        )
-    # Fallback for logs written elsewhere whose paths do not encode the
-    # partition values: group by partitionValues, one read per group.
-    out = _read_file_groups(spark, path, adds, pcols, ptypes, schema)
-    # project to the declared schema's column order
-    return out.select(*[f.name for f in schema.fields])
+    if not adds or not all(_hive_layout(rel) for rel in adds):
+        return None
+    files = [f"{path}/{rel}" for rel in sorted(adds)]
+    return spark.read.schema(schema).option("basePath", path).parquet(*files)
 
 
 def _spark_schema_from_string(schema_string: str):
@@ -948,23 +951,30 @@ def merge_delta(
         )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
-    # target WITH provenance: explicit live files + restored partition
-    # cols + the physical file each row came from
-    target = _read_file_groups(
-        spark, path, adds, pcols, ptypes, schema,
-        extra_cols={"_file": F.input_file_name},
-    )
-    if target is None:
+    # Touched-file DISCOVERY pass: key columns + file provenance only,
+    # so the scan prunes to the join keys (never the full row width).
+    # Writer-produced hive layouts resolve in ONE reader call; foreign
+    # layouts take the grouped union fallback.
+    fast = _fast_hive_read(spark, path, adds, schema, pcols)
+    if fast is not None:
+        target_keys = fast.withColumn("_file", F.input_file_name())
+    else:
+        target_keys = _read_file_groups(
+            spark, path, adds, pcols, ptypes, schema,
+            extra_cols={"_file": F.input_file_name},
+        )
+    if target_keys is None:
         # zero live files (e.g. truncated by an empty overwrite): the
         # merge degenerates to a pure insert
-        target = spark.createDataFrame([], schema=schema).withColumn(
+        target_keys = spark.createDataFrame([], schema=schema).withColumn(
             "_file", F.lit("")
         )
+    target_keys = target_keys.select(*key_cols, "_file")
 
     src_keys = F.broadcast(source.select(*key_cols).distinct())
     touched_uris = {
         r["_file"]
-        for r in target.join(src_keys, key_cols, "left_semi")
+        for r in target_keys.join(src_keys, key_cols, "left_semi")
         .select("_file").distinct().collect()
     }
     # Map absolute scan URIs back to log-relative paths via an EXACT
@@ -988,13 +998,22 @@ def merge_delta(
     new_version = versions[-1] + 1
     if not touched_rels and source.isEmpty():
         return versions[-1]
-    survivors = (
-        target.filter(F.col("_file").isin(*touched_uris))
-        .join(src_keys, key_cols, "left_anti")
-        .select(*cols)
-        if touched_uris
-        else spark.createDataFrame([], schema=schema)
-    )
+    # REWRITE pass reads ONLY the touched files (the Delta MERGE cost
+    # model: O(files holding matching keys), not a second full-table
+    # scan filtered by provenance — at scale the difference is the
+    # whole table).
+    if touched_rels:
+        touched_adds = {rel: adds[rel] for rel in touched_rels}
+        touched_df = _fast_hive_read(spark, path, touched_adds, schema, pcols)
+        if touched_df is None:
+            touched_df = _read_file_groups(
+                spark, path, touched_adds, pcols, ptypes, schema
+            )
+        survivors = (
+            touched_df.join(src_keys, key_cols, "left_anti").select(*cols)
+        )
+    else:
+        survivors = spark.createDataFrame([], schema=schema)
     new_data = survivors.unionByName(source)
 
     pcol = pcols[0] if pcols else None
@@ -1096,9 +1115,12 @@ def optimize_delta(
     for rels in doomed_groups.values():
         for rel in rels:
             doomed_adds[rel] = st.adds[rel]
-    compacted = _read_file_groups(
-        spark, path, doomed_adds, pcols, ptypes, schema
-    ).select(*[f.name for f in schema.fields])
+    compacted = _fast_hive_read(spark, path, doomed_adds, schema, pcols)
+    if compacted is None:
+        compacted = _read_file_groups(
+            spark, path, doomed_adds, pcols, ptypes, schema
+        )
+    compacted = compacted.select(*[f.name for f in schema.fields])
     # ~one output file per compacted partition: one task per partition
     # value after the repartition
     if pcol is not None:

@@ -16,6 +16,7 @@ from portfolio_data_pipelines_spark.operators.bpe import (
     FIXTURE_WORD_FREQS,
     bpe_encode_ids_duckdb,
     bpe_encode_ids_sql,
+    bpe_encode_table,
     bpe_vocab,
     encode_word_local,
     train_bpe_local,
@@ -209,3 +210,85 @@ def test_bpe_rejects_non_alpha_symbols():
         bpe_encode_ids_sql("text", [("a", "b'); drop--")])
     with _pytest.raises(ValueError, match="BPE symbols"):
         bpe_encode_ids_sql("text", [("A", "b")])
+
+
+class TestScaleEncoder:
+    """The chunked distinct-word join encoder (`bpe_encode_table`) — the
+    path past the single-projection chain's measured limits (ANTLR
+    parse StackOverflow at ~512 nested replaces; codegen fallback far
+    earlier)."""
+
+    @staticmethod
+    def _synth_merges(n: int) -> list[tuple[str, str]]:
+        """Deterministic valid merge list of arbitrary length: all
+        letter bigrams, then progressively longer products."""
+        import itertools
+        import string as _string
+
+        letters = _string.ascii_lowercase
+        merges = [(a, b) for a, b in itertools.product(letters, letters)]
+        prods = [a + b for a, b in merges]
+        i = 0
+        while len(merges) < n:
+            merges.append((prods[i % len(prods)], letters[i % 26]))
+            prods.append(prods[i % len(prods)] + letters[i % 26])
+            i += 1
+        return merges[:n]
+
+    def test_2k_merges_parity_with_local_encoder(self, spark):
+        """>=2k merges (a realistic-vocabulary order of magnitude, 4x
+        past the single-projection breaking point) must encode within
+        bounded wall-time and agree exactly with encode_word_local."""
+        merges = self._synth_merges(2048)
+        rng = random.Random(7)
+        words = sorted(
+            {
+                "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 12)))
+                for _ in range(200)
+            }
+            | {"aaaa", "abab", "zzz", "q", "abcdefabcdef"}
+        )
+        df = spark.createDataFrame(
+            [(i, f"{w} {w2}") for i, (w, w2) in enumerate(
+                zip(words, reversed(words)))],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_encode_table(
+                df, "text", "doc_id", merges
+            ).collect()
+        }
+        vocab_idx = {t: i for i, t in enumerate(bpe_vocab(merges))}
+        for i, (w, w2) in enumerate(zip(words, reversed(words))):
+            want = [
+                vocab_idx.get(s, -1)
+                for s in encode_word_local(w, merges)
+            ] + [
+                vocab_idx.get(s, -1)
+                for s in encode_word_local(w2, merges)
+            ]
+            assert got[i] == want, (i, w, w2)
+
+    def test_small_merge_table_agrees_with_projection_encoder(self, spark):
+        """On the fixture tokenizer the scale encoder and the declared
+        single-projection encoder must produce identical ids."""
+        df = spark.createDataFrame(
+            [(1, "the small table"), (2, "broadcast join order"), (3, "")],
+            "doc_id bigint, text string",
+        )
+        scale = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_encode_table(
+                df, "text", "doc_id", FIXTURE_MERGES
+            ).collect()
+        }
+        proj = {
+            r["doc_id"]: list(r["ids"])
+            for r in df.selectExpr(
+                "doc_id",
+                f"{bpe_encode_ids_sql('text', FIXTURE_MERGES)} AS ids",
+            ).collect()
+        }
+        assert scale == proj
+        assert scale[3] == []  # wordless row keeps an empty array
