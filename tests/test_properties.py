@@ -483,3 +483,79 @@ def test_delta_log_matches_model_at_every_version(spark, tmp_path_factory, scrip
             for r in read_delta(spark, path, version=v).collect()
         )
         assert got == sorted(expected), f"version {v}"
+
+
+@st.composite
+def sink_kill_scripts(draw):
+    """(rows, batches, kill_after, replay_from): unique-id rows split
+    into 1-4 micro-batches; the sink 'dies' after ``kill_after``
+    batches committed and restarts re-delivering from ``replay_from``
+    (≤ kill_after — checkpoint recovery always replays at least the
+    last in-flight batch, sometimes more)."""
+    n = draw(st.integers(2, 10))
+    days = ["2021-01-01", "2021-01-02", "2021-01-03"]
+    rows = [(i, draw(st.sampled_from(days))) for i in range(n)]
+    n_batches = draw(st.integers(1, 4))
+    cuts = sorted(draw(st.lists(
+        st.integers(1, n - 1), min_size=n_batches - 1,
+        max_size=n_batches - 1, unique=True)))
+    batches, prev = [], 0
+    for c in cuts + [n]:
+        batches.append(rows[prev:c])
+        prev = c
+    batches = [b for b in batches if b]
+    kill_after = draw(st.integers(0, len(batches)))
+    replay_from = draw(st.integers(0, max(0, kill_after - 1))) if kill_after else 0
+    return rows, batches, kill_after, replay_from
+
+
+@given(script=sink_kill_scripts())
+@settings(
+    max_examples=6, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_delta_stream_sink_exactly_once_under_any_kill_and_replay(
+    spark, tmp_path_factory, script
+):
+    """The Delta txn stream sink's exactly-once contract, generalized:
+    for ANY micro-batch split, a kill after ANY prefix of committed
+    batches, and a restart replaying from ANY earlier batch id, the
+    table holds every row exactly once, the change feed equals the
+    batch oracle's appends (each row exactly once, no feed entry from
+    a replayed delivery), and each batch maps to at most one commit
+    version."""
+    import datetime
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delta_stream_sink,
+        read_delta,
+        read_delta_changes,
+    )
+
+    rows, batches, kill_after, replay_from = script
+    path = str(tmp_path_factory.mktemp("delta_sink_prop") / "t")
+    sink = delta_stream_sink(path, partition_col="date", app_id="prop")
+
+    def df_of(batch):
+        return spark.createDataFrame(
+            [(i, datetime.date.fromisoformat(d)) for i, d in batch],
+            "id bigint, date date",
+        )
+
+    # first life: batches [0, kill_after) commit, then the process dies
+    for b in range(kill_after):
+        sink(df_of(batches[b]), b)
+    # restart: recovery re-delivers from replay_from through the end
+    for b in range(replay_from, len(batches)):
+        sink(df_of(batches[b]), b)
+
+    table = sorted(
+        (r["id"], r["date"].isoformat())
+        for r in read_delta(spark, path).collect()
+    )
+    assert table == sorted(rows)  # every row exactly once
+
+    feed = read_delta_changes(spark, path, from_version=-1).collect()
+    assert sorted((r["id"], r["date"].isoformat()) for r in feed) == sorted(rows)
+    # one commit version per distinct batch — replays never re-commit
+    assert len({r["_commit_version"] for r in feed}) == len(batches)
