@@ -98,19 +98,49 @@ def build_fact_replicated_dir(spark, base: str, out: str, replicas: int) -> None
         ).parquet(f"{out}/{t}.parquet")
 
 
-def build_fat_dim_dir(spark, base: str, out: str, copies: int) -> None:
-    """Replicate SUPPLIER ``copies``× with offset keys (matching no
-    fact rows) so its bytes cross the broadcast threshold; facts and
-    other dims stay the originals."""
+def build_fat_dim_dir(spark, base: str, out: str, copies: int) -> int:
+    """Replicate SUPPLIER with offset keys (replica 0 keeps the
+    original keys, the rest match no fact rows) until its on-disk bytes
+    cross the broadcast threshold. Replication is one cross join with a
+    broadcast range (not an N-way union: plan size stays O(1) at any
+    copy count); since dictionary encoding compresses replicated
+    columns hard, the copy count doubles until the WRITTEN size
+    actually exceeds the threshold. Returns the final byte size."""
+    from portfolio_data_pipelines_spark.operators.cbo import (
+        DEFAULT_BROADCAST_BYTES,
+    )
+
     _link_base(base, out, skip={"supplier"})
     sup = spark.read.parquet(f"{base}/supplier.parquet")
-    parts = [
-        sup.withColumn("s_suppkey", F.col("s_suppkey") + F.lit(i * ID_STRIDE))
-        for i in range(copies)
-    ]
-    reduce(lambda a, b: a.unionByName(b), parts).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/supplier.parquet")
+    dest = f"{out}/supplier.parquet"
+
+    def write_copies(k: int) -> int:
+        reps = F.broadcast(
+            spark.range(k).select(F.col("id").alias("_r"))
+        )
+        (
+            sup.crossJoin(reps)
+            .withColumn(
+                "s_suppkey", F.col("s_suppkey") + F.col("_r") * ID_STRIDE
+            )
+            .drop("_r")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(dest)
+            for f in fs if f.endswith(".parquet")
+        )
+
+    size = write_copies(copies)
+    while size <= int(1.2 * DEFAULT_BROADCAST_BYTES):
+        copies *= 2
+        print(f"fat dim only {size} B — doubling to {copies} copies",
+              file=sys.stderr)
+        size = write_copies(copies)
+    return size
 
 
 def _warm_time(spark, fn, sf_dir: str) -> float:
@@ -155,13 +185,9 @@ def main() -> None:
         print("replicating facts ...", file=sys.stderr)
         build_fact_replicated_dir(spark, args.base, big, args.replicas)
         print("inflating supplier dim ...", file=sys.stderr)
-        build_fat_dim_dir(spark, args.base, fat, args.fat_dim_copies)
-        fat_bytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _d, fs in os.walk(f"{fat}/supplier.parquet")
-            for f in fs if f.endswith(".parquet")
+        out["fat_supplier_bytes"] = build_fat_dim_dir(
+            spark, args.base, fat, args.fat_dim_copies
         )
-        out["fat_supplier_bytes"] = fat_bytes
 
         t1, tn = {}, {}
         for name in QUERIES:
