@@ -96,9 +96,26 @@ def test_entry_contract(spark):
     assert len(qs) >= 25
 
 
+#: Extra-registry queries that are rows-only BY CONSTRUCTION: raw sketch
+#: outputs are engine-specific, so no SQL oracle can hash them. Their
+#: accuracy is hard-bounded in tests/test_stats.py, and their DECLARED
+#: contract-form twins (exact value + within_bound) are fully oracled.
+ROWS_ONLY_EXTRA_ALLOWLIST = {
+    "approx_distinct_users_daily_raw",
+    "approx_price_percentiles_raw",
+}
+
+
 def test_every_extra_query_is_fully_oracled():
     """The extra registry's contract: local-only queries exist PRECISELY
     to stay under DuckDB value-hash parity — a new entry without an
-    oracle is a coverage regression, not a convenience."""
-    missing = [n for n, s in EXTRA_REGISTRY.items() if not s.oracle]
+    oracle is a coverage regression, not a convenience. The only
+    exceptions are the explicitly-allowlisted raw sketches (engine-
+    specific values; bounded in test_stats, oracled in contract form in
+    the declared registry)."""
+    missing = [
+        n for n, s in EXTRA_REGISTRY.items()
+        if not s.oracle and n not in ROWS_ONLY_EXTRA_ALLOWLIST
+    ]
     assert missing == [], missing
+    assert ROWS_ONLY_EXTRA_ALLOWLIST <= set(EXTRA_REGISTRY)

@@ -43,6 +43,14 @@ def test_golden_covers_every_declared_query():
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_shape_matches_golden(spark, name):
+    from portfolio_data_pipelines_spark.operators.dedup import (
+        clear_shared_plans,
+    )
+
+    # canonical COLD plan — the dedup family's shared-artifact cache
+    # would otherwise make a signature depend on which queries ran
+    # earlier in this Spark session (e.g. the parity suite)
+    clear_shared_plans()
     got = plan_shape_signature(REGISTRY[name].fn(spark, SF_DIR))
     want = GOLDEN[name]
     if got != want:

@@ -39,9 +39,17 @@ def main() -> None:
             "spark.driver.memory": "4g",
         },
     )
+    from portfolio_data_pipelines_spark.operators.dedup import (
+        clear_shared_plans,
+    )
+
     sigs: dict[str, list[str]] = {}
     for name, fn in sorted(all_queries().items()):
         try:
+            # canonical COLD plan: the dedup family's shared-artifact
+            # cache would otherwise make a query's shape depend on which
+            # queries ran earlier in the session
+            clear_shared_plans()
             sigs[name] = plan_shape_signature(fn(spark, SF_DIR))
         except Exception as exc:  # pragma: no cover - generator diagnostics
             print(f"SKIP {name}: {exc}", file=sys.stderr)
