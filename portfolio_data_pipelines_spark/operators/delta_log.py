@@ -136,6 +136,24 @@ def _read_last_checkpoint_doc(fs, jvm, path: str) -> dict | None:
     return json.loads(_read_text(fs, jvm, f"{path}/_delta_log/_last_checkpoint"))
 
 
+def _checkpoint_files(fs, jvm, path: str, lc: dict) -> list[str]:
+    """Checkpoint parquet file(s) for a ``_last_checkpoint`` doc. This
+    writer emits the classic single-file form, but the spec also allows
+    MULTI-PART checkpoints (``_last_checkpoint`` carries ``parts``: N
+    files named ``V.checkpoint.{i:010d}.{N:010d}.parquet``) — standard
+    writers switch to them on large tables, so a conformant reader must
+    accept both."""
+    v = int(lc["version"])
+    parts = lc.get("parts")
+    if not parts:
+        return [f"{path}/_delta_log/{v:020d}.checkpoint.parquet"]
+    n = int(parts)
+    return [
+        f"{path}/_delta_log/{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+        for i in range(1, n + 1)
+    ]
+
+
 def _list_log_versions(fs, jvm, path: str) -> list[int]:
     """Commit versions present in the log, WITHOUT a directory listing:
     start at ``_last_checkpoint`` (when present) and probe forward with
@@ -519,12 +537,15 @@ def _replay_log(
     meta: dict | None = None
     txns: dict[str, int] = {}
     removes: dict[str, int] = {}
+    protocol: dict | None = None
     start = 0
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
-        cp = f"{path}/_delta_log/{lc['version']:020d}.checkpoint.parquet"
-        for row in spark.read.parquet(cp).collect():
+        cps = _checkpoint_files(fs, jvm, path, lc)
+        for row in spark.read.parquet(*cps).collect():
             d = row.asDict(recursive=True)
+            if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+                protocol = d["protocol"]
             if d.get("metaData") and d["metaData"].get("id"):
                 meta = d["metaData"]
             if d.get("add") and d["add"].get("path"):
@@ -557,7 +578,9 @@ def _replay_log(
             if not line.strip():
                 continue
             action = json.loads(line)
-            if "metaData" in action:
+            if "protocol" in action:
+                protocol = action["protocol"]
+            elif "metaData" in action:
                 meta = action["metaData"]
             elif "add" in action:
                 a = action["add"]
@@ -577,6 +600,20 @@ def _replay_log(
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
+    if protocol is not None and int(protocol["minReaderVersion"]) > 1:
+        # A foreign writer upgraded the table past what this reader
+        # implements (deletion vectors, column mapping, ...). Reading
+        # anyway would silently produce WRONG rows — e.g. deleted rows
+        # resurrected because the deletion vector went unapplied. The
+        # spec requires readers to refuse, and so does every standard
+        # implementation.
+        raise ValueError(
+            f"table requires Delta reader version "
+            f"{protocol['minReaderVersion']}; this implementation "
+            "supports only version 1 (no deletion vectors / column "
+            "mapping). Refusing to read rather than silently dropping "
+            "those semantics."
+        )
     return LogState(target, adds, meta, txns, removes)
 
 

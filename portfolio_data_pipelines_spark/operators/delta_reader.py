@@ -55,13 +55,29 @@ def _list_commit_versions(log_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _read_checkpoint_actions(log_dir: str, version: int) -> list[dict]:
-    """Flattened checkpoint rows back to action dicts, via pyarrow."""
+def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
+    """Flattened checkpoint rows back to action dicts, via pyarrow.
+    Accepts both the classic single-file checkpoint and the spec's
+    multi-part form (``parts`` in ``_last_checkpoint``)."""
     import pyarrow.parquet as pq
 
-    cp = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    version = int(lc["version"])
+    if lc.get("parts"):
+        n = int(lc["parts"])
+        cps = [
+            os.path.join(
+                log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
+            )
+            for i in range(1, n + 1)
+        ]
+    else:
+        cps = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
+    rows = []
+    for cp in cps:
+        rows.extend(pq.read_table(cp).to_pylist())
     actions = []
-    for row in pq.read_table(cp).to_pylist():
+    for row in rows:
         for kind in ("protocol", "metaData", "add", "remove", "txn"):
             v = row.get(kind)
             # a struct column materializes for every row; a row carries
@@ -91,7 +107,7 @@ def _replay(path: str, version: int | None):
     if os.path.exists(lc_path):
         lc = json.loads(open(lc_path).read())
         if lc["version"] <= target:
-            actions.extend(_read_checkpoint_actions(log_dir, lc["version"]))
+            actions.extend(_read_checkpoint_actions(log_dir, lc))
             start = lc["version"] + 1
     for v in range(start, target + 1):
         commit = os.path.join(log_dir, f"{v:020d}.json")

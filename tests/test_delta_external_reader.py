@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime
 import importlib
+import json
 import time
 
 import pytest
@@ -215,3 +216,96 @@ def test_dropped_column_values_are_not_resurrected(spark, tmp_path):
     assert names == ["id", "s"]
     df = read_delta(spark, path).filter(F.col("id") == 1)
     assert df.columns == names
+
+
+def test_protocol_version_above_1_refused_by_both_readers(spark, tmp_path):
+    """A foreign log demanding reader version 3 (deletion vectors)
+    must be REFUSED by both readers — reading anyway would silently
+    resurrect deleted rows."""
+    import json as _json
+
+    root = tmp_path / "t_proto"
+    root.mkdir()
+    spark.createDataFrame([(1, "a")], "id bigint, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "stage_proto"))
+    import shutil
+
+    part = next((tmp_path / "stage_proto").glob("*.parquet"))
+    shutil.copy(part, root / "f.parquet")
+    log_dir = root / "_delta_log"
+    log_dir.mkdir()
+    schema_string = spark.createDataFrame([], "id bigint, s string").schema.json()
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {
+            "metaData": {
+                "id": "p3",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 0,
+            }
+        },
+        {
+            "add": {
+                "path": "f.parquet",
+                "partitionValues": {},
+                "size": (root / "f.parquet").stat().st_size,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        },
+    ]
+    (log_dir / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions)
+    )
+    with pytest.raises(ValueError, match="reader version"):
+        read_delta(spark, str(root)).collect()
+    with pytest.raises(ValueError, match="reader version"):
+        read_delta_external(str(root))
+
+
+def test_multipart_checkpoint_read_by_both_readers(spark, tmp_path):
+    """The spec's MULTI-PART checkpoint form (``parts`` in
+    _last_checkpoint, files V.checkpoint.{i}.{n}.parquet): split this
+    writer's single-file checkpoint into two spec-named parts, delete
+    the pre-checkpoint commits, and both readers must still resolve
+    the table from the parts + tail alone."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t_mp")
+    for i in range(DELTA_CHECKPOINT_EVERY + 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, float(i))], "id bigint, v double"),
+            path,
+        )
+    log = tmp_path / "t_mp" / "_delta_log"
+    v = DELTA_CHECKPOINT_EVERY
+    single = log / f"{v:020d}.checkpoint.parquet"
+    table = pq.read_table(single)
+    half = max(1, table.num_rows // 2)
+    pq.write_table(
+        table.slice(0, half),
+        log / f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        table.slice(half),
+        log / f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    single.unlink()
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": v, "size": table.num_rows, "parts": 2})
+    )
+    for j in range(v):
+        (log / f"{j:020d}.json").unlink()
+    # drop Hadoop local-FS checksum sidecars now stale after the
+    # out-of-band rewrite (a real object store has none)
+    for crc in log.glob(".*.crc"):
+        crc.unlink()
+    expected = sorted((i, float(i)) for i in range(DELTA_CHECKPOINT_EVERY + 1))
+    assert sorted(tuple(r) for r in read_delta(spark, path).collect()) == expected
+    names, rows = read_delta_external(path)
+    assert names == ["id", "v"] and sorted(rows) == expected
