@@ -563,7 +563,11 @@ def _decode_jpeg(content: bytes):
     positions) — then one dequantize + IDCT pass at the end. Restart
     markers reset DC predictors AND the EOB run.
 
-    Hierarchical and arithmetic-coded variants raise
+    12-bit samples (extended sequential SOF1 / progressive SOF2, the
+    precision medical and scientific JPEGs use) decode with a 2048
+    level shift and full-range map to the 8-bit output contract
+    (4095 → 255 exactly); baseline SOF0 rejects any precision but 8,
+    per the spec. Hierarchical and arithmetic-coded variants raise
     ``NotImplementedError`` — PIL covers them when installed."""
     import numpy as np
 
@@ -603,7 +607,10 @@ def _decode_jpeg(content: bytes):
         coef = np.zeros(64, dtype=np.float64)
         coef[list(_JPEG_ZIGZAG)] = czz
         block = dctm.T @ coef.reshape(8, 8) @ dctm
-        return np.clip(np.round(block + 128.0), 0, 255), pred
+        return (
+            np.clip(np.round(block + frame["half"]), 0, frame["maxv"]),
+            pred,
+        )
 
     def decode_scan(scan, segs):
         by_id = {c["id"]: c for c in frame["comps"]}
@@ -842,8 +849,12 @@ def _decode_jpeg(content: bytes):
                 i += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision = data[0]
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG samples supported")
+            if marker == 0xC0 and precision != 8:
+                raise ValueError("baseline JPEG requires 8-bit samples")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"unsupported JPEG sample precision {precision}"
+                )
             h = int.from_bytes(data[1:3], "big")
             w = int.from_bytes(data[3:5], "big")
             ncomp = data[5]
@@ -859,6 +870,10 @@ def _decode_jpeg(content: bytes):
                 "w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
                 "mcux": -(-w // (8 * hmax)), "mcuy": -(-h // (8 * vmax)),
                 "prog": marker == 0xC2,
+                # 12-bit (extended/progressive) shifts by 2048 and
+                # clamps to 4095; samples scale to 8 bits at the end
+                "half": float(1 << (precision - 1)),
+                "maxv": float((1 << precision) - 1),
             }
             planes = {
                 c["id"]: np.zeros(
@@ -921,7 +936,7 @@ def _decode_jpeg(content: bytes):
                     coef[list(_JPEG_ZIGZAG)] = store[by, bx] * q
                     block = dctm.T @ coef.reshape(8, 8) @ dctm
                     plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                        np.round(block + 128.0), 0, 255
+                        np.round(block + frame["half"]), 0, frame["maxv"]
                     )
     hmax, vmax = frame["hmax"], frame["vmax"]
     out_planes = []
@@ -929,16 +944,21 @@ def _decode_jpeg(content: bytes):
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:h, :w])
+    # color math runs in the NATIVE sample domain (chroma centered on
+    # half, 2048 for 12-bit), then one exact full-range map to the
+    # 8-bit output contract (4095 → 255).
+    scale = 255.0 / frame["maxv"]
     if len(out_planes) == 1:
-        g = out_planes[0].astype(np.uint8)
+        g = np.clip(np.round(out_planes[0] * scale), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     if len(out_planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
+    half = frame["half"]
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
+    rgb = np.stack([r, g, b], axis=2) * scale
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

@@ -944,6 +944,14 @@ def test_real_lzw_compression_decodes():
 #: embedding Annex K.
 _JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _JPEG_DC_SYMBOLS = list(range(12))
+#: 12-bit variants: DC diff categories reach 15 and AC sizes reach 14
+#: (T.81 F.1.2.1 extended ranges); Kraft-valid without the all-ones code.
+_JPEG_DC12_SYMBOLS = list(range(16))
+_JPEG_DC12_COUNTS = [0, 0, 0, 14, 2] + [0] * 11
+_JPEG_AC12_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | sz for r in range(16) for sz in range(1, 15)
+]
+_JPEG_AC12_COUNTS = [0] * 7 + [len(_JPEG_AC12_SYMBOLS)] + [0] * 8
 _JPEG_AC_SYMBOLS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
 ]
@@ -983,10 +991,11 @@ class _JpegWriter:
         return bytes(self.out)
 
 
-def _jpeg_encode_block(w, block, q, pred, dc_codes, ac_codes, zigzag, dctm):
+def _jpeg_encode_block(w, block, q, pred, dc_codes, ac_codes, zigzag, dctm,
+                       half=128.0):
     import numpy as np
 
-    coef = dctm @ (block.astype(np.float64) - 128.0) @ dctm.T
+    coef = dctm @ (block.astype(np.float64) - half) @ dctm.T
     czz = np.round(coef.reshape(64)[list(zigzag)] / np.array(q, np.float64))
     czz = czz.astype(int)
     diff = czz[0] - pred
@@ -1022,10 +1031,14 @@ def _jpeg_encode_block(w, block, q, pred, dc_codes, ac_codes, zigzag, dctm):
     return czz[0]
 
 
-def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
+def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved",
+                precision=8):
     """Baseline JPEG from component planes (gray: [Y]; color:
     [Y, Cb, Cr] at full resolution — chroma is box-subsampled by the
-    sampling factors). ``sampling`` is (h, v) for Y; chroma is (1, 1)."""
+    sampling factors). ``sampling`` is (h, v) for Y; chroma is (1, 1).
+    ``precision=12`` writes an extended-sequential (SOF1) stream with
+    0..4095 samples, 2048 level shift, and the extended-range Huffman
+    tables."""
     import struct
 
     import numpy as np
@@ -1037,8 +1050,15 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
 
     dctm = _jpeg_dct_matrix()
     q = [qval] * 64
-    dc_codes = _jpeg_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS)
-    ac_codes = _jpeg_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS)
+    if precision == 12:
+        dc_counts, dc_syms = _JPEG_DC12_COUNTS, _JPEG_DC12_SYMBOLS
+        ac_counts, ac_syms = _JPEG_AC12_COUNTS, _JPEG_AC12_SYMBOLS
+    else:
+        dc_counts, dc_syms = _JPEG_DC_COUNTS, _JPEG_DC_SYMBOLS
+        ac_counts, ac_syms = _JPEG_AC_COUNTS, _JPEG_AC_SYMBOLS
+    half = float(1 << (precision - 1))
+    dc_codes = _jpeg_codes(dc_counts, dc_syms)
+    ac_codes = _jpeg_codes(ac_counts, ac_syms)
     h, w_ = planes[0].shape
     ncomp = len(planes)
     hy, vy = sampling if ncomp == 3 else (1, 1)
@@ -1068,13 +1088,14 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
     out = bytearray(b"\xff\xd8")
     dqt = bytes([0]) + bytes(q)
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
-    sof = struct.pack(">BHHB", 8, h, w_, ncomp)
+    sof = struct.pack(">BHHB", precision, h, w_, ncomp)
     for i in range(ncomp):
         fh, fv = factors[i]
         sof += bytes([i + 1, (fh << 4) | fv, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    dht = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
-    dht += bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    sof_marker = b"\xff\xc1" if precision == 12 else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     if restart:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
@@ -1096,7 +1117,7 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
                 block = comp_planes[i][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
                 pred = _jpeg_encode_block(
                     writer, block, q, pred, dc_codes, ac_codes,
-                    _JPEG_ZIGZAG, dctm,
+                    _JPEG_ZIGZAG, dctm, half=half,
                 )
             out += writer.flush()
         out += b"\xff\xd9"
@@ -1129,7 +1150,7 @@ def _jpeg_bytes(planes, sampling, qval=1, restart=0, scan_mode="interleaved"):
                     block = comp_planes[i][y0 : y0 + 8, x0 : x0 + 8]
                     preds[i] = _jpeg_encode_block(
                         writer, block, q, preds[i], dc_codes, ac_codes,
-                        _JPEG_ZIGZAG, dctm,
+                        _JPEG_ZIGZAG, dctm, half=half,
                     )
     out += writer.flush()
     out += b"\xff\xd9"
@@ -1636,12 +1657,19 @@ def test_jpeg_rejects_progressive_and_corrupt():
     # missing SOS/SOF
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xd9")
-    # 12-bit precision
+    # 12-bit baseline is ILLEGAL per the spec (12-bit lives in
+    # extended/progressive frames, which this decoder now handles)
     sof12 = bytearray(good)
     i = sof12.index(b"\xff\xc0")
     sof12[i + 4] = 12
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="baseline"):
         decode_image(bytes(sof12))
+    # unsupported precision on an extended frame stays an honest stub
+    sof16 = bytearray(good)
+    sof16[i + 1] = 0xC1
+    sof16[i + 4] = 16
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(sof16))
 
 
 def test_jpeg_decode_error_rows_in_spark(spark):
@@ -1996,3 +2024,79 @@ def test_jpeg_multi_scan_sequential_roundtrip():
     a = decode_image(_jpeg_bytes([g], (1, 1)))
     b = decode_image(_jpeg_bytes([g], (1, 1), scan_mode="separate"))
     assert np.array_equal(a, b)
+
+
+class TestJpeg12Bit:
+    """12-bit JPEG (extended sequential SOF1): 2048 level shift,
+    extended-range Huffman categories, full-range map to the 8-bit
+    output contract."""
+
+    def test_gray_12bit_q1_near_exact(self):
+        import numpy as np
+
+        from portfolio_data_pipelines_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        rs = np.random.RandomState(5)
+        img8 = rs.randint(0, 256, (16, 24))
+        img12 = (img8 * 4095.0 / 255.0).round()  # full-range 12-bit
+        got = decode_image(
+            _jpeg_bytes([img12.astype(np.float64)], (1, 1), precision=12)
+        )
+        # q=1 quantization on 12-bit samples keeps the 8-bit projection
+        # within ±1 after the exact 4095→255 map
+        assert got.shape == (16, 24, 3)
+        assert np.abs(got[:, :, 0].astype(int) - img8).max() <= 1
+
+    def test_color_420_12bit_decodes(self):
+        import numpy as np
+
+        from portfolio_data_pipelines_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        rs = np.random.RandomState(9)
+        y = rs.randint(0, 4096, (16, 16)).astype(np.float64)
+        flat_cb = np.full((16, 16), 2048.0)
+        flat_cr = np.full((16, 16), 2048.0)
+        got = decode_image(
+            _jpeg_bytes([y, flat_cb, flat_cr], (2, 2), precision=12)
+        )
+        # neutral chroma → decoded RGB is gray: channels equal ±1
+        assert got.shape == (16, 16, 3)
+        assert np.abs(got[:, :, 0].astype(int) - got[:, :, 1].astype(int)).max() <= 1
+        exp = np.clip(np.round(y * 255.0 / 4095.0), 0, 255)
+        assert np.abs(got[:, :, 0].astype(int) - exp.astype(int)).max() <= 1
+
+    def test_large_dc_swings_use_extended_categories(self):
+        """Alternating 0/4095 blocks force DC diff magnitudes beyond
+        the 8-bit category range — the extended DC table must carry
+        them."""
+        import numpy as np
+
+        from portfolio_data_pipelines_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        img12 = np.zeros((8, 32), dtype=np.float64)
+        img12[:, 8:16] = 4095.0
+        img12[:, 24:32] = 4095.0
+        got = decode_image(_jpeg_bytes([img12], (1, 1), precision=12))
+        assert int(got[0, 0, 0]) <= 1 and int(got[0, 12, 0]) >= 254
+
+    def test_baseline_sof0_rejects_12bit(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from portfolio_data_pipelines_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        img12 = np.full((8, 8), 2048.0)
+        payload = bytearray(_jpeg_bytes([img12], (1, 1), precision=12))
+        # rewrite the SOF1 marker to SOF0: now an ILLEGAL 12-bit baseline
+        i = payload.find(b"\xff\xc1")
+        payload[i + 1] = 0xC0
+        with _pytest.raises(ValueError, match="baseline"):
+            decode_image(bytes(payload))

@@ -495,7 +495,7 @@ def sink_kill_scripts(draw):
     n = draw(st.integers(2, 10))
     days = ["2021-01-01", "2021-01-02", "2021-01-03"]
     rows = [(i, draw(st.sampled_from(days))) for i in range(n)]
-    n_batches = draw(st.integers(1, 4))
+    n_batches = draw(st.integers(1, min(4, n)))
     cuts = sorted(draw(st.lists(
         st.integers(1, n - 1), min_size=n_batches - 1,
         max_size=n_batches - 1, unique=True)))
