@@ -193,10 +193,27 @@ def _read_text(fs, jvm, path_str: str) -> str:
     return "\n".join(lines)
 
 
-def _footer_num_rows(path_str: str) -> int | None:
-    """Row count from the parquet footer (driver-side, one small read);
-    None when the path is not locally readable (remote FS without a
-    local mount) — stats are optional in the spec."""
+def _stats_value(v):
+    """Footer statistic → the JSON value the Delta ``stats`` document
+    carries: numbers as numbers, dates/timestamps as ISO strings,
+    strings as-is; None for types the spec's readers don't skip on."""
+    import datetime as dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (dt.date, dt.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _footer_stats(path_str: str) -> dict | None:
+    """Per-file stats from the parquet footer (driver-side, one small
+    read): numRecords plus per-column minValues/maxValues/nullCount —
+    the spec's data-skipping document. None when the path is not
+    locally readable (remote FS without a local mount) — stats are
+    optional in the spec."""
     import os
 
     if path_str.startswith("file:"):
@@ -209,7 +226,42 @@ def _footer_num_rows(path_str: str) -> int | None:
     try:
         import pyarrow.parquet as pq
 
-        return int(pq.read_metadata(local).num_rows)
+        md = pq.read_metadata(local)
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        complete: dict = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaves: not skippable here
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    complete[name] = False
+                    continue
+                lo, hi = _stats_value(st.min), _stats_value(st.max)
+                if lo is None or hi is None:
+                    complete[name] = False
+                    continue
+                complete.setdefault(name, True)
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                nulls[name] = nulls.get(name, 0) + int(st.null_count or 0)
+        # a column's range is usable only if EVERY row group reported it
+        for name, ok in complete.items():
+            if not ok:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+        out = {"numRecords": int(md.num_rows)}
+        if mins:
+            out["minValues"] = mins
+            out["maxValues"] = maxs
+            out["nullCount"] = nulls
+        return out
     except Exception:
         return None
 
@@ -264,7 +316,7 @@ def _unescape_partition_value(v: str) -> str | None:
     )
 
 
-def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
+def _relative_files(fs, jvm, root: str, sub: str, partition_cols: list):
     """All parquet files under ``root/sub``, as (relative path from
     root, size, partitionValues dict) — partition values parsed (and
     unescaped) from ``col=value`` directory names along the way."""
@@ -285,12 +337,10 @@ def _relative_files(fs, jvm, root: str, sub: str, partition_col: str | None):
                 out.append((rel, st.getLen(), pvals))
 
     walk(base, f"{sub}/" if sub else "", {})
-    if partition_col is not None:
+    for col in partition_cols:
         for rel, _sz, pv in out:
-            if partition_col not in pv:
-                raise ValueError(
-                    f"file {rel} missing partition dir {partition_col}="
-                )
+            if col not in pv:
+                raise ValueError(f"file {rel} missing partition dir {col}=")
     return out
 
 
@@ -300,7 +350,7 @@ def _stage_commit_files(
     jvm,
     path: str,
     df: DataFrame,
-    partition_col: str | None,
+    partition_cols: list,
     new_version: int,
     replace_partitions: list | None = None,
     data_change: bool = True,
@@ -309,18 +359,19 @@ def _stage_commit_files(
     into the table layout with a version-prefixed name, and return the
     add actions (with per-file numRecords stats when locally readable).
     Shared by :func:`write_delta` and :func:`merge_delta` so the commit
-    mechanics can never diverge. On a replace_partitions violation the
-    staging dir is cleaned up and ValueError raised."""
+    mechanics can never diverge. On a replace_partitions violation
+    (single-partition-column tables only) the staging dir is cleaned up
+    and ValueError raised."""
     staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("overwrite").option("compression", "zstd")
-    if partition_col is not None:
-        writer = writer.partitionBy(partition_col)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
     writer.parquet(f"{path}/{staging}")
-    staged = _relative_files(fs, jvm, path, staging, partition_col)
+    staged = _relative_files(fs, jvm, path, staging, partition_cols)
     if replace_partitions is not None:
         allowed = set(replace_partitions)
         stray = sorted(
-            {pv[partition_col] for _r, _s, pv in staged} - allowed,
+            {pv[partition_cols[0]] for _r, _s, pv in staged} - allowed,
             key=lambda x: (x is None, str(x)),
         )
         if stray:
@@ -352,26 +403,43 @@ def _stage_commit_files(
             "modificationTime": now,
             "dataChange": data_change,
         }
-        n_rows = _footer_num_rows(f"{path}/{final_rel}")
-        if n_rows is not None:
-            # the spec's per-file stats JSON — numRecords feeds data
-            # skipping in standard readers and the mini-CBO here
-            add["stats"] = json.dumps({"numRecords": n_rows})
+        stats = _footer_stats(f"{path}/{final_rel}")
+        if stats is not None:
+            # the spec's per-file stats JSON — numRecords feeds the
+            # mini-CBO; minValues/maxValues/nullCount feed file-level
+            # data skipping here and in standard readers
+            add["stats"] = json.dumps(stats, sort_keys=True)
         adds.append({"add": add})
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
     return adds
+
+
+def _norm_pcols(partition_col) -> list:
+    """``partition_col`` accepts None, one column name, or a LIST of
+    names (multi-level partitioning, e.g. ["region", "day"]) — all
+    normalized to a list here."""
+    if partition_col is None:
+        return []
+    if isinstance(partition_col, str):
+        return [partition_col]
+    return list(partition_col)
 
 
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    partition_col: str | None = None,
+    partition_col=None,
     mode: str = "append",
     txn: tuple[str, int] | None = None,
     replace_partitions: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``partition_col`` may be one column name or a LIST of names
+    (multi-level Hive layout, e.g. ``["region", "day"]`` →
+    ``region=R/day=D/``); partitionValues in the log carry every
+    level.
 
     ``mode="append"`` adds files; ``mode="overwrite"`` adds files AND
     tombstones every previously-live file with ``remove`` actions (the
@@ -397,11 +465,13 @@ def write_delta(
     ``etl/load/postgres_loader.py``) on the Delta log."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    pcols = _norm_pcols(partition_col)
     if replace_partitions is not None and (
-        mode != "overwrite" or partition_col is None
+        mode != "overwrite" or len(pcols) != 1
     ):
         raise ValueError(
-            "replace_partitions requires mode='overwrite' and a partition_col"
+            "replace_partitions requires mode='overwrite' and exactly "
+            "one partition column"
         )
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
@@ -418,16 +488,15 @@ def write_delta(
         return versions[-1]
     if prev_meta is not None:
         expected = prev_meta.get("partitionColumns", [])
-        given = [partition_col] if partition_col is not None else []
-        if expected != given:
+        if expected != pcols:
             raise ValueError(
                 f"table is partitioned by {expected}, commit specifies "
-                f"{given} — a mismatched commit would corrupt partition "
+                f"{pcols} — a mismatched commit would corrupt partition "
                 "metadata"
             )
 
     adds = _stage_commit_files(
-        spark, fs, jvm, path, df, partition_col, new_version,
+        spark, fs, jvm, path, df, pcols, new_version,
         replace_partitions=replace_partitions,
     )
     now = _now_ms()
@@ -435,11 +504,7 @@ def write_delta(
     actions: list[dict] = []
     if new_version == 0:
         actions.append(_PROTOCOL_ACTION)
-        actions.append(
-            _metadata_action(
-                df, [partition_col] if partition_col is not None else []
-            )
-        )
+        actions.append(_metadata_action(df, pcols))
     elif prev_meta is not None and _schema_string(df) != prev_meta["schemaString"]:
         # additive schema evolution: a commit whose frame widens the
         # schema emits an updated metaData action (same table id), as
@@ -491,7 +556,7 @@ def write_delta(
             doomed = [
                 rel
                 for rel in doomed
-                if prev_adds[rel].get("partitionValues", {}).get(partition_col)
+                if prev_adds[rel].get("partitionValues", {}).get(pcols[0])
                 in keep
             ]
         for rel in doomed:
@@ -660,8 +725,50 @@ def _read_file_groups(
     return out
 
 
+def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
+    """Can this file hold a row satisfying ``predicate`` (col →
+    (lo, hi) closed interval, either bound None = unbounded)? Decided
+    from the log ALONE: partitionValues for partition columns, the
+    stats document's minValues/maxValues for data columns. Files
+    without usable stats are conservatively kept — skipping is an
+    optimization, never a correctness filter."""
+    stats = json.loads(add["stats"]) if add.get("stats") else {}
+    mins = stats.get("minValues", {})
+    maxs = stats.get("maxValues", {})
+    for col, (lo, hi) in predicate.items():
+        lo, hi = _stats_value(lo), _stats_value(hi)
+        if col in pcols:
+            v = add.get("partitionValues", {}).get(col)
+            if v is None:
+                continue  # null partition: no range proof
+            # partition values are logical strings; bounds compare as
+            # strings (ISO dates order lexicographically) or numbers
+            if isinstance(lo, (int, float)) or isinstance(hi, (int, float)):
+                try:
+                    v = float(v)
+                except ValueError:
+                    continue
+            if (lo is not None and v < lo) or (hi is not None and v > hi):
+                return False
+            continue
+        fmin, fmax = mins.get(col), maxs.get(col)
+        if fmin is None or fmax is None:
+            continue  # no stats for this column: keep the file
+        try:
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        except TypeError:
+            continue  # bound/stat type mismatch: no proof, keep
+    return True
+
+
 def read_delta(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicate: dict | None = None,
 ) -> DataFrame:
     """Read the Delta table at ``path`` (latest, or a pinned version).
 
@@ -669,16 +776,31 @@ def read_delta(
     the same partition directories are excluded by construction);
     partition columns are restored from each file's ``partitionValues``
     and cast to the ``schemaString`` type — files themselves do not
-    contain partition columns, per the Delta layout."""
+    contain partition columns, per the Delta layout.
+
+    ``predicate`` ({col: (lo, hi)}, closed intervals, None = open end)
+    enables FILE-LEVEL data skipping from the log's per-file
+    minValues/maxValues (and partitionValues): provably-disjoint files
+    never reach the scan — at 100 TB this is the difference between
+    planning over every file and planning over the few a selective
+    query touches, BEFORE any parquet footer is opened. Skipping is a
+    superset guarantee, not a filter: callers still apply the exact
+    ``.filter(...)``, and files without stats are always kept."""
     st = _replay_log(spark, path, version)
     target, adds, meta = st.version, st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
+    pcols = meta.get("partitionColumns", [])
+    if predicate:
+        adds = {
+            rel: a
+            for rel, a in adds.items()
+            if _file_may_match(a, pcols, predicate)
+        }
     if not adds:
         return spark.createDataFrame(
             [], schema=_spark_schema_from_string(meta["schemaString"])
         )
-    pcols = meta.get("partitionColumns", [])
     schema = _spark_schema_from_string(meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     fast = _fast_hive_read(spark, path, adds, schema, pcols)
@@ -980,12 +1102,6 @@ def merge_delta(
         )
     source = source.select(*cols)
     pcols = meta.get("partitionColumns", [])
-    if len(pcols) > 1:
-        raise ValueError(
-            "merge_delta supports at most one partition column "
-            f"(table has {pcols}) — a partial rewrite would drop the "
-            "others' partitionValues"
-        )
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     # Touched-file DISCOVERY pass: key columns + file provenance only,
@@ -1053,9 +1169,8 @@ def merge_delta(
         survivors = spark.createDataFrame([], schema=schema)
     new_data = survivors.unionByName(source)
 
-    pcol = pcols[0] if pcols else None
     new_adds = _stage_commit_files(
-        spark, fs, jvm, path, new_data, pcol, new_version
+        spark, fs, jvm, path, new_data, pcols, new_version
     )
     now = _now_ms()
 
@@ -1121,22 +1236,21 @@ def optimize_delta(
     working because the small files are only tombstoned. Returns the
     committed version, or None when nothing needed compaction.
 
-    ``partitions`` restricts the pass to the named partition values —
-    at scale you compact the partitions the streaming sink just
-    peppered with micro-batch files, not the whole table."""
+    ``partitions`` restricts the pass to the named values of the FIRST
+    partition column (multi-level tables compact every sub-partition
+    under the named values) — at scale you compact the partitions the
+    streaming sink just peppered with micro-batch files, not the whole
+    table."""
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
-    if len(pcols) > 1:
-        raise ValueError("optimize_delta supports at most one partition column")
     if partitions is not None and not pcols:
         raise ValueError(
             "partitions scope given but the table is unpartitioned"
         )
-    pcol = pcols[0] if pcols else None
     schema = _spark_schema_from_string(st.meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     doomed_adds: dict[str, dict] = {}
@@ -1159,14 +1273,14 @@ def optimize_delta(
         )
     compacted = compacted.select(*[f.name for f in schema.fields])
     # ~one output file per compacted partition: one task per partition
-    # value after the repartition
-    if pcol is not None:
-        compacted = compacted.repartition(len(doomed_groups), pcol)
+    # value combination after the repartition
+    if pcols:
+        compacted = compacted.repartition(len(doomed_groups), *pcols)
     else:
         compacted = compacted.coalesce(1)
     new_version = st.version + 1
     adds = _stage_commit_files(
-        spark, fs, jvm, path, compacted, pcol, new_version, data_change=False
+        spark, fs, jvm, path, compacted, pcols, new_version, data_change=False
     )
     now = _now_ms()
     actions: list[dict] = [

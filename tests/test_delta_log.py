@@ -15,6 +15,8 @@ from portfolio_data_pipelines_spark.operators.delta_log import (
     DELTA_CHECKPOINT_EVERY,
     checkpoint_delta,
     export_versioned_as_delta,
+    merge_delta,
+    optimize_delta,
     read_delta,
     vacuum_delta,
     write_delta,
@@ -981,3 +983,231 @@ class TestAdviceHardening:
             _warn_if_commit_unsafe("/tmp/table")
             _warn_if_commit_unsafe("file:/tmp/table")
             _warn_if_commit_unsafe("hdfs://nn/table")
+
+
+class TestDataSkipping:
+    """Per-file minValues/maxValues/nullCount in the stats document +
+    file-level pruning in read_delta(predicate=...) — the log answers
+    'which files can hold matching rows' before any footer is opened."""
+
+    def test_stats_document_carries_column_ranges(self, spark, tmp_path):
+        path = str(tmp_path / "t_stats")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(5, 2.5, "b"), (1, 9.0, "a"), (3, None, "c")],
+                "id bigint, v double, s string",
+            ).coalesce(1),
+            path,
+        )
+        log = tmp_path / "t_stats" / "_delta_log"
+        v0 = [
+            json.loads(x)
+            for x in (log / f"{0:020d}.json").read_text().splitlines()
+        ]
+        stats = json.loads(next(a["add"]["stats"] for a in v0 if "add" in a))
+        assert stats["numRecords"] == 3
+        assert stats["minValues"]["id"] == 1 and stats["maxValues"]["id"] == 5
+        assert stats["minValues"]["v"] == 2.5 and stats["maxValues"]["v"] == 9.0
+        assert stats["minValues"]["s"] == "a" and stats["maxValues"]["s"] == "c"
+        assert stats["nullCount"]["v"] == 1 and stats["nullCount"]["id"] == 0
+
+    def test_predicate_prunes_files_and_keeps_answers(self, spark, tmp_path):
+        """5 commits covering disjoint id ranges: a narrow predicate
+        must plan over exactly one file, with rows equal to the
+        full-scan filter."""
+        path = str(tmp_path / "t_skip")
+        for base in range(0, 500, 100):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(base + i, float(base + i)) for i in range(100)],
+                    "id bigint, v double",
+                ).coalesce(1),
+                path,
+            )
+        full = read_delta(spark, path)
+        assert len(full.inputFiles()) == 5
+        pruned = read_delta(spark, path, predicate={"id": (250, 260)})
+        assert len(pruned.inputFiles()) == 1
+        got = sorted(
+            r["id"]
+            for r in pruned.filter(F.col("id").between(250, 260)).collect()
+        )
+        assert got == list(range(250, 261))
+        # open-ended bound
+        hi = read_delta(spark, path, predicate={"id": (450, None)})
+        assert len(hi.inputFiles()) == 1
+        # disjoint predicate plans zero files but keeps the schema
+        none = read_delta(spark, path, predicate={"id": (1000, None)})
+        assert none.columns == ["id", "v"] and none.count() == 0
+
+    def test_partition_values_prune_without_stats(self, spark, tmp_path):
+        path = str(tmp_path / "t_skip_part")
+        d0 = spark.createDataFrame(
+            [(i, f"2021-01-{1 + i % 4:02d}") for i in range(40)],
+            "id bigint, day string",
+        )
+        write_delta(spark, d0, path, partition_col="day")
+        pruned = read_delta(
+            spark, path, predicate={"day": ("2021-01-02", "2021-01-03")}
+        )
+        got_days = {r["day"] for r in pruned.collect()}
+        assert got_days == {"2021-01-02", "2021-01-03"}
+        assert len(pruned.inputFiles()) < len(read_delta(spark, path).inputFiles())
+
+    def test_files_without_stats_are_never_skipped(self, spark, tmp_path, monkeypatch):
+        """Skipping is a superset guarantee: a file with no stats (e.g.
+        foreign writer) must survive every predicate."""
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = str(tmp_path / "t_skip_nostats")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double").coalesce(1),
+            path,
+        )
+        monkeypatch.setattr(dl, "_footer_stats", lambda p: None)
+        write_delta(
+            spark,
+            spark.createDataFrame([(900, 9.0)], "id bigint, v double").coalesce(1),
+            path,
+        )
+        monkeypatch.undo()
+        pruned = read_delta(spark, path, predicate={"id": (800, None)})
+        # the stats-less file survives; the provably-disjoint one goes
+        assert len(pruned.inputFiles()) == 1
+        assert [r["id"] for r in pruned.collect()] == [900]
+
+    def test_checkpointed_stats_still_prune(self, spark, tmp_path):
+        """The stats document rides checkpoints, so skipping keeps
+        working after pre-checkpoint commits are cleaned up."""
+        path = str(tmp_path / "t_skip_cp")
+        for base in range(0, (DELTA_CHECKPOINT_EVERY + 1) * 10, 10):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(base + i,) for i in range(10)], "id bigint"
+                ).coalesce(1),
+                path,
+            )
+        log = tmp_path / "t_skip_cp" / "_delta_log"
+        for v in range(DELTA_CHECKPOINT_EVERY):
+            (log / f"{v:020d}.json").unlink()
+        pruned = read_delta(spark, path, predicate={"id": (35, 35)})
+        assert len(pruned.inputFiles()) == 1
+        assert pruned.filter(F.col("id") == 35).count() == 1
+
+
+class TestMultiColumnPartitioning:
+    """Multi-level Hive partitioning (partition_col as a list): write,
+    read, time travel, MERGE, OPTIMIZE, and data skipping on every
+    level."""
+
+    @staticmethod
+    def _seed(spark, path):
+        rows = [
+            (i, ["eu", "us"][i % 2], f"2021-01-{1 + i % 3:02d}", float(i))
+            for i in range(24)
+        ]
+        df = spark.createDataFrame(
+            rows, "id bigint, region string, day string, v double"
+        )
+        write_delta(spark, df, path, partition_col=["region", "day"])
+        return rows
+
+    def test_roundtrip_layout_and_log(self, spark, tmp_path):
+        path = str(tmp_path / "t_mc")
+        rows = self._seed(spark, path)
+        got = read_delta(spark, path)
+        assert sorted(tuple(r) for r in got.collect()) == sorted(rows)
+        # physical layout: region=R/day=D/ under the root
+        files = [
+            p.relative_to(tmp_path / "t_mc")
+            for p in (tmp_path / "t_mc").rglob("*.parquet")
+            if "_delta_log" not in str(p)
+        ]
+        assert files and all(
+            str(f).startswith(("region=eu/day=", "region=us/day="))
+            for f in files
+        )
+        # log: both levels in partitionValues, files carry neither col
+        log = tmp_path / "t_mc" / "_delta_log"
+        v0 = [
+            json.loads(x)
+            for x in (log / f"{0:020d}.json").read_text().splitlines()
+        ]
+        meta = next(a["metaData"] for a in v0 if "metaData" in a)
+        assert meta["partitionColumns"] == ["region", "day"]
+        adds = [a["add"] for a in v0 if "add" in a]
+        assert all(set(a["partitionValues"]) == {"region", "day"} for a in adds)
+
+    def test_mismatched_partition_spec_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t_mc2")
+        self._seed(spark, path)
+        with pytest.raises(ValueError, match="partitioned by"):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(99, "eu", "2021-01-01", 9.0)],
+                    "id bigint, region string, day string, v double",
+                ),
+                path,
+                partition_col="region",
+            )
+
+    def test_predicate_prunes_either_level(self, spark, tmp_path):
+        path = str(tmp_path / "t_mc3")
+        self._seed(spark, path)
+        total = len(read_delta(spark, path).inputFiles())
+        by_region = read_delta(spark, path, predicate={"region": ("us", "us")})
+        assert 0 < len(by_region.inputFiles()) < total
+        assert {r["region"] for r in by_region.collect()} == {"us"}
+        by_day = read_delta(
+            spark, path, predicate={"day": ("2021-01-02", "2021-01-02")}
+        )
+        assert 0 < len(by_day.inputFiles()) < total
+        assert {r["day"] for r in by_day.collect()} == {"2021-01-02"}
+
+    def test_merge_and_optimize_on_multicol_table(self, spark, tmp_path):
+        path = str(tmp_path / "t_mc4")
+        rows = self._seed(spark, path)
+        src = spark.createDataFrame(
+            [(0, "eu", "2021-01-01", 100.0), (99, "us", "2021-01-02", 99.0)],
+            "id bigint, region string, day string, v double",
+        )
+        merge_delta(spark, path, src, key_cols=["id"])
+        got = {r["id"]: tuple(r) for r in read_delta(spark, path).collect()}
+        assert got[0] == (0, "eu", "2021-01-01", 100.0)
+        assert got[99] == (99, "us", "2021-01-02", 99.0)
+        assert len(got) == len(rows) + 1
+        # pepper one leaf, then compact: live count shrinks, rows don't
+        for _ in range(2):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(200, "eu", "2021-01-01", 1.0)],
+                    "id bigint, region string, day string, v double",
+                ),
+                path,
+                partition_col=["region", "day"],
+            )
+        before = read_delta(spark, path)
+        n_before_files = len(before.inputFiles())
+        rows_before = sorted(tuple(r) for r in before.collect())
+        assert optimize_delta(spark, path) is not None
+        after = read_delta(spark, path)
+        assert len(after.inputFiles()) < n_before_files
+        assert sorted(tuple(r) for r in after.collect()) == rows_before
+
+    def test_external_reader_parity_multicol(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_reader import (
+            read_delta_external,
+        )
+
+        path = str(tmp_path / "t_mc5")
+        self._seed(spark, path)
+        sdf = read_delta(spark, path)
+        names, rows = read_delta_external(path)
+        assert names == sdf.columns
+        assert sorted(rows) == sorted(tuple(r) for r in sdf.collect())
