@@ -101,6 +101,16 @@ def run_lakehouse_family(spark, sf_dir: str):
              .write.format("noop").mode("overwrite").save())
         step("lakehouse_lake_read", lambda: read_versioned(spark, lpath)
              .write.format("noop").mode("overwrite").save())
+        # selective read: Delta prunes files from the LOG (partition
+        # values + stats ranges) before planning; the lake twin leans
+        # on Spark's hive partition pruning at the scan
+        step("lakehouse_delta_skip_read", lambda: read_delta(
+            spark, dpath, predicate={"date": (two_days[0], two_days[-1])})
+            .filter(F.col("date").isin(two_days))
+            .write.format("noop").mode("overwrite").save())
+        step("lakehouse_lake_pruned_read", lambda: read_versioned(spark, lpath)
+             .filter(F.col("date").isin(two_days))
+             .write.format("noop").mode("overwrite").save())
         step("lakehouse_delta_merge", lambda: merge_delta(
             spark, dpath, merge_src, key_cols=["event_id"]))
 

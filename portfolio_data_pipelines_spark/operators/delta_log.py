@@ -1227,6 +1227,8 @@ def optimize_delta(
     spark: SparkSession,
     path: str,
     partitions: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    n_files: int = 8,
 ) -> int | None:
     """OPTIMIZE-style bin-packing: partitions holding more than one
     live file are rewritten as one file each, committed with
@@ -1240,7 +1242,17 @@ def optimize_delta(
     partition column (multi-level tables compact every sub-partition
     under the named values) — at scale you compact the partitions the
     streaming sink just peppered with micro-batch files, not the whole
-    table."""
+    table.
+
+    ``zorder_by`` is Delta's OPTIMIZE ZORDER BY: every live file in
+    scope (not just multi-file partitions) is rewritten range-
+    partitioned on the Morton code of the named columns into
+    ``n_files`` files, so the stats document each add carries becomes
+    SELECTIVE on every clustered column simultaneously — this is what
+    turns ``read_delta(predicate=...)``'s file skipping from
+    partition-grain into value-grain. The commit stays
+    dataChange=false (layout, not content); a predicate that matched N
+    files on the round-robin layout matches ~N/n_files after."""
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
@@ -1260,7 +1272,12 @@ def optimize_delta(
         if partitions is not None and key[0] not in partitions:
             continue
         by_key.setdefault(key, []).append(rel)
-    doomed_groups = {k: rels for k, rels in by_key.items() if len(rels) > 1}
+    if zorder_by is not None:
+        # clustering rewrites EVERYTHING in scope — single-file
+        # partitions still need re-sorting into the z-order layout
+        doomed_groups = dict(by_key)
+    else:
+        doomed_groups = {k: rels for k, rels in by_key.items() if len(rels) > 1}
     if not doomed_groups:
         return None
     for rels in doomed_groups.values():
@@ -1272,9 +1289,18 @@ def optimize_delta(
             spark, path, doomed_adds, pcols, ptypes, schema
         )
     compacted = compacted.select(*[f.name for f in schema.fields])
+    if zorder_by is not None:
+        from .zorder import zorder_key
+
+        keyed, helper_cols = zorder_key(compacted, list(zorder_by))
+        compacted = (
+            keyed.repartitionByRange(n_files, *pcols, "_z")
+            .sortWithinPartitions(*pcols, "_z")
+            .drop(*helper_cols)
+        )
     # ~one output file per compacted partition: one task per partition
     # value combination after the repartition
-    if pcols:
+    elif pcols:
         compacted = compacted.repartition(len(doomed_groups), *pcols)
     else:
         compacted = compacted.coalesce(1)

@@ -87,8 +87,29 @@ def zorder_write(
     reaches bit 63 of a long flips the sign on top-bucket rows and the
     range partitioning is silently no longer monotone.
     """
+    keyed, helper_cols = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop(*helper_cols)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS
+) -> tuple[DataFrame, list[str]]:
+    """``df`` plus a ``_z`` Morton-code column over the min/max-
+    normalized ``cols`` (one broadcast bounds aggregate, map-side
+    interleave). Returns (keyed frame, helper column names to drop
+    after partitioning/sorting). Shared by :func:`zorder_write` and
+    ``delta_log.optimize_delta(zorder_by=...)`` so the clustering key
+    can never diverge between the plain and the lakehouse layout
+    passes."""
     if not cols:
-        raise ValueError("zorder_write requires at least one column")
+        raise ValueError("z-ordering requires at least one column")
     bits = min(bits, _MAX_Z_BITS // len(cols))
     if bits < 1:
         raise ValueError(f"too many z-order columns ({len(cols)}) for a 63-bit key")
@@ -99,15 +120,8 @@ def zorder_write(
     buckets = [
         _bucketize(F.col(c), F.col(f"lo_{c}"), F.col(f"hi_{c}"), bits) for c in cols
     ]
-    (
-        with_bounds.withColumn("_z", _interleave(buckets, bits))
-        .repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", *[f"{n}_{c}" for c in cols for n in ("lo", "hi")])
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(path)
-    )
+    keyed = with_bounds.withColumn("_z", _interleave(buckets, bits))
+    return keyed, ["_z"] + [f"{n}_{c}" for c in cols for n in ("lo", "hi")]
 
 
 def zorder_file_stats(path: str, cols: list[str]) -> dict[str, float]:

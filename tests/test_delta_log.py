@@ -1211,3 +1211,84 @@ class TestMultiColumnPartitioning:
         names, rows = read_delta_external(path)
         assert names == sdf.columns
         assert sorted(rows) == sorted(tuple(r) for r in sdf.collect())
+
+
+class TestOptimizeZorder:
+    """OPTIMIZE ZORDER BY: rewriting the layout on the Morton code of
+    two columns must make the per-file stats selective on BOTH, turning
+    read_delta's file skipping from no-op into value-grain pruning —
+    with identical rows and a dataChange=false commit the change feed
+    ignores."""
+
+    def test_zorder_makes_skipping_selective_on_both_columns(
+        self, spark, tmp_path
+    ):
+        import random
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t_zo")
+        rng = random.Random(11)
+        for _ in range(2):
+            rows = [
+                (rng.randrange(1000), rng.randrange(1000)) for _ in range(2000)
+            ]
+            write_delta(
+                spark,
+                spark.createDataFrame(rows, "a bigint, b bigint").coalesce(4),
+                path,
+            )
+        pred_a = {"a": (100, 140)}
+        pred_b = {"b": (500, 540)}
+        before = read_delta(spark, path)
+        n_total = len(before.inputFiles())
+        # round-robin layout: every file spans the whole range — no
+        # file can be proven disjoint on either column
+        assert len(read_delta(spark, path, predicate=pred_a).inputFiles()) == n_total
+        rows_a = sorted(
+            tuple(r)
+            for r in read_delta(spark, path, predicate=pred_a)
+            .filter(F.col("a").between(100, 140)).collect()
+        )
+        rows_before = sorted(tuple(r) for r in before.collect())
+
+        v = optimize_delta(spark, path, zorder_by=["a", "b"], n_files=8)
+        assert v is not None
+        after = read_delta(spark, path)
+        assert sorted(tuple(r) for r in after.collect()) == rows_before
+        n_a = len(read_delta(spark, path, predicate=pred_a).inputFiles())
+        n_b = len(read_delta(spark, path, predicate=pred_b).inputFiles())
+        assert n_a < 8 and n_b < 8, (n_a, n_b)
+        # answers unchanged under the pruned plan
+        got_a = sorted(
+            tuple(r)
+            for r in read_delta(spark, path, predicate=pred_a)
+            .filter(F.col("a").between(100, 140)).collect()
+        )
+        assert got_a == rows_a
+        # layout commit: the change feed sees nothing new
+        assert read_delta_changes(spark, path, from_version=v - 1).count() == 0
+
+    def test_zorder_scoped_to_partition(self, spark, tmp_path):
+        import random
+
+        path = str(tmp_path / "t_zo_p")
+        rng = random.Random(3)
+        rows = [
+            (rng.randrange(100), f"2021-01-{1 + i % 2:02d}", float(i))
+            for i in range(400)
+        ]
+        write_delta(
+            spark,
+            spark.createDataFrame(rows, "a bigint, day string, v double"),
+            path,
+            partition_col="day",
+        )
+        v = optimize_delta(
+            spark, path, partitions=["2021-01-01"], zorder_by=["a"], n_files=4
+        )
+        assert v is not None
+        got = sorted(tuple(r) for r in read_delta(spark, path).collect())
+        assert got == sorted(rows)
