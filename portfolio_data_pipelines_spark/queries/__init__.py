@@ -77,6 +77,7 @@ def _load_all() -> None:
     from . import multimodal  # noqa: F401
     from . import streaming_live  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import lakehouse  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
