@@ -272,17 +272,53 @@ def _schema_string(df: DataFrame) -> str:
     return df.schema.json()
 
 
-def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
+def _metadata_action(
+    df: DataFrame, partition_cols: list[str], constraints: dict | None = None
+) -> dict:
+    config = {}
+    for name, expr in (constraints or {}).items():
+        # Delta's CHECK-constraint convention: expressions live in the
+        # table configuration under delta.constraints.<name>
+        config[f"delta.constraints.{name}"] = expr
     return {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": _schema_string(df),
             "partitionColumns": partition_cols,
-            "configuration": {},
+            "configuration": config,
             "createdTime": _now_ms(),
         }
     }
+
+
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+    """CHECK constraints (``delta.constraints.*`` in the table
+    configuration) gate every commit: a batch holding any row whose
+    expression evaluates FALSE is rejected before a byte is staged
+    (NULL passes, SQL CHECK semantics). Cost is one combined filter
+    over the BATCH — never the table."""
+    if not meta:
+        return
+    exprs = {
+        k[len("delta.constraints."):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith("delta.constraints.")
+    }
+    if not exprs:
+        return
+    violated = None
+    for expr in exprs.values():
+        bad = ~F.coalesce(F.expr(expr), F.lit(True))
+        violated = bad if violated is None else (violated | bad)
+    n_bad = df.filter(violated).count()
+    if n_bad:
+        raise ValueError(
+            f"commit violates CHECK constraint(s) {sorted(exprs)} on "
+            f"{n_bad} row(s): " + "; ".join(
+                f"{n}: {e}" for n, e in sorted(exprs.items())
+            )
+        )
 
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -433,6 +469,7 @@ def write_delta(
     mode: str = "append",
     txn: tuple[str, int] | None = None,
     replace_partitions: list[str] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -456,6 +493,13 @@ def write_delta(
     table version, writes nothing) — the ledger Structured Streaming
     sinks use for exactly-once delivery across restarts
     (:func:`delta_stream_sink`).
+
+    ``constraints`` ({name: sql_expr}, table-creation commit only)
+    records Delta CHECK constraints in the table configuration
+    (``delta.constraints.<name>``); every subsequent commit — appends,
+    overwrites, MERGE sources, stream-sink batches — is rejected if any
+    row evaluates an expression to FALSE (NULL passes, SQL CHECK
+    semantics). Enforcement costs one filter over the batch.
 
     ``replace_partitions`` (overwrite mode only) scopes the tombstones
     to the named partition values — Delta's ``replaceWhere``: only
@@ -494,6 +538,23 @@ def write_delta(
                 f"{pcols} — a mismatched commit would corrupt partition "
                 "metadata"
             )
+        if constraints:
+            raise ValueError(
+                "constraints are declared at table creation (version 0) "
+                "— this table already exists"
+            )
+        _enforce_constraints(df, prev_meta)
+    elif constraints:
+        # enforce BEFORE staging so a rejected creation leaves nothing
+        _enforce_constraints(
+            df,
+            {
+                "configuration": {
+                    f"delta.constraints.{n}": e
+                    for n, e in constraints.items()
+                }
+            },
+        )
 
     adds = _stage_commit_files(
         spark, fs, jvm, path, df, pcols, new_version,
@@ -504,7 +565,7 @@ def write_delta(
     actions: list[dict] = []
     if new_version == 0:
         actions.append(_PROTOCOL_ACTION)
-        actions.append(_metadata_action(df, pcols))
+        actions.append(_metadata_action(df, pcols, constraints))
     elif prev_meta is not None and _schema_string(df) != prev_meta["schemaString"]:
         # additive schema evolution: a commit whose frame widens the
         # schema emits an updated metaData action (same table id), as
@@ -1101,6 +1162,7 @@ def merge_delta(
             "merge source has duplicate keys — ambiguous WHEN MATCHED"
         )
     source = source.select(*cols)
+    _enforce_constraints(source, meta)  # CHECK constraints gate MERGE too
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -1321,6 +1383,71 @@ def optimize_delta(
         for rel in sorted(rels)
     ]
     actions.extend(adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def restore_delta(
+    spark: SparkSession, path: str, version: int
+) -> int:
+    """RESTORE TABLE TO VERSION — Delta's rollback: one metadata-only
+    commit makes the table's LIVE SET equal to ``version``'s, by
+    tombstoning files added since and re-adding files removed since
+    (their physical files still exist unless vacuumed — missing ones
+    raise before anything is written). History is preserved: the
+    restore is itself a new commit, so the bad versions remain
+    time-travelable for audit and the change feed sees the re-added
+    files. Cost is O(files that differ), zero data movement. Returns
+    the committed version.
+
+    If ``version``'s schema differed, the restore re-emits its
+    metaData, so schema rolls back with the data (as Delta RESTORE
+    does)."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    cur = _replay_log(spark, path, None)
+    old = _replay_log(spark, path, version)
+    if old.meta is None or cur.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    to_remove = sorted(set(cur.adds) - set(old.adds))
+    to_readd = sorted(set(old.adds) - set(cur.adds))
+    missing = [
+        rel
+        for rel in to_readd
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to version {version}: data files were "
+            f"vacuumed: {missing[:5]}{'...' if len(missing) > 5 else ''}"
+        )
+    now = _now_ms()
+    actions: list[dict] = []
+    if old.meta["schemaString"] != cur.meta["schemaString"] or old.meta.get(
+        "partitionColumns"
+    ) != cur.meta.get("partitionColumns"):
+        actions.append({"metaData": old.meta})
+    for rel in to_remove:
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
+                }
+            }
+        )
+    for rel in to_readd:
+        a = dict(old.adds[rel])
+        a["path"] = _encode_path(rel)
+        a["modificationTime"] = now
+        actions.append({"add": a})
+    new_version = cur.version + 1
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     _write_small_file(
         fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False

@@ -1292,3 +1292,140 @@ class TestOptimizeZorder:
         assert v is not None
         got = sorted(tuple(r) for r in read_delta(spark, path).collect())
         assert got == sorted(rows)
+
+
+class TestRestore:
+    """RESTORE TABLE TO VERSION: one metadata-only commit flips the
+    live set back; history (including the rolled-back versions) stays
+    time-travelable, and the feed sees the re-added files."""
+
+    def test_restore_rolls_back_live_set_and_schema(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            restore_delta,
+        )
+
+        path = str(tmp_path / "t_restore")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]),
+                    path, partition_col="date")
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-02"))]),
+                    path, partition_col="date")
+        # bad deploy: overwrite wipes everything, then evolves schema
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(9, 9.0, _day("2021-03-01"), "oops")],
+                "id bigint, v double, date date, extra string",
+            ),
+            path, partition_col="date", mode="overwrite",
+        )
+        v = restore_delta(spark, path, 1)
+        assert v == 3
+        got = read_delta(spark, path)
+        assert got.columns == ["id", "v", "date"]  # schema rolled back
+        assert sorted(tuple(r) for r in got.collect()) == [
+            (1, 1.0, _day("2021-01-01")), (2, 2.0, _day("2021-01-02")),
+        ]
+        # the bad version is still auditable
+        assert read_delta(spark, path, version=2).count() == 1
+        # and the restore itself is one more normal commit
+        assert sorted(
+            tuple(r) for r in read_delta(spark, path, version=v).collect()
+        ) == sorted(tuple(r) for r in read_delta(spark, path, version=1).collect())
+
+    def test_restore_refuses_when_files_vacuumed(self, spark, tmp_path):
+        import time as _time
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            restore_delta,
+        )
+
+        path = str(tmp_path / "t_restore_vac")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]),
+                    path, partition_col="date")
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-01"))]),
+                    path, partition_col="date", mode="overwrite")
+        future = int((_time.time() + 3600) * 1000)
+        assert vacuum_delta(spark, path, retain_hours=0.0, now_ms=future)
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            restore_delta(spark, path, 0)
+
+
+class TestCheckConstraints:
+    """Delta CHECK constraints: declared at creation, stored under
+    delta.constraints.* in the table configuration, enforced on every
+    commit path."""
+
+    def _make(self, spark, tmp_path):
+        path = str(tmp_path / "t_check")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 10.0)], "id bigint, v double"),
+            path,
+            constraints={"v_nonneg": "v >= 0", "id_pos": "id > 0"},
+        )
+        return path
+
+    def test_constraints_recorded_and_enforced_on_append(self, spark, tmp_path):
+        path = self._make(spark, tmp_path)
+        log = tmp_path / "t_check" / "_delta_log"
+        v0 = [json.loads(x) for x in (log / f"{0:020d}.json").read_text().splitlines()]
+        conf = next(a["metaData"] for a in v0 if "metaData" in a)["configuration"]
+        assert conf["delta.constraints.v_nonneg"] == "v >= 0"
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                spark,
+                spark.createDataFrame([(2, -1.0)], "id bigint, v double"),
+                path,
+            )
+        # the rejected commit left no trace
+        assert _rows(spark, read_delta(spark, path)) == [(1, 10.0)]
+        # a clean batch passes
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, 0.0)], "id bigint, v double"),
+            path,
+        )
+        assert read_delta(spark, path).count() == 2
+
+    def test_null_passes_and_merge_is_gated(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            merge_delta,
+        )
+
+        path = self._make(spark, tmp_path)
+        # SQL CHECK semantics: NULL is not a violation
+        write_delta(
+            spark,
+            spark.createDataFrame([(3, None)], "id bigint, v double"),
+            path,
+        )
+        with pytest.raises(ValueError, match="id_pos"):
+            merge_delta(
+                spark,
+                path,
+                spark.createDataFrame([(-5, 1.0)], "id bigint, v double"),
+                key_cols=["id"],
+            )
+
+    def test_violating_creation_leaves_nothing(self, spark, tmp_path):
+        path = str(tmp_path / "t_check_v0")
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                spark,
+                spark.createDataFrame([(1, -1.0)], "id bigint, v double"),
+                path,
+                constraints={"v_nonneg": "v >= 0"},
+            )
+        import os
+
+        assert not os.path.exists(os.path.join(path, "_delta_log"))
+
+    def test_constraints_only_at_creation(self, spark, tmp_path):
+        path = self._make(spark, tmp_path)
+        with pytest.raises(ValueError, match="table creation"):
+            write_delta(
+                spark,
+                spark.createDataFrame([(4, 1.0)], "id bigint, v double"),
+                path,
+                constraints={"late": "id < 100"},
+            )
