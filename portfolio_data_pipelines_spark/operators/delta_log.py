@@ -825,13 +825,44 @@ def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
     return True
 
 
+def version_as_of(spark: SparkSession, path: str, ts: str) -> int:
+    """The highest version committed at or before ISO-8601 ``ts`` —
+    Delta's ``timestampAsOf`` resolution, from commit-file modification
+    times exactly as delta-spark resolves it. Raises when the earliest
+    retained commit is already newer (log cleanup passed the asked-for
+    time)."""
+    import datetime as dt
+
+    target = dt.datetime.fromisoformat(ts)
+    if target.tzinfo is None:
+        target = target.replace(tzinfo=dt.timezone.utc)
+    target_ms = int(target.timestamp() * 1000)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    best = None
+    for v in _list_log_versions(fs, jvm, path):
+        st = fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")
+        )
+        if st.getModificationTime() <= target_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit in {path} at or before {ts} (the earliest "
+            "retained commit is newer)"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     predicate: dict | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
-    """Read the Delta table at ``path`` (latest, or a pinned version).
+    """Read the Delta table at ``path`` (latest, a pinned ``version``,
+    or ``as_of`` an ISO-8601 timestamp — Delta's ``timestampAsOf``,
+    resolved from commit times by :func:`version_as_of`).
 
     Live files are passed as explicit paths (tombstoned files sharing
     the same partition directories are excluded by construction);
@@ -847,6 +878,10 @@ def read_delta(
     query touches, BEFORE any parquet footer is opened. Skipping is a
     superset guarantee, not a filter: callers still apply the exact
     ``.filter(...)``, and files without stats are always kept."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_as_of(spark, path, as_of)
     st = _replay_log(spark, path, version)
     target, adds, meta = st.version, st.adds, st.meta
     if meta is None:

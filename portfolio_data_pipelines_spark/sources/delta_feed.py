@@ -30,6 +30,14 @@ Usage::
     stream = (spark.readStream.format("delta_feed")
               .option("path", table_path).load())
 
+Options: ``startingVersion`` (consume commits AFTER this version;
+default −1 = from the beginning) and ``maxCommitsPerTrigger``
+(admission control: each ``latestOffset`` advances at most N commits
+past the last planned batch, so a backlog drains in bounded batches
+under a processing-time trigger; ``trigger(availableNow)`` snapshots
+one end offset by Spark's own semantics, and a restarted reader never
+caps below Spark's checkpointed position).
+
 Local-filesystem tables (this sandbox has no object store); an external
 deployment swaps the ``os`` calls for its store's SDK.
 """
@@ -93,16 +101,33 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             raise ValueError("delta_feed requires .option('path', <table>)")
         self.schema = schema
         self.start_version = int(options.get("startingversion", -1))
+        # admission control: at most N commits per micro-batch, so a
+        # restart against a long backlog drains in bounded batches
+        # instead of one giant catch-up batch (maxFilesPerTrigger's
+        # commit-grained analogue)
+        self.max_commits = int(options.get("maxcommitspertrigger", 0)) or None
+        self._progress: int | None = None  # known position, once seen
 
     def initialOffset(self) -> dict:
+        # cold start (no checkpoint): the position IS known
+        self._progress = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         log_dir = os.path.join(_local(self.path), "_delta_log")
         versions = _list_commit_versions(log_dir)
-        return {"version": versions[-1] if versions else self.start_version}
+        tip = versions[-1] if versions else self.start_version
+        # Cap commits per batch ONLY when the reader knows where the
+        # stream is (cold start, or after a planned batch). On a
+        # RESTART Spark holds the offset in its checkpoint and the
+        # reader must not guess below it — the first post-restart batch
+        # runs uncapped, then admission control resumes.
+        if self.max_commits is not None and self._progress is not None:
+            tip = min(tip, self._progress + self.max_commits)
+        return {"version": tip}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._progress = int(end["version"])
         root = _local(self.path)
         log_dir = os.path.join(root, "_delta_log")
         parts: list[InputPartition] = []

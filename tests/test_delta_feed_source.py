@@ -152,3 +152,83 @@ def test_sink_to_source_roundtrip(registered, tmp_path):
     got = sorted(tuple(r) for r in read_delta(spark, b).collect())
     want = sorted(tuple(r) for r in read_delta(spark, a).collect())
     assert got == want and len(got) == 3
+
+
+def test_max_commits_per_trigger_bounds_each_batch(registered, tmp_path):
+    """Admission control at the reader level: with maxCommitsPerTrigger=2
+    each latestOffset advances at most 2 versions past the last planned
+    batch, a restart (no initialOffset, checkpoint holds the position)
+    is never capped below the checkpoint, and the stream still delivers
+    every row. (Under trigger(availableNow) Spark snapshots one end
+    offset, so the per-trigger pacing is asserted on the reader's own
+    offset protocol.)"""
+    from pyspark.sql.types import StructType
+
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaFeedStreamReader,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_rate")
+    for i in range(5):
+        write_delta(spark, _df(spark, [(i, float(i), _day("2021-01-01"))]),
+                    path, partition_col="date")
+
+    schema = StructType()  # offsets/partitions don't touch the schema
+    r = DeltaFeedStreamReader(schema, {"path": path, "maxcommitspertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}   # -1 -> +2
+    r.partitions({"version": -1}, {"version": 1})
+    assert r.latestOffset() == {"version": 3}   # 1 -> +2
+    r.partitions({"version": 1}, {"version": 3})
+    assert r.latestOffset() == {"version": 4}   # tip, not 5
+    r.partitions({"version": 3}, {"version": 4})
+    assert r.latestOffset() == {"version": 4}   # caught up: no advance
+
+    # RESTART shape: no initialOffset call — the first latestOffset must
+    # NOT cap below the (unknown to the reader) checkpointed position
+    r2 = DeltaFeedStreamReader(schema, {"path": path, "maxcommitspertrigger": "2"})
+    assert r2.latestOffset() == {"version": 4}
+
+    # end to end the stream still delivers everything exactly once
+    out, ckpt = str(tmp_path / "out_rate"), str(tmp_path / "ckpt_rate")
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("maxCommitsPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [0, 1, 2, 3, 4]
+
+
+def test_read_delta_timestamp_as_of(registered, tmp_path):
+    """timestampAsOf time travel: resolve the version from commit
+    times; reading as of 'now' equals latest, as of a pre-table time
+    raises."""
+    import datetime as dt
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        read_delta,
+        version_as_of,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_asof")
+    write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]),
+                path, partition_col="date")
+    write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-01"))]),
+                path, partition_col="date")
+    now = dt.datetime.now(dt.timezone.utc).isoformat()
+    assert version_as_of(spark, path, now) == 1
+    got = read_delta(spark, path, as_of=now)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="no commit"):
+        read_delta(spark, path, as_of="2000-01-01T00:00:00+00:00")
+    with pytest.raises(ValueError, match="not both"):
+        read_delta(spark, path, version=0, as_of=now)
