@@ -163,6 +163,38 @@ def run_lakehouse_family(spark, sf_dir: str):
     return timings, meta
 
 
+def _load_sample() -> dict:
+    """One host-load sample: 1-min loadavg + cumulative steal/total jiffies.
+
+    Contention telemetry (r6 verdict task 3): this host has shown 1.5x
+    run-to-run swings on UNCHANGED code from noisy-neighbor CPU steal.
+    Sampling /proc/loadavg and the /proc/stat steal counter around each
+    query makes a contended run machine-detectable from BENCH_FULL.json
+    alone instead of a timing hunch.
+    """
+    out = {"loadavg1": None, "steal": None, "total": None}
+    try:
+        with open("/proc/loadavg") as f:
+            out["loadavg1"] = float(f.read().split()[0])
+        with open("/proc/stat") as f:
+            parts = f.readline().split()  # "cpu  user nice sys idle iowait irq softirq steal ..."
+        vals = [int(x) for x in parts[1:]]
+        out["steal"] = vals[7] if len(vals) > 7 else 0
+        out["total"] = sum(vals)
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
+def _steal_pct(before: dict, after: dict):
+    if before.get("total") is None or after.get("total") is None:
+        return None
+    dt = after["total"] - before["total"]
+    if dt <= 0:
+        return 0.0
+    return round(100.0 * (after["steal"] - before["steal"]) / dt, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
@@ -196,19 +228,44 @@ def main() -> None:
     cold: dict[str, float] = {}
     families: dict[str, float] = {}
     families_cold: dict[str, float] = {}
+    fam_load: dict[str, dict] = {}  # per-family jiffy/load accumulation
+    load_start = _load_sample()
     for name, fn in sorted(all_queries().items()):
+        s0 = _load_sample()
         cold[name] = round(run_once(fn), 4)
         timings[name] = round(run_once(fn), 4)
+        s1 = _load_sample()
         fam = fn.__module__.rsplit(".", 1)[-1]
         families[fam] = round(families.get(fam, 0.0) + timings[name], 4)
         families_cold[fam] = round(families_cold.get(fam, 0.0) + cold[name], 4)
+        if s0.get("total") is not None and s1.get("total") is not None:
+            acc = fam_load.setdefault(fam, {"steal": 0, "total": 0, "loadavg_max": 0.0})
+            acc["steal"] += s1["steal"] - s0["steal"]
+            acc["total"] += s1["total"] - s0["total"]
+            acc["loadavg_max"] = max(acc["loadavg_max"], s1["loadavg1"] or 0.0)
 
     # Lakehouse lifecycle family (Delta log vs plain versioned lake) —
     # not a declared query (it writes tables), so benched and reported
     # as its own family, EXCLUDED from `value` to keep the headline
     # number comparable with earlier rounds and the recorded baseline.
+    lk0 = _load_sample()
     lake_timings, lake_meta = run_lakehouse_family(spark, sf_dir)
+    lk1 = _load_sample()
     lakehouse_total = round(sum(lake_timings.values()), 4)
+    load_end = _load_sample()
+    load_report = {
+        "loadavg1_start": load_start.get("loadavg1"),
+        "loadavg1_end": load_end.get("loadavg1"),
+        "steal_pct_overall": _steal_pct(load_start, load_end),
+        "steal_pct_lakehouse": _steal_pct(lk0, lk1),
+        "families_steal_pct": {
+            k: (round(100.0 * v["steal"] / v["total"], 3) if v["total"] else 0.0)
+            for k, v in sorted(fam_load.items())
+        },
+        "families_loadavg_max": {
+            k: v["loadavg_max"] for k, v in sorted(fam_load.items())
+        },
+    }
 
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
@@ -231,6 +288,10 @@ def main() -> None:
         "lakehouse": lake_timings,
         "lakehouse_total": lakehouse_total,
         "lakehouse_read_amp": lake_meta,
+        # host-contention telemetry (see _load_sample): a run with
+        # steal_pct > ~2 or loadavg far above the bench's own demand is
+        # contended — do not compare its timings round-over-round.
+        "load": load_report,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -252,6 +313,13 @@ def main() -> None:
                 },
                 "families_cold": {k: round(v, 1) for k, v in sorted(families_cold.items())},
                 "lakehouse_read_amp": lake_meta,
+                "load": {
+                    "steal_pct": load_report["steal_pct_overall"],
+                    "loadavg1": [
+                        load_report["loadavg1_start"],
+                        load_report["loadavg1_end"],
+                    ],
+                },
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail": "BENCH_FULL.json",

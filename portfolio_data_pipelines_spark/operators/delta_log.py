@@ -178,6 +178,25 @@ def _list_log_versions(fs, jvm, path: str) -> list[int]:
     return out
 
 
+def _all_commit_versions(fs, jvm, path: str) -> list[int]:
+    """EVERY commit version whose NDJSON file still exists, from one
+    directory listing. Unlike :func:`_list_log_versions` (the
+    checkpoint-anchored forward probe — the O(tail) hot path used by
+    replay), this sees commits BEFORE the latest checkpoint that log
+    cleanup has not yet removed. Timestamp resolution must search this
+    full retained history: delta-spark resolves ``timestampAsOf``
+    against all retained commits, not just the post-checkpoint tail."""
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    if not fs.exists(log_dir):
+        return []
+    out = []
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if len(name) == 25 and name.endswith(".json") and name[:20].isdigit():
+            out.append(int(name[:20]))
+    return sorted(out)
+
+
 def _read_text(fs, jvm, path_str: str) -> str:
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
     reader = jvm.java.io.BufferedReader(
@@ -292,33 +311,42 @@ def _metadata_action(
     }
 
 
-def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> DataFrame:
     """CHECK constraints (``delta.constraints.*`` in the table
     configuration) gate every commit: a batch holding any row whose
     expression evaluates FALSE is rejected before a byte is staged
     (NULL passes, SQL CHECK semantics). Cost is one combined filter
-    over the BATCH — never the table."""
+    over the BATCH — never the table.
+
+    Returns the frame the caller must STAGE: when a constraint actually
+    ran, the batch comes back ``.cache()``-ed so the rows validated are
+    exactly the rows committed (no check-then-write race on a
+    nondeterministic or moving source) and the batch is evaluated once,
+    not once per pass. The caller unpersists after staging."""
     if not meta:
-        return
+        return df
     exprs = {
         k[len("delta.constraints."):]: v
         for k, v in (meta.get("configuration") or {}).items()
         if k.startswith("delta.constraints.")
     }
     if not exprs:
-        return
+        return df
     violated = None
     for expr in exprs.values():
         bad = ~F.coalesce(F.expr(expr), F.lit(True))
         violated = bad if violated is None else (violated | bad)
+    df = df.cache()
     n_bad = df.filter(violated).count()
     if n_bad:
+        df.unpersist()
         raise ValueError(
             f"commit violates CHECK constraint(s) {sorted(exprs)} on "
             f"{n_bad} row(s): " + "; ".join(
                 f"{n}: {e}" for n, e in sorted(exprs.items())
             )
         )
+    return df
 
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -543,10 +571,10 @@ def write_delta(
                 "constraints are declared at table creation (version 0) "
                 "— this table already exists"
             )
-        _enforce_constraints(df, prev_meta)
+        staged = _enforce_constraints(df, prev_meta)
     elif constraints:
         # enforce BEFORE staging so a rejected creation leaves nothing
-        _enforce_constraints(
+        staged = _enforce_constraints(
             df,
             {
                 "configuration": {
@@ -555,11 +583,17 @@ def write_delta(
                 }
             },
         )
+    else:
+        staged = df
 
-    adds = _stage_commit_files(
-        spark, fs, jvm, path, df, pcols, new_version,
-        replace_partitions=replace_partitions,
-    )
+    try:
+        adds = _stage_commit_files(
+            spark, fs, jvm, path, staged, pcols, new_version,
+            replace_partitions=replace_partitions,
+        )
+    finally:
+        if staged is not df:
+            staged.unpersist()
     now = _now_ms()
 
     actions: list[dict] = []
@@ -786,6 +820,45 @@ def _read_file_groups(
     return out
 
 
+def _temporal_utc(v):
+    """ISO-8601 string → tz-aware UTC datetime, else None. Naive
+    parses are pinned to UTC — the convention Spark's UTC-adjusted
+    parquet stats and this writer's ``_stats_value`` both follow."""
+    import datetime as dt
+
+    if not isinstance(v, str):
+        return None
+    try:
+        d = dt.datetime.fromisoformat(v)
+    except ValueError:
+        return None
+    return d if d.tzinfo is not None else d.replace(tzinfo=dt.timezone.utc)
+
+
+def _skip_lt(a, b):
+    """``a < b`` for data-skipping proofs, or None when no proof exists.
+
+    Temporal stats and caller bounds can carry MIXED timezone-suffix
+    forms: Spark-written UTC-adjusted parquet yields tz-aware ISO
+    strings (``...+00:00``) while a caller's naive datetime bound
+    serializes without the suffix. At a range boundary lexicographic
+    order then diverges from temporal order (``'…12:00:00' <
+    '…12:00:00+00:00'`` though they are the same instant), which would
+    prune a file that holds matching rows. So: when BOTH sides parse as
+    ISO datetimes, compare as UTC instants; when only one does (mixed
+    representations), return None — keep the file, mirroring the
+    TypeError-keep fallback."""
+    ta, tb = _temporal_utc(a), _temporal_utc(b)
+    if ta is not None and tb is not None:
+        return ta < tb
+    if ta is not None or tb is not None:
+        return None  # one temporal, one not: no proof
+    try:
+        return a < b
+    except TypeError:
+        return None
+
+
 def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
     """Can this file hold a row satisfying ``predicate`` (col →
     (lo, hi) closed interval, either bound None = unbounded)? Decided
@@ -809,28 +882,31 @@ def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
                     v = float(v)
                 except ValueError:
                     continue
-            if (lo is not None and v < lo) or (hi is not None and v > hi):
+            if (lo is not None and _skip_lt(v, lo)) or (
+                hi is not None and _skip_lt(hi, v)
+            ):
                 return False
             continue
         fmin, fmax = mins.get(col), maxs.get(col)
         if fmin is None or fmax is None:
             continue  # no stats for this column: keep the file
-        try:
-            if lo is not None and fmax < lo:
-                return False
-            if hi is not None and fmin > hi:
-                return False
-        except TypeError:
-            continue  # bound/stat type mismatch: no proof, keep
+        # _skip_lt handles mixed tz-suffix temporal forms and type
+        # mismatches alike: None (no proof) keeps the file.
+        if lo is not None and _skip_lt(fmax, lo):
+            return False
+        if hi is not None and _skip_lt(hi, fmin):
+            return False
     return True
 
 
 def version_as_of(spark: SparkSession, path: str, ts: str) -> int:
     """The highest version committed at or before ISO-8601 ``ts`` —
     Delta's ``timestampAsOf`` resolution, from commit-file modification
-    times exactly as delta-spark resolves it. Raises when the earliest
-    retained commit is already newer (log cleanup passed the asked-for
-    time)."""
+    times exactly as delta-spark resolves it — searching the FULL
+    retained commit listing (including commits before the latest
+    checkpoint, which the checkpoint-anchored replay probe skips).
+    Raises when the earliest retained commit is already newer (log
+    cleanup passed the asked-for time)."""
     import datetime as dt
 
     target = dt.datetime.fromisoformat(ts)
@@ -839,7 +915,7 @@ def version_as_of(spark: SparkSession, path: str, ts: str) -> int:
     target_ms = int(target.timestamp() * 1000)
     fs, _, jvm = _hadoop_fs(spark, path)
     best = None
-    for v in _list_log_versions(fs, jvm, path):
+    for v in _all_commit_versions(fs, jvm, path):
         st = fs.getFileStatus(
             jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")
         )
@@ -1197,7 +1273,11 @@ def merge_delta(
             "merge source has duplicate keys — ambiguous WHEN MATCHED"
         )
     source = source.select(*cols)
-    _enforce_constraints(source, meta)  # CHECK constraints gate MERGE too
+    # CHECK constraints gate MERGE too; the returned (cached) frame is
+    # what gets staged, so validated rows == committed rows.
+    checked_source = _enforce_constraints(source, meta)
+    cached_source = checked_source is not source
+    source = checked_source
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -1247,6 +1327,8 @@ def merge_delta(
     touched_rels = sorted(touched_rels)
     new_version = versions[-1] + 1
     if not touched_rels and source.isEmpty():
+        if cached_source:
+            source.unpersist()
         return versions[-1]
     # REWRITE pass reads ONLY the touched files (the Delta MERGE cost
     # model: O(files holding matching keys), not a second full-table
@@ -1266,9 +1348,13 @@ def merge_delta(
         survivors = spark.createDataFrame([], schema=schema)
     new_data = survivors.unionByName(source)
 
-    new_adds = _stage_commit_files(
-        spark, fs, jvm, path, new_data, pcols, new_version
-    )
+    try:
+        new_adds = _stage_commit_files(
+            spark, fs, jvm, path, new_data, pcols, new_version
+        )
+    finally:
+        if cached_source:
+            source.unpersist()
     now = _now_ms()
 
     actions: list[dict] = [
@@ -1481,6 +1567,11 @@ def restore_delta(
         a = dict(old.adds[rel])
         a["path"] = _encode_path(rel)
         a["modificationTime"] = now
+        # Delta RESTORE emits restored adds with dataChange=true even
+        # when the file was originally committed by OPTIMIZE/ZORDER
+        # (dataChange=false) — otherwise the change feed and the
+        # delta_feed source would skip rows the restore re-introduced.
+        a["dataChange"] = True
         actions.append({"add": a})
     new_version = cur.version + 1
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)

@@ -51,8 +51,14 @@ def delta_skip_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle tests pin via inputFiles counts."""
     from ..operators.delta_log import read_delta, write_delta
 
+    # PID-keyed fixture root: two concurrent runs against the same scale
+    # factor (e.g. bench and pytest on one host) must not share a table —
+    # one process deleting/rewriting while the other is mid-read produced
+    # spurious failures (r6 ADVICE). Within one process calls are
+    # sequential, so rmtree-then-rewrite is safe.
     table = os.path.join(
-        "/tmp", "pdp_delta_q", os.path.basename(os.path.normpath(sf_dir)), "events"
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events"
     )
     shutil.rmtree(table, ignore_errors=True)
     events = scan_table(spark, sf_dir, "events").select(
