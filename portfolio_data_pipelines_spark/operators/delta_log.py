@@ -1231,6 +1231,227 @@ def read_delta_changes(
     return out.select(*out_fields)
 
 
+def _read_adds_subset(spark, path, subset, schema, pcols, ptypes):
+    """Rows of an explicit add-entry subset (one commit's adds, or the
+    live entries of its removed files), projected to ``schema``'s
+    columns. None for an empty subset."""
+    if not subset:
+        return None
+    df = _fast_hive_read(spark, path, subset, schema, pcols)
+    if df is None:
+        df = _read_file_groups(spark, path, subset, pcols, ptypes, schema)
+    return df.select(*[f.name for f in schema.fields])
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    key_cols: list[str],
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change-data-feed for commits ``(from_version,
+    to_version]`` — Delta CDF semantics reconstructed from the
+    transaction log: each commit's NET row-level changes, tagged
+    ``_change_type`` ∈ {insert, update_preimage, update_postimage,
+    delete} with ``_commit_version`` and ``_commit_timestamp`` (the
+    commit file's time) — the contract delta-spark's
+    ``readChangeFeed`` exposes. Unlike :func:`read_delta_changes` (the
+    append feed), a MERGE/replaceWhere/RESTORE rewrite does NOT
+    re-deliver carried-over rows: downstream consumers see exactly the
+    rows that changed, once.
+
+    Reconstruction, per commit (dataChange actions only, so OPTIMIZE /
+    ZORDER layout commits emit nothing):
+
+    - adds without removes (append) → every added row is an ``insert``
+      — map-side, no join, identical rows to the append feed;
+    - removes without adds (truncating overwrite) → every removed row
+      is a ``delete``;
+    - adds AND removes (MERGE / overwrite / replaceWhere / RESTORE,
+      copy-on-write) → a full-outer ``key_cols`` join of the REMOVED
+      files' rows (the pre-state, from the prior version's live set)
+      against the ADDED files' rows: key only in old → ``delete``, only
+      in new → ``insert``, in both with differing non-key values → an
+      ``update_preimage`` + ``update_postimage`` pair; equal rows
+      (carried over by the rewrite) emit nothing.
+
+    ``key_cols`` must uniquely identify a row within the touched files
+    of each snapshot side (the MERGE contract); duplicate keys make
+    image pairing ambiguous — the same contract as
+    ``medallion.diff_versions``, whose value-level diff this matches
+    commit-by-commit (pinned in tests).
+
+    Scale: the pre-state comes from ONE log replay at ``from_version``
+    advanced incrementally through the commit actions (never a replay
+    per commit); each commit reads only ITS touched files — O(files
+    the commit rewrote), not O(table) — and pays one key shuffle only
+    when it actually rewrote files. A feed window over an append-mostly
+    table is join-free. True Delta CDF materializes `_change_data`
+    files at write time to skip even the diff; reconstructing from the
+    log trades that write-path cost for read-side work bounded by the
+    same touched-file set."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    tip = versions[-1] if to_version is None else to_version
+    tip_state = _replay_log(spark, path, tip)
+    meta = tip_state.meta
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    schema = _spark_schema_from_string(meta["schemaString"])
+    cols = [f.name for f in schema.fields]
+    missing_keys = [k for k in key_cols if k not in cols]
+    if missing_keys:
+        raise ValueError(f"key_cols {missing_keys} not in table schema {cols}")
+    nonkey = [c for c in cols if c not in key_cols]
+    pcols = meta.get("partitionColumns", [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    # live set at from_version, advanced commit by commit below
+    live: dict[str, dict] = (
+        dict(_replay_log(spark, path, from_version).adds)
+        if from_version >= 0
+        else {}
+    )
+
+    def _tag(df, ct, v, ts_ms):
+        return df.select(
+            *cols,
+            F.lit(ct).alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        )
+
+    def _diff(old_df, new_df, v, ts_ms):
+        if nonkey:
+            o = old_df.select(*key_cols, F.struct(*nonkey).alias("_pre"))
+            n = new_df.select(*key_cols, F.struct(*nonkey).alias("_post"))
+        else:
+            o = old_df.select(*key_cols).withColumn("_pre", F.lit(True))
+            n = new_df.select(*key_cols).withColumn("_post", F.lit(True))
+        j = o.join(n, list(key_cols), "full_outer").filter(
+            # carried-over rows (equal images on both sides) are not
+            # changes; dropping them first keeps every surviving row
+            # mapped to a NON-EMPTY change array below
+            ~(
+                F.col("_pre").isNotNull()
+                & F.col("_post").isNotNull()
+                & F.col("_pre").eqNullSafe(F.col("_post"))
+            )
+        )
+        arr = (
+            F.when(
+                F.col("_pre").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("insert").alias("_ct"), F.col("_post").alias("_img")
+                    )
+                ),
+            )
+            .when(
+                F.col("_post").isNull(),
+                F.array(
+                    F.struct(
+                        F.lit("delete").alias("_ct"), F.col("_pre").alias("_img")
+                    )
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("_ct"),
+                        F.col("_pre").alias("_img"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("_ct"),
+                        F.col("_post").alias("_img"),
+                    ),
+                )
+            )
+        )
+        ch = j.select(*key_cols, F.explode(arr).alias("_c"))
+        img_cols = (
+            [F.col(f"_c._img.{c}").alias(c) for c in nonkey] if nonkey else []
+        )
+        return ch.select(
+            *key_cols,
+            *img_cols,
+            F.col("_c._ct").alias("_change_type"),
+        ).select(
+            *cols,
+            "_change_type",
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
+        )
+
+    pieces = []
+    for v in range(from_version + 1, tip + 1):
+        log_file = f"{path}/{_log_path(v)}"
+        hpath = jvm.org.apache.hadoop.fs.Path(log_file)
+        if not fs.exists(hpath):
+            raise FileNotFoundError(
+                f"commit {v} missing from {path}/_delta_log"
+            )
+        ts_ms = fs.getFileStatus(hpath).getModificationTime()
+        adds_v: dict[str, dict] = {}
+        removed_adds: dict[str, dict] = {}
+        for line in _read_text(fs, jvm, log_file).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                a = dict(action["add"])
+                rel = _decode_path(a["path"])
+                a["path"] = rel
+                if a.get("dataChange", True):
+                    adds_v[rel] = a
+                live[rel] = a
+            elif "remove" in action:
+                rel = _decode_path(action["remove"]["path"])
+                # the removed entry comes from the PRE-commit live set
+                prev = live.pop(rel, None)
+                if action["remove"].get("dataChange", True) and prev is not None:
+                    removed_adds[rel] = prev
+        if not adds_v and not removed_adds:
+            continue  # txn-only / layout-only commit
+        new_df = _read_adds_subset(spark, path, adds_v, schema, pcols, ptypes)
+        old_df = _read_adds_subset(
+            spark, path, removed_adds, schema, pcols, ptypes
+        )
+        if old_df is None:
+            pieces.append(_tag(new_df, "insert", v, ts_ms))
+        elif new_df is None:
+            pieces.append(_tag(old_df, "delete", v, ts_ms))
+        else:
+            pieces.append(_diff(old_df, new_df, v, ts_ms))
+
+    out_fields = cols + ["_change_type", "_commit_version", "_commit_timestamp"]
+    if not pieces:
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        empty = StructType(
+            schema.fields
+            + [
+                StructField("_change_type", StringType()),
+                StructField("_commit_version", LongType()),
+                StructField("_commit_timestamp", TimestampType()),
+            ]
+        )
+        return spark.createDataFrame([], schema=empty)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_fields)
+
+
 def merge_delta(
     spark: SparkSession,
     path: str,

@@ -75,3 +75,91 @@ def delta_skip_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_utc")
     )
+
+
+@extra_query(
+    "delta_cdf_merge_replace",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    )
+    SELECT event_id, day, value,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT event_id, day, value, 'update_preimage', CAST(1 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT event_id, day, value + 7.5, 'update_postimage', CAST(1 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT CAST(event_id + 100000000 AS BIGINT), day, value + 1.0,
+           'insert', CAST(1 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT event_id, day, value, 'delete', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND NOT (value >= 50)
+    UNION ALL
+    SELECT event_id, day, value, 'update_preimage', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND value >= 50
+    UNION ALL
+    SELECT event_id, day, value - 3.0, 'update_postimage', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND value >= 50
+    """,
+)
+def delta_cdf_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed under the full oracle: events → Delta
+    table (v0 insert) → MERGE that updates one day and inserts shifted
+    keys (v1) → day-scoped replaceWhere that rewrites survivors and
+    drops the rest (v2) — then the ENTIRE change stream
+    (``read_delta_cdf``: insert / update_preimage / update_postimage /
+    delete, per commit) is hash-matched against plain SQL that derives
+    the same changes from the raw parquet. A MERGE that re-delivered
+    carried-over rows, a missed delete, or a wrong pre/post image all
+    break the hash.
+
+    Scale: the CDF read costs O(files each commit touched) + one key
+    shuffle per rewrite commit — never a table scan; see
+    ``read_delta_cdf``'s docstring."""
+    from ..operators.delta_log import merge_delta, read_delta_cdf, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_cdf"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    base = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, base, table, partition_col="day")  # v0: inserts
+    day_lo = base.filter(F.col("day") == _LO)
+    merge_src = day_lo.withColumn("value", F.col("value") + F.lit(7.5)).unionByName(
+        day_lo.select(
+            (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+            "day",
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+    )
+    merge_delta(spark, table, merge_src, key_cols=["event_id"])  # v1
+    survivors = (
+        base.filter(F.col("day") == _HI)
+        .filter(F.col("value") >= 50)
+        .withColumn("value", F.col("value") - F.lit(3.0))
+    )
+    write_delta(  # v2: replaceWhere — updates for survivors, deletes for the rest
+        spark, survivors, table, partition_col="day",
+        mode="overwrite", replace_partitions=[_HI],
+    )
+    return read_delta_cdf(
+        spark, table, from_version=-1, key_cols=["event_id"]
+    ).select("event_id", "day", "value", "_change_type", "_commit_version")

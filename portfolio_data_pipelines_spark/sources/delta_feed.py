@@ -38,6 +38,19 @@ under a processing-time trigger; ``trigger(availableNow)`` snapshots
 one end offset by Spark's own semantics, and a restarted reader never
 caps below Spark's checkpointed position).
 
+``readChangeFeed=true`` + ``keyCols='a,b'`` switches the source to
+ROW-LEVEL change-feed mode (the streamed form of
+``operators.delta_log.read_delta_cdf``): instead of re-delivering every
+added row, each micro-batch emits the net per-row changes of its
+commits — ``_change_type`` ∈ {insert, update_preimage,
+update_postimage, delete} — so a consumer downstream of a MERGEd /
+replaceWhere'd table sees exactly what changed, once. Planning replays
+the log to the batch's start version (driver-side, O(log)) to know the
+pre-commit live set; each commit becomes ONE partition whose task
+diffs the commit's removed files against its added files on
+``keyCols`` (Python dict diff — feed-sized batches by design; the
+batch-side ``read_delta_cdf`` is the bulk path).
+
 Local-filesystem tables (this sandbox has no object store); an external
 deployment swaps the ``os`` calls for its store's SDK.
 """
@@ -53,7 +66,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.delta_reader import (
     _cast_partition_value,
@@ -69,6 +82,25 @@ class _FeedFilePartition(InputPartition):
         self.root = root
         self.rel = rel
         self.pvals = pvals
+
+
+class _FeedCdfPartition(InputPartition):
+    """One COMMIT in change-feed mode: the commit's added files and the
+    live entries of its removed files — both sides of the row-level
+    diff. One partition per commit (not per file) because the diff
+    pairs rows ACROSS the two file sets."""
+
+    def __init__(
+        self,
+        version: int,
+        root: str,
+        adds: list,
+        removed: list,
+    ):
+        self.version = version
+        self.root = root
+        self.adds = adds  # list[(rel, partitionValues)]
+        self.removed = removed
 
 
 def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
@@ -94,6 +126,31 @@ def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
     return adds
 
 
+def _commit_change_actions(log_dir: str, version: int) -> list[dict]:
+    """ALL add/remove actions of one commit (paths decoded), preserving
+    dataChange flags — the change-feed planner needs both sides."""
+    from urllib.parse import unquote
+
+    commit = os.path.join(log_dir, f"{version:020d}.json")
+    if not os.path.exists(commit):
+        raise FileNotFoundError(
+            f"commit {version} missing from {log_dir} — cleaned up before "
+            "this stream consumed it (raise the log retention or restart "
+            "the stream from a fresh checkpoint)"
+        )
+    out = []
+    for line in open(commit).read().splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        for kind in ("add", "remove"):
+            if kind in action:
+                a = dict(action[kind])
+                a["path"] = unquote(a["path"])
+                out.append({kind: a})
+    return out
+
+
 class DeltaFeedStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.path = options.get("path")
@@ -101,6 +158,17 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             raise ValueError("delta_feed requires .option('path', <table>)")
         self.schema = schema
         self.start_version = int(options.get("startingversion", -1))
+        # readChangeFeed mode: emit row-level changes (_change_type ∈
+        # insert | update_preimage | update_postimage | delete) instead
+        # of raw added rows; requires keyCols to pair pre/post images.
+        self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
+        key_opt = options.get("keycols", "")
+        self.key_cols = [c.strip() for c in key_opt.split(",") if c.strip()]
+        if self.cdf and not self.key_cols:
+            raise ValueError(
+                "readChangeFeed requires .option('keyCols', 'a,b') — the "
+                "row identity the pre/post-image pairing joins on"
+            )
         # admission control: at most N commits per micro-batch, so a
         # restart against a long backlog drains in bounded batches
         # instead of one giant catch-up batch (maxFilesPerTrigger's
@@ -131,16 +199,141 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         root = _local(self.path)
         log_dir = os.path.join(root, "_delta_log")
         parts: list[InputPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            for a in _commit_data_adds(log_dir, v):
-                parts.append(
-                    _FeedFilePartition(
-                        v, root, a["path"], a.get("partitionValues", {})
+        if not self.cdf:
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                for a in _commit_data_adds(log_dir, v):
+                    parts.append(
+                        _FeedFilePartition(
+                            v, root, a["path"], a.get("partitionValues", {})
+                        )
                     )
-                )
+            return parts
+        # Change-feed planning: the removed side of each commit's diff
+        # comes from the PRE-commit live set, reconstructed by one log
+        # replay at the batch's start version and advanced through the
+        # commits — O(log) driver-side work per batch, no data reads.
+        sv = int(start["version"])
+        live: dict[str, dict] = {}
+        if sv >= 0:
+            _root, adds0, _meta = _replay(self.path, sv)
+            live = dict(adds0)
+        for v in range(sv + 1, int(end["version"]) + 1):
+            adds_v: list = []
+            removed_v: list = []
+            for action in _commit_change_actions(log_dir, v):
+                if "add" in action:
+                    a = action["add"]
+                    live[a["path"]] = a
+                    if a.get("dataChange", True):
+                        adds_v.append(
+                            (a["path"], a.get("partitionValues", {}))
+                        )
+                else:
+                    r = action["remove"]
+                    prev = live.pop(r["path"], None)
+                    if r.get("dataChange", True) and prev is not None:
+                        removed_v.append(
+                            (r["path"], prev.get("partitionValues", {}))
+                        )
+            if adds_v or removed_v:
+                parts.append(_FeedCdfPartition(v, root, adds_v, removed_v))
         return parts
 
-    def read(self, partition: _FeedFilePartition) -> Iterator[tuple]:
+    def _file_rows(self, root: str, rel: str, pvals_raw: dict, fields):
+        """One parquet file's rows as tuples in base-schema order, with
+        partition columns restored and pre-evolution columns nulled."""
+        import pyarrow.parquet as pq
+
+        types = {f.name: f.dataType.typeName() for f in fields}
+        pvals = {
+            c: _cast_partition_value(v, types.get(c, "string"))
+            for c, v in pvals_raw.items()
+        }
+        table = pq.read_table(os.path.join(root, rel))
+        present = set(table.column_names)
+        for row in table.to_pylist():
+            yield tuple(
+                pvals[f.name]
+                if f.name in pvals
+                else (row[f.name] if f.name in present else None)
+                for f in fields
+            )
+
+    @staticmethod
+    def _vals_eq(a: tuple, b: tuple) -> bool:
+        import math
+
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if x == y:
+                continue
+            if (
+                isinstance(x, float)
+                and isinstance(y, float)
+                and math.isnan(x)
+                and math.isnan(y)
+            ):
+                continue
+            return False
+        return True
+
+    def _read_cdf(self, partition: _FeedCdfPartition) -> Iterator[tuple]:
+        base_fields = [
+            f
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+        key_idx = [
+            i for i, f in enumerate(base_fields) if f.name in self.key_cols
+        ]
+        if len(key_idx) != len(self.key_cols):
+            have = {f.name for f in base_fields}
+            raise ValueError(
+                f"keyCols {sorted(set(self.key_cols) - have)} not in table "
+                "schema"
+            )
+        nonkey_idx = [
+            i for i in range(len(base_fields)) if i not in key_idx
+        ]
+        v = partition.version
+
+        def load(files) -> dict:
+            out: dict = {}
+            for rel, pvals in files:
+                for row in self._file_rows(
+                    partition.root, rel, pvals, base_fields
+                ):
+                    out[tuple(row[i] for i in key_idx)] = row
+            return out
+
+        if not partition.removed:
+            for rel, pvals in partition.adds:
+                for row in self._file_rows(
+                    partition.root, rel, pvals, base_fields
+                ):
+                    yield row + ("insert", v)
+            return
+        old = load(partition.removed)
+        new = load(partition.adds)
+        for k in sorted(old.keys() | new.keys(), key=repr):
+            o, n = old.get(k), new.get(k)
+            if o is None:
+                yield n + ("insert", v)
+            elif n is None:
+                yield o + ("delete", v)
+            elif not self._vals_eq(
+                tuple(o[i] for i in nonkey_idx),
+                tuple(n[i] for i in nonkey_idx),
+            ):
+                yield o + ("update_preimage", v)
+                yield n + ("update_postimage", v)
+            # equal images: carried over by the rewrite — not a change
+
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, _FeedCdfPartition):
+            yield from self._read_cdf(partition)
+            return
         import pyarrow.parquet as pq
 
         fields = self.schema.fields
@@ -181,9 +374,11 @@ class DeltaChangeFeedDataSource(DataSource):
             raise ValueError("delta_feed requires .option('path', <table>)")
         _root, _adds, meta = _replay(path, None)
         base = StructType.fromJson(json.loads(meta["schemaString"]))
-        return StructType(
-            base.fields + [StructField("_commit_version", LongType())]
-        )
+        cdf = str(self.options.get("readchangefeed", "false")).lower() == "true"
+        extra = (
+            [StructField("_change_type", StringType())] if cdf else []
+        ) + [StructField("_commit_version", LongType())]
+        return StructType(base.fields + extra)
 
     def streamReader(self, schema: StructType) -> DeltaFeedStreamReader:
         return DeltaFeedStreamReader(schema, self.options)

@@ -232,3 +232,125 @@ def test_read_delta_timestamp_as_of(registered, tmp_path):
         read_delta(spark, path, as_of="2000-01-01T00:00:00+00:00")
     with pytest.raises(ValueError, match="not both"):
         read_delta(spark, path, version=0, as_of=now)
+
+
+def _run_cdf_available(spark, path, out_dir, ckpt):
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("keyCols", "id")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_cdf_mode_merge_mid_stream_net_rows_once(registered, tmp_path):
+    """readChangeFeed mode: a MERGE between two micro-batches yields the
+    merge's NET changes exactly once — no re-delivery of carried-over
+    rows — and folding the emitted changes over the first batch's
+    inserts reconstructs the final table."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
+        read_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_cdf_feed")
+    write_delta(
+        spark,
+        _df(spark, [(1, 1.0, _day("2021-01-01")),
+                    (2, 2.0, _day("2021-01-01"))]).coalesce(1),
+        path, partition_col="date",
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdf_available(spark, path, out, ckpt)
+    first = spark.read.parquet(out)
+    assert sorted(
+        (r["_change_type"], r["id"]) for r in first.collect()
+    ) == [("insert", 1), ("insert", 2)]
+
+    merge_delta(  # update id2, insert id3; id1 carried over in rewrite
+        spark, path,
+        _df(spark, [(2, 20.0, _day("2021-01-01")),
+                    (3, 3.0, _day("2021-01-02"))]),
+        key_cols=["id"],
+    )
+    _run_cdf_available(spark, path, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    second = [r for r in rows if r["_commit_version"] == 1]
+    assert sorted((r["_change_type"], r["id"], r["v"]) for r in second) == [
+        ("insert", 3, 3.0),
+        ("update_postimage", 2, 20.0),
+        ("update_preimage", 2, 2.0),
+    ]
+    # exactly once across both batches: fold → final table
+    state = {}
+    for r in sorted(rows, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("delete", "update_preimage"):
+            state.pop(r["id"], None)
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[r["id"]] = (r["v"], r["date"])
+    want = {
+        r["id"]: (r["v"], r["date"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert state == want
+
+
+def test_cdf_mode_requires_key_cols(registered, tmp_path):
+    spark = registered
+    path = str(tmp_path / "t_cdf_nokeys")
+    write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]), path)
+    with pytest.raises(Exception, match="keyCols"):
+        (
+            spark.readStream.format("delta_feed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+
+
+def test_cdf_mode_restore_after_optimize(registered, tmp_path):
+    """RESTORE re-adds files with dataChange=true (r7 fix) — the CDF
+    stream must emit the restored rows as net changes, while the
+    OPTIMIZE commit itself stays invisible."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        restore_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_cdf_restore")
+    write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]).coalesce(1), path)
+    write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-01"))]).coalesce(1), path)
+    v_opt = optimize_delta(spark, path)  # v2, layout only
+    write_delta(  # v3: truncate to a single fresh row
+        spark, _df(spark, [(9, 9.0, _day("2021-02-01"))]).coalesce(1),
+        path, mode="overwrite",
+    )
+    restore_delta(spark, path, v_opt)  # v4: back to ids 1,2
+    out, ckpt = str(tmp_path / "out_r"), str(tmp_path / "ckpt_r")
+    _run_cdf_available(spark, path, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["_commit_version"], []).append(
+            (r["_change_type"], r["id"])
+        )
+    assert 2 not in by_v  # OPTIMIZE invisible
+    assert sorted(by_v[3]) == [
+        ("delete", 1), ("delete", 2), ("insert", 9)
+    ]
+    assert sorted(by_v[4]) == [
+        ("delete", 9), ("insert", 1), ("insert", 2)
+    ]

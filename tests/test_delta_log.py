@@ -1637,3 +1637,161 @@ class TestAdviceR7:
 
         src = inspect.getsource(lakehouse.delta_skip_daily_mart)
         assert "getpid" in src
+
+
+class TestRowLevelCDF:
+    """read_delta_cdf — row-level change-data-feed reconstructed from
+    the log: per commit, insert / update_preimage / update_postimage /
+    delete with _commit_version; carried-over rows of copy-on-write
+    rewrites are NOT re-delivered; layout commits are invisible."""
+
+    @staticmethod
+    def _cdf(spark, path, lo, hi=None):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        return read_delta_cdf(
+            spark, path, from_version=lo, key_cols=["id"], to_version=hi
+        )
+
+    @staticmethod
+    def _snapshot(spark, path, v):
+        return {
+            r["id"]: (r["v"], r["date"])
+            for r in read_delta(spark, path, version=v).collect()
+        }
+
+    def _lifecycle(self, spark, tmp_path):
+        """Build one table through every commit shape; return its path
+        and the list of committed versions."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            restore_delta,
+        )
+
+        path = str(tmp_path / "t_cdf_life")
+        write_delta(  # v0 initial insert
+            spark,
+            _df(spark, [(1, 1.0, _day("2024-01-01")),
+                        (2, 2.0, _day("2024-01-01")),
+                        (3, 3.0, _day("2024-01-02"))]),
+            path, partition_col="date",
+        )
+        write_delta(  # v1 plain append
+            spark, _df(spark, [(4, 4.0, _day("2024-01-02"))]),
+            path, partition_col="date",
+        )
+        merge_delta(  # v2 merge: update id2, insert id5
+            spark, path,
+            _df(spark, [(2, 20.0, _day("2024-01-01")),
+                        (5, 5.0, _day("2024-01-03"))]),
+            key_cols=["id"],
+        )
+        write_delta(  # v3 replaceWhere day 2: keep id3 changed, drop id4
+            spark, _df(spark, [(3, 30.0, _day("2024-01-02"))]),
+            path, partition_col="date", mode="overwrite",
+            replace_partitions=["2024-01-02"],
+        )
+        optimize_delta(spark, path)  # v4 layout only
+        restore_delta(spark, path, 2)  # v5 rollback to post-merge state
+        write_delta(  # v6 truncating overwrite
+            spark, _df(spark, [(9, 9.0, _day("2024-02-01"))]),
+            path, partition_col="date", mode="overwrite",
+        )
+        return path, list(range(7))
+
+    def test_merge_does_not_redeliver_carried_rows(self, spark, tmp_path):
+        """The append feed re-delivers every row of a rewritten file;
+        the CDF emits only the net changes of the MERGE."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_changes,
+        )
+
+        path = str(tmp_path / "t_cdf_merge")
+        write_delta(
+            spark,
+            _df(spark, [(1, 1.0, _day("2024-01-01")),
+                        (2, 2.0, _day("2024-01-01"))]).coalesce(1),
+            path,
+        )
+        merge_delta(
+            spark, path,
+            _df(spark, [(2, 20.0, _day("2024-01-01")),
+                        (7, 7.0, _day("2024-01-01"))]),
+            key_cols=["id"],
+        )
+        append_feed = read_delta_changes(spark, path, from_version=0)
+        # the rewrite re-delivered the carried-over id=1 row
+        assert 1 in {r["id"] for r in append_feed.collect()}
+        cdf = self._cdf(spark, path, 0)
+        got = sorted(
+            (r["_change_type"], r["id"], r["v"]) for r in cdf.collect()
+        )
+        assert got == [
+            ("insert", 7, 7.0),
+            ("update_postimage", 2, 20.0),
+            ("update_preimage", 2, 2.0),
+        ]
+
+    def test_per_commit_equals_snapshot_diff(self, spark, tmp_path):
+        """Every commit's CDF slice must equal the keyed value-level
+        diff of the two adjacent snapshots — the diff_versions
+        contract, including MERGE, replaceWhere, OPTIMIZE (empty),
+        RESTORE, and a truncating overwrite."""
+        path, versions = self._lifecycle(spark, tmp_path)
+        for v in versions[1:]:
+            old = self._snapshot(spark, path, v - 1)
+            new = self._snapshot(spark, path, v)
+            want = []
+            for k in old.keys() - new.keys():
+                want.append(("delete", k) + old[k])
+            for k in new.keys() - old.keys():
+                want.append(("insert", k) + new[k])
+            for k in old.keys() & new.keys():
+                if old[k] != new[k]:
+                    want.append(("update_preimage", k) + old[k])
+                    want.append(("update_postimage", k) + new[k])
+            got = [
+                (r["_change_type"], r["id"], r["v"], r["date"])
+                for r in self._cdf(spark, path, v - 1, v).collect()
+            ]
+            assert sorted(got) == sorted(want), f"commit {v}"
+            # and every emitted row carries the right version
+            assert all(
+                r["_commit_version"] == v
+                for r in self._cdf(spark, path, v - 1, v).collect()
+            )
+
+    def test_apply_changes_reconstructs_snapshot(self, spark, tmp_path):
+        """Folding the CDF stream over the starting snapshot must land
+        exactly on the ending snapshot (the consumer-side contract)."""
+        path, versions = self._lifecycle(spark, tmp_path)
+        state = self._snapshot(spark, path, 0)
+        cdf = self._cdf(spark, path, 0).collect()
+        for r in sorted(cdf, key=lambda r: r["_commit_version"]):
+            if r["_change_type"] in ("delete", "update_preimage"):
+                state.pop(r["id"], None)
+            if r["_change_type"] in ("insert", "update_postimage"):
+                state[r["id"]] = (r["v"], r["date"])
+        assert state == self._snapshot(spark, path, versions[-1])
+
+    def test_optimize_range_is_empty(self, spark, tmp_path):
+        path, _ = self._lifecycle(spark, tmp_path)
+        assert self._cdf(spark, path, 3, 4).count() == 0  # v4 = OPTIMIZE
+
+    def test_empty_feed_schema(self, spark, tmp_path):
+        path, _ = self._lifecycle(spark, tmp_path)
+        empty = self._cdf(spark, path, 3, 4)
+        assert empty.columns == [
+            "id", "v", "date",
+            "_change_type", "_commit_version", "_commit_timestamp",
+        ]
+
+    def test_bad_key_cols_raise(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        path, _ = self._lifecycle(spark, tmp_path)
+        with pytest.raises(ValueError, match="key_cols"):
+            read_delta_cdf(spark, path, 0, key_cols=["nope"])
