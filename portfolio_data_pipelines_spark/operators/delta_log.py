@@ -424,7 +424,9 @@ def _stage_commit_files(
     add actions (with per-file numRecords stats when locally readable).
     Shared by :func:`write_delta` and :func:`merge_delta` so the commit
     mechanics can never diverge. On a replace_partitions violation
-    (single-partition-column tables only) the staging dir is cleaned up
+    (rows landing outside the replaced scope — Delta's replaceWhere
+    check, validated against the STAGED files so the checked rows are
+    exactly the rows that would commit) the staging dir is cleaned up
     and ValueError raised."""
     staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("overwrite").option("compression", "zstd")
@@ -433,10 +435,14 @@ def _stage_commit_files(
     writer.parquet(f"{path}/{staging}")
     staged = _relative_files(fs, jvm, path, staging, partition_cols)
     if replace_partitions is not None:
-        allowed = set(replace_partitions)
+        match = _partition_scope_matcher(replace_partitions, partition_cols)
         stray = sorted(
-            {pv[partition_cols[0]] for _r, _s, pv in staged} - allowed,
-            key=lambda x: (x is None, str(x)),
+            {
+                key
+                for _r, _s, pv in staged
+                if not match(key := tuple(pv.get(c) for c in partition_cols))
+            },
+            key=lambda t: tuple((x is None, str(x)) for x in t),
         )
         if stray:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
@@ -489,6 +495,56 @@ def _norm_pcols(partition_col) -> list:
     return list(partition_col)
 
 
+def _partition_scope_matcher(partitions, pcols: list):
+    """Normalize a partition scope into a predicate over a file's
+    partition-value key tuple (logical strings, in partition-column
+    order). Three spellings, mixable in one list:
+
+    - a scalar — a value of the FIRST partition column (every
+      sub-partition under it is in scope), the original single-level
+      contract;
+    - a tuple/list — values of a PREFIX of the partition columns in
+      declaration order, e.g. ``("EU", "2024-01-02")`` scopes exactly
+      one (region, day) cell of a two-level table;
+    - a dict — ``{col: value}`` for any subset of levels (gaps
+      allowed), e.g. ``{"day": "2024-01-02"}`` scopes that day across
+      every region.
+
+    Values are compared against the log's LOGICAL partition strings;
+    non-string scalars (dates, ints) are str()-ed, which matches how
+    the writer derives partitionValues. None matches a null partition."""
+
+    def _norm(v):
+        return v if (v is None or isinstance(v, str)) else str(v)
+
+    specs: list[tuple] = []
+    for p in partitions:
+        if isinstance(p, dict):
+            unknown = sorted(set(p) - set(pcols))
+            if unknown:
+                raise ValueError(
+                    f"partition scope names unknown column(s) {unknown}; "
+                    f"table is partitioned by {pcols}"
+                )
+            specs.append(
+                tuple((pcols.index(c), _norm(v)) for c, v in p.items())
+            )
+        elif isinstance(p, (tuple, list)):
+            if len(p) > len(pcols):
+                raise ValueError(
+                    f"partition scope tuple {p!r} is longer than the "
+                    f"partition columns {pcols}"
+                )
+            specs.append(tuple((i, _norm(v)) for i, v in enumerate(p)))
+        else:
+            specs.append(((0, _norm(p)),))
+
+    def match(key: tuple) -> bool:
+        return any(all(key[i] == v for i, v in spec) for spec in specs)
+
+    return match
+
+
 def write_delta(
     spark: SparkSession,
     df: DataFrame,
@@ -531,19 +587,22 @@ def write_delta(
 
     ``replace_partitions`` (overwrite mode only) scopes the tombstones
     to the named partition values — Delta's ``replaceWhere``: only
-    previously-live files whose partition value is in the list are
-    removed, other partitions keep their files. This is the day-level
-    idempotent re-run contract (the reference's delete-day-then-insert,
-    ``etl/load/postgres_loader.py``) on the Delta log."""
+    previously-live files whose partition values match the scope are
+    removed, other partitions keep their files. Scope entries are
+    scalars (first-column values), PREFIX TUPLES in partition-column
+    order (``("EU", "2024-01-02")`` replaces one cell of a
+    ``["region", "day"]`` table), or dicts ``{col: value}`` over any
+    subset of levels — see :func:`_partition_scope_matcher`. This is
+    the day-level idempotent re-run contract (the reference's
+    delete-day-then-insert, ``etl/load/postgres_loader.py``) on the
+    Delta log."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     pcols = _norm_pcols(partition_col)
-    if replace_partitions is not None and (
-        mode != "overwrite" or len(pcols) != 1
-    ):
+    if replace_partitions is not None and (mode != "overwrite" or not pcols):
         raise ValueError(
-            "replace_partitions requires mode='overwrite' and exactly "
-            "one partition column"
+            "replace_partitions requires mode='overwrite' and a "
+            "partitioned table"
         )
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
@@ -647,12 +706,16 @@ def write_delta(
     if mode == "overwrite":
         doomed = sorted(prev_adds)
         if replace_partitions is not None:
-            keep = set(replace_partitions)
+            match = _partition_scope_matcher(replace_partitions, pcols)
             doomed = [
                 rel
                 for rel in doomed
-                if prev_adds[rel].get("partitionValues", {}).get(pcols[0])
-                in keep
+                if match(
+                    tuple(
+                        prev_adds[rel].get("partitionValues", {}).get(c)
+                        for c in pcols
+                    )
+                )
             ]
         for rel in doomed:
             actions.append(
@@ -1642,11 +1705,14 @@ def optimize_delta(
     working because the small files are only tombstoned. Returns the
     committed version, or None when nothing needed compaction.
 
-    ``partitions`` restricts the pass to the named values of the FIRST
-    partition column (multi-level tables compact every sub-partition
-    under the named values) — at scale you compact the partitions the
-    streaming sink just peppered with micro-batch files, not the whole
-    table.
+    ``partitions`` restricts the pass: scalars name values of the
+    FIRST partition column (every sub-partition under them), prefix
+    tuples in partition-column order scope an exact cell of a
+    multi-level layout (``("EU", "2024-01-02")``), and dicts
+    ``{col: value}`` scope any subset of levels — see
+    :func:`_partition_scope_matcher`. At scale you compact the
+    partitions the streaming sink just peppered with micro-batch
+    files, not the whole table.
 
     ``zorder_by`` is Delta's OPTIMIZE ZORDER BY: every live file in
     scope (not just multi-file partitions) is rewritten range-
@@ -1671,9 +1737,14 @@ def optimize_delta(
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     doomed_adds: dict[str, dict] = {}
     by_key: dict[tuple, list[str]] = {}
+    scope = (
+        _partition_scope_matcher(partitions, pcols)
+        if partitions is not None
+        else None
+    )
     for rel, a in sorted(st.adds.items()):
         key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        if partitions is not None and key[0] not in partitions:
+        if scope is not None and not scope(key):
             continue
         by_key.setdefault(key, []).append(rel)
     if zorder_by is not None:
