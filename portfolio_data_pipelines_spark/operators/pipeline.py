@@ -184,6 +184,97 @@ def running_total(
     )
 
 
+def exact_quantiles_by_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT linear-interpolated quantiles per group (the
+    ``percentile()`` / ``quantile_cont`` definition) computed by RANK,
+    not by buffering group values: bounded memory at any scale, bit-
+    identical results.
+
+    Spark's ``percentile`` aggregate buffers every (value, count) pair
+    of a group in executor memory — fine at fixture scale, a scale
+    killer when one group holds billions of rows. This form never
+    materializes a group:
+
+    1. one ``groupBy(group, value)`` count — duplicates collapse here,
+       so downstream stages carry DISTINCT values only;
+    2. a two-phase distributed prefix sum (:func:`running_total`) over
+       the (group, value) total order → each distinct value's inclusive
+       cumulative count; per-group cumulative = global minus the
+       group's base offset (one tiny per-group aggregate, broadcast);
+    3. for each quantile q with group size n: target positions
+       ``h=(n-1)q``, ``floor(h)`` and ``ceil(h)`` — the two bracketing
+       order statistics are the rows whose cumulative window covers
+       those ranks, found by a broadcast join of the (groups × qs × 2)-
+       row target table against the distinct-value ranks;
+    4. interpolate ``v_lo*(ceil(h)-h) + v_hi*(h-floor(h))`` — the exact
+       expression ``percentile``/``quantile_cont`` evaluate, so results
+       hash-match the in-memory aggregate.
+
+    Wide operations: the count shuffle, the range shuffle of DISTINCT
+    (group, value) pairs, and two broadcast-sized aggregates — every
+    stage at full parallelism regardless of group count or group size.
+
+    Returns one row per (group, q): ``(*group_cols, _q double,
+    _quantile double)``."""
+    gcols = list(group_cols)
+    # percentile()/quantile_cont ignore NULL values — match that
+    cnts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    order = [F.col(c) for c in gcols] + [F.col(value_col)]
+    cum = running_total(cnts, "_c", order, out_col="_cum",
+                        n_partitions=n_partitions)
+    # Per-group size and base offset, both FROM the prefix-summed
+    # output (localCheckpoint'ed inside running_total, so this reuses
+    # the materialized rows instead of recomputing cnts): within a
+    # group, max(_cum) is the group's last inclusive global rank, so
+    # base = max(_cum) − n. No per-group ordering window needed — this
+    # stays fully parallel at any group cardinality.
+    totals = (
+        cum.groupBy(*gcols)
+        .agg(F.sum("_c").alias("_n"), F.max("_cum").alias("_maxcum"))
+        .withColumn("_base", F.col("_maxcum") - F.col("_n"))
+    )
+    # target ranks: for each (group, q), the floor/ceil order statistics
+    q_lit = F.array(*[F.lit(float(q)) for q in qs])
+    targets = (
+        totals.select(*gcols, "_n", "_base", F.explode(q_lit).alias("_q"))
+        .withColumn("_h", (F.col("_n") - 1).cast("double") * F.col("_q"))
+        .withColumn("_frn", F.floor("_h").cast("long"))
+        .withColumn("_crn", F.ceil("_h").cast("long"))
+    )
+    ranked = cum.join(F.broadcast(targets.select(
+        *gcols, "_q", "_h", "_frn", "_crn", "_base"
+    )), gcols)
+    gcum = F.col("_cum") - F.col("_base")  # per-group inclusive rank end
+    glo = gcum - F.col("_c")  # exclusive rank start
+    v = F.col(value_col).cast("double")
+    picked = ranked.filter(
+        ((glo <= F.col("_frn")) & (F.col("_frn") < gcum))
+        | ((glo <= F.col("_crn")) & (F.col("_crn") < gcum))
+    ).groupBy(*gcols, "_q", "_h", "_frn", "_crn").agg(
+        F.max(
+            F.when((glo <= F.col("_frn")) & (F.col("_frn") < gcum), v)
+        ).alias("_vlo"),
+        F.max(
+            F.when((glo <= F.col("_crn")) & (F.col("_crn") < gcum), v)
+        ).alias("_vhi"),
+    )
+    exact = F.when(F.col("_frn") == F.col("_crn"), F.col("_vlo")).otherwise(
+        F.col("_vlo") * (F.col("_crn").cast("double") - F.col("_h"))
+        + F.col("_vhi") * (F.col("_h") - F.col("_frn").cast("double"))
+    )
+    return picked.select(*gcols, "_q", exact.alias("_quantile"))
+
+
 def select_within_budget(
     df: DataFrame,
     weight_col: str,

@@ -134,9 +134,13 @@ def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group — Spark ``percentile`` and
     DuckDB ``quantile_cont`` share the linear-interpolation definition
-    (validated bit-identical). Exact percentile sorts within each group;
-    at extreme scale swap to ``approx_percentile`` and drop the oracle
-    to rows-only."""
+    (validated bit-identical). The in-memory aggregate buffers each
+    group's value counts, which is the right tool at this group
+    cardinality; when one group's distinct values outgrow an executor,
+    ``operators.pipeline.exact_quantiles_by_rank`` computes the SAME
+    bit-identical result by rank over the two-phase prefix sum with
+    bounded memory (the shape ``approx_price_percentiles`` runs) — no
+    need to drop to ``approx_percentile``."""
     li = scan_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -329,18 +333,38 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast of the 3-row sketch results, map-side conditional sums —
     no extra shuffle beyond the group key). That is the price of an
     oracled sketch; the production single-pass shape is
-    ``approx_price_percentiles_raw``."""
+    ``approx_price_percentiles_raw``.
+
+    Scale note (r7): the exact arm is computed by RANK on the two-phase
+    distributed prefix-sum infrastructure
+    (``operators.pipeline.exact_quantiles_by_rank``) — bounded memory
+    per task at any group size, bit-identical to the in-memory
+    ``percentile()`` aggregate it replaced (which buffers a whole
+    group's value counts in one executor). The contract no longer has
+    to drop to the raw sketch at extreme scale."""
+    from ..operators.pipeline import exact_quantiles_by_rank
+
     li = scan_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
     qs = ", ".join(str(q) for q in _APPROX_PCT_QS)
     agg = li.groupBy("l_returnflag").agg(
-        F.expr(f"percentile(l_extendedprice, array({qs}))").alias("_ex"),
         F.expr(
             f"approx_percentile(l_extendedprice, array({qs}), "
             f"{APPROX_PCT_ACCURACY})"
         ).alias("_ap"),
         F.count(F.lit(1)).alias("_n"),
+    )
+    exact_long = exact_quantiles_by_rank(
+        li, ["l_returnflag"], "l_extendedprice", list(_APPROX_PCT_QS)
+    )
+    exact = exact_long.groupBy("l_returnflag").agg(
+        *[
+            F.max(
+                F.when(F.col("_q") == float(q), F.col("_quantile"))
+            ).alias(f"_ex{i}")
+            for i, q in enumerate(_APPROX_PCT_QS)
+        ]
     )
     probes = li.join(
         F.broadcast(agg.select("l_returnflag", "_ap")), "l_returnflag"
@@ -366,11 +390,12 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         agg.join(ranks, "l_returnflag")
+        .join(F.broadcast(exact), "l_returnflag")
         .select(
             "l_returnflag",
-            F.col("_ex")[0].alias("p50_exact"),
-            F.col("_ex")[1].alias("p95_exact"),
-            F.col("_ex")[2].alias("p99_exact"),
+            F.col("_ex0").alias("p50_exact"),
+            F.col("_ex1").alias("p95_exact"),
+            F.col("_ex2").alias("p99_exact"),
             cond.alias("within_bound"),
         )
         .orderBy("l_returnflag")

@@ -116,3 +116,58 @@ def test_contract_form_queries_report_within_bound(spark, sf_dir):
     assert {
         "l_returnflag", "p50_exact", "p95_exact", "p99_exact", "within_bound"
     } == set(pct[0].asDict())
+
+
+def test_exact_quantiles_by_rank_bit_identical(spark, sf_dir):
+    """The rank-based exact arm (two-phase prefix sum, bounded memory)
+    must be BIT-identical to the in-memory percentile() aggregate it
+    replaced — same interpolation expression, evaluated from the two
+    bracketing order statistics instead of a buffered group."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.pipeline import (
+        exact_quantiles_by_rank,
+    )
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    li = scan_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    qs = [0.5, 0.95, 0.99]
+    got = {
+        (r["l_returnflag"], r["_q"]): r["_quantile"]
+        for r in exact_quantiles_by_rank(
+            li, ["l_returnflag"], "l_extendedprice", qs
+        ).collect()
+    }
+    ref = {}
+    for r in li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p")
+    ).collect():
+        for q, v in zip(qs, r["p"]):
+            ref[(r["l_returnflag"], q)] = v
+    assert got == ref  # exact equality, not approx
+
+
+def test_exact_quantiles_by_rank_edges(spark):
+    """NULLs ignored, single-value groups, integral ranks (q=0/1), and
+    interpolation between adjacent distinct values."""
+    from portfolio_data_pipelines_spark.operators.pipeline import (
+        exact_quantiles_by_rank,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 5.0),
+         ("c", 2.0), ("c", 2.0), ("c", 4.0)],
+        "g string, v double",
+    )
+    got = {
+        (r["g"], r["_q"]): r["_quantile"]
+        for r in exact_quantiles_by_rank(df, ["g"], "v", [0.0, 0.5, 1.0]).collect()
+    }
+    assert got[("a", 0.0)] == 1.0
+    assert got[("a", 0.5)] == 2.0  # interpolated between 1 and 3
+    assert got[("a", 1.0)] == 3.0
+    assert got[("b", 0.0)] == got[("b", 0.5)] == got[("b", 1.0)] == 5.0
+    assert got[("c", 0.5)] == 2.0  # duplicate values collapse into counts
+    assert got[("c", 1.0)] == 4.0
