@@ -208,3 +208,45 @@ def read_delta_external(path: str, version: int | None = None):
                     row.append(None)  # pre-evolution file
             rows.append(tuple(row))
     return names, rows
+
+
+def version_as_of_external(path: str, ts: str) -> int:
+    """``timestampAsOf`` resolution the way a foreign reader does it:
+    the highest version whose commit file's modification time is at or
+    before ISO-8601 ``ts``, searched over the FULL retained commit
+    listing (delta-spark's rule). Raises when even the earliest
+    retained commit is newer."""
+    target = _dt.datetime.fromisoformat(ts)
+    if target.tzinfo is None:
+        target = target.replace(tzinfo=_dt.timezone.utc)
+    target_s = target.timestamp()
+    log_dir = os.path.join(_local(path), "_delta_log")
+    best = None
+    for v in _list_commit_versions(log_dir):
+        mtime = os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json"))
+        if mtime <= target_s:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit in {path} at or before {ts} (the earliest "
+            "retained commit is newer)"
+        )
+    return best
+
+
+def read_delta_external_as_of(path: str, ts: str):
+    """Time-travel read by timestamp — resolution + snapshot read, both
+    spec-only."""
+    return read_delta_external(path, version=version_as_of_external(path, ts))
+
+
+def table_configuration(path: str, version: int | None = None) -> dict:
+    """The table's ``metaData.configuration`` map as a foreign reader
+    sees it — where Delta records CHECK constraints
+    (``delta.constraints.<name>`` → SQL expression), among other table
+    properties. Conformance: a constraint committed by the writer must
+    round-trip through checkpoint + replay to any external reader,
+    since enforcement is a WRITER duty the next (possibly foreign)
+    writer takes over from exactly this map."""
+    _root, _adds, meta = _replay(path, version)
+    return dict(meta.get("configuration") or {})

@@ -309,3 +309,102 @@ def test_multipart_checkpoint_read_by_both_readers(spark, tmp_path):
     assert sorted(tuple(r) for r in read_delta(spark, path).collect()) == expected
     names, rows = read_delta_external(path)
     assert names == ["id", "v"] and sorted(rows) == expected
+
+
+def test_restored_table_parity(spark, tmp_path):
+    """A RESTORE commit (re-adds + tombstones, possibly of
+    OPTIMIZE-written files, now with dataChange=true) must replay to
+    the same rows in both readers — at the restore version AND at every
+    surrounding version."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        optimize_delta,
+        restore_delta,
+    )
+
+    path = str(tmp_path / "t_ext_restore")
+    write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]),
+                path, partition_col="date")
+    write_delta(spark, _df(spark, [(2, 2.0, _day("2021-01-01"))]),
+                path, partition_col="date")
+    v_opt = optimize_delta(spark, path)  # v2
+    write_delta(spark, _df(spark, [(9, 9.0, _day("2021-02-01"))]),
+                path, partition_col="date", mode="overwrite")  # v3
+    v_restore = restore_delta(spark, path, v_opt)  # v4
+    for v in (None, v_opt, 3, v_restore):
+        _assert_match(spark, path, version=v)
+    names, rows = read_delta_external(path)
+    assert sorted(r[0] for r in rows) == [1, 2]
+
+
+def test_timestamp_as_of_parity(spark, tmp_path):
+    """timestampAsOf resolution must agree between the writer-side
+    version_as_of and the spec-only external resolution, including a
+    version BEFORE a checkpoint (full-listing rule)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        DELTA_CHECKPOINT_EVERY,
+        version_as_of,
+    )
+    from portfolio_data_pipelines_spark.operators.delta_reader import (
+        read_delta_external_as_of,
+        version_as_of_external,
+    )
+
+    path = str(tmp_path / "t_ext_asof")
+    for i in range(DELTA_CHECKPOINT_EVERY + 2):
+        write_delta(spark, _df(spark, [(i, float(i), _day("2021-01-01"))]),
+                    path)
+        time.sleep(0.02)
+    import os
+
+    target_v = 2
+    mt = os.path.getmtime(
+        os.path.join(path, "_delta_log", f"{target_v:020d}.json")
+    )
+    ts = datetime.datetime.fromtimestamp(
+        mt, tz=datetime.timezone.utc
+    ).isoformat()
+    assert version_as_of_external(path, ts) == target_v
+    assert version_as_of(spark, path, ts) == target_v
+    names, rows = read_delta_external_as_of(path, ts)
+    assert sorted(r[0] for r in rows) == [0, 1, 2]
+    with pytest.raises(ValueError, match="no commit"):
+        version_as_of_external(path, "2000-01-01T00:00:00+00:00")
+
+
+def test_check_constraint_configuration_roundtrip(spark, tmp_path):
+    """CHECK constraints live in metaData.configuration
+    (delta.constraints.<name>); a foreign reader/writer must see them
+    through plain NDJSON replay AND through a checkpoint-anchored
+    replay — enforcement is a writer duty handed over via exactly this
+    map."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        DELTA_CHECKPOINT_EVERY,
+        checkpoint_delta,
+    )
+    from portfolio_data_pipelines_spark.operators.delta_reader import (
+        table_configuration,
+    )
+
+    path = str(tmp_path / "t_ext_constraints")
+    write_delta(
+        spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]), path,
+        constraints={"v_nonneg": "v >= 0", "id_pos": "id > 0"},
+    )
+    want = {
+        "delta.constraints.v_nonneg": "v >= 0",
+        "delta.constraints.id_pos": "id > 0",
+    }
+    assert table_configuration(path) == want
+    # survive a checkpoint (metaData must be carried into the parquet
+    # checkpoint with its configuration intact)
+    for i in range(2, DELTA_CHECKPOINT_EVERY + 2):
+        write_delta(spark, _df(spark, [(i, float(i), _day("2021-01-01"))]), path)
+    import os
+
+    assert any(
+        n.endswith(".checkpoint.parquet")
+        for n in os.listdir(os.path.join(path, "_delta_log"))
+    )
+    assert table_configuration(path) == want
+    # and at a pinned old version
+    assert table_configuration(path, version=0) == want
