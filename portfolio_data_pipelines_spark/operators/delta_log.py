@@ -628,7 +628,8 @@ def write_delta(
         if constraints:
             raise ValueError(
                 "constraints are declared at table creation (version 0) "
-                "— this table already exists"
+                "— this table already exists; use add_check_constraint "
+                "(which validates existing rows first, as Delta does)"
             )
         staged = _enforce_constraints(df, prev_meta)
     elif constraints:
@@ -1869,6 +1870,77 @@ def restore_delta(
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     _write_small_file(
         fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def add_check_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT — Delta's post-creation constraint
+    path: validate the EXISTING table data against ``expr`` first (one
+    filter + count over the current snapshot — exactly what delta-spark
+    pays), refuse if any live row violates it, then commit an updated
+    metaData whose configuration carries
+    ``delta.constraints.<name>``. Every subsequent commit (append,
+    overwrite, MERGE source, stream-sink batch — by this writer or any
+    conformant one reading the configuration) enforces it. Returns the
+    committed version."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    key = f"delta.constraints.{name}"
+    config = dict(st.meta.get("configuration") or {})
+    if key in config:
+        raise ValueError(f"constraint {name!r} already exists: {config[key]}")
+    current = read_delta(spark, path)
+    n_bad = current.filter(~F.coalesce(F.expr(expr), F.lit(True))).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): {n_bad} "
+            "existing row(s) violate it — Delta validates history before "
+            "accepting a constraint"
+        )
+    config[key] = expr
+    meta = dict(st.meta)
+    meta["configuration"] = config
+    new_version = st.version + 1
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}",
+        json.dumps({"metaData": meta}, sort_keys=True), overwrite=False,
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def drop_check_constraint(
+    spark: SparkSession, path: str, name: str
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: remove ``delta.constraints.<name>``
+    from the table configuration in one metadata-only commit. Raises if
+    the constraint does not exist (Delta's behavior without IF
+    EXISTS)."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    key = f"delta.constraints.{name}"
+    config = dict(st.meta.get("configuration") or {})
+    if key not in config:
+        raise ValueError(f"no CHECK constraint named {name!r} on {path}")
+    del config[key]
+    meta = dict(st.meta)
+    meta["configuration"] = config
+    new_version = st.version + 1
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}",
+        json.dumps({"metaData": meta}, sort_keys=True), overwrite=False,
     )
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)

@@ -1982,3 +1982,122 @@ class TestFullTupleScoping:
                 path, partition_col=["region", "day"],
                 mode="overwrite", replace_partitions=[{"nope": "x"}],
             )
+
+
+class TestConstraintLifecycle:
+    """Round-7 task 7: constraints after creation (history-validated),
+    constraint + schema evolution in one commit, and constrained
+    stream-sink replay."""
+
+    def test_add_constraint_rejects_violating_history(self, spark, tmp_path):
+        """Delta validates EXISTING data before accepting a constraint:
+        a table already holding a violating row must refuse ALTER TABLE
+        ADD CONSTRAINT, leaving the configuration unchanged."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+            add_check_constraint,
+        )
+
+        path = str(tmp_path / "t_addc_bad")
+        write_delta(spark, _df(spark, [(1, -5.0, _day("2024-01-01"))]), path)
+        with pytest.raises(ValueError, match="existing row"):
+            add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+        meta = _replay_log(spark, path, None).meta
+        assert not (meta.get("configuration") or {})
+
+    def test_add_constraint_then_enforced(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            add_check_constraint,
+            drop_check_constraint,
+        )
+
+        path = str(tmp_path / "t_addc")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        v = add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+        assert v == 1
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(
+                spark, _df(spark, [(2, -2.0, _day("2024-01-01"))]), path
+            )
+        # a duplicate add is refused
+        with pytest.raises(ValueError, match="already exists"):
+            add_check_constraint(spark, path, "v_nonneg", "v >= 0")
+        # DROP removes enforcement
+        drop_check_constraint(spark, path, "v_nonneg")
+        write_delta(spark, _df(spark, [(2, -2.0, _day("2024-01-01"))]), path)
+        assert read_delta(spark, path).count() == 2
+        with pytest.raises(ValueError, match="no CHECK constraint"):
+            drop_check_constraint(spark, path, "nope")
+
+    def test_constraint_survives_evolution_in_same_commit(self, spark, tmp_path):
+        """A commit that BOTH widens the schema and is constraint-
+        checked: the evolved metaData must carry the configuration
+        forward, and enforcement must keep working after evolution —
+        including when the new column is later constrained too."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            add_check_constraint,
+            _replay_log,
+        )
+
+        path = str(tmp_path / "t_evo_c")
+        write_delta(
+            spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path,
+            constraints={"v_nonneg": "v >= 0"},
+        )
+        # widened commit passes the constraint AND evolves the schema
+        wide = spark.createDataFrame(
+            [(2, 2.0, _day("2024-01-01"), "x")],
+            "id bigint, v double, date date, tag string",
+        )
+        write_delta(spark, wide, path)
+        meta = _replay_log(spark, path, None).meta
+        assert meta["configuration"] == {"delta.constraints.v_nonneg": "v >= 0"}
+        assert "tag" in meta["schemaString"]
+        # still enforced post-evolution
+        bad = spark.createDataFrame(
+            [(3, -3.0, _day("2024-01-01"), "y")],
+            "id bigint, v double, date date, tag string",
+        )
+        with pytest.raises(ValueError, match="v_nonneg"):
+            write_delta(spark, bad, path)
+        # a violating widened commit is rejected BEFORE evolving the schema
+        meta2 = _replay_log(spark, path, None).meta
+        assert meta2["schemaString"] == meta["schemaString"]
+        # constrain the evolved column (nulls pass per SQL CHECK — old
+        # rows without 'tag' read as NULL and do not block the add)
+        add_check_constraint(spark, path, "tag_short", "length(tag) <= 3")
+        with pytest.raises(ValueError, match="tag_short"):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(4, 4.0, _day("2024-01-01"), "toolong")],
+                    "id bigint, v double, date date, tag string",
+                ),
+                path,
+            )
+
+    def test_constrained_stream_sink_replay(self, spark, tmp_path):
+        """delta_stream_sink on a constrained table: valid batches
+        commit exactly once across a replay (txn ledger), and a
+        violating batch fails the write leaving the table clean."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            delta_stream_sink,
+        )
+
+        path = str(tmp_path / "t_sink_c")
+        write_delta(
+            spark, _df(spark, [(0, 0.5, _day("2024-01-01"))]), path,
+            constraints={"v_nonneg": "v >= 0"},
+        )
+        sink = delta_stream_sink(path, app_id="capp")
+        b1 = _df(spark, [(1, 1.0, _day("2024-01-01"))])
+        sink(b1, 1)
+        sink(b1, 1)  # replayed batch: txn ledger skips, not re-checked-in
+        assert read_delta(spark, path).count() == 2
+        bad = _df(spark, [(2, -1.0, _day("2024-01-01"))])
+        with pytest.raises(ValueError, match="v_nonneg"):
+            sink(bad, 2)
+        assert read_delta(spark, path).count() == 2  # nothing staged
+        # after the failure, a corrected batch with the same id commits
+        sink(_df(spark, [(2, 1.0, _day("2024-01-01"))]), 2)
+        assert sorted(r["id"] for r in read_delta(spark, path).collect()) == [0, 1, 2]
