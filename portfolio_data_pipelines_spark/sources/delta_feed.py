@@ -126,6 +126,23 @@ def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
     return adds
 
 
+def _fix_ts(val, type_name: str):
+    """TimestampType values must reach Spark's Python DataSource layer
+    tz-AWARE (Arrow refuses naive timestamps for the UTC-adjusted
+    type); parquet files written with isAdjustedToUTC unset come back
+    from pyarrow as naive datetimes holding UTC wall-clock values — pin
+    them to UTC. ``timestamp_ntz`` stays naive by definition."""
+    import datetime as dt
+
+    if (
+        type_name == "timestamp"
+        and isinstance(val, dt.datetime)
+        and val.tzinfo is None
+    ):
+        return val.replace(tzinfo=dt.timezone.utc)
+    return val
+
+
 def _commit_change_actions(log_dir: str, version: int) -> list[dict]:
     """ALL add/remove actions of one commit (paths decoded), preserving
     dataChange flags — the change-feed planner needs both sides."""
@@ -255,7 +272,11 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             yield tuple(
                 pvals[f.name]
                 if f.name in pvals
-                else (row[f.name] if f.name in present else None)
+                else (
+                    _fix_ts(row[f.name], types[f.name])
+                    if f.name in present
+                    else None
+                )
                 for f in fields
             )
 
@@ -352,7 +373,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                 elif f.name in pvals:
                     out.append(pvals[f.name])
                 elif f.name in present:
-                    out.append(row[f.name])
+                    out.append(_fix_ts(row[f.name], types[f.name]))
                 else:
                     out.append(None)  # pre-evolution file
             yield tuple(out)

@@ -354,3 +354,76 @@ def test_cdf_mode_restore_after_optimize(registered, tmp_path):
     assert sorted(by_v[4]) == [
         ("delete", 9), ("insert", 1), ("insert", 2)
     ]
+
+
+def test_feed_sessionize_to_delta_equals_batch(registered, tmp_path):
+    """End-to-end composition of the r6 source with the r2-r5 streaming
+    surface: Delta table → delta_feed → watermarked session-window
+    aggregation → exactly-once Delta sink, pinned row-equal to the same
+    sessionization computed in batch over the same table. Proves the
+    source's rows (types included) flow through stateful streaming
+    operators, not just pass-through reads."""
+    import datetime as dt
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delta_stream_sink,
+        read_delta,
+    )
+    from portfolio_data_pipelines_spark.streaming import user_session_windows
+
+    spark = registered
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt_sess")
+
+    def ev(uid, minute, value):
+        return (uid, dt.datetime(2024, 1, 1, 10, minute), value)
+
+    schema = "user_id bigint, ts timestamp, value double"
+    # user 1: two sessions (gap > 30 min); user 2: one session —
+    # split across TWO commits so the feed plans a multi-commit batch
+    write_delta(
+        spark,
+        spark.createDataFrame([ev(1, 0, 1.0), ev(1, 10, 2.0)], schema),
+        src,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [ev(1, 50, 3.0), ev(2, 5, 4.0), ev(2, 20, 5.0)], schema
+        ),
+        src,
+    )
+    stream = (
+        spark.readStream.format("delta_feed")
+        .option("path", src)
+        .load()
+        .select("user_id", "ts", "value")
+    )
+    q = (
+        user_session_windows(stream, gap="30 minutes", watermark="1 day")
+        .writeStream.foreachBatch(delta_stream_sink(dst, app_id="sess"))
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        tuple(r)
+        for r in read_delta(spark, dst)
+        .select("user_id", "session_start", "session_end",
+                "n_events", "total_value")
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in user_session_windows(
+            read_delta(spark, src).select("user_id", "ts", "value")
+        )
+        .select("user_id", "session_start", "session_end",
+                "n_events", "total_value")
+        .collect()
+    )
+    assert got == batch
+    # sanity: the sessionization actually split user 1 into two sessions
+    assert len([r for r in got if r[0] == 1]) == 2
