@@ -66,6 +66,14 @@ def run_lakehouse_family(spark, sf_dir: str):
         diff_versions,
         read_versioned,
     )
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaChangeFeedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(DeltaChangeFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
 
     events = (
         scan_table(spark, sf_dir, "events")
@@ -101,6 +109,48 @@ def run_lakehouse_family(spark, sf_dir: str):
              .write.format("noop").mode("overwrite").save())
         step("lakehouse_lake_read", lambda: read_versioned(spark, lpath)
              .write.format("noop").mode("overwrite").save())
+
+        def feed_backfill():
+            # cold backfill of the full table through the delta_feed
+            # streaming source (arrow-batch reads, size-grouped tasks),
+            # one availableNow pass against a fresh checkpoint — the
+            # throughput twin of lakehouse_delta_read. Also time an
+            # EMPTY run (startingVersion at the tip) so the artifact
+            # separates Structured Streaming's fixed per-query cost
+            # from the source's marginal read cost.
+            ck = tempfile.mkdtemp(prefix="bench_feed_ck_")
+            q = (
+                spark.readStream.format("delta_feed")
+                .option("path", dpath)
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+        def feed_fixed_overhead():
+            from portfolio_data_pipelines_spark.operators.delta_log import (
+                _replay_log as _rl,
+            )
+
+            tip = _rl(spark, dpath, None).version
+            ck = tempfile.mkdtemp(prefix="bench_feedfx_ck_")
+            q = (
+                spark.readStream.format("delta_feed")
+                .option("path", dpath)
+                .option("startingVersion", str(tip))
+                .load()
+                .writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+
+        step("lakehouse_feed_backfill", feed_backfill)
+        step("lakehouse_feed_fixed_overhead", feed_fixed_overhead)
         # selective read: Delta prunes files from the LOG (partition
         # values + stats ranges) before planning; the lake twin leans
         # on Spark's hive partition pruning at the scan
@@ -196,6 +246,14 @@ def _steal_pct(before: dict, after: dict):
 
 
 def main() -> None:
+    # Python DataSource tasks (delta_feed) run in executor-side Python
+    # workers that must import this package — set PYTHONPATH before the
+    # JVM starts so local-mode workers inherit it.
+    os.environ["PYTHONPATH"] = (
+        os.path.dirname(os.path.abspath(__file__))
+        + os.pathsep
+        + os.environ.get("PYTHONPATH", "")
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
     m = re.search(r"sf([0-9.]+)", sf_dir)
