@@ -1566,16 +1566,43 @@ def merge_delta(
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
+    # STATS PRUNING before the discovery scan: a file whose per-key
+    # min/max range (from the log's stats document / partitionValues)
+    # is disjoint from the SOURCE's key range cannot hold a matching
+    # key, so it is neither scanned for discovery nor eligible for
+    # rewrite. Cost: one tiny agg over the (feed-sized) source; payoff
+    # at 100 TB: a MERGE of one day's keys into a years-deep table
+    # plans O(that day's files), not O(table files). Superset-safe —
+    # files without stats are always kept (_file_may_match).
+    bounds_row = source.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+    ).first()
+    key_pred = {
+        k: (bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"])
+        for k in key_cols
+        if bounds_row[f"_lo_{k}"] is not None
+    }
+    scan_adds = (
+        {
+            rel: a
+            for rel, a in adds.items()
+            if _file_may_match(a, pcols, key_pred)
+        }
+        if key_pred
+        else adds
+    )
+
     # Touched-file DISCOVERY pass: key columns + file provenance only,
     # so the scan prunes to the join keys (never the full row width).
     # Writer-produced hive layouts resolve in ONE reader call; foreign
     # layouts take the grouped union fallback.
-    fast = _fast_hive_read(spark, path, adds, schema, pcols)
+    fast = _fast_hive_read(spark, path, scan_adds, schema, pcols)
     if fast is not None:
         target_keys = fast.withColumn("_file", F.input_file_name())
     else:
         target_keys = _read_file_groups(
-            spark, path, adds, pcols, ptypes, schema,
+            spark, path, scan_adds, pcols, ptypes, schema,
             extra_cols={"_file": F.input_file_name},
         )
     if target_keys is None:

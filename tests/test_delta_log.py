@@ -2101,3 +2101,80 @@ class TestConstraintLifecycle:
         # after the failure, a corrected batch with the same id commits
         sink(_df(spark, [(2, 1.0, _day("2024-01-01"))]), 2)
         assert sorted(r["id"] for r in read_delta(spark, path).collect()) == [0, 1, 2]
+
+
+class TestMergeStatsPruning:
+    """r7: MERGE's discovery pass prunes stats-disjoint files BEFORE
+    scanning — a merge of one key range into a deep table plans only
+    the overlapping files."""
+
+    def _seed_two_ranges(self, spark, tmp_path, name):
+        path = str(tmp_path / name)
+        write_delta(
+            spark,
+            _df(spark, [(i, float(i), _day("2024-01-01")) for i in range(1, 11)])
+            .coalesce(1),
+            path,
+        )
+        write_delta(
+            spark,
+            _df(spark, [(i, float(i), _day("2024-01-02"))
+                        for i in range(1000, 1011)]).coalesce(1),
+            path,
+        )
+        return path
+
+    def test_discovery_scans_only_overlapping_files(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = self._seed_two_ranges(spark, tmp_path, "t_mprune")
+        calls = []
+        orig = dl._fast_hive_read
+
+        def spy(spark_, path_, adds, schema, pcols):
+            calls.append(sorted(adds))
+            return orig(spark_, path_, adds, schema, pcols)
+
+        monkeypatch.setattr(dl, "_fast_hive_read", spy)
+        merge_delta(
+            spark, path,
+            _df(spark, [(1005, 5000.0, _day("2024-01-02"))]),
+            key_cols=["id"],
+        )
+        # discovery (first read call) saw ONLY the high-range file
+        assert len(calls[0]) == 1
+        assert "v000001" in calls[0][0]
+        got = {r["id"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got[1005] == 5000.0 and got[1] == 1.0 and len(got) == 21
+
+    def test_disjoint_merge_is_pure_insert_zero_scans(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = self._seed_two_ranges(spark, tmp_path, "t_mprune2")
+        calls = []
+        orig = dl._fast_hive_read
+
+        def spy(spark_, path_, adds, schema, pcols):
+            calls.append(sorted(adds))
+            return orig(spark_, path_, adds, schema, pcols)
+
+        monkeypatch.setattr(dl, "_fast_hive_read", spy)
+        merge_delta(
+            spark, path,
+            _df(spark, [(500, 0.5, _day("2024-01-03"))]),  # between ranges
+            key_cols=["id"],
+        )
+        assert calls[0] == []  # nothing to discover, nothing rewritten
+        got = read_delta(spark, path)
+        assert got.count() == 22
+        # both original files still live (no rewrite commit touched them)
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+        )
+
+        live = _replay_log(spark, path, None).adds
+        assert sum(1 for rel in live if "v000000" in rel or "v000001" in rel) == 2
