@@ -351,6 +351,26 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> DataFrame:
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
+
+def _commit_info(operation: str, params: dict | None = None) -> dict:
+    """The spec's ``commitInfo`` action — operation provenance recorded
+    at the head of every commit (what ``DESCRIBE HISTORY`` surfaces).
+    Informational only: replay ignores it, checkpoints don't carry it
+    (per the spec, commitInfo lives in the JSON commits alone).
+    ``operationParameters`` values are strings, as delta-spark writes
+    them."""
+    return {
+        "commitInfo": {
+            "timestamp": _now_ms(),
+            "operation": operation,
+            "operationParameters": {
+                k: v if isinstance(v, str) else json.dumps(v)
+                for k, v in (params or {}).items()
+            },
+            "engineInfo": "portfolio-data-pipelines-spark",
+        }
+    }
+
 #: (from, to) Spark-schema-JSON type pairs a schema-evolution commit may
 #: apply to an existing column: parquet's widening primitive promotions,
 #: which Spark 4's parquet readers apply on the fly (SPARK-40876) so the
@@ -656,7 +676,20 @@ def write_delta(
             staged.unpersist()
     now = _now_ms()
 
-    actions: list[dict] = []
+    actions: list[dict] = [
+        _commit_info(
+            "STREAMING UPDATE" if txn is not None else "WRITE",
+            {
+                "mode": mode.capitalize(),
+                **({"partitionBy": pcols} if pcols else {}),
+                **(
+                    {"predicate": replace_partitions}
+                    if replace_partitions is not None
+                    else {}
+                ),
+            },
+        )
+    ]
     if new_version == 0:
         actions.append(_PROTOCOL_ACTION)
         actions.append(_metadata_action(df, pcols, constraints))
@@ -1670,6 +1703,9 @@ def merge_delta(
     now = _now_ms()
 
     actions: list[dict] = [
+        _commit_info("MERGE", {"keyColumns": key_cols})
+    ]
+    actions.extend(
         {
             "remove": {
                 "path": _encode_path(rel),
@@ -1678,7 +1714,7 @@ def merge_delta(
             }
         }
         for rel in touched_rels
-    ]
+    )
     actions.extend(new_adds)
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     _write_small_file(
@@ -1813,6 +1849,15 @@ def optimize_delta(
     )
     now = _now_ms()
     actions: list[dict] = [
+        _commit_info(
+            "OPTIMIZE",
+            {
+                **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
+                **({"predicate": partitions} if partitions is not None else {}),
+            },
+        )
+    ]
+    actions.extend(
         {
             "remove": {
                 "path": _encode_path(rel),
@@ -1822,7 +1867,7 @@ def optimize_delta(
         }
         for rels in doomed_groups.values()
         for rel in sorted(rels)
-    ]
+    )
     actions.extend(adds)
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     _write_small_file(
@@ -1868,7 +1913,7 @@ def restore_delta(
             f"vacuumed: {missing[:5]}{'...' if len(missing) > 5 else ''}"
         )
     now = _now_ms()
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("RESTORE", {"version": version})]
     if old.meta["schemaString"] != cur.meta["schemaString"] or old.meta.get(
         "partitionColumns"
     ) != cur.meta.get("partitionColumns"):
@@ -1901,6 +1946,65 @@ def restore_delta(
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
+
+
+def describe_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained commit, newest first —
+    version, timestamp, operation, operationParameters — read from the
+    ``commitInfo`` action at the head of each commit file (full
+    retained listing, like timestamp resolution). Commits written
+    before commitInfo existed surface operation=null rather than being
+    hidden. Driver-side O(retained commits) small reads; the result is
+    a DataFrame for parity with delta-spark's ``history()``."""
+    from pyspark.sql.types import (
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    rows = []
+    for v in _all_commit_versions(fs, jvm, path):
+        log_file = f"{path}/{_log_path(v)}"
+        hpath = jvm.org.apache.hadoop.fs.Path(log_file)
+        mtime_ms = fs.getFileStatus(hpath).getModificationTime()
+        info = None
+        for line in _read_text(fs, jvm, log_file).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                info = action["commitInfo"]
+                break
+        rows.append(
+            {
+                "version": v,
+                "timestamp": _dt.datetime.fromtimestamp(
+                    (info or {}).get("timestamp", mtime_ms) / 1000.0,
+                    tz=_dt.timezone.utc,
+                ),
+                "operation": (info or {}).get("operation"),
+                "operationParameters": (info or {}).get(
+                    "operationParameters"
+                ),
+            }
+        )
+    schema = StructType(
+        [
+            StructField("version", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("operation", StringType()),
+            StructField(
+                "operationParameters", MapType(StringType(), StringType())
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        sorted(rows, key=lambda r: -r["version"]), schema=schema
+    )
 
 
 def add_check_constraint(
@@ -1936,9 +2040,14 @@ def add_check_constraint(
     meta = dict(st.meta)
     meta["configuration"] = config
     new_version = st.version + 1
+    actions = [
+        _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
+        {"metaData": meta},
+    ]
     _write_small_file(
         fs, jvm, f"{path}/{_log_path(new_version)}",
-        json.dumps({"metaData": meta}, sort_keys=True), overwrite=False,
+        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
+        overwrite=False,
     )
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
@@ -1965,9 +2074,14 @@ def drop_check_constraint(
     meta = dict(st.meta)
     meta["configuration"] = config
     new_version = st.version + 1
+    actions = [
+        _commit_info("DROP CONSTRAINT", {"name": name}),
+        {"metaData": meta},
+    ]
     _write_small_file(
         fs, jvm, f"{path}/{_log_path(new_version)}",
-        json.dumps({"metaData": meta}, sort_keys=True), overwrite=False,
+        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
+        overwrite=False,
     )
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
@@ -2091,7 +2205,11 @@ def export_versioned_as_delta(
         full = p if full is None else full.unionByName(
             p, allowMissingColumns=True
         )
-    actions = [_PROTOCOL_ACTION, _metadata_action(full, [pcol])]
+    actions = [
+        _commit_info("CONVERT", {"sourceFormat": "versioned-lake"}),
+        _PROTOCOL_ACTION,
+        _metadata_action(full, [pcol]),
+    ]
     actions.extend(adds)
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     _write_small_file(fs, jvm, f"{path}/{_log_path(0)}", ndjson, overwrite=False)

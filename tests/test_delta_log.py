@@ -151,16 +151,19 @@ class TestLogConformance:
         )  # Hadoop local FS adds .crc sidecars
         assert names == [f"{0:020d}.json", f"{1:020d}.json"]
         v0 = [json.loads(x) for x in (log / names[0]).read_text().splitlines()]
-        # protocol first, then metaData, then adds — each line ONE action
-        assert set(v0[0]) == {"protocol"}
-        assert v0[0]["protocol"]["minReaderVersion"] == 1
-        assert set(v0[1]) == {"metaData"}
-        meta = v0[1]["metaData"]
+        # commitInfo provenance first (delta-spark's layout), then
+        # protocol, metaData, then adds — each line ONE action
+        assert set(v0[0]) == {"commitInfo"}
+        assert v0[0]["commitInfo"]["operation"] == "WRITE"
+        assert set(v0[1]) == {"protocol"}
+        assert v0[1]["protocol"]["minReaderVersion"] == 1
+        assert set(v0[2]) == {"metaData"}
+        meta = v0[2]["metaData"]
         assert meta["format"] == {"provider": "parquet", "options": {}}
         assert meta["partitionColumns"] == ["date"]
         schema = json.loads(meta["schemaString"])
         assert [f["name"] for f in schema["fields"]] == ["id", "v", "date"]
-        adds = [a["add"] for a in v0[2:]]
+        adds = [a["add"] for a in v0[3:]]
         assert adds and all(set(a) >= {"path", "partitionValues", "size"} for a in adds)
         assert all(not a["path"].startswith("/") for a in adds)  # relative
         assert all(a["partitionValues"] == {"date": "2021-01-01"} for a in adds)
@@ -2178,3 +2181,91 @@ class TestMergeStatsPruning:
 
         live = _replay_log(spark, path, None).adds
         assert sum(1 for rel in live if "v000000" in rel or "v000001" in rel) == 2
+
+
+class TestCommitInfoHistory:
+    """commitInfo actions at the head of every commit + DESCRIBE
+    HISTORY: operation provenance per the spec (informational — replay
+    ignores it, checkpoints do not carry it)."""
+
+    def test_full_lifecycle_history(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            add_check_constraint,
+            describe_history,
+            drop_check_constraint,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "t_hist")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2024-01-01"))]), path)
+        merge_delta(spark, path,
+                    _df(spark, [(2, 20.0, _day("2024-01-01"))]),
+                    key_cols=["id"])
+        optimize_delta(spark, path)
+        restore_delta(spark, path, 2)
+        add_check_constraint(spark, path, "v_pos", "v > 0")
+        drop_check_constraint(spark, path, "v_pos")
+        write_delta(spark, _df(spark, [(3, 3.0, _day("2024-01-01"))]), path,
+                    txn=("app", 1))
+        hist = describe_history(spark, path).collect()
+        ops = [(r["version"], r["operation"]) for r in hist]
+        assert ops == [
+            (7, "STREAMING UPDATE"),
+            (6, "DROP CONSTRAINT"),
+            (5, "ADD CONSTRAINT"),
+            (4, "RESTORE"),
+            (3, "OPTIMIZE"),
+            (2, "MERGE"),
+            (1, "WRITE"),
+            (0, "WRITE"),
+        ]
+        by_v = {r["version"]: r for r in hist}
+        assert by_v[2]["operationParameters"]["keyColumns"] == '["id"]'
+        assert by_v[4]["operationParameters"]["version"] == "2"
+        assert by_v[0]["operationParameters"]["mode"] == "Append"
+        assert all(r["timestamp"] is not None for r in hist)
+
+    def test_commit_info_first_line_and_not_in_checkpoint(self, spark, tmp_path):
+        path = str(tmp_path / "t_hist_cp")
+        for i in range(DELTA_CHECKPOINT_EVERY + 1):
+            write_delta(
+                spark, _df(spark, [(i, float(i), _day("2024-01-01"))]), path
+            )
+        log = tmp_path / "t_hist_cp" / "_delta_log"
+        first = json.loads(
+            (log / f"{0:020d}.json").read_text().splitlines()[0]
+        )
+        assert "commitInfo" in first
+        import pyarrow.parquet as pq
+
+        cp = pq.read_table(
+            str(log / f"{DELTA_CHECKPOINT_EVERY:020d}.checkpoint.parquet")
+        )
+        assert "commitInfo" not in cp.column_names
+        # replay is unaffected
+        assert read_delta(spark, path).count() == DELTA_CHECKPOINT_EVERY + 1
+
+    def test_foreign_commits_without_info_surface_null(self, spark, tmp_path):
+        """A commit written by an engine that omits commitInfo (it's
+        optional in the spec) still appears in history with a null
+        operation and a file-mtime timestamp."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            describe_history,
+        )
+
+        path = str(tmp_path / "t_hist_foreign")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        log_file = tmp_path / "t_hist_foreign" / "_delta_log" / f"{0:020d}.json"
+        stripped = "\n".join(
+            line
+            for line in log_file.read_text().splitlines()
+            if "commitInfo" not in json.loads(line)
+        )
+        log_file.write_text(stripped)
+        crc = log_file.parent / f".{log_file.name}.crc"
+        if crc.exists():
+            crc.unlink()  # hadoop local-FS checksum sidecar is now stale
+        hist = describe_history(spark, path).collect()
+        assert hist[0]["operation"] is None
+        assert hist[0]["timestamp"] is not None
