@@ -1725,6 +1725,189 @@ def merge_delta(
     return new_version
 
 
+def apply_changes_delta(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """APPLY CHANGES INTO — fold a batch of row-level CDF rows
+    (``_change_type`` ∈ insert | update_preimage | update_postimage |
+    delete, ``_commit_version``) into the Delta table at ``path``:
+    upserts for the latest insert/update_postimage per key, DELETES for
+    keys whose latest change is a delete. This is the replica-
+    maintenance consumer of :func:`read_delta_cdf` / the ``delta_feed``
+    readChangeFeed stream (DLT's ``APPLY CHANGES INTO`` shape): chain
+    source → CDF → apply and the target converges to the source.
+
+    Net-change resolution: preimages carry no final state and are
+    dropped; among the rest, the highest ``_commit_version`` per key
+    wins (a key updated at v3 and deleted at v7 nets to a delete).
+
+    Copy-on-write at file granularity like MERGE, plus deletes: only
+    files holding an affected key (stats-pruned by the batch's key
+    range, then semi-join discovered) are rewritten; their unaffected
+    rows survive next to the upserts. ``txn`` gives the commit the
+    exactly-once ledger for streaming replay. Returns the committed
+    version (or the current one for an idempotent replay / empty
+    batch)."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    versions = _list_log_versions(fs, jvm, path)
+    if not versions:
+        raise FileNotFoundError(f"no _delta_log under {path}")
+    st = _replay_log(spark, path, None)
+    adds, meta = st.adds, st.meta
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    if txn is not None and st.txns.get(txn[0], -1) >= txn[1]:
+        return versions[-1]
+    schema = _spark_schema_from_string(meta["schemaString"])
+    cols = [f.name for f in schema.fields]
+    missing = [c for c in cols if c not in changes.columns]
+    if missing:
+        raise ValueError(f"change batch missing target columns {missing}")
+    for c in ("_change_type", "_commit_version"):
+        if c not in changes.columns:
+            raise ValueError(f"change batch missing {c}")
+    pcols = meta.get("partitionColumns", [])
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    # net change per key: drop preimages (no final-state info), then
+    # the highest commit version wins — within one commit a key has
+    # exactly one final action, so the version alone is the order
+    finals = changes.filter(F.col("_change_type") != "update_preimage")
+    net = (
+        finals.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*cols, "_change_type"), F.col("_commit_version")
+            ).alias("_last")
+        )
+        .select("_last.*")  # the struct carries keys + values + type
+    )
+    net = net.localCheckpoint(eager=True)  # one evaluation: discovery + rewrite
+    upserts = net.filter(F.col("_change_type") != "delete").select(*cols)
+
+    # discovery: files holding ANY affected key (upsert or delete)
+    bounds_row = net.agg(
+        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+    ).first()
+    key_pred = {
+        k: (bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"])
+        for k in key_cols
+        if bounds_row[f"_lo_{k}"] is not None
+    }
+    scan_adds = (
+        {r: a for r, a in adds.items() if _file_may_match(a, pcols, key_pred)}
+        if key_pred
+        else adds
+    )
+    target_keys = _fast_hive_read(spark, path, scan_adds, schema, pcols)
+    if target_keys is None:
+        target_keys = _read_file_groups(
+            spark, path, scan_adds, pcols, ptypes, schema,
+            extra_cols={"_file": F.input_file_name},
+        )
+    else:
+        target_keys = target_keys.withColumn("_file", F.input_file_name())
+    affected_keys = F.broadcast(net.select(*key_cols).distinct())
+    if target_keys is not None:
+        touched_uris = {
+            r["_file"]
+            for r in target_keys.select(*key_cols, "_file")
+            .join(affected_keys, key_cols, "left_semi")
+            .select("_file").distinct().collect()
+        }
+    else:
+        touched_uris = set()
+    uri_to_rel = {
+        _normalize_uri(f"{path}/{rel}", decode=False): rel for rel in adds
+    }
+    touched_rels = []
+    for u in touched_uris:
+        rel = uri_to_rel.get(_normalize_uri(u, decode=True))
+        if rel is None:
+            raise ValueError(
+                f"scanned file {u} does not map to any live add entry — "
+                "log and filesystem views diverged"
+            )
+        touched_rels.append(rel)
+    touched_rels = sorted(touched_rels)
+    new_version = versions[-1] + 1
+    if not touched_rels and upserts.isEmpty():
+        return versions[-1]
+    if touched_rels:
+        touched_adds = {rel: adds[rel] for rel in touched_rels}
+        touched_df = _fast_hive_read(spark, path, touched_adds, schema, pcols)
+        if touched_df is None:
+            touched_df = _read_file_groups(
+                spark, path, touched_adds, pcols, ptypes, schema
+            )
+        survivors = (
+            touched_df.join(affected_keys, key_cols, "left_anti")
+            .select(*cols)
+        )
+    else:
+        survivors = spark.createDataFrame([], schema=schema)
+    new_data = survivors.unionByName(upserts)
+    new_adds = _stage_commit_files(
+        spark, fs, jvm, path, new_data, pcols, new_version
+    )
+    now = _now_ms()
+    actions: list[dict] = [
+        _commit_info("APPLY CHANGES", {"keyColumns": key_cols})
+    ]
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
+        )
+    actions.extend(
+        {
+            "remove": {
+                "path": _encode_path(rel),
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for rel in touched_rels
+    )
+    actions.extend(new_adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def delta_cdf_apply_sink(
+    target_path: str,
+    key_cols: list[str],
+    app_id: str = "cdf-apply",
+):
+    """foreachBatch sink: apply a ``delta_feed`` readChangeFeed stream
+    into a target Delta table exactly once —
+    ``source → CDF stream → apply_changes_delta`` keeps the target a
+    converging replica of the source across MERGEs, replaceWheres and
+    RESTOREs (not just appends). The txn ledger makes replayed batch
+    ids no-ops, the same contract as :func:`delta_stream_sink`."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        apply_changes_delta(
+            batch.sparkSession,
+            target_path,
+            batch,
+            key_cols=key_cols,
+            txn=(app_id, int(batch_id)),
+        )
+
+    return sink
+
+
 def delta_stream_sink(
     path: str,
     partition_col: str | None = None,

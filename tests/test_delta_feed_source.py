@@ -427,3 +427,62 @@ def test_feed_sessionize_to_delta_equals_batch(registered, tmp_path):
     assert got == batch
     # sanity: the sessionization actually split user 1 into two sessions
     assert len([r for r in got if r[0] == 1]) == 2
+
+
+def test_cdf_stream_apply_maintains_replica(registered, tmp_path):
+    """The full lakehouse replication loop: source Delta table →
+    delta_feed readChangeFeed stream → delta_cdf_apply_sink → replica
+    Delta table. Across two availableNow runs with a MERGE and a
+    truncating overwrite in between, the replica equals the source
+    after every catch-up — updates applied once, deletes propagated,
+    carried-over rows untouched."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delta_cdf_apply_sink,
+        merge_delta,
+        read_delta,
+    )
+
+    spark = registered
+    src, rep = str(tmp_path / "src_rep"), str(tmp_path / "rep_rep")
+    ckpt = str(tmp_path / "ckpt_rep")
+    write_delta(
+        spark,
+        _df(spark, [(1, 1.0, _day("2021-01-01")),
+                    (2, 2.0, _day("2021-01-01"))]).coalesce(1),
+        src,
+    )
+    write_delta(
+        spark, spark.createDataFrame([], "id bigint, v double, date date"),
+        rep,
+    )
+
+    def catch_up():
+        q = (
+            spark.readStream.format("delta_feed")
+            .option("path", src)
+            .option("readChangeFeed", "true")
+            .option("keyCols", "id")
+            .load()
+            .writeStream.foreachBatch(delta_cdf_apply_sink(rep, ["id"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = sorted(tuple(r) for r in read_delta(spark, rep).collect())
+        want = sorted(tuple(r) for r in read_delta(spark, src).collect())
+        assert got == want
+
+    catch_up()  # initial sync
+    merge_delta(
+        spark, src,
+        _df(spark, [(2, 20.0, _day("2021-01-01")),
+                    (3, 3.0, _day("2021-01-02"))]),
+        key_cols=["id"],
+    )
+    catch_up()  # incremental: update + insert, no re-delivery issues
+    write_delta(
+        spark, _df(spark, [(9, 9.0, _day("2021-03-01"))]),
+        src, mode="overwrite",
+    )
+    catch_up()  # deletes propagate

@@ -2269,3 +2269,109 @@ class TestCommitInfoHistory:
         hist = describe_history(spark, path).collect()
         assert hist[0]["operation"] is None
         assert hist[0]["timestamp"] is not None
+
+
+class TestApplyChanges:
+    """apply_changes_delta / delta_cdf_apply_sink — the CDF consumer:
+    source table → read_delta_cdf → apply into a replica, and the
+    replica converges to the source across merge / replaceWhere /
+    restore / truncating overwrite."""
+
+    def _bootstrap_replica(self, spark, tmp_path, name):
+        from pyspark.sql.types import StructType
+
+        path = str(tmp_path / name)
+        empty = spark.createDataFrame(
+            [], "id bigint, v double, date date"
+        )
+        write_delta(spark, empty, path)
+        return path
+
+    def test_batch_apply_converges(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+            read_delta_cdf,
+            restore_delta,
+        )
+
+        src = str(tmp_path / "src_ac")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01")),
+                                       (2, 2.0, _day("2024-01-01")),
+                                       (3, 3.0, _day("2024-01-02"))]).coalesce(1),
+                    src)
+        merge_delta(spark, src, _df(spark, [(2, 20.0, _day("2024-01-01")),
+                                            (4, 4.0, _day("2024-01-02"))]),
+                    key_cols=["id"])
+        optimize_delta(spark, src)
+        restore_delta(spark, src, 1)
+        write_delta(spark, _df(spark, [(9, 9.0, _day("2024-03-01"))]),
+                    src, mode="overwrite")
+
+        replica = self._bootstrap_replica(spark, tmp_path, "rep_ac")
+        last = -1
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+        )
+
+        tip = _replay_log(spark, src, None).version
+        # apply in two windows to prove incremental convergence
+        for upto in (2, tip):
+            changes = read_delta_cdf(
+                spark, src, from_version=last, key_cols=["id"], to_version=upto
+            )
+            apply_changes_delta(spark, replica, changes, key_cols=["id"])
+            want = sorted(
+                tuple(r) for r in read_delta(spark, src, version=upto).collect()
+            )
+            got = sorted(
+                tuple(r) for r in read_delta(spark, replica).collect()
+            )
+            assert got == want, f"replica diverged at source v{upto}"
+            last = upto
+
+    def test_apply_nets_update_then_delete(self, spark, tmp_path):
+        """A key updated at one version and deleted at a later one nets
+        to a delete; preimages never resurrect rows."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+        )
+
+        replica = str(tmp_path / "rep_net")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01")),
+                                       (2, 2.0, _day("2024-01-01"))]), replica)
+        changes = spark.createDataFrame(
+            [
+                (1, 1.0, _day("2024-01-01"), "update_preimage", 3),
+                (1, 10.0, _day("2024-01-01"), "update_postimage", 3),
+                (1, 10.0, _day("2024-01-01"), "delete", 7),
+                (2, 2.0, _day("2024-01-01"), "update_preimage", 5),
+                (2, 22.0, _day("2024-01-01"), "update_postimage", 5),
+                (5, 5.0, _day("2024-01-02"), "insert", 6),
+            ],
+            "id bigint, v double, date date, _change_type string, "
+            "_commit_version bigint",
+        )
+        apply_changes_delta(spark, replica, changes, key_cols=["id"])
+        got = sorted(tuple(r) for r in read_delta(spark, replica).collect())
+        assert got == [(2, 22.0, _day("2024-01-01")),
+                       (5, 5.0, _day("2024-01-02"))]
+
+    def test_txn_makes_apply_idempotent(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+        )
+
+        replica = self._bootstrap_replica(spark, tmp_path, "rep_txn")
+        changes = spark.createDataFrame(
+            [(1, 1.0, _day("2024-01-01"), "insert", 0)],
+            "id bigint, v double, date date, _change_type string, "
+            "_commit_version bigint",
+        )
+        v1 = apply_changes_delta(
+            spark, replica, changes, key_cols=["id"], txn=("app", 5)
+        )
+        v2 = apply_changes_delta(
+            spark, replica, changes, key_cols=["id"], txn=("app", 5)
+        )
+        assert v2 == v1  # replay skipped
+        assert read_delta(spark, replica).count() == 1
