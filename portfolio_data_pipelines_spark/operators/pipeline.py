@@ -279,7 +279,7 @@ def select_within_budget(
     df: DataFrame,
     weight_col: str,
     order_by: list[Column],
-    budget: int | float,
+    budget,
     cum_col: str = "cum_weight",
     n_partitions: int | None = None,
 ) -> DataFrame:
@@ -290,10 +290,28 @@ def select_within_budget(
     (two-phase prefix sum), then a map-side filter; nothing about the
     cutoff is driver-side, so the same call works when "budget" is
     trillions of tokens.
-    """
-    return running_total(
+
+    ``budget`` is a number, or a ONE-ROW ONE-COLUMN DataFrame (a
+    derived budget, e.g. ``df.agg(sum(w)/2)``): the scalar is
+    broadcast-cross-joined into the filter, so a data-derived budget
+    stays inside the lazy plan — no driver ``collect()`` between the
+    derivation and the selection."""
+    cum = running_total(
         df, weight_col, order_by, out_col=cum_col, n_partitions=n_partitions
-    ).filter(F.col(cum_col) <= budget)
+    )
+    if isinstance(budget, DataFrame):
+        if len(budget.columns) != 1:
+            raise ValueError(
+                "a DataFrame budget must have exactly one column "
+                f"(got {budget.columns})"
+            )
+        bcol = budget.columns[0]
+        return (
+            cum.crossJoin(F.broadcast(budget))
+            .filter(F.col(cum_col) <= F.col(bcol))
+            .drop(bcol)
+        )
+    return cum.filter(F.col(cum_col) <= budget)
 
 
 def pack_sequences(

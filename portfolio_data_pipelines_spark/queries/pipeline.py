@@ -378,19 +378,20 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase distributed prefix sum (`select_within_budget` →
     `running_total`), never a single-task global window.
 
-    Demo-query caveat: the budget here is DERIVED from the corpus (one
-    scalar ``sum(n_tokens)`` action → a full extra pass over documents
-    before the selection pass). In real use the token budget is an
-    INPUT (\"select 500B tokens\"), so production callers pass the
-    number straight to ``select_within_budget`` and this query is
-    single-pass; the derivation exists only to make the fixture
-    self-contained."""
+    The budget here is DERIVED from the corpus (half of
+    ``sum(n_tokens)``) to keep the fixture self-contained; since r7 the
+    derived scalar flows through the plan as a broadcast cross join —
+    no driver ``collect()`` anywhere in the query, and the derivation's
+    extra aggregate pass is the only cost vs. the production form where
+    the budget is an input number ("select 500B tokens")."""
     from .text import quality_frame
 
     q = quality_frame(scan_table(spark, sf_dir, "documents")).select(
         "doc_id", "source", "n_tokens", "quality_score"
     )
-    budget = q.agg(F.sum("n_tokens")).collect()[0][0] // 2
+    budget = q.agg(
+        (F.floor(F.sum("n_tokens") / 2)).cast("long").alias("_budget")
+    )
     return select_within_budget(
         q,
         "n_tokens",
