@@ -763,9 +763,60 @@ def write_delta(
             )
     actions.extend(adds)
     ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
+    # Optimistic concurrency, Delta's OptimisticTransaction rules: a
+    # lost version race fails the exclusive create; a pure APPEND then
+    # auto-retries at the next version after checking the intervening
+    # commits for logical conflicts (metaData/protocol change → raise;
+    # a twin recording our txn id → idempotent skip). Appends never
+    # reference the previous live set, so blind-retry is sound — the
+    # property that lets N concurrent appenders all land. Overwrites,
+    # replaceWhere and evolution commits DO depend on the state they
+    # read, so they surface the conflict to the caller instead.
+    retriable = (
+        mode == "append"
+        and replace_partitions is None
+        and not any("metaData" in a or "protocol" in a for a in actions)
     )
+    for _attempt in range(64):
+        try:
+            _write_small_file(
+                fs, jvm, f"{path}/{_log_path(new_version)}", ndjson,
+                overwrite=False,
+            )
+            break
+        except Exception as race:
+            latest = _list_log_versions(fs, jvm, path)
+            lost_race = bool(latest) and latest[-1] >= new_version
+            if not (retriable and lost_race):
+                raise
+            for v in range(new_version, latest[-1] + 1):
+                for line in _read_text(
+                    fs, jvm, f"{path}/{_log_path(v)}"
+                ).splitlines():
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "metaData" in act or "protocol" in act:
+                        raise ValueError(
+                            f"concurrent metadata change at version {v} — "
+                            "append cannot be retried safely; re-read the "
+                            "table and re-commit"
+                        ) from race
+                    if (
+                        txn is not None
+                        and "txn" in act
+                        and act["txn"].get("appId") == txn[0]
+                        and int(act["txn"].get("version", -1)) >= txn[1]
+                    ):
+                        # a twin writer recorded our (appId, version):
+                        # this batch is already committed exactly once
+                        return latest[-1]
+            new_version = latest[-1] + 1
+    else:
+        raise IOError(
+            f"append to {path} lost the version race 64 times — "
+            "pathological contention"
+        )
     if new_version > 0 and new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version

@@ -219,12 +219,17 @@ def version_as_of_external(path: str, ts: str) -> int:
     target = _dt.datetime.fromisoformat(ts)
     if target.tzinfo is None:
         target = target.replace(tzinfo=_dt.timezone.utc)
-    target_s = target.timestamp()
+    # millisecond granularity on BOTH sides — commit times are ms in
+    # Delta, and comparing raw float seconds against a µs-truncated ISO
+    # string loses the race by nanoseconds
+    target_ms = int(target.timestamp() * 1000)
     log_dir = os.path.join(_local(path), "_delta_log")
     best = None
     for v in _list_commit_versions(log_dir):
-        mtime = os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json"))
-        if mtime <= target_s:
+        mtime_ms = int(
+            os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
+        )
+        if mtime_ms <= target_ms:
             best = v
     if best is None:
         raise ValueError(

@@ -175,26 +175,104 @@ class TestLogConformance:
         removed = {a["remove"]["path"] for a in v1 if "remove" in a}
         assert removed == {a["path"] for a in adds}
 
-    def test_concurrent_same_version_commit_fails(self, spark, tmp_path, monkeypatch):
-        """A racer claiming the same version between the log listing and
-        the commit write must fail the exclusive create, never corrupt
-        the log: stale the listing so both writers target version 1."""
+    def test_concurrent_appends_auto_retry(self, spark, tmp_path, monkeypatch):
+        """Delta's OptimisticTransaction rule: a racer claiming the same
+        version loses the exclusive create, and a pure APPEND then
+        auto-retries at the next version — both appends land, the log
+        never corrupts. Stale the listing so both writers target v1."""
+        import os
+
         import portfolio_data_pipelines_spark.operators.delta_log as dl
 
         path = str(tmp_path / "t3")
         d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
         write_delta(spark, d0, path, partition_col="date")
         real_list = dl._list_log_versions
-        monkeypatch.setattr(dl, "_list_log_versions", lambda *a: [0])
+        stale = {"uses": 0}
+
+        def stale_then_real(*a):
+            # both writers plan against [0]; the retry path re-lists for real
+            if stale["uses"] < 2:
+                stale["uses"] += 1
+                return [0]
+            return real_list(*a)
+
+        monkeypatch.setattr(dl, "_list_log_versions", stale_then_real)
         write_delta(spark, d0, path, partition_col="date")  # claims v1
-        with pytest.raises(Exception):  # second writer with the stale view
-            write_delta(spark, d0, path, partition_col="date")
+        d1 = _df(spark, [(2, 2.0, _day("2021-01-01"))])
+        v = write_delta(spark, d1, path, partition_col="date")  # retries → v2
         monkeypatch.setattr(dl, "_list_log_versions", real_list)
-        # the log is intact: v0 and exactly one v1
+        assert v == 2
         assert _rows(spark, read_delta(spark, path)) == [
             (1, 1.0, _day("2021-01-01")),
             (1, 1.0, _day("2021-01-01")),
+            (2, 2.0, _day("2021-01-01")),
         ]
+        assert sorted(
+            n for n in os.listdir(os.path.join(path, "_delta_log"))
+            if n.endswith(".json")
+        ) == [f"{i:020d}.json" for i in range(3)]
+
+    def test_concurrent_overwrite_still_fails(self, spark, tmp_path, monkeypatch):
+        """Overwrites reference the live set they read — a lost race
+        must surface, never blind-retry (it would tombstone files it
+        never saw)."""
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = str(tmp_path / "t3b")
+        d0 = _df(spark, [(1, 1.0, _day("2021-01-01"))])
+        write_delta(spark, d0, path, partition_col="date")
+        real_list = dl._list_log_versions
+        monkeypatch.setattr(dl, "_list_log_versions", lambda *a: [0])
+        write_delta(spark, d0, path, partition_col="date")  # claims v1
+        with pytest.raises(Exception):
+            write_delta(
+                spark, d0, path, partition_col="date", mode="overwrite"
+            )
+        monkeypatch.setattr(dl, "_list_log_versions", real_list)
+        assert read_delta(spark, path).count() == 2  # intact
+
+    def test_append_retry_blocked_by_concurrent_metadata_change(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append racing a schema-evolution commit must raise (the
+        batch was validated against the old schema), not silently land."""
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = str(tmp_path / "t3c")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        # inject a REAL competing metadata commit at v1 the instant the
+        # append tries to claim it: the append loses the create race,
+        # sees metaData in the winning commit, and must raise instead
+        # of blind-retrying (its batch was validated pre-change)
+        meta = dl._replay_log(spark, path, None).meta
+        orig_write = dl._write_small_file
+        state = {"injected": False}
+
+        def inject(fs, jvm, pathstr, content, overwrite=False):
+            if not state["injected"] and pathstr.endswith(f"{1:020d}.json"):
+                state["injected"] = True
+                orig_write(
+                    fs, jvm, pathstr,
+                    json.dumps({"metaData": meta}, sort_keys=True),
+                    overwrite=False,
+                )
+            return orig_write(fs, jvm, pathstr, content, overwrite=overwrite)
+
+        monkeypatch.setattr(dl, "_write_small_file", inject)
+        with pytest.raises(ValueError, match="concurrent metadata"):
+            write_delta(
+                spark,
+                spark.createDataFrame([(3, 3.0)], "id bigint, v double"),
+                path,
+            )
+        monkeypatch.setattr(dl, "_write_small_file", orig_write)
+        # table intact under the injected (no-op) metadata commit
+        assert read_delta(spark, path).count() == 1
 
 
 class TestCheckpoint:

@@ -46,4 +46,19 @@ assert state == want, (state, want)
 batch = read_delta_cdf(spark, t, from_version=0, key_cols=["id"])
 assert sorted((r["_change_type"], r["id"]) for r in batch.collect()) == second
 print("CDF FEED + BATCH DRIVE OK")
+
+# --- round-7 additions: apply-changes replica + history + append race ---
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    apply_changes_delta, describe_history, read_delta_cdf as _cdf)
+
+rep = f"{root}/replica"
+write_delta(spark, spark.createDataFrame([], "id bigint, v double, date date"), rep)
+changes = _cdf(spark, t, from_version=-1, key_cols=["id"])
+apply_changes_delta(spark, rep, changes, key_cols=["id"])
+assert (sorted(tuple(r) for r in read_delta(spark, rep).collect())
+        == sorted(tuple(r) for r in read_delta(spark, t).collect())), "replica diverged"
+hist = describe_history(spark, t).collect()
+assert [r["operation"] for r in hist][-1] == "WRITE" and "MERGE" in {r["operation"] for r in hist}
+print("APPLY CHANGES + HISTORY DRIVE OK")
+
 spark.stop()
