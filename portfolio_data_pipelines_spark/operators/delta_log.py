@@ -1564,6 +1564,19 @@ def read_delta_cdf(
                     removed_adds[rel] = prev
         if not adds_v and not removed_adds:
             continue  # txn-only / layout-only commit
+        gone = [
+            rel
+            for rel in removed_adds
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"))
+        ]
+        if gone:
+            raise FileNotFoundError(
+                f"cannot reconstruct changes for commit {v}: its removed "
+                f"files were vacuumed ({gone[:3]}"
+                f"{'...' if len(gone) > 3 else ''}) — the CDF window "
+                "exceeds the table's retention; start from a newer "
+                "version or raise the vacuum retention"
+            )
         new_df = _read_adds_subset(spark, path, adds_v, schema, pcols, ptypes)
         old_df = _read_adds_subset(
             spark, path, removed_adds, schema, pcols, ptypes

@@ -486,3 +486,76 @@ def test_cdf_stream_apply_maintains_replica(registered, tmp_path):
         src, mode="overwrite",
     )
     catch_up()  # deletes propagate
+
+
+def test_cdf_mode_respects_max_commits_per_trigger(registered, tmp_path):
+    """readChangeFeed composes with admission control: the change
+    stream drains a multi-commit backlog in version order under
+    maxCommitsPerTrigger, net changes intact."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_cdf_paced")
+    write_delta(
+        spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]).coalesce(1), path
+    )
+    merge_delta(spark, path,
+                _df(spark, [(1, 10.0, _day("2021-01-01")),
+                            (2, 2.0, _day("2021-01-01"))]),
+                key_cols=["id"])
+    write_delta(spark, _df(spark, [(3, 3.0, _day("2021-01-02"))]), path)
+    # pacing is a reader-protocol property (availableNow snapshots one
+    # end offset): each latestOffset advances one commit, and each
+    # window plans ONE CDF partition per commit
+    from pyspark.sql.types import StructType
+
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaFeedStreamReader,
+        _FeedCdfPartition,
+    )
+
+    r = DeltaFeedStreamReader(
+        StructType(),
+        {"path": path, "readchangefeed": "true", "keycols": "id",
+         "maxcommitspertrigger": "1"},
+    )
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 0}
+    p0 = r.partitions({"version": -1}, {"version": 0})
+    assert len(p0) == 1 and isinstance(p0[0], _FeedCdfPartition)
+    assert r.latestOffset() == {"version": 1}
+    p1 = r.partitions({"version": 0}, {"version": 1})
+    assert p1[0].version == 1 and p1[0].removed  # the MERGE rewrite
+    assert r.latestOffset() == {"version": 2}
+
+    # end to end, the paced stream still nets the changes exactly once
+    ckpt = str(tmp_path / "ckpt_p")
+    batches = []
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .option("keyCols", "id")
+        .option("maxCommitsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, i: batches.append(
+                sorted((r["_commit_version"], r["_change_type"], r["id"])
+                       for r in b.collect())
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(x for b in batches for x in b)
+    assert got == [
+        (0, "insert", 1),
+        (1, "insert", 2),
+        (1, "update_postimage", 1),
+        (1, "update_preimage", 1),
+        (2, "insert", 3),
+    ]

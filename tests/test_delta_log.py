@@ -2453,3 +2453,67 @@ class TestApplyChanges:
         )
         assert v2 == v1  # replay skipped
         assert read_delta(spark, replica).count() == 1
+
+
+class TestCDFEdges:
+    """r7 hardening: CDF across schema evolution, and a clear retention
+    error when a CDF window reaches files vacuum already reclaimed."""
+
+    def test_cdf_across_schema_evolution(self, spark, tmp_path):
+        """A CDF window spanning an evolution commit null-fills the new
+        column for pre-evolution rows (the widened tip schema governs),
+        and the evolved rows carry their values."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        path = str(tmp_path / "t_cdf_evo")
+        write_delta(
+            spark, spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        write_delta(  # v1: widened append
+            spark,
+            spark.createDataFrame(
+                [(2, 2.0, "x")], "id bigint, v double, tag string"
+            ),
+            path,
+        )
+        merge_delta(  # v2: update pre-evolution row under the wide schema
+            spark, path,
+            spark.createDataFrame(
+                [(1, 10.0, "y")], "id bigint, v double, tag string"
+            ),
+            key_cols=["id"],
+        )
+        cdf = read_delta_cdf(spark, path, from_version=-1, key_cols=["id"])
+        got = sorted(
+            (r["_commit_version"], r["_change_type"], r["id"], r["v"], r["tag"])
+            for r in cdf.collect()
+        )
+        assert got == [
+            (0, "insert", 1, 1.0, None),
+            (1, "insert", 2, 2.0, "x"),
+            (2, "update_postimage", 1, 10.0, "y"),
+            (2, "update_preimage", 1, 1.0, None),
+        ]
+
+    def test_cdf_window_past_vacuum_raises_retention_error(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+            vacuum_delta,
+        )
+
+        path = str(tmp_path / "t_cdf_vac")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]).coalesce(1), path)
+        merge_delta(  # v1 rewrites v0's file
+            spark, path, _df(spark, [(1, 10.0, _day("2024-01-01"))]),
+            key_cols=["id"],
+        )
+        vacuum_delta(spark, path, retain_hours=0.0)
+        with pytest.raises(FileNotFoundError, match="retention"):
+            read_delta_cdf(spark, path, from_version=0, key_cols=["id"]).count()
+        # a window that starts AFTER the vacuumed rewrite still works
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2024-01-02"))]), path)
+        ok = read_delta_cdf(spark, path, from_version=1, key_cols=["id"])
+        assert [r["id"] for r in ok.collect()] == [2]
