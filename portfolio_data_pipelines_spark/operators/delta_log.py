@@ -58,6 +58,8 @@ class LogState(NamedTuple):
     txns: dict
     #: rel path → {"deletionTimestamp": ms, "dataChange": bool}
     removes: dict
+    #: the table's protocol action (None only on malformed logs)
+    protocol: dict | None = None
 
 
 def _log_path(version: int) -> str:
@@ -438,6 +440,7 @@ def _stage_commit_files(
     new_version: int,
     replace_partitions: list | None = None,
     data_change: bool = True,
+    l2p: dict | None = None,
 ) -> list[dict]:
     """Stage ``df`` under a uuid-suffixed dir, rename the part files
     into the table layout with a version-prefixed name, and return the
@@ -449,6 +452,14 @@ def _stage_commit_files(
     exactly the rows that would commit) the staging dir is cleaned up
     and ValueError raised."""
     staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
+    if l2p:
+        # column-mapped table: parquet files carry PHYSICAL names (and
+        # so do partition dirs / partitionValues), logical names live
+        # only in schemaString
+        df = df.select(
+            *[F.col(c).alias(l2p.get(c, c)) for c in df.columns]
+        )
+        partition_cols = [l2p.get(c, c) for c in partition_cols]
     writer = df.write.mode("overwrite").option("compression", "zstd")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -513,6 +524,97 @@ def _norm_pcols(partition_col) -> list:
     if isinstance(partition_col, str):
         return [partition_col]
     return list(partition_col)
+
+
+def _validate_additive(prev_fields: list, new_fields: list) -> None:
+    """The evolution rules shared by plain and column-mapped tables:
+    additive-only (drops/renames go through the mapping APIs on mapped
+    tables, or are modeled as adds on plain ones), and same-name
+    columns keep their type or take one of parquet's safe widenings —
+    accepting any other type change would leave existing files
+    unreadable under the rewritten schemaString."""
+    prev_by_name = {f["name"]: f for f in prev_fields}
+    names = {f["name"] for f in new_fields}
+    if not set(prev_by_name) <= names:
+        raise ValueError(
+            "schema evolution is additive-only: missing columns "
+            f"{sorted(set(prev_by_name) - names)} (model drops/"
+            "renames as adds — or use drop_column/rename_column on a "
+            "column-mapped table)"
+        )
+    for f in new_fields:
+        pf = prev_by_name.get(f["name"])
+        if pf is None:
+            continue
+        if pf["type"] != f["type"] and (
+            pf["type"],
+            f["type"],
+        ) not in _SAFE_UPCASTS:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r} "
+                f"from {pf['type']} to {f['type']}: existing files "
+                "keep the old parquet type, so the table would become "
+                "unreadable. Only the safe numeric widenings "
+                "(byte→short→int→long, float→double) are accepted; "
+                "model other changes as a new column."
+            )
+
+
+def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
+    """The metaData action an incoming frame's schema requires, or None
+    when the stored schema already covers it.
+
+    Plain tables: byte-compare schemaStrings; an additive/widening
+    change re-emits schemaString from the frame (Delta mergeSchema).
+
+    Column-mapped tables: the frame carries LOGICAL names with no
+    mapping metadata, so comparison is on (name, type) pairs; an
+    evolution MERGES the stored fields' mapping metadata (ids and
+    physical names survive), assigns fresh ids + ``col-<uuid>``
+    physical names to genuinely new columns, and bumps
+    ``delta.columnMapping.maxColumnId`` — exactly delta-spark's
+    mergeSchema-under-mapping behavior."""
+    l2p = _logical_to_physical(prev_meta)
+    new_json = json.loads(_schema_string(df))["fields"]
+    prev_fields = json.loads(prev_meta["schemaString"])["fields"]
+    if l2p is None:
+        if _schema_string(df) == prev_meta["schemaString"]:
+            return None
+        _validate_additive(prev_fields, new_json)
+        evolved = dict(prev_meta)
+        evolved["schemaString"] = _schema_string(df)
+        return evolved
+    prev_shape = [(f["name"], f["type"]) for f in prev_fields]
+    new_shape = [(f["name"], f["type"]) for f in new_json]
+    if prev_shape == new_shape:
+        return None
+    _validate_additive(prev_fields, new_json)
+    prev_by_name = {f["name"]: f for f in prev_fields}
+    config = dict(prev_meta.get("configuration") or {})
+    max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+    merged = []
+    for f in new_json:
+        pf = prev_by_name.get(f["name"])
+        if pf is not None:
+            nf = dict(pf)
+            nf["type"] = f["type"]  # identical or a safe widening
+            merged.append(nf)
+        else:
+            max_id += 1
+            nf = dict(f)
+            nf["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.columnMapping.id": max_id,
+                "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:16]}",
+            }
+            merged.append(nf)
+    config["delta.columnMapping.maxColumnId"] = str(max_id)
+    evolved = dict(prev_meta)
+    evolved["schemaString"] = json.dumps(
+        {"type": "struct", "fields": merged}
+    )
+    evolved["configuration"] = config
+    return evolved
 
 
 def _partition_scope_matcher(partitions, pcols: list):
@@ -666,10 +768,17 @@ def write_delta(
     else:
         staged = df
 
+    # An evolving commit's files must be written under the EVOLVED
+    # mapping (new columns get their col-<uuid> physical names), so the
+    # metaData action is computed before staging.
+    evolved_meta = _evolve_meta(df, prev_meta) if prev_meta is not None else None
+    l2p = (
+        _logical_to_physical(evolved_meta or prev_meta) if prev_meta else None
+    )
     try:
         adds = _stage_commit_files(
             spark, fs, jvm, path, staged, pcols, new_version,
-            replace_partitions=replace_partitions,
+            replace_partitions=replace_partitions, l2p=l2p,
         )
     finally:
         if staged is not df:
@@ -693,46 +802,8 @@ def write_delta(
     if new_version == 0:
         actions.append(_PROTOCOL_ACTION)
         actions.append(_metadata_action(df, pcols, constraints))
-    elif prev_meta is not None and _schema_string(df) != prev_meta["schemaString"]:
-        # additive schema evolution: a commit whose frame widens the
-        # schema emits an updated metaData action (same table id), as
-        # Delta's mergeSchema writes do; readers then project to the
-        # widened schema and older files surface nulls for new columns
-        prev_by_name = {
-            f["name"]: f for f in json.loads(prev_meta["schemaString"])["fields"]
-        }
-        new_json = json.loads(_schema_string(df))["fields"]
-        new_fields = {f["name"] for f in new_json}
-        if not set(prev_by_name) <= new_fields:
-            raise ValueError(
-                "schema evolution is additive-only: missing columns "
-                f"{sorted(set(prev_by_name) - new_fields)} (model drops/"
-                "renames as adds, as the lakehouse formats do)"
-            )
-        # Columns present in BOTH schemas must keep their type (or take
-        # one of parquet's safe widenings) — accepting a same-name type
-        # change would rewrite schemaString and leave every subsequent
-        # read failing on a parquet type mismatch, i.e. an unreadable
-        # table. Mirrors Delta's mergeSchema rules.
-        for f in new_json:
-            pf = prev_by_name.get(f["name"])
-            if pf is None:
-                continue
-            if pf["type"] != f["type"] and (
-                pf["type"],
-                f["type"],
-            ) not in _SAFE_UPCASTS:
-                raise ValueError(
-                    f"schema evolution cannot change column {f['name']!r} "
-                    f"from {pf['type']} to {f['type']}: existing files "
-                    "keep the old parquet type, so the table would become "
-                    "unreadable. Only the safe numeric widenings "
-                    "(byte→short→int→long, float→double) are accepted; "
-                    "model other changes as a new column."
-                )
-        evolved = dict(prev_meta)
-        evolved["schemaString"] = _schema_string(df)
-        actions.append({"metaData": evolved})
+    elif evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
@@ -741,13 +812,14 @@ def write_delta(
         doomed = sorted(prev_adds)
         if replace_partitions is not None:
             match = _partition_scope_matcher(replace_partitions, pcols)
+            pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
             doomed = [
                 rel
                 for rel in doomed
                 if match(
                     tuple(
                         prev_adds[rel].get("partitionValues", {}).get(c)
-                        for c in pcols
+                        for c in pv_cols
                     )
                 )
             ]
@@ -908,21 +980,27 @@ def _replay_log(
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
-    if protocol is not None and int(protocol["minReaderVersion"]) > 1:
-        # A foreign writer upgraded the table past what this reader
-        # implements (deletion vectors, column mapping, ...). Reading
-        # anyway would silently produce WRONG rows — e.g. deleted rows
-        # resurrected because the deletion vector went unapplied. The
-        # spec requires readers to refuse, and so does every standard
-        # implementation.
-        raise ValueError(
-            f"table requires Delta reader version "
-            f"{protocol['minReaderVersion']}; this implementation "
-            "supports only version 1 (no deletion vectors / column "
-            "mapping). Refusing to read rather than silently dropping "
-            "those semantics."
+    if protocol is not None:
+        rv = int(protocol["minReaderVersion"])
+        mode = ((meta or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
         )
-    return LogState(target, adds, meta, txns, removes)
+        # Reader version 2's feature is COLUMN MAPPING, which this
+        # implementation supports in ``name`` mode (and trivially in
+        # ``none``). Anything beyond — id-mode mapping, reader v3
+        # (deletion vectors, ...) — is refused: reading anyway would
+        # silently produce WRONG rows (e.g. deleted rows resurrected
+        # because the deletion vector went unapplied). The spec requires
+        # readers to refuse, and so does every standard implementation.
+        if rv > 2 or (rv == 2 and mode not in ("none", "name")):
+            raise ValueError(
+                f"table requires Delta reader version {rv} "
+                f"(columnMapping.mode={mode!r}); this implementation "
+                "supports versions 1 and 2 with name-mode column "
+                "mapping only. Refusing to read rather than silently "
+                "dropping those semantics."
+            )
+    return LogState(target, adds, meta, txns, removes, protocol)
 
 
 def _read_file_groups(
@@ -966,6 +1044,87 @@ def _read_file_groups(
         if f.name not in out.columns:
             out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
     return out
+
+
+def _logical_to_physical(meta: dict) -> dict | None:
+    """Column-mapping translation: logical column name → physical
+    parquet column name, from the per-field
+    ``delta.columnMapping.physicalName`` metadata the spec stores in
+    ``schemaString``. None when the table has no name-mode mapping
+    (logical == physical)."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "name":
+        return None
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+
+
+def _physical_read_schema(meta: dict):
+    """The schema to hand the parquet reader for a column-mapped table:
+    physical field names, logical types, no metadata."""
+    from pyspark.sql.types import StructType
+
+    doc = json.loads(meta["schemaString"])
+    fields = []
+    for f in doc["fields"]:
+        pf = dict(f)
+        pf["name"] = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        pf["metadata"] = {}
+        fields.append(pf)
+    return StructType.fromJson({"type": "struct", "fields": fields})
+
+
+def _read_adds(spark, path: str, adds: dict, meta: dict, with_file=False):
+    """THE read path for a set of live add entries: resolves column
+    mapping (files and partitionValues carry PHYSICAL names on mapped
+    tables; callers always see LOGICAL columns), takes the one-call
+    hive fast path when the layout allows, falls back to grouped
+    per-partition reads otherwise. Returns the frame in logical
+    schemaString column order (+ ``_file`` provenance when asked), or
+    None for an empty set. Shared by read_delta, MERGE, APPLY CHANGES,
+    OPTIMIZE and the CDF so mapping semantics can never diverge."""
+    if not adds:
+        return None
+    schema = _spark_schema_from_string(meta["schemaString"])
+    l2p = _logical_to_physical(meta)
+    pcols_log = meta.get("partitionColumns", [])
+    if l2p is None:
+        read_schema = schema
+        pcols = list(pcols_log)
+    else:
+        read_schema = _physical_read_schema(meta)
+        pcols = [l2p[c] for c in pcols_log]
+    ptypes = {
+        p.name: p.dataType
+        for p in read_schema.fields
+        if p.name in pcols
+    }
+    df = _fast_hive_read(spark, path, adds, read_schema, pcols)
+    if df is not None:
+        if with_file:
+            df = df.withColumn("_file", F.input_file_name())
+    else:
+        df = _read_file_groups(
+            spark, path, adds, pcols, ptypes, read_schema,
+            extra_cols={"_file": F.input_file_name} if with_file else None,
+        )
+    if df is None:
+        return None
+    if l2p is None:
+        out_cols = [F.col(f.name) for f in schema.fields]
+    else:
+        out_cols = [F.col(l2p[f.name]).alias(f.name) for f in schema.fields]
+    if with_file:
+        out_cols.append(F.col("_file"))
+    return df.select(*out_cols)
 
 
 def _temporal_utc(v):
@@ -1112,25 +1271,25 @@ def read_delta(
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = meta.get("partitionColumns", [])
     if predicate:
+        # callers phrase predicates in LOGICAL names; stats documents
+        # and partitionValues carry PHYSICAL names on mapped tables
+        l2p = _logical_to_physical(meta)
+        if l2p is not None:
+            predicate = {l2p.get(c, c): b for c, b in predicate.items()}
+            pcols_phys = [l2p[c] for c in pcols]
+        else:
+            pcols_phys = pcols
         adds = {
             rel: a
             for rel, a in adds.items()
-            if _file_may_match(a, pcols, predicate)
+            if _file_may_match(a, pcols_phys, predicate)
         }
-    if not adds:
+    out = _read_adds(spark, path, adds, meta)
+    if out is None:
         return spark.createDataFrame(
             [], schema=_spark_schema_from_string(meta["schemaString"])
         )
-    schema = _spark_schema_from_string(meta["schemaString"])
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-    fast = _fast_hive_read(spark, path, adds, schema, pcols)
-    if fast is not None:
-        return fast.select(*[f.name for f in schema.fields])
-    # Fallback for logs written elsewhere whose paths do not encode the
-    # partition values: group by partitionValues, one read per group.
-    out = _read_file_groups(spark, path, adds, pcols, ptypes, schema)
-    # project to the declared schema's column order
-    return out.select(*[f.name for f in schema.fields])
+    return out
 
 
 def _fast_hive_read(spark, path: str, adds: dict, schema, pcols):
@@ -1249,7 +1408,10 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     base = {"protocol": None, "metaData": None, "add": None, "txn": None,
             "remove": None}
     rows = [
-        {**base, "protocol": _PROTOCOL_ACTION["protocol"]},
+        # carry the TABLE'S protocol, not a constant — a checkpoint
+        # after a column-mapping upgrade must keep reader v2, or a
+        # checkpoint-anchored replay would silently downgrade it
+        {**base, "protocol": st.protocol or _PROTOCOL_ACTION["protocol"]},
         {**base, "metaData": meta},
     ]
     for rel in sorted(removes):
@@ -1379,16 +1541,11 @@ def read_delta_changes(
     return out.select(*out_fields)
 
 
-def _read_adds_subset(spark, path, subset, schema, pcols, ptypes):
+def _read_adds_subset(spark, path, subset, meta):
     """Rows of an explicit add-entry subset (one commit's adds, or the
-    live entries of its removed files), projected to ``schema``'s
-    columns. None for an empty subset."""
-    if not subset:
-        return None
-    df = _fast_hive_read(spark, path, subset, schema, pcols)
-    if df is None:
-        df = _read_file_groups(spark, path, subset, pcols, ptypes, schema)
-    return df.select(*[f.name for f in schema.fields])
+    live entries of its removed files), projected to the logical
+    schema's columns (column mapping resolved). None when empty."""
+    return _read_adds(spark, path, subset, meta)
 
 
 def read_delta_cdf(
@@ -1577,10 +1734,8 @@ def read_delta_cdf(
                 "exceeds the table's retention; start from a newer "
                 "version or raise the vacuum retention"
             )
-        new_df = _read_adds_subset(spark, path, adds_v, schema, pcols, ptypes)
-        old_df = _read_adds_subset(
-            spark, path, removed_adds, schema, pcols, ptypes
-        )
+        new_df = _read_adds_subset(spark, path, adds_v, meta)
+        old_df = _read_adds_subset(spark, path, removed_adds, meta)
         if old_df is None:
             pieces.append(_tag(new_df, "insert", v, ts_ms))
         elif new_df is None:
@@ -1675,8 +1830,12 @@ def merge_delta(
         *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
         *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
     ).first()
+    l2p = _logical_to_physical(meta)
+    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     key_pred = {
-        k: (bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"])
+        (l2p.get(k, k) if l2p else k): (
+            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+        )
         for k in key_cols
         if bounds_row[f"_lo_{k}"] is not None
     }
@@ -1684,7 +1843,7 @@ def merge_delta(
         {
             rel: a
             for rel, a in adds.items()
-            if _file_may_match(a, pcols, key_pred)
+            if _file_may_match(a, pv_cols, key_pred)
         }
         if key_pred
         else adds
@@ -1694,14 +1853,7 @@ def merge_delta(
     # so the scan prunes to the join keys (never the full row width).
     # Writer-produced hive layouts resolve in ONE reader call; foreign
     # layouts take the grouped union fallback.
-    fast = _fast_hive_read(spark, path, scan_adds, schema, pcols)
-    if fast is not None:
-        target_keys = fast.withColumn("_file", F.input_file_name())
-    else:
-        target_keys = _read_file_groups(
-            spark, path, scan_adds, pcols, ptypes, schema,
-            extra_cols={"_file": F.input_file_name},
-        )
+    target_keys = _read_adds(spark, path, scan_adds, meta, with_file=True)
     if target_keys is None:
         # zero live files (e.g. truncated by an empty overwrite): the
         # merge degenerates to a pure insert
@@ -1745,11 +1897,7 @@ def merge_delta(
     # whole table).
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _fast_hive_read(spark, path, touched_adds, schema, pcols)
-        if touched_df is None:
-            touched_df = _read_file_groups(
-                spark, path, touched_adds, pcols, ptypes, schema
-            )
+        touched_df = _read_adds(spark, path, touched_adds, meta)
         survivors = (
             touched_df.join(src_keys, key_cols, "left_anti").select(*cols)
         )
@@ -1759,7 +1907,7 @@ def merge_delta(
 
     try:
         new_adds = _stage_commit_files(
-            spark, fs, jvm, path, new_data, pcols, new_version
+            spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
         )
     finally:
         if cached_source:
@@ -1859,24 +2007,21 @@ def apply_changes_delta(
         *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
         *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
     ).first()
+    l2p = _logical_to_physical(meta)
+    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     key_pred = {
-        k: (bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"])
+        (l2p.get(k, k) if l2p else k): (
+            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+        )
         for k in key_cols
         if bounds_row[f"_lo_{k}"] is not None
     }
     scan_adds = (
-        {r: a for r, a in adds.items() if _file_may_match(a, pcols, key_pred)}
+        {r: a for r, a in adds.items() if _file_may_match(a, pv_cols, key_pred)}
         if key_pred
         else adds
     )
-    target_keys = _fast_hive_read(spark, path, scan_adds, schema, pcols)
-    if target_keys is None:
-        target_keys = _read_file_groups(
-            spark, path, scan_adds, pcols, ptypes, schema,
-            extra_cols={"_file": F.input_file_name},
-        )
-    else:
-        target_keys = target_keys.withColumn("_file", F.input_file_name())
+    target_keys = _read_adds(spark, path, scan_adds, meta, with_file=True)
     affected_keys = F.broadcast(net.select(*key_cols).distinct())
     if target_keys is not None:
         touched_uris = {
@@ -1905,11 +2050,7 @@ def apply_changes_delta(
         return versions[-1]
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _fast_hive_read(spark, path, touched_adds, schema, pcols)
-        if touched_df is None:
-            touched_df = _read_file_groups(
-                spark, path, touched_adds, pcols, ptypes, schema
-            )
+        touched_df = _read_adds(spark, path, touched_adds, meta)
         survivors = (
             touched_df.join(affected_keys, key_cols, "left_anti")
             .select(*cols)
@@ -1918,7 +2059,7 @@ def apply_changes_delta(
         survivors = spark.createDataFrame([], schema=schema)
     new_data = survivors.unionByName(upserts)
     new_adds = _stage_commit_files(
-        spark, fs, jvm, path, new_data, pcols, new_version
+        spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
     )
     now = _now_ms()
     actions: list[dict] = [
@@ -2053,8 +2194,10 @@ def optimize_delta(
         if partitions is not None
         else None
     )
+    l2p = _logical_to_physical(st.meta)
+    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     for rel, a in sorted(st.adds.items()):
-        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pv_cols)
         if scope is not None and not scope(key):
             continue
         by_key.setdefault(key, []).append(rel)
@@ -2069,12 +2212,7 @@ def optimize_delta(
     for rels in doomed_groups.values():
         for rel in rels:
             doomed_adds[rel] = st.adds[rel]
-    compacted = _fast_hive_read(spark, path, doomed_adds, schema, pcols)
-    if compacted is None:
-        compacted = _read_file_groups(
-            spark, path, doomed_adds, pcols, ptypes, schema
-        )
-    compacted = compacted.select(*[f.name for f in schema.fields])
+    compacted = _read_adds(spark, path, doomed_adds, st.meta)
     if zorder_by is not None:
         from .zorder import zorder_key
 
@@ -2092,7 +2230,8 @@ def optimize_delta(
         compacted = compacted.coalesce(1)
     new_version = st.version + 1
     adds = _stage_commit_files(
-        spark, fs, jvm, path, compacted, pcols, new_version, data_change=False
+        spark, fs, jvm, path, compacted, pcols, new_version,
+        data_change=False, l2p=l2p,
     )
     now = _now_ms()
     actions: list[dict] = [
@@ -2193,6 +2332,166 @@ def restore_delta(
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
+
+
+def _commit_metadata_only(
+    spark, path: str, actions: list[dict]
+) -> int:
+    """One metadata-only commit (mapping upgrades, renames, drops,
+    constraint changes): exclusive-create the next version holding
+    exactly ``actions``."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    new_version = st.version + 1
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(new_version)}",
+        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
+        overwrite=False,
+    )
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def enable_column_mapping(spark: SparkSession, path: str) -> int:
+    """Upgrade the table to NAME-mode column mapping — the Delta
+    feature that makes RENAME and DROP COLUMN metadata-only
+    operations: every field gets a stable ``delta.columnMapping.id``
+    and a ``physicalName`` (its CURRENT name, so every existing parquet
+    file stays readable — delta-spark's upgrade rule), the
+    configuration records ``delta.columnMapping.mode=name`` +
+    ``maxColumnId``, and the protocol advances to reader 2 / writer 5
+    as the spec requires. One metadata-only commit, zero data
+    movement. Readers below version 2 must refuse the table afterwards
+    (both this repo's readers enforce that)."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    config = dict(st.meta.get("configuration") or {})
+    if config.get("delta.columnMapping.mode", "none") != "none":
+        raise ValueError(
+            f"column mapping already enabled on {path} "
+            f"(mode={config['delta.columnMapping.mode']!r})"
+        )
+    fields = json.loads(st.meta["schemaString"])["fields"]
+    mapped = []
+    for i, f in enumerate(fields, start=1):
+        nf = dict(f)
+        nf["metadata"] = {
+            **(f.get("metadata") or {}),
+            "delta.columnMapping.id": i,
+            "delta.columnMapping.physicalName": f["name"],
+        }
+        mapped.append(nf)
+    config["delta.columnMapping.mode"] = "name"
+    config["delta.columnMapping.maxColumnId"] = str(len(fields))
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps({"type": "struct", "fields": mapped})
+    meta["configuration"] = config
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info(
+                "SET TBLPROPERTIES",
+                {"properties": {"delta.columnMapping.mode": "name"}},
+            ),
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": meta},
+        ],
+    )
+
+
+def _guard_constraints_reference(meta: dict, column: str, op: str) -> None:
+    import re as _re
+
+    for k, expr in (meta.get("configuration") or {}).items():
+        if k.startswith("delta.constraints.") and _re.search(
+            rf"\b{_re.escape(column)}\b", expr
+        ):
+            raise ValueError(
+                f"cannot {op} column {column!r}: CHECK constraint "
+                f"{k[len('delta.constraints.'):]!r} references it "
+                f"({expr}); drop the constraint first"
+            )
+
+
+def rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — metadata-only under name-mode
+    column mapping: the LOGICAL name changes, the field keeps its id
+    and physical name, so no file is touched and every retained
+    version still reads under the schema it was committed with."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    if _logical_to_physical(st.meta) is None:
+        raise ValueError(
+            "rename_column requires name-mode column mapping — run "
+            "enable_column_mapping(path) first"
+        )
+    _guard_constraints_reference(st.meta, old, "rename")
+    fields = json.loads(st.meta["schemaString"])["fields"]
+    names = [f["name"] for f in fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps({"type": "struct", "fields": fields})
+    meta["partitionColumns"] = [
+        new if c == old else c for c in st.meta.get("partitionColumns", [])
+    ]
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info("RENAME COLUMN", {"from": old, "to": new}),
+            {"metaData": meta},
+        ],
+    )
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — metadata-only under name-mode column
+    mapping: the field leaves the logical schema; its physical data
+    stays in the files (ignored by mapped readers) and remains visible
+    through time travel to pre-drop versions."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    if _logical_to_physical(st.meta) is None:
+        raise ValueError(
+            "drop_column requires name-mode column mapping — run "
+            "enable_column_mapping(path) first"
+        )
+    if name in st.meta.get("partitionColumns", []):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    _guard_constraints_reference(st.meta, name, "drop")
+    fields = json.loads(st.meta["schemaString"])["fields"]
+    if name not in [f["name"] for f in fields]:
+        raise ValueError(f"no column {name!r}")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the only column")
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps(
+        {
+            "type": "struct",
+            "fields": [f for f in fields if f["name"] != name],
+        }
+    )
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info("DROP COLUMNS", {"columns": [name]}),
+            {"metaData": meta},
+        ],
+    )
 
 
 def describe_history(spark: SparkSession, path: str) -> DataFrame:

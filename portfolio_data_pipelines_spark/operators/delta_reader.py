@@ -92,6 +92,24 @@ def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
     return actions
 
 
+def _config_of(meta: dict) -> dict:
+    """metaData.configuration as a dict. A checkpoint read through
+    pyarrow materializes the map column as a LIST of (key, value)
+    pairs (or {'key':…,'value':…} structs) — normalize both spellings
+    so replay logic never cares where the metaData came from."""
+    cfg = meta.get("configuration") or {}
+    if isinstance(cfg, dict):
+        return cfg
+    out = {}
+    for item in cfg:
+        if isinstance(item, dict):
+            out[item["key"]] = item["value"]
+        else:
+            k, v = item
+            out[k] = v
+    return out
+
+
 def _replay(path: str, version: int | None):
     """Replay the log to (live adds, metaData) at ``version`` (latest
     when None), starting from the newest eligible checkpoint."""
@@ -134,9 +152,14 @@ def _replay(path: str, version: int | None):
             adds.pop(unquote(action["remove"]["path"]), None)
     if protocol is None or meta is None:
         raise ValueError("log has no protocol/metaData action")
-    if int(protocol["minReaderVersion"]) > 1:
+    rv = int(protocol["minReaderVersion"])
+    mode = _config_of(meta).get("delta.columnMapping.mode", "none")
+    # reader v2 = column mapping, supported here in name mode; anything
+    # beyond (id mode, reader v3 deletion vectors) is refused per spec
+    if rv > 2 or (rv == 2 and mode not in ("none", "name")):
         raise ValueError(
-            f"table requires reader version {protocol['minReaderVersion']}"
+            f"table requires reader version {rv} "
+            f"(columnMapping.mode={mode!r})"
         )
     return root, adds, meta
 
@@ -177,6 +200,20 @@ def read_delta_external(path: str, version: int | None = None):
     pcols = meta.get("partitionColumns", [])
     names = [f["name"] for f in schema]
     types = {f["name"]: f["type"] for f in schema}
+    # name-mode column mapping: files and partitionValues carry the
+    # per-field physicalName from the schemaString metadata; logical
+    # names exist only in the schema. Identity map otherwise.
+    mapped = _config_of(meta).get("delta.columnMapping.mode", "none") == "name"
+    phys = {
+        f["name"]: (
+            (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            if mapped
+            else f["name"]
+        )
+        for f in schema
+    }
     rows: list[tuple] = []
     for rel in sorted(adds):
         a = adds[rel]
@@ -184,7 +221,7 @@ def read_delta_external(path: str, version: int | None = None):
         table = pq.read_table(fpath)
         pvals = {
             c: _cast_partition_value(
-                a.get("partitionValues", {}).get(c), types[c]
+                a.get("partitionValues", {}).get(phys[c]), types[c]
             )
             for c in pcols
         }
@@ -195,8 +232,8 @@ def read_delta_external(path: str, version: int | None = None):
             for n in names:
                 if n in pvals:
                     row.append(pvals[n])
-                elif n in cols_present:
-                    v = r[n]
+                elif phys[n] in cols_present:
+                    v = r[phys[n]]
                     if v is not None and types[n] in (
                         "byte", "short", "integer", "long"
                     ):
@@ -254,4 +291,4 @@ def table_configuration(path: str, version: int | None = None) -> dict:
     since enforcement is a WRITER duty the next (possibly foreign)
     writer takes over from exactly this map."""
     _root, _adds, meta = _replay(path, version)
-    return dict(meta.get("configuration") or {})
+    return _config_of(meta)

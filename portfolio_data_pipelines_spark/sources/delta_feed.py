@@ -73,6 +73,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..operators.delta_reader import (
     _cast_partition_value,
+    _config_of,
     _list_commit_versions,
     _local,
     _replay,
@@ -196,6 +197,21 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                 "readChangeFeed requires .option('keyCols', 'a,b') — the "
                 "row identity the pre/post-image pairing joins on"
             )
+        # name-mode column mapping: files and partitionValues carry
+        # PHYSICAL names; resolve the logical→physical map once at
+        # stream start (the schema is pinned for the query's lifetime,
+        # Spark streaming semantics — a mid-stream rename needs a
+        # restart, as in delta-spark).
+        _root, _adds, meta = _replay(self.path, None)
+        if _config_of(meta).get("delta.columnMapping.mode", "none") == "name":
+            self.phys = {
+                f["name"]: (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+        else:
+            self.phys = None
         # admission control: at most N commits per micro-batch, so a
         # restart against a long backlog drains in bounded batches
         # instead of one giant catch-up batch (maxFilesPerTrigger's
@@ -209,6 +225,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             options.get("maxbytespertask", 4 * 1024 * 1024)
         )
         self._progress: int | None = None  # known position, once seen
+
+    def _phys(self, name: str) -> str:
+        return self.phys.get(name, name) if self.phys else name
 
     def initialOffset(self) -> dict:
         # cold start (no checkpoint): the position IS known
@@ -289,8 +308,13 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         types = {f.name: f.dataType.typeName() for f in fields}
+        # pvals_raw is keyed by PHYSICAL column name (identity when the
+        # table has no mapping)
+        log_by_phys = {self._phys(f.name): f.name for f in fields}
         pvals = {
-            c: _cast_partition_value(v, types.get(c, "string"))
+            log_by_phys.get(c, c): _cast_partition_value(
+                v, types.get(log_by_phys.get(c, c), "string")
+            )
             for c, v in pvals_raw.items()
         }
         table = pq.read_table(os.path.join(root, rel))
@@ -300,8 +324,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                 pvals[f.name]
                 if f.name in pvals
                 else (
-                    _fix_ts(row[f.name], types[f.name])
-                    if f.name in present
+                    _fix_ts(row[self._phys(f.name)], types[f.name])
+                    if self._phys(f.name) in present
                     else None
                 )
                 for f in fields
@@ -401,17 +425,18 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             present = set(tbl.column_names)
             arrays = []
             for f in target:
+                pname = self._phys(f.name)  # physical lookup key
                 if f.name == "_commit_version":
                     arrays.append(
                         pa.repeat(pa.scalar(partition.version, f.type), n)
                     )
-                elif f.name in pvals_raw:
+                elif pname in pvals_raw:
                     v = _cast_partition_value(
-                        pvals_raw[f.name], types.get(f.name, "string")
+                        pvals_raw[pname], types.get(f.name, "string")
                     )
                     arrays.append(pa.repeat(pa.scalar(v, f.type), n))
-                elif f.name in present:
-                    col = tbl.column(f.name)
+                elif pname in present:
+                    col = tbl.column(pname)
                     if (
                         pa.types.is_timestamp(f.type)
                         and f.type.tz is not None

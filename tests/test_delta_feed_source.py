@@ -559,3 +559,61 @@ def test_cdf_mode_respects_max_commits_per_trigger(registered, tmp_path):
         (1, "update_preimage", 1),
         (2, "insert", 3),
     ]
+
+
+def test_feed_reads_column_mapped_table(registered, tmp_path):
+    """The feed resolves name-mode column mapping: physical col names
+    in files/partitionValues, logical names in the output — both plain
+    and readChangeFeed modes."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        enable_column_mapping,
+        merge_delta,
+        rename_column,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_feed_cm")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, "2021-01-01")], "id bigint, v double, day string"
+        ).coalesce(1),
+        path, partition_col="day",
+    )
+    enable_column_mapping(spark, path)
+    rename_column(spark, path, "v", "amount")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(2, 2.0, "2021-01-02")], "id bigint, amount double, day string"
+        ),
+        path, partition_col="day",
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(1, 10.0, "2021-01-01")], "id bigint, amount double, day string"
+        ),
+        key_cols=["id"],
+    )
+    # plain mode: logical columns, physical files resolved
+    out, ckpt = str(tmp_path / "out_cm"), str(tmp_path / "ckpt_cm")
+    _run_available(spark, path, out, ckpt)
+    got = spark.read.parquet(out)
+    assert {"id", "amount", "day", "_commit_version"} <= set(got.columns)
+    vals = {(r["id"], r["amount"], r["day"]) for r in got.collect()}
+    assert (2, 2.0, "2021-01-02") in vals
+    assert (1, 10.0, "2021-01-01") in vals  # the merge rewrite
+    # CDF mode nets the merge
+    out2, ckpt2 = str(tmp_path / "out_cm2"), str(tmp_path / "ckpt_cm2")
+    _run_cdf_available(spark, path, out2, ckpt2)
+    cdf = spark.read.parquet(out2)
+    merge_rows = sorted(
+        (r["_change_type"], r["id"], r["amount"])
+        for r in cdf.collect()
+        if r["_commit_version"] == 4
+    )
+    assert merge_rows == [
+        ("update_postimage", 1, 10.0),
+        ("update_preimage", 1, 1.0),
+    ]

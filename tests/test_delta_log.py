@@ -2249,7 +2249,7 @@ class TestMergeStatsPruning:
             _df(spark, [(500, 0.5, _day("2024-01-03"))]),  # between ranges
             key_cols=["id"],
         )
-        assert calls[0] == []  # nothing to discover, nothing rewritten
+        assert calls == []  # zero read calls: nothing to discover or rewrite
         got = read_delta(spark, path)
         assert got.count() == 22
         # both original files still live (no rewrite commit touched them)
@@ -2517,3 +2517,216 @@ class TestCDFEdges:
         write_delta(spark, _df(spark, [(2, 2.0, _day("2024-01-02"))]), path)
         ok = read_delta_cdf(spark, path, from_version=1, key_cols=["id"])
         assert [r["id"] for r in ok.collect()] == [2]
+
+
+class TestColumnMapping:
+    """Name-mode column mapping (protocol reader 2 / writer 5):
+    metadata-only RENAME and DROP COLUMN, physical col-<uuid> names for
+    evolved columns, old files readable throughout, time travel under
+    each version's own schema."""
+
+    @staticmethod
+    def _seed(spark, tmp_path, name):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_column_mapping,
+        )
+
+        path = str(tmp_path / name)
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")],
+                "id bigint, v double, day string",
+            ),
+            path, partition_col="day",
+        )
+        v_en = enable_column_mapping(spark, path)
+        return path, v_en
+
+    def test_enable_sets_protocol_and_metadata(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+            enable_column_mapping,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_enable")
+        st = _replay_log(spark, path, None)
+        assert st.protocol == {"minReaderVersion": 2, "minWriterVersion": 5}
+        cfg = st.meta["configuration"]
+        assert cfg["delta.columnMapping.mode"] == "name"
+        assert cfg["delta.columnMapping.maxColumnId"] == "3"
+        fields = json.loads(st.meta["schemaString"])["fields"]
+        # upgrade rule: existing columns keep their name as physicalName
+        assert [
+            (f["name"], f["metadata"]["delta.columnMapping.physicalName"])
+            for f in fields
+        ] == [("id", "id"), ("v", "v"), ("day", "day")]
+        assert sorted(r["id"] for r in read_delta(spark, path).collect()) == [1, 2]
+        with pytest.raises(ValueError, match="already enabled"):
+            enable_column_mapping(spark, path)
+
+    def test_rename_is_metadata_only_and_time_travels(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+            rename_column,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_rename")
+        files_before = set(_replay_log(spark, path, None).adds)
+        v_rn = rename_column(spark, path, "v", "amount")
+        assert set(_replay_log(spark, path, None).adds) == files_before
+        got = read_delta(spark, path)
+        assert got.columns == ["id", "amount", "day"]
+        assert sorted(r["amount"] for r in got.collect()) == [1.0, 2.0]
+        # pre-rename versions keep the old logical name
+        assert read_delta(spark, path, version=v_en).columns == ["id", "v", "day"]
+        # writes under the new logical name land in the OLD physical column
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3, 3.0, "2024-01-03")], "id bigint, amount double, day string"
+            ),
+            path, partition_col="day",
+        )
+        assert sorted(
+            r["amount"] for r in read_delta(spark, path).collect()
+        ) == [1.0, 2.0, 3.0]
+        with pytest.raises(ValueError, match="already exists"):
+            rename_column(spark, path, "id", "amount")
+
+    def test_evolution_assigns_fresh_physical_names(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+        )
+
+        path, _ = self._seed(spark, tmp_path, "t_cm_evolve")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3, 3.0, "2024-01-03", "x")],
+                "id bigint, v double, day string, tag string",
+            ),
+            path, partition_col="day",
+        )
+        st = _replay_log(spark, path, None)
+        fields = {
+            f["name"]: f["metadata"]
+            for f in json.loads(st.meta["schemaString"])["fields"]
+        }
+        assert fields["tag"]["delta.columnMapping.physicalName"].startswith("col-")
+        assert fields["tag"]["delta.columnMapping.id"] == 4
+        assert st.meta["configuration"]["delta.columnMapping.maxColumnId"] == "4"
+        got = read_delta(spark, path)
+        assert [r["tag"] for r in got.orderBy("id").collect()] == [None, None, "x"]
+        # the physical file really carries the col-<uuid> name
+        import pyarrow.parquet as pq
+
+        tag_phys = fields["tag"]["delta.columnMapping.physicalName"]
+        tagged = [
+            rel for rel, a in st.adds.items()
+            if tag_phys in pq.read_schema(f"{path}/{rel}").names
+        ]
+        assert len(tagged) == 1
+
+    def test_drop_column_and_guards(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            add_check_constraint,
+            drop_column,
+            rename_column,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_drop")
+        drop_column(spark, path, "v")
+        got = read_delta(spark, path)
+        assert got.columns == ["id", "day"]
+        # time travel resurrects the dropped column's values
+        old = read_delta(spark, path, version=v_en)
+        assert sorted(r["v"] for r in old.collect()) == [1.0, 2.0]
+        with pytest.raises(ValueError, match="partition column"):
+            drop_column(spark, path, "day")
+        with pytest.raises(ValueError, match="no column"):
+            drop_column(spark, path, "v")
+        # constraint guard: a constrained column cannot be renamed/dropped
+        add_check_constraint(spark, path, "id_pos", "id > 0")
+        with pytest.raises(ValueError, match="id_pos"):
+            rename_column(spark, path, "id", "ident")
+        with pytest.raises(ValueError, match="id_pos"):
+            drop_column(spark, path, "id")
+
+    def test_mapping_requires_enable(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            drop_column,
+            rename_column,
+        )
+
+        path = str(tmp_path / "t_cm_plain")
+        write_delta(
+            spark, spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        for fn in (lambda: rename_column(spark, path, "v", "w"),
+                   lambda: drop_column(spark, path, "v")):
+            with pytest.raises(ValueError, match="enable_column_mapping"):
+                fn()
+
+    def test_merge_cdf_optimize_under_mapping(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+            rename_column,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_ops")
+        rename_column(spark, path, "v", "amount")
+        merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(2, 20.0, "2024-01-02"), (4, 4.0, "2024-01-04")],
+                "id bigint, amount double, day string",
+            ),
+            key_cols=["id"],
+        )
+        got = {r["id"]: r["amount"] for r in read_delta(spark, path).collect()}
+        assert got == {1: 1.0, 2: 20.0, 4: 4.0}
+        v_opt = optimize_delta(spark, path)
+        assert v_opt is None or read_delta(spark, path).count() == 3
+        cdf = read_delta_cdf(spark, path, from_version=v_en + 1, key_cols=["id"])
+        types = sorted(
+            (r["_change_type"], r["id"]) for r in cdf.collect()
+        )
+        assert types == [
+            ("insert", 4),
+            ("update_postimage", 2),
+            ("update_preimage", 2),
+        ]
+        # logical-name predicate skipping works through the mapping
+        pr = read_delta(spark, path, predicate={"day": ("2024-01-04", None)})
+        assert {r["id"] for r in pr.collect()} == {4}
+
+    def test_external_reader_parity_on_mapped_table(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            rename_column,
+        )
+        from portfolio_data_pipelines_spark.operators.delta_reader import (
+            read_delta_external,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_ext")
+        rename_column(spark, path, "v", "amount")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3, 3.0, "2024-01-03", "x")],
+                "id bigint, amount double, day string, tag string",
+            ),
+            path, partition_col="day",
+        )
+        names, rows = read_delta_external(path)
+        assert names == ["id", "amount", "day", "tag"]
+        sdf = read_delta(spark, path)
+        assert sorted(rows) == sorted(tuple(r) for r in sdf.collect())
+        # and at the pre-rename version
+        names0, rows0 = read_delta_external(path, version=v_en)
+        assert names0 == ["id", "v", "day"]
+        assert sorted(rows0) == sorted(
+            tuple(r) for r in read_delta(spark, path, version=v_en).collect()
+        )
