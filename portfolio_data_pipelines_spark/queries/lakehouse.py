@@ -163,3 +163,83 @@ def delta_cdf_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_cdf(
         spark, table, from_version=-1, key_cols=["event_id"]
     ).select("event_id", "day", "value", "_change_type", "_commit_version")
+
+
+@extra_query(
+    "delta_colmap_renamed_mart",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    ), merged AS (
+      SELECT event_id, day,
+             CASE WHEN day = '{_LO}' THEN value + 2.5 ELSE value END AS amount
+      FROM base
+    )
+    SELECT day,
+           COUNT(*) AS n_events,
+           {dsum_sql('amount')} AS total_amount
+    FROM merged
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def delta_colmap_renamed_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping under the full oracle: events → Delta table →
+    ``enable_column_mapping`` (protocol 2/5) → metadata-only RENAME of
+    the value column → MERGE under the NEW logical name (files keep
+    the old physical name) → aggregate through the mapped read. The
+    oracle recomputes the same numbers from raw parquet with plain
+    SQL, so a wrong logical↔physical resolution anywhere in the
+    enable/rename/merge/read chain breaks the hash — not just a
+    test assertion.
+
+    Scale: rename and enable are single metadata commits (zero data
+    movement); the MERGE pays its stats-pruned file-granular rewrite;
+    the read is the ordinary one-call hive scan under the physical
+    schema plus a rename projection (no extra stage)."""
+    from ..operators.delta_log import (
+        enable_column_mapping,
+        merge_delta,
+        read_delta,
+        rename_column,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_colmap"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    base = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, base, table, partition_col="day")  # v0
+    enable_column_mapping(spark, table)  # v1: protocol 2/5 + field ids
+    rename_column(spark, table, "value", "amount")  # v2: metadata-only
+    merge_src = (
+        base.filter(F.col("day") == _LO)
+        .select(
+            "event_id", "day",
+            (F.col("value") + F.lit(2.5)).alias("amount"),
+        )
+    )
+    merge_delta(spark, table, merge_src, key_cols=["event_id"])  # v3
+    return (
+        read_delta(spark, table)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("amount").alias("total_amount"),
+        )
+        .orderBy("day")
+    )
