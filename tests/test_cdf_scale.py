@@ -1,0 +1,40 @@
+"""Slow-marked scale regression for the row-level CDF family: a
+day-sized MERGE against a table with 5x the history must not scan or
+cost 5x — discovery is stats-pruned to the overlapping files, the
+one-commit CDF reads only the commit's files, APPLY CHANGES only the
+affected ones. See tools/cdf_scale_harness.py for the methodology and
+SCALE.md for the recorded sf0.01 10x table."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.slow
+def test_cdf_costs_track_changes_not_table():
+    out = subprocess.run(
+        [
+            sys.executable, "tools/cdf_scale_harness.py",
+            "--base", "/root/testdata/sf0.001",
+            "--replicas", "5", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    g = d["growth"]
+    assert g["table_files"] >= 4.5  # the table really got deeper
+    # discovery stays pinned to the overlapping files, not the table
+    assert g["discovery_files_scanned"] <= 1.5
+    # change-sized operations stay ~flat (generous 2x noise bound
+    # against a 5x table; quadratic-ish behavior would be >4x)
+    assert g["merge_s"] < 2.0
+    assert g["cdf_one_commit_s"] < 2.0
+    assert g["apply_s"] < 2.0
+    # and the feed's correctness invariants at both scales
+    for k in ("1x", "5x"):
+        assert d[k]["cdf_rows"] == d["1x"]["cdf_rows"]
