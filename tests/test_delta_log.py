@@ -2730,3 +2730,45 @@ class TestColumnMapping:
         assert sorted(rows0) == sorted(
             tuple(r) for r in read_delta(spark, path, version=v_en).collect()
         )
+
+    def test_restore_rolls_back_rename(self, spark, tmp_path):
+        """RESTORE re-emits the old metaData, so a rename rolls back
+        with the data — and the physical files satisfy both schemas."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            rename_column,
+            restore_delta,
+        )
+
+        path, v_en = self._seed(spark, tmp_path, "t_cm_restore")
+        rename_column(spark, path, "v", "amount")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(3, 3.0, "2024-01-03")], "id bigint, amount double, day string"
+            ),
+            path, partition_col="day",
+        )
+        restore_delta(spark, path, v_en)
+        got = read_delta(spark, path)
+        assert got.columns == ["id", "v", "day"]  # schema rolled back
+        assert sorted(r["v"] for r in got.collect()) == [1.0, 2.0]
+
+    def test_zorder_on_mapped_table(self, spark, tmp_path):
+        path, _ = self._seed(spark, tmp_path, "t_cm_z")
+        for i in range(3, 7):
+            write_delta(
+                spark,
+                spark.createDataFrame(
+                    [(i, float(i), "2024-01-01")],
+                    "id bigint, v double, day string",
+                ),
+                path, partition_col="day",
+            )
+        rows_before = sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        )
+        v = optimize_delta(spark, path, zorder_by=["id", "v"])
+        assert v is not None
+        assert sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        ) == rows_before
