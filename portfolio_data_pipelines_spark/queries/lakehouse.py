@@ -243,3 +243,109 @@ def delta_colmap_renamed_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@extra_query(
+    "delta_apply_replica_mart",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    ), after_merge AS (
+      SELECT event_id, day,
+             CASE WHEN day = '{_LO}' THEN value + 7.5 ELSE value END AS value
+      FROM base
+      UNION ALL
+      SELECT CAST(event_id + 100000000 AS BIGINT), day, value + 1.0
+      FROM base WHERE day = '{_LO}'
+    ), final AS (
+      SELECT event_id, day,
+             CASE WHEN day = '{_HI}' THEN value - 3.0 ELSE value END AS value
+      FROM after_merge
+      WHERE day <> '{_HI}' OR value >= 50
+    )
+    SELECT day,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM final
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def delta_apply_replica_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full replication loop under one value hash: source Delta
+    table driven through write → MERGE (updates + shifted-key inserts)
+    → day-scoped replaceWhere (updates + deletes) — then the ENTIRE
+    row-level CDF is folded into an initially-empty REPLICA with
+    ``apply_changes_delta``, and the replica (never the source!) is
+    aggregated. The oracle recomputes the same mart from raw parquet,
+    so a missed delete, a re-delivered carried-over row, or a wrong
+    image anywhere in source-write → CDF → apply → replica-read breaks
+    the hash.
+
+    Scale: apply's cost tracks the CHANGES (stats-pruned discovery,
+    file-granular rewrite — measured flat against 10× table history in
+    SCALE.md); the replica bootstrap here is the fixture shape."""
+    from ..operators.delta_log import (
+        apply_changes_delta,
+        merge_delta,
+        read_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    root = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir))
+    )
+    src = os.path.join(root, "events_apply_src")
+    rep = os.path.join(root, "events_apply_rep")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(rep, ignore_errors=True)
+    base = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, base, src, partition_col="day")  # v0
+    day_lo = base.filter(F.col("day") == _LO)
+    merge_src = day_lo.withColumn("value", F.col("value") + F.lit(7.5)).unionByName(
+        day_lo.select(
+            (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+            "day",
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+    )
+    merge_delta(spark, src, merge_src, key_cols=["event_id"])  # v1
+    survivors = (
+        base.filter(F.col("day") == _HI)
+        .filter(F.col("value") >= 50)
+        .withColumn("value", F.col("value") - F.lit(3.0))
+    )
+    write_delta(  # v2
+        spark, survivors, src, partition_col="day",
+        mode="overwrite", replace_partitions=[_HI],
+    )
+    write_delta(  # empty replica, same shape
+        spark,
+        spark.createDataFrame([], "event_id bigint, day string, value double"),
+        rep, partition_col="day",
+    )
+    changes = read_delta_cdf(spark, src, from_version=-1, key_cols=["event_id"])
+    apply_changes_delta(spark, rep, changes, key_cols=["event_id"])
+    return (
+        read_delta(spark, rep)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("day")
+    )

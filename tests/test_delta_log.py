@@ -2772,3 +2772,42 @@ class TestColumnMapping:
         assert sorted(
             tuple(r) for r in read_delta(spark, path).collect()
         ) == rows_before
+
+    def test_mapped_read_keeps_pushdown_and_pruning(self, spark, tmp_path):
+        """The logical→physical rename projection must stay transparent
+        to Catalyst: a filter on the RENAMED logical column reaches the
+        parquet scan as a pushed filter on the PHYSICAL column, and
+        unprojected columns are pruned from ReadSchema — mapping costs
+        zero scan efficiency."""
+        import re
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_column_mapping,
+            rename_column,
+        )
+
+        path = str(tmp_path / "t_cm_push")
+        write_delta(
+            spark,
+            spark.range(1000).select(
+                F.col("id"),
+                (F.col("id") * 2.0).alias("v"),
+                F.lit("x").alias("s"),
+            ),
+            path,
+        )
+        enable_column_mapping(spark, path)
+        rename_column(spark, path, "v", "amount")
+        df = (
+            read_delta(spark, path)
+            .filter(F.col("amount") > 1990)
+            .select("id", "amount")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert pushed and "GreaterThan(v,1990.0)" in pushed.group(1), plan[:800]
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schema is not None
+        read_cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+        assert read_cols == {"id", "v"}  # physical names, 's' pruned
+        assert {r["id"] for r in df.collect()} == {996, 997, 998, 999}
