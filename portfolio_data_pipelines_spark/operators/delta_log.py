@@ -354,24 +354,47 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> DataFrame:
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
-def _commit_info(operation: str, params: dict | None = None) -> dict:
+def _commit_info(
+    operation: str,
+    params: dict | None = None,
+    metrics: dict | None = None,
+) -> dict:
     """The spec's ``commitInfo`` action — operation provenance recorded
     at the head of every commit (what ``DESCRIBE HISTORY`` surfaces).
     Informational only: replay ignores it, checkpoints don't carry it
     (per the spec, commitInfo lives in the JSON commits alone).
-    ``operationParameters`` values are strings, as delta-spark writes
-    them."""
-    return {
-        "commitInfo": {
-            "timestamp": _now_ms(),
-            "operation": operation,
-            "operationParameters": {
-                k: v if isinstance(v, str) else json.dumps(v)
-                for k, v in (params or {}).items()
-            },
-            "engineInfo": "portfolio-data-pipelines-spark",
-        }
+    ``operationParameters`` and ``operationMetrics`` values are
+    strings, as delta-spark writes them."""
+    info = {
+        "timestamp": _now_ms(),
+        "operation": operation,
+        "operationParameters": {
+            k: v if isinstance(v, str) else json.dumps(v)
+            for k, v in (params or {}).items()
+        },
+        "engineInfo": "portfolio-data-pipelines-spark",
     }
+    if metrics is not None:
+        info["operationMetrics"] = {k: str(v) for k, v in metrics.items()}
+    return {"commitInfo": info}
+
+
+def _add_metrics(adds: list[dict], removed: int) -> dict:
+    """numFiles / numOutputRows / numRemovedFiles from staged add
+    actions — delta-spark's core operationMetrics trio. Row counts come
+    from the per-file stats already gathered for data skipping."""
+    rows = 0
+    have_rows = True
+    for a in adds:
+        st = a["add"].get("stats")
+        if not st:
+            have_rows = False
+            break
+        rows += int(json.loads(st).get("numRecords", 0))
+    out = {"numFiles": len(adds), "numRemovedFiles": removed}
+    if have_rows:
+        out["numOutputRows"] = rows
+    return out
 
 #: (from, to) Spark-schema-JSON type pairs a schema-evolution commit may
 #: apply to an existing column: parquet's widening primitive promotions,
@@ -785,6 +808,23 @@ def write_delta(
             staged.unpersist()
     now = _now_ms()
 
+    n_doomed = 0
+    if mode == "overwrite":
+        if replace_partitions is not None:
+            match = _partition_scope_matcher(replace_partitions, pcols)
+            pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
+            n_doomed = sum(
+                1
+                for rel in prev_adds
+                if match(
+                    tuple(
+                        prev_adds[rel].get("partitionValues", {}).get(c)
+                        for c in pv_cols
+                    )
+                )
+            )
+        else:
+            n_doomed = len(prev_adds)
     actions: list[dict] = [
         _commit_info(
             "STREAMING UPDATE" if txn is not None else "WRITE",
@@ -797,6 +837,7 @@ def write_delta(
                     else {}
                 ),
             },
+            metrics=_add_metrics(adds, n_doomed),
         )
     ]
     if new_version == 0:
@@ -1915,7 +1956,10 @@ def merge_delta(
     now = _now_ms()
 
     actions: list[dict] = [
-        _commit_info("MERGE", {"keyColumns": key_cols})
+        _commit_info(
+            "MERGE", {"keyColumns": key_cols},
+            metrics=_add_metrics(new_adds, len(touched_rels)),
+        )
     ]
     actions.extend(
         {
@@ -2063,7 +2107,10 @@ def apply_changes_delta(
     )
     now = _now_ms()
     actions: list[dict] = [
-        _commit_info("APPLY CHANGES", {"keyColumns": key_cols})
+        _commit_info(
+            "APPLY CHANGES", {"keyColumns": key_cols},
+            metrics=_add_metrics(new_adds, len(touched_rels)),
+        )
     ]
     if txn is not None:
         actions.append(
@@ -2241,6 +2288,7 @@ def optimize_delta(
                 **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
                 **({"predicate": partitions} if partitions is not None else {}),
             },
+            metrics=_add_metrics(adds, len(doomed_adds)),
         )
     ]
     actions.extend(
@@ -2299,7 +2347,15 @@ def restore_delta(
             f"vacuumed: {missing[:5]}{'...' if len(missing) > 5 else ''}"
         )
     now = _now_ms()
-    actions: list[dict] = [_commit_info("RESTORE", {"version": version})]
+    actions: list[dict] = [
+        _commit_info(
+            "RESTORE", {"version": version},
+            metrics={
+                "numRestoredFiles": str(len(to_readd)),
+                "numRemovedFiles": str(len(to_remove)),
+            },
+        )
+    ]
     if old.meta["schemaString"] != cur.meta["schemaString"] or old.meta.get(
         "partitionColumns"
     ) != cur.meta.get("partitionColumns"):
@@ -2536,6 +2592,7 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
                 "operationParameters": (info or {}).get(
                     "operationParameters"
                 ),
+                "operationMetrics": (info or {}).get("operationMetrics"),
             }
         )
     schema = StructType(
@@ -2545,6 +2602,9 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
             StructField("operation", StringType()),
             StructField(
                 "operationParameters", MapType(StringType(), StringType())
+            ),
+            StructField(
+                "operationMetrics", MapType(StringType(), StringType())
             ),
         ]
     )

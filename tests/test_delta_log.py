@@ -2811,3 +2811,58 @@ class TestColumnMapping:
         read_cols = {c.split(":")[0] for c in schema.group(1).split(",")}
         assert read_cols == {"id", "v"}  # physical names, 's' pruned
         assert {r["id"] for r in df.collect()} == {996, 997, 998, 999}
+
+
+class TestOperationMetrics:
+    """commitInfo.operationMetrics — delta-spark's numFiles /
+    numOutputRows / numRemovedFiles trio (string-valued per spec),
+    surfaced through DESCRIBE HISTORY."""
+
+    def test_metrics_across_operations(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            describe_history,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "t_metrics")
+        write_delta(
+            spark, _df(spark, [(1, 1.0, _day("2024-01-01")),
+                               (2, 2.0, _day("2024-01-01"))]).coalesce(1),
+            path,
+        )
+        merge_delta(
+            spark, path,
+            _df(spark, [(2, 20.0, _day("2024-01-01")),
+                        (3, 3.0, _day("2024-01-01"))]),
+            key_cols=["id"],
+        )
+        v_opt = optimize_delta(spark, path)
+        restore_delta(spark, path, 1)
+        hist = {r["version"]: r for r in describe_history(spark, path).collect()}
+        m0 = hist[0]["operationMetrics"]
+        assert m0["numFiles"] == "1" and m0["numOutputRows"] == "2"
+        assert m0["numRemovedFiles"] == "0"
+        m1 = hist[1]["operationMetrics"]
+        assert m1["numRemovedFiles"] == "1"  # the rewritten file
+        assert int(m1["numOutputRows"]) == 3  # survivor + update + insert
+        m_opt = hist[v_opt]["operationMetrics"]
+        assert int(m_opt["numRemovedFiles"]) >= 2
+        assert m_opt["numFiles"] == "1"
+        m_rst = hist[v_opt + 1]["operationMetrics"]
+        assert int(m_rst["numRestoredFiles"]) >= 1
+
+    def test_overwrite_metrics_count_tombstones(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            describe_history,
+        )
+
+        path = str(tmp_path / "t_metrics_ow")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]).coalesce(1), path)
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2024-01-01"))]).coalesce(1), path)
+        write_delta(
+            spark, _df(spark, [(9, 9.0, _day("2024-02-01"))]).coalesce(1),
+            path, mode="overwrite",
+        )
+        hist = {r["version"]: r for r in describe_history(spark, path).collect()}
+        m = hist[2]["operationMetrics"]
+        assert m["numRemovedFiles"] == "2" and m["numFiles"] == "1"
