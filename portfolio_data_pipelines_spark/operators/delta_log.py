@@ -2754,6 +2754,68 @@ def vacuum_delta(
     return sorted(deleted)
 
 
+def convert_parquet_to_delta(
+    spark: SparkSession, path: str, partition_col=None
+) -> int:
+    """CONVERT TO DELTA: turn a plain (optionally Hive-partitioned)
+    parquet directory into a Delta table IN PLACE — one metadata-only
+    commit referencing the existing files, zero data movement, exactly
+    like delta-spark's ``CONVERT TO DELTA parquet.`path```.
+
+    The schema comes from Spark's own reader (partition discovery
+    included, so partition columns keep their inferred types); every
+    file gets an add action with partitionValues parsed from its
+    ``col=value`` dirs and per-file stats from its footer, so data
+    skipping works immediately on the converted table. Refuses when a
+    ``_delta_log`` already exists (conversion is one-shot; commit
+    through ``write_delta`` afterwards)."""
+    pcols = _norm_pcols(partition_col)
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if _list_log_versions(fs, jvm, path):
+        raise ValueError(
+            f"{path} already has a _delta_log; CONVERT is one-shot"
+        )
+    reader = spark.read.option("basePath", path)
+    df = reader.parquet(path)
+    missing = [c for c in pcols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"partition columns {missing} not found by discovery "
+            f"(have {df.columns})"
+        )
+    files = _relative_files(fs, jvm, path, "", pcols)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    now = _now_ms()
+    adds = []
+    for rel, size, pvals in sorted(files):
+        add = {
+            "path": _encode_path(rel),
+            "partitionValues": {c: pvals.get(c) for c in pcols},
+            "size": size,
+            "modificationTime": now,
+            "dataChange": True,
+        }
+        stats = _footer_stats(f"{path}/{rel}")
+        if stats is not None:
+            add["stats"] = json.dumps(stats, sort_keys=True)
+        adds.append({"add": add})
+    actions = [
+        _commit_info(
+            "CONVERT",
+            {"sourceFormat": "parquet", "partitionBy": pcols},
+            metrics=_add_metrics(adds, 0),
+        ),
+        _PROTOCOL_ACTION,
+        _metadata_action(df, pcols),
+    ]
+    actions.extend(adds)
+    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    _write_small_file(fs, jvm, f"{path}/{_log_path(0)}", ndjson, overwrite=False)
+    return 0
+
+
 def export_versioned_as_delta(
     spark: SparkSession, path: str, partition_col: str = "date"
 ) -> int:
