@@ -313,27 +313,32 @@ def _metadata_action(
     }
 
 
-def _enforce_constraints(df: DataFrame, meta: dict | None) -> DataFrame:
+def _enforce_constraints(
+    df: DataFrame, meta: dict | None
+) -> tuple[DataFrame, bool]:
     """CHECK constraints (``delta.constraints.*`` in the table
     configuration) gate every commit: a batch holding any row whose
     expression evaluates FALSE is rejected before a byte is staged
     (NULL passes, SQL CHECK semantics). Cost is one combined filter
     over the BATCH — never the table.
 
-    Returns the frame the caller must STAGE: when a constraint actually
+    Returns ``(frame_to_stage, did_cache)``: when a constraint actually
     ran, the batch comes back ``.cache()``-ed so the rows validated are
     exactly the rows committed (no check-then-write race on a
     nondeterministic or moving source) and the batch is evaluated once,
-    not once per pass. The caller unpersists after staging."""
+    not once per pass. ``did_cache`` is an EXPLICIT flag because
+    ``DataFrame.cache()`` returns the same object — an identity
+    comparison against the input can never detect the cache, so the
+    caller must unpersist if and only if this flag is True."""
     if not meta:
-        return df
+        return df, False
     exprs = {
         k[len("delta.constraints."):]: v
         for k, v in (meta.get("configuration") or {}).items()
         if k.startswith("delta.constraints.")
     }
     if not exprs:
-        return df
+        return df, False
     violated = None
     for expr in exprs.values():
         bad = ~F.coalesce(F.expr(expr), F.lit(True))
@@ -348,7 +353,7 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> DataFrame:
                 f"{n}: {e}" for n, e in sorted(exprs.items())
             )
         )
-    return df
+    return df, True
 
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -489,7 +494,21 @@ def _stage_commit_files(
     writer.parquet(f"{path}/{staging}")
     staged = _relative_files(fs, jvm, path, staging, partition_cols)
     if replace_partitions is not None:
-        match = _partition_scope_matcher(replace_partitions, partition_cols)
+        # On a column-mapped table partition_cols were just translated
+        # to PHYSICAL names, but dict-form scope entries name LOGICAL
+        # columns (the caller's view) — translate the keys so a scope on
+        # a renamed partition column validates instead of raising
+        # "unknown column". Scalar/tuple forms are positional and need
+        # no translation.
+        scope = replace_partitions
+        if l2p:
+            scope = [
+                {l2p.get(c, c): v for c, v in p.items()}
+                if isinstance(p, dict)
+                else p
+                for p in replace_partitions
+            ]
+        match = _partition_scope_matcher(scope, partition_cols)
         stray = sorted(
             {
                 key
@@ -776,10 +795,10 @@ def write_delta(
                 "— this table already exists; use add_check_constraint "
                 "(which validates existing rows first, as Delta does)"
             )
-        staged = _enforce_constraints(df, prev_meta)
+        staged, staged_cached = _enforce_constraints(df, prev_meta)
     elif constraints:
         # enforce BEFORE staging so a rejected creation leaves nothing
-        staged = _enforce_constraints(
+        staged, staged_cached = _enforce_constraints(
             df,
             {
                 "configuration": {
@@ -789,7 +808,7 @@ def write_delta(
             },
         )
     else:
-        staged = df
+        staged, staged_cached = df, False
 
     # An evolving commit's files must be written under the EVOLVED
     # mapping (new columns get their col-<uuid> physical names), so the
@@ -804,7 +823,7 @@ def write_delta(
             replace_partitions=replace_partitions, l2p=l2p,
         )
     finally:
-        if staged is not df:
+        if staged_cached:
             staged.unpersist()
     now = _now_ms()
 
@@ -922,7 +941,20 @@ def write_delta(
                         and int(act["txn"].get("version", -1)) >= txn[1]
                     ):
                         # a twin writer recorded our (appId, version):
-                        # this batch is already committed exactly once
+                        # this batch is already committed exactly once.
+                        # Our staged part files were renamed into the
+                        # table layout but will never get a log entry —
+                        # delete them now, or they become permanent
+                        # orphans no vacuum can collect (vacuum only
+                        # chases tombstones).
+                        for a in adds:
+                            fs.delete(
+                                jvm.org.apache.hadoop.fs.Path(
+                                    f"{path}/"
+                                    f"{_decode_path(a['add']['path'])}"
+                                ),
+                                False,
+                            )
                         return latest[-1]
             new_version = latest[-1] + 1
     else:
@@ -1853,9 +1885,7 @@ def merge_delta(
     source = source.select(*cols)
     # CHECK constraints gate MERGE too; the returned (cached) frame is
     # what gets staged, so validated rows == committed rows.
-    checked_source = _enforce_constraints(source, meta)
-    cached_source = checked_source is not source
-    source = checked_source
+    source, cached_source = _enforce_constraints(source, meta)
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -2045,6 +2075,11 @@ def apply_changes_delta(
     )
     net = net.localCheckpoint(eager=True)  # one evaluation: discovery + rewrite
     upserts = net.filter(F.col("_change_type") != "delete").select(*cols)
+    # CHECK constraints gate APPLY CHANGES exactly like WRITE and MERGE:
+    # a replica table with delta.constraints.* must reject violating
+    # upserts before a byte is staged (deletes carry no row state and
+    # cannot violate a CHECK).
+    upserts, upserts_cached = _enforce_constraints(upserts, meta)
 
     # discovery: files holding ANY affected key (upsert or delete)
     bounds_row = net.agg(
@@ -2091,6 +2126,8 @@ def apply_changes_delta(
     touched_rels = sorted(touched_rels)
     new_version = versions[-1] + 1
     if not touched_rels and upserts.isEmpty():
+        if upserts_cached:
+            upserts.unpersist()
         return versions[-1]
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
@@ -2102,9 +2139,13 @@ def apply_changes_delta(
     else:
         survivors = spark.createDataFrame([], schema=schema)
     new_data = survivors.unionByName(upserts)
-    new_adds = _stage_commit_files(
-        spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
-    )
+    try:
+        new_adds = _stage_commit_files(
+            spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
+        )
+    finally:
+        if upserts_cached:
+            upserts.unpersist()
     now = _now_ms()
     actions: list[dict] = [
         _commit_info(

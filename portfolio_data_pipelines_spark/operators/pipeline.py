@@ -306,6 +306,26 @@ def select_within_budget(
                 f"(got {budget.columns})"
             )
         bcol = budget.columns[0]
+        # The cross join is only sound against a ONE-ROW budget — more
+        # rows would silently duplicate every selected row. The row
+        # count can't be known without evaluating the (possibly
+        # expensive) budget derivation, so the guard rides INSIDE the
+        # lazy plan: aggregate to exactly one row and raise at execution
+        # time if the input had any other cardinality (the assert_true
+        # pattern — raise_error in the untaken branch costs nothing).
+        btype = budget.schema[0].dataType
+        budget = budget.agg(
+            F.when(F.count(F.lit(1)) == 1, F.first(F.col(bcol)))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "a DataFrame budget must have exactly one row "
+                        f"(column {bcol})"
+                    )
+                ).cast(btype)
+            )
+            .alias(bcol)
+        )
         return (
             cum.crossJoin(F.broadcast(budget))
             .filter(F.col(cum_col) <= F.col(bcol))

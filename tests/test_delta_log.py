@@ -1693,11 +1693,11 @@ class TestAdviceR7:
             F.col("id"), F.rand(seed=7).alias("v")
         )
         meta = {"configuration": {"delta.constraints.c": "v >= 0"}}
-        out = _enforce_constraints(df, meta)
-        assert out.is_cached
+        out, did_cache = _enforce_constraints(df, meta)
+        assert did_cache and out.is_cached
         out.unpersist()
         # no constraints: same frame straight through, nothing cached
-        assert _enforce_constraints(df, {"configuration": {}}) is df
+        assert _enforce_constraints(df, {"configuration": {}}) == (df, False)
 
         path = str(tmp_path / "t_check_once")
         src = spark.range(50).select(F.col("id"), F.rand().alias("v"))
@@ -2936,3 +2936,226 @@ class TestConvertParquet:
         spark.range(10).write.parquet(path2)
         with pytest.raises(ValueError, match="not found"):
             convert_parquet_to_delta(spark, path2, partition_col="nope")
+
+
+class TestAdviceR8:
+    """Round-8 ADVICE items: the constraint-validation cache is actually
+    released (cache() returns self, so identity checks never fired),
+    APPLY CHANGES enforces CHECK constraints like WRITE/MERGE, dict-form
+    replaceWhere scopes survive a renamed (column-mapped) partition
+    column, and the twin-detected append skip leaves no orphan files."""
+
+    @staticmethod
+    def _persistent_rdd_count(spark) -> int:
+        # DataFrame.cache() registers in the session's CacheManager, not
+        # the RDD persist registry — count live cache entries there
+        return (
+            spark._jsparkSession.sharedState().cacheManager()
+            .cachedData().size()
+        )
+
+    def test_constrained_commits_release_their_cache(self, spark, tmp_path):
+        """_enforce_constraints caches the batch so validated rows ==
+        committed rows; write/merge/apply must unpersist it afterwards
+        — cache() returns the SAME object, so the old `is not` check
+        never fired and every constrained commit leaked executor
+        storage for the session lifetime."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+        )
+
+        path = str(tmp_path / "t_leak")
+        d0 = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+        write_delta(spark, d0, path, constraints={"pos": "v > 0"})
+        base = self._persistent_rdd_count(spark)
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+            path,
+        )
+        assert self._persistent_rdd_count(spark) == base
+        merge_delta(
+            spark,
+            path,
+            spark.createDataFrame([(2, 5.0)], "id bigint, v double"),
+            ["id"],
+        )
+        assert self._persistent_rdd_count(spark) == base
+        apply_changes_delta(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(3, 3.0, "insert", 7)],
+                "id bigint, v double, _change_type string, "
+                "_commit_version bigint",
+            ),
+            ["id"],
+        )
+        assert self._persistent_rdd_count(spark) == base
+        assert sorted(
+            tuple(r) for r in read_delta(spark, path).collect()
+        ) == [(1, 1.0), (2, 5.0), (3, 3.0)]
+
+    def test_apply_changes_enforces_check_constraints(self, spark, tmp_path):
+        """A CDF replica with delta.constraints.* must reject violating
+        upserts — same writer duty as WRITE and MERGE."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+        )
+
+        path = str(tmp_path / "t_apply_chk")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+            constraints={"pos": "v > 0"},
+        )
+        base = self._persistent_rdd_count(spark)
+        bad = spark.createDataFrame(
+            [(2, -9.0, "insert", 3)],
+            "id bigint, v double, _change_type string, _commit_version bigint",
+        )
+        with pytest.raises(ValueError, match="CHECK constraint"):
+            apply_changes_delta(spark, path, bad, ["id"])
+        assert self._persistent_rdd_count(spark) == base
+        # the rejected batch committed nothing
+        assert read_delta(spark, path).count() == 1
+        # deletes carry no row state and pass the constraint untouched
+        apply_changes_delta(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, None, "delete", 4)],
+                "id bigint, v double, _change_type string, "
+                "_commit_version bigint",
+            ),
+            ["id"],
+        )
+        assert read_delta(spark, path).count() == 0
+
+    def test_dict_scope_replacewhere_on_renamed_partition_col(
+        self, spark, tmp_path
+    ):
+        """replaceWhere with a {logical_col: value} scope on a
+        column-mapped table whose partition column was RENAMED: the
+        staged-file validation used to rebuild the matcher with
+        physical names and reject the (valid) logical key."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_column_mapping,
+            rename_column,
+        )
+
+        path = str(tmp_path / "t_cm_scope")
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(1, 1.0, "2024-01-01"), (2, 2.0, "2024-01-02")],
+                "id bigint, v double, day string",
+            ),
+            path,
+            partition_col="day",
+        )
+        enable_column_mapping(spark, path)
+        rename_column(spark, path, "day", "event_day")
+        repl = spark.createDataFrame(
+            [(9, 9.0, "2024-01-02")],
+            "id bigint, v double, event_day string",
+        )
+        write_delta(
+            spark,
+            repl,
+            path,
+            partition_col="event_day",
+            mode="overwrite",
+            replace_partitions=[{"event_day": "2024-01-02"}],
+        )
+        assert sorted(
+            (r["id"], r["event_day"])
+            for r in read_delta(spark, path).collect()
+        ) == [(1, "2024-01-01"), (9, "2024-01-02")]
+        # and a scope outside the staged data still raises
+        with pytest.raises(ValueError, match="excludes staged"):
+            write_delta(
+                spark,
+                repl,
+                path,
+                partition_col="event_day",
+                mode="overwrite",
+                replace_partitions=[{"event_day": "2024-03-03"}],
+            )
+
+    def test_twin_skip_deletes_staged_orphans(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """When the append retry loop detects a twin commit carrying our
+        (appId, version), the batch is already committed — the files WE
+        staged have no log entry and no tombstone, so they must be
+        deleted on the spot (vacuum only chases tombstones)."""
+        import os
+
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = str(tmp_path / "t_twin")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        orig_write = dl._write_small_file
+        state = {"injected": False}
+
+        def inject(fs, jvm, pathstr, content, overwrite=False):
+            # the instant our append claims v1, a twin writer lands a
+            # commit there recording the same (appId, version)
+            if not state["injected"] and pathstr.endswith(f"{1:020d}.json"):
+                state["injected"] = True
+                orig_write(
+                    fs,
+                    jvm,
+                    pathstr,
+                    json.dumps(
+                        {
+                            "txn": {
+                                "appId": "app",
+                                "version": 5,
+                                "lastUpdated": 0,
+                            }
+                        }
+                    ),
+                    overwrite=False,
+                )
+            return orig_write(fs, jvm, pathstr, content, overwrite=overwrite)
+
+        monkeypatch.setattr(dl, "_write_small_file", inject)
+        v = write_delta(
+            spark,
+            spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+            path,
+            txn=("app", 5),
+        )
+        monkeypatch.setattr(dl, "_write_small_file", orig_write)
+        assert v == 1
+        # every parquet file on disk is referenced by some add action —
+        # the skipped batch's staged files are gone
+        referenced = set()
+        log_dir = os.path.join(path, "_delta_log")
+        for name in os.listdir(log_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(log_dir, name)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "add" in act:
+                        referenced.add(dl._decode_path(act["add"]["path"]))
+        on_disk = set()
+        for root, _dirs, files in os.walk(path):
+            if "_delta_log" in root:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(os.path.join(root, f), path)
+                    on_disk.add(rel)
+        assert on_disk == referenced
+        assert read_delta(spark, path).count() == 1  # only the v0 row

@@ -223,6 +223,33 @@ def test_select_within_budget_boundary_semantics(spark):
     assert kept9 == {1, 2}  # 12 > 9 still excluded — no partial docs
 
 
+def test_select_within_budget_dataframe_budget_cardinality(spark):
+    """A DataFrame budget rides a broadcast cross join, which is only
+    sound against ONE row — a multi-row budget used to silently
+    duplicate every selected row. The guard lives inside the lazy plan
+    (no extra evaluation of the budget derivation) and raises at
+    execution time; a correct one-row derived budget still works."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.pipeline import (
+        select_within_budget,
+    )
+
+    rows = [(1, 0.9, 4), (2, 0.8, 4), (3, 0.7, 4), (4, 0.6, 4)]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    # derived one-row budget: half the corpus weight (= 8) keeps 2 docs
+    half = df.agg((F.sum("w") / 2).alias("b"))
+    kept = {r["id"] for r in select_within_budget(df, "w", order, half).collect()}
+    assert kept == {1, 2}
+    multi = df.select(F.col("w").cast("double").alias("b"))  # 4 rows
+    with pytest.raises(Exception, match="exactly one row"):
+        select_within_budget(df, "w", order, multi).collect()
+    empty = half.filter(F.col("b") < 0)  # 0 rows — also not a scalar
+    with pytest.raises(Exception, match="exactly one row"):
+        select_within_budget(df, "w", order, empty).collect()
+
+
 def test_domain_blocklist_semantics(spark, sf_dir):
     """2/5 of the synthetic domains are blocklisted; every doc gets 2
     URLs, keep iff its cycled domain is clean, and the plan is map-only
