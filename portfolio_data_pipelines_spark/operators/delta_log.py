@@ -384,6 +384,72 @@ def _commit_info(
     return {"commitInfo": info}
 
 
+def _read_commit_info(fs, jvm, path: str, version: int) -> dict | None:
+    """The ``commitInfo`` action of one commit file, or None (foreign
+    logs may omit it; the spec only recommends it)."""
+    try:
+        text = _read_text(fs, jvm, f"{path}/{_log_path(version)}")
+    except Exception:
+        return None
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "commitInfo" in action:
+            return action["commitInfo"]
+    return None
+
+
+def _commit_ts_ms(fs, jvm, path: str, version: int) -> int:
+    """The commit's time in epoch ms: ``commitInfo.inCommitTimestamp``
+    when present (the ICT feature's robust form — object stores may
+    rewrite file mtimes on copy/rewrite, silently corrupting
+    time-travel resolution), else the commit file's modification time
+    (delta-spark's historic behavior, the only signal foreign logs
+    without ICT carry)."""
+    info = _read_commit_info(fs, jvm, path, version)
+    if info is not None and "inCommitTimestamp" in info:
+        return int(info["inCommitTimestamp"])
+    return fs.getFileStatus(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(version)}")
+    ).getModificationTime()
+
+
+def _resolve_ict(fs, jvm, path: str, version: int) -> int:
+    """The in-commit timestamp for a commit about to be written at
+    ``version``: wall-clock now, clamped STRICTLY ABOVE the
+    predecessor's ICT — the ICT feature's monotonicity requirement,
+    which is what makes timestamp-as-of resolution well defined (file
+    mtimes can go backwards; ICTs cannot). Cost: one small read of the
+    predecessor commit, O(1) regardless of table size."""
+    now = _now_ms()
+    if version <= 0:
+        return now
+    prev = _read_commit_info(fs, jvm, path, version - 1)
+    if prev is not None and "inCommitTimestamp" in prev:
+        return max(now, int(prev["inCommitTimestamp"]) + 1)
+    return now
+
+
+def _write_commit(fs, jvm, path: str, version: int, actions: list[dict]) -> None:
+    """Serialize ``actions`` as the spec's NDJSON and exclusively create
+    commit ``version`` — THE single commit-write path, so every commit
+    (data, metadata-only, conversion) carries a monotonic
+    ``commitInfo.inCommitTimestamp``. The ICT is resolved here, not at
+    action-build time, because an append retry can move the commit to a
+    later version whose predecessor differs."""
+    ict = _resolve_ict(fs, jvm, path, version)
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"]["inCommitTimestamp"] = ict
+            break
+    _write_small_file(
+        fs, jvm, f"{path}/{_log_path(version)}",
+        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
+        overwrite=False,
+    )
+
+
 def _add_metrics(adds: list[dict], removed: int) -> dict:
     """numFiles / numOutputRows / numRemovedFiles from staged add
     actions — delta-spark's core operationMetrics trio. Row counts come
@@ -894,7 +960,6 @@ def write_delta(
                 }
             )
     actions.extend(adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
     # Optimistic concurrency, Delta's OptimisticTransaction rules: a
     # lost version race fails the exclusive create; a pure APPEND then
     # auto-retries at the next version after checking the intervening
@@ -911,10 +976,7 @@ def write_delta(
     )
     for _attempt in range(64):
         try:
-            _write_small_file(
-                fs, jvm, f"{path}/{_log_path(new_version)}", ndjson,
-                overwrite=False,
-            )
+            _write_commit(fs, jvm, path, new_version, actions)
             break
         except Exception as race:
             latest = _list_log_versions(fs, jvm, path)
@@ -1281,12 +1343,15 @@ def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
 
 def version_as_of(spark: SparkSession, path: str, ts: str) -> int:
     """The highest version committed at or before ISO-8601 ``ts`` —
-    Delta's ``timestampAsOf`` resolution, from commit-file modification
-    times exactly as delta-spark resolves it — searching the FULL
-    retained commit listing (including commits before the latest
-    checkpoint, which the checkpoint-anchored replay probe skips).
-    Raises when the earliest retained commit is already newer (log
-    cleanup passed the asked-for time)."""
+    Delta's ``timestampAsOf`` resolution — searching the FULL retained
+    commit listing (including commits before the latest checkpoint,
+    which the checkpoint-anchored replay probe skips). Each commit's
+    time comes from ``commitInfo.inCommitTimestamp`` when present (the
+    ICT feature: monotonic by construction and immune to object stores
+    rewriting file mtimes), falling back to the commit file's
+    modification time for foreign logs without it — delta-spark's
+    historic behavior. Raises when the earliest retained commit is
+    already newer (log cleanup passed the asked-for time)."""
     import datetime as dt
 
     target = dt.datetime.fromisoformat(ts)
@@ -1296,10 +1361,7 @@ def version_as_of(spark: SparkSession, path: str, ts: str) -> int:
     fs, _, jvm = _hadoop_fs(spark, path)
     best = None
     for v in _all_commit_versions(fs, jvm, path):
-        st = fs.getFileStatus(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")
-        )
-        if st.getModificationTime() <= target_ms:
+        if _commit_ts_ms(fs, jvm, path, v) <= target_ms:
             best = v
     if best is None:
         raise ValueError(
@@ -1772,7 +1834,7 @@ def read_delta_cdf(
             raise FileNotFoundError(
                 f"commit {v} missing from {path}/_delta_log"
             )
-        ts_ms = fs.getFileStatus(hpath).getModificationTime()
+        ts_ms = _commit_ts_ms(fs, jvm, path, v)
         adds_v: dict[str, dict] = {}
         removed_adds: dict[str, dict] = {}
         for line in _read_text(fs, jvm, log_file).splitlines():
@@ -2002,10 +2064,7 @@ def merge_delta(
         for rel in touched_rels
     )
     actions.extend(new_adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2168,10 +2227,7 @@ def apply_changes_delta(
         for rel in touched_rels
     )
     actions.extend(new_adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2344,10 +2400,7 @@ def optimize_delta(
         for rel in sorted(rels)
     )
     actions.extend(adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2422,10 +2475,7 @@ def restore_delta(
         a["dataChange"] = True
         actions.append({"add": a})
     new_version = cur.version + 1
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}", ndjson, overwrite=False
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2440,11 +2490,7 @@ def _commit_metadata_only(
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
     new_version = st.version + 1
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}",
-        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
-        overwrite=False,
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2622,12 +2668,14 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
             if "commitInfo" in action:
                 info = action["commitInfo"]
                 break
+        ts_ms = (info or {}).get(
+            "inCommitTimestamp", (info or {}).get("timestamp", mtime_ms)
+        )
         rows.append(
             {
                 "version": v,
                 "timestamp": _dt.datetime.fromtimestamp(
-                    (info or {}).get("timestamp", mtime_ms) / 1000.0,
-                    tz=_dt.timezone.utc,
+                    ts_ms / 1000.0, tz=_dt.timezone.utc
                 ),
                 "operation": (info or {}).get("operation"),
                 "operationParameters": (info or {}).get(
@@ -2691,11 +2739,7 @@ def add_check_constraint(
         _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
         {"metaData": meta},
     ]
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}",
-        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
-        overwrite=False,
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2725,11 +2769,7 @@ def drop_check_constraint(
         _commit_info("DROP CONSTRAINT", {"name": name}),
         {"metaData": meta},
     ]
-    _write_small_file(
-        fs, jvm, f"{path}/{_log_path(new_version)}",
-        "\n".join(json.dumps(a, sort_keys=True) for a in actions),
-        overwrite=False,
-    )
+    _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
@@ -2852,8 +2892,7 @@ def convert_parquet_to_delta(
         _metadata_action(df, pcols),
     ]
     actions.extend(adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(fs, jvm, f"{path}/{_log_path(0)}", ndjson, overwrite=False)
+    _write_commit(fs, jvm, path, 0, actions)
     return 0
 
 
@@ -2920,6 +2959,5 @@ def export_versioned_as_delta(
         _metadata_action(full, [pcol]),
     ]
     actions.extend(adds)
-    ndjson = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    _write_small_file(fs, jvm, f"{path}/{_log_path(0)}", ndjson, overwrite=False)
+    _write_commit(fs, jvm, path, 0, actions)
     return 0

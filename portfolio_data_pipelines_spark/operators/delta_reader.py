@@ -247,12 +247,30 @@ def read_delta_external(path: str, version: int | None = None):
     return names, rows
 
 
+def _commit_time_ms_external(log_dir: str, v: int) -> int:
+    """One commit's time: ``commitInfo.inCommitTimestamp`` when the
+    writer recorded it (the ICT feature — monotonic, and immune to
+    object stores rewriting file mtimes), else the commit file's
+    modification time (the only signal a non-ICT log carries)."""
+    commit = os.path.join(log_dir, f"{v:020d}.json")
+    for line in open(commit).read().splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        info = action.get("commitInfo")
+        if info is not None:
+            if "inCommitTimestamp" in info:
+                return int(info["inCommitTimestamp"])
+            break
+    return int(os.path.getmtime(commit) * 1000)
+
+
 def version_as_of_external(path: str, ts: str) -> int:
     """``timestampAsOf`` resolution the way a foreign reader does it:
-    the highest version whose commit file's modification time is at or
-    before ISO-8601 ``ts``, searched over the FULL retained commit
-    listing (delta-spark's rule). Raises when even the earliest
-    retained commit is newer."""
+    the highest version whose commit time (in-commit timestamp when
+    present, else file mtime — delta-spark's rule) is at or before
+    ISO-8601 ``ts``, searched over the FULL retained commit listing.
+    Raises when even the earliest retained commit is newer."""
     target = _dt.datetime.fromisoformat(ts)
     if target.tzinfo is None:
         target = target.replace(tzinfo=_dt.timezone.utc)
@@ -263,10 +281,7 @@ def version_as_of_external(path: str, ts: str) -> int:
     log_dir = os.path.join(_local(path), "_delta_log")
     best = None
     for v in _list_commit_versions(log_dir):
-        mtime_ms = int(
-            os.path.getmtime(os.path.join(log_dir, f"{v:020d}.json")) * 1000
-        )
-        if mtime_ms <= target_ms:
+        if _commit_time_ms_external(log_dir, v) <= target_ms:
             best = v
     if best is None:
         raise ValueError(

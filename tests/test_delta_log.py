@@ -3159,3 +3159,142 @@ class TestAdviceR8:
                     on_disk.add(rel)
         assert on_disk == referenced
         assert read_delta(spark, path).count() == 1  # only the v0 row
+
+
+class TestInCommitTimestamps:
+    """The ICT feature's robust commit-time form: every commit written
+    here carries a MONOTONIC ``commitInfo.inCommitTimestamp``, and both
+    readers prefer it over commit-file mtimes — which object stores can
+    rewrite on copy/migration, silently corrupting timestampAsOf."""
+
+    @staticmethod
+    def _icts(path):
+        import os
+
+        out = []
+        log_dir = os.path.join(path, "_delta_log")
+        for name in sorted(os.listdir(log_dir)):
+            if not name.endswith(".json") or name.startswith("_"):
+                continue
+            ict = None
+            with open(os.path.join(log_dir, name)) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    act = json.loads(line)
+                    if "commitInfo" in act:
+                        ict = act["commitInfo"].get("inCommitTimestamp")
+                        break
+            out.append(ict)
+        return out
+
+    def test_every_commit_type_carries_monotonic_ict(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            add_check_constraint,
+            describe_history,
+        )
+
+        path = str(tmp_path / "t_ict")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+            path,
+        )
+        merge_delta(
+            spark,
+            path,
+            spark.createDataFrame([(2, 5.0)], "id bigint, v double"),
+            ["id"],
+        )
+        add_check_constraint(spark, path, "pos", "v > 0")
+        optimize_delta(spark, path)
+        icts = self._icts(path)
+        assert all(t is not None for t in icts), icts
+        assert icts == sorted(icts) and len(set(icts)) == len(icts), icts
+        # DESCRIBE HISTORY surfaces the ICT as the commit timestamp
+        hist = describe_history(spark, path).collect()
+        by_v = {
+            r["version"]: int(r["timestamp"].timestamp() * 1000) for r in hist
+        }
+        assert [by_v[v] for v in sorted(by_v)] == icts
+
+    def test_asof_survives_scrambled_mtimes(self, spark, tmp_path):
+        """Deliberately scramble the commit files' mtimes (newest commit
+        gets the OLDEST mtime) — mtime-based resolution would invert the
+        history; ICT-based resolution in BOTH readers must not move."""
+        import datetime as dt
+        import os
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            version_as_of,
+        )
+        from portfolio_data_pipelines_spark.operators.delta_reader import (
+            version_as_of_external,
+        )
+
+        path = str(tmp_path / "t_ict_scramble")
+        for i in range(3):
+            write_delta(
+                spark,
+                spark.createDataFrame([(i, float(i))], "id bigint, v double"),
+                path,
+            )
+        icts = self._icts(path)
+        log_dir = os.path.join(path, "_delta_log")
+        for v in range(3):
+            t = 1_000_000_000 - v * 86_400  # reversed, decades in the past
+            os.utime(os.path.join(log_dir, f"{v:020d}.json"), (t, t))
+
+        def iso(ms):
+            return dt.datetime.fromtimestamp(
+                ms / 1000.0, tz=dt.timezone.utc
+            ).isoformat()
+
+        for v in range(3):
+            assert version_as_of(spark, path, iso(icts[v])) == v
+            assert version_as_of_external(path, iso(icts[v])) == v
+        # between two commits → the earlier one (monotonic gap ≥ 1 ms)
+        if icts[1] - icts[0] > 1:
+            assert version_as_of(spark, path, iso(icts[1] - 1)) == 0
+        with pytest.raises(ValueError, match="at or before"):
+            version_as_of(spark, path, iso(icts[0] - 1))
+        with pytest.raises(ValueError, match="at or before"):
+            version_as_of_external(path, iso(icts[0] - 1))
+        # the snapshot read itself follows the same resolution
+        got = read_delta(spark, path, as_of=iso(icts[1]))
+        assert sorted(r["id"] for r in got.collect()) == [0, 1]
+
+    def test_cdf_commit_timestamp_uses_ict(self, spark, tmp_path):
+        """read_delta_cdf's _commit_timestamp column comes from the ICT,
+        not the (scramble-able) file mtime."""
+        import os
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        path = str(tmp_path / "t_ict_cdf")
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+            path,
+        )
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+            path,
+        )
+        icts = self._icts(path)
+        log_dir = os.path.join(path, "_delta_log")
+        os.utime(
+            os.path.join(log_dir, f"{1:020d}.json"), (1_000_000, 1_000_000)
+        )
+        rows = read_delta_cdf(spark, path, 0, key_cols=["id"]).collect()
+        assert len(rows) == 1
+        got_ms = int(rows[0]["_commit_timestamp"].timestamp() * 1000)
+        assert got_ms == icts[1]
