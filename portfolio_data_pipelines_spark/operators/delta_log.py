@@ -784,6 +784,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     replace_partitions: list[str] | None = None,
     constraints: dict[str, str] | None = None,
+    cdf_key_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -825,7 +826,16 @@ def write_delta(
     subset of levels — see :func:`_partition_scope_matcher`. This is
     the day-level idempotent re-run contract (the reference's
     delete-day-then-insert, ``etl/load/postgres_loader.py``) on the
-    Delta log."""
+    Delta log.
+
+    ``cdf_key_cols``: on a CDF-enabled table
+    (:func:`enable_change_data_feed`), an overwrite that tombstones
+    files materializes its row-level changes as ``_change_data`` files
+    — keyed NET changes (update pre/post pairs for keys on both sides)
+    when ``cdf_key_cols`` names the row identity, else the protocol's
+    overwrite semantics: every removed row a ``delete``, every written
+    row an ``insert``. Appends never need it (their changes derive
+    from the add actions alone)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     pcols = _norm_pcols(partition_col)
@@ -893,47 +903,7 @@ def write_delta(
             staged.unpersist()
     now = _now_ms()
 
-    n_doomed = 0
-    if mode == "overwrite":
-        if replace_partitions is not None:
-            match = _partition_scope_matcher(replace_partitions, pcols)
-            pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
-            n_doomed = sum(
-                1
-                for rel in prev_adds
-                if match(
-                    tuple(
-                        prev_adds[rel].get("partitionValues", {}).get(c)
-                        for c in pv_cols
-                    )
-                )
-            )
-        else:
-            n_doomed = len(prev_adds)
-    actions: list[dict] = [
-        _commit_info(
-            "STREAMING UPDATE" if txn is not None else "WRITE",
-            {
-                "mode": mode.capitalize(),
-                **({"partitionBy": pcols} if pcols else {}),
-                **(
-                    {"predicate": replace_partitions}
-                    if replace_partitions is not None
-                    else {}
-                ),
-            },
-            metrics=_add_metrics(adds, n_doomed),
-        )
-    ]
-    if new_version == 0:
-        actions.append(_PROTOCOL_ACTION)
-        actions.append(_metadata_action(df, pcols, constraints))
-    elif evolved_meta is not None:
-        actions.append({"metaData": evolved_meta})
-    if txn is not None:
-        actions.append(
-            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
-        )
+    doomed: list[str] = []
     if mode == "overwrite":
         doomed = sorted(prev_adds)
         if replace_partitions is not None:
@@ -949,16 +919,81 @@ def write_delta(
                     )
                 )
             ]
-        for rel in doomed:
-            actions.append(
-                {
-                    "remove": {
-                        "path": _encode_path(rel),
-                        "deletionTimestamp": now,
-                        "dataChange": True,
-                    }
+    # Write-side CDF: an overwrite that actually removes files on a
+    # CDF-enabled table records its row-level changes as change files.
+    # The diff reads the staged files back (they are final on disk)
+    # against the doomed files' rows — keyed net changes when the
+    # caller named the row identity, delete+insert full images
+    # otherwise. Pure appends derive from add actions and skip this.
+    cdc_actions: list[dict] = []
+    eff_meta = evolved_meta or prev_meta
+    if doomed and _cdf_enabled(eff_meta):
+        if cdf_key_cols:
+            eff_cols = [
+                f.name
+                for f in _spark_schema_from_string(
+                    eff_meta["schemaString"]
+                ).fields
+            ]
+            bad_keys = [k for k in cdf_key_cols if k not in eff_cols]
+            if bad_keys:
+                raise ValueError(
+                    f"cdf_key_cols {bad_keys} not in table schema {eff_cols}"
+                )
+        cdc_actions = _maybe_stage_cdc(
+            spark, fs, jvm, path, eff_meta,
+            _read_adds(
+                spark, path, {r: prev_adds[r] for r in doomed}, eff_meta
+            ),
+            _read_adds(
+                spark, path,
+                {_decode_path(a["add"]["path"]): a["add"] for a in adds},
+                eff_meta,
+            ),
+            cdf_key_cols,
+            [
+                f.name
+                for f in _spark_schema_from_string(
+                    eff_meta["schemaString"]
+                ).fields
+            ],
+            new_version, l2p,
+        )
+    actions: list[dict] = [
+        _commit_info(
+            "STREAMING UPDATE" if txn is not None else "WRITE",
+            {
+                "mode": mode.capitalize(),
+                **({"partitionBy": pcols} if pcols else {}),
+                **(
+                    {"predicate": replace_partitions}
+                    if replace_partitions is not None
+                    else {}
+                ),
+            },
+            metrics=_add_metrics(adds, len(doomed)),
+        )
+    ]
+    actions.extend(cdc_actions)
+    if new_version == 0:
+        actions.append(_PROTOCOL_ACTION)
+        actions.append(_metadata_action(df, pcols, constraints))
+    elif evolved_meta is not None:
+        actions.append({"metaData": evolved_meta})
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
+        )
+    for rel in doomed:
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": True,
                 }
-            )
+            }
+        )
     actions.extend(adds)
     # Optimistic concurrency, Delta's OptimisticTransaction rules: a
     # lost version race fails the exclusive create; a pure APPEND then
@@ -1683,11 +1718,250 @@ def _read_adds_subset(spark, path, subset, meta):
     return _read_adds(spark, path, subset, meta)
 
 
+def _cdf_enabled(meta: dict | None) -> bool:
+    """Is ``delta.enableChangeDataFeed=true`` set in the table
+    configuration? When it is, every REWRITE commit (MERGE / APPLY
+    CHANGES / replaceWhere / keyed overwrite / keyed RESTORE)
+    materializes its row-level changes as ``_change_data/`` files
+    referenced by ``cdc`` actions — the public protocol's Change Data
+    Feed writer duty. Append-only and remove-only commits stay
+    derivable from add/remove actions and carry no cdc (also per
+    spec), so the hot append path pays nothing."""
+    return bool(meta) and str(
+        (meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed", ""
+        )
+    ).lower() == "true"
+
+
+def enable_change_data_feed(spark: SparkSession, path: str) -> int:
+    """Set ``delta.enableChangeDataFeed=true`` — one metadata-only
+    commit, as ``ALTER TABLE ... SET TBLPROPERTIES`` does. The protocol
+    advances to minWriterVersion 4 (the CDF writer feature's legacy
+    version; column-mapped tables are already at 5, which subsumes
+    it). From the next rewrite commit on, changes are materialized at
+    write time, so CDF reads cost O(changes) instead of re-deriving
+    them from both sides of every rewrite — and stay readable after
+    the rewritten data files are vacuumed."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    config = dict(st.meta.get("configuration") or {})
+    if str(config.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        return st.version  # idempotent
+    config["delta.enableChangeDataFeed"] = "true"
+    meta = dict(st.meta)
+    meta["configuration"] = config
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    proto["minWriterVersion"] = max(int(proto["minWriterVersion"]), 4)
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info(
+                "SET TBLPROPERTIES",
+                {"properties": {"delta.enableChangeDataFeed": "true"}},
+            ),
+            {"protocol": proto},
+            {"metaData": meta},
+        ],
+    )
+
+
+def _net_changes(old_df, new_df, key_cols: list, cols: list):
+    """NET row-level changes from ``old_df`` to ``new_df`` keyed by
+    ``key_cols``: a frame of ``cols + _change_type`` (insert /
+    update_preimage / update_postimage / delete). Value-equal rows on
+    both sides (carried over by a copy-on-write rewrite) emit nothing.
+    THE single diff used by both the read-side CDF reconstruction and
+    the write-side cdc materialization, so the two paths cannot
+    diverge (they are pinned equal in tests). One full-outer key join
+    — O(touched rows), the only shuffle either path pays."""
+    nonkey = [c for c in cols if c not in key_cols]
+    if nonkey:
+        o = old_df.select(*key_cols, F.struct(*nonkey).alias("_pre"))
+        n = new_df.select(*key_cols, F.struct(*nonkey).alias("_post"))
+    else:
+        o = old_df.select(*key_cols).withColumn("_pre", F.lit(True))
+        n = new_df.select(*key_cols).withColumn("_post", F.lit(True))
+    j = o.join(n, list(key_cols), "full_outer").filter(
+        # carried-over rows (equal images on both sides) are not
+        # changes; dropping them first keeps every surviving row
+        # mapped to a NON-EMPTY change array below
+        ~(
+            F.col("_pre").isNotNull()
+            & F.col("_post").isNotNull()
+            & F.col("_pre").eqNullSafe(F.col("_post"))
+        )
+    )
+    arr = (
+        F.when(
+            F.col("_pre").isNull(),
+            F.array(
+                F.struct(
+                    F.lit("insert").alias("_ct"), F.col("_post").alias("_img")
+                )
+            ),
+        )
+        .when(
+            F.col("_post").isNull(),
+            F.array(
+                F.struct(
+                    F.lit("delete").alias("_ct"), F.col("_pre").alias("_img")
+                )
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit("update_preimage").alias("_ct"),
+                    F.col("_pre").alias("_img"),
+                ),
+                F.struct(
+                    F.lit("update_postimage").alias("_ct"),
+                    F.col("_post").alias("_img"),
+                ),
+            )
+        )
+    )
+    ch = j.select(*key_cols, F.explode(arr).alias("_c"))
+    img_cols = (
+        [F.col(f"_c._img.{c}").alias(c) for c in nonkey] if nonkey else []
+    )
+    return ch.select(
+        *key_cols,
+        *img_cols,
+        F.col("_c._ct").alias("_change_type"),
+    ).select(*cols, "_change_type")
+
+
+def _stage_cdc_files(
+    spark, fs, jvm, path: str, changes, new_version: int, l2p: dict | None
+) -> list[dict]:
+    """Write ``changes`` (logical table columns + ``_change_type``) as
+    the commit's change-data files under ``_change_data/`` and return
+    the ``cdc`` actions referencing them.
+
+    Layout choice, documented deviation: files are UNPARTITIONED with
+    EVERY column (including partition columns) materialized in-file
+    under its physical name, and ``partitionValues`` is ``{}`` —
+    delta-spark mirrors the table's hive layout under ``_change_data/``
+    instead and omits partition columns from the files. Both are
+    readable from the actions alone; the flat form keeps the cdc read
+    path one schema'd parquet scan with no partition-dir parsing. A
+    net-empty rewrite still stages one (0-row) file so the commit
+    carries an explicit cdc record — readers then KNOW the rewrite
+    changed nothing instead of falling back to reconstruction.
+
+    Change files are never part of the live set: readers of the table
+    ignore them (cdc actions are skipped by replay), checkpoints don't
+    carry them, and vacuum ages them by file mtime like any
+    unreferenced file — so CDF history expires with the same retention
+    as time travel, the Delta contract."""
+    if l2p:
+        changes = changes.select(
+            *[F.col(c).alias(l2p.get(c, c)) for c in changes.columns]
+        )
+    staging = f"_staging_cdc_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
+    (
+        changes.write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(f"{path}/{staging}")
+    )
+    staged = _relative_files(fs, jvm, path, staging, [])
+    actions = []
+    for i, (rel, size, _pv) in enumerate(sorted(staged)):
+        fname = f"cdc-v{new_version:06d}-{rel.rsplit('/', 1)[-1]}"
+        final_rel = f"_change_data/{fname}"
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed for {rel}")
+        actions.append(
+            {
+                "cdc": {
+                    "path": _encode_path(final_rel),
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                }
+            }
+        )
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+    if not actions:
+        raise IOError(
+            f"staging wrote no change files for commit {new_version} — "
+            "expected at least one (possibly empty) parquet part"
+        )
+    return actions
+
+
+def _read_cdc_rows(spark, path: str, rels: list, meta: dict):
+    """Rows of a commit's change-data files: logical table columns +
+    ``_change_type``. Files carry physical names and every column
+    materialized (see :func:`_stage_cdc_files`); the explicit read
+    schema null-fills columns added by later evolution."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = _spark_schema_from_string(meta["schemaString"])
+    l2p = _logical_to_physical(meta)
+    base = _physical_read_schema(meta) if l2p else schema
+    read_schema = StructType(
+        list(base.fields) + [StructField("_change_type", StringType())]
+    )
+    df = spark.read.schema(read_schema).parquet(
+        *[f"{path}/{rel}" for rel in rels]
+    )
+    if l2p:
+        sel = [F.col(l2p[f.name]).alias(f.name) for f in schema.fields]
+    else:
+        sel = [F.col(f.name) for f in schema.fields]
+    return df.select(*sel, F.col("_change_type"))
+
+
+def _maybe_stage_cdc(
+    spark,
+    fs,
+    jvm,
+    path: str,
+    meta: dict,
+    old_df,
+    new_df,
+    key_cols: list | None,
+    cols: list,
+    new_version: int,
+    l2p: dict | None,
+) -> list[dict]:
+    """The write-side CDF duty for one REWRITE commit (both removed
+    and added data files): materialize its row-level changes as cdc
+    actions. With ``key_cols`` the changes are the keyed NET diff
+    (identical to what read-side reconstruction would compute); without
+    keys — an unkeyed overwrite — the protocol's operation semantics
+    apply: every removed row is a ``delete``, every written row an
+    ``insert``. Returns [] when the table hasn't enabled CDF."""
+    if not _cdf_enabled(meta):
+        return []
+    schema = _spark_schema_from_string(meta["schemaString"])
+    empty = spark.createDataFrame([], schema=schema)
+    old_df = old_df if old_df is not None else empty
+    new_df = new_df if new_df is not None else empty
+    if key_cols:
+        changes = _net_changes(old_df, new_df, key_cols, cols)
+    else:
+        changes = old_df.select(
+            *cols, F.lit("delete").alias("_change_type")
+        ).unionByName(
+            new_df.select(*cols, F.lit("insert").alias("_change_type"))
+        )
+    return _stage_cdc_files(spark, fs, jvm, path, changes, new_version, l2p)
+
+
 def read_delta_cdf(
     spark: SparkSession,
     path: str,
     from_version: int,
-    key_cols: list[str],
+    key_cols: list[str] | None = None,
     to_version: int | None = None,
 ) -> DataFrame:
     """Row-level change-data-feed for commits ``(from_version,
@@ -1722,15 +1996,24 @@ def read_delta_cdf(
     ``medallion.diff_versions``, whose value-level diff this matches
     commit-by-commit (pinned in tests).
 
+    WRITE-SIDE cdc files are preferred: a commit carrying ``cdc``
+    actions (written by this repo's rewrite commits once
+    :func:`enable_change_data_feed` is on, or by any standard Delta
+    writer with ``delta.enableChangeDataFeed=true``) is answered by
+    reading its ``_change_data`` files directly — no join, no need for
+    the rewritten data files to still exist (vacuum-safe), O(changes)
+    cost. Reconstruction remains the fallback for commits from before
+    the table enabled CDF; on such commits ``key_cols`` is required
+    (it may be omitted when every rewrite commit in the window carries
+    cdc actions).
+
     Scale: the pre-state comes from ONE log replay at ``from_version``
     advanced incrementally through the commit actions (never a replay
     per commit); each commit reads only ITS touched files — O(files
     the commit rewrote), not O(table) — and pays one key shuffle only
-    when it actually rewrote files. A feed window over an append-mostly
-    table is join-free. True Delta CDF materializes `_change_data`
-    files at write time to skip even the diff; reconstructing from the
-    log trades that write-path cost for read-side work bounded by the
-    same touched-file set."""
+    when it actually rewrote files without cdc. A feed window over an
+    append-mostly table is join-free, and over a CDF-enabled table it
+    is join-free everywhere."""
     fs, _, jvm = _hadoop_fs(spark, path)
     versions = _list_log_versions(fs, jvm, path)
     if not versions:
@@ -1742,10 +2025,12 @@ def read_delta_cdf(
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
-    missing_keys = [k for k in key_cols if k not in cols]
-    if missing_keys:
-        raise ValueError(f"key_cols {missing_keys} not in table schema {cols}")
-    nonkey = [c for c in cols if c not in key_cols]
+    if key_cols:
+        missing_keys = [k for k in key_cols if k not in cols]
+        if missing_keys:
+            raise ValueError(
+                f"key_cols {missing_keys} not in table schema {cols}"
+            )
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -1765,61 +2050,14 @@ def read_delta_cdf(
         )
 
     def _diff(old_df, new_df, v, ts_ms):
-        if nonkey:
-            o = old_df.select(*key_cols, F.struct(*nonkey).alias("_pre"))
-            n = new_df.select(*key_cols, F.struct(*nonkey).alias("_post"))
-        else:
-            o = old_df.select(*key_cols).withColumn("_pre", F.lit(True))
-            n = new_df.select(*key_cols).withColumn("_post", F.lit(True))
-        j = o.join(n, list(key_cols), "full_outer").filter(
-            # carried-over rows (equal images on both sides) are not
-            # changes; dropping them first keeps every surviving row
-            # mapped to a NON-EMPTY change array below
-            ~(
-                F.col("_pre").isNotNull()
-                & F.col("_post").isNotNull()
-                & F.col("_pre").eqNullSafe(F.col("_post"))
+        if not key_cols:
+            raise ValueError(
+                f"commit {v} rewrote files and carries no cdc actions — "
+                "pass key_cols to reconstruct its changes, or "
+                "enable_change_data_feed on the table so rewrite commits "
+                "materialize change files"
             )
-        )
-        arr = (
-            F.when(
-                F.col("_pre").isNull(),
-                F.array(
-                    F.struct(
-                        F.lit("insert").alias("_ct"), F.col("_post").alias("_img")
-                    )
-                ),
-            )
-            .when(
-                F.col("_post").isNull(),
-                F.array(
-                    F.struct(
-                        F.lit("delete").alias("_ct"), F.col("_pre").alias("_img")
-                    )
-                ),
-            )
-            .otherwise(
-                F.array(
-                    F.struct(
-                        F.lit("update_preimage").alias("_ct"),
-                        F.col("_pre").alias("_img"),
-                    ),
-                    F.struct(
-                        F.lit("update_postimage").alias("_ct"),
-                        F.col("_post").alias("_img"),
-                    ),
-                )
-            )
-        )
-        ch = j.select(*key_cols, F.explode(arr).alias("_c"))
-        img_cols = (
-            [F.col(f"_c._img.{c}").alias(c) for c in nonkey] if nonkey else []
-        )
-        return ch.select(
-            *key_cols,
-            *img_cols,
-            F.col("_c._ct").alias("_change_type"),
-        ).select(
+        return _net_changes(old_df, new_df, key_cols, cols).select(
             *cols,
             "_change_type",
             F.lit(v).cast("long").alias("_commit_version"),
@@ -1837,6 +2075,7 @@ def read_delta_cdf(
         ts_ms = _commit_ts_ms(fs, jvm, path, v)
         adds_v: dict[str, dict] = {}
         removed_adds: dict[str, dict] = {}
+        cdc_v: list[str] = []
         for line in _read_text(fs, jvm, log_file).splitlines():
             if not line.strip():
                 continue
@@ -1854,6 +2093,34 @@ def read_delta_cdf(
                 prev = live.pop(rel, None)
                 if action["remove"].get("dataChange", True) and prev is not None:
                     removed_adds[rel] = prev
+            elif "cdc" in action:
+                cdc_v.append(_decode_path(action["cdc"]["path"]))
+        if cdc_v:
+            # write-side change files: the commit's changes verbatim —
+            # no join, and valid even after the rewritten data files
+            # were vacuumed (live was still advanced above)
+            gone_cdc = [
+                rel
+                for rel in cdc_v
+                if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"))
+            ]
+            if gone_cdc:
+                raise FileNotFoundError(
+                    f"change files of commit {v} were vacuumed "
+                    f"({gone_cdc[:3]}{'...' if len(gone_cdc) > 3 else ''}) "
+                    "— the CDF window exceeds the table's retention"
+                )
+            pieces.append(
+                _read_cdc_rows(spark, path, cdc_v, meta).select(
+                    *cols,
+                    "_change_type",
+                    F.lit(v).cast("long").alias("_commit_version"),
+                    F.timestamp_millis(F.lit(ts_ms)).alias(
+                        "_commit_timestamp"
+                    ),
+                )
+            )
+            continue
         if not adds_v and not removed_adds:
             continue  # txn-only / layout-only commit
         gone = [
@@ -2045,6 +2312,22 @@ def merge_delta(
     finally:
         if cached_source:
             source.unpersist()
+    # Write-side CDF: a rewrite commit on a CDF-enabled table
+    # materializes its keyed net changes as change files — the staged
+    # files are final on disk, so the diff reads them back rather than
+    # re-evaluating the merge plan. Touch-free commits (pure inserts)
+    # stay derivable from their add actions and write no cdc.
+    cdc_actions: list[dict] = []
+    if touched_rels and _cdf_enabled(meta):
+        staged_map = {
+            _decode_path(a["add"]["path"]): a["add"] for a in new_adds
+        }
+        cdc_actions = _maybe_stage_cdc(
+            spark, fs, jvm, path, meta,
+            _read_adds(spark, path, {r: adds[r] for r in touched_rels}, meta),
+            _read_adds(spark, path, staged_map, meta),
+            key_cols, cols, new_version, l2p,
+        )
     now = _now_ms()
 
     actions: list[dict] = [
@@ -2053,6 +2336,7 @@ def merge_delta(
             metrics=_add_metrics(new_adds, len(touched_rels)),
         )
     ]
+    actions.extend(cdc_actions)
     actions.extend(
         {
             "remove": {
@@ -2205,6 +2489,19 @@ def apply_changes_delta(
     finally:
         if upserts_cached:
             upserts.unpersist()
+    # write-side CDF on the replica: rewrite commits carry cdc files,
+    # so a replica-of-a-replica chain stays O(changes) end to end
+    cdc_actions: list[dict] = []
+    if touched_rels and _cdf_enabled(meta):
+        staged_map = {
+            _decode_path(a["add"]["path"]): a["add"] for a in new_adds
+        }
+        cdc_actions = _maybe_stage_cdc(
+            spark, fs, jvm, path, meta,
+            _read_adds(spark, path, {r: adds[r] for r in touched_rels}, meta),
+            _read_adds(spark, path, staged_map, meta),
+            key_cols, cols, new_version, l2p,
+        )
     now = _now_ms()
     actions: list[dict] = [
         _commit_info(
@@ -2212,6 +2509,7 @@ def apply_changes_delta(
             metrics=_add_metrics(new_adds, len(touched_rels)),
         )
     ]
+    actions.extend(cdc_actions)
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
@@ -2407,7 +2705,10 @@ def optimize_delta(
 
 
 def restore_delta(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession,
+    path: str,
+    version: int,
+    cdf_key_cols: list[str] | None = None,
 ) -> int:
     """RESTORE TABLE TO VERSION — Delta's rollback: one metadata-only
     commit makes the table's LIVE SET equal to ``version``'s, by
@@ -2421,7 +2722,13 @@ def restore_delta(
 
     If ``version``'s schema differed, the restore re-emits its
     metaData, so schema rolls back with the data (as Delta RESTORE
-    does)."""
+    does).
+
+    ``cdf_key_cols``: on a CDF-enabled table, a restore that both
+    removes and re-adds files materializes its keyed NET changes as
+    ``_change_data`` files (same form as MERGE's) when the caller
+    names the row identity; without keys such a commit stays
+    reconstruction-only (readers diff it with their own key_cols)."""
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     cur = _replay_log(spark, path, None)
@@ -2440,6 +2747,33 @@ def restore_delta(
             f"cannot restore to version {version}: data files were "
             f"vacuumed: {missing[:5]}{'...' if len(missing) > 5 else ''}"
         )
+    new_version = cur.version + 1
+    # The restored metaData governs the table from this commit on;
+    # CDF enablement and the change-file schema follow it.
+    reemit_meta = old.meta["schemaString"] != cur.meta[
+        "schemaString"
+    ] or old.meta.get("partitionColumns") != cur.meta.get("partitionColumns")
+    eff_meta = old.meta if reemit_meta else cur.meta
+    cdc_actions: list[dict] = []
+    if to_remove and to_readd and cdf_key_cols and _cdf_enabled(eff_meta):
+        cdc_actions = _maybe_stage_cdc(
+            spark, fs, jvm, path, eff_meta,
+            _read_adds(
+                spark, path, {r: cur.adds[r] for r in to_remove}, eff_meta
+            ),
+            _read_adds(
+                spark, path, {r: old.adds[r] for r in to_readd}, eff_meta
+            ),
+            cdf_key_cols,
+            [
+                f.name
+                for f in _spark_schema_from_string(
+                    eff_meta["schemaString"]
+                ).fields
+            ],
+            new_version,
+            _logical_to_physical(eff_meta),
+        )
     now = _now_ms()
     actions: list[dict] = [
         _commit_info(
@@ -2450,9 +2784,8 @@ def restore_delta(
             },
         )
     ]
-    if old.meta["schemaString"] != cur.meta["schemaString"] or old.meta.get(
-        "partitionColumns"
-    ) != cur.meta.get("partitionColumns"):
+    actions.extend(cdc_actions)
+    if reemit_meta:
         actions.append({"metaData": old.meta})
     for rel in to_remove:
         actions.append(
@@ -2474,7 +2807,6 @@ def restore_delta(
         # delta_feed source would skip rows the restore re-introduced.
         a["dataChange"] = True
         actions.append({"add": a})
-    new_version = cur.version + 1
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)

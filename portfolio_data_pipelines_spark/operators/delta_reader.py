@@ -307,3 +307,138 @@ def table_configuration(path: str, version: int | None = None) -> dict:
     writer takes over from exactly this map."""
     _root, _adds, meta = _replay(path, version)
     return _config_of(meta)
+
+
+def read_delta_changes_external(
+    path: str, from_version: int, to_version: int | None = None
+):
+    """Change-data-feed read the way a FOREIGN reader does it, commits
+    ``(from_version, to_version]``: spec-only, pyarrow, zero shared
+    code with the writer.
+
+    Per the protocol's CDF derivation rules, each commit is answered
+    from exactly one source:
+
+    - ``cdc`` actions present → read the referenced ``_change_data``
+      files verbatim (rows already carry ``_change_type``);
+    - only dataChange ``add`` actions → every added row is an
+      ``insert``;
+    - only dataChange ``remove`` actions → every removed row (still on
+      disk until vacuumed) is a ``delete``;
+    - both adds and removes WITHOUT cdc → refuse: a conformant foreign
+      reader cannot know the operation's row pairing (delta-spark
+      raises here too; the writer should have materialized change
+      files).
+
+    Returns ``(column_names, rows)`` — table columns in schemaString
+    order plus ``_change_type``, ``_commit_version``,
+    ``_commit_timestamp`` (epoch ms) — matching the engine-side
+    ``read_delta_cdf`` contract (pinned equal in conformance tests)."""
+    import pyarrow.parquet as pq
+
+    root = _local(path)
+    log_dir = os.path.join(root, "_delta_log")
+    versions = _list_commit_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no commits under {log_dir}")
+    tip = versions[-1] if to_version is None else to_version
+    _root, _adds, meta = _replay(path, tip)
+    schema = json.loads(meta["schemaString"])["fields"]
+    pcols = meta.get("partitionColumns", [])
+    names = [f["name"] for f in schema]
+    types = {f["name"]: f["type"] for f in schema}
+    mapped = _config_of(meta).get("delta.columnMapping.mode", "none") == "name"
+    phys = {
+        f["name"]: (
+            (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            if mapped
+            else f["name"]
+        )
+        for f in schema
+    }
+
+    def file_rows(rel: str, pvals_raw: dict, in_file_pcols: bool):
+        """Rows of one parquet file in logical column order; partition
+        columns come from ``pvals_raw`` (data files) or from the file
+        itself (cdc files, which materialize every column)."""
+        table = pq.read_table(os.path.join(root, rel))
+        present = set(table.column_names)
+        pvals = {
+            c: _cast_partition_value(
+                pvals_raw.get(phys[c]), types[c]
+            )
+            for c in pcols
+            if not in_file_pcols
+        }
+        for r in table.to_pylist():
+            row = []
+            for n in names:
+                if n in pvals:
+                    row.append(pvals[n])
+                elif phys[n] in present:
+                    row.append(r[phys[n]])
+                else:
+                    row.append(None)  # pre-evolution file
+            yield tuple(row), (r.get("_change_type") if "_change_type" in present else None)
+
+    # live set at from_version, advanced through each commit — gives
+    # remove actions their partitionValues (removes don't carry them)
+    live: dict[str, dict] = {}
+    if from_version >= 0:
+        _r, adds0, _m = _replay(path, from_version)
+        live = dict(adds0)
+    out_rows: list[tuple] = []
+    for v in range(from_version + 1, tip + 1):
+        commit = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(commit):
+            raise FileNotFoundError(f"commit {v} missing from {log_dir}")
+        ts_ms = _commit_time_ms_external(log_dir, v)
+        adds_v: list = []
+        removed_v: list = []
+        cdc_v: list = []
+        for line in open(commit).read().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                a = dict(action["add"])
+                a["path"] = unquote(a["path"])
+                live[a["path"]] = a
+                if a.get("dataChange", True):
+                    adds_v.append(a)
+            elif "remove" in action:
+                rel = unquote(action["remove"]["path"])
+                prev = live.pop(rel, None)
+                if action["remove"].get("dataChange", True) and prev is not None:
+                    removed_v.append(prev)
+            elif "cdc" in action:
+                cdc_v.append(unquote(action["cdc"]["path"]))
+        if cdc_v:
+            for rel in cdc_v:
+                for row, ct in file_rows(rel, {}, in_file_pcols=True):
+                    out_rows.append(row + (ct, v, ts_ms))
+            continue
+        if adds_v and removed_v:
+            raise ValueError(
+                f"commit {v} rewrote files without cdc actions — a "
+                "foreign reader cannot derive its row-level changes; "
+                "the table was written before change-data-feed was "
+                "enabled (use the engine-side read_delta_cdf with "
+                "key_cols to reconstruct)"
+            )
+        for a in adds_v:
+            for row, _ct in file_rows(
+                a["path"], a.get("partitionValues", {}), in_file_pcols=False
+            ):
+                out_rows.append(row + ("insert", v, ts_ms))
+        for a in removed_v:
+            for row, _ct in file_rows(
+                a["path"], a.get("partitionValues", {}), in_file_pcols=False
+            ):
+                out_rows.append(row + ("delete", v, ts_ms))
+    return (
+        names + ["_change_type", "_commit_version", "_commit_timestamp"],
+        out_rows,
+    )

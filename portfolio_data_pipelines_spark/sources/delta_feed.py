@@ -41,18 +41,25 @@ under a processing-time trigger; ``trigger(availableNow)`` snapshots
 one end offset by Spark's own semantics, and a restarted reader never
 caps below Spark's checkpointed position).
 
-``readChangeFeed=true`` + ``keyCols='a,b'`` switches the source to
-ROW-LEVEL change-feed mode (the streamed form of
-``operators.delta_log.read_delta_cdf``): instead of re-delivering every
-added row, each micro-batch emits the net per-row changes of its
-commits — ``_change_type`` ∈ {insert, update_preimage,
-update_postimage, delete} — so a consumer downstream of a MERGEd /
-replaceWhere'd table sees exactly what changed, once. Planning replays
-the log to the batch's start version (driver-side, O(log)) to know the
-pre-commit live set; each commit becomes ONE partition whose task
-diffs the commit's removed files against its added files on
-``keyCols`` (Python dict diff — feed-sized batches by design; the
-batch-side ``read_delta_cdf`` is the bulk path).
+``readChangeFeed=true`` switches the source to ROW-LEVEL change-feed
+mode (the streamed form of ``operators.delta_log.read_delta_cdf``):
+instead of re-delivering every added row, each micro-batch emits the
+net per-row changes of its commits — ``_change_type`` ∈ {insert,
+update_preimage, update_postimage, delete}, with ``_commit_version``
+and ``_commit_timestamp`` (batch-CDF column parity). Commits carrying
+``cdc`` actions (write-side CDF, ``enable_change_data_feed``) stream
+their ``_change_data`` files as ARROW BATCHES exactly like plain-mode
+adds — no diff, no per-row Python conversion, O(changes) cost
+regardless of how much the commit rewrote. Commits without cdc
+actions (pre-enable history) fall back to reconstruction: planning
+replays the log to the batch's start version (driver-side, O(log)) to
+know the pre-commit live set; each such commit becomes ONE partition
+whose task diffs the commit's removed files against its added files
+on ``keyCols`` (required for this mode) as a Python dict diff. That
+single task loads both sides of the rewrite, so it is byte-capped:
+a commit whose touched files exceed ``maxReconstructBytes`` (default
+256 MiB) fails planning with a clear remedy (enable CDF on the table,
+or use the batch ``read_delta_cdf``) instead of an opaque task OOM.
 
 Local-filesystem tables (this sandbox has no object store); an external
 deployment swaps the ``os`` calls for its store's SDK.
@@ -69,10 +76,17 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..operators.delta_reader import (
     _cast_partition_value,
+    _commit_time_ms_external,
     _config_of,
     _list_commit_versions,
     _local,
@@ -96,10 +110,12 @@ class _FeedFilePartition(InputPartition):
 
 
 class _FeedCdfPartition(InputPartition):
-    """One COMMIT in change-feed mode: the commit's added files and the
+    """One RECONSTRUCTION-mode COMMIT in change-feed mode (no cdc
+    actions — pre-enable history): the commit's added files and the
     live entries of its removed files — both sides of the row-level
     diff. One partition per commit (not per file) because the diff
-    pairs rows ACROSS the two file sets."""
+    pairs rows ACROSS the two file sets; its in-task byte footprint is
+    capped at planning time."""
 
     def __init__(
         self,
@@ -107,11 +123,26 @@ class _FeedCdfPartition(InputPartition):
         root: str,
         adds: list,
         removed: list,
+        ts_ms: int,
     ):
         self.version = version
         self.root = root
         self.adds = adds  # list[(rel, partitionValues)]
         self.removed = removed
+        self.ts_ms = ts_ms
+
+
+class _FeedCdcFilesPartition(InputPartition):
+    """One task's slice of a commit's WRITE-SIDE change files (``cdc``
+    actions): a size-bounded group of ``_change_data`` parquet files,
+    streamed as arrow batches like plain-mode adds — the rows already
+    carry ``_change_type``, so there is nothing to diff."""
+
+    def __init__(self, version: int, root: str, files: list, ts_ms: int):
+        self.version = version
+        self.root = root
+        self.files = files  # list[rel]
+        self.ts_ms = ts_ms
 
 
 def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
@@ -155,8 +186,9 @@ def _fix_ts(val, type_name: str):
 
 
 def _commit_change_actions(log_dir: str, version: int) -> list[dict]:
-    """ALL add/remove actions of one commit (paths decoded), preserving
-    dataChange flags — the change-feed planner needs both sides."""
+    """ALL add/remove/cdc actions of one commit (paths decoded),
+    preserving dataChange flags — the change-feed planner needs every
+    side."""
     from urllib.parse import unquote
 
     commit = os.path.join(log_dir, f"{version:020d}.json")
@@ -171,7 +203,7 @@ def _commit_change_actions(log_dir: str, version: int) -> list[dict]:
         if not line.strip():
             continue
         action = json.loads(line)
-        for kind in ("add", "remove"):
+        for kind in ("add", "remove", "cdc"):
             if kind in action:
                 a = dict(action[kind])
                 a["path"] = unquote(a["path"])
@@ -192,11 +224,15 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self.cdf = str(options.get("readchangefeed", "false")).lower() == "true"
         key_opt = options.get("keycols", "")
         self.key_cols = [c.strip() for c in key_opt.split(",") if c.strip()]
-        if self.cdf and not self.key_cols:
-            raise ValueError(
-                "readChangeFeed requires .option('keyCols', 'a,b') — the "
-                "row identity the pre/post-image pairing joins on"
-            )
+        # keyCols is only needed for RECONSTRUCTION-mode commits
+        # (rewrites without cdc actions); on a table whose rewrites all
+        # carry write-side change files it may be omitted — planning
+        # raises if a keyless reconstruction commit appears.
+        # Reconstruction loads both sides of a rewrite into one task,
+        # so it is byte-capped (clear error beats an opaque OOM).
+        self.max_reconstruct = int(
+            options.get("maxreconstructbytes", 256 * 1024 * 1024)
+        )
         # name-mode column mapping: files and partitionValues carry
         # PHYSICAL names; resolve the logical→physical map once at
         # stream start (the schema is pinned for the query's lifetime,
@@ -283,6 +319,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         for v in range(sv + 1, int(end["version"]) + 1):
             adds_v: list = []
             removed_v: list = []
+            cdc_v: list = []
+            touched_bytes = 0
             for action in _commit_change_actions(log_dir, v):
                 if "add" in action:
                     a = action["add"]
@@ -291,15 +329,71 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         adds_v.append(
                             (a["path"], a.get("partitionValues", {}))
                         )
-                else:
+                        touched_bytes += int(a.get("size", 0))
+                elif "remove" in action:
                     r = action["remove"]
                     prev = live.pop(r["path"], None)
                     if r.get("dataChange", True) and prev is not None:
                         removed_v.append(
                             (r["path"], prev.get("partitionValues", {}))
                         )
-            if adds_v or removed_v:
-                parts.append(_FeedCdfPartition(v, root, adds_v, removed_v))
+                        touched_bytes += int(prev.get("size", 0))
+                else:
+                    cdc_v.append(action["cdc"])
+            if cdc_v:
+                # write-side change files: stream them like plain-mode
+                # adds (arrow batches, size-bounded groups) — the diff
+                # already happened at commit time
+                ts = _commit_time_ms_external(log_dir, v)
+                group: list = []
+                group_bytes = 0
+                for c in cdc_v:
+                    size = int(c.get("size", 0))
+                    if group and (
+                        self.max_bytes <= 0
+                        or group_bytes + size > self.max_bytes
+                    ):
+                        parts.append(
+                            _FeedCdcFilesPartition(v, root, group, ts)
+                        )
+                        group, group_bytes = [], 0
+                    group.append(c["path"])
+                    group_bytes += size
+                if group:
+                    parts.append(_FeedCdcFilesPartition(v, root, group, ts))
+                continue
+            if not (adds_v or removed_v):
+                continue
+            if removed_v and adds_v:
+                # keyed reconstruction: one task loads BOTH sides
+                if not self.key_cols:
+                    raise ValueError(
+                        f"commit {v} of {self.path} rewrote files and "
+                        "carries no cdc actions — pass "
+                        ".option('keyCols', 'a,b') to reconstruct its "
+                        "changes, or enable_change_data_feed on the "
+                        "table so rewrites materialize change files"
+                    )
+                if (
+                    self.max_reconstruct > 0
+                    and touched_bytes > self.max_reconstruct
+                ):
+                    raise ValueError(
+                        f"commit {v} of {self.path} touches "
+                        f"{touched_bytes} bytes; reconstruction-mode CDF "
+                        "loads both sides of the rewrite into one task "
+                        f"(cap {self.max_reconstruct}). Enable "
+                        "change-data-feed on the table "
+                        "(enable_change_data_feed) so commits carry "
+                        "change files, use the batch read_delta_cdf, or "
+                        "raise maxReconstructBytes explicitly."
+                    )
+            parts.append(
+                _FeedCdfPartition(
+                    v, root, adds_v, removed_v,
+                    _commit_time_ms_external(log_dir, v),
+                )
+            )
         return parts
 
     def _file_rows(self, root: str, rel: str, pvals_raw: dict, fields):
@@ -351,10 +445,16 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         return True
 
     def _read_cdf(self, partition: _FeedCdfPartition) -> Iterator[tuple]:
+        import datetime as dt
+
+        ts = dt.datetime.fromtimestamp(
+            partition.ts_ms / 1000.0, tz=dt.timezone.utc
+        )
         base_fields = [
             f
             for f in self.schema.fields
-            if f.name not in ("_change_type", "_commit_version")
+            if f.name
+            not in ("_change_type", "_commit_version", "_commit_timestamp")
         ]
         key_idx = [
             i for i, f in enumerate(base_fields) if f.name in self.key_cols
@@ -384,25 +484,87 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                 for row in self._file_rows(
                     partition.root, rel, pvals, base_fields
                 ):
-                    yield row + ("insert", v)
+                    yield row + ("insert", v, ts)
             return
         old = load(partition.removed)
         new = load(partition.adds)
         for k in sorted(old.keys() | new.keys(), key=repr):
             o, n = old.get(k), new.get(k)
             if o is None:
-                yield n + ("insert", v)
+                yield n + ("insert", v, ts)
             elif n is None:
-                yield o + ("delete", v)
+                yield o + ("delete", v, ts)
             elif not self._vals_eq(
                 tuple(o[i] for i in nonkey_idx),
                 tuple(n[i] for i in nonkey_idx),
             ):
-                yield o + ("update_preimage", v)
-                yield n + ("update_postimage", v)
+                yield o + ("update_preimage", v, ts)
+                yield n + ("update_postimage", v, ts)
             # equal images: carried over by the rewrite — not a change
 
+    def _read_cdc_files(
+        self, partition: _FeedCdcFilesPartition
+    ) -> Iterator:
+        """Write-side change files as arrow batches: every column
+        (including partition columns) is materialized in-file under its
+        physical name plus ``_change_type``;  ``_commit_version`` /
+        ``_commit_timestamp`` are constants of the commit."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        for rel in partition.files:
+            tbl = pq.read_table(os.path.join(partition.root, rel))
+            n = tbl.num_rows
+            present = set(tbl.column_names)
+            arrays = []
+            for f in target:
+                if f.name == "_commit_version":
+                    arrays.append(
+                        pa.repeat(pa.scalar(partition.version, f.type), n)
+                    )
+                elif f.name == "_commit_timestamp":
+                    import datetime as dt
+
+                    arrays.append(
+                        pa.repeat(
+                            pa.scalar(
+                                dt.datetime.fromtimestamp(
+                                    partition.ts_ms / 1000.0,
+                                    tz=dt.timezone.utc,
+                                ),
+                                f.type,
+                            ),
+                            n,
+                        )
+                    )
+                else:
+                    pname = (
+                        "_change_type"
+                        if f.name == "_change_type"
+                        else self._phys(f.name)
+                    )
+                    if pname in present:
+                        col = tbl.column(pname)
+                        if (
+                            pa.types.is_timestamp(f.type)
+                            and f.type.tz is not None
+                            and pa.types.is_timestamp(col.type)
+                            and col.type.tz is None
+                        ):
+                            col = pc.assume_timezone(col, f.type.tz)
+                        arrays.append(col.cast(f.type))
+                    else:
+                        arrays.append(pa.nulls(n, f.type))  # pre-evolution
+            out = pa.table(arrays, schema=target).combine_chunks()
+            yield from out.to_batches()
+
     def read(self, partition) -> Iterator:
+        if isinstance(partition, _FeedCdcFilesPartition):
+            yield from self._read_cdc_files(partition)
+            return
         if isinstance(partition, _FeedCdfPartition):
             yield from self._read_cdf(partition)
             return
@@ -473,6 +635,9 @@ class DeltaChangeFeedDataSource(DataSource):
         extra = (
             [StructField("_change_type", StringType())] if cdf else []
         ) + [StructField("_commit_version", LongType())]
+        if cdf:
+            # batch-CDF column parity (read_delta_cdf emits all three)
+            extra.append(StructField("_commit_timestamp", TimestampType()))
         return StructType(base.fields + extra)
 
     def streamReader(self, schema: StructType) -> DeltaFeedStreamReader:

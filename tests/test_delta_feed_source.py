@@ -303,10 +303,36 @@ def test_cdf_mode_merge_mid_stream_net_rows_once(registered, tmp_path):
     assert state == want
 
 
-def test_cdf_mode_requires_key_cols(registered, tmp_path):
+def test_cdf_mode_requires_key_cols_only_for_reconstruction(
+    registered, tmp_path
+):
+    """keyCols is needed ONLY when a commit must be reconstructed (a
+    rewrite without cdc actions). Append-only history streams keyless;
+    a keyless stream over a cdc-less MERGE commit fails planning with
+    the remedy in the message."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
+    )
+
     spark = registered
     path = str(tmp_path / "t_cdf_nokeys")
     write_delta(spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]), path)
+    # append-only: keyless CDF stream works (inserts derive from adds)
+    (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_ok"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(60)
+    )
+    # a rewrite commit without cdc actions needs keys to reconstruct
+    merge_delta(
+        spark, path, _df(spark, [(1, 9.0, _day("2021-01-01"))]), ["id"]
+    )
     with pytest.raises(Exception, match="keyCols"):
         (
             spark.readStream.format("delta_feed")
@@ -617,3 +643,126 @@ def test_feed_reads_column_mapped_table(registered, tmp_path):
         ("update_postimage", 1, 10.0),
         ("update_preimage", 1, 1.0),
     ]
+
+
+def test_cdf_stream_prefers_write_side_change_files(registered, tmp_path):
+    """On a CDF-enabled table the stream answers rewrite commits from
+    their _change_data files (arrow path, keyless), pinned equal —
+    rows, versions AND _commit_timestamp — to the batch
+    read_delta_cdf over the same window."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        enable_change_data_feed,
+        merge_delta,
+        read_delta_cdf,
+        write_delta as wd,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_cdc_stream")
+    wd(
+        spark,
+        _df(spark, [(1, 1.0, _day("2021-01-01")),
+                    (2, 2.0, _day("2021-01-01"))]).coalesce(1),
+        path, partition_col="date",
+    )
+    enable_change_data_feed(spark, path)
+    merge_delta(  # rewrite: update id2, insert id3
+        spark, path,
+        _df(spark, [(2, 20.0, _day("2021-01-01")),
+                    (3, 3.0, _day("2021-01-02"))]),
+        key_cols=["id"],
+    )
+    wd(  # keyed replaceWhere of day 1
+        spark, _df(spark, [(1, 10.0, _day("2021-01-01"))]),
+        path, partition_col="date", mode="overwrite",
+        replace_partitions=["2021-01-01"], cdf_key_cols=["id"],
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (  # NO keyCols: every rewrite carries cdc actions
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    key = lambda r: (
+        r["id"], r["v"], r["date"], r["_change_type"],
+        r["_commit_version"], r["_commit_timestamp"],
+    )
+    want = read_delta_cdf(spark, path, -1)
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, want.collect())
+    )
+    # the stream delivered real changes (not just v0 inserts)
+    types = {r["_change_type"] for r in got.collect()}
+    assert {"insert", "delete", "update_preimage",
+            "update_postimage"} <= types
+
+
+def test_cdf_reconstruction_carries_commit_timestamp(registered, tmp_path):
+    """Batch-CDF column parity holds in RECONSTRUCTION mode too: the
+    dict-diff path emits _commit_timestamp equal to the batch read's
+    (both resolve the commitInfo in-commit timestamp)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
+        read_delta_cdf,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_recon_ts")
+    write_delta(
+        spark, _df(spark, [(1, 1.0, _day("2021-01-01"))]).coalesce(1), path
+    )
+    merge_delta(
+        spark, path, _df(spark, [(1, 9.0, _day("2021-01-01"))]), ["id"]
+    )
+    out, ckpt = str(tmp_path / "out_ts"), str(tmp_path / "ckpt_ts")
+    _run_cdf_available(spark, path, out, ckpt)
+    got = {
+        (r["id"], r["_change_type"]): r["_commit_timestamp"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["id"], r["_change_type"]): r["_commit_timestamp"]
+        for r in read_delta_cdf(spark, path, -1, ["id"]).collect()
+    }
+    assert got == want and all(v is not None for v in got.values())
+
+
+def test_cdf_reconstruction_byte_cap(registered, tmp_path):
+    """A cdc-less rewrite commit whose touched bytes exceed
+    maxReconstructBytes fails PLANNING with the remedy in the message
+    — not an opaque mid-task OOM."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_cap")
+    write_delta(
+        spark, _df(spark, [(i, float(i), _day("2021-01-01"))
+                           for i in range(100)]).coalesce(1), path
+    )
+    merge_delta(
+        spark, path, _df(spark, [(1, 9.0, _day("2021-01-01"))]), ["id"]
+    )
+    with pytest.raises(Exception, match="maxReconstructBytes|read_delta_cdf"):
+        (
+            spark.readStream.format("delta_feed")
+            .option("path", path)
+            .option("readChangeFeed", "true")
+            .option("keyCols", "id")
+            .option("maxReconstructBytes", "10")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )

@@ -3298,3 +3298,329 @@ class TestInCommitTimestamps:
         assert len(rows) == 1
         got_ms = int(rows[0]["_commit_timestamp"].timestamp() * 1000)
         assert got_ms == icts[1]
+
+
+class TestWriteSideCDF:
+    """Write-side change-data-feed: with delta.enableChangeDataFeed=true
+    every REWRITE commit materializes its row-level changes as
+    ``_change_data`` parquet referenced by ``cdc`` actions; readers
+    answer those commits from the change files alone — no key join, no
+    dependence on the rewritten data files' bytes — and fall back to
+    reconstruction only for pre-enable history. The cdc content is
+    pinned identical to what reconstruction computes on a twin table."""
+
+    @staticmethod
+    def _cdc_commits(path):
+        import os
+
+        out = []
+        log_dir = os.path.join(path, "_delta_log")
+        for name in sorted(os.listdir(log_dir)):
+            if name.endswith(".json") and not name.startswith("_"):
+                if '"cdc"' in open(os.path.join(log_dir, name)).read():
+                    out.append(int(name[:20]))
+        return out
+
+    def _lifecycle(self, spark, base, enable_at_start):
+        """v0 append → (enable) → merge → keyed replaceWhere → keyed
+        restore. With ``enable_at_start`` the enable commit shifts the
+        data-commit versions by one, so comparisons strip versions."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_change_data_feed,
+            restore_delta,
+        )
+
+        path = str(base)
+        write_delta(
+            spark,
+            _df(spark, [(i, float(i), _day("2024-01-01")) for i in range(1, 5)]
+                + [(i, float(i), _day("2024-01-02")) for i in range(5, 9)]),
+            path, partition_col="date",
+        )
+        if enable_at_start:
+            enable_change_data_feed(spark, path)
+        merge_delta(  # update 1-2, insert 9
+            spark, path,
+            _df(spark, [(1, 100.0, _day("2024-01-01")),
+                        (2, 2.0, _day("2024-01-01")),  # no-op value
+                        (9, 9.0, _day("2024-01-03"))]),
+            key_cols=["id"],
+        )
+        v_mid = write_delta(  # keyed replaceWhere of day 1
+            spark, _df(spark, [(1, 111.0, _day("2024-01-01")),
+                               (3, 3.0, _day("2024-01-01"))]),
+            path, partition_col="date", mode="overwrite",
+            replace_partitions=["2024-01-01"], cdf_key_cols=["id"],
+        )
+        restore_delta(spark, path, v_mid - 1, cdf_key_cols=["id"])
+        return path
+
+    @staticmethod
+    def _changes(spark, path, key_cols=None):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        df = read_delta_cdf(spark, path, -1, key_cols)
+        return sorted(
+            (r["id"], r["v"], r["date"], r["_change_type"])
+            for r in df.collect()
+        )
+
+    def test_cdc_pinned_equal_to_reconstruction_twin(self, spark, tmp_path):
+        """Same lifecycle on an enabled and a disabled table: the cdc
+        path (keyless!) must produce exactly the rows reconstruction
+        computes — and the enabled table's rewrite commits all carry
+        cdc actions while the disabled twin's carry none."""
+        p_on = self._lifecycle(spark, tmp_path / "on", True)
+        p_off = self._lifecycle(spark, tmp_path / "off", False)
+        assert len(self._cdc_commits(p_on)) == 3  # merge + replace + restore
+        assert self._cdc_commits(p_off) == []
+        assert self._changes(spark, p_on) == self._changes(
+            spark, p_off, ["id"]
+        )
+
+    def test_cdc_read_does_not_touch_rewritten_files(self, spark, tmp_path):
+        """Delete the data files the rewrite commits removed (what an
+        aged vacuum does): the enabled table still answers the rewrite
+        commits' CDF from its change files; the reconstruction twin
+        raises the retention error over the same window."""
+        import os
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+            read_delta_cdf,
+        )
+
+        p_on = self._lifecycle(spark, tmp_path / "on", True)
+        p_off = self._lifecycle(spark, tmp_path / "off", False)
+        lo_on = self._cdc_commits(p_on)[0] - 1  # window = rewrites only
+        lo_off = lo_on - 1  # twin has no enable commit: versions -1
+
+        def window(p, lo, keys=None):
+            return sorted(
+                (r["id"], r["v"], r["date"], r["_change_type"])
+                for r in read_delta_cdf(spark, p, lo, keys).collect()
+            )
+
+        expected = window(p_on, lo_on)
+        assert expected == window(p_off, lo_off, ["id"])
+        for p in (p_on, p_off):
+            live = set(_replay_log(spark, p, None).adds)
+            for root, _dirs, files in os.walk(p):
+                if "_delta_log" in root or "_change_data" in root:
+                    continue
+                for f in files:
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, p)
+                    if f.endswith(".parquet") and rel not in live:
+                        os.remove(full)
+        assert window(p_on, lo_on) == expected
+        with pytest.raises(Exception, match="vacuum|retention"):
+            window(p_off, lo_off, ["id"])
+
+    def test_keyless_read_requires_cdc(self, spark, tmp_path):
+        p_off = self._lifecycle(spark, tmp_path / "off", False)
+        with pytest.raises(ValueError, match="key_cols|cdc"):
+            self._changes(spark, p_off)
+
+    def test_unkeyed_overwrite_full_images(self, spark, tmp_path):
+        """Without cdf_key_cols an overwrite records the protocol's
+        operation semantics: every removed row a delete, every written
+        row an insert — even for value-identical rows."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_change_data_feed,
+        )
+
+        path = str(tmp_path / "t_unkeyed")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        enable_change_data_feed(spark, path)
+        v = write_delta(
+            spark, _df(spark, [(1, 1.0, _day("2024-01-01")),
+                               (2, 2.0, _day("2024-01-01"))]),
+            path, mode="overwrite",
+        )
+        assert self._cdc_commits(path) == [v]
+        got = self._changes(spark, path)
+        # v0's derived insert, then the overwrite's full images: the
+        # value-identical row 1 is BOTH deleted and re-inserted
+        assert got == [
+            (1, 1.0, _day("2024-01-01"), "delete"),
+            (1, 1.0, _day("2024-01-01"), "insert"),
+            (1, 1.0, _day("2024-01-01"), "insert"),
+            (2, 2.0, _day("2024-01-01"), "insert"),
+        ]
+
+    def test_noop_merge_writes_explicit_empty_cdc(self, spark, tmp_path):
+        """A rewrite that nets to zero changes still commits a cdc
+        action (0-row file) — readers then KNOW nothing changed instead
+        of falling back to a reconstruction join."""
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_change_data_feed,
+        )
+
+        path = str(tmp_path / "t_noop")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        enable_change_data_feed(spark, path)
+        v = merge_delta(
+            spark, path, _df(spark, [(1, 1.0, _day("2024-01-01"))]), ["id"]
+        )
+        assert v in self._cdc_commits(path)
+        # only v0's insert remains — the no-op rewrite emits nothing
+        assert self._changes(spark, path) == [
+            (1, 1.0, _day("2024-01-01"), "insert")
+        ]
+
+    def test_append_commits_carry_no_cdc(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_change_data_feed,
+        )
+
+        path = str(tmp_path / "t_app")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        enable_change_data_feed(spark, path)
+        write_delta(spark, _df(spark, [(2, 2.0, _day("2024-01-01"))]), path)
+        assert self._cdc_commits(path) == []
+        assert self._changes(spark, path) == [
+            (1, 1.0, _day("2024-01-01"), "insert"),
+            (2, 2.0, _day("2024-01-01"), "insert"),
+        ]
+
+    def test_enable_is_idempotent_and_bumps_protocol(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _replay_log,
+            enable_change_data_feed,
+        )
+
+        path = str(tmp_path / "t_proto")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        v1 = enable_change_data_feed(spark, path)
+        assert enable_change_data_feed(spark, path) == v1  # idempotent
+        st = _replay_log(spark, path, None)
+        assert int(st.protocol["minWriterVersion"]) >= 4
+        assert (
+            st.meta["configuration"]["delta.enableChangeDataFeed"] == "true"
+        )
+        # reader version untouched: plain readers keep working
+        assert int(st.protocol["minReaderVersion"]) == 1
+        assert _rows(spark, read_delta(spark, path)) == [
+            (1, 1.0, _day("2024-01-01"))
+        ]
+
+    def test_apply_changes_writes_cdc(self, spark, tmp_path):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            apply_changes_delta,
+            enable_change_data_feed,
+        )
+
+        path = str(tmp_path / "t_apply")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01")),
+                                       (2, 2.0, _day("2024-01-01"))]), path)
+        enable_change_data_feed(spark, path)
+        batch = spark.createDataFrame(
+            [(1, 10.0, _day("2024-01-01"), "update_postimage", 3),
+             (2, 2.0, _day("2024-01-01"), "delete", 3)],
+            "id bigint, v double, date date, _change_type string, "
+            "_commit_version bigint",
+        )
+        v = apply_changes_delta(spark, path, batch, ["id"])
+        assert v in self._cdc_commits(path)
+        assert self._changes(spark, path) == [
+            (1, 1.0, _day("2024-01-01"), "insert"),
+            (1, 1.0, _day("2024-01-01"), "update_preimage"),
+            (1, 10.0, _day("2024-01-01"), "update_postimage"),
+            (2, 2.0, _day("2024-01-01"), "delete"),
+            (2, 2.0, _day("2024-01-01"), "insert"),
+        ]
+
+    def test_checkpoint_and_plain_readers_ignore_cdc(self, spark, tmp_path):
+        """cdc actions never enter checkpoints or the live set: a
+        checkpoint-anchored replay reads the same snapshot, and the
+        change files are invisible to read_delta."""
+        p_on = self._lifecycle(spark, tmp_path / "on", True)
+        st_before = _rows(spark, read_delta(spark, p_on))
+        tip = self._cdc_commits(p_on)[-1]
+        checkpoint_delta(spark, p_on, tip)
+        assert _rows(spark, read_delta(spark, p_on)) == st_before
+        import pyarrow.parquet as pq
+
+        cp = f"{p_on}/_delta_log/{tip:020d}.checkpoint.parquet"
+        names = {n.split(".")[0] for n in pq.read_schema(cp).names}
+        assert "cdc" not in names
+        # and the CDF is still answerable THROUGH the checkpoint
+        assert self._changes(spark, p_on) == self._changes(
+            spark, str(tmp_path / "on")
+        )
+
+    def test_column_mapped_cdc_uses_physical_names(self, spark, tmp_path):
+        """Rename a column on a mapped table, then merge: the change
+        files carry physical names on disk but the CDF presents logical
+        names — same contract as the data path."""
+        import os
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_change_data_feed,
+            enable_column_mapping,
+            rename_column,
+        )
+
+        path = str(tmp_path / "t_map")
+        write_delta(spark, _df(spark, [(1, 1.0, _day("2024-01-01"))]), path)
+        enable_column_mapping(spark, path)
+        enable_change_data_feed(spark, path)
+        rename_column(spark, path, "v", "value")
+        merge_delta(
+            spark, path,
+            spark.createDataFrame(
+                [(1, 5.0, _day("2024-01-01"))],
+                "id bigint, value double, date date",
+            ),
+            ["id"],
+        )
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            read_delta_cdf,
+        )
+
+        got = read_delta_cdf(spark, path, -1)
+        assert set(got.columns) == {
+            "id", "value", "date", "_change_type", "_commit_version",
+            "_commit_timestamp",
+        }
+        rows = sorted(
+            (r["id"], r["value"], r["_change_type"]) for r in got.collect()
+        )
+        assert rows == [
+            (1, 1.0, "insert"),
+            (1, 1.0, "update_preimage"),
+            (1, 5.0, "update_postimage"),
+        ]
+        # on-disk change files use the ORIGINAL physical name for the
+        # renamed column (rename was metadata-only)
+        import pyarrow.parquet as pq
+
+        cdir = os.path.join(path, "_change_data")
+        f = [n for n in os.listdir(cdir) if n.endswith(".parquet")][0]
+        cols = pq.read_schema(os.path.join(cdir, f)).names
+        assert "v" in cols and "value" not in cols
+
+    def test_external_reader_reads_cdc(self, spark, tmp_path):
+        """Conformance: the independent spec-only reader answers the
+        same CDF from the wire format alone (cdc files + derivation
+        rules), and refuses cdc-less rewrites as a foreign reader
+        must."""
+        from portfolio_data_pipelines_spark.operators.delta_reader import (
+            read_delta_changes_external,
+        )
+
+        p_on = self._lifecycle(spark, tmp_path / "on", True)
+        names, rows = read_delta_changes_external(p_on, -1)
+        assert names[-3:] == [
+            "_change_type", "_commit_version", "_commit_timestamp"
+        ]
+        got = sorted(
+            (int(r[0]), float(r[1]), r[2], r[3]) for r in rows
+        )
+        assert got == self._changes(spark, p_on)
+        p_off = self._lifecycle(spark, tmp_path / "off", False)
+        with pytest.raises(ValueError, match="cdc"):
+            read_delta_changes_external(p_off, -1)
