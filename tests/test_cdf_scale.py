@@ -38,3 +38,12 @@ def test_cdf_costs_track_changes_not_table():
     # and the feed's correctness invariants at both scales
     for k in ("1x", "5x"):
         assert d[k]["cdf_rows"] == d["1x"]["cdf_rows"]
+    # write-side cdc vs reconstruction over the same rewrite window:
+    # identical rows, keyless, no slower than the keyed join path
+    # (generous noise bound), and still answerable after the rewritten
+    # files are gone — reconstruction must raise there
+    c = d["cdc_vs_recon"]
+    assert c["cdc_rows"] == c["recon_rows"] > 0
+    assert c["cdc_window_s"] < c["recon_window_s"] * 1.5
+    assert c["cdc_after_cleanup_rows"] == c["cdc_rows"]
+    assert c["recon_after_cleanup"].startswith("raises")

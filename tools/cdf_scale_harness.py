@@ -135,6 +135,72 @@ def measure(spark, base_events, replicas):
     }
 
 
+def measure_cdc_vs_recon(spark, base_events, n_merges=4):
+    """Twin tables through the SAME rewrite-heavy history (one
+    day-merge per day, every row of the day updated): table A reads
+    its change window by keyed reconstruction, table B carries
+    write-side cdc files (enable_change_data_feed before the merges).
+    Measured: warm ``read_delta_cdf`` over the whole merge window on
+    each — B needs no key shuffle and reads only the change files —
+    then the same read after the files the merges tombstoned are
+    DELETED (an aged vacuum): B still answers, A raises the retention
+    error. Rows must match exactly."""
+    import os
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="cdf_cdc_recon_")
+    days = sorted(
+        r["day"] for r in base_events.select("day").distinct().collect()
+    )[:n_merges]
+    paths = {}
+    for name, enable in (("recon", False), ("cdc", True)):
+        p = f"{root}/{name}"
+        build_table(spark, base_events, p, 1)
+        if enable:
+            dl.enable_change_data_feed(spark, p)
+        v0 = dl._replay_log(spark, p, None).version
+        for i, d in enumerate(days):
+            src = base_events.filter(F.col("day") == d).select(
+                "event_id", "day",
+                (F.col("value") * (i + 2)).alias("value"),
+            )
+            merge_delta(spark, p, src, key_cols=["event_id"])
+        paths[name] = (p, v0)
+    out = {}
+    for name, (p, v0) in paths.items():
+        keys = ["event_id"] if name == "recon" else None  # cdc: keyless
+        t0 = time.perf_counter()
+        n = read_delta_cdf(spark, p, from_version=v0, key_cols=keys).count()
+        out[f"{name}_window_s"] = round(time.perf_counter() - t0, 3)
+        out[f"{name}_rows"] = n
+    # aged-vacuum simulation: remove every data file the merge commits
+    # tombstoned (non-live, outside _change_data)
+    for name, (p, _v0) in paths.items():
+        live = set(dl._replay_log(spark, p, None).adds)
+        for walk_root, _dirs, files in os.walk(p):
+            if "_delta_log" in walk_root or "_change_data" in walk_root:
+                continue
+            for f in files:
+                full = os.path.join(walk_root, f)
+                rel = os.path.relpath(full, p)
+                if f.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+    p, v0 = paths["cdc"]
+    t0 = time.perf_counter()
+    out["cdc_after_cleanup_rows"] = read_delta_cdf(
+        spark, p, from_version=v0
+    ).count()
+    out["cdc_after_cleanup_s"] = round(time.perf_counter() - t0, 3)
+    p, v0 = paths["recon"]
+    try:
+        read_delta_cdf(spark, p, from_version=v0, key_cols=["event_id"]).count()
+        out["recon_after_cleanup"] = "UNEXPECTEDLY SUCCEEDED"
+    except Exception:
+        out["recon_after_cleanup"] = "raises (window exceeds retention)"
+    shutil.rmtree(root)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.01")
@@ -161,6 +227,8 @@ def main():
     for n in (1, args.replicas):
         log(f"building + measuring {n}x ...")
         out[f"{n}x"] = measure(spark, base, n)
+    log("measuring write-side cdc vs reconstruction ...")
+    out["cdc_vs_recon"] = measure_cdc_vs_recon(spark, base)
     one, many = out["1x"], out[f"{args.replicas}x"]
     out["growth"] = {
         "table_files": round(many["table_files"] / one["table_files"], 2),
