@@ -358,6 +358,50 @@ def _enforce_constraints(
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
+#: Feature-granular protocol support (reader version 3 / writer 7, the
+#: table-features form). A reader refuses a table iff it uses a feature
+#: outside this set — per spec, never on the bare version number.
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+#: Writer features this implementation knows how to honor; listed on
+#: protocol upgrades to writer version 7 so foreign writers know the
+#: table's active duties. Legacy minWriterVersion equivalents:
+#: 2=invariants+appendOnly, 3=checkConstraints, 4=changeDataFeed+
+#: generatedColumns, 5=columnMapping.
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+}
+
+
+def _upgraded_protocol_for_dv(proto: dict) -> dict:
+    """The protocol action after enabling deletion vectors: reader 3 /
+    writer 7 with explicit feature lists (the spec's table-features
+    form). Features implied by the PREVIOUS legacy versions are carried
+    into the lists, as delta-spark does on upgrade, so no duty is
+    silently dropped."""
+    old_r = int(proto.get("minReaderVersion", 1))
+    old_w = int(proto.get("minWriterVersion", 2))
+    reader = set(proto.get("readerFeatures") or [])
+    writer = set(proto.get("writerFeatures") or [])
+    if old_r >= 2:
+        reader.add("columnMapping")
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if old_w >= v:
+            writer.update(feats)
+    reader.add("deletionVectors")
+    writer.add("deletionVectors")
+    # every reader feature is definitionally also a writer feature
+    writer.update(reader)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader),
+        "writerFeatures": sorted(writer),
+    }
+
 
 def _commit_info(
     operation: str,
@@ -1095,13 +1139,24 @@ def _replay_log(
         for row in spark.read.parquet(*cps).collect():
             d = row.asDict(recursive=True)
             if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
-                protocol = d["protocol"]
+                protocol = {
+                    k: v for k, v in d["protocol"].items() if v is not None
+                }
             if d.get("metaData") and d["metaData"].get("id"):
                 meta = d["metaData"]
             if d.get("add") and d["add"].get("path"):
                 a = d["add"]
                 # log paths are URI-encoded; state is keyed physical
                 a["path"] = _decode_path(a["path"])
+                # the checkpoint's deletionVector struct materializes
+                # (as all-None) for every row; keep it only when real
+                dvd = a.get("deletionVector")
+                if dvd is not None and dvd.get("storageType") is None:
+                    a.pop("deletionVector")
+                elif dvd is not None:
+                    a["deletionVector"] = {
+                        k: v for k, v in dvd.items() if v is not None
+                    }
                 adds[a["path"]] = a
             if d.get("txn") and d["txn"].get("appId"):
                 t = d["txn"]
@@ -1155,18 +1210,35 @@ def _replay_log(
         mode = ((meta or {}).get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        # Reader version 2's feature is COLUMN MAPPING, which this
-        # implementation supports in ``name`` mode (and trivially in
-        # ``none``). Anything beyond — id-mode mapping, reader v3
-        # (deletion vectors, ...) — is refused: reading anyway would
-        # silently produce WRONG rows (e.g. deleted rows resurrected
-        # because the deletion vector went unapplied). The spec requires
-        # readers to refuse, and so does every standard implementation.
-        if rv > 2 or (rv == 2 and mode not in ("none", "name")):
+        # Reader version 2's feature is COLUMN MAPPING, supported here
+        # in ``name`` mode (and trivially ``none``); id-mode is refused.
+        # Reader version 3 switches to FEATURE-GRANULAR negotiation
+        # (the table-features protocol): ``readerFeatures`` lists
+        # exactly what the table uses, and a reader refuses only
+        # genuinely unknown features instead of the whole version —
+        # so a DV'd, column-mapped table reads fine while a table
+        # using, say, v2Checkpoint is still refused loudly. Reading
+        # past an unknown feature would silently produce WRONG rows
+        # (e.g. deleted rows resurrected because a deletion vector
+        # went unapplied); the spec requires the refusal.
+        if rv == 3:
+            feats = set(protocol.get("readerFeatures") or [])
+            unknown = feats - _SUPPORTED_READER_FEATURES
+            if unknown:
+                raise ValueError(
+                    f"table requires reader features {sorted(unknown)} "
+                    "this implementation does not support (supported: "
+                    f"{sorted(_SUPPORTED_READER_FEATURES)}). Refusing "
+                    "to read rather than silently dropping those "
+                    "semantics."
+                )
+        if rv > 3 or (rv == 2 and mode not in ("none", "name")) or (
+            rv == 3 and mode not in ("none", "name")
+        ):
             raise ValueError(
                 f"table requires Delta reader version {rv} "
                 f"(columnMapping.mode={mode!r}); this implementation "
-                "supports versions 1 and 2 with name-mode column "
+                "supports versions 1-3 with name-mode column "
                 "mapping only. Refusing to read rather than silently "
                 "dropping those semantics."
             )
