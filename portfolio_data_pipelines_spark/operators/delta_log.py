@@ -360,8 +360,12 @@ _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 #: Feature-granular protocol support (reader version 3 / writer 7, the
 #: table-features form). A reader refuses a table iff it uses a feature
-#: outside this set — per spec, never on the bare version number.
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+#: outside this set — per spec, never on the bare version number. A
+#: feature belongs here ONLY once the read path actually honors its
+#: semantics: ``deletionVectors`` entered when ``_read_adds`` started
+#: filtering DV'd row positions (claiming it earlier would silently
+#: resurrect deleted rows on any real DV table).
+_SUPPORTED_READER_FEATURES = {"columnMapping"}
 
 #: Writer features this implementation knows how to honor; listed on
 #: protocol upgrades to writer version 7 so foreign writers know the
@@ -1222,7 +1226,20 @@ def _replay_log(
         # (e.g. deleted rows resurrected because a deletion vector
         # went unapplied); the spec requires the refusal.
         if rv == 3:
-            feats = set(protocol.get("readerFeatures") or [])
+            # the spec REQUIRES a v3 protocol to carry readerFeatures;
+            # a log without the list is malformed, and treating it as
+            # "no features used" would read a table whose duties are
+            # simply unknown — refuse, exactly like an unknown feature
+            if "readerFeatures" not in protocol or protocol[
+                "readerFeatures"
+            ] is None:
+                raise ValueError(
+                    "table declares reader version 3 but its protocol "
+                    "action carries no readerFeatures list — the spec "
+                    "requires one; refusing to read a malformed "
+                    "feature-granular protocol."
+                )
+            feats = set(protocol["readerFeatures"])
             unknown = feats - _SUPPORTED_READER_FEATURES
             if unknown:
                 raise ValueError(

@@ -218,29 +218,27 @@ def test_dropped_column_values_are_not_resurrected(spark, tmp_path):
     assert df.columns == names
 
 
-def test_protocol_version_above_1_refused_by_both_readers(spark, tmp_path):
-    """A foreign log demanding reader version 3 (deletion vectors)
-    must be REFUSED by both readers — reading anyway would silently
-    resurrect deleted rows."""
-    import json as _json
+def _foreign_table(spark, tmp_path, name, protocol):
+    """A hand-written single-file foreign table (one row ``(1, "a")``,
+    schema ``id bigint, s string``) under the given protocol action —
+    the fixture for protocol-gate tests."""
+    import shutil
 
-    root = tmp_path / "t_proto"
+    root = tmp_path / name
     root.mkdir()
     spark.createDataFrame([(1, "a")], "id bigint, s string").coalesce(
         1
-    ).write.mode("overwrite").parquet(str(tmp_path / "stage_proto"))
-    import shutil
-
-    part = next((tmp_path / "stage_proto").glob("*.parquet"))
+    ).write.mode("overwrite").parquet(str(tmp_path / f"stage_{name}"))
+    part = next((tmp_path / f"stage_{name}").glob("*.parquet"))
     shutil.copy(part, root / "f.parquet")
     log_dir = root / "_delta_log"
     log_dir.mkdir()
     schema_string = spark.createDataFrame([], "id bigint, s string").schema.json()
     actions = [
-        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        {"protocol": protocol},
         {
             "metaData": {
-                "id": "p3",
+                "id": name,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_string,
                 "partitionColumns": [],
@@ -261,10 +259,45 @@ def test_protocol_version_above_1_refused_by_both_readers(spark, tmp_path):
     (log_dir / f"{0:020d}.json").write_text(
         "\n".join(json.dumps(a) for a in actions)
     )
+    return str(root)
+
+
+def test_protocol_version_above_1_refused_by_both_readers(spark, tmp_path):
+    """A foreign log demanding reader version 3 with NO readerFeatures
+    list is MALFORMED per the spec (v3 protocols must carry the list)
+    and must be REFUSED by both readers — "no list" is not "no
+    features"; reading anyway would execute duties the table never
+    declared."""
+    root = _foreign_table(
+        spark, tmp_path, "t_proto",
+        {"minReaderVersion": 3, "minWriterVersion": 7},
+    )
     with pytest.raises(ValueError, match="reader version"):
-        read_delta(spark, str(root)).collect()
+        read_delta(spark, root).collect()
     with pytest.raises(ValueError, match="reader version"):
-        read_delta_external(str(root))
+        read_delta_external(root)
+
+
+def test_reader_features_granular_gate(spark, tmp_path):
+    """Reader version 3 is FEATURE-granular: a v3 table using only
+    features this engine implements reads fine; one naming a feature
+    it does not is refused by name — never a blanket version refusal,
+    never a silent read past unknown semantics."""
+    ok = _foreign_table(
+        spark, tmp_path, "t_feat_ok",
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["columnMapping"],
+         "writerFeatures": ["columnMapping"]},
+    )
+    assert [r["id"] for r in read_delta(spark, ok).collect()] == [1]
+    bad = _foreign_table(
+        spark, tmp_path, "t_feat_bad",
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["columnMapping", "v2Checkpoint"],
+         "writerFeatures": ["columnMapping", "v2Checkpoint"]},
+    )
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        read_delta(spark, bad).collect()
 
 
 def test_multipart_checkpoint_read_by_both_readers(spark, tmp_path):
