@@ -289,15 +289,18 @@ def inline_descriptor(positions) -> dict:
     }
 
 
-def descriptor_positions(desc: dict, read_rel, table_blob_cache=None) -> np.ndarray:
-    """Resolve a descriptor to its sorted row positions. ``read_rel``
-    maps a relative ('u') or absolute ('p') path to the file's bytes;
+def descriptor_data(desc: dict, read_rel, table_blob_cache=None) -> bytes:
+    """Resolve a descriptor to its RAW bitmap data (magic + portable
+    RoaringBitmapArray) without decoding — the bytes stay small
+    (compressed bitmap, never the exploded positions), so callers can
+    ship them to executors and decode there. ``read_rel`` maps a
+    relative ('u') or absolute ('p') path to the file's bytes;
     ``table_blob_cache`` (dict) avoids re-reading a .bin shared by many
     descriptors of one commit."""
     st = desc["storageType"]
     if st == "i":
-        data = z85_decode(desc["pathOrInlineDv"], int(desc["sizeInBytes"]))
-    elif st in ("u", "p"):
+        return z85_decode(desc["pathOrInlineDv"], int(desc["sizeInBytes"]))
+    if st in ("u", "p"):
         loc = (
             dv_rel_path(desc["pathOrInlineDv"])
             if st == "u"
@@ -309,13 +312,27 @@ def descriptor_positions(desc: dict, read_rel, table_blob_cache=None) -> np.ndar
             blob = read_rel(loc)
             if table_blob_cache is not None:
                 table_blob_cache[loc] = blob
-        data = unframe_dv(blob, int(desc["offset"]), int(desc["sizeInBytes"]))
-    else:
-        raise ValueError(f"unknown DV storageType {st!r}")
+        return unframe_dv(blob, int(desc["offset"]), int(desc["sizeInBytes"]))
+    raise ValueError(f"unknown DV storageType {st!r}")
+
+
+def decode_dv_data(data: bytes, cardinality: int) -> np.ndarray:
+    """Bitmap data → sorted positions, verified against the
+    descriptor's declared cardinality (a corrupt or mismatched bitmap
+    must fail loudly, never silently delete the wrong rows)."""
     out = deserialize_roaring64(data)
-    if len(out) != int(desc["cardinality"]):
+    if len(out) != int(cardinality):
         raise ValueError(
             f"DV cardinality mismatch: descriptor says "
-            f"{desc['cardinality']}, bitmap holds {len(out)}"
+            f"{cardinality}, bitmap holds {len(out)}"
         )
     return out
+
+
+def descriptor_positions(desc: dict, read_rel, table_blob_cache=None) -> np.ndarray:
+    """Resolve a descriptor to its sorted row positions (driver-side
+    convenience: :func:`descriptor_data` + :func:`decode_dv_data`)."""
+    return decode_dv_data(
+        descriptor_data(desc, read_rel, table_blob_cache),
+        int(desc["cardinality"]),
+    )
