@@ -214,6 +214,18 @@ def _read_text(fs, jvm, path_str: str) -> str:
     return "\n".join(lines)
 
 
+def _read_bytes(fs, jvm, path_str: str) -> bytes:
+    """Raw bytes of a (small) file through the Hadoop FS — deletion
+    vector .bin files are kilobytes (compressed roaring bitmaps), never
+    data-sized."""
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
+    try:
+        out = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(out)
+
+
 def _stats_value(v):
     """Footer statistic → the JSON value the Delta ``stats`` document
     carries: numbers as numbers, dates/timestamps as ISO strings,
@@ -364,8 +376,9 @@ _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 #: feature belongs here ONLY once the read path actually honors its
 #: semantics: ``deletionVectors`` entered when ``_read_adds`` started
 #: filtering DV'd row positions (claiming it earlier would silently
-#: resurrect deleted rows on any real DV table).
-_SUPPORTED_READER_FEATURES = {"columnMapping"}
+#: resurrect deleted rows on any real DV table; it entered this set in
+#: the same commit that taught ``_read_adds`` the filter).
+_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
 
 #: Writer features this implementation knows how to honor; listed on
 #: protocol upgrades to writer version 7 so foreign writers know the
@@ -1341,15 +1354,84 @@ def _physical_read_schema(meta: dict):
     return StructType.fromJson({"type": "struct", "fields": fields})
 
 
-def _read_adds(spark, path: str, adds: dict, meta: dict, with_file=False):
+#: Deleted-position sets at or below this total broadcast to the DV
+#: anti-join (a few million longs ≈ tens of MB); above, the join
+#: shuffles both sides like any large join. The total is known from
+#: the descriptors' declared cardinalities WITHOUT decoding a bitmap.
+DV_BROADCAST_MAX_POSITIONS = 4_000_000
+
+
+def _dv_explode_batches(batches):
+    """mapInPandas kernel: (file name, cardinality, raw bitmap bytes)
+    rows → (file name, deleted position) rows. Decode happens HERE, on
+    executors — the driver only ever handles the compressed bitmaps, so
+    a table with billions of DV'd rows never materializes its position
+    list in one place."""
+    import pandas as pd
+
+    from portfolio_data_pipelines_spark.operators.deletion_vectors import (
+        decode_dv_data,
+    )
+
+    for pdf in batches:
+        for fn, card, data in zip(
+            pdf["__dvp_fn"], pdf["__dvp_card"], pdf["__dvp_data"]
+        ):
+            pos = decode_dv_data(bytes(data), int(card))
+            yield pd.DataFrame({"__dvp_fn": fn, "__dvp_pos": pos})
+
+
+def _dv_positions_df(spark, path: str, dv_adds: dict):
+    """The deleted (file name, row position) pairs of the DV'd adds, as
+    a DataFrame — the anti-join side of the read path's DV filter.
+    Driver work is O(descriptors): it resolves each descriptor to its
+    raw bitmap bytes (reading each referenced .bin once via the blob
+    cache); positions explode executor-side. Returns (df, total
+    declared cardinality) so the caller can pick broadcast vs shuffle."""
+    from . import deletion_vectors as dv_codec
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    cache: dict[str, bytes] = {}
+
+    def read_rel(loc: str) -> bytes:
+        target = (
+            loc if "://" in loc or loc.startswith("/") else f"{path}/{loc}"
+        )
+        return _read_bytes(fs, jvm, target)
+
+    rows, total = [], 0
+    for rel in sorted(dv_adds):
+        d = dv_adds[rel]["deletionVector"]
+        data = dv_codec.descriptor_data(d, read_rel, cache)
+        rows.append(
+            (rel.rsplit("/", 1)[-1], int(d["cardinality"]), bytearray(data))
+        )
+        total += int(d["cardinality"])
+    src = spark.createDataFrame(
+        rows, "__dvp_fn string, __dvp_card long, __dvp_data binary"
+    )
+    n_slices = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+    out = src.repartition(n_slices).mapInPandas(
+        _dv_explode_batches, schema="__dvp_fn string, __dvp_pos long"
+    )
+    return out, total
+
+
+def _read_adds(
+    spark, path: str, adds: dict, meta: dict, with_file=False, with_pos=False
+):
     """THE read path for a set of live add entries: resolves column
     mapping (files and partitionValues carry PHYSICAL names on mapped
     tables; callers always see LOGICAL columns), takes the one-call
     hive fast path when the layout allows, falls back to grouped
-    per-partition reads otherwise. Returns the frame in logical
-    schemaString column order (+ ``_file`` provenance when asked), or
-    None for an empty set. Shared by read_delta, MERGE, APPLY CHANGES,
-    OPTIMIZE and the CDF so mapping semantics can never diverge."""
+    per-partition reads otherwise, and APPLIES DELETION VECTORS — adds
+    carrying a ``deletionVector`` descriptor have their deleted row
+    positions anti-joined out (broadcast when small, per the protocol's
+    reader duty). Returns the frame in logical schemaString column
+    order (+ ``_file`` provenance / ``__dv_fn``+``__dv_pos`` physical
+    row identity when asked), or None for an empty set. Shared by
+    read_delta, MERGE, APPLY CHANGES, OPTIMIZE, DELETE and the CDF so
+    mapping and DV semantics can never diverge."""
     if not adds:
         return None
     schema = _spark_schema_from_string(meta["schemaString"])
@@ -1366,23 +1448,66 @@ def _read_adds(spark, path: str, adds: dict, meta: dict, with_file=False):
         for p in read_schema.fields
         if p.name in pcols
     }
+    dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
+    need_pos = with_pos or bool(dv_adds)
+    if dv_adds:
+        # row identity is (file BASENAME, position): basenames are
+        # version+uuid-unique by construction (this writer) and
+        # uuid-unique in delta-spark layouts; verify rather than assume
+        from collections import Counter
+
+        counts = Counter(r.rsplit("/", 1)[-1] for r in adds)
+        clash = sorted(
+            r for r in dv_adds if counts[r.rsplit("/", 1)[-1]] > 1
+        )
+        if clash:
+            raise ValueError(
+                "deletion-vector filtering needs unique data file "
+                f"basenames; duplicated: {clash[:3]}"
+            )
+    pos_cols = {
+        "__dv_fn": lambda: F.element_at(
+            F.split(F.input_file_name(), "/"), -1
+        ),
+        "__dv_pos": lambda: F.col("_metadata.row_index"),
+    }
     df = _fast_hive_read(spark, path, adds, read_schema, pcols)
     if df is not None:
         if with_file:
             df = df.withColumn("_file", F.input_file_name())
+        if need_pos:
+            for name, factory in pos_cols.items():
+                df = df.withColumn(name, factory())
     else:
+        extra: dict = {}
+        if with_file:
+            extra["_file"] = F.input_file_name
+        if need_pos:
+            extra.update(pos_cols)
         df = _read_file_groups(
             spark, path, adds, pcols, ptypes, read_schema,
-            extra_cols={"_file": F.input_file_name} if with_file else None,
+            extra_cols=extra or None,
         )
     if df is None:
         return None
+    if dv_adds:
+        pos_df, total = _dv_positions_df(spark, path, dv_adds)
+        if total <= DV_BROADCAST_MAX_POSITIONS:
+            pos_df = F.broadcast(pos_df)
+        df = df.join(
+            pos_df,
+            (F.col("__dv_fn") == F.col("__dvp_fn"))
+            & (F.col("__dv_pos") == F.col("__dvp_pos")),
+            "left_anti",
+        )
     if l2p is None:
         out_cols = [F.col(f.name) for f in schema.fields]
     else:
         out_cols = [F.col(l2p[f.name]).alias(f.name) for f in schema.fields]
     if with_file:
         out_cols.append(F.col("_file"))
+    if with_pos:
+        out_cols.extend([F.col("__dv_fn"), F.col("__dv_pos")])
     return df.select(*out_cols)
 
 

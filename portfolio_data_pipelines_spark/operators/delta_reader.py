@@ -36,6 +36,145 @@ from urllib.parse import unquote
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 
+#: Reader-version-3 features this reader implements (the feature-
+#: granular protocol): column mapping in name mode, and deletion
+#: vectors via the independent decoder below.
+_READER_FEATURES = {"columnMapping", "deletionVectors"}
+
+
+# --- independent deletion-vector decoding (spec-only, shares no code
+# --- with the engine's codec: a shared decode bug would cancel itself
+# --- out in conformance tests, so this one is written from the
+# --- protocol text with plain-python loops)
+
+_Z85 = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def _z85_decode(s: str, length: int) -> bytes:
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for ch in s[i : i + 5]:
+            v = v * 85 + _Z85.index(ch)
+        out += v.to_bytes(4, "big")
+    return bytes(out[:length])
+
+
+def _roaring64_positions(data: bytes) -> list[int]:
+    """Portable 64-bit RoaringBitmapArray → sorted positions, from the
+    RoaringFormatSpec text: magic, bitmap count, then per 32-bit bitmap
+    a 4-byte key and a serialized 32-bit RoaringBitmap (array, bitmap,
+    or run containers, either cookie)."""
+    if int.from_bytes(data[0:4], "little", signed=True) != 1681511377:
+        raise ValueError("bad deletion-vector magic number")
+    n_maps = int.from_bytes(data[4:12], "little")
+    pos = 12
+    out: list[int] = []
+    for _ in range(n_maps):
+        high = int.from_bytes(data[pos : pos + 4], "little") << 32
+        pos += 4
+        cookie = int.from_bytes(data[pos : pos + 4], "little")
+        run_bits = None
+        if (cookie & 0xFFFF) == 12347:
+            n = (cookie >> 16) + 1
+            pos += 4
+            nbytes = (n + 7) // 8
+            flags = int.from_bytes(data[pos : pos + nbytes], "little")
+            run_bits = [(flags >> i) & 1 for i in range(n)]
+            pos += nbytes
+            has_offsets = n >= 4
+        elif cookie == 12346:
+            n = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            pos += 8
+            has_offsets = True
+        else:
+            raise ValueError(f"unknown roaring cookie {cookie}")
+        heads = []
+        for i in range(n):
+            key = int.from_bytes(data[pos : pos + 2], "little")
+            card = int.from_bytes(data[pos + 2 : pos + 4], "little") + 1
+            heads.append((key, card))
+            pos += 4
+        if has_offsets:
+            pos += 4 * n
+        for i, (key, card) in enumerate(heads):
+            base = high | (key << 16)
+            if run_bits and run_bits[i]:
+                n_runs = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+                for _r in range(n_runs):
+                    start = int.from_bytes(data[pos : pos + 2], "little")
+                    ln = int.from_bytes(data[pos + 2 : pos + 4], "little")
+                    out.extend(base | v for v in range(start, start + ln + 1))
+                    pos += 4
+            elif card > 4096:
+                for w in range(8192):
+                    b = data[pos + w]
+                    if b:
+                        for bit in range(8):
+                            if b & (1 << bit):
+                                out.append(base | (w * 8 + bit))
+                pos += 8192
+            else:
+                for _v in range(card):
+                    out.append(
+                        base | int.from_bytes(data[pos : pos + 2], "little")
+                    )
+                    pos += 2
+    return sorted(out)
+
+
+def _dv_deleted_rows(root: str, desc: dict) -> set[int]:
+    """A deletion-vector descriptor → the set of deleted row indexes of
+    its data file, resolving all three storageTypes from the spec."""
+    import binascii
+    import uuid as _uuid
+
+    st = desc["storageType"]
+    size = int(desc["sizeInBytes"])
+    if st == "i":
+        data = _z85_decode(desc["pathOrInlineDv"], size)
+    else:
+        if st == "u":
+            poi = desc["pathOrInlineDv"]
+            prefix, enc = poi[:-20], poi[-20:]
+            u = _uuid.UUID(bytes=_z85_decode(enc, 16))
+            rel = f"deletion_vector_{u}.bin"
+            if prefix:
+                rel = f"{prefix.rstrip('/')}/{rel}"
+            fpath = os.path.join(root, rel)
+        elif st == "p":
+            fpath = _local(desc["pathOrInlineDv"])
+        else:
+            raise ValueError(f"unknown DV storageType {st!r}")
+        blob = open(fpath, "rb").read()
+        if blob[0] != 1:
+            raise ValueError(f"unsupported DV file version {blob[0]}")
+        off = int(desc["offset"])
+        stored = int.from_bytes(blob[off : off + 4], "big")
+        if stored != size:
+            raise ValueError("DV size mismatch")
+        data = blob[off + 4 : off + 4 + size]
+        crc = int.from_bytes(blob[off + 4 + size : off + 8 + size], "big")
+        if crc != (binascii.crc32(data) & 0xFFFFFFFF):
+            raise ValueError("DV checksum mismatch")
+    positions = _roaring64_positions(data)
+    if len(positions) != int(desc["cardinality"]):
+        raise ValueError("DV cardinality mismatch")
+    return set(positions)
+
+
+def _dv_of(add: dict) -> dict | None:
+    """The add's deletionVector descriptor, if real — a checkpoint read
+    materializes the struct as all-None for DV-less adds."""
+    dvd = add.get("deletionVector")
+    if dvd and dvd.get("storageType"):
+        return dvd
+    return None
+
 
 def _local(path: str) -> str:
     """Strip a file: scheme down to the plain local path."""
@@ -154,9 +293,24 @@ def _replay(path: str, version: int | None):
         raise ValueError("log has no protocol/metaData action")
     rv = int(protocol["minReaderVersion"])
     mode = _config_of(meta).get("delta.columnMapping.mode", "none")
-    # reader v2 = column mapping, supported here in name mode; anything
-    # beyond (id mode, reader v3 deletion vectors) is refused per spec
-    if rv > 2 or (rv == 2 and mode not in ("none", "name")):
+    # reader v2 = column mapping, supported in name mode; reader v3 is
+    # FEATURE-granular: the protocol must carry readerFeatures (a v3
+    # log without the list is malformed per spec), and refusal is by
+    # unknown feature name, never the bare version
+    if rv == 3:
+        feats = protocol.get("readerFeatures")
+        if feats is None:
+            raise ValueError(
+                "malformed protocol: reader version 3 requires a "
+                "readerFeatures list"
+            )
+        unknown = set(feats) - _READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table requires reader features {sorted(unknown)} "
+                "this reader does not support"
+            )
+    if rv > 3 or (rv >= 2 and mode not in ("none", "name")):
         raise ValueError(
             f"table requires reader version {rv} "
             f"(columnMapping.mode={mode!r})"
@@ -227,6 +381,12 @@ def read_delta_external(path: str, version: int | None = None):
         }
         cols_present = set(table.column_names)
         data = table.to_pylist()
+        dvd = _dv_of(a)
+        if dvd is not None:
+            # the reader duty of the deletionVectors feature: a DV'd
+            # row index is logically deleted — drop it BEFORE output
+            dead = _dv_deleted_rows(root, dvd)
+            data = [r for i, r in enumerate(data) if i not in dead]
         for r in data:
             row = []
             for n in names:
@@ -359,10 +519,11 @@ def read_delta_changes_external(
         for f in schema
     }
 
-    def file_rows(rel: str, pvals_raw: dict, in_file_pcols: bool):
+    def file_rows(rel: str, pvals_raw: dict, in_file_pcols: bool, dv=None):
         """Rows of one parquet file in logical column order; partition
         columns come from ``pvals_raw`` (data files) or from the file
-        itself (cdc files, which materialize every column)."""
+        itself (cdc files, which materialize every column). ``dv``
+        drops the file's deleted row indexes first."""
         table = pq.read_table(os.path.join(root, rel))
         present = set(table.column_names)
         pvals = {
@@ -372,7 +533,11 @@ def read_delta_changes_external(
             for c in pcols
             if not in_file_pcols
         }
-        for r in table.to_pylist():
+        data = table.to_pylist()
+        if dv is not None:
+            dead = _dv_deleted_rows(root, dv)
+            data = [r for i, r in enumerate(data) if i not in dead]
+        for r in data:
             row = []
             for n in names:
                 if n in pvals:
@@ -430,12 +595,14 @@ def read_delta_changes_external(
             )
         for a in adds_v:
             for row, _ct in file_rows(
-                a["path"], a.get("partitionValues", {}), in_file_pcols=False
+                a["path"], a.get("partitionValues", {}),
+                in_file_pcols=False, dv=_dv_of(a),
             ):
                 out_rows.append(row + ("insert", v, ts_ms))
         for a in removed_v:
             for row, _ct in file_rows(
-                a["path"], a.get("partitionValues", {}), in_file_pcols=False
+                a["path"], a.get("partitionValues", {}),
+                in_file_pcols=False, dv=_dv_of(a),
             ):
                 out_rows.append(row + ("delete", v, ts_ms))
     return (
