@@ -226,6 +226,14 @@ def _read_bytes(fs, jvm, path_str: str) -> bytes:
     return bytes(out)
 
 
+def _write_small_bytes(fs, jvm, path_str: str, data: bytes) -> None:
+    """Exclusive-create a small binary file (DV .bin blobs) through the
+    Hadoop FS."""
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), False)
+    out.write(bytearray(data))
+    out.close()
+
+
 def _stats_value(v):
     """Footer statistic → the JSON value the Delta ``stats`` document
     carries: numbers as numbers, dates/timestamps as ISO strings,
@@ -1183,9 +1191,15 @@ def _replay_log(
             if d.get("remove") and d["remove"].get("path"):
                 r = d["remove"]
                 r["path"] = _decode_path(r["path"])
+                dvd = r.get("deletionVector")
+                if dvd is not None and dvd.get("storageType") is None:
+                    dvd = None
+                elif dvd is not None:
+                    dvd = {k: v for k, v in dvd.items() if v is not None}
                 removes[r["path"]] = {
                     "deletionTimestamp": int(r.get("deletionTimestamp", 0)),
                     "dataChange": bool(r.get("dataChange", True)),
+                    **({"deletionVector": dvd} if dvd else {}),
                 }
         start = lc["version"] + 1
     for v in range(start, target + 1):
@@ -1212,10 +1226,19 @@ def _replay_log(
             elif "remove" in action:
                 rm = action["remove"]
                 rm["path"] = _decode_path(rm["path"])
-                adds.pop(rm["path"], None)
+                prev = adds.pop(rm["path"], None)
+                # the tombstone keeps the file's LAST deletion-vector
+                # descriptor (explicit on the remove, else synthesized
+                # from the replaced add) — vacuum ages the .bin from
+                # the tombstone's deletionTimestamp, mirroring how data
+                # files themselves age
+                dvd = rm.get("deletionVector") or (
+                    (prev or {}).get("deletionVector")
+                )
                 removes[rm["path"]] = {
                     "deletionTimestamp": int(rm.get("deletionTimestamp", 0)),
                     "dataChange": bool(rm.get("dataChange", True)),
+                    **({"deletionVector": dvd} if dvd else {}),
                 }
             elif "txn" in action:
                 t = action["txn"]
@@ -1275,6 +1298,21 @@ def _replay_log(
     return LogState(target, adds, meta, txns, removes, protocol)
 
 
+def _group_adds(adds: dict, pcols: list) -> list[tuple[tuple, list[str]]]:
+    """Live adds grouped by partitionValues, deterministically ordered —
+    the unit of one scan in :func:`_read_file_groups`, and the group
+    half of DV row identity (file BASENAMES are only guaranteed unique
+    within one partitionValues group: a dynamic-partition write reuses
+    the same part number + job uuid across its partition dirs)."""
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in sorted(adds.items()):
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
+        groups.setdefault(key, []).append(rel)
+    return sorted(
+        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+    )
+
+
 def _read_file_groups(
     spark,
     path: str,
@@ -1283,27 +1321,25 @@ def _read_file_groups(
     ptypes: dict,
     schema,
     extra_cols=None,
+    tag_col: str | None = None,
 ):
     """Read live files grouped by partitionValues (one scan per group,
     mergeSchema within), restore partition columns with their declared
     types, null-fill declared-but-absent columns, and union. Shared by
     read_delta's fallback, merge_delta, and optimize_delta.
     ``extra_cols`` maps extra column names to per-group Column factories
-    (e.g. input_file_name for merge provenance)."""
-    groups: dict[tuple, list[str]] = {}
-    for rel, a in sorted(adds.items()):
-        key = tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        groups.setdefault(key, []).append(rel)
+    (e.g. input_file_name for merge provenance); ``tag_col`` stamps each
+    group's rows with its :func:`_group_adds` index."""
     parts = []
-    for key, rels in sorted(
-        groups.items(), key=lambda kv: tuple(x or "" for x in kv[0])
-    ):
+    for i, (key, rels) in enumerate(_group_adds(adds, pcols)):
         p = spark.read.option("mergeSchema", "true").parquet(
             *[f"{path}/{r}" for r in rels]
         )
         if extra_cols:
             for name, factory in extra_cols.items():
                 p = p.withColumn(name, factory())
+        if tag_col is not None:
+            p = p.withColumn(tag_col, F.lit(i))
         for c, v in zip(pcols, key):
             p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
         parts.append(p)
@@ -1362,11 +1398,11 @@ DV_BROADCAST_MAX_POSITIONS = 4_000_000
 
 
 def _dv_explode_batches(batches):
-    """mapInPandas kernel: (file name, cardinality, raw bitmap bytes)
-    rows → (file name, deleted position) rows. Decode happens HERE, on
-    executors — the driver only ever handles the compressed bitmaps, so
-    a table with billions of DV'd rows never materializes its position
-    list in one place."""
+    """mapInPandas kernel: (group, file name, cardinality, raw bitmap
+    bytes) rows → (group, file name, deleted position) rows. Decode
+    happens HERE, on executors — the driver only ever handles the
+    compressed bitmaps, so a table with billions of DV'd rows never
+    materializes its position list in one place."""
     import pandas as pd
 
     from portfolio_data_pipelines_spark.operators.deletion_vectors import (
@@ -1374,19 +1410,43 @@ def _dv_explode_batches(batches):
     )
 
     for pdf in batches:
-        for fn, card, data in zip(
-            pdf["__dvp_fn"], pdf["__dvp_card"], pdf["__dvp_data"]
+        for grp, fn, card, data in zip(
+            pdf["__dvp_grp"], pdf["__dvp_fn"], pdf["__dvp_card"],
+            pdf["__dvp_data"],
         ):
             pos = decode_dv_data(bytes(data), int(card))
-            yield pd.DataFrame({"__dvp_fn": fn, "__dvp_pos": pos})
+            yield pd.DataFrame(
+                {"__dvp_grp": int(grp), "__dvp_fn": fn, "__dvp_pos": pos}
+            )
 
 
-def _dv_positions_df(spark, path: str, dv_adds: dict):
-    """The deleted (file name, row position) pairs of the DV'd adds, as
-    a DataFrame — the anti-join side of the read path's DV filter.
-    Driver work is O(descriptors): it resolves each descriptor to its
-    raw bitmap bytes (reading each referenced .bin once via the blob
-    cache); positions explode executor-side. Returns (df, total
+def _dv_keymap(adds: dict, pcols: list) -> dict[str, tuple[int, str]]:
+    """rel path → (partition-group index, file basename): the physical
+    row-set identity the DV filter joins on. Basenames must be unique
+    WITHIN a group (they are, for any one write job's dynamic-partition
+    output and for uuid-named foreign files) — verified, not assumed."""
+    keymap: dict[str, tuple[int, str]] = {}
+    for i, (_key, rels) in enumerate(_group_adds(adds, pcols)):
+        seen: set[str] = set()
+        for rel in rels:
+            base = rel.rsplit("/", 1)[-1]
+            if base in seen:
+                raise ValueError(
+                    f"duplicate data file basename {base!r} within one "
+                    "partitionValues group — DV row identity requires "
+                    "per-group-unique basenames"
+                )
+            seen.add(base)
+            keymap[rel] = (i, base)
+    return keymap
+
+
+def _dv_positions_df(spark, path: str, dv_adds: dict, keymap: dict):
+    """The deleted (group, file name, row position) tuples of the DV'd
+    adds, as a DataFrame — the anti-join side of the read path's DV
+    filter. Driver work is O(descriptors): it resolves each descriptor
+    to its raw bitmap bytes (reading each referenced .bin once via the
+    blob cache); positions explode executor-side. Returns (df, total
     declared cardinality) so the caller can pick broadcast vs shuffle."""
     from . import deletion_vectors as dv_codec
 
@@ -1403,16 +1463,17 @@ def _dv_positions_df(spark, path: str, dv_adds: dict):
     for rel in sorted(dv_adds):
         d = dv_adds[rel]["deletionVector"]
         data = dv_codec.descriptor_data(d, read_rel, cache)
-        rows.append(
-            (rel.rsplit("/", 1)[-1], int(d["cardinality"]), bytearray(data))
-        )
+        grp, fn = keymap[rel]
+        rows.append((grp, fn, int(d["cardinality"]), bytearray(data)))
         total += int(d["cardinality"])
     src = spark.createDataFrame(
-        rows, "__dvp_fn string, __dvp_card long, __dvp_data binary"
+        rows,
+        "__dvp_grp int, __dvp_fn string, __dvp_card long, __dvp_data binary",
     )
     n_slices = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
     out = src.repartition(n_slices).mapInPandas(
-        _dv_explode_batches, schema="__dvp_fn string, __dvp_pos long"
+        _dv_explode_batches,
+        schema="__dvp_grp int, __dvp_fn string, __dvp_pos long",
     )
     return out, total
 
@@ -1428,8 +1489,9 @@ def _read_adds(
     carrying a ``deletionVector`` descriptor have their deleted row
     positions anti-joined out (broadcast when small, per the protocol's
     reader duty). Returns the frame in logical schemaString column
-    order (+ ``_file`` provenance / ``__dv_fn``+``__dv_pos`` physical
-    row identity when asked), or None for an empty set. Shared by
+    order (+ ``_file`` provenance / ``__dv_grp``+``__dv_fn``+
+    ``__dv_pos`` physical row identity when asked), or None for an
+    empty set. Shared by
     read_delta, MERGE, APPLY CHANGES, OPTIMIZE, DELETE and the CDF so
     mapping and DV semantics can never diverge."""
     if not adds:
@@ -1450,34 +1512,20 @@ def _read_adds(
     }
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     need_pos = with_pos or bool(dv_adds)
-    if dv_adds:
-        # row identity is (file BASENAME, position): basenames are
-        # version+uuid-unique by construction (this writer) and
-        # uuid-unique in delta-spark layouts; verify rather than assume
-        from collections import Counter
-
-        counts = Counter(r.rsplit("/", 1)[-1] for r in adds)
-        clash = sorted(
-            r for r in dv_adds if counts[r.rsplit("/", 1)[-1]] > 1
-        )
-        if clash:
-            raise ValueError(
-                "deletion-vector filtering needs unique data file "
-                f"basenames; duplicated: {clash[:3]}"
-            )
     pos_cols = {
         "__dv_fn": lambda: F.element_at(
             F.split(F.input_file_name(), "/"), -1
         ),
         "__dv_pos": lambda: F.col("_metadata.row_index"),
     }
-    df = _fast_hive_read(spark, path, adds, read_schema, pcols)
+    df = (
+        None
+        if need_pos  # physical row identity needs the per-group tag
+        else _fast_hive_read(spark, path, adds, read_schema, pcols)
+    )
     if df is not None:
         if with_file:
             df = df.withColumn("_file", F.input_file_name())
-        if need_pos:
-            for name, factory in pos_cols.items():
-                df = df.withColumn(name, factory())
     else:
         extra: dict = {}
         if with_file:
@@ -1487,16 +1535,19 @@ def _read_adds(
         df = _read_file_groups(
             spark, path, adds, pcols, ptypes, read_schema,
             extra_cols=extra or None,
+            tag_col="__dv_grp" if need_pos else None,
         )
     if df is None:
         return None
     if dv_adds:
-        pos_df, total = _dv_positions_df(spark, path, dv_adds)
+        keymap = _dv_keymap(adds, pcols)
+        pos_df, total = _dv_positions_df(spark, path, dv_adds, keymap)
         if total <= DV_BROADCAST_MAX_POSITIONS:
             pos_df = F.broadcast(pos_df)
         df = df.join(
             pos_df,
-            (F.col("__dv_fn") == F.col("__dvp_fn"))
+            (F.col("__dv_grp") == F.col("__dvp_grp"))
+            & (F.col("__dv_fn") == F.col("__dvp_fn"))
             & (F.col("__dv_pos") == F.col("__dvp_pos")),
             "left_anti",
         )
@@ -1507,7 +1558,9 @@ def _read_adds(
     if with_file:
         out_cols.append(F.col("_file"))
     if with_pos:
-        out_cols.extend([F.col("__dv_fn"), F.col("__dv_pos")])
+        out_cols.extend(
+            [F.col("__dv_grp"), F.col("__dv_fn"), F.col("__dv_pos")]
+        )
     return df.select(*out_cols)
 
 
@@ -1730,6 +1783,20 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     }
     if meta is None:
         raise ValueError("cannot checkpoint a log without metaData")
+    # the checkpoint schema must carry EVERY field replay depends on —
+    # a checkpoint that silently dropped deletionVector descriptors
+    # would permanently resurrect deleted rows for any reader anchored
+    # on it, and one that dropped protocol feature lists would emit a
+    # malformed reader-v3 protocol
+    dv_t = StructType(
+        [
+            StructField("storageType", StringType()),
+            StructField("pathOrInlineDv", StringType()),
+            StructField("offset", LongType()),
+            StructField("sizeInBytes", LongType()),
+            StructField("cardinality", LongType()),
+        ]
+    )
     add_t = StructType(
         [
             StructField("path", StringType()),
@@ -1738,6 +1805,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
             StructField("stats", StringType()),
+            StructField("deletionVector", dv_t),
         ]
     )
     meta_t = StructType(
@@ -1764,6 +1832,8 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         [
             StructField("minReaderVersion", LongType()),
             StructField("minWriterVersion", LongType()),
+            StructField("readerFeatures", ArrayType(StringType())),
+            StructField("writerFeatures", ArrayType(StringType())),
         ]
     )
     txn_t = StructType(
@@ -1778,6 +1848,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("path", StringType()),
             StructField("deletionTimestamp", LongType()),
             StructField("dataChange", BooleanType()),
+            StructField("deletionVector", dv_t),
         ]
     )
     schema = StructType(
@@ -1791,11 +1862,30 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
     )
     base = {"protocol": None, "metaData": None, "add": None, "txn": None,
             "remove": None}
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+
+    def _dv_struct(d: dict | None) -> dict | None:
+        if not d:
+            return None
+        return {
+            "storageType": d["storageType"],
+            "pathOrInlineDv": d["pathOrInlineDv"],
+            "offset": int(d["offset"]) if d.get("offset") is not None else None,
+            "sizeInBytes": int(d["sizeInBytes"]),
+            "cardinality": int(d["cardinality"]),
+        }
+
     rows = [
         # carry the TABLE'S protocol, not a constant — a checkpoint
-        # after a column-mapping upgrade must keep reader v2, or a
-        # checkpoint-anchored replay would silently downgrade it
-        {**base, "protocol": st.protocol or _PROTOCOL_ACTION["protocol"]},
+        # after a column-mapping upgrade must keep reader v2 (and a
+        # feature-granular one its feature lists), or a checkpoint-
+        # anchored replay would silently downgrade it
+        {**base, "protocol": {
+            "minReaderVersion": int(proto["minReaderVersion"]),
+            "minWriterVersion": int(proto["minWriterVersion"]),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }},
         {**base, "metaData": meta},
     ]
     for rel in sorted(removes):
@@ -1804,7 +1894,8 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             {**base,
              "remove": {"path": _encode_path(rel),
                         "deletionTimestamp": int(rm["deletionTimestamp"]),
-                        "dataChange": bool(rm["dataChange"])}}
+                        "dataChange": bool(rm["dataChange"]),
+                        "deletionVector": _dv_struct(rm.get("deletionVector"))}}
         )
     for app_id in sorted(txns):
         # the spec keeps the latest txn per appId in checkpoints, so the
@@ -1825,6 +1916,7 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
                  "modificationTime": int(a.get("modificationTime", 0)),
                  "dataChange": bool(a.get("dataChange", True)),
                  "stats": a.get("stats"),
+                 "deletionVector": _dv_struct(a.get("deletionVector")),
              }}
         )
     # the spec's checkpoint is a single FILE named
@@ -1969,6 +2061,15 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     meta["configuration"] = config
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
     proto["minWriterVersion"] = max(int(proto["minWriterVersion"]), 4)
+    if int(proto["minWriterVersion"]) >= 7 or proto.get(
+        "writerFeatures"
+    ) is not None:
+        # table-features protocol: every ACTIVE writer feature must be
+        # listed — the legacy version bump alone would hide the CDF
+        # duty from foreign writers
+        wf = set(proto.get("writerFeatures") or [])
+        wf.add("changeDataFeed")
+        proto["writerFeatures"] = sorted(wf)
     return _commit_metadata_only(
         spark, path,
         [
@@ -2798,6 +2899,168 @@ def delta_stream_sink(
     return sink
 
 
+def delete_where_dv(
+    spark: SparkSession, path: str, predicate: str
+) -> int | None:
+    """DELETE WHERE without copy-on-write — the deletion-vector form:
+    matching rows are marked deleted by writing a roaring bitmap of
+    their row positions per file and re-adding each touched file with a
+    ``deletionVector`` descriptor (remove + add of the SAME path, the
+    spec's in-place update). Data files are never rewritten, so a
+    selective delete on a huge table costs O(matched rows), not
+    O(touched files' bytes) — the reason the feature exists. Files
+    whose every row ends up deleted are simply removed (no descriptor
+    pointing at nothing). Returns the committed version, or None when
+    nothing matched.
+
+    First use upgrades the protocol to the table-features form (reader
+    3 / writer 7) via :func:`_upgraded_protocol_for_dv`, carrying
+    previously-implied legacy features into the explicit lists.
+
+    On a CDF-enabled table the matched rows are also materialized as
+    ``delete`` change rows (cdc files), so the change feed never needs
+    to reconstruct a DV commit.
+
+    Scale bound, stated honestly: matched row POSITIONS are collected
+    to the driver to serialize the bitmaps — O(deleted rows) driver
+    memory, fine for the selective deletes DVs are built for (GDPR
+    erasure, late-data corrections). A delete touching a large fraction
+    of the table should use copy-on-write (``write_delta`` with
+    ``replace_partitions`` / ``merge_delta``) instead, which also keeps
+    files from accumulating unbounded DVs; OPTIMIZE compacts DV-heavy
+    files through the filter and drops their descriptors.
+
+    Per-file ``stats`` are kept as written (physical file counts) —
+    they stay a conservative superset for data skipping, as the spec's
+    ``tightBounds=false`` state denotes."""
+    import numpy as np
+
+    from . import deletion_vectors as dv_codec
+
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    df = _read_adds(spark, path, st.adds, st.meta, with_pos=True)
+    if df is None:
+        return None
+    matched = df.filter(F.expr(predicate))
+    # one pass for positions; the optional cdc staging re-derives the
+    # same deterministic frame
+    per_file = (
+        matched.groupBy("__dv_grp", "__dv_fn")
+        .agg(F.sort_array(F.collect_list("__dv_pos")).alias("pos"))
+        .collect()
+    )
+    if not per_file:
+        return None
+    pcols_log = st.meta.get("partitionColumns", [])
+    l2p_map = _logical_to_physical(st.meta)
+    pv_cols = [l2p_map.get(c, c) for c in pcols_log] if l2p_map else pcols_log
+    by_key = {
+        key: rel for rel, key in _dv_keymap(st.adds, pv_cols).items()
+    }
+    cache: dict[str, bytes] = {}
+
+    def read_rel(loc: str) -> bytes:
+        target = (
+            loc if "://" in loc or loc.startswith("/") else f"{path}/{loc}"
+        )
+        return _read_bytes(fs, jvm, target)
+
+    n_deleted = 0
+    fully_dead: list[str] = []
+    dv_files: list[tuple[str, np.ndarray]] = []  # (rel, combined positions)
+    for row in sorted(per_file, key=lambda r: (r["__dv_grp"], r["__dv_fn"])):
+        rel = by_key[(row["__dv_grp"], row["__dv_fn"])]
+        a = st.adds[rel]
+        n_deleted += len(row["pos"])
+        new_pos = np.asarray(row["pos"], dtype=np.int64)
+        old_desc = a.get("deletionVector")
+        if old_desc:
+            combined = np.union1d(
+                dv_codec.descriptor_positions(old_desc, read_rel, cache),
+                new_pos,
+            )
+        else:
+            combined = new_pos
+        n_records = None
+        if a.get("stats"):
+            n_records = json.loads(a["stats"]).get("numRecords")
+        if n_records is not None and len(combined) >= int(n_records):
+            fully_dead.append(rel)
+        else:
+            dv_files.append((rel, combined))
+    new_version = st.version + 1
+    descriptors: dict[str, dict] = {}
+    if dv_files:
+        # one framed .bin per commit holding every touched file's
+        # bitmap, as delta-spark's DeletionVectorStore lays them out
+        bitmaps = [
+            dv_codec.serialize_roaring64(pos) for _rel, pos in dv_files
+        ]
+        blob, metas = dv_codec.frame_dv_blob(bitmaps)
+        poi, bin_rel = dv_codec.new_dv_file_name()
+        _write_small_bytes(fs, jvm, f"{path}/{bin_rel}", blob)
+        for (rel, pos), (off, size) in zip(dv_files, metas):
+            descriptors[rel] = {
+                "storageType": "u",
+                "pathOrInlineDv": poi,
+                "offset": off,
+                "sizeInBytes": size,
+                "cardinality": int(len(pos)),
+            }
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(st.meta):
+        schema = _spark_schema_from_string(st.meta["schemaString"])
+        cols = [f.name for f in schema.fields]
+        cdc_actions = _stage_cdc_files(
+            spark, fs, jvm, path,
+            matched.select(
+                *cols, F.lit("delete").alias("_change_type")
+            ),
+            new_version,
+            _logical_to_physical(st.meta),
+        )
+    actions: list[dict] = [
+        _commit_info(
+            "DELETE",
+            {"predicate": predicate},
+            metrics={
+                "numDeletedRows": str(n_deleted),
+                "numRemovedFiles": str(len(fully_dead)),
+                "numDeletionVectorsAdded": str(len(dv_files)),
+            },
+        )
+    ]
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    if "deletionVectors" not in (proto.get("readerFeatures") or []):
+        actions.append({"protocol": _upgraded_protocol_for_dv(proto)})
+    actions.extend(cdc_actions)
+    now = _now_ms()
+    for rel in fully_dead + [r for r, _p in dv_files]:
+        rm = {
+            "path": _encode_path(rel),
+            "deletionTimestamp": now,
+            "dataChange": True,
+        }
+        old = st.adds[rel].get("deletionVector")
+        if old:
+            rm["deletionVector"] = old
+        actions.append({"remove": rm})
+    for rel, _pos in dv_files:
+        a = dict(st.adds[rel])
+        a["path"] = _encode_path(rel)
+        a["dataChange"] = True
+        a["deletionVector"] = descriptors[rel]
+        actions.append({"add": a})
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,
@@ -3349,12 +3612,32 @@ def vacuum_delta(
             "vacuum retention exceeds checkpoint tombstone retention "
             "(30 days) — deletion times that old may no longer be recorded"
         )
+    from .deletion_vectors import dv_rel_path
+
     fs, _, jvm = _hadoop_fs(spark, path)
     st_log = _replay_log(spark, path, None)
     live, removes = st_log.adds, st_log.removes
     cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
         retain_hours * 3600 * 1000
     )
+    # DV .bin files are live while ANY live add references them; a
+    # superseded .bin ages from the deletionTimestamp of the tombstones
+    # whose descriptors point at it (replay synthesizes those from the
+    # replaced adds), mirroring how data files age — so time travel
+    # inside the retention window keeps its deletion vectors too
+    live_bins: set[str] = set()
+    for a in live.values():
+        d = a.get("deletionVector")
+        if d and d.get("storageType") == "u":
+            live_bins.add(dv_rel_path(d["pathOrInlineDv"]))
+    tomb_bins: dict[str, int] = {}
+    for rm in removes.values():
+        d = rm.get("deletionVector")
+        if d and d.get("storageType") == "u":
+            r = dv_rel_path(d["pathOrInlineDv"])
+            tomb_bins[r] = max(
+                tomb_bins.get(r, 0), int(rm["deletionTimestamp"])
+            )
     deleted: list[str] = []
 
     def walk(p, rel_prefix):
@@ -3373,6 +3656,15 @@ def vacuum_delta(
                     rm["deletionTimestamp"] if rm is not None
                     else st.getModificationTime()
                 )
+                if age_basis < cutoff:
+                    fs.delete(st.getPath(), False)
+                    deleted.append(rel)
+            elif (
+                name.startswith("deletion_vector_")
+                and name.endswith(".bin")
+                and rel not in live_bins
+            ):
+                age_basis = tomb_bins.get(rel, st.getModificationTime())
                 if age_basis < cutoff:
                     fs.delete(st.getPath(), False)
                     deleted.append(rel)

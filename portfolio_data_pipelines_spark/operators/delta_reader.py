@@ -231,22 +231,34 @@ def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
     return actions
 
 
-def _config_of(meta: dict) -> dict:
-    """metaData.configuration as a dict. A checkpoint read through
-    pyarrow materializes the map column as a LIST of (key, value)
-    pairs (or {'key':…,'value':…} structs) — normalize both spellings
-    so replay logic never cares where the metaData came from."""
-    cfg = meta.get("configuration") or {}
-    if isinstance(cfg, dict):
-        return cfg
+def _as_map(m) -> dict:
+    """A protocol map field as a dict. A checkpoint read through
+    pyarrow materializes map columns as a LIST of (key, value) pairs
+    (or {'key':…,'value':…} structs) — normalize both spellings so
+    replay logic never cares where an action came from."""
+    if not m:
+        return {}
+    if isinstance(m, dict):
+        return m
     out = {}
-    for item in cfg:
+    for item in m:
         if isinstance(item, dict):
             out[item["key"]] = item["value"]
         else:
             k, v = item
             out[k] = v
     return out
+
+
+def _config_of(meta: dict) -> dict:
+    """metaData.configuration as a dict, wherever the metaData came
+    from (JSON commit or pyarrow checkpoint read)."""
+    return _as_map(meta.get("configuration"))
+
+
+def _pvals_of(add: dict) -> dict:
+    """add.partitionValues as a dict (same normalization)."""
+    return _as_map(add.get("partitionValues"))
 
 
 def _replay(path: str, version: int | None):
@@ -375,7 +387,7 @@ def read_delta_external(path: str, version: int | None = None):
         table = pq.read_table(fpath)
         pvals = {
             c: _cast_partition_value(
-                a.get("partitionValues", {}).get(phys[c]), types[c]
+                _pvals_of(a).get(phys[c]), types[c]
             )
             for c in pcols
         }
@@ -595,13 +607,13 @@ def read_delta_changes_external(
             )
         for a in adds_v:
             for row, _ct in file_rows(
-                a["path"], a.get("partitionValues", {}),
+                a["path"], _pvals_of(a),
                 in_file_pcols=False, dv=_dv_of(a),
             ):
                 out_rows.append(row + ("insert", v, ts_ms))
         for a in removed_v:
             for row, _ct in file_rows(
-                a["path"], a.get("partitionValues", {}),
+                a["path"], _pvals_of(a),
                 in_file_pcols=False, dv=_dv_of(a),
             ):
                 out_rows.append(row + ("delete", v, ts_ms))

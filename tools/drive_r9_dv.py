@@ -56,3 +56,33 @@ assert "LeftAnti" in plan, plan[:500]
 print("plan uses", "BroadcastHashJoin LeftAnti" if "BroadcastHashJoin" in plan
       else "shuffle LeftAnti")
 print("OK: 10k-row file, 5k DV'd rows dropped identically by both readers")
+
+# --- writer-side drive: delete_where_dv lifecycle on a fresh table ---
+from pyspark.sql import functions as F
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    write_delta, delete_where_dv, enable_change_data_feed, read_delta_cdf,
+    optimize_delta, vacuum_delta)
+from portfolio_data_pipelines_spark.operators.delta_reader import (
+    read_delta_changes_external)
+
+t = os.path.join(base, "t_writer")
+write_delta(spark, spark.range(1, 1001).select(
+    F.col("id"), (F.col("id") % 10).alias("bucket"), (F.col("id") * 2).alias("val")),
+    t, partition_col="bucket")
+enable_change_data_feed(spark, t)
+v = delete_where_dv(spark, t, "id % 7 = 0")
+live = read_delta(spark, t).count()
+assert live == 1000 - len(range(7, 1001, 7)), live
+names, rows = read_delta_external(t)
+assert len(rows) == live
+ch = read_delta_cdf(spark, t, from_version=v - 1).collect()
+assert len(ch) == 1000 - live and all(r["_change_type"] == "delete" for r in ch)
+names2, rows2 = read_delta_changes_external(t, from_version=v - 1)
+assert len(rows2) == len(ch)
+vopt = optimize_delta(spark, t)
+assert read_delta(spark, t).count() == live
+names3, rows3 = read_delta_external(t)
+assert len(rows3) == live
+vacuum_delta(spark, t, retain_hours=168, now_ms=10**18)
+assert read_delta(spark, t).count() == live
+print("OK writer: dv-delete %d rows, CDF parity, optimize+vacuum clean" % len(ch))
