@@ -88,6 +88,8 @@ from ..operators.delta_reader import (
     _cast_partition_value,
     _commit_time_ms_external,
     _config_of,
+    _dv_deleted_rows,
+    _dv_of,
     _list_commit_versions,
     _local,
     _replay,
@@ -301,7 +303,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         parts.append(_FeedFilePartition(v, root, group))
                         group, group_bytes = [], 0
                     group.append(
-                        (a["path"], a.get("partitionValues", {}))
+                        (a["path"], a.get("partitionValues", {}), _dv_of(a))
                     )
                     group_bytes += size
                 if group:
@@ -327,7 +329,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     live[a["path"]] = a
                     if a.get("dataChange", True):
                         adds_v.append(
-                            (a["path"], a.get("partitionValues", {}))
+                            (a["path"], a.get("partitionValues", {}),
+                             _dv_of(a))
                         )
                         touched_bytes += int(a.get("size", 0))
                 elif "remove" in action:
@@ -335,7 +338,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     prev = live.pop(r["path"], None)
                     if r.get("dataChange", True) and prev is not None:
                         removed_v.append(
-                            (r["path"], prev.get("partitionValues", {}))
+                            (r["path"], prev.get("partitionValues", {}),
+                             _dv_of(prev))
                         )
                         touched_bytes += int(prev.get("size", 0))
                 else:
@@ -396,9 +400,11 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def _file_rows(self, root: str, rel: str, pvals_raw: dict, fields):
+    def _file_rows(self, root: str, rel: str, pvals_raw: dict, fields,
+                   dv=None):
         """One parquet file's rows as tuples in base-schema order, with
-        partition columns restored and pre-evolution columns nulled."""
+        partition columns restored, pre-evolution columns nulled, and
+        DV'd (logically deleted) row indexes dropped."""
         import pyarrow.parquet as pq
 
         types = {f.name: f.dataType.typeName() for f in fields}
@@ -413,7 +419,11 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         }
         table = pq.read_table(os.path.join(root, rel))
         present = set(table.column_names)
-        for row in table.to_pylist():
+        rows = table.to_pylist()
+        if dv is not None:
+            dead = _dv_deleted_rows(root, dv)
+            rows = [r for i, r in enumerate(rows) if i not in dead]
+        for row in rows:
             yield tuple(
                 pvals[f.name]
                 if f.name in pvals
@@ -472,17 +482,17 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
 
         def load(files) -> dict:
             out: dict = {}
-            for rel, pvals in files:
+            for rel, pvals, dv in files:
                 for row in self._file_rows(
-                    partition.root, rel, pvals, base_fields
+                    partition.root, rel, pvals, base_fields, dv
                 ):
                     out[tuple(row[i] for i in key_idx)] = row
             return out
 
         if not partition.removed:
-            for rel, pvals in partition.adds:
+            for rel, pvals, dv in partition.adds:
                 for row in self._file_rows(
-                    partition.root, rel, pvals, base_fields
+                    partition.root, rel, pvals, base_fields, dv
                 ):
                     yield row + ("insert", v, ts)
             return
@@ -581,8 +591,19 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         types = {f.name: f.dataType.typeName() for f in self.schema.fields}
-        for rel, pvals_raw in partition.files:
+        for rel, pvals_raw, dv in partition.files:
             tbl = pq.read_table(os.path.join(partition.root, rel))
+            if dv is not None:
+                # DV'd positions are logically deleted — drop them
+                # before the batch leaves the task (arrow take keeps
+                # the zero-copy path for the survivors)
+                dead = _dv_deleted_rows(partition.root, dv)
+                tbl = tbl.take(
+                    pa.array(
+                        [i for i in range(tbl.num_rows) if i not in dead],
+                        type=pa.int64(),
+                    )
+                )
             n = tbl.num_rows
             present = set(tbl.column_names)
             arrays = []

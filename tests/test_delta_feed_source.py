@@ -766,3 +766,57 @@ def test_cdf_reconstruction_byte_cap(registered, tmp_path):
             .start()
             .awaitTermination(60)
         )
+
+
+def test_plain_feed_respects_deletion_vectors(registered, tmp_path):
+    """A fresh stream over a table whose files carry deletion vectors
+    (delete_where_dv) must NOT emit the deleted rows: plain mode's
+    arrow path drops DV'd positions before the batch leaves the task."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_dv_plain")
+    write_delta(
+        spark,
+        _df(spark, [(i, float(i), _day("2021-01-01")) for i in range(1, 9)])
+        .coalesce(1),
+        path, partition_col="date",
+    )
+    delete_where_dv(spark, path, "id in (2, 5)")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_available(spark, path, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    # commit 0 streamed all 8; commit 1 (the DV re-add, dataChange=true)
+    # re-streams the file's LIVE rows only — never ids 2 or 5
+    v1 = sorted(r["id"] for r in rows if r["_commit_version"] == 1)
+    assert v1 == [1, 3, 4, 6, 7, 8]
+
+
+def test_cdf_feed_reconstructs_dv_delete_without_cdc(registered, tmp_path):
+    """A DV delete on a NON-CDF table is a rewrite commit without cdc
+    actions: reconstruction mode (keyCols) must pair both sides through
+    the DV filter and emit exactly the deleted rows as deletes."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_dv_cdf")
+    write_delta(
+        spark,
+        _df(spark, [(i, float(i), _day("2021-01-01")) for i in range(1, 6)])
+        .coalesce(1),
+        path, partition_col="date",
+    )
+    delete_where_dv(spark, path, "id in (1, 4)")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_cdf_available(spark, path, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    v1 = sorted(
+        (r["_change_type"], r["id"])
+        for r in rows
+        if r["_commit_version"] == 1
+    )
+    assert v1 == [("delete", 1), ("delete", 4)]

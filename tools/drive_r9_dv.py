@@ -86,3 +86,23 @@ assert len(rows3) == live
 vacuum_delta(spark, t, retain_hours=168, now_ms=10**18)
 assert read_delta(spark, t).count() == live
 print("OK writer: dv-delete %d rows, CDF parity, optimize+vacuum clean" % len(ch))
+
+# --- streaming feed drive: plain feed over the DV'd writer table ---
+from portfolio_data_pipelines_spark.sources.delta_feed import DeltaChangeFeedDataSource
+spark.dataSource.register(DeltaChangeFeedDataSource)
+tf = os.path.join(base, "t_feed")
+write_delta(spark, spark.range(1, 101).select(
+    F.col("id"), (F.col("id") % 3).alias("bucket"), (F.col("id") * 2).alias("val")),
+    tf, partition_col="bucket")
+delete_where_dv(spark, tf, "id % 4 = 0")
+out = os.path.join(base, "feed_out"); ckpt = os.path.join(base, "feed_ckpt")
+q = (spark.readStream.format("delta_feed").option("path", tf).load()
+     .writeStream.format("parquet").option("path", out)
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+q.awaitTermination(300)
+feed_rows = spark.read.parquet(out)
+# the DV-delete commit re-streamed only live rows; no id divisible by 7
+# appears at or after that commit
+bad = feed_rows.filter("_commit_version >= 1 and id % 4 = 0").count()
+assert bad == 0, bad
+print("OK feed: plain stream over DV'd table emits no deleted rows")
