@@ -42,6 +42,13 @@ from .medallion import _hadoop_fs, _write_small_file
 #: Parquet checkpoint cadence, mirroring delta-spark's default.
 DELTA_CHECKPOINT_EVERY = 10
 
+#: Checkpoints holding more actions than this are written in the
+#: spec's MULTI-PART form (V.checkpoint.{i}.{n}.parquet + ``parts`` in
+#: _last_checkpoint) so one file never has to carry an unbounded
+#: live-file list. The default keeps each part a few tens of MB at
+#: production stats sizes; tests lower it to exercise the format.
+CHECKPOINT_PART_ACTIONS = 100_000
+
 #: Tombstone records older than this are dropped from checkpoints
 #: (Delta's log-retention default, 30 days); vacuum retention windows
 #: longer than this cannot rely on recorded deletion times.
@@ -1919,28 +1926,57 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
                  "deletionVector": _dv_struct(a.get("deletionVector")),
              }}
         )
-    # the spec's checkpoint is a single FILE named
-    # NNN.checkpoint.parquet — write to a temp dir, then promote the
-    # lone part file to that name
-    cp_path = f"{path}/_delta_log/{target:020d}.checkpoint.parquet"
-    tmp = f"{path}/_delta_log/_cp_tmp_{target:020d}"
-    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    # Below the part threshold the spec's classic single FILE
+    # NNN.checkpoint.parquet is written; above it, the MULTI-PART form
+    # NNN.checkpoint.%010d.%010d.parquet with ``parts`` recorded in
+    # _last_checkpoint — a long-lived table's checkpoint must not be
+    # one file that grows without bound (at 100 TB the live-file list
+    # alone is millions of actions; parts keep each write and each
+    # reader-side scan unit bounded). Both this repo's readers and the
+    # feed consume either form.
+    import math
+
     fs, _, jvm = _hadoop_fs(spark, path)
-    part = next(
-        st.getPath()
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp))
-        if st.getPath().getName().endswith(".parquet")
-    )
-    dst = jvm.org.apache.hadoop.fs.Path(cp_path)
-    fs.delete(dst, False)
-    if not fs.rename(part, dst):
-        raise IOError(f"rename failed for checkpoint {cp_path}")
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+
+    def _promote(tmp_dir: str, dst_name: str) -> None:
+        """Write-to-temp + rename: the lone part file of ``tmp_dir``
+        becomes ``_delta_log/<dst_name>``."""
+        part = next(
+            st.getPath()
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log/{dst_name}")
+        fs.delete(dst, False)
+        if not fs.rename(part, dst):
+            raise IOError(f"rename failed for checkpoint {dst_name}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+
+    n_parts = max(1, math.ceil(len(rows) / CHECKPOINT_PART_ACTIONS))
+    if n_parts == 1:
+        tmp = f"{path}/_delta_log/_cp_tmp_{target:020d}"
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _promote(tmp, f"{target:020d}.checkpoint.parquet")
+        lc = {"version": target, "size": len(rows)}
+    else:
+        per = math.ceil(len(rows) / n_parts)
+        for i in range(n_parts):
+            chunk = rows[i * per : (i + 1) * per]
+            tmp = f"{path}/_delta_log/_cp_tmp_{target:020d}_{i + 1:010d}"
+            spark.createDataFrame(chunk, schema=schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            _promote(
+                tmp,
+                f"{target:020d}.checkpoint."
+                f"{i + 1:010d}.{n_parts:010d}.parquet",
+            )
+        lc = {"version": target, "size": len(rows), "parts": n_parts}
     _write_small_file(
         fs, jvm, f"{path}/_delta_log/_last_checkpoint",
-        json.dumps({"version": target, "size": len(rows)}),
+        json.dumps(lc),
         overwrite=True,
     )
 

@@ -166,6 +166,103 @@ def delta_cdf_merge_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "delta_cdf_writeside",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    )
+    SELECT event_id, day, value,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM base
+    UNION ALL
+    SELECT event_id, day, value, 'update_preimage', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT event_id, day, value + 7.5, 'update_postimage', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT CAST(event_id + 100000000 AS BIGINT), day, value + 1.0,
+           'insert', CAST(2 AS BIGINT)
+    FROM base WHERE day = '{_LO}'
+    UNION ALL
+    SELECT event_id, day, value, 'delete', CAST(3 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND NOT (value >= 50)
+    UNION ALL
+    SELECT event_id, day, value, 'update_preimage', CAST(3 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND value >= 50
+    UNION ALL
+    SELECT event_id, day, value - 3.0, 'update_postimage', CAST(3 AS BIGINT)
+    FROM base WHERE day = '{_HI}' AND value >= 50
+    """,
+)
+def delta_cdf_writeside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-SIDE change-data-feed path under the same full oracle
+    as ``delta_cdf_merge_replace`` — the twin that proves the cdc-file
+    materialization (not just reconstruction) produces hash-identical
+    changes. ``enable_change_data_feed`` lands as commit v1 (no rows),
+    so the merge is v2 and the replaceWhere v3, and BOTH rewrite
+    commits stage ``_change_data`` files at write time. The CDF read
+    passes NO key_cols: a rewrite commit lacking cdc actions would
+    RAISE in reconstruction mode, so a hash-green run certifies every
+    change row was served from the write-side files.
+
+    Scale: the cdc read is O(change files) with no shuffle and survives
+    vacuuming of the rewritten data files — the production CDF shape
+    at 100 TB (measured 2.4× over reconstruction in SCALE.md r8)."""
+    from ..operators.delta_log import (
+        enable_change_data_feed,
+        merge_delta,
+        read_delta_cdf,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_cdf_ws"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    base = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, base, table, partition_col="day")  # v0: inserts
+    enable_change_data_feed(spark, table)  # v1: metadata only
+    day_lo = base.filter(F.col("day") == _LO)
+    merge_src = day_lo.withColumn(
+        "value", F.col("value") + F.lit(7.5)
+    ).unionByName(
+        day_lo.select(
+            (F.col("event_id") + F.lit(100000000)).alias("event_id"),
+            "day",
+            (F.col("value") + F.lit(1.0)).alias("value"),
+        )
+    )
+    merge_delta(spark, table, merge_src, key_cols=["event_id"])  # v2
+    survivors = (
+        base.filter(F.col("day") == _HI)
+        .filter(F.col("value") >= 50)
+        .withColumn("value", F.col("value") - F.lit(3.0))
+    )
+    write_delta(  # v3: replaceWhere, keyed cdc staged at write time
+        spark, survivors, table, partition_col="day",
+        mode="overwrite", replace_partitions=[_HI],
+        cdf_key_cols=["event_id"],
+    )
+    return read_delta_cdf(spark, table, from_version=-1).select(
+        "event_id", "day", "value", "_change_type", "_commit_version"
+    )
+
+
+@extra_query(
     "delta_colmap_renamed_mart",
     oracle=f"""
     WITH base AS (

@@ -441,3 +441,65 @@ def test_check_constraint_configuration_roundtrip(spark, tmp_path):
     assert table_configuration(path) == want
     # and at a pinned old version
     assert table_configuration(path, version=0) == want
+
+
+def test_multipart_checkpoint_written_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """The WRITER emits the multi-part checkpoint form once the action
+    count crosses CHECKPOINT_PART_ACTIONS: spec-named part files, a
+    ``parts`` pointer, and a table readable from the parts + tail alone
+    by both readers — including the deletion-vector descriptors and
+    feature lists the parts must carry."""
+    from portfolio_data_pipelines_spark.operators import delta_log as dl
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+    )
+
+    monkeypatch.setattr(dl, "CHECKPOINT_PART_ACTIONS", 4)
+    path = str(tmp_path / "t_mp_write")
+    # 9 appends + 1 dv delete = 10 commits → auto-checkpoint at v10
+    # with well over 4 actions (protocol, metaData, 10 adds, removes)
+    for i in range(DELTA_CHECKPOINT_EVERY - 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, float(i))], "id bigint, v double"),
+            path,
+        )
+    delete_where_dv(spark, path, "id = 3")
+    write_delta(
+        spark,
+        spark.createDataFrame([(100, 100.0)], "id bigint, v double"),
+        path,
+    )
+    log = tmp_path / "t_mp_write" / "_delta_log"
+    v = DELTA_CHECKPOINT_EVERY
+    lc = json.loads((log / "_last_checkpoint").read_text())
+    assert lc["version"] == v and lc["parts"] >= 2
+    parts = sorted(log.glob(f"{v:020d}.checkpoint.*.parquet"))
+    assert len(parts) == lc["parts"]
+    assert not (log / f"{v:020d}.checkpoint.parquet").exists()
+    for j in range(v):
+        (log / f"{j:020d}.json").unlink()
+    expected = sorted(
+        [(i, float(i)) for i in range(DELTA_CHECKPOINT_EVERY - 1) if i != 3]
+        + [(100, 100.0)]
+    )
+    assert (
+        sorted(tuple(r) for r in read_delta(spark, path).collect())
+        == expected
+    )
+    names, rows = read_delta_external(path)
+    assert sorted(rows) == expected
+    # the NEXT commit + vacuum keep working over the parts
+    write_delta(
+        spark,
+        spark.createDataFrame([(200, 200.0)], "id bigint, v double"),
+        path,
+    )
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        vacuum_delta,
+    )
+
+    vacuum_delta(spark, path, retain_hours=168)
+    assert read_delta(spark, path).count() == len(expected) + 1
