@@ -2129,20 +2129,46 @@ def _net_changes(old_df, new_df, key_cols: list, cols: list):
     diverge (they are pinned equal in tests). One full-outer key join
     — O(touched rows), the only shuffle either path pays."""
     nonkey = [c for c in cols if c not in key_cols]
+    post_keys = {c: f"_nk_{c}" for c in key_cols}
     if nonkey:
         o = old_df.select(*key_cols, F.struct(*nonkey).alias("_pre"))
-        n = new_df.select(*key_cols, F.struct(*nonkey).alias("_post"))
+        n = new_df.select(
+            *[F.col(c).alias(post_keys[c]) for c in key_cols],
+            F.struct(*nonkey).alias("_post"),
+        )
     else:
         o = old_df.select(*key_cols).withColumn("_pre", F.lit(True))
-        n = new_df.select(*key_cols).withColumn("_post", F.lit(True))
-    j = o.join(n, list(key_cols), "full_outer").filter(
-        # carried-over rows (equal images on both sides) are not
-        # changes; dropping them first keeps every surviving row
-        # mapped to a NON-EMPTY change array below
-        ~(
-            F.col("_pre").isNotNull()
-            & F.col("_post").isNotNull()
-            & F.col("_pre").eqNullSafe(F.col("_post"))
+        n = new_df.select(
+            *[F.col(c).alias(post_keys[c]) for c in key_cols]
+        ).withColumn("_post", F.lit(True))
+    # NULL-SAFE key pairing: under plain join semantics a NULL key
+    # never equals itself, so a NULL-keyed row would mispair into a
+    # spurious delete+insert; eqNullSafe keeps it one row of the diff
+    cond = None
+    for c in key_cols:
+        e = F.col(c).eqNullSafe(F.col(post_keys[c]))
+        cond = e if cond is None else (cond & e)
+    j = (
+        o.join(n, cond, "full_outer")
+        .filter(
+            # carried-over rows (equal images on both sides) are not
+            # changes; dropping them first keeps every surviving row
+            # mapped to a NON-EMPTY change array below
+            ~(
+                F.col("_pre").isNotNull()
+                & F.col("_post").isNotNull()
+                & F.col("_pre").eqNullSafe(F.col("_post"))
+            )
+        )
+        .select(
+            # one key column per key — the side that is present (both
+            # NULL only when the key value itself is NULL)
+            *[
+                F.coalesce(F.col(c), F.col(post_keys[c])).alias(c)
+                for c in key_cols
+            ],
+            "_pre",
+            "_post",
         )
     )
     arr = (

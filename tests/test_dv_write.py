@@ -255,3 +255,44 @@ def test_data_skipping_composes_with_dv_filter(spark, tmp_path):
         "id between 1 and 6"
     )
     assert sorted(r["id"] for r in out.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_cdf_null_keyed_rows_pair_null_safely(spark, tmp_path):
+    """ADVICE r8: a row whose key is NULL must pair with itself across
+    a rewrite (eqNullSafe), not explode into a spurious delete+insert.
+    Unchanged NULL-keyed row -> no change rows; value-changed
+    NULL-keyed row -> one update pre/post pair with a NULL key."""
+    path = str(tmp_path / "t_nullkey")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(None, 1.0), (1, 10.0), (2, 20.0)], "id long, v double"
+        ).repartition(1),
+        path,
+    )
+    # rewrite: id=1 updated, NULL-keyed row carried over unchanged
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(None, 1.0), (1, 11.0), (2, 20.0)], "id long, v double"
+        ).repartition(1),
+        path,
+        mode="overwrite",
+    )
+    ch = read_delta_cdf(spark, path, from_version=0, key_cols=["id"]).collect()
+    assert sorted(
+        ((r["id"], r["v"], r["_change_type"]) for r in ch), key=repr
+    ) == [(1, 10.0, "update_preimage"), (1, 11.0, "update_postimage")]
+    # change the NULL-keyed row's value: one update pair, key stays NULL
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(None, 2.0), (1, 11.0), (2, 20.0)], "id long, v double"
+        ).repartition(1),
+        path,
+        mode="overwrite",
+    )
+    ch2 = read_delta_cdf(spark, path, from_version=1, key_cols=["id"]).collect()
+    assert sorted(
+        ((r["id"], r["v"], r["_change_type"]) for r in ch2), key=repr
+    ) == [(None, 1.0, "update_preimage"), (None, 2.0, "update_postimage")]
