@@ -78,6 +78,63 @@ def delta_skip_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "delta_dv_delete_mart",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+      AND NOT (event_id % 3 = 0 AND value < 500)
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY date_utc
+    """,
+)
+def delta_dv_delete_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-without-rewrite under the DuckDB value-hash gate: events
+    land in a Delta table, ``delete_where_dv`` marks a predicate's rows
+    deleted via deletion vectors (the data files are untouched — the
+    commit re-adds the SAME paths with roaring-bitmap descriptors), and
+    the read-back aggregate must hash-match plain SQL filtering the
+    same rows out of the raw parquet. A mis-encoded bitmap, a dropped
+    descriptor, or a mispaired (group, basename, position) identity
+    all break the hash.
+
+    Scale: the delete costs O(matched rows) (bitmap write + one small
+    commit) instead of rewriting every touched file — the GDPR-erasure
+    shape on a 100 TB table; the read pays one broadcast anti-join of
+    the deleted positions (executor-side bitmap decode, driver holds
+    only compressed bytes)."""
+    from ..operators.delta_log import delete_where_dv, read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_dv"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, events, table, partition_col="day")
+    delete_where_dv(spark, table, "event_id % 3 = 0 AND value < 500")
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("day").cast("date").alias("date_utc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+@extra_query(
     "delta_cdf_merge_replace",
     oracle=f"""
     WITH base AS (
