@@ -2006,8 +2006,6 @@ def read_delta_changes(
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
-    pcols = meta.get("partitionColumns", [])
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     new_adds: list[tuple[int, dict]] = []
     for v in range(from_version + 1, tip + 1):
         log_file = f"{path}/{_log_path(v)}"
@@ -2027,26 +2025,20 @@ def read_delta_changes(
 
         empty = StructType(schema.fields + [StructField("_commit_version", LongType())])
         return spark.createDataFrame([], schema=empty)
-    # one read per (commit, partition values) group — O(commits x
-    # touched partitions) scan nodes, not O(files)
-    groups: dict[tuple, list[str]] = {}
+    # one _read_adds per commit — the SHARED read path, so column
+    # mapping resolves and deletion vectors filter here exactly as in
+    # every other read (a DV'd re-add emits its LIVE rows, matching
+    # the streaming feed's plain mode); scan nodes stay O(commits ×
+    # touched partitions), not O(files)
+    by_commit: dict[int, dict] = {}
     for v, a in new_adds:
-        key = (v,) + tuple(a.get("partitionValues", {}).get(c) for c in pcols)
-        groups.setdefault(key, []).append(a["path"])
-    parts = []
-    for key, rels in sorted(
-        groups.items(), key=lambda kv: tuple(str(x) for x in kv[0])
-    ):
-        v, pvals = key[0], key[1:]
-        p = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{path}/{r}" for r in rels]
+        by_commit.setdefault(v, {})[a["path"]] = a
+    parts = [
+        _read_adds(spark, path, by_commit[v], meta).withColumn(
+            "_commit_version", F.lit(v).cast("long")
         )
-        for c, pv in zip(pcols, pvals):
-            p = p.withColumn(c, F.lit(pv).cast(ptypes[c]))
-        for f in schema.fields:
-            if f.name not in p.columns:
-                p = p.withColumn(f.name, F.lit(None).cast(f.dataType))
-        parts.append(p.withColumn("_commit_version", F.lit(v).cast("long")))
+        for v in sorted(by_commit)
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -3274,8 +3266,27 @@ def restore_delta(
     old = _replay_log(spark, path, version)
     if old.meta is None or cur.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
+    def _dv_identity(a: dict):
+        d = a.get("deletionVector")
+        if not d:
+            return None
+        return (
+            d["storageType"], d["pathOrInlineDv"],
+            d.get("offset"), int(d["sizeInBytes"]),
+        )
+
+    # live-set equality is (path, deletionVector): a DV delete keeps
+    # the path but changes the file's live ROWS, so restore must swap
+    # the entry back to the old descriptor state too
     to_remove = sorted(set(cur.adds) - set(old.adds))
     to_readd = sorted(set(old.adds) - set(cur.adds))
+    dv_changed = sorted(
+        rel
+        for rel in set(cur.adds) & set(old.adds)
+        if _dv_identity(cur.adds[rel]) != _dv_identity(old.adds[rel])
+    )
+    to_remove += dv_changed
+    to_readd += dv_changed
     missing = [
         rel
         for rel in to_readd

@@ -296,3 +296,23 @@ def test_cdf_null_keyed_rows_pair_null_safely(spark, tmp_path):
     assert sorted(
         ((r["id"], r["v"], r["_change_type"]) for r in ch2), key=repr
     ) == [(None, 1.0, "update_preimage"), (None, 2.0, "update_postimage")]
+
+
+def test_append_feed_respects_dv_and_restore_resurrects(spark, tmp_path):
+    """read_delta_changes over a DV re-add emits only LIVE rows (the
+    shared read path filters); RESTORE to the pre-delete version brings
+    the rows back through both readers (re-added adds carry no DV)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        read_delta_changes,
+        restore_delta,
+    )
+
+    path = _mk(spark, tmp_path, "t12")
+    delete_where_dv(spark, path, "id in (4, 8)")
+    ch = read_delta_changes(spark, path, from_version=0)
+    got = sorted(r["id"] for r in ch.collect())
+    # the DV commit re-added the touched file(s): their live rows only
+    assert 4 not in got and 8 not in got and got
+    v = restore_delta(spark, path, 0)
+    assert v == 2
+    assert _ids_both(spark, path) == list(range(1, 21))
