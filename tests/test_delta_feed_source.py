@@ -820,3 +820,41 @@ def test_cdf_feed_reconstructs_dv_delete_without_cdc(registered, tmp_path):
         if r["_commit_version"] == 1
     )
     assert v1 == [("delete", 1), ("delete", 4)]
+
+
+def test_cdf_feed_streams_dv_delete_from_cdc_files(registered, tmp_path):
+    """On a CDF-ENABLED table, delete_where_dv stages cdc delete rows;
+    the streaming CDF must serve that commit from the change files
+    (keyless — reconstruction would raise) with _commit_timestamp."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+        enable_change_data_feed,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_dv_cdc_feed")
+    write_delta(
+        spark,
+        _df(spark, [(i, float(i), _day("2021-01-01")) for i in range(1, 7)])
+        .coalesce(1),
+        path, partition_col="date",
+    )
+    enable_change_data_feed(spark, path)
+    delete_where_dv(spark, path, "id in (2, 6)")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", path)
+        .option("readChangeFeed", "true")
+        .load()  # NO keyCols: cdc files must serve the rewrite
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out).collect()
+    dv_commit = [r for r in rows if r["_change_type"] == "delete"]
+    assert sorted(r["id"] for r in dv_commit) == [2, 6]
+    assert all(r["_commit_timestamp"] is not None for r in dv_commit)

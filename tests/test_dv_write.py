@@ -316,3 +316,59 @@ def test_append_feed_respects_dv_and_restore_resurrects(spark, tmp_path):
     v = restore_delta(spark, path, 0)
     assert v == 2
     assert _ids_both(spark, path) == list(range(1, 21))
+
+
+def test_dv_on_column_mapped_table(spark, tmp_path):
+    """delete_where_dv on a NAME-mapped table with a renamed partition
+    column: the predicate speaks logical names, files/partitionValues
+    carry physical names, and the DV identity (group, basename,
+    position) is computed over the PHYSICAL layout. Both readers and
+    time travel stay row-identical."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = _mk(spark, tmp_path, "t13")
+    enable_column_mapping(spark, path)
+    rename_column(spark, path, "grp", "bucket")
+    rename_column(spark, path, "val", "amount")
+    v = delete_where_dv(spark, path, "amount >= 150 and bucket = 'true'")
+    assert v is not None
+    expect = [
+        i for i in range(1, 21) if not (i * 10 >= 150 and i % 2 == 0)
+    ]
+    assert _ids_both(spark, path) == expect
+    # logical rename + DV compose: the renamed column filters post-DV
+    got = sorted(
+        r["id"]
+        for r in read_delta(spark, path)
+        .filter("bucket = 'true'")
+        .collect()
+    )
+    assert got == [i for i in expect if i % 2 == 0]
+    # time travel to pre-delete under the OLD logical schema
+    pre = read_delta(spark, path, version=0)
+    assert sorted(r["id"] for r in pre.collect()) == list(range(1, 21))
+
+
+def test_dv_on_multilevel_partitioned_table(spark, tmp_path):
+    """DV row identity holds on a two-level layout where a dynamic-
+    partition write reuses basenames across leaf dirs."""
+    path = str(tmp_path / "t14")
+    df = spark.range(1, 41).select(
+        F.col("id"),
+        (F.col("id") % 2 == 0).cast("string").alias("region"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") * 10).alias("val"),
+    )
+    write_delta(spark, df, path, partition_col=["region", "day"])
+    v = delete_where_dv(spark, path, "id % 5 = 0")
+    assert v is not None
+    expect = [i for i in range(1, 41) if i % 5]
+    assert _ids_both(spark, path) == expect
+    # second delete in the same leaves unions correctly
+    delete_where_dv(spark, path, "id in (3, 6)")
+    assert _ids_both(spark, path) == [
+        i for i in expect if i not in (3, 6)
+    ]
