@@ -3115,6 +3115,175 @@ def delete_where_dv(
     return new_version
 
 
+def _copy_on_write_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str] | None,
+) -> int | None:
+    """Shared core of copy-on-write DELETE WHERE / UPDATE SET WHERE —
+    delta-spark's algorithm: one discovery scan finds the files holding
+    matching rows (per-file row identity from the shared read path, so
+    deletion vectors and column mapping are already honored), ONLY
+    those files are rewritten (delete: survivors; update: survivors +
+    transformed matches), and one commit tombstones them and adds the
+    rewrites. Untouched files are neither read twice nor rewritten.
+
+    ``assignments`` None ⇒ DELETE; else UPDATE with {column: SQL expr}
+    evaluated per matching row (exprs see the PRE-update row, as SQL
+    UPDATE semantics require) and cast to the declared column type.
+    Updated rows re-validate CHECK constraints — an UPDATE is a write.
+    On CDF tables the change rows are staged directly (delete rows /
+    pre+post image pairs) — no diff pass, the command knows its
+    changes. Returns the committed version, or None when nothing
+    matched.
+
+    Scale: discovery is one predicate-filtered scan of the live set
+    (the same cost delta-spark pays; partition-aligned deletes should
+    prefer ``replace_partitions``, selective ones ``delete_where_dv``
+    which skips the rewrite entirely); the rewrite is O(files holding
+    matches)."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    adds, meta = st.adds, st.meta
+    if meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    schema = _spark_schema_from_string(meta["schemaString"])
+    cols = [f.name for f in schema.fields]
+    types = {f.name: f.dataType for f in schema.fields}
+    l2p = _logical_to_physical(meta)
+    pcols = meta.get("partitionColumns", [])
+    if assignments:
+        unknown = sorted(set(assignments) - set(cols))
+        if unknown:
+            raise ValueError(f"UPDATE assigns unknown columns {unknown}")
+        bad_pcols = sorted(set(assignments) & set(pcols))
+        if bad_pcols:
+            raise ValueError(
+                f"UPDATE cannot assign partition columns {bad_pcols} — "
+                "rows would silently change partitions; use MERGE or "
+                "delete+insert instead"
+            )
+    df = _read_adds(spark, path, adds, meta, with_pos=True)
+    if df is None:
+        return None
+    pred = F.expr(predicate)
+    matched = df.filter(pred)
+    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
+    by_key = {k: rel for rel, k in _dv_keymap(adds, pv_cols).items()}
+    touched = (
+        matched.select("__dv_grp", "__dv_fn").distinct().collect()
+    )
+    if not touched:
+        return None
+    touched_rels = sorted(
+        by_key[(r["__dv_grp"], r["__dv_fn"])] for r in touched
+    )
+    n_matched = matched.count()
+    touched_adds = {rel: adds[rel] for rel in touched_rels}
+    base = _read_adds(spark, path, touched_adds, meta)
+    keep = ~F.coalesce(pred, F.lit(False))
+    survivors = base.filter(keep).select(*cols)
+    cached = False
+    if assignments is None:
+        operation, metric = "DELETE", "numDeletedRows"
+        new_data = survivors
+    else:
+        operation, metric = "UPDATE", "numUpdatedRows"
+        updated = base.filter(~keep).select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        updated, cached = _enforce_constraints(updated, meta)
+        new_data = survivors.unionByName(updated)
+    new_version = st.version + 1
+    try:
+        new_adds = _stage_commit_files(
+            spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
+        )
+        cdc_actions: list[dict] = []
+        if _cdf_enabled(meta):
+            pre = base.filter(~keep).select(*cols)
+            if assignments is None:
+                changes = pre.select(
+                    *cols, F.lit("delete").alias("_change_type")
+                )
+            else:
+                changes = pre.select(
+                    *cols, F.lit("update_preimage").alias("_change_type")
+                ).unionByName(
+                    updated.select(
+                        *cols,
+                        F.lit("update_postimage").alias("_change_type"),
+                    )
+                )
+            cdc_actions = _stage_cdc_files(
+                spark, fs, jvm, path, changes, new_version, l2p
+            )
+    finally:
+        if cached:
+            updated.unpersist()
+    now = _now_ms()
+    actions: list[dict] = [
+        _commit_info(
+            operation,
+            {"predicate": predicate,
+             **({"assignments": assignments} if assignments else {})},
+            metrics={
+                metric: str(n_matched),
+                **_add_metrics(new_adds, len(touched_rels)),
+            },
+        )
+    ]
+    actions.extend(cdc_actions)
+    actions.extend(
+        {
+            "remove": {
+                "path": _encode_path(rel),
+                "deletionTimestamp": now,
+                "dataChange": True,
+                **(
+                    {"deletionVector": adds[rel]["deletionVector"]}
+                    if adds[rel].get("deletionVector")
+                    else {}
+                ),
+            }
+        }
+        for rel in touched_rels
+    )
+    actions.extend(new_adds)
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str) -> int | None:
+    """DELETE FROM ... WHERE — copy-on-write form (files holding
+    matches are rewritten without them). See
+    :func:`_copy_on_write_where`; :func:`delete_where_dv` is the
+    rewrite-free deletion-vector sibling."""
+    return _copy_on_write_where(spark, path, predicate, None)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int | None:
+    """UPDATE ... SET col = expr, ... WHERE — copy-on-write, exprs see
+    the pre-update row. See :func:`_copy_on_write_where`."""
+    if not assignments:
+        raise ValueError("UPDATE requires at least one assignment")
+    return _copy_on_write_where(spark, path, predicate, assignments)
+
+
 def optimize_delta(
     spark: SparkSession,
     path: str,

@@ -135,6 +135,82 @@ def delta_dv_delete_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @extra_query(
+    "delta_update_delete_mart",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    ), updated AS (
+      SELECT event_id, day,
+             CASE WHEN day = '{_LO}' AND value < 100
+                  THEN value * 2 + 1 ELSE value END AS value
+      FROM base
+    )
+    SELECT day,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM updated
+    WHERE NOT (event_id % 4 = 1 AND value >= 900)
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def delta_update_delete_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE then DELETE under the DuckDB value-hash
+    gate: events land in a Delta table, ``update_where`` rewrites one
+    day's low values with an expression over the PRE-update row,
+    ``delete_where`` removes a predicate (evaluated AFTER the update,
+    as the commit order implies), and the read-back aggregate must
+    hash-match plain SQL applying the same transform+filter to the raw
+    parquet. A wrong pre/post evaluation order, a resurrected row from
+    an untouched file, or a survivor lost in a rewrite all break the
+    hash.
+
+    Scale: both commands rewrite only files HOLDING matches (file-
+    granular copy-on-write, delta-spark's cost model); discovery is
+    one predicate-filtered scan of the live set."""
+    from ..operators.delta_log import (
+        delete_where,
+        read_delta,
+        update_where,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_ud"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, events, table, partition_col="day")
+    update_where(
+        spark, table, f"day = '{_LO}' and value < 100",
+        {"value": "value * 2 + 1"},
+    )
+    delete_where(spark, table, "event_id % 4 = 1 and value >= 900")
+    return (
+        read_delta(spark, table)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
+@extra_query(
     "delta_cdf_merge_replace",
     oracle=f"""
     WITH base AS (
