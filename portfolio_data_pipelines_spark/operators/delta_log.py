@@ -3108,6 +3108,13 @@ def delete_where_dv(
         a["path"] = _encode_path(rel)
         a["dataChange"] = True
         a["deletionVector"] = descriptors[rel]
+        if a.get("stats"):
+            # the spec's wide-bounds marker: numRecords stays the
+            # PHYSICAL row count and min/max remain (valid) supersets
+            # once rows are DV'd; skipping stays conservative-correct
+            doc = json.loads(a["stats"])
+            doc["tightBounds"] = False
+            a["stats"] = json.dumps(doc, sort_keys=True)
         actions.append({"add": a})
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
