@@ -1403,6 +1403,12 @@ def _physical_read_schema(meta: dict):
 #: the descriptors' declared cardinalities WITHOUT decoding a bitmap.
 DV_BROADCAST_MAX_POSITIONS = 4_000_000
 
+#: At or below this many total positions the driver decodes the
+#: bitmaps itself (numpy, microseconds) and ships a ready local
+#: relation — no mapInPandas Python-worker round-trip. Above, decode
+#: stays executor-side so the driver never holds the exploded list.
+DV_DRIVER_DECODE_MAX_POSITIONS = 200_000
+
 
 def _dv_explode_batches(batches):
     """mapInPandas kernel: (group, file name, cardinality, raw bitmap
@@ -1427,11 +1433,45 @@ def _dv_explode_batches(batches):
             )
 
 
-def _dv_keymap(adds: dict, pcols: list) -> dict[str, tuple[int, str]]:
-    """rel path → (partition-group index, file basename): the physical
-    row-set identity the DV filter joins on. Basenames must be unique
-    WITHIN a group (they are, for any one write job's dynamic-partition
-    output and for uuid-named foreign files) — verified, not assumed."""
+#: rel paths matching this are byte-identical between the log's decoded
+#: physical path and Spark's ``input_file_name()`` rendering — the
+#: precondition for the fast single-scan DV identity below. Exotic
+#: partition values (spaces, non-ASCII) take the grouped path instead.
+_URI_SAFE_REL = None  # compiled lazily
+
+
+def _dv_identity(adds: dict, pcols: list):
+    """The physical row-set identity plan for DV filtering / per-file
+    position reads. Returns ``(fast, depth, keymap)`` where ``keymap``
+    maps rel path → the ``(__dv_grp, __dv_fn)`` pair the scan will
+    stamp on that file's rows.
+
+    FAST plan (``fast=True``): every live file sits in the writer's
+    hive layout at uniform depth with a URI-safe rel path — identity is
+    the rel path itself, recovered in ONE reader call as the last
+    ``depth`` segments of ``input_file_name()``. This keeps DV'd reads
+    on the same single-scan plan as clean reads.
+
+    GROUPED plan: identity is (partitionValues-group index, basename),
+    stamped per scan group — basenames alone are NOT unique across a
+    dynamic-partition write's partition dirs (same part number + job
+    uuid), but are unique within one group; verified, not assumed."""
+    global _URI_SAFE_REL
+    if _URI_SAFE_REL is None:
+        import re
+
+        _URI_SAFE_REL = re.compile(r"[A-Za-z0-9._=\-/]+")
+
+    def _hive(rel: str) -> bool:
+        segs = rel.split("/")
+        return len(segs) == len(pcols) + 1 and all(
+            s.startswith(f"{c}=") for s, c in zip(segs[:-1], pcols)
+        )
+
+    if all(
+        _hive(rel) and _URI_SAFE_REL.fullmatch(rel) for rel in adds
+    ):
+        return True, len(pcols) + 1, {rel: (0, rel) for rel in adds}
     keymap: dict[str, tuple[int, str]] = {}
     for i, (_key, rels) in enumerate(_group_adds(adds, pcols)):
         seen: set[str] = set()
@@ -1445,7 +1485,7 @@ def _dv_keymap(adds: dict, pcols: list) -> dict[str, tuple[int, str]]:
                 )
             seen.add(base)
             keymap[rel] = (i, base)
-    return keymap
+    return False, 0, keymap
 
 
 def _dv_positions_df(spark, path: str, dv_adds: dict, keymap: dict):
@@ -1473,6 +1513,20 @@ def _dv_positions_df(spark, path: str, dv_adds: dict, keymap: dict):
         grp, fn = keymap[rel]
         rows.append((grp, fn, int(d["cardinality"]), bytearray(data)))
         total += int(d["cardinality"])
+    if total <= DV_DRIVER_DECODE_MAX_POSITIONS:
+        # small DV sets decode on the driver into a local relation —
+        # no Python-worker round-trip, the anti-join side is ready-made
+        pairs = [
+            (grp, fn, int(p))
+            for grp, fn, card, data in rows
+            for p in dv_codec.decode_dv_data(bytes(data), card)
+        ]
+        return (
+            spark.createDataFrame(
+                pairs, "__dvp_grp int, __dvp_fn string, __dvp_pos long"
+            ),
+            total,
+        )
     src = spark.createDataFrame(
         rows,
         "__dvp_grp int, __dvp_fn string, __dvp_card long, __dvp_data binary",
@@ -1519,20 +1573,37 @@ def _read_adds(
     }
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
     need_pos = with_pos or bool(dv_adds)
+    fast_id, depth, keymap = (
+        _dv_identity(adds, pcols) if need_pos else (False, 0, {})
+    )
     pos_cols = {
-        "__dv_fn": lambda: F.element_at(
-            F.split(F.input_file_name(), "/"), -1
+        "__dv_fn": (
+            # FAST identity: the rel path itself, as the last `depth`
+            # segments of the scanned file's path — keeps DV'd reads
+            # on the same ONE-reader-call plan as clean reads
+            (lambda: F.array_join(
+                F.slice(F.split(F.input_file_name(), "/"), -depth, depth),
+                "/",
+            ))
+            if fast_id
+            else (lambda: F.element_at(
+                F.split(F.input_file_name(), "/"), -1
+            ))
         ),
         "__dv_pos": lambda: F.col("_metadata.row_index"),
     }
     df = (
         None
-        if need_pos  # physical row identity needs the per-group tag
+        if need_pos and not fast_id  # grouped identity needs the tag
         else _fast_hive_read(spark, path, adds, read_schema, pcols)
     )
     if df is not None:
         if with_file:
             df = df.withColumn("_file", F.input_file_name())
+        if need_pos:
+            for name, factory in pos_cols.items():
+                df = df.withColumn(name, factory())
+            df = df.withColumn("__dv_grp", F.lit(0))
     else:
         extra: dict = {}
         if with_file:
@@ -1544,10 +1615,13 @@ def _read_adds(
             extra_cols=extra or None,
             tag_col="__dv_grp" if need_pos else None,
         )
+        if df is not None and need_pos and fast_id:
+            # fast identity but non-hive layout fell back (defensive —
+            # _dv_identity mirrors _fast_hive_read's layout check)
+            df = df.withColumn("__dv_grp", F.lit(0))
     if df is None:
         return None
     if dv_adds:
-        keymap = _dv_keymap(adds, pcols)
         pos_df, total = _dv_positions_df(spark, path, dv_adds, keymap)
         if total <= DV_BROADCAST_MAX_POSITIONS:
             pos_df = F.broadcast(pos_df)
@@ -3013,7 +3087,7 @@ def delete_where_dv(
     l2p_map = _logical_to_physical(st.meta)
     pv_cols = [l2p_map.get(c, c) for c in pcols_log] if l2p_map else pcols_log
     by_key = {
-        key: rel for rel, key in _dv_keymap(st.adds, pv_cols).items()
+        key: rel for rel, key in _dv_identity(st.adds, pv_cols)[2].items()
     }
     cache: dict[str, bytes] = {}
 
@@ -3178,7 +3252,7 @@ def _copy_on_write_where(
     pred = F.expr(predicate)
     matched = df.filter(pred)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
-    by_key = {k: rel for rel, k in _dv_keymap(adds, pv_cols).items()}
+    by_key = {k: rel for rel, k in _dv_identity(adds, pv_cols)[2].items()}
     touched = (
         matched.select("__dv_grp", "__dv_fn").distinct().collect()
     )
