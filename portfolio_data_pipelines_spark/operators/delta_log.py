@@ -3485,6 +3485,204 @@ def optimize_delta(
     return new_version
 
 
+def purge_delta(
+    spark: SparkSession,
+    path: str,
+    partitions: list[str] | None = None,
+) -> int | None:
+    """REORG TABLE ... APPLY (PURGE): rewrite exactly the live files
+    that carry a ``deletionVector`` descriptor, materializing their
+    surviving rows into fresh descriptor-free files — the soft deletes
+    become hard. Logical row content is unchanged, so the commit is
+    ``dataChange=false`` (the change feed skips it, as it skips
+    OPTIMIZE) and time travel to pre-purge versions keeps filtering
+    through the old DVs, which stay on disk until their tombstones age
+    out. After a full-table purge no live add references a DV — the
+    precondition :func:`drop_table_feature` checks before downgrading
+    the protocol — and a later :func:`vacuum_delta` reclaims both the
+    superseded data files and their now-unreferenced ``.bin`` bitmaps.
+
+    ``partitions`` scopes the pass exactly as in :func:`optimize_delta`
+    (scalars, prefix tuples, or ``{col: value}`` dicts). Returns the
+    committed version, or None when nothing in scope carries a DV.
+
+    Scale shape: cost is O(bytes of DV'd files only) — untouched files
+    are never read or rewritten, so purging a table where deletes hit
+    a few partitions rewrites just those, unlike a copy-on-write
+    DELETE which would have paid this cost up front on every delete.
+
+    delta-spark parity: ``REORG TABLE ... APPLY (PURGE)`` (a thin
+    OPTIMIZE variant there too). The reference (215-line Polars/dbt
+    core) has no lakehouse layer; this completes the DV lifecycle of
+    the round-7+ Delta family."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    pcols = st.meta.get("partitionColumns", [])
+    if partitions is not None and not pcols:
+        raise ValueError(
+            "partitions scope given but the table is unpartitioned"
+        )
+    l2p = _logical_to_physical(st.meta)
+    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
+    scope = (
+        _partition_scope_matcher(partitions, pcols)
+        if partitions is not None
+        else None
+    )
+    doomed: dict[str, dict] = {}
+    for rel, a in sorted(st.adds.items()):
+        if not a.get("deletionVector"):
+            continue
+        key = tuple(a.get("partitionValues", {}).get(c) for c in pv_cols)
+        if scope is not None and not scope(key):
+            continue
+        doomed[rel] = a
+    if not doomed:
+        return None
+    purged = _read_adds(spark, path, doomed, st.meta)
+    # ~one output file per purged partition cell (mirrors OPTIMIZE);
+    # the groupBy-free repartition keeps this a single shuffle
+    n_groups = len(
+        {
+            tuple(a.get("partitionValues", {}).get(c) for c in pv_cols)
+            for a in doomed.values()
+        }
+    )
+    purged = (
+        purged.repartition(n_groups, *pcols) if pcols else purged.coalesce(1)
+    )
+    new_version = st.version + 1
+    adds = _stage_commit_files(
+        spark, fs, jvm, path, purged, pcols, new_version,
+        data_change=False, l2p=l2p,
+    )
+    now = _now_ms()
+    actions: list[dict] = [
+        _commit_info(
+            "REORG",
+            {
+                "applyPurge": True,
+                **({"predicate": partitions} if partitions is not None else {}),
+            },
+            metrics={
+                **_add_metrics(adds, len(doomed)),
+                "numDeletionVectorsRemoved": str(len(doomed)),
+            },
+        )
+    ]
+    for rel in sorted(doomed):
+        # the remove carries the superseded descriptor (as the spec's
+        # in-place-update convention requires) so vacuum can age the
+        # .bin from this tombstone without log archaeology
+        actions.append(
+            {
+                "remove": {
+                    "path": _encode_path(rel),
+                    "deletionTimestamp": now,
+                    "dataChange": False,
+                    "deletionVector": doomed[rel]["deletionVector"],
+                }
+            }
+        )
+    actions.extend(adds)
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+#: Features :func:`drop_table_feature` knows how to verify as unused
+#: before removing them from the protocol. Growing this set requires a
+#: matching live-state check below.
+_DROPPABLE_FEATURES = {"deletionVectors"}
+
+
+def _downgraded_protocol(proto: dict, feature: str) -> dict:
+    """The protocol action after dropping ``feature``: the feature
+    leaves both lists, and when every remaining feature maps onto the
+    legacy version ladder the protocol collapses back to the plain
+    ``(minReaderVersion, minWriterVersion)`` form — mirroring
+    delta-spark's downgrade, so a table that briefly used DVs does not
+    carry the table-features protocol forever."""
+    reader = set(proto.get("readerFeatures") or []) - {feature}
+    writer = set(proto.get("writerFeatures") or []) - {feature}
+    legacy_of = {
+        f: v for v, feats in _LEGACY_WRITER_FEATURES.items() for f in feats
+    }
+    if reader <= {"columnMapping"} and writer <= set(legacy_of):
+        return {
+            "minReaderVersion": 2 if "columnMapping" in reader else 1,
+            "minWriterVersion": max(
+                [2] + [legacy_of[f] for f in writer]
+            ),
+        }
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader),
+        "writerFeatures": sorted(writer),
+    }
+
+
+def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
+    """ALTER TABLE ... DROP FEATURE: remove a table feature from the
+    protocol once the LIVE state provably no longer uses it, emitting
+    one metadata-only commit with the downgraded protocol action.
+    Refuses (before writing anything) while any live add still carries
+    a ``deletionVector`` descriptor — run :func:`purge_delta` first.
+    Returns the committed version.
+
+    Spec honesty: delta-spark's full flow is two-phase (drop, then a
+    24-hour wait or ``TRUNCATE HISTORY``) because HISTORICAL commits
+    still contain DV actions that a pre-features reader could misread
+    when time traveling. This writer collapses that to one commit:
+    reads at HEAD are safe for any reader (the live set is
+    descriptor-free, and unknown fields on old removes are ignored per
+    spec), while time travel INTO the DV'd history re-resolves the
+    protocol as of that version — reader-version-3 — and so stays
+    gated on actual DV support in both this engine and the external
+    reader."""
+    _warn_if_commit_unsafe(path)
+    if feature not in _DROPPABLE_FEATURES:
+        raise ValueError(
+            f"feature {feature!r} is not droppable by this writer "
+            f"(droppable: {sorted(_DROPPABLE_FEATURES)})"
+        )
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    if feature not in (proto.get("readerFeatures") or []) and feature not in (
+        proto.get("writerFeatures") or []
+    ):
+        raise ValueError(
+            f"table at {path} does not list feature {feature!r} in its "
+            "protocol — nothing to drop"
+        )
+    live_dv = sorted(
+        rel for rel, a in st.adds.items() if a.get("deletionVector")
+    )
+    if live_dv:
+        raise ValueError(
+            f"cannot drop {feature!r}: {len(live_dv)} live file(s) still "
+            f"carry deletion vectors (e.g. {live_dv[0]}) — run "
+            "purge_delta(...) first"
+        )
+    new_version = st.version + 1
+    actions = [
+        _commit_info("DROP FEATURE", {"feature": feature}),
+        {"protocol": _downgraded_protocol(proto, feature)},
+    ]
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
 def restore_delta(
     spark: SparkSession,
     path: str,
