@@ -245,6 +245,49 @@ def _steal_pct(before: dict, after: dict):
     return round(100.0 * (after["steal"] - before["steal"]) / dt, 3)
 
 
+def _probe_spin(n: int) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc = (acc * 1103515245 + 12345 + i) & 0x7FFFFFFF
+    return time.perf_counter() - t0
+
+
+def _cpu_efficiency() -> float | None:
+    """Fraction of the advertised cores this host actually delivers
+    under full width, measured by a fixed pure-CPU task run once
+    serially and then on every core at once (serial_time * ncpu /
+    sum(parallel_times)). ~1.0 on a dedicated box; this host has been
+    observed at ~0.78 with nonzero steal, which uniformly inflates
+    every wall-clock below by ~1/efficiency on UNCHANGED code — so the
+    number rides along in the load report to separate host throttling
+    from real regressions (methodology: tools/host_probe.py)."""
+    try:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")  # fork: no function pickling
+        n = 6_000_000
+        _probe_spin(n // 10)
+        serial = min(_probe_spin(n) for _ in range(2))
+        ncpu = os.cpu_count() or 1
+        times = ctx.Array("d", ncpu)
+
+        def worker(i: int) -> None:
+            times[i] = _probe_spin(n)
+
+        procs = [ctx.Process(target=worker, args=(i,)) for i in range(ncpu)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=120)
+        per_task = [t for t in times if t > 0]
+        if len(per_task) < ncpu:
+            return None
+        return round(serial * ncpu / sum(per_task), 3)
+    except Exception:
+        return None
+
+
 def main() -> None:
     # Python DataSource tasks (delta_feed) run in executor-side Python
     # workers that must import this package — set PYTHONPATH before the
@@ -314,6 +357,7 @@ def main() -> None:
     load_report = {
         "loadavg1_start": load_start.get("loadavg1"),
         "loadavg1_end": load_end.get("loadavg1"),
+        "cpu_efficiency": _cpu_efficiency(),
         "steal_pct_overall": _steal_pct(load_start, load_end),
         "steal_pct_lakehouse": _steal_pct(lk0, lk1),
         "families_steal_pct": {
@@ -373,6 +417,7 @@ def main() -> None:
                 "lakehouse_read_amp": lake_meta,
                 "load": {
                     "steal_pct": load_report["steal_pct_overall"],
+                    "cpu_efficiency": load_report["cpu_efficiency"],
                     "loadavg1": [
                         load_report["loadavg1_start"],
                         load_report["loadavg1_end"],
