@@ -321,23 +321,103 @@ def _schema_string(df: DataFrame) -> str:
 
 
 def _metadata_action(
-    df: DataFrame, partition_cols: list[str], constraints: dict | None = None
+    df: DataFrame,
+    partition_cols: list[str],
+    constraints: dict | None = None,
+    generated_cols: dict | None = None,
 ) -> dict:
     config = {}
     for name, expr in (constraints or {}).items():
         # Delta's CHECK-constraint convention: expressions live in the
         # table configuration under delta.constraints.<name>
         config[f"delta.constraints.{name}"] = expr
+    schema_str = _schema_string(df)
+    if generated_cols:
+        # the spec's generated-column convention: the SQL expression
+        # lives in the field's metadata under delta.generationExpression
+        doc = json.loads(schema_str)
+        by_name = {f["name"]: f for f in doc.get("fields", [])}
+        unknown = sorted(set(generated_cols) - set(by_name))
+        if unknown:
+            raise ValueError(
+                f"generated column(s) {unknown} not present in the "
+                "written frame's schema"
+            )
+        for name, expr in generated_cols.items():
+            md = dict(by_name[name].get("metadata") or {})
+            md["delta.generationExpression"] = expr
+            by_name[name]["metadata"] = md
+        schema_str = json.dumps(doc)
     return {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": _schema_string(df),
+            "schemaString": schema_str,
             "partitionColumns": partition_cols,
             "configuration": config,
             "createdTime": _now_ms(),
         }
     }
+
+
+def _generated_exprs(meta: dict | None) -> dict[str, str]:
+    """{column: SQL generation expression} from the schemaString's
+    field metadata (``delta.generationExpression``) — the spec's
+    generated-column form, empty for tables without any."""
+    if not meta:
+        return {}
+    doc = json.loads(meta["schemaString"])
+    return {
+        f["name"]: f["metadata"]["delta.generationExpression"]
+        for f in doc.get("fields", [])
+        if isinstance(f.get("metadata"), dict)
+        and "delta.generationExpression" in f["metadata"]
+    }
+
+
+def _apply_generated_columns(
+    df: DataFrame, meta: dict | None
+) -> tuple[DataFrame, bool]:
+    """The writer duty for generated columns (spec: legacy writer
+    version 4 / ``generatedColumns``): a column ABSENT from the batch
+    is computed from its generation expression (cast to the declared
+    type); a column the writer PROVIDED must match the expression
+    null-safely or the commit is rejected before staging — delta-spark
+    semantics for both sides. Cost mirrors CHECK constraints: compute
+    is free column expressions; the match check is one filter over the
+    BATCH, never the table. Returns ``(frame, did_cache)`` with the
+    same explicit-cache contract as :func:`_enforce_constraints`."""
+    gens = _generated_exprs(meta)
+    if not gens:
+        return df, False
+    schema = _spark_schema_from_string(meta["schemaString"])
+    types = {f.name: f.dataType for f in schema.fields}
+    provided: dict[str, str] = {}
+    for c, e in sorted(gens.items()):
+        if c in df.columns:
+            provided[c] = e
+        else:
+            df = df.withColumn(c, F.expr(e).cast(types[c]))
+    # stage in declared column order (generation appends at the end)
+    order = [f.name for f in schema.fields if f.name in df.columns]
+    rest = [c for c in df.columns if c not in set(order)]
+    df = df.select(*order, *rest)
+    if not provided:
+        return df, False
+    violated = None
+    for c, e in sorted(provided.items()):
+        bad = ~F.col(c).eqNullSafe(F.expr(e).cast(types[c]))
+        violated = bad if violated is None else (violated | bad)
+    df = df.cache()
+    n_bad = df.filter(violated).count()
+    if n_bad:
+        df.unpersist()
+        raise ValueError(
+            f"commit violates generated-column expression(s) on {n_bad} "
+            "row(s): "
+            + "; ".join(f"{c} = {e}" for c, e in sorted(provided.items()))
+        )
+    return df, True
 
 
 def _enforce_constraints(
@@ -764,9 +844,25 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
     if l2p is None:
         if _schema_string(df) == prev_meta["schemaString"]:
             return None
+        prev_shape = [(f["name"], f["type"]) for f in prev_fields]
+        if prev_shape == [(f["name"], f["type"]) for f in new_json]:
+            # same columns, frame just lacks the stored field METADATA
+            # (generation expressions etc.) — not an evolution
+            return None
         _validate_additive(prev_fields, new_json)
+        # carry surviving fields' metadata (delta.generationExpression
+        # and friends live there — a frame-derived schema has none)
+        prev_md = {
+            f["name"]: f["metadata"]
+            for f in prev_fields
+            if f.get("metadata")
+        }
+        doc = json.loads(_schema_string(df))
+        for f in doc["fields"]:
+            if f["name"] in prev_md:
+                f["metadata"] = prev_md[f["name"]]
         evolved = dict(prev_meta)
-        evolved["schemaString"] = _schema_string(df)
+        evolved["schemaString"] = json.dumps(doc)
         return evolved
     prev_shape = [(f["name"], f["type"]) for f in prev_fields]
     new_shape = [(f["name"], f["type"]) for f in new_json]
@@ -861,8 +957,26 @@ def write_delta(
     replace_partitions: list[str] | None = None,
     constraints: dict[str, str] | None = None,
     cdf_key_cols: list[str] | None = None,
+    generated_cols: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``generated_cols`` ({column: sql_expr}, table-creation commit only)
+    declares Delta GENERATED ALWAYS AS columns: the expression is
+    recorded in the field's ``delta.generationExpression`` metadata and
+    the protocol carries writer version 4 (the spec's legacy level for
+    the feature). Every subsequent commit — appends, overwrites, MERGE
+    sources, UPDATE rewrites, stream-sink batches — COMPUTES the column
+    when the batch omits it and REJECTS the batch when a provided value
+    disagrees with the expression (null-safe), so the column can never
+    drift from its definition. Partitioning on a generated column is
+    the canonical use: ``{"day": "CAST(ts AS DATE)"}`` + ``partition_col
+    ="day"`` gives hive-grain layout while readers keep querying ``ts``
+    — :func:`read_delta` derives partition bounds from ``ts``
+    predicates through the expression (see
+    :func:`_derived_partition_bounds`), which at 100 TB turns a
+    timestamp-range query from a full file listing into the few
+    partitions it touches.
 
     ``partition_col`` may be one column name or a LIST of names
     (multi-level Hive layout, e.g. ``["region", "day"]`` →
@@ -933,6 +1047,7 @@ def write_delta(
     if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
         # this (appId, version) already committed — exactly-once replay
         return versions[-1]
+    creation_meta: dict | None = None
     if prev_meta is not None:
         expected = prev_meta.get("partitionColumns", [])
         if expected != pcols:
@@ -947,20 +1062,45 @@ def write_delta(
                 "— this table already exists; use add_check_constraint "
                 "(which validates existing rows first, as Delta does)"
             )
+        if generated_cols:
+            raise ValueError(
+                "generated_cols are declared at table creation (version "
+                "0) — this table already exists"
+            )
+        df, gen_cached = _apply_generated_columns(df, prev_meta)
         staged, staged_cached = _enforce_constraints(df, prev_meta)
-    elif constraints:
-        # enforce BEFORE staging so a rejected creation leaves nothing
-        staged, staged_cached = _enforce_constraints(
-            df,
-            {
-                "configuration": {
-                    f"delta.constraints.{n}": e
-                    for n, e in constraints.items()
-                }
-            },
-        )
+        staged_cached = staged_cached or gen_cached
     else:
-        staged, staged_cached = df, False
+        if generated_cols:
+            # compute absent generated columns BEFORE deriving the
+            # schema, then validate any the caller provided through the
+            # shared duty (creation batches follow the same contract
+            # every later commit will)
+            for c in sorted(generated_cols):
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(generated_cols[c]))
+            creation_meta = _metadata_action(
+                df, pcols, constraints, generated_cols
+            )
+            df, gen_cached = _apply_generated_columns(
+                df, creation_meta["metaData"]
+            )
+        else:
+            gen_cached = False
+        if constraints:
+            # enforce BEFORE staging so a rejected creation leaves nothing
+            staged, staged_cached = _enforce_constraints(
+                df,
+                {
+                    "configuration": {
+                        f"delta.constraints.{n}": e
+                        for n, e in constraints.items()
+                    }
+                },
+            )
+            staged_cached = staged_cached or gen_cached
+        else:
+            staged, staged_cached = df, gen_cached
 
     # An evolving commit's files must be written under the EVOLVED
     # mapping (new columns get their col-<uuid> physical names), so the
@@ -1052,8 +1192,18 @@ def write_delta(
     ]
     actions.extend(cdc_actions)
     if new_version == 0:
-        actions.append(_PROTOCOL_ACTION)
-        actions.append(_metadata_action(df, pcols, constraints))
+        if generated_cols:
+            # legacy writer 4: the spec's level for generated columns
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+        else:
+            actions.append(_PROTOCOL_ACTION)
+        actions.append(
+            creation_meta
+            if creation_meta is not None
+            else _metadata_action(df, pcols, constraints)
+        )
     elif evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
     if txn is not None:
@@ -1684,6 +1834,77 @@ def _skip_lt(a, b):
         return None
 
 
+#: Generation-expression shapes :func:`_derived_partition_bounds` can
+#: invert into partition bounds. Each entry: (unit, compiled regex with
+#: the base column as group 1).
+_GEN_PRUNE_SHAPES: list | None = None
+
+
+def _derived_partition_bounds(
+    meta: dict, predicate: dict, pcols: list
+) -> dict:
+    """Partition pruning THROUGH generated columns: when a partition
+    column is GENERATED from a base column the caller's predicate
+    bounds (``{base: (lo, hi)}``), derive the implied bounds on the
+    partition column — delta-spark's marquee optimization for the
+    ``day = CAST(ts AS DATE)`` layout, where queries filter the
+    timestamp and never mention the partition column. At 100 TB this
+    turns a time-range query from touching every partition's stats
+    into touching the few partitions the range covers.
+
+    Recognized shapes: ``CAST(base AS DATE)`` and ``YEAR(base)``
+    (case-insensitive, optional backticks). Derived bounds are PADDED
+    by one unit on each side because the generation expression
+    evaluates in the WRITER's session timezone while the caller's
+    bounds are treated as UTC instants — skipping must stay a superset
+    guarantee under any writer timezone within ±24 h of UTC. Columns
+    the caller already bounded explicitly are left alone."""
+    global _GEN_PRUNE_SHAPES
+    if _GEN_PRUNE_SHAPES is None:
+        import re
+
+        _GEN_PRUNE_SHAPES = [
+            (
+                "date",
+                re.compile(
+                    r"(?i)^\s*cast\s*\(\s*`?(\w+)`?\s+as\s+date\s*\)\s*$"
+                ),
+            ),
+            ("year", re.compile(r"(?i)^\s*year\s*\(\s*`?(\w+)`?\s*\)\s*$")),
+        ]
+    import datetime as dt
+
+    gens = _generated_exprs(meta)
+    out: dict = {}
+    for p in pcols:
+        expr = gens.get(p)
+        if expr is None or p in predicate:
+            continue
+        unit = base = None
+        for u, rx in _GEN_PRUNE_SHAPES:
+            m = rx.match(expr)
+            if m:
+                unit, base = u, m.group(1)
+                break
+        if base is None or base not in predicate:
+            continue
+        lo, hi = predicate[base]
+        tlo = _temporal_utc(_stats_value(lo))
+        thi = _temporal_utc(_stats_value(hi))
+        plo = (tlo - dt.timedelta(days=1)) if tlo is not None else None
+        phi = (thi + dt.timedelta(days=1)) if thi is not None else None
+        if plo is None and phi is None:
+            continue
+        if unit == "date":
+            out[p] = (
+                plo.date().isoformat() if plo else None,
+                phi.date().isoformat() if phi else None,
+            )
+        else:
+            out[p] = (plo.year if plo else None, phi.year if phi else None)
+    return out
+
+
 def _file_may_match(add: dict, pcols: list, predicate: dict) -> bool:
     """Can this file hold a row satisfying ``predicate`` (col →
     (lo, hi) closed interval, either bound None = unbounded)? Decided
@@ -1789,6 +2010,11 @@ def read_delta(
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = meta.get("partitionColumns", [])
     if predicate:
+        # pruning through generated partition columns: a bound on the
+        # BASE column implies bounds on the generated partition column
+        derived = _derived_partition_bounds(meta, predicate, pcols)
+        if derived:
+            predicate = {**derived, **predicate}
         # callers phrase predicates in LOGICAL names; stats documents
         # and partitionValues carry PHYSICAL names on mapped tables
         l2p = _logical_to_physical(meta)
@@ -2647,6 +2873,11 @@ def merge_delta(
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
+    # generated columns: a merge source may legitimately OMIT them
+    # (computed here, before the completeness check); ones it provides
+    # must match their expression or the merge is rejected
+    gen_frame, gen_cached = _apply_generated_columns(source, meta)
+    source = gen_frame
     missing = [c for c in cols if c not in source.columns]
     if missing:
         raise ValueError(f"merge source missing target columns {missing}")
@@ -2733,6 +2964,8 @@ def merge_delta(
     if not touched_rels and source.isEmpty():
         if cached_source:
             source.unpersist()
+        if gen_cached:
+            gen_frame.unpersist()
         return versions[-1]
     # REWRITE pass reads ONLY the touched files (the Delta MERGE cost
     # model: O(files holding matching keys), not a second full-table
@@ -2755,6 +2988,8 @@ def merge_delta(
     finally:
         if cached_source:
             source.unpersist()
+        if gen_cached:
+            gen_frame.unpersist()
     # Write-side CDF: a rewrite commit on a CDF-enabled table
     # materializes its keyed net changes as change files — the staged
     # files are final on disk, so the diff reads them back rather than
@@ -3272,6 +3507,13 @@ def _copy_on_write_where(
         new_data = survivors
     else:
         operation, metric = "UPDATE", "numUpdatedRows"
+        gens = _generated_exprs(meta)
+        bad_assign = sorted(set(assignments) & set(gens))
+        if bad_assign:
+            raise ValueError(
+                f"cannot UPDATE generated column(s) {bad_assign} — their "
+                "values derive from their generation expression"
+            )
         updated = base.filter(~keep).select(
             *[
                 F.expr(assignments[c]).cast(types[c]).alias(c)
@@ -3280,6 +3522,15 @@ def _copy_on_write_where(
                 for c in cols
             ]
         )
+        if gens:
+            # an assignment may have changed a column a generated one
+            # derives from — recompute them all (always correct; the
+            # unreferenced ones fold to their unchanged value)
+            for c in sorted(gens):
+                updated = updated.withColumn(
+                    c, F.expr(gens[c]).cast(types[c])
+                )
+            updated = updated.select(*cols)
         updated, cached = _enforce_constraints(updated, meta)
         new_data = survivors.unionByName(updated)
     new_version = st.version + 1
