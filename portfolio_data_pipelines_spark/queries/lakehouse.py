@@ -579,3 +579,120 @@ def delta_apply_replica_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@extra_query(
+    "delta_gencol_pruned_mart",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY date_utc
+    """,
+)
+def delta_gencol_pruned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-column partition pruning under the DuckDB value-hash
+    gate: events land in a Delta table whose ``day`` partition column
+    is GENERATED from ``ts`` (the writer computes it — the frame never
+    carries it), and the read-back prunes partitions from a predicate
+    on the BASE column alone (``_derived_partition_bounds`` inverts the
+    generation expression). The oracle filters the raw parquet by the
+    same window, so a pruning bug that drops a needed partition — a
+    mis-inverted expression, a missing timezone pad — breaks the hash,
+    not just a perf counter.
+
+    Scale: this is the canonical 100 TB layout (hive day-grain
+    partitions, queries phrased on the event timestamp) — the derived
+    bounds turn a ts-range scan from every-partition stats checks into
+    the few covered partitions, before any parquet footer is opened."""
+    from ..operators.delta_log import read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_gencol"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = scan_table(spark, sf_dir, "events").select("ts", "value")
+    write_delta(
+        spark, events, table, partition_col="day",
+        generated_cols={"day": "CAST(ts AS DATE)"},
+    )
+    pruned = read_delta(
+        spark, table,
+        predicate={"ts": (f"{_LO} 00:00:00", f"{_HI} 23:59:59")},
+    )
+    return (
+        pruned.filter(F.to_date("ts").between(_LO, _HI))
+        .groupBy(F.to_date("ts").alias("date_utc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("date_utc")
+    )
+
+
+@extra_query(
+    "delta_dv_purged_mart",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+      AND NOT (event_id % 3 = 0 AND value < 500)
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY date_utc
+    """,
+)
+def delta_dv_purged_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PURGE twin of ``delta_dv_delete_mart`` (same oracle SQL):
+    after the deletion-vector delete, ``purge_delta`` hardens the soft
+    deletes — every DV'd file is rewritten descriptor-free — and
+    ``drop_table_feature`` downgrades the protocol back off the
+    table-features form. The read-back must hash-match the raw-parquet
+    oracle exactly as the DV'd table did: a purge that resurrects a
+    DV'd row, drops a surviving one, or rewrites an untouched file
+    incorrectly breaks the hash.
+
+    Scale: purge cost is O(bytes of DV'd files only); afterwards reads
+    pay no anti-join at all — the lifecycle a 100 TB table follows when
+    accumulated DVs start taxing the hot read path."""
+    from ..operators.delta_log import (
+        delete_where_dv,
+        drop_table_feature,
+        purge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_dv_purged"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(spark, events, table, partition_col="day")
+    delete_where_dv(spark, table, "event_id % 3 = 0 AND value < 500")
+    purge_delta(spark, table)
+    drop_table_feature(spark, table, "deletionVectors")
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("day").cast("date").alias("date_utc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("date_utc")
+    )
