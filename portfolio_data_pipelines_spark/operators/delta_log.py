@@ -149,18 +149,35 @@ def _checkpoint_files(fs, jvm, path: str, lc: dict) -> list[str]:
     """Checkpoint parquet file(s) for a ``_last_checkpoint`` doc. This
     writer emits the classic single-file form, but the spec also allows
     MULTI-PART checkpoints (``_last_checkpoint`` carries ``parts``: N
-    files named ``V.checkpoint.{i:010d}.{N:010d}.parquet``) — standard
-    writers switch to them on large tables, so a conformant reader must
-    accept both."""
+    files named ``V.checkpoint.{i:010d}.{N:010d}.parquet``) and the
+    UUID-named V2 form (``V.checkpoint.<uuid>.parquet``, what
+    delta-spark writes by default on modern tables) — a conformant
+    reader must accept all three. The V2 name is unpredictable, so its
+    probe is the one place checkpoint discovery pays a directory
+    listing, and only after the classic-name probe missed (never on
+    this writer's own tables)."""
     v = int(lc["version"])
     parts = lc.get("parts")
-    if not parts:
-        return [f"{path}/_delta_log/{v:020d}.checkpoint.parquet"]
-    n = int(parts)
-    return [
-        f"{path}/_delta_log/{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
-        for i in range(1, n + 1)
-    ]
+    if parts:
+        n = int(parts)
+        return [
+            f"{path}/_delta_log/{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+            for i in range(1, n + 1)
+        ]
+    classic = f"{path}/_delta_log/{v:020d}.checkpoint.parquet"
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(classic)):
+        return [classic]
+    prefix = f"{v:020d}.checkpoint."
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    found = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(log_dir)
+        if st.getPath().getName().startswith(prefix)
+        and st.getPath().getName().endswith(".parquet")
+    )
+    if found:
+        return [f"{path}/_delta_log/{found[-1]}"]
+    return [classic]  # let the read raise the natural missing-file error
 
 
 def _list_log_versions(fs, jvm, path: str) -> list[int]:
@@ -473,7 +490,14 @@ _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 #: filtering DV'd row positions (claiming it earlier would silently
 #: resurrect deleted rows on any real DV table; it entered this set in
 #: the same commit that taught ``_read_adds`` the filter).
-_SUPPORTED_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    # UUID-named checkpoints with sidecar files: entered this set in
+    # the same commit that taught _checkpoint_files / _replay_log the
+    # layout (and the external reader its own parse of it)
+    "v2Checkpoint",
+}
 
 #: Writer features this implementation knows how to honor; listed on
 #: protocol upgrades to writer version 7 so foreign writers know the
@@ -486,6 +510,80 @@ _LEGACY_WRITER_FEATURES = {
     4: ["changeDataFeed", "generatedColumns"],
     5: ["columnMapping"],
 }
+
+
+#: Writer features whose duties this writer actually implements; a
+#: COMMIT to a table demanding anything else is refused (the spec's
+#: writer gate — reads stay available, mutation does not). A feature
+#: belongs here only once every commit path honors it: e.g.
+#: ``v2Checkpoint`` is READ-supported but absent here, because this
+#: writer's checkpoints are classic-named — committing one to a
+#: v2Checkpoint table would violate that table's checkpoint contract.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "changeDataFeed",
+    "generatedColumns",
+    "columnMapping",
+    "deletionVectors",
+    "inCommitTimestamp",
+}
+
+
+def _check_writer_protocol(proto: dict | None) -> None:
+    """The spec's writer-version gate, mirror of the reader gate every
+    commit path must pass BEFORE writing anything: legacy versions up
+    to 5 map onto implemented duties; 6 (identity columns) is not
+    implemented; 7 is feature-granular — a missing ``writerFeatures``
+    list is malformed, an unknown or unimplemented feature is refused
+    BY NAME. Without this gate a commit to e.g. a rowTracking or
+    v2Checkpoint table would silently break duties foreign readers
+    rely on."""
+    if not proto:
+        return
+    w = int(proto.get("minWriterVersion", 2))
+    feats = proto.get("writerFeatures")
+    if w > 7:
+        raise ValueError(
+            f"cannot commit: minWriterVersion {w} is newer than this "
+            "writer (reads remain available)"
+        )
+    if w == 7 or feats is not None:
+        if feats is None:
+            raise ValueError(
+                "malformed protocol: minWriterVersion 7 requires a "
+                "writerFeatures list"
+            )
+        unknown = sorted(set(feats) - _SUPPORTED_WRITER_FEATURES)
+        if unknown:
+            raise ValueError(
+                f"cannot commit: table requires writer feature(s) "
+                f"{unknown} this writer does not implement (reads "
+                "remain available)"
+            )
+    elif w == 6:
+        raise ValueError(
+            "cannot commit: legacy writer version 6 (identity columns) "
+            "is not implemented (reads remain available)"
+        )
+
+
+def _check_append_only(meta: dict | None, removing: bool) -> None:
+    """``delta.appendOnly`` enforcement (the appendOnly writer
+    feature / legacy writer-2 duty): a commit that REMOVES live files
+    with dataChange semantics is refused on a table configured
+    append-only. Layout-only rewrites (OPTIMIZE/purge, dataChange=
+    false) pass ``removing=False`` — the spec constrains logical
+    deletes, not compaction."""
+    if not removing or not meta:
+        return
+    cfg = meta.get("configuration") or {}
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "table is append-only (delta.appendOnly=true) — commits "
+            "that delete or rewrite rows are refused"
+        )
 
 
 def _upgraded_protocol_for_dv(proto: dict) -> dict:
@@ -1043,12 +1141,14 @@ def write_delta(
     prev_txns: dict[str, int] = {}
     if versions:
         st = _replay_log(spark, path, None)
+        _check_writer_protocol(st.protocol)
         prev_adds, prev_meta, prev_txns = st.adds, st.meta, st.txns
     if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
         # this (appId, version) already committed — exactly-once replay
         return versions[-1]
     creation_meta: dict | None = None
     if prev_meta is not None:
+        _check_append_only(prev_meta, mode == "overwrite")
         expected = prev_meta.get("partitionColumns", [])
         if expected != pcols:
             raise ValueError(
@@ -1318,8 +1418,41 @@ def _replay_log(
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
         cps = _checkpoint_files(fs, jvm, path, lc)
-        for row in spark.read.parquet(*cps).collect():
-            d = row.asDict(recursive=True)
+        rows = [
+            r.asDict(recursive=True)
+            for r in spark.read.parquet(*cps).collect()
+        ]
+        # V2 checkpoints: file actions may live in SIDECAR parquet
+        # files under _delta_log/_sidecars/ referenced by `sidecar`
+        # actions (the layout delta-spark's v2Checkpoint feature
+        # writes); non-file actions stay in the main file. A
+        # checkpointMetadata action pins the checkpoint's version.
+        sidecar_rels = [
+            d["sidecar"]["path"]
+            for d in rows
+            if d.get("sidecar") and d["sidecar"].get("path")
+        ]
+        for d in rows:
+            cm = d.get("checkpointMetadata")
+            if cm and cm.get("version") is not None and int(
+                cm["version"]
+            ) != int(lc["version"]):
+                raise ValueError(
+                    f"checkpoint at {cps[0]} declares version "
+                    f"{cm['version']} but _last_checkpoint says "
+                    f"{lc['version']} — corrupt log"
+                )
+        if sidecar_rels:
+            sc_paths = [
+                p if "://" in p or p.startswith("/")
+                else f"{path}/_delta_log/_sidecars/{p}"
+                for p in sidecar_rels
+            ]
+            rows.extend(
+                r.asDict(recursive=True)
+                for r in spark.read.parquet(*sc_paths).collect()
+            )
+        for d in rows:
             if d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
                 protocol = {
                     k: v for k, v in d["protocol"].items() if v is not None
@@ -2379,6 +2512,7 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     the rewritten data files are vacuumed."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     config = dict(st.meta.get("configuration") or {})
@@ -2868,6 +3002,7 @@ def merge_delta(
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -2960,6 +3095,9 @@ def merge_delta(
             )
         touched_rels.append(rel)
     touched_rels = sorted(touched_rels)
+    if touched_rels:
+        # the rewrite deletes rows from the touched files
+        _check_append_only(meta, True)
     new_version = versions[-1] + 1
     if not touched_rels and source.isEmpty():
         if cached_source:
@@ -3065,6 +3203,7 @@ def apply_changes_delta(
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -3145,6 +3284,8 @@ def apply_changes_delta(
             )
         touched_rels.append(rel)
     touched_rels = sorted(touched_rels)
+    if touched_rels:
+        _check_append_only(meta, True)
     new_version = versions[-1] + 1
     if not touched_rels and upserts.isEmpty():
         if upserts_cached:
@@ -3303,8 +3444,10 @@ def delete_where_dv(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
+    _check_append_only(st.meta, True)
     df = _read_adds(spark, path, st.adds, st.meta, with_pos=True)
     if df is None:
         return None
@@ -3462,6 +3605,7 @@ def _copy_on_write_where(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -3484,6 +3628,7 @@ def _copy_on_write_where(
     df = _read_adds(spark, path, adds, meta, with_pos=True)
     if df is None:
         return None
+    _check_append_only(meta, True)
     pred = F.expr(predicate)
     matched = df.filter(pred)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
@@ -3652,6 +3797,7 @@ def optimize_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
@@ -3769,6 +3915,7 @@ def purge_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
@@ -3904,6 +4051,7 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
         )
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
@@ -3962,6 +4110,7 @@ def restore_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     cur = _replay_log(spark, path, None)
+    _check_writer_protocol(cur.protocol)
     old = _replay_log(spark, path, version)
     if old.meta is None or cur.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -3986,6 +4135,7 @@ def restore_delta(
     )
     to_remove += dv_changed
     to_readd += dv_changed
+    _check_append_only(cur.meta, bool(to_remove))
     missing = [
         rel
         for rel in to_readd
@@ -4070,6 +4220,7 @@ def _commit_metadata_only(
     exactly ``actions``."""
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     new_version = st.version + 1
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -4090,6 +4241,7 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
     (both this repo's readers enforce that)."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     config = dict(st.meta.get("configuration") or {})
@@ -4149,6 +4301,7 @@ def rename_column(
     version still reads under the schema it was committed with."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if _logical_to_physical(st.meta) is None:
@@ -4187,6 +4340,7 @@ def drop_column(spark: SparkSession, path: str, name: str) -> int:
     through time travel to pre-drop versions."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if _logical_to_physical(st.meta) is None:
@@ -4298,6 +4452,7 @@ def add_check_constraint(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     key = f"delta.constraints.{name}"
@@ -4336,6 +4491,7 @@ def drop_check_constraint(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     key = f"delta.constraints.{name}"

@@ -39,7 +39,7 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 #: Reader-version-3 features this reader implements (the feature-
 #: granular protocol): column mapping in name mode, and deletion
 #: vectors via the independent decoder below.
-_READER_FEATURES = {"columnMapping", "deletionVectors"}
+_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
 
 
 # --- independent deletion-vector decoding (spec-only, shares no code
@@ -196,8 +196,12 @@ def _list_commit_versions(log_dir: str) -> list[int]:
 
 def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
     """Flattened checkpoint rows back to action dicts, via pyarrow.
-    Accepts both the classic single-file checkpoint and the spec's
-    multi-part form (``parts`` in ``_last_checkpoint``)."""
+    Accepts the classic single-file checkpoint, the spec's multi-part
+    form (``parts`` in ``_last_checkpoint``), and the V2 form: a
+    UUID-named ``V.checkpoint.<uuid>.{parquet,json}`` main file whose
+    file actions may live in SIDECAR parquet files under
+    ``_delta_log/_sidecars/`` referenced by ``sidecar`` actions —
+    the layout modern delta-spark writes by default."""
     import pyarrow.parquet as pq
 
     version = int(lc["version"])
@@ -211,10 +215,57 @@ def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
             for i in range(1, n + 1)
         ]
     else:
-        cps = [os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")]
-    rows = []
+        classic = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        if os.path.exists(classic):
+            cps = [classic]
+        else:
+            # V2 UUID-named form — the one discovery that needs a listing
+            prefix = f"{version:020d}.checkpoint."
+            named = sorted(
+                f
+                for f in os.listdir(log_dir)
+                if f.startswith(prefix)
+                and (f.endswith(".parquet") or f.endswith(".json"))
+            )
+            if not named:
+                raise FileNotFoundError(classic)
+            cps = [os.path.join(log_dir, named[-1])]
+    rows: list[dict] = []
     for cp in cps:
-        rows.extend(pq.read_table(cp).to_pylist())
+        if cp.endswith(".json"):
+            # V2 checkpoints may be NDJSON: one action object per line,
+            # same shapes as commit files
+            with open(cp) as f:
+                rows.extend(
+                    json.loads(line)
+                    for line in f.read().splitlines()
+                    if line.strip()
+                )
+        else:
+            rows.extend(pq.read_table(cp).to_pylist())
+    # resolve sidecar references before flattening: their rows carry
+    # the add/remove actions the main file delegates
+    sidecar_rels = [
+        row["sidecar"]["path"]
+        for row in rows
+        if row.get("sidecar") and row["sidecar"].get("path")
+    ]
+    for rel in sidecar_rels:
+        target = (
+            rel
+            if os.path.isabs(rel)
+            else os.path.join(log_dir, "_sidecars", rel)
+        )
+        rows.extend(pq.read_table(target).to_pylist())
+    for row in rows:
+        cm = row.get("checkpointMetadata")
+        if cm and cm.get("version") is not None and int(
+            cm["version"]
+        ) != version:
+            raise ValueError(
+                f"v2 checkpoint declares version {cm['version']} but "
+                f"_last_checkpoint says {version} — corrupt log"
+            )
     actions = []
     for row in rows:
         for kind in ("protocol", "metaData", "add", "remove", "txn"):

@@ -293,10 +293,10 @@ def test_reader_features_granular_gate(spark, tmp_path):
     bad = _foreign_table(
         spark, tmp_path, "t_feat_bad",
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["columnMapping", "v2Checkpoint"],
-         "writerFeatures": ["columnMapping", "v2Checkpoint"]},
+         "readerFeatures": ["columnMapping", "typeWidening"],
+         "writerFeatures": ["columnMapping", "typeWidening"]},
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="typeWidening"):
         read_delta(spark, bad).collect()
 
 
