@@ -342,6 +342,8 @@ def _metadata_action(
     partition_cols: list[str],
     constraints: dict | None = None,
     generated_cols: dict | None = None,
+    identity_cols: dict | None = None,
+    identity_hwms: dict | None = None,
 ) -> dict:
     config = {}
     for name, expr in (constraints or {}).items():
@@ -349,20 +351,36 @@ def _metadata_action(
         # table configuration under delta.constraints.<name>
         config[f"delta.constraints.{name}"] = expr
     schema_str = _schema_string(df)
-    if generated_cols:
-        # the spec's generated-column convention: the SQL expression
-        # lives in the field's metadata under delta.generationExpression
+    if generated_cols or identity_cols:
         doc = json.loads(schema_str)
         by_name = {f["name"]: f for f in doc.get("fields", [])}
-        unknown = sorted(set(generated_cols) - set(by_name))
+        unknown = sorted(
+            (set(generated_cols or {}) | set(identity_cols or {}))
+            - set(by_name)
+        )
         if unknown:
             raise ValueError(
-                f"generated column(s) {unknown} not present in the "
-                "written frame's schema"
+                f"generated/identity column(s) {unknown} not present in "
+                "the written frame's schema"
             )
-        for name, expr in generated_cols.items():
+        # the spec's generated-column convention: the SQL expression
+        # lives in the field's metadata under delta.generationExpression
+        for name, expr in (generated_cols or {}).items():
             md = dict(by_name[name].get("metadata") or {})
             md["delta.generationExpression"] = expr
+            by_name[name]["metadata"] = md
+        # identity columns: delta.identity.* field metadata
+        for name, spec in (identity_cols or {}).items():
+            md = dict(by_name[name].get("metadata") or {})
+            md["delta.identity.start"] = int(spec.get("start", 1))
+            md["delta.identity.step"] = int(spec.get("step", 1))
+            md["delta.identity.allowExplicitInsert"] = bool(
+                spec.get("allow_explicit_insert", False)
+            )
+            if identity_hwms and name in identity_hwms:
+                md["delta.identity.highWaterMark"] = int(
+                    identity_hwms[name]
+                )
             by_name[name]["metadata"] = md
         schema_str = json.dumps(doc)
     return {
@@ -390,6 +408,148 @@ def _generated_exprs(meta: dict | None) -> dict[str, str]:
         if isinstance(f.get("metadata"), dict)
         and "delta.generationExpression" in f["metadata"]
     }
+
+
+def _identity_specs(meta: dict | None) -> dict[str, dict]:
+    """{column: identity spec} from the schemaString's field metadata
+    (``delta.identity.*`` — delta-spark's convention for GENERATED
+    ALWAYS/BY DEFAULT AS IDENTITY), empty for tables without any."""
+    if not meta:
+        return {}
+    doc = json.loads(meta["schemaString"])
+    out: dict[str, dict] = {}
+    for f in doc.get("fields", []):
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md or "delta.identity.step" in md:
+            hwm = md.get("delta.identity.highWaterMark")
+            out[f["name"]] = {
+                "start": int(md.get("delta.identity.start", 1)),
+                "step": int(md.get("delta.identity.step", 1)),
+                "highWaterMark": None if hwm is None else int(hwm),
+                "allowExplicitInsert": bool(
+                    md.get("delta.identity.allowExplicitInsert", False)
+                ),
+            }
+    return out
+
+
+def _allocate_identity(
+    df: DataFrame, col: str, spec: dict
+) -> tuple[DataFrame, int | None]:
+    """Assign the next identity values to a batch that omitted ``col``:
+    dense, unique, on the ``start + k*step`` lattice, strictly past the
+    recorded high-water mark. Returns ``(frame, new_high_water_mark)``.
+    The CALLER must have cached ``df`` (this reads it twice: a count
+    pass and the numbering pass — the same validated-rows-are-committed
+    contract constraint enforcement uses).
+
+    Scale shape: values are computed per input partition from a
+    broadcast offset map (one tiny count pass + one row_number window
+    PARTITIONED by the physical partition id) — no global single-task
+    window, so a wide batch allocates in parallel."""
+    from pyspark.sql.window import Window
+
+    start, step = spec["start"], spec["step"]
+    hwm = spec["highWaterMark"]
+    base = start if hwm is None else hwm + step
+    tagged = df.withColumn("_id_pid", F.spark_partition_id())
+    counts = {
+        r["_id_pid"]: r["count"]
+        for r in tagged.groupBy("_id_pid").count().collect()
+    }
+    if not counts:
+        return df.withColumn(col, F.lit(None).cast("long")), None
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    )
+    w = Window.partitionBy("_id_pid").orderBy(F.monotonically_increasing_id())
+    out = (
+        tagged.withColumn("_id_rn", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            col,
+            F.lit(base).cast("long")
+            + F.lit(step).cast("long")
+            * (omap[F.col("_id_pid")] + F.col("_id_rn")),
+        )
+        .drop("_id_pid", "_id_rn")
+    )
+    return out, base + step * (acc - 1)
+
+
+def _identity_hwm_advance(spec: dict, observed: int) -> int | None:
+    """The new high-water mark after an EXPLICIT insert observed
+    ``observed`` as its furthest value (max for positive step, min for
+    negative), rounded outward onto the lattice; None when the existing
+    mark already covers it."""
+    start, step, hwm = spec["start"], spec["step"], spec["highWaterMark"]
+    sign = 1 if step > 0 else -1
+    cur = hwm if hwm is not None else start - step  # nothing allocated yet
+    if sign * observed <= sign * cur:
+        return None
+    # smallest k with start + k*step at or past observed (ceil division
+    # phrased sign-agnostically via floor of the negated quotient)
+    k = -((start - observed) * sign // (step * sign))
+    return start + k * step
+
+
+def _meta_with_identity_hwm(meta: dict, hwms: dict[str, int]) -> dict:
+    """A metaData action body equal to ``meta`` with the named identity
+    columns' ``delta.identity.highWaterMark`` advanced — re-emitted in
+    the same commit as the rows it covers, as delta-spark does."""
+    doc = json.loads(meta["schemaString"])
+    for f in doc.get("fields", []):
+        if f["name"] in hwms:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = int(hwms[f["name"]])
+            f["metadata"] = md
+    out = dict(meta)
+    out["schemaString"] = json.dumps(doc)
+    return out
+
+
+def _apply_identity_columns(
+    df: DataFrame, specs: dict[str, dict]
+) -> tuple[DataFrame, dict[str, int], "DataFrame | None"]:
+    """The writer duty for identity columns (spec: legacy writer
+    version 6 / ``identityColumns``): an ABSENT column is allocated
+    (see :func:`_allocate_identity`); a PROVIDED column is refused
+    unless the table declared ``allowExplicitInsert`` (GENERATED BY
+    DEFAULT), in which case the high-water mark advances past the
+    observed values. Returns ``(frame, {col: new_hwm}, cache_ref)`` —
+    ``cache_ref`` is the exact frame object that was cached (the
+    caller unpersists it after staging), or None."""
+    if not specs:
+        return df, {}, None
+    hwms: dict[str, int] = {}
+    cache_ref = None
+    if any(c not in df.columns for c in specs):
+        df = df.cache()
+        cache_ref = df
+    for c, spec in sorted(specs.items()):
+        if c not in df.columns:
+            df, new_hwm = _allocate_identity(df, c, spec)
+            if new_hwm is not None:
+                hwms[c] = new_hwm
+            continue
+        if not spec["allowExplicitInsert"]:
+            raise ValueError(
+                f"column {c!r} is GENERATED ALWAYS AS IDENTITY — "
+                "explicit values are refused (declare "
+                "allow_explicit_insert at creation for BY DEFAULT "
+                "semantics)"
+            )
+        agg = F.max(c) if spec["step"] > 0 else F.min(c)
+        observed = df.agg(agg.alias("_m")).collect()[0]["_m"]
+        if observed is not None:
+            adv = _identity_hwm_advance(spec, int(observed))
+            if adv is not None:
+                hwms[c] = adv
+    return df, hwms, cache_ref
 
 
 def _apply_generated_columns(
@@ -525,6 +685,7 @@ _SUPPORTED_WRITER_FEATURES = {
     "checkConstraints",
     "changeDataFeed",
     "generatedColumns",
+    "identityColumns",
     "columnMapping",
     "deletionVectors",
     "inCommitTimestamp",
@@ -534,8 +695,8 @@ _SUPPORTED_WRITER_FEATURES = {
 def _check_writer_protocol(proto: dict | None) -> None:
     """The spec's writer-version gate, mirror of the reader gate every
     commit path must pass BEFORE writing anything: legacy versions up
-    to 5 map onto implemented duties; 6 (identity columns) is not
-    implemented; 7 is feature-granular — a missing ``writerFeatures``
+    to 6 map onto implemented duties (6 = identity columns);
+    7 is feature-granular — a missing ``writerFeatures``
     list is malformed, an unknown or unimplemented feature is refused
     BY NAME. Without this gate a commit to e.g. a rowTracking or
     v2Checkpoint table would silently break duties foreign readers
@@ -562,11 +723,6 @@ def _check_writer_protocol(proto: dict | None) -> None:
                 f"{unknown} this writer does not implement (reads "
                 "remain available)"
             )
-    elif w == 6:
-        raise ValueError(
-            "cannot commit: legacy writer version 6 (identity columns) "
-            "is not implemented (reads remain available)"
-        )
 
 
 def _check_append_only(meta: dict | None, removing: bool) -> None:
@@ -1056,8 +1212,22 @@ def write_delta(
     constraints: dict[str, str] | None = None,
     cdf_key_cols: list[str] | None = None,
     generated_cols: dict[str, str] | None = None,
+    identity_cols: dict[str, dict] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``identity_cols`` ({column: {"start": 1, "step": 1,
+    "allow_explicit_insert": False}}, table-creation commit only)
+    declares Delta IDENTITY columns (``delta.identity.*`` field
+    metadata, legacy writer version 6): every commit that omits the
+    column is allocated dense unique values on the start/step lattice
+    strictly past the recorded high-water mark, and the mark advances
+    in the SAME commit's metaData — so concurrent readers never see
+    rows beyond the declared mark. Batches that provide values are
+    refused unless ``allow_explicit_insert`` (GENERATED BY DEFAULT
+    semantics), in which case the mark advances past the observed
+    values. Allocation is per-input-partition (broadcast offset map +
+    partition-local row_number), never a single-task global window.
 
     ``generated_cols`` ({column: sql_expr}, table-creation commit only)
     declares Delta GENERATED ALWAYS AS columns: the expression is
@@ -1162,15 +1332,38 @@ def write_delta(
                 "— this table already exists; use add_check_constraint "
                 "(which validates existing rows first, as Delta does)"
             )
-        if generated_cols:
+        if generated_cols or identity_cols:
             raise ValueError(
-                "generated_cols are declared at table creation (version "
-                "0) — this table already exists"
+                "generated_cols / identity_cols are declared at table "
+                "creation (version 0) — this table already exists"
             )
+        df, id_hwms, id_cache_ref = _apply_identity_columns(
+            df, _identity_specs(prev_meta)
+        )
         df, gen_cached = _apply_generated_columns(df, prev_meta)
         staged, staged_cached = _enforce_constraints(df, prev_meta)
         staged_cached = staged_cached or gen_cached
     else:
+        id_hwms = {}
+        id_cache_ref = None
+        gen_cached = False
+        if identity_cols:
+            specs: dict[str, dict] = {}
+            for c, spec in sorted(identity_cols.items()):
+                step = int(spec.get("step", 1))
+                if step == 0:
+                    raise ValueError(
+                        f"identity column {c!r}: step must be non-zero"
+                    )
+                specs[c] = {
+                    "start": int(spec.get("start", 1)),
+                    "step": step,
+                    "highWaterMark": None,
+                    "allowExplicitInsert": bool(
+                        spec.get("allow_explicit_insert", False)
+                    ),
+                }
+            df, id_hwms, id_cache_ref = _apply_identity_columns(df, specs)
         if generated_cols:
             # compute absent generated columns BEFORE deriving the
             # schema, then validate any the caller provided through the
@@ -1179,14 +1372,15 @@ def write_delta(
             for c in sorted(generated_cols):
                 if c not in df.columns:
                     df = df.withColumn(c, F.expr(generated_cols[c]))
+        if generated_cols or identity_cols:
             creation_meta = _metadata_action(
-                df, pcols, constraints, generated_cols
+                df, pcols, constraints, generated_cols,
+                identity_cols, id_hwms,
             )
-            df, gen_cached = _apply_generated_columns(
-                df, creation_meta["metaData"]
-            )
-        else:
-            gen_cached = False
+            if generated_cols:
+                df, gen_cached = _apply_generated_columns(
+                    df, creation_meta["metaData"]
+                )
         if constraints:
             # enforce BEFORE staging so a rejected creation leaves nothing
             staged, staged_cached = _enforce_constraints(
@@ -1217,6 +1411,8 @@ def write_delta(
     finally:
         if staged_cached:
             staged.unpersist()
+        if id_cache_ref is not None:
+            id_cache_ref.unpersist()
     now = _now_ms()
 
     doomed: list[str] = []
@@ -1292,7 +1488,12 @@ def write_delta(
     ]
     actions.extend(cdc_actions)
     if new_version == 0:
-        if generated_cols:
+        if identity_cols:
+            # legacy writer 6: the spec's level for identity columns
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
+            )
+        elif generated_cols:
             # legacy writer 4: the spec's level for generated columns
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
@@ -1303,6 +1504,16 @@ def write_delta(
             creation_meta
             if creation_meta is not None
             else _metadata_action(df, pcols, constraints)
+        )
+    elif id_hwms:
+        # identity high-water marks advance in the SAME commit as the
+        # rows they cover (composes with an evolving schema)
+        actions.append(
+            {
+                "metaData": _meta_with_identity_hwm(
+                    evolved_meta or prev_meta, id_hwms
+                )
+            }
         )
     elif evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
@@ -3008,6 +3219,17 @@ def merge_delta(
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
+    if _identity_specs(meta):
+        # a merge rewrite replaces matched rows wholesale from the
+        # source, which cannot preserve target-allocated identity
+        # values — refused rather than silently reallocated (delta-spark
+        # requires the source to carry them; this writer's MERGE has no
+        # column-level SET list to express that yet)
+        raise ValueError(
+            "MERGE into a table with identity columns is not supported "
+            "— use write_delta appends (values are allocated) or "
+            "delete+insert"
+        )
     # generated columns: a merge source may legitimately OMIT them
     # (computed here, before the completeness check); ones it provides
     # must match their expression or the merge is rejected
@@ -3211,6 +3433,12 @@ def apply_changes_delta(
         return versions[-1]
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
+    if _identity_specs(meta):
+        raise ValueError(
+            "APPLY CHANGES into a table with identity columns is not "
+            "supported — replica rows carry source-allocated values the "
+            "target's high-water mark would not cover"
+        )
     missing = [c for c in cols if c not in changes.columns]
     if missing:
         raise ValueError(f"change batch missing target columns {missing}")
@@ -3658,6 +3886,12 @@ def _copy_on_write_where(
             raise ValueError(
                 f"cannot UPDATE generated column(s) {bad_assign} — their "
                 "values derive from their generation expression"
+            )
+        bad_id = sorted(set(assignments) & set(_identity_specs(meta)))
+        if bad_id:
+            raise ValueError(
+                f"cannot UPDATE identity column(s) {bad_id} — their "
+                "values are writer-allocated"
             )
         updated = base.filter(~keep).select(
             *[

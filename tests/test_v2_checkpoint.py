@@ -248,13 +248,17 @@ def test_writer_gate_refuses_v2checkpoint_tables(spark, tmp_path):
 def test_writer_gate_legacy_6_and_malformed_7(spark, tmp_path):
     path = _mk(spark, tmp_path, "t8", commits=1)
     df = spark.range(0, 2).select(
-        F.col("id"), F.lit("true").alias("grp"), F.lit(0).alias("val")
+        F.col("id"), F.lit("true").alias("grp"), F.lit(0).cast("long").alias("val")
     )
+    # legacy writer 6 (identity columns) is implemented — writable
     _set_protocol(path, {"minReaderVersion": 1, "minWriterVersion": 6})
-    with pytest.raises(ValueError, match="identity columns"):
-        write_delta(spark, df, path, partition_col="grp")
+    write_delta(spark, df, path, partition_col="grp")
+    assert read_delta(spark, path).count() == 12
     _set_protocol(path, {"minReaderVersion": 1, "minWriterVersion": 7})
     with pytest.raises(ValueError, match="writerFeatures"):
+        write_delta(spark, df, path, partition_col="grp")
+    _set_protocol(path, {"minReaderVersion": 1, "minWriterVersion": 8})
+    with pytest.raises(ValueError, match="newer than this writer"):
         write_delta(spark, df, path, partition_col="grp")
 
 
