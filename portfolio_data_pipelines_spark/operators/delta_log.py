@@ -67,6 +67,9 @@ class LogState(NamedTuple):
     removes: dict
     #: the table's protocol action (None only on malformed logs)
     protocol: dict | None = None
+    #: domain name -> configuration (json string) from domainMetadata
+    #: actions, removed domains dropped
+    domain_metadata: dict | None = None
 
 
 def _log_path(version: int) -> str:
@@ -657,6 +660,11 @@ _SUPPORTED_READER_FEATURES = {
     # the same commit that taught _checkpoint_files / _replay_log the
     # layout (and the external reader its own parse of it)
     "v2Checkpoint",
+    # TIMESTAMP WITHOUT TIME ZONE columns: Spark's timestamp_ntz type
+    # maps 1:1 onto the schemaString form, so reads need no conversion
+    "timestampNtz",
+    # the feature's reader duty IS the protocol check vacuum performs
+    "vacuumProtocolCheck",
 }
 
 #: Writer features this implementation knows how to honor; listed on
@@ -669,6 +677,7 @@ _LEGACY_WRITER_FEATURES = {
     3: ["checkConstraints"],
     4: ["changeDataFeed", "generatedColumns"],
     5: ["columnMapping"],
+    6: ["identityColumns"],
 }
 
 
@@ -689,7 +698,42 @@ _SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     "deletionVectors",
     "inCommitTimestamp",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "domainMetadata",
 }
+
+
+def _schema_uses_ntz(schema_string: str) -> bool:
+    """Does the schemaString use TIMESTAMP WITHOUT TIME ZONE anywhere
+    (top-level or nested)? Spark spells the type ``timestamp_ntz`` in
+    its JSON — the spec's trigger for the ``timestampNtz`` feature."""
+    return '"timestamp_ntz"' in schema_string
+
+
+def _creation_protocol(
+    schema_string: str,
+    generated_cols: dict | None,
+    identity_cols: dict | None,
+) -> dict:
+    """The protocol action a CREATION commit needs: the lowest legacy
+    pair covering the declared column features, upgraded to the
+    table-features form (3/7 with explicit lists, legacy duties carried
+    over) only when the schema uses ``timestamp_ntz`` — which has no
+    legacy level."""
+    legacy_w = 6 if identity_cols else 4 if generated_cols else 2
+    if not _schema_uses_ntz(schema_string):
+        return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
+    writer = {"timestampNtz"}
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if legacy_w >= v:
+            writer.update(feats)
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": sorted(writer),
+    }
 
 
 def _check_writer_protocol(proto: dict | None) -> None:
@@ -742,12 +786,12 @@ def _check_append_only(meta: dict | None, removing: bool) -> None:
         )
 
 
-def _upgraded_protocol_for_dv(proto: dict) -> dict:
-    """The protocol action after enabling deletion vectors: reader 3 /
-    writer 7 with explicit feature lists (the spec's table-features
-    form). Features implied by the PREVIOUS legacy versions are carried
-    into the lists, as delta-spark does on upgrade, so no duty is
-    silently dropped."""
+def _upgraded_protocol_with(proto: dict, new_reader_features: set) -> dict:
+    """The protocol action after enabling a reader+writer feature:
+    reader 3 / writer 7 with explicit feature lists (the spec's
+    table-features form). Features implied by the PREVIOUS legacy
+    versions are carried into the lists, as delta-spark does on
+    upgrade, so no duty is silently dropped."""
     old_r = int(proto.get("minReaderVersion", 1))
     old_w = int(proto.get("minWriterVersion", 2))
     reader = set(proto.get("readerFeatures") or [])
@@ -757,8 +801,7 @@ def _upgraded_protocol_for_dv(proto: dict) -> dict:
     for v, feats in _LEGACY_WRITER_FEATURES.items():
         if old_w >= v:
             writer.update(feats)
-    reader.add("deletionVectors")
-    writer.add("deletionVectors")
+    reader.update(new_reader_features)
     # every reader feature is definitionally also a writer feature
     writer.update(reader)
     return {
@@ -767,6 +810,11 @@ def _upgraded_protocol_for_dv(proto: dict) -> dict:
         "readerFeatures": sorted(reader),
         "writerFeatures": sorted(writer),
     }
+
+
+def _upgraded_protocol_for_dv(proto: dict) -> dict:
+    """Protocol upgrade on first deletion-vector use."""
+    return _upgraded_protocol_with(proto, {"deletionVectors"})
 
 
 def _commit_info(
@@ -1488,23 +1536,21 @@ def write_delta(
     ]
     actions.extend(cdc_actions)
     if new_version == 0:
-        if identity_cols:
-            # legacy writer 6: the spec's level for identity columns
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 6}}
-            )
-        elif generated_cols:
-            # legacy writer 4: the spec's level for generated columns
-            actions.append(
-                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
-            )
-        else:
-            actions.append(_PROTOCOL_ACTION)
-        actions.append(
+        meta_action = (
             creation_meta
             if creation_meta is not None
             else _metadata_action(df, pcols, constraints)
         )
+        actions.append(
+            {
+                "protocol": _creation_protocol(
+                    meta_action["metaData"]["schemaString"],
+                    generated_cols,
+                    identity_cols,
+                )
+            }
+        )
+        actions.append(meta_action)
     elif id_hwms:
         # identity high-water marks advance in the SAME commit as the
         # rows they cover (composes with an evolving schema)
@@ -1517,6 +1563,22 @@ def write_delta(
         )
     elif evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
+    if (
+        new_version > 0
+        and evolved_meta is not None
+        and _schema_uses_ntz(evolved_meta["schemaString"])
+    ):
+        # evolution introduced a timestamp_ntz column: the same commit
+        # must upgrade the protocol to declare the feature
+        proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+        if "timestampNtz" not in (proto.get("readerFeatures") or []):
+            actions.append(
+                {
+                    "protocol": _upgraded_protocol_with(
+                        proto, {"timestampNtz"}
+                    )
+                }
+            )
     if txn is not None:
         actions.append(
             {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
@@ -1625,6 +1687,7 @@ def _replay_log(
     txns: dict[str, int] = {}
     removes: dict[str, int] = {}
     protocol: dict | None = None
+    domains: dict[str, str] = {}
     start = 0
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
@@ -1689,6 +1752,14 @@ def _replay_log(
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
+            if d.get("domainMetadata") and d["domainMetadata"].get("domain"):
+                dm = d["domainMetadata"]
+                # checkpoints carry only live domains (no removed
+                # tombstones), but tolerate foreign ones that do
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
             if d.get("remove") and d["remove"].get("path"):
                 r = d["remove"]
                 r["path"] = _decode_path(r["path"])
@@ -1746,6 +1817,12 @@ def _replay_log(
                 txns[t["appId"]] = max(
                     txns.get(t["appId"], -1), int(t["version"])
                 )
+            elif "domainMetadata" in action:
+                dm = action["domainMetadata"]
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
     if protocol is not None:
         rv = int(protocol["minReaderVersion"])
         mode = ((meta or {}).get("configuration") or {}).get(
@@ -1796,7 +1873,7 @@ def _replay_log(
                 "mapping only. Refusing to read rather than silently "
                 "dropping those semantics."
             )
-    return LogState(target, adds, meta, txns, removes, protocol)
+    return LogState(target, adds, meta, txns, removes, protocol, domains)
 
 
 def _group_adds(adds: dict, pcols: list) -> list[tuple[tuple, list[str]]]:
@@ -2502,6 +2579,13 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("deletionVector", dv_t),
         ]
     )
+    dm_t = StructType(
+        [
+            StructField("domain", StringType()),
+            StructField("configuration", StringType()),
+            StructField("removed", BooleanType()),
+        ]
+    )
     schema = StructType(
         [
             StructField("protocol", proto_t),
@@ -2509,10 +2593,11 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("add", add_t),
             StructField("txn", txn_t),
             StructField("remove", remove_t),
+            StructField("domainMetadata", dm_t),
         ]
     )
     base = {"protocol": None, "metaData": None, "add": None, "txn": None,
-            "remove": None}
+            "remove": None, "domainMetadata": None}
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
 
     def _dv_struct(d: dict | None) -> dict | None:
@@ -2555,6 +2640,16 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             {**base,
              "txn": {"appId": app_id, "version": int(txns[app_id]),
                      "lastUpdated": 0}}
+        )
+    for domain in sorted(st.domain_metadata or {}):
+        # the spec keeps the latest domainMetadata per live domain
+        rows.append(
+            {**base,
+             "domainMetadata": {
+                 "domain": domain,
+                 "configuration": st.domain_metadata[domain],
+                 "removed": False,
+             }}
         )
     for rel in sorted(adds):
         a = adds[rel]
@@ -4259,6 +4354,123 @@ def _downgraded_protocol(proto: dict, feature: str) -> dict:
     }
 
 
+def _upgraded_protocol_writer_only(proto: dict, feature: str) -> dict:
+    """Protocol upgrade for a WRITER-ONLY feature: minWriterVersion 7
+    with explicit writerFeatures (legacy duties carried over, any
+    reader features mirrored into the writer list per spec), while the
+    READER side stays exactly where it was — a reader that never heard
+    of the feature keeps reading the table."""
+    old_r = int(proto.get("minReaderVersion", 1))
+    old_w = int(proto.get("minWriterVersion", 2))
+    writer = set(proto.get("writerFeatures") or [])
+    for v, feats in _LEGACY_WRITER_FEATURES.items():
+        if old_w >= v:
+            writer.update(feats)
+    reader_feats = proto.get("readerFeatures")
+    writer.update(reader_feats or [])
+    writer.add(feature)
+    out = {
+        "minReaderVersion": old_r,
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(writer),
+    }
+    if reader_feats is not None:
+        out["readerFeatures"] = sorted(set(reader_feats))
+    return out
+
+
+def set_domain_metadata(
+    spark: SparkSession,
+    path: str,
+    domain: str,
+    configuration,
+) -> int:
+    """Record a ``domainMetadata`` action — the spec's named-domain
+    key/value channel that rides the transaction log transactionally
+    with the commits around it (the mechanism behind row tracking and
+    clustering state in delta-spark; here exposed for application
+    domains). First use upgrades the protocol to writer 7 with the
+    ``domainMetadata`` WRITER feature — readers are unaffected, per the
+    spec's writer-only classification. ``configuration`` may be a JSON
+    string or a dict (serialized here). Domains starting with
+    ``delta.`` are reserved for the spec's system domains and refused.
+    Returns the committed version.
+
+    Scale: one metadata-only commit; replay keeps the latest state per
+    domain and checkpoints carry live domains, so lookup cost never
+    grows with history."""
+    if domain.startswith("delta."):
+        raise ValueError(
+            f"domain {domain!r} is reserved (delta.* is the spec's "
+            "system namespace)"
+        )
+    if not isinstance(configuration, str):
+        configuration = json.dumps(configuration, sort_keys=True)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    actions: list[dict] = [
+        _commit_info("SET DOMAIN METADATA", {"domain": domain})
+    ]
+    if "domainMetadata" not in (proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _upgraded_protocol_writer_only(
+                proto, "domainMetadata"
+            )}
+        )
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": configuration,
+                "removed": False,
+            }
+        }
+    )
+    new_version = st.version + 1
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def remove_domain_metadata(
+    spark: SparkSession, path: str, domain: str
+) -> int:
+    """Tombstone a metadata domain (``removed: true``) — replay drops
+    it, and checkpoints stop carrying it. Raises if the domain is not
+    currently set."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    if domain not in (st.domain_metadata or {}):
+        raise ValueError(f"domain {domain!r} is not set on {path}")
+    actions = [
+        _commit_info("REMOVE DOMAIN METADATA", {"domain": domain}),
+        {
+            "domainMetadata": {
+                "domain": domain,
+                "configuration": "",
+                "removed": True,
+            }
+        },
+    ]
+    new_version = st.version + 1
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
+
+
+def get_domain_metadata(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """{domain: configuration json string} live at ``version`` (latest
+    when None) — replayed state, so it reflects removals."""
+    return dict(_replay_log(spark, path, version).domain_metadata or {})
+
+
 def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
     """ALTER TABLE ... DROP FEATURE: remove a table feature from the
     protocol once the LIVE state provably no longer uses it, emitting
@@ -4778,6 +4990,10 @@ def vacuum_delta(
 
     fs, _, jvm = _hadoop_fs(spark, path)
     st_log = _replay_log(spark, path, None)
+    # the vacuumProtocolCheck duty: vacuum validates BOTH protocol
+    # sides before deleting anything — a vacuum that can't understand a
+    # feature (e.g. unknown DV storage) must not reclaim its files
+    _check_writer_protocol(st_log.protocol)
     live, removes = st_log.adds, st_log.removes
     cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
         retain_hours * 3600 * 1000

@@ -39,7 +39,13 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 #: Reader-version-3 features this reader implements (the feature-
 #: granular protocol): column mapping in name mode, and deletion
 #: vectors via the independent decoder below.
-_READER_FEATURES = {"columnMapping", "deletionVectors", "v2Checkpoint"}
+_READER_FEATURES = {
+    "columnMapping",
+    "deletionVectors",
+    "v2Checkpoint",
+    "timestampNtz",
+    "vacuumProtocolCheck",
+}
 
 
 # --- independent deletion-vector decoding (spec-only, shares no code
@@ -398,6 +404,8 @@ def _cast_partition_value(v: str | None, type_name: str):
         import decimal
 
         return decimal.Decimal(v)
+    if type_name in ("timestamp", "timestamp_ntz"):
+        return _dt.datetime.fromisoformat(v)
     return v
 
 

@@ -1,0 +1,174 @@
+"""timestampNtz, vacuumProtocolCheck, and domainMetadata — the
+round-9 protocol-completeness trio: NTZ columns carry their feature
+from creation or evolution, vacuum validates both protocol sides
+before deleting, and named metadata domains ride the log
+transactionally with checkpoint survival.
+
+Reference: the reference repo has no lakehouse layer; semantics follow
+the public Delta protocol (delta-io PROTOCOL.md).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    checkpoint_delta,
+    get_domain_metadata,
+    read_delta,
+    remove_domain_metadata,
+    set_domain_metadata,
+    vacuum_delta,
+    write_delta,
+)
+from portfolio_data_pipelines_spark.operators.delta_reader import (
+    read_delta_external,
+)
+
+
+def _log_actions(path, version):
+    with open(f"{path}/_delta_log/{version:020d}.json") as f:
+        return [json.loads(l) for l in f.read().splitlines() if l.strip()]
+
+
+def _proto(path, version):
+    return next(
+        a["protocol"] for a in _log_actions(path, version) if "protocol" in a
+    )
+
+
+def _ntz_frame(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.expr(
+            "timestamp_ntz '2024-05-01 10:00:00' + "
+            "make_dt_interval(0, CAST(id AS INT))"
+        ).alias("local_ts"),
+    )
+
+
+def test_ntz_creation_declares_feature_and_roundtrips(spark, tmp_path):
+    path = str(tmp_path / "t1")
+    write_delta(spark, _ntz_frame(spark, 0, 5), path)
+    proto = _proto(path, 0)
+    assert proto["minReaderVersion"] == 3
+    assert "timestampNtz" in proto["readerFeatures"]
+    assert "timestampNtz" in proto["writerFeatures"]
+    rows = read_delta(spark, path).orderBy("id").collect()
+    assert rows[3]["local_ts"] == dt.datetime(2024, 5, 1, 13, 0, 0)
+    assert rows[3]["local_ts"].tzinfo is None
+    names, ext = read_delta_external(path)
+    got = sorted(r[names.index("local_ts")] for r in ext)
+    assert got[0] == dt.datetime(2024, 5, 1, 10, 0, 0)
+    # appends keep working (we implement the writer duty: the type)
+    write_delta(spark, _ntz_frame(spark, 10, 12), path)
+    assert read_delta(spark, path).count() == 7
+
+
+def test_ntz_via_evolution_upgrades_protocol_same_commit(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    write_delta(
+        spark, spark.range(0, 4).select(F.col("id")), path
+    )
+    assert _proto(path, 0) == {"minReaderVersion": 1, "minWriterVersion": 2}
+    v = write_delta(spark, _ntz_frame(spark, 10, 13), path)
+    proto = _proto(path, v)
+    assert "timestampNtz" in proto["readerFeatures"]
+    rows = read_delta(spark, path)
+    assert rows.count() == 7
+    # pre-evolution rows null-fill the new NTZ column
+    assert rows.filter("local_ts IS NULL").count() == 4
+
+
+def test_ntz_generated_creation_carries_legacy_duties(spark, tmp_path):
+    path = str(tmp_path / "t3")
+    df = _ntz_frame(spark, 0, 8)
+    write_delta(
+        spark, df, path, partition_col="d",
+        generated_cols={"d": "CAST(local_ts AS DATE)"},
+    )
+    proto = _proto(path, 0)
+    # table-features form with the generated-column legacy duty listed
+    assert proto["minReaderVersion"] == 3
+    assert "generatedColumns" in proto["writerFeatures"]
+    assert "timestampNtz" in proto["readerFeatures"]
+    rows = read_delta(spark, path).collect()
+    assert all(r["d"] == r["local_ts"].date() for r in rows)
+
+
+def test_vacuum_refuses_unknown_writer_features(spark, tmp_path):
+    path = str(tmp_path / "t4")
+    write_delta(spark, spark.range(0, 4).select("id"), path)
+    write_delta(
+        spark, spark.range(4, 8).select("id"), path, mode="overwrite"
+    )
+    log_dir = f"{path}/_delta_log"
+    versions = sorted(
+        int(f[:20]) for f in os.listdir(log_dir) if f.endswith(".json")
+    )
+    with open(f"{log_dir}/{versions[-1] + 1:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 1, "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        }}) + "\n")
+    with pytest.raises(ValueError, match="rowTracking"):
+        vacuum_delta(spark, path, retain_hours=1, now_ms=4_000_000_000_000)
+
+
+def test_domain_metadata_lifecycle(spark, tmp_path):
+    path = str(tmp_path / "t5")
+    write_delta(spark, spark.range(0, 3).select("id"), path)
+    v1 = set_domain_metadata(
+        spark, path, "app.compaction", {"state": "running", "job": 7}
+    )
+    proto = _proto(path, v1)
+    # writer-only upgrade: reader version untouched
+    assert proto["minReaderVersion"] == 1
+    assert proto["minWriterVersion"] == 7
+    assert "domainMetadata" in proto["writerFeatures"]
+    assert "readerFeatures" not in proto
+    got = get_domain_metadata(spark, path)
+    assert json.loads(got["app.compaction"]) == {"job": 7, "state": "running"}
+    # update wins, removal tombstones, time travel sees history
+    set_domain_metadata(spark, path, "app.compaction", {"state": "done"})
+    v3 = remove_domain_metadata(spark, path, "app.compaction")
+    assert get_domain_metadata(spark, path) == {}
+    assert json.loads(
+        get_domain_metadata(spark, path, version=v3 - 1)["app.compaction"]
+    ) == {"state": "done"}
+    with pytest.raises(ValueError, match="not set"):
+        remove_domain_metadata(spark, path, "app.compaction")
+    # the upgraded table still accepts normal commits + reads
+    write_delta(spark, spark.range(3, 6).select("id"), path)
+    assert read_delta(spark, path).count() == 6
+    names, ext = read_delta_external(path)
+    assert len(ext) == 6
+
+
+def test_domain_metadata_reserved_namespace(spark, tmp_path):
+    path = str(tmp_path / "t6")
+    write_delta(spark, spark.range(0, 2).select("id"), path)
+    with pytest.raises(ValueError, match="reserved"):
+        set_domain_metadata(spark, path, "delta.rowTracking", "{}")
+
+
+def test_domain_metadata_survives_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t7")
+    write_delta(spark, spark.range(0, 3).select("id"), path)
+    set_domain_metadata(spark, path, "app.x", {"k": 1})
+    set_domain_metadata(spark, path, "app.y", {"k": 2})
+    remove_domain_metadata(spark, path, "app.x")
+    checkpoint_delta(spark, path, 3)
+    # replay anchored on the checkpoint alone
+    log_dir = f"{path}/_delta_log"
+    for v in range(3):
+        os.remove(f"{log_dir}/{v:020d}.json")
+    got = get_domain_metadata(spark, path)
+    assert set(got) == {"app.y"}
+    assert json.loads(got["app.y"]) == {"k": 2}
+    assert read_delta(spark, path).count() == 3
