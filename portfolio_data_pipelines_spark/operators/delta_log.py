@@ -72,6 +72,28 @@ class LogState(NamedTuple):
     domain_metadata: dict | None = None
 
 
+def _as_str_map(m) -> dict:
+    """A map-typed action field as a dict, wherever the action came
+    from: JSON commits and Spark-written checkpoints yield dicts, but
+    FOREIGN checkpoints written through pyarrow can materialize map
+    columns as lists of (key, value) pairs or {'key':..,'value':..}
+    structs — normalize all three so replay state is always
+    dict-shaped (partitionValues lookups and re-checkpointing both
+    depend on it)."""
+    if not m:
+        return {}
+    if isinstance(m, dict):
+        return m
+    out = {}
+    for item in m:
+        if isinstance(item, dict):
+            out[item["key"]] = item["value"]
+        else:
+            k, v = item
+            out[k] = v
+    return out
+
+
 def _log_path(version: int) -> str:
     return f"_delta_log/{version:020d}.json"
 
@@ -347,8 +369,9 @@ def _metadata_action(
     generated_cols: dict | None = None,
     identity_cols: dict | None = None,
     identity_hwms: dict | None = None,
+    configuration: dict | None = None,
 ) -> dict:
-    config = {}
+    config = dict(configuration or {})
     for name, expr in (constraints or {}).items():
         # Delta's CHECK-constraint convention: expressions live in the
         # table configuration under delta.constraints.<name>
@@ -684,10 +707,7 @@ _LEGACY_WRITER_FEATURES = {
 #: Writer features whose duties this writer actually implements; a
 #: COMMIT to a table demanding anything else is refused (the spec's
 #: writer gate — reads stay available, mutation does not). A feature
-#: belongs here only once every commit path honors it: e.g.
-#: ``v2Checkpoint`` is READ-supported but absent here, because this
-#: writer's checkpoints are classic-named — committing one to a
-#: v2Checkpoint table would violate that table's checkpoint contract.
+#: belongs here only once every commit path honors it.
 _SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "invariants",
@@ -701,6 +721,10 @@ _SUPPORTED_WRITER_FEATURES = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "domainMetadata",
+    # checkpoint_delta writes the V2 layout (UUID main + sidecars)
+    # whenever the table's protocol lists the feature — entered this
+    # set in the same commit as that writer path
+    "v2Checkpoint",
 }
 
 
@@ -715,6 +739,7 @@ def _creation_protocol(
     schema_string: str,
     generated_cols: dict | None,
     identity_cols: dict | None,
+    configuration: dict | None = None,
 ) -> dict:
     """The protocol action a CREATION commit needs: the lowest legacy
     pair covering the declared column features, upgraded to the
@@ -722,6 +747,10 @@ def _creation_protocol(
     over) only when the schema uses ``timestamp_ntz`` — which has no
     legacy level."""
     legacy_w = 6 if identity_cols else 4 if generated_cols else 2
+    if str((configuration or {}).get(
+        "delta.enableChangeDataFeed", ""
+    )).lower() == "true":
+        legacy_w = max(legacy_w, 4)
     if not _schema_uses_ntz(schema_string):
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
     writer = {"timestampNtz"}
@@ -1261,8 +1290,18 @@ def write_delta(
     cdf_key_cols: list[str] | None = None,
     generated_cols: dict[str, str] | None = None,
     identity_cols: dict[str, dict] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``configuration`` ({key: value}, table-creation commit only) sets
+    table properties in the metaData action — e.g. ``{"delta.appendOnly":
+    "true"}`` (enforced by every row-deleting path here) or
+    ``{"delta.enableChangeDataFeed": "true"}`` (the creation-time
+    equivalent of :func:`enable_change_data_feed`; the protocol is
+    raised to its writer level). ``delta.constraints.*`` and
+    ``delta.columnMapping.*`` keys are refused — use the dedicated
+    parameters/functions, which validate what the raw keys would not.
 
     ``identity_cols`` ({column: {"start": 1, "step": 1,
     "allow_explicit_insert": False}}, table-creation commit only)
@@ -1380,10 +1419,11 @@ def write_delta(
                 "— this table already exists; use add_check_constraint "
                 "(which validates existing rows first, as Delta does)"
             )
-        if generated_cols or identity_cols:
+        if generated_cols or identity_cols or configuration:
             raise ValueError(
-                "generated_cols / identity_cols are declared at table "
-                "creation (version 0) — this table already exists"
+                "generated_cols / identity_cols / configuration are "
+                "declared at table creation (version 0) — this table "
+                "already exists"
             )
         df, id_hwms, id_cache_ref = _apply_identity_columns(
             df, _identity_specs(prev_meta)
@@ -1392,6 +1432,18 @@ def write_delta(
         staged, staged_cached = _enforce_constraints(df, prev_meta)
         staged_cached = staged_cached or gen_cached
     else:
+        bad_keys = [
+            k
+            for k in (configuration or {})
+            if k.startswith("delta.constraints.")
+            or k.startswith("delta.columnMapping")
+        ]
+        if bad_keys:
+            raise ValueError(
+                f"configuration keys {bad_keys} are managed by dedicated "
+                "APIs (constraints=..., enable_column_mapping) — raw "
+                "values would skip their validation"
+            )
         id_hwms = {}
         id_cache_ref = None
         gen_cached = False
@@ -1423,7 +1475,7 @@ def write_delta(
         if generated_cols or identity_cols:
             creation_meta = _metadata_action(
                 df, pcols, constraints, generated_cols,
-                identity_cols, id_hwms,
+                identity_cols, id_hwms, configuration,
             )
             if generated_cols:
                 df, gen_cached = _apply_generated_columns(
@@ -1539,7 +1591,9 @@ def write_delta(
         meta_action = (
             creation_meta
             if creation_meta is not None
-            else _metadata_action(df, pcols, constraints)
+            else _metadata_action(
+                df, pcols, constraints, configuration=configuration
+            )
         )
         actions.append(
             {
@@ -1547,6 +1601,7 @@ def write_delta(
                     meta_action["metaData"]["schemaString"],
                     generated_cols,
                     identity_cols,
+                    configuration,
                 )
             }
         )
@@ -1732,9 +1787,22 @@ def _replay_log(
                     k: v for k, v in d["protocol"].items() if v is not None
                 }
             if d.get("metaData") and d["metaData"].get("id"):
-                meta = d["metaData"]
+                meta = dict(d["metaData"])
+                meta["configuration"] = _as_str_map(
+                    meta.get("configuration")
+                )
+                if meta.get("format"):
+                    meta["format"] = {
+                        **meta["format"],
+                        "options": _as_str_map(
+                            meta["format"].get("options")
+                        ),
+                    }
             if d.get("add") and d["add"].get("path"):
                 a = d["add"]
+                a["partitionValues"] = _as_str_map(
+                    a.get("partitionValues")
+                )
                 # log paths are URI-encoded; state is keyed physical
                 a["path"] = _decode_path(a["path"])
                 # the checkpoint's deletionVector struct materializes
@@ -2690,6 +2758,73 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
         if not fs.rename(part, dst):
             raise IOError(f"rename failed for checkpoint {dst_name}")
         fs.delete(jvm.org.apache.hadoop.fs.Path(tmp_dir), True)
+
+    if "v2Checkpoint" in (
+        (st.protocol or {}).get("writerFeatures") or []
+    ):
+        # v2Checkpoint table contract: the checkpoint MUST be the V2
+        # layout — a UUID-named main file holding the non-file actions
+        # plus checkpointMetadata and sidecar refs, with add/remove
+        # actions in _sidecars/ parquet files (chunked by the same
+        # action bound as multi-part classic checkpoints)
+        from pyspark.sql.types import LongType, StringType as _S
+        from pyspark.sql.types import StructField as _F, StructType as _T
+
+        file_rows = [r for r in rows if r.get("add") or r.get("remove")]
+        other_rows = [
+            r for r in rows if not (r.get("add") or r.get("remove"))
+        ]
+        cm_t = _T([_F("version", LongType())])
+        sc_t = _T([_F("path", _S()), _F("sizeInBytes", LongType())])
+        main_schema = _T(
+            list(schema.fields)
+            + [_F("checkpointMetadata", cm_t), _F("sidecar", sc_t)]
+        )
+        base2 = {**base, "checkpointMetadata": None, "sidecar": None}
+        main_rows = [
+            {**base2, **r} for r in other_rows
+        ] + [{**base2, "checkpointMetadata": {"version": target}}]
+        n_sc = max(1, math.ceil(len(file_rows) / CHECKPOINT_PART_ACTIONS))
+        per = math.ceil(len(file_rows) / n_sc) if file_rows else 0
+        for i in range(n_sc if file_rows else 0):
+            chunk = file_rows[i * per : (i + 1) * per]
+            sc_name = f"{uuid.uuid4().hex}.parquet"
+            tmp = f"{path}/_delta_log/_cp_tmp_sc_{target:020d}_{i}"
+            spark.createDataFrame(chunk, schema=schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(tmp)
+            part = next(
+                s.getPath()
+                for s in fs.listStatus(jvm.org.apache.hadoop.fs.Path(tmp))
+                if s.getPath().getName().endswith(".parquet")
+            )
+            dst = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_delta_log/_sidecars/{sc_name}"
+            )
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(part, dst):
+                raise IOError(f"rename failed for sidecar {sc_name}")
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            main_rows.append(
+                {
+                    **base2,
+                    "sidecar": {
+                        "path": sc_name,
+                        "sizeInBytes": int(fs.getFileStatus(dst).getLen()),
+                    },
+                }
+            )
+        tmp = f"{path}/_delta_log/_cp_tmp_{target:020d}"
+        spark.createDataFrame(main_rows, schema=main_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        _promote(tmp, f"{target:020d}.checkpoint.{uuid.uuid4().hex}.parquet")
+        _write_small_file(
+            fs, jvm, f"{path}/_delta_log/_last_checkpoint",
+            json.dumps({"version": target, "size": len(rows)}),
+            overwrite=True,
+        )
+        return
 
     n_parts = max(1, math.ceil(len(rows) / CHECKPOINT_PART_ACTIONS))
     if n_parts == 1:
@@ -4818,6 +4953,77 @@ def drop_column(spark: SparkSession, path: str, name: str) -> int:
     )
 
 
+def describe_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL: a one-row summary of the table's CURRENT state
+    — format, id, location, created/modified times, partition columns,
+    live-file count and byte size (from the log's add actions alone,
+    no filesystem walk), table properties, protocol versions and
+    feature lists — the shape delta-spark's ``DESCRIBE DETAIL``
+    returns. Cost: one replay; sizes come from each add's ``size``
+    field, so the answer is O(live actions) regardless of data volume."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    last_ts = _commit_ts_ms(fs, jvm, path, st.version)
+    created = st.meta.get("createdTime")
+    row = {
+        "format": (st.meta.get("format") or {}).get("provider", "parquet"),
+        "id": st.meta.get("id"),
+        "location": path,
+        "createdAt": (
+            _dt.datetime.fromtimestamp(created / 1000.0, tz=_dt.timezone.utc)
+            if created
+            else None
+        ),
+        "lastModified": _dt.datetime.fromtimestamp(
+            last_ts / 1000.0, tz=_dt.timezone.utc
+        ),
+        "partitionColumns": list(st.meta.get("partitionColumns") or []),
+        "numFiles": len(st.adds),
+        "sizeInBytes": sum(
+            int(a.get("size") or 0) for a in st.adds.values()
+        ),
+        "properties": dict(st.meta.get("configuration") or {}),
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "tableFeatures": sorted(
+            set(proto.get("readerFeatures") or [])
+            | set(proto.get("writerFeatures") or [])
+        ),
+        "version": st.version,
+    }
+    schema = StructType(
+        [
+            StructField("format", StringType()),
+            StructField("id", StringType()),
+            StructField("location", StringType()),
+            StructField("createdAt", TimestampType()),
+            StructField("lastModified", TimestampType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+            StructField("numFiles", LongType()),
+            StructField("sizeInBytes", LongType()),
+            StructField("properties", MapType(StringType(), StringType())),
+            StructField("minReaderVersion", LongType()),
+            StructField("minWriterVersion", LongType()),
+            StructField("tableFeatures", ArrayType(StringType())),
+            StructField("version", LongType()),
+        ]
+    )
+    return spark.createDataFrame([row], schema=schema)
+
+
 def describe_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per retained commit, newest first —
     version, timestamp, operation, operationParameters — read from the
@@ -5048,6 +5254,89 @@ def vacuum_delta(
                     deleted.append(rel)
 
     walk(jvm.org.apache.hadoop.fs.Path(path), "")
+    return sorted(deleted)
+
+
+def cleanup_log(
+    spark: SparkSession,
+    path: str,
+    retain_hours: float = 720.0,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Delta's METADATA cleanup (``delta.logRetentionDuration``,
+    default 30 days): delete commit JSONs — and the checkpoints that
+    precede them — that are BOTH older than the retention window and
+    covered by a newer retained checkpoint. Without this the
+    _delta_log of a busy table grows without bound (at one commit a
+    minute, half a million files a year — the directory listing alone
+    becomes the bottleneck). Returns the deleted file names.
+
+    Only a contiguous PREFIX of versions is removed (mirroring
+    delta-spark): an unexpired commit stops the sweep even if older
+    ones follow it by mtime, so the retained log never has holes and
+    ``timestampAsOf``/version time travel stays well-defined — asking
+    for a cleaned version now raises, exactly as on a vacuumed file.
+    Commit age uses ``commitInfo.inCommitTimestamp`` when present
+    (immune to object-store mtime rewrites), else file mtime. Expired
+    V2 checkpoints have their sidecar files deleted via their OWN
+    sidecar refs, never by directory sweep — a retained checkpoint's
+    sidecars are untouchable."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    lc = _read_last_checkpoint_doc(fs, jvm, path)
+    if lc is None:
+        return []  # nothing can be covered without a checkpoint
+    anchor = int(lc["version"])
+    cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
+        retain_hours * 3600 * 1000
+    )
+    versions = _all_commit_versions(fs, jvm, path)
+    doomed_versions: list[int] = []
+    for v in versions:
+        if v >= anchor:
+            break
+        if _commit_ts_ms(fs, jvm, path, v) > cutoff:
+            break  # contiguity: an unexpired commit stops the sweep
+        doomed_versions.append(v)
+    if not doomed_versions:
+        return []
+    doomed_set = set(doomed_versions)
+    log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    deleted: list[str] = []
+    # checkpoints at doomed versions (classic, multi-part, or V2
+    # UUID-named mains) go with their commits; V2 mains surrender
+    # their sidecars first
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if ".checkpoint." not in name and not name.endswith(
+            ".checkpoint.parquet"
+        ):
+            continue
+        if not name[:20].isdigit() or int(name[:20]) not in doomed_set:
+            continue
+        if name.endswith(".parquet") and name.count(".") == 3 and not (
+            name.split(".")[2].isdigit()
+        ):
+            # UUID-named V2 main: collect its sidecar refs
+            try:
+                for row in spark.read.parquet(
+                    f"{path}/_delta_log/{name}"
+                ).collect():
+                    d = row.asDict(recursive=True)
+                    sc = d.get("sidecar")
+                    if sc and sc.get("path"):
+                        scp = jvm.org.apache.hadoop.fs.Path(
+                            f"{path}/_delta_log/_sidecars/{sc['path']}"
+                        )
+                        if fs.exists(scp) and fs.delete(scp, False):
+                            deleted.append(f"_sidecars/{sc['path']}")
+            except Exception:
+                pass  # unreadable old checkpoint: delete the main alone
+        if fs.delete(st.getPath(), False):
+            deleted.append(name)
+    for v in doomed_versions:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")
+        if fs.delete(p, False):
+            deleted.append(f"{v:020d}.json")
     return sorted(deleted)
 
 

@@ -172,3 +172,72 @@ def test_domain_metadata_survives_checkpoint(spark, tmp_path):
     assert set(got) == {"app.y"}
     assert json.loads(got["app.y"]) == {"k": 2}
     assert read_delta(spark, path).count() == 3
+
+
+def test_creation_configuration(spark, tmp_path):
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "t8")
+    write_delta(
+        spark, spark.range(0, 3).select("id"), path,
+        configuration={
+            "delta.appendOnly": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    meta = next(
+        a["metaData"] for a in _log_actions(path, 0) if "metaData" in a
+    )
+    assert meta["configuration"]["delta.appendOnly"] == "true"
+    # CDF config raises the creation protocol to its writer level
+    assert _proto(path, 0)["minWriterVersion"] == 4
+    # CDF is live from creation: the append's rows feed the change feed
+    write_delta(spark, spark.range(3, 5).select("id"), path)
+    cdf = read_delta_cdf(spark, path, 0)
+    assert sorted(
+        (r["id"], r["_change_type"]) for r in cdf.collect()
+    ) == [(3, "insert"), (4, "insert")]
+    # appendOnly enforced from creation, with no hand-edited log
+    with pytest.raises(ValueError, match="append-only"):
+        write_delta(
+            spark, spark.range(0, 1).select("id"), path, mode="overwrite"
+        )
+    with pytest.raises(ValueError, match="creation"):
+        write_delta(
+            spark, spark.range(5, 6).select("id"), path,
+            configuration={"x": "y"},
+        )
+    with pytest.raises(ValueError, match="dedicated"):
+        write_delta(
+            spark, spark.range(0, 1).select("id"), str(tmp_path / "t8b"),
+            configuration={"delta.constraints.c": "id > 0"},
+        )
+
+
+def test_describe_detail(spark, tmp_path):
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        describe_detail,
+        set_domain_metadata,
+    )
+
+    path = str(tmp_path / "t9")
+    df = spark.range(0, 20).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("grp")
+    )
+    write_delta(
+        spark, df, path, partition_col="grp",
+        configuration={"delta.appendOnly": "false"},
+    )
+    set_domain_metadata(spark, path, "app.z", {"k": 1})  # upgrades writer
+    d = describe_detail(spark, path).collect()[0]
+    assert d["format"] == "parquet"
+    assert d["partitionColumns"] == ["grp"]
+    assert d["numFiles"] >= 2
+    assert d["sizeInBytes"] > 0
+    assert d["properties"]["delta.appendOnly"] == "false"
+    assert d["minWriterVersion"] == 7
+    assert "domainMetadata" in d["tableFeatures"]
+    assert d["version"] == 1
+    assert d["createdAt"] is not None and d["lastModified"] is not None

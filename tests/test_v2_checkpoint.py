@@ -230,19 +230,34 @@ def test_writer_gate_refuses_unknown_features(spark, tmp_path):
     assert read_delta(spark, path).count() == 10
 
 
-def test_writer_gate_refuses_v2checkpoint_tables(spark, tmp_path):
-    # readable (feature supported on the read side), NOT writable —
-    # this writer's checkpoints are classic-named
+def test_v2checkpoint_tables_writable_and_recheckpoint_v2(spark, tmp_path):
+    # a v2Checkpoint table is both readable AND writable: commits pass
+    # the gate, and this writer's own next checkpoint honors the
+    # table's contract by emitting the V2 layout (UUID main + sidecar)
     path = _mk(spark, tmp_path, "t7")
     checkpoint_delta(spark, path, 2)
     _to_v2(path, 2, sidecar=True, declare=True)
     _drop_pre_checkpoint_commits(path, 2)
     assert _ids_both(spark, path) == list(range(30))
-    df = spark.range(0, 2).select(
-        F.col("id"), F.lit("true").alias("grp"), F.lit(0).alias("val")
+    df = spark.range(100, 102).select(
+        F.col("id"), F.lit("true").alias("grp"),
+        (F.col("id") * 10).alias("val"),
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
-        write_delta(spark, df, path, partition_col="grp")
+    write_delta(spark, df, path, partition_col="grp")
+    assert _ids_both(spark, path) == list(range(30)) + [100, 101]
+    checkpoint_delta(spark, path, 3)
+    log_dir = f"{path}/_delta_log"
+    classic = f"{log_dir}/{3:020d}.checkpoint.parquet"
+    assert not os.path.exists(classic)
+    mains = [
+        f for f in os.listdir(log_dir)
+        if f.startswith(f"{3:020d}.checkpoint.") and f.endswith(".parquet")
+    ]
+    assert len(mains) == 1
+    assert os.listdir(f"{log_dir}/_sidecars")
+    # replay anchored on OUR v2 checkpoint alone, through both readers
+    _drop_pre_checkpoint_commits(path, 3)
+    assert _ids_both(spark, path) == list(range(30)) + [100, 101]
 
 
 def test_writer_gate_legacy_6_and_malformed_7(spark, tmp_path):
