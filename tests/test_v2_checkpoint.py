@@ -327,3 +327,18 @@ def test_append_only_enforcement(spark, tmp_path):
     )
     merge_delta(spark, path, fresh, key_cols=["id"])
     assert read_delta(spark, path).count() == 26
+
+
+def test_v2_checkpoint_carries_dv_descriptors(spark, tmp_path):
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+    )
+
+    path = _mk(spark, tmp_path, "t10")
+    delete_where_dv(spark, path, "id % 4 = 1")  # v3: DVs across files
+    checkpoint_delta(spark, path, 3)
+    _to_v2(path, 3, sidecar=True, declare=False)
+    _drop_pre_checkpoint_commits(path, 3)
+    # the descriptors rode the sidecar: deleted rows stay deleted in
+    # both readers when replay anchors on the v2 checkpoint alone
+    assert _ids_both(spark, path) == [i for i in range(30) if i % 4 != 1]
