@@ -181,3 +181,131 @@ def test_lifecycle_fuzz_seed_7(spark, tmp_path):
 
 def test_lifecycle_fuzz_seed_2024(spark, tmp_path):
     _walk(spark, tmp_path, seed=2024, n_ops=16)
+
+
+def _walk_with_cdf_replica(spark, tmp_path, seed, n_ops):
+    """The same walk on a CDF-ENABLED source, with a REPLICA table
+    maintained purely from the change feed after every commit — the
+    replication loop (source → read_delta_cdf → apply_changes_delta)
+    must converge to the model through arbitrary op interleavings,
+    including DV deletes (cdc-staged), replaceWhere overwrites and
+    keyed restores."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        apply_changes_delta,
+        read_delta_cdf,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_cdf_{seed}")
+    rep = str(tmp_path / f"fuzz_rep_{seed}")
+    model, next_id = _fresh_rows(rng, 0, 24)
+    write_delta(
+        spark, _frame(spark, model), path, partition_col="grp",
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_delta(  # empty replica, same shape
+        spark,
+        spark.createDataFrame([], "id long, grp string, val long"),
+        rep,
+    )
+    version = 0
+    applied = -1  # replica has consumed changes through this version
+    snapshots = {0: dict(model)}
+    trace = [f"cdf-seed={seed}", "create(24)"]
+
+    def sync():
+        nonlocal applied
+        changes = read_delta_cdf(
+            spark, path, applied, key_cols=["id"], to_version=version
+        )
+        apply_changes_delta(spark, rep, changes, key_cols=["id"])
+        applied = version
+        got = sorted(
+            (r["id"], r["grp"], r["val"])
+            for r in read_delta(spark, rep).collect()
+        )
+        want = sorted((i, g, v) for i, (g, v) in model.items())
+        assert got == want, f"replica diverged after {' '.join(trace)}"
+
+    sync()
+    ops = ["append", "merge", "delete", "delete_dv", "update",
+           "replace", "optimize", "restore"]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append":
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(2, 6))
+            version = write_delta(
+                spark, _frame(spark, fresh), path, partition_col="grp"
+            )
+            model.update(fresh)
+        elif op == "merge":
+            upd = {
+                i: (model[i][0], model[i][1] + 1000)
+                for i in rng.sample(sorted(model), min(3, len(model)))
+            }
+            fresh, next_id = _fresh_rows(rng, next_id, 2)
+            src = {**upd, **fresh}
+            version = merge_delta(
+                spark, path, _frame(spark, src), key_cols=["id"]
+            )
+            model.update(src)
+        elif op in ("delete", "delete_dv"):
+            k, r = rng.choice([(5, 0), (7, 2)])
+            fn = delete_where if op == "delete" else delete_where_dv
+            v = fn(spark, path, f"id % {k} = {r}")
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in [i for i in model if i % k == r]:
+                del model[i]
+        elif op == "update":
+            v = update_where(
+                spark, path, "id % 6 = 3", {"val": "val + 7"}
+            )
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in [i for i in model if i % 6 == 3]:
+                model[i] = (model[i][0], model[i][1] + 7)
+        elif op == "replace":
+            grp = str(rng.randrange(0, 3))
+            fresh, next_id = _fresh_rows(rng, next_id, 4)
+            repl = {i: (grp, v) for i, (_g, v) in fresh.items()}
+            version = write_delta(
+                spark, _frame(spark, repl), path, partition_col="grp",
+                mode="overwrite", replace_partitions=[grp],
+                cdf_key_cols=["id"],
+            )
+            model = {i: gv for i, gv in model.items() if gv[0] != grp}
+            model.update(repl)
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "restore":
+            candidates = [v for v in snapshots if v < version]
+            if not candidates:
+                trace[-1] += "(noop)"
+                continue
+            target = rng.choice(candidates)
+            version = restore_delta(
+                spark, path, target, cdf_key_cols=["id"]
+            )
+            model = dict(snapshots[target])
+            trace[-1] += f"->{target}"
+        snapshots[version] = dict(model)
+        _check(spark, path, model, " ".join(trace))
+        sync()
+
+
+def test_lifecycle_fuzz_cdf_replica_seed_3(spark, tmp_path):
+    _walk_with_cdf_replica(spark, tmp_path, seed=3, n_ops=10)
+
+
+def test_lifecycle_fuzz_cdf_replica_seed_99(spark, tmp_path):
+    _walk_with_cdf_replica(spark, tmp_path, seed=99, n_ops=10)
