@@ -217,3 +217,29 @@ def test_identity_with_partitions_and_evolution(spark, tmp_path):
         range(1, 16)
     )
     assert "tag" in rows.columns
+
+
+def test_txn_replay_does_not_double_allocate(spark, tmp_path):
+    """Exactly-once composition: a replayed (appId, version) batch is
+    skipped BEFORE identity allocation runs, so streaming-sink restarts
+    can never double-allocate values or advance the high-water mark
+    twice."""
+    path = str(tmp_path / "t11")
+    write_delta(
+        spark, _payload(spark, 0, 5), path,
+        identity_cols={"rid": {"start": 1, "step": 1}},
+    )
+    v1 = write_delta(
+        spark, _payload(spark, 10, 13), path, txn=("app", 1)
+    )
+    md1 = _identity_md(path, v1)
+    # the exact same batch replays (restart): skipped, nothing changes
+    v2 = write_delta(
+        spark, _payload(spark, 10, 13), path, txn=("app", 1)
+    )
+    assert v2 == v1
+    rows = sorted(
+        r["rid"] for r in read_delta(spark, path).select("rid").collect()
+    )
+    assert rows == list(range(1, 9))
+    assert md1["delta.identity.highWaterMark"] == 8
