@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import re
 import uuid
 from typing import NamedTuple
 
@@ -70,6 +71,14 @@ class LogState(NamedTuple):
     #: domain name -> configuration (json string) from domainMetadata
     #: actions, removed domains dropped
     domain_metadata: dict | None = None
+    #: DV .bin rel path -> max deletionTimestamp across ALL tombstones
+    #: that referenced it. ``removes`` keeps one entry per DATA path,
+    #: so a file tombstoned twice (DV delete then purge) would lose
+    #: the earlier .bin's timestamp — vacuum must age each .bin from
+    #: this map, keyed by BIN path, or an object store that rewrites
+    #: mtimes could reclaim a .bin still needed by in-retention time
+    #: travel.
+    dv_tombstones: dict | None = None
 
 
 def _as_str_map(m) -> dict:
@@ -194,14 +203,34 @@ def _checkpoint_files(fs, jvm, path: str, lc: dict) -> list[str]:
         return [classic]
     prefix = f"{v:020d}.checkpoint."
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
+    # the spec allows V2 manifests in BOTH formats: parquet AND NDJSON
+    # (V.checkpoint.<uuid>.json) — probe both; .json is parsed by the
+    # caller as line-delimited actions
     found = sorted(
         st.getPath().getName()
         for st in fs.listStatus(log_dir)
         if st.getPath().getName().startswith(prefix)
-        and st.getPath().getName().endswith(".parquet")
+        and (
+            st.getPath().getName().endswith(".parquet")
+            or st.getPath().getName().endswith(".json")
+        )
     )
+    multipart = re.compile(
+        rf"{v:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet$"
+    )
+    singles = [n for n in found if not multipart.search(n)]
+    if singles:
+        return [f"{path}/_delta_log/{singles[-1]}"]
     if found:
-        return [f"{path}/_delta_log/{found[-1]}"]
+        # every candidate has the multi-part i.of.n shape but
+        # _last_checkpoint carried no `parts` — replaying ONE part as
+        # the whole state would silently drop files; refuse instead
+        raise ValueError(
+            f"malformed _last_checkpoint at version {v}: no `parts` "
+            f"field but only multi-part checkpoint files exist "
+            f"({found[-1]!r} …) — refusing to replay a single part as "
+            "the full snapshot"
+        )
     return [classic]  # let the read raise the natural missing-file error
 
 
@@ -751,6 +780,13 @@ def _creation_protocol(
         "delta.enableChangeDataFeed", ""
     )).lower() == "true":
         legacy_w = max(legacy_w, 4)
+    if any(
+        k.startswith("delta.constraints.") for k in (configuration or {})
+    ):
+        # the spec puts checkConstraints at writer version 3 — without
+        # the bump a legacy-v2 foreign writer could commit violating
+        # rows without ever seeing the constraint duty
+        legacy_w = max(legacy_w, 3)
     if not _schema_uses_ntz(schema_string):
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
     writer = {"timestampNtz"}
@@ -1597,11 +1633,14 @@ def write_delta(
         )
         actions.append(
             {
+                # the MERGED configuration (creation_meta path and the
+                # constraints= param both land in metaData.configuration),
+                # so constraint/CDF-driven version bumps can't be missed
                 "protocol": _creation_protocol(
                     meta_action["metaData"]["schemaString"],
                     generated_cols,
                     identity_cols,
-                    configuration,
+                    meta_action["metaData"].get("configuration"),
                 )
             }
         )
@@ -1743,14 +1782,35 @@ def _replay_log(
     removes: dict[str, int] = {}
     protocol: dict | None = None
     domains: dict[str, str] = {}
+    dv_tombs: dict[str, int] = {}
+
+    def _note_dv_tombstone(dvd: dict | None, ts: int) -> None:
+        # max deletionTimestamp per referenced .bin, keyed by BIN path
+        # across ALL tombstones — never collapsed per data-file path
+        if dvd and dvd.get("storageType") == "u":
+            from .deletion_vectors import dv_rel_path
+
+            rel_bin = dv_rel_path(dvd["pathOrInlineDv"])
+            dv_tombs[rel_bin] = max(dv_tombs.get(rel_bin, 0), ts)
+
     start = 0
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     if lc is not None and lc["version"] <= target:
         cps = _checkpoint_files(fs, jvm, path, lc)
-        rows = [
-            r.asDict(recursive=True)
-            for r in spark.read.parquet(*cps).collect()
-        ]
+        if len(cps) == 1 and cps[0].endswith(".json"):
+            # V2 manifests may be NDJSON (V.checkpoint.<uuid>.json):
+            # same action rows, line-delimited — file actions still
+            # live in the parquet sidecars it references
+            rows = [
+                json.loads(line)
+                for line in _read_text(fs, jvm, cps[0]).splitlines()
+                if line.strip()
+            ]
+        else:
+            rows = [
+                r.asDict(recursive=True)
+                for r in spark.read.parquet(*cps).collect()
+            ]
         # V2 checkpoints: file actions may live in SIDECAR parquet
         # files under _delta_log/_sidecars/ referenced by `sidecar`
         # actions (the layout delta-spark's v2Checkpoint feature
@@ -1841,6 +1901,7 @@ def _replay_log(
                     "dataChange": bool(r.get("dataChange", True)),
                     **({"deletionVector": dvd} if dvd else {}),
                 }
+                _note_dv_tombstone(dvd, int(r.get("deletionTimestamp", 0)))
         start = lc["version"] + 1
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
@@ -1880,6 +1941,9 @@ def _replay_log(
                     "dataChange": bool(rm.get("dataChange", True)),
                     **({"deletionVector": dvd} if dvd else {}),
                 }
+                _note_dv_tombstone(
+                    dvd, int(rm.get("deletionTimestamp", 0))
+                )
             elif "txn" in action:
                 t = action["txn"]
                 txns[t["appId"]] = max(
@@ -1941,7 +2005,9 @@ def _replay_log(
                 "mapping only. Refusing to read rather than silently "
                 "dropping those semantics."
             )
-    return LogState(target, adds, meta, txns, removes, protocol, domains)
+    return LogState(
+        target, adds, meta, txns, removes, protocol, domains, dv_tombs
+    )
 
 
 def _group_adds(adds: dict, pcols: list) -> list[tuple[tuple, list[str]]]:
@@ -5127,6 +5193,30 @@ def add_check_constraint(
         _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
         {"metaData": meta},
     ]
+    # checkConstraints is a writer-version-3 duty: a legacy-v2 table
+    # must bump in the SAME commit or a foreign legacy writer keeps
+    # committing without ever enforcing the new constraint
+    proto = st.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if proto.get("writerFeatures") is not None:
+        if "checkConstraints" not in proto["writerFeatures"]:
+            actions.append(
+                {
+                    "protocol": _upgraded_protocol_writer_only(
+                        proto, "checkConstraints"
+                    )
+                }
+            )
+    elif int(proto.get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(
+                        proto.get("minReaderVersion", 1)
+                    ),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
@@ -5214,7 +5304,12 @@ def vacuum_delta(
         d = a.get("deletionVector")
         if d and d.get("storageType") == "u":
             live_bins.add(dv_rel_path(d["pathOrInlineDv"]))
-    tomb_bins: dict[str, int] = {}
+    # keyed by BIN path across ALL tombstones seen in replay (not the
+    # per-data-path collapsed `removes`): a file tombstoned twice (DV
+    # delete then purge) keeps BOTH bins' deletionTimestamps, so an
+    # object store that rewrites mtimes can't trick vacuum into
+    # reclaiming a .bin still needed by in-retention time travel
+    tomb_bins: dict[str, int] = dict(st_log.dv_tombstones or {})
     for rm in removes.values():
         d = rm.get("deletionVector")
         if d and d.get("storageType") == "u":

@@ -233,7 +233,22 @@ def _read_checkpoint_actions(log_dir: str, lc: dict) -> list[dict]:
                 if f.startswith(prefix)
                 and (f.endswith(".parquet") or f.endswith(".json"))
             )
+            multipart = re.compile(
+                rf"{version:020d}\.checkpoint\.\d{{10}}\.\d{{10}}\.parquet$"
+            )
+            named = [f for f in named if not multipart.search(f)]
             if not named:
+                if any(
+                    multipart.search(f) for f in os.listdir(log_dir)
+                ):
+                    # only multi-part files exist but _last_checkpoint
+                    # carries no `parts`: replaying ONE part as the full
+                    # snapshot would silently drop files — refuse
+                    raise ValueError(
+                        f"malformed _last_checkpoint at version "
+                        f"{version}: no `parts` field but only "
+                        "multi-part checkpoint files exist"
+                    )
                 raise FileNotFoundError(classic)
             cps = [os.path.join(log_dir, named[-1])]
     rows: list[dict] = []
@@ -328,12 +343,13 @@ def _replay(path: str, version: int | None):
         raise FileNotFoundError(f"no commits under {log_dir}")
     target = versions[-1] if version is None else version
     start = 0
+    cp_actions: list[dict] = []
     actions: list[dict] = []
     lc_path = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc_path):
         lc = json.loads(open(lc_path).read())
         if lc["version"] <= target:
-            actions.extend(_read_checkpoint_actions(log_dir, lc))
+            cp_actions.extend(_read_checkpoint_actions(log_dir, lc))
             start = lc["version"] + 1
     for v in range(start, target + 1):
         commit = os.path.join(log_dir, f"{v:020d}.json")
@@ -346,6 +362,20 @@ def _replay(path: str, version: int | None):
     adds: dict[str, dict] = {}
     meta: dict | None = None
     protocol: dict | None = None
+    # A checkpoint is a SNAPSHOT, not a replayable op sequence: its
+    # remove rows are retained tombstones (vacuum bookkeeping) and a
+    # path may legitimately carry BOTH a tombstone and a live add (DV
+    # in-place re-add). Rows also come in arbitrary order across parts
+    # and sidecars, so a tombstone must never pop a live add here —
+    # only post-checkpoint JSON commit removes express deletion.
+    for action in cp_actions:
+        if "protocol" in action:
+            protocol = action["protocol"]
+        elif "metaData" in action:
+            meta = action["metaData"]
+        elif "add" in action:
+            a = action["add"]
+            adds[unquote(a["path"])] = a
     for action in actions:
         if "protocol" in action:
             protocol = action["protocol"]

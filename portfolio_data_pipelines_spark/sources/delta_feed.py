@@ -147,8 +147,14 @@ class _FeedCdcFilesPartition(InputPartition):
         self.ts_ms = ts_ms
 
 
-def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
-    """dataChange add actions of ONE commit (paths decoded)."""
+def _commit_data_adds(
+    log_dir: str, version: int
+) -> tuple[list[dict], bool]:
+    """(dataChange add actions of ONE commit (paths decoded), does the
+    commit ALSO carry dataChange removes). The second flag marks a
+    change commit — DELETE/UPDATE/MERGE re-add touched files (or their
+    rewrites) with dataChange=true, so an append-only consumer that
+    planned those adds would emit every surviving row a second time."""
     from urllib.parse import unquote
 
     commit = os.path.join(log_dir, f"{version:020d}.json")
@@ -159,6 +165,7 @@ def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
             "the stream from a fresh checkpoint)"
         )
     adds = []
+    has_dc_removes = False
     for line in open(commit).read().splitlines():
         if not line.strip():
             continue
@@ -167,7 +174,11 @@ def _commit_data_adds(log_dir: str, version: int) -> list[dict]:
             a = dict(action["add"])
             a["path"] = unquote(a["path"])
             adds.append(a)
-    return adds
+        elif "remove" in action and action["remove"].get(
+            "dataChange", True
+        ):
+            has_dc_removes = True
+    return adds, has_dc_removes
 
 
 def _fix_ts(val, type_name: str):
@@ -262,6 +273,12 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         self.max_bytes = int(
             options.get("maxbytespertask", 4 * 1024 * 1024)
         )
+        # plain mode refuses change commits (dataChange removes) unless
+        # the consumer opts into duplicates — delta-spark's
+        # ignoreChanges contract
+        self.ignore_changes = str(
+            options.get("ignorechanges", "false")
+        ).lower() == "true"
         self._progress: int | None = None  # known position, once seen
 
     def _phys(self, name: str) -> str:
@@ -292,9 +309,23 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         if not self.cdf:
             for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                adds_v, has_dc_removes = _commit_data_adds(log_dir, v)
+                if has_dc_removes and not self.ignore_changes:
+                    # delta-spark's streaming source errors on change
+                    # commits too, unless ignoreChanges/skipChangeCommits
+                    # is opted into — planning the re-added files here
+                    # would silently duplicate every surviving row
+                    raise ValueError(
+                        f"commit {v} of {self.path} is a change commit "
+                        "(DELETE/UPDATE/MERGE: dataChange removes "
+                        "alongside adds); plain feed mode would emit "
+                        "surviving rows twice. Use mode=cdf (exact "
+                        "row-level changes) or pass "
+                        "ignorechanges=true to accept duplicates."
+                    )
                 group: list = []
                 group_bytes = 0
-                for a in _commit_data_adds(log_dir, v):
+                for a in adds_v:
                     size = int(a.get("size", 0))
                     if group and (
                         self.max_bytes <= 0

@@ -503,3 +503,162 @@ def test_multipart_checkpoint_written_above_threshold(
 
     vacuum_delta(spark, path, retain_hours=168)
     assert read_delta(spark, path).count() == len(expected) + 1
+
+
+def test_checkpoint_add_before_tombstone_order_is_safe(spark, tmp_path):
+    """ADVICE r9: a FOREIGN checkpoint legitimately carries BOTH a
+    tombstone and a live add for one path (delta-spark keeps the DV
+    re-add's tombstone in its snapshot; this writer's replay pops it),
+    and foreign writers emit checkpoint rows in ARBITRARY order.
+    Synthesize that shape with the live add BEFORE the tombstone: both
+    readers must still see the file — checkpoint rows are a snapshot,
+    never a replayable op sequence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where_dv,
+    )
+
+    path = str(tmp_path / "t_cporder")
+    df = spark.range(1, 11).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    ).repartition(1)
+    write_delta(spark, df, path)
+    delete_where_dv(spark, path, "id = 3")  # v1: remove(F) + add(F, dv)
+    for i in range(2, DELTA_CHECKPOINT_EVERY + 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(100 + i, 1.0)], "id bigint, v double"),
+            path,
+        )
+    log = tmp_path / "t_cporder" / "_delta_log"
+    # the DV commit's remove action, as a foreign checkpoint would
+    # retain it (this writer's replay popped it on the in-place re-add)
+    tombstone = None
+    for line in (log / f"{1:020d}.json").read_text().splitlines():
+        a = json.loads(line) if line.strip() else {}
+        if "remove" in a:
+            tombstone = a["remove"]
+    assert tombstone is not None
+    cp = log / f"{DELTA_CHECKPOINT_EVERY:020d}.checkpoint.parquet"
+    assert cp.exists()
+    table = pq.read_table(cp)
+    rows = table.to_pylist()
+    dv_paths = {
+        r["add"]["path"]
+        for r in rows
+        if r.get("add") and r["add"].get("deletionVector")
+    }
+    assert tombstone["path"] in dv_paths
+    base = {k: None for k in table.schema.names}
+    rows.append(
+        {
+            **base,
+            "remove": {
+                "path": tombstone["path"],
+                "deletionTimestamp": int(tombstone["deletionTimestamp"]),
+                "dataChange": bool(tombstone.get("dataChange", True)),
+                "deletionVector": None,
+            },
+        }
+    )  # adversarial: the tombstone row lands AFTER the live add row
+    pq.write_table(pa.Table.from_pylist(rows, schema=table.schema), cp)
+    for j in range(DELTA_CHECKPOINT_EVERY):
+        (log / f"{j:020d}.json").unlink()
+    for crc in log.glob(".*.crc"):
+        crc.unlink()
+    expected = [i for i in range(1, 11) if i != 3] + [
+        100 + i for i in range(2, DELTA_CHECKPOINT_EVERY + 1)
+    ]
+    assert _ids(spark, path) == sorted(expected)
+
+
+def _ids(spark, path):
+    s = sorted(r["id"] for r in read_delta(spark, path).select("id").collect())
+    names, rows = read_delta_external(path)
+    e = sorted(row[names.index("id")] for row in rows)
+    assert s == e, (s, e)
+    return s
+
+
+def test_json_v2_manifest_read_by_both_readers(spark, tmp_path):
+    """ADVICE r9: the spec allows V2 checkpoint manifests in NDJSON
+    form (V.checkpoint.<uuid>.json). Convert this writer's classic
+    parquet checkpoint into one and delete the pre-checkpoint commits:
+    both readers must resolve the table from the JSON manifest + tail."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t_jsoncp")
+    for i in range(DELTA_CHECKPOINT_EVERY + 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, float(i))], "id bigint, v double"),
+            path,
+        )
+    log = tmp_path / "t_jsoncp" / "_delta_log"
+    v = DELTA_CHECKPOINT_EVERY
+    cp = log / f"{v:020d}.checkpoint.parquet"
+    rows = pq.read_table(cp).to_pylist()
+
+    def _prune(x):
+        if isinstance(x, dict):
+            return {k: _prune(v2) for k, v2 in x.items() if v2 is not None}
+        return x
+
+    actions = []
+    for r in rows:
+        for k, v2 in r.items():
+            if v2 is not None:
+                actions.append(json.dumps({k: _prune(v2)}))
+    (log / f"{v:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json").write_text(
+        "\n".join(actions) + "\n"
+    )
+    cp.unlink()
+    for j in range(v):
+        (log / f"{j:020d}.json").unlink()
+    for crc in log.glob(".*.crc"):
+        crc.unlink()
+    assert _ids(spark, path) == list(range(DELTA_CHECKPOINT_EVERY + 1))
+
+
+def test_partless_multipart_listing_refused(spark, tmp_path):
+    """ADVICE r9: a _last_checkpoint WITHOUT `parts` whose directory
+    holds only multi-part-shaped checkpoint files is malformed —
+    replaying one part as the whole snapshot silently drops files, so
+    BOTH readers must refuse instead of guessing."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t_partless")
+    for i in range(DELTA_CHECKPOINT_EVERY + 1):
+        write_delta(
+            spark,
+            spark.createDataFrame([(i, float(i))], "id bigint, v double"),
+            path,
+        )
+    log = tmp_path / "t_partless" / "_delta_log"
+    v = DELTA_CHECKPOINT_EVERY
+    single = log / f"{v:020d}.checkpoint.parquet"
+    table = pq.read_table(single)
+    half = max(1, table.num_rows // 2)
+    pq.write_table(
+        table.slice(0, half),
+        log / f"{v:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    pq.write_table(
+        table.slice(half),
+        log / f"{v:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    single.unlink()
+    # malformed: the doc omits `parts`
+    (log / "_last_checkpoint").write_text(
+        json.dumps({"version": v, "size": table.num_rows})
+    )
+    for j in range(v):
+        (log / f"{j:020d}.json").unlink()
+    for crc in log.glob(".*.crc"):
+        crc.unlink()
+    with pytest.raises(Exception, match="multi-part"):
+        read_delta(spark, path).collect()
+    with pytest.raises(Exception, match="multi-part"):
+        read_delta_external(path)

@@ -32,10 +32,12 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "id bigint, v double, date date")
 
 
-def _run_available(spark, path, out_dir, ckpt):
+def _run_available(spark, path, out_dir, ckpt, **opts):
+    reader = spark.readStream.format("delta_feed").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     q = (
-        spark.readStream.format("delta_feed")
-        .option("path", path)
+        reader
         .load()
         .writeStream.format("parquet")
         .option("path", out_dir)
@@ -622,9 +624,12 @@ def test_feed_reads_column_mapped_table(registered, tmp_path):
         ),
         key_cols=["id"],
     )
-    # plain mode: logical columns, physical files resolved
+    # plain mode: logical columns, physical files resolved. The MERGE
+    # above makes commit 4 a change commit, so plain mode requires the
+    # explicit ignorechanges opt-in (duplicates accepted by this test's
+    # membership asserts)
     out, ckpt = str(tmp_path / "out_cm"), str(tmp_path / "ckpt_cm")
-    _run_available(spark, path, out, ckpt)
+    _run_available(spark, path, out, ckpt, ignorechanges="true")
     got = spark.read.parquet(out)
     assert {"id", "amount", "day", "_commit_version"} <= set(got.columns)
     vals = {(r["id"], r["amount"], r["day"]) for r in got.collect()}
@@ -786,7 +791,9 @@ def test_plain_feed_respects_deletion_vectors(registered, tmp_path):
     )
     delete_where_dv(spark, path, "id in (2, 5)")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    _run_available(spark, path, out, ckpt)
+    # the DV commit is a change commit (dataChange remove + re-add):
+    # plain mode needs the explicit duplicate opt-in to consume it
+    _run_available(spark, path, out, ckpt, ignorechanges="true")
     rows = spark.read.parquet(out).collect()
     # commit 0 streamed all 8; commit 1 (the DV re-add, dataChange=true)
     # re-streams the file's LIVE rows only — never ids 2 or 5
@@ -858,3 +865,37 @@ def test_cdf_feed_streams_dv_delete_from_cdc_files(registered, tmp_path):
     dv_commit = [r for r in rows if r["_change_type"] == "delete"]
     assert sorted(r["id"] for r in dv_commit) == [2, 6]
     assert all(r["_commit_timestamp"] is not None for r in dv_commit)
+
+
+def test_plain_feed_refuses_change_commits_without_opt_in(
+    registered, tmp_path
+):
+    """Plain (append-only) feed mode must REFUSE a change commit
+    (dataChange removes alongside adds — DELETE/UPDATE/MERGE shapes)
+    rather than silently re-emit every surviving row of the touched
+    files: delta-spark's streaming source has the same contract
+    (ignoreChanges / skipChangeCommits). Advisory fix, round 10."""
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_change_refuse")
+    write_delta(
+        spark,
+        _df(spark, [(i, float(i), _day("2021-01-01")) for i in range(1, 6)])
+        .coalesce(1),
+        path, partition_col="date",
+    )
+    delete_where(spark, path, "id = 3")  # copy-on-write rewrite commit
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="change commit"):
+        _run_available(spark, path, out, ckpt)
+    # the opt-in consumes the same log, duplicates accepted
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _run_available(spark, path, out2, ckpt2, ignorechanges="true")
+    rows = spark.read.parquet(out2).collect()
+    v1 = sorted(r["id"] for r in rows if r["_commit_version"] == 1)
+    assert v1 == [1, 2, 4, 5]  # the rewrite's surviving rows

@@ -372,3 +372,46 @@ def test_dv_on_multilevel_partitioned_table(spark, tmp_path):
     assert _ids_both(spark, path) == [
         i for i in expect if i not in (3, 6)
     ]
+
+
+def test_vacuum_tracks_bin_age_across_double_tombstones(spark, tmp_path):
+    """ADVICE r9: a data file tombstoned TWICE (DV delete, DV delete,
+    then PURGE) collapses to one `removes` entry carrying only the
+    LAST .bin — the first .bin's deletionTimestamp must still be
+    tracked (keyed by BIN path across all tombstones), or an object
+    store that rewrites mtimes lets vacuum reclaim a .bin still needed
+    by in-retention time travel."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        _replay_log,
+        purge_delta,
+    )
+
+    path = _mk(spark, tmp_path, "t_dbl", partitioned=False, one_file=True)
+    delete_where_dv(spark, path, "id = 4")     # v1: bin1
+    bins_v1 = {f for f in os.listdir(path) if f.endswith(".bin")}
+    delete_where_dv(spark, path, "id = 8")     # v2: remove(F,·), bin2
+    bins_v2 = {f for f in os.listdir(path) if f.endswith(".bin")}
+    purge_delta(spark, path)                   # v3: remove(F, bin2)
+    bin1 = bins_v1.pop()
+    bin2 = (bins_v2 - bins_v1).pop()
+    # replay must remember BOTH bins' tombstone times, keyed by bin
+    st = _replay_log(spark, path, None)
+    assert {bin1, bin2} <= set(st.dv_tombstones or {})
+    # simulate an object store rewriting mtimes: age the .bins' mtime
+    # far into the past — the RECENT tombstone timestamps must protect
+    # them from an in-retention vacuum
+    for b in (bin1, bin2):
+        os.utime(os.path.join(path, b), (0, 0))
+    deleted = vacuum_delta(spark, path, retain_hours=168)
+    assert bin1 not in deleted and bin2 not in deleted
+    # time travel inside the window still resolves through both bins
+    assert _ids_both(spark, path, version=1) == [
+        i for i in range(1, 21) if i != 4
+    ]
+    assert _ids_both(spark, path, version=2) == [
+        i for i in range(1, 21) if i not in (4, 8)
+    ]
+    # and a far-future vacuum reclaims them via the tombstone times
+    future = 10**18
+    deleted2 = vacuum_delta(spark, path, retain_hours=168, now_ms=future)
+    assert bin1 in deleted2 and bin2 in deleted2

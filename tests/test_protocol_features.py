@@ -241,3 +241,53 @@ def test_describe_detail(spark, tmp_path):
     assert "domainMetadata" in d["tableFeatures"]
     assert d["version"] == 1
     assert d["createdAt"] is not None and d["lastModified"] is not None
+
+
+def test_check_constraints_bump_writer_version(spark, tmp_path):
+    """ADVICE r9: checkConstraints is a writer-VERSION-3 duty. A
+    creation commit declaring constraints must not stay at legacy v2
+    (a foreign legacy writer would commit violating rows without ever
+    seeing the constraint), and ALTER ADD CONSTRAINT on a v2 table
+    must bump the protocol in the SAME commit."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        add_check_constraint,
+    )
+
+    # creation path
+    p1 = str(tmp_path / "t_ck_create")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 5.0)], "id bigint, v double"),
+        p1,
+        constraints={"v_pos": "v > 0"},
+    )
+    assert _proto(p1, 0)["minWriterVersion"] == 3
+    # post-creation ALTER path: v2 table bumps in the constraint commit
+    p2 = str(tmp_path / "t_ck_alter")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 5.0)], "id bigint, v double"),
+        p2,
+    )
+    assert _proto(p2, 0)["minWriterVersion"] == 2
+    v = add_check_constraint(spark, p2, "v_pos", "v > 0")
+    assert _proto(p2, v)["minWriterVersion"] == 3
+    # the constraint still enforces, and both readers stay on the table
+    with pytest.raises(Exception, match="v_pos"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(2, -1.0)], "id bigint, v double"),
+            p2,
+        )
+    names, rows = read_delta_external(p2)
+    assert len(rows) == 1
+    # a table-features table lists the feature instead of a version bump
+    p3 = str(tmp_path / "t_ck_tf")
+    write_delta(
+        spark,
+        _ntz_frame(spark, 0, 3),
+        p3,
+    )
+    assert _proto(p3, 0)["minWriterVersion"] == 7
+    v3 = add_check_constraint(spark, p3, "id_pos", "id >= 0")
+    assert "checkConstraints" in _proto(p3, v3)["writerFeatures"]
