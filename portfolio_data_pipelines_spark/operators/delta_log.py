@@ -567,6 +567,137 @@ def _meta_with_identity_hwm(meta: dict, hwms: dict[str, int]) -> dict:
     return out
 
 
+#: Row tracking (public Delta protocol, "Row Tracking"): every add on
+#: a table whose protocol lists the ``rowTracking`` writer feature
+#: carries ``baseRowId``/``defaultRowCommitVersion``; a row's FRESH id
+#: is baseRowId + its position in the file, and rewrites PRESERVE ids
+#: by materializing them into hidden per-file columns named by the
+#: table configuration. The high-water mark lives in the
+#: ``delta.rowTracking`` metadata domain — the exact plumbing
+#: domainMetadata landed in round 9 for.
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_RT_MAT_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_RT_MAT_CV_KEY = (
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+)
+
+
+def _row_tracking_supported(proto: dict | None) -> bool:
+    """Is ``rowTracking`` in the protocol's writerFeatures? When it is,
+    EVERY commit path has the writer duty of assigning baseRowId /
+    defaultRowCommitVersion to its adds, whether or not the table
+    property has turned the feature on for readers."""
+    return "rowTracking" in ((proto or {}).get("writerFeatures") or [])
+
+
+def _rt_mat_cols(meta: dict | None) -> tuple[str | None, str | None]:
+    """The hidden materialized-column names (physical; not part of the
+    schemaString) rewrites persist row ids under, or (None, None)."""
+    cfg = (meta or {}).get("configuration") or {}
+    return cfg.get(_RT_MAT_ID_KEY), cfg.get(_RT_MAT_CV_KEY)
+
+
+def _rt_hwm(domains: dict | None) -> int:
+    """Current rowIdHighWaterMark from the delta.rowTracking domain
+    (-1 when the domain has never been written, per spec)."""
+    raw = (domains or {}).get(_ROW_TRACKING_DOMAIN)
+    if not raw:
+        return -1
+    return int(json.loads(raw).get("rowIdHighWaterMark", -1))
+
+
+def _rt_domain_action(hwm: int) -> dict:
+    return {
+        "domainMetadata": {
+            "domain": _ROW_TRACKING_DOMAIN,
+            "configuration": json.dumps({"rowIdHighWaterMark": int(hwm)}),
+            "removed": False,
+        }
+    }
+
+
+def _rt_assign(
+    add_actions: list[dict], hwm: int, commit_version: int
+) -> int | None:
+    """Writer duty of the rowTracking feature: give every NEW add a
+    ``baseRowId`` strictly past the high-water mark and a
+    ``defaultRowCommitVersion``. Adds that already carry a baseRowId
+    (DV in-place re-adds, RESTORE re-adds) keep it — that is exactly
+    what makes row ids stable. Returns the advanced mark, or None when
+    nothing was assigned (caller then skips the domain write). Driver
+    cost is O(new files); per-file numRecords comes from the stats the
+    stager already collected, and a file without them is refused (the
+    spec cannot assign fresh ids without the row count)."""
+    advanced = hwm
+    assigned = False
+    for action in add_actions:
+        a = action.get("add")
+        if a is None or a.get("baseRowId") is not None:
+            continue
+        stats = a.get("stats")
+        n = json.loads(stats).get("numRecords") if stats else None
+        if n is None:
+            raise ValueError(
+                f"cannot assign row ids to {a.get('path')!r}: the add "
+                "carries no numRecords stats (row tracking requires "
+                "per-file row counts)"
+            )
+        a["baseRowId"] = advanced + 1
+        a["defaultRowCommitVersion"] = int(commit_version)
+        advanced += int(n)
+        assigned = True
+    return advanced if assigned else None
+
+
+def _rt_finalize_commit(
+    st: LogState | None,
+    add_actions: list[dict],
+    actions: list[dict],
+    new_version: int,
+    proto: dict | None = None,
+    domains: dict | None = None,
+) -> None:
+    """The one hook every staging commit path calls before writing:
+    when the table's protocol lists rowTracking, assign ids to the new
+    adds and append the advanced high-water mark's domainMetadata to
+    the SAME commit. No-op otherwise."""
+    protocol = proto if proto is not None else (st.protocol if st else None)
+    if not _row_tracking_supported(protocol):
+        return
+    doms = domains if domains is not None else (
+        st.domain_metadata if st else None
+    )
+    advanced = _rt_assign(add_actions, _rt_hwm(doms), new_version)
+    if advanced is not None:
+        actions.append(_rt_domain_action(advanced))
+
+
+def _rt_materialize(df: DataFrame, meta: dict, fresh_cv: bool = False):
+    """Stage-side half of row-id preservation: rename the read-side
+    ``_row_id``/``_row_commit_version`` columns onto the table's hidden
+    materialized column names so the rewritten parquet files carry
+    them. ``fresh_cv=True`` nulls the commit-version column — rows the
+    current commit MODIFIES fall back to the new add's
+    defaultRowCommitVersion, exactly the spec's "version that last
+    changed the row". Requires the names to be configured (they are,
+    from enablement)."""
+    mat_id, mat_cv = _rt_mat_cols(meta)
+    if not mat_id or not mat_cv:
+        raise ValueError(
+            "rowTracking protocol feature present but the materialized "
+            "column names are missing from the table configuration — "
+            "cannot preserve row ids through a rewrite"
+        )
+    out = df.withColumnRenamed("_row_id", mat_id)
+    if fresh_cv:
+        out = out.drop("_row_commit_version").withColumn(
+            mat_cv, F.lit(None).cast("long")
+        )
+    else:
+        out = out.withColumnRenamed("_row_commit_version", mat_cv)
+    return out
+
+
 def _apply_identity_columns(
     df: DataFrame, specs: dict[str, dict]
 ) -> tuple[DataFrame, dict[str, int], "DataFrame | None"]:
@@ -754,6 +885,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # whenever the table's protocol lists the feature — entered this
     # set in the same commit as that writer path
     "v2Checkpoint",
+    # every staging commit path assigns baseRowId/defaultRowCommitVersion
+    # via _rt_finalize_commit and rewrites preserve materialized ids —
+    # entered this set in the same commit as those duties (round 10)
+    "rowTracking",
 }
 
 
@@ -787,16 +922,27 @@ def _creation_protocol(
         # the bump a legacy-v2 foreign writer could commit violating
         # rows without ever seeing the constraint duty
         legacy_w = max(legacy_w, 3)
-    if not _schema_uses_ntz(schema_string):
+    ntz = _schema_uses_ntz(schema_string)
+    row_tracking = str((configuration or {}).get(
+        "delta.enableRowTracking", ""
+    )).lower() == "true"
+    if not ntz and not row_tracking:
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
-    writer = {"timestampNtz"}
+    # features with no legacy level force the table-features form
+    writer = set()
+    if ntz:
+        writer.add("timestampNtz")
+    if row_tracking:
+        # rowTracking is writer-only (readers may ignore row ids) and
+        # depends on domainMetadata for its high-water mark
+        writer.update({"rowTracking", "domainMetadata"})
     for v, feats in _LEGACY_WRITER_FEATURES.items():
         if legacy_w >= v:
             writer.update(feats)
     return {
-        "minReaderVersion": 3,
+        "minReaderVersion": 3 if ntz else 1,
         "minWriterVersion": 7,
-        "readerFeatures": ["timestampNtz"],
+        **({"readerFeatures": ["timestampNtz"]} if ntz else {}),
         "writerFeatures": sorted(writer),
     }
 
@@ -1432,6 +1578,7 @@ def write_delta(
     prev_adds: dict[str, dict] = {}
     prev_meta: dict | None = None
     prev_txns: dict[str, int] = {}
+    st: LogState | None = None
     if versions:
         st = _replay_log(spark, path, None)
         _check_writer_protocol(st.protocol)
@@ -1479,6 +1626,20 @@ def write_delta(
                 f"configuration keys {bad_keys} are managed by dedicated "
                 "APIs (constraints=..., enable_column_mapping) — raw "
                 "values would skip their validation"
+            )
+        if str((configuration or {}).get(
+            "delta.enableRowTracking", ""
+        )).lower() == "true":
+            # assign the hidden materialized-column names at creation
+            # (delta-spark does the same): rewrites persist row ids
+            # under them, and the names must never collide with user
+            # columns — hence the uuid suffix
+            configuration = dict(configuration)
+            configuration.setdefault(
+                _RT_MAT_ID_KEY, f"_row-id-col-{uuid.uuid4()}"
+            )
+            configuration.setdefault(
+                _RT_MAT_CV_KEY, f"_row-commit-version-col-{uuid.uuid4()}"
             )
         id_hwms = {}
         id_cache_ref = None
@@ -1623,6 +1784,7 @@ def write_delta(
         )
     ]
     actions.extend(cdc_actions)
+    rt_proto = st.protocol if st is not None else None
     if new_version == 0:
         meta_action = (
             creation_meta
@@ -1631,19 +1793,16 @@ def write_delta(
                 df, pcols, constraints, configuration=configuration
             )
         )
-        actions.append(
-            {
-                # the MERGED configuration (creation_meta path and the
-                # constraints= param both land in metaData.configuration),
-                # so constraint/CDF-driven version bumps can't be missed
-                "protocol": _creation_protocol(
-                    meta_action["metaData"]["schemaString"],
-                    generated_cols,
-                    identity_cols,
-                    meta_action["metaData"].get("configuration"),
-                )
-            }
+        # the MERGED configuration (creation_meta path and the
+        # constraints= param both land in metaData.configuration), so
+        # constraint/CDF/rowTracking-driven bumps can't be missed
+        rt_proto = _creation_protocol(
+            meta_action["metaData"]["schemaString"],
+            generated_cols,
+            identity_cols,
+            meta_action["metaData"].get("configuration"),
         )
+        actions.append({"protocol": rt_proto})
         actions.append(meta_action)
     elif id_hwms:
         # identity high-water marks advance in the SAME commit as the
@@ -1687,6 +1846,11 @@ def write_delta(
                 }
             }
         )
+    _rt_finalize_commit(
+        st, adds, actions, new_version,
+        proto=rt_proto,
+        domains=st.domain_metadata if st is not None else {},
+    )
     actions.extend(adds)
     # Optimistic concurrency, Delta's OptimisticTransaction rules: a
     # lost version race fails the exclusive create; a pure APPEND then
@@ -1747,6 +1911,23 @@ def write_delta(
                             )
                         return latest[-1]
             new_version = latest[-1] + 1
+            if _row_tracking_supported(rt_proto):
+                # a concurrent append may have advanced the row-id
+                # high-water mark: re-read it at the tip and reassign
+                # our adds' baseRowIds (and the commit version they
+                # default to) before retrying
+                for a in adds:
+                    a["add"].pop("baseRowId", None)
+                    a["add"].pop("defaultRowCommitVersion", None)
+                actions = [
+                    x for x in actions
+                    if (x.get("domainMetadata") or {}).get("domain")
+                    != _ROW_TRACKING_DOMAIN
+                ]
+                st_retry = _replay_log(spark, path, None)
+                _rt_finalize_commit(
+                    st_retry, adds, actions, new_version, proto=rt_proto
+                )
     else:
         raise IOError(
             f"append to {path} lost the version race 64 times — "
@@ -1874,6 +2055,14 @@ def _replay_log(
                     a["deletionVector"] = {
                         k: v for k, v in dvd.items() if v is not None
                     }
+                # rowTracking fields: None-valued columns materialize
+                # on non-RT tables — prune them so add dicts compare
+                # clean across JSON and checkpoint sources
+                for rt_f in ("baseRowId", "defaultRowCommitVersion"):
+                    if a.get(rt_f) is None:
+                        a.pop(rt_f, None)
+                    else:
+                        a[rt_f] = int(a[rt_f])
                 adds[a["path"]] = a
             if d.get("txn") and d["txn"].get("appId"):
                 t = d["txn"]
@@ -2245,7 +2434,8 @@ def _dv_positions_df(spark, path: str, dv_adds: dict, keymap: dict):
 
 
 def _read_adds(
-    spark, path: str, adds: dict, meta: dict, with_file=False, with_pos=False
+    spark, path: str, adds: dict, meta: dict, with_file=False,
+    with_pos=False, row_ids=False,
 ):
     """THE read path for a set of live add entries: resolves column
     mapping (files and partitionValues carry PHYSICAL names on mapped
@@ -2259,7 +2449,16 @@ def _read_adds(
     ``__dv_pos`` physical row identity when asked), or None for an
     empty set. Shared by
     read_delta, MERGE, APPLY CHANGES, OPTIMIZE, DELETE and the CDF so
-    mapping and DV semantics can never diverge."""
+    mapping and DV semantics can never diverge.
+
+    ``row_ids=True`` (rowTracking tables) appends ``_row_id`` /
+    ``_row_commit_version``: materialized per-row values when the file
+    carries the hidden columns (rewritten files), else the FRESH
+    derivation baseRowId + position-in-file / defaultRowCommitVersion.
+    The per-file (baseRowId, defaultRowCommitVersion) relation is
+    O(files) driver-side and broadcast onto the scan through the same
+    file-identity tags the DV filter uses — row-id reads stay on the
+    single-scan plan."""
     if not adds:
         return None
     schema = _spark_schema_from_string(meta["schemaString"])
@@ -2271,13 +2470,25 @@ def _read_adds(
     else:
         read_schema = _physical_read_schema(meta)
         pcols = [l2p[c] for c in pcols_log]
+    mat_id_col, mat_cv_col = _rt_mat_cols(meta) if row_ids else (None, None)
+    if row_ids:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # the hidden materialized columns live in (some) files but
+        # never in schemaString; files lacking them null-fill
+        extra_fields = [
+            StructField(c, LongType())
+            for c in (mat_id_col, mat_cv_col)
+            if c
+        ]
+        read_schema = StructType(list(read_schema.fields) + extra_fields)
     ptypes = {
         p.name: p.dataType
         for p in read_schema.fields
         if p.name in pcols
     }
     dv_adds = {r: a for r, a in adds.items() if a.get("deletionVector")}
-    need_pos = with_pos or bool(dv_adds)
+    need_pos = with_pos or row_ids or bool(dv_adds)
     fast_id, depth, keymap = (
         _dv_identity(adds, pcols) if need_pos else (False, 0, {})
     )
@@ -2337,6 +2548,30 @@ def _read_adds(
             & (F.col("__dv_pos") == F.col("__dvp_pos")),
             "left_anti",
         )
+    if row_ids:
+        # O(files) driver relation: file identity -> (baseRowId,
+        # defaultRowCommitVersion); always broadcast (it is the add
+        # list itself, tiny next to any data scan)
+        base_rows = [
+            (
+                int(grp), fn,
+                adds[rel].get("baseRowId"),
+                adds[rel].get("defaultRowCommitVersion"),
+            )
+            for rel, (grp, fn) in keymap.items()
+        ]
+        base_df = F.broadcast(
+            spark.createDataFrame(
+                base_rows,
+                "__rt_grp int, __rt_fn string, __rt_base long, __rt_dcv long",
+            )
+        )
+        df = df.join(
+            base_df,
+            (F.col("__dv_grp") == F.col("__rt_grp"))
+            & (F.col("__dv_fn") == F.col("__rt_fn")),
+            "left",
+        )
     if l2p is None:
         out_cols = [F.col(f.name) for f in schema.fields]
     else:
@@ -2346,6 +2581,17 @@ def _read_adds(
     if with_pos:
         out_cols.extend(
             [F.col("__dv_grp"), F.col("__dv_fn"), F.col("__dv_pos")]
+        )
+    if row_ids:
+        fresh_id = F.col("__rt_base") + F.col("__dv_pos")
+        fresh_cv = F.col("__rt_dcv")
+        out_cols.append(
+            (F.coalesce(F.col(mat_id_col), fresh_id) if mat_id_col
+             else fresh_id).alias("_row_id")
+        )
+        out_cols.append(
+            (F.coalesce(F.col(mat_cv_col), fresh_cv) if mat_cv_col
+             else fresh_cv).alias("_row_commit_version")
         )
     return df.select(*out_cols)
 
@@ -2536,6 +2782,7 @@ def read_delta(
     version: int | None = None,
     predicate: dict | None = None,
     as_of: str | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Read the Delta table at ``path`` (latest, a pinned ``version``,
     or ``as_of`` an ISO-8601 timestamp — Delta's ``timestampAsOf``,
@@ -2554,7 +2801,12 @@ def read_delta(
     planning over every file and planning over the few a selective
     query touches, BEFORE any parquet footer is opened. Skipping is a
     superset guarantee, not a filter: callers still apply the exact
-    ``.filter(...)``, and files without stats are always kept."""
+    ``.filter(...)``, and files without stats are always kept.
+
+    ``row_ids=True`` (rowTracking tables) appends ``_row_id`` /
+    ``_row_commit_version`` — stable per-row identifiers preserved
+    through MERGE/UPDATE/OPTIMIZE/PURGE rewrites (the public Delta
+    protocol's Row Tracking feature); see :func:`enable_row_tracking`."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass either version or as_of, not both")
@@ -2583,11 +2835,20 @@ def read_delta(
             for rel, a in adds.items()
             if _file_may_match(a, pcols_phys, predicate)
         }
-    out = _read_adds(spark, path, adds, meta)
+    out = _read_adds(spark, path, adds, meta, row_ids=row_ids)
     if out is None:
-        return spark.createDataFrame(
-            [], schema=_spark_schema_from_string(meta["schemaString"])
-        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        base = _spark_schema_from_string(meta["schemaString"])
+        if row_ids:
+            base = StructType(
+                list(base.fields)
+                + [
+                    StructField("_row_id", LongType()),
+                    StructField("_row_commit_version", LongType()),
+                ]
+            )
+        return spark.createDataFrame([], schema=base)
     return out
 
 
@@ -2668,6 +2929,11 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
             StructField("dataChange", BooleanType()),
             StructField("stats", StringType()),
             StructField("deletionVector", dv_t),
+            # rowTracking: a checkpoint that dropped these would
+            # permanently re-id every row for checkpoint-anchored
+            # readers (the r8 DV lesson, applied up front)
+            StructField("baseRowId", LongType()),
+            StructField("defaultRowCommitVersion", LongType()),
         ]
     )
     meta_t = StructType(
@@ -2797,6 +3063,15 @@ def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
                  "dataChange": bool(a.get("dataChange", True)),
                  "stats": a.get("stats"),
                  "deletionVector": _dv_struct(a.get("deletionVector")),
+                 "baseRowId": (
+                     int(a["baseRowId"])
+                     if a.get("baseRowId") is not None else None
+                 ),
+                 "defaultRowCommitVersion": (
+                     int(a["defaultRowCommitVersion"])
+                     if a.get("defaultRowCommitVersion") is not None
+                     else None
+                 ),
              }}
         )
     # Below the part threshold the spec's classic single FILE
@@ -3627,15 +3902,51 @@ def merge_delta(
     # model: O(files holding matching keys), not a second full-table
     # scan filtered by provenance — at scale the difference is the
     # whole table).
+    rt = _row_tracking_supported(st.protocol)
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _read_adds(spark, path, touched_adds, meta)
-        survivors = (
-            touched_df.join(src_keys, key_cols, "left_anti").select(*cols)
+        touched_df = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
+        survivors = touched_df.join(src_keys, key_cols, "left_anti").select(
+            *cols,
+            *(["_row_id", "_row_commit_version"] if rt else []),
         )
     else:
+        touched_df = None
         survivors = spark.createDataFrame([], schema=schema)
-    new_data = survivors.unionByName(source)
+        if rt:
+            survivors = survivors.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
+    if rt:
+        # row-id preservation through MERGE: survivors keep id AND
+        # commit version; matched-updated rows inherit the TARGET row's
+        # id (one broadcast-sized join against the touched files' keys)
+        # with a fresh commit version; inserts get null ids — fresh
+        # ones derive from the new add's baseRowId
+        survivors = _rt_materialize(survivors, meta)
+        if touched_df is not None:
+            # N matched target rows collapse to ONE source row: the
+            # smallest id survives deterministically, the rest retire
+            tgt_ids = touched_df.groupBy(*key_cols).agg(
+                F.min("_row_id").alias("_row_id")
+            )
+            source_rt = source.join(tgt_ids, key_cols, "left").select(
+                *cols, "_row_id"
+            )
+        else:
+            source_rt = source.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        source_rt = _rt_materialize(
+            source_rt.withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            ),
+            meta,
+            fresh_cv=True,
+        )
+        new_data = survivors.unionByName(source_rt)
+    else:
+        new_data = survivors.unionByName(source)
 
     try:
         new_adds = _stage_commit_files(
@@ -3681,6 +3992,7 @@ def merge_delta(
         }
         for rel in touched_rels
     )
+    _rt_finalize_commit(st, new_adds, actions, new_version)
     actions.extend(new_adds)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -3815,16 +4127,50 @@ def apply_changes_delta(
         if upserts_cached:
             upserts.unpersist()
         return versions[-1]
+    rt = _row_tracking_supported(st.protocol)
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _read_adds(spark, path, touched_adds, meta)
+        touched_df = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
         survivors = (
             touched_df.join(affected_keys, key_cols, "left_anti")
-            .select(*cols)
+            .select(
+                *cols,
+                *(["_row_id", "_row_commit_version"] if rt else []),
+            )
         )
     else:
+        touched_df = None
         survivors = spark.createDataFrame([], schema=schema)
-    new_data = survivors.unionByName(upserts)
+        if rt:
+            survivors = survivors.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
+    if rt:
+        # same preservation contract as MERGE: survivors keep id+cv,
+        # upserted keys inherit the target row's id with a fresh cv,
+        # genuinely new keys derive fresh ids from the add
+        survivors = _rt_materialize(survivors, meta)
+        if touched_df is not None:
+            tgt_ids = touched_df.groupBy(*key_cols).agg(
+                F.min("_row_id").alias("_row_id")
+            )
+            upserts_rt = upserts.join(tgt_ids, key_cols, "left").select(
+                *cols, "_row_id"
+            )
+        else:
+            upserts_rt = upserts.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            )
+        upserts_rt = _rt_materialize(
+            upserts_rt.withColumn(
+                "_row_commit_version", F.lit(None).cast("long")
+            ),
+            meta,
+            fresh_cv=True,
+        )
+        new_data = survivors.unionByName(upserts_rt)
+    else:
+        new_data = survivors.unionByName(upserts)
     try:
         new_adds = _stage_commit_files(
             spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
@@ -3867,6 +4213,7 @@ def apply_changes_delta(
         }
         for rel in touched_rels
     )
+    _rt_finalize_commit(st, new_adds, actions, new_version)
     actions.extend(new_adds)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -4167,9 +4514,15 @@ def _copy_on_write_where(
     )
     n_matched = matched.count()
     touched_adds = {rel: adds[rel] for rel in touched_rels}
-    base = _read_adds(spark, path, touched_adds, meta)
+    rt = _row_tracking_supported(st.protocol)
+    rt_cols = ["_row_id", "_row_commit_version"] if rt else []
+    base = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
     keep = ~F.coalesce(pred, F.lit(False))
-    survivors = base.filter(keep).select(*cols)
+    survivors = base.filter(keep).select(*cols, *rt_cols)
+    if rt:
+        # survivors are untouched rows: both id and commit version ride
+        # into the rewrite's materialized columns
+        survivors = _rt_materialize(survivors, meta)
     cached = False
     if assignments is None:
         operation, metric = "DELETE", "numDeletedRows"
@@ -4195,7 +4548,8 @@ def _copy_on_write_where(
                 if c in assignments
                 else F.col(c)
                 for c in cols
-            ]
+            ],
+            *rt_cols,
         )
         if gens:
             # an assignment may have changed a column a generated one
@@ -4205,7 +4559,12 @@ def _copy_on_write_where(
                 updated = updated.withColumn(
                     c, F.expr(gens[c]).cast(types[c])
                 )
-            updated = updated.select(*cols)
+            updated = updated.select(*cols, *rt_cols)
+        if rt:
+            # updated rows KEEP their id but are re-versioned: the
+            # commit-version column stays null and falls back to the
+            # new add's defaultRowCommitVersion (this commit)
+            updated = _rt_materialize(updated, meta, fresh_cv=True)
         updated, cached = _enforce_constraints(updated, meta)
         new_data = survivors.unionByName(updated)
     new_version = st.version + 1
@@ -4263,6 +4622,7 @@ def _copy_on_write_where(
         }
         for rel in touched_rels
     )
+    _rt_finalize_commit(st, new_adds, actions, new_version)
     actions.extend(new_adds)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -4362,7 +4722,12 @@ def optimize_delta(
     for rels in doomed_groups.values():
         for rel in rels:
             doomed_adds[rel] = st.adds[rel]
-    compacted = _read_adds(spark, path, doomed_adds, st.meta)
+    rt = _row_tracking_supported(st.protocol)
+    compacted = _read_adds(spark, path, doomed_adds, st.meta, row_ids=rt)
+    if rt:
+        # compaction must not re-id rows: persist each row's id AND its
+        # original commit version into the hidden materialized columns
+        compacted = _rt_materialize(compacted, st.meta)
     if zorder_by is not None:
         from .zorder import zorder_key
 
@@ -4405,6 +4770,7 @@ def optimize_delta(
         for rels in doomed_groups.values()
         for rel in sorted(rels)
     )
+    _rt_finalize_commit(st, adds, actions, new_version)
     actions.extend(adds)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -4470,7 +4836,11 @@ def purge_delta(
         doomed[rel] = a
     if not doomed:
         return None
-    purged = _read_adds(spark, path, doomed, st.meta)
+    rt = _row_tracking_supported(st.protocol)
+    purged = _read_adds(spark, path, doomed, st.meta, row_ids=rt)
+    if rt:
+        # a purge rewrite keeps surviving rows' ids and commit versions
+        purged = _rt_materialize(purged, st.meta)
     # ~one output file per purged partition cell (mirrors OPTIMIZE);
     # the groupBy-free repartition keeps this a single shuffle
     n_groups = len(
@@ -4515,6 +4885,7 @@ def purge_delta(
                 }
             }
         )
+    _rt_finalize_commit(st, adds, actions, new_version)
     actions.extend(adds)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -4923,6 +5294,70 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
             {"metaData": meta},
         ],
     )
+
+
+def enable_row_tracking(spark: SparkSession, path: str) -> int:
+    """Upgrade the table to ROW TRACKING (public Delta protocol, "Row
+    Tracking"): one commit that (a) advances the protocol to the
+    table-features form with the ``rowTracking`` + ``domainMetadata``
+    writer features (reader side untouched — row ids are writer-duty
+    metadata foreign readers may ignore), (b) sets
+    ``delta.enableRowTracking`` plus the hidden materialized-column
+    names in the configuration, (c) BACKFILLS every live add with a
+    ``baseRowId``/``defaultRowCommitVersion`` (dataChange=false
+    re-adds — existing rows get ids without a byte of data movement;
+    delta-spark's ALTER does the same), and (d) records the advanced
+    ``rowIdHighWaterMark`` in the ``delta.rowTracking`` metadata
+    domain. Afterwards ``read_delta(..., row_ids=True)`` surfaces
+    ``_row_id``/``_row_commit_version`` and every rewrite path
+    preserves them. Returns the committed version.
+
+    Scale: the backfill is O(live files) of driver-side log work and
+    zero data I/O — it needs only the per-file numRecords the adds'
+    stats already carry."""
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    if _row_tracking_supported(st.protocol):
+        raise ValueError(f"row tracking already enabled on {path}")
+    config = dict(st.meta.get("configuration") or {})
+    config["delta.enableRowTracking"] = "true"
+    config.setdefault(_RT_MAT_ID_KEY, f"_row-id-col-{uuid.uuid4()}")
+    config.setdefault(
+        _RT_MAT_CV_KEY, f"_row-commit-version-col-{uuid.uuid4()}"
+    )
+    meta = dict(st.meta)
+    meta["configuration"] = config
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    proto = _upgraded_protocol_writer_only(proto, "rowTracking")
+    proto = _upgraded_protocol_writer_only(proto, "domainMetadata")
+    new_version = st.version + 1
+    backfill = []
+    for rel in sorted(st.adds):
+        a = dict(st.adds[rel])
+        a["path"] = _encode_path(rel)
+        a["dataChange"] = False
+        a.pop("baseRowId", None)  # force fresh assignment
+        a.pop("defaultRowCommitVersion", None)
+        backfill.append({"add": a})
+    hwm = _rt_assign(backfill, _rt_hwm(st.domain_metadata), new_version)
+    actions: list[dict] = [
+        _commit_info(
+            "SET TBLPROPERTIES",
+            {"properties": {"delta.enableRowTracking": "true"}},
+        ),
+        {"protocol": proto},
+        {"metaData": meta},
+        _rt_domain_action(hwm if hwm is not None else -1),
+    ]
+    actions.extend(backfill)
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
 
 
 def _guard_constraints_reference(meta: dict, column: str, op: str) -> None:

@@ -439,7 +439,9 @@ def _cast_partition_value(v: str | None, type_name: str):
     return v
 
 
-def read_delta_external(path: str, version: int | None = None):
+def read_delta_external(
+    path: str, version: int | None = None, row_ids: bool = False
+):
     """Read the Delta table at ``path`` from the wire format alone.
 
     Returns ``(column_names, rows)`` where rows are plain tuples in
@@ -447,10 +449,21 @@ def read_delta_external(path: str, version: int | None = None):
     add's ``partitionValues`` (files do not contain them), absent
     columns (pre-evolution files) null-filled, numeric columns upcast
     per the declared schema. Order is unspecified, as in any table
-    scan."""
+    scan.
+
+    ``row_ids=True`` (rowTracking tables) appends ``_row_id`` /
+    ``_row_commit_version`` columns — the spec's derivation: a row's
+    id is its file's hidden materialized column value when present,
+    else ``baseRowId`` + the row's PHYSICAL index in the file (DV'd
+    rows are dropped after indexing, never renumbering survivors)."""
     import pyarrow.parquet as pq
 
     root, adds, meta = _replay(path, version)
+    cfg = _config_of(meta)
+    mat_id_col = cfg.get("delta.rowTracking.materializedRowIdColumnName")
+    mat_cv_col = cfg.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
     schema = json.loads(meta["schemaString"])["fields"]
     pcols = meta.get("partitionColumns", [])
     names = [f["name"] for f in schema]
@@ -483,12 +496,17 @@ def read_delta_external(path: str, version: int | None = None):
         cols_present = set(table.column_names)
         data = table.to_pylist()
         dvd = _dv_of(a)
+        # indexed BEFORE the DV filter: a deleted row never renumbers
+        # the survivors' physical positions (nor their fresh row ids)
+        indexed = list(enumerate(data))
         if dvd is not None:
             # the reader duty of the deletionVectors feature: a DV'd
             # row index is logically deleted — drop it BEFORE output
             dead = _dv_deleted_rows(root, dvd)
-            data = [r for i, r in enumerate(data) if i not in dead]
-        for r in data:
+            indexed = [(i, r) for i, r in indexed if i not in dead]
+        base = a.get("baseRowId")
+        dcv = a.get("defaultRowCommitVersion")
+        for i, r in indexed:
             row = []
             for n in names:
                 if n in pvals:
@@ -504,7 +522,28 @@ def read_delta_external(path: str, version: int | None = None):
                     row.append(v)
                 else:
                     row.append(None)  # pre-evolution file
+            if row_ids:
+                mid = (
+                    r.get(mat_id_col)
+                    if mat_id_col and mat_id_col in cols_present
+                    else None
+                )
+                mcv = (
+                    r.get(mat_cv_col)
+                    if mat_cv_col and mat_cv_col in cols_present
+                    else None
+                )
+                row.append(
+                    int(mid) if mid is not None
+                    else (int(base) + i if base is not None else None)
+                )
+                row.append(
+                    int(mcv) if mcv is not None
+                    else (int(dcv) if dcv is not None else None)
+                )
             rows.append(tuple(row))
+    if row_ids:
+        return names + ["_row_id", "_row_commit_version"], rows
     return names, rows
 
 

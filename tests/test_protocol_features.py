@@ -114,9 +114,9 @@ def test_vacuum_refuses_unknown_writer_features(spark, tmp_path):
     with open(f"{log_dir}/{versions[-1] + 1:020d}.json", "w") as f:
         f.write(json.dumps({"protocol": {
             "minReaderVersion": 1, "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["liquidClustering"],
         }}) + "\n")
-    with pytest.raises(ValueError, match="rowTracking"):
+    with pytest.raises(ValueError, match="liquidClustering"):
         vacuum_delta(spark, path, retain_hours=1, now_ms=4_000_000_000_000)
 
 

@@ -214,7 +214,7 @@ def test_writer_gate_refuses_unknown_features(spark, tmp_path):
         {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking", "appendOnly"],
+            "writerFeatures": ["liquidClustering", "appendOnly"],
         },
     )
     df = spark.range(0, 3).select(
@@ -222,9 +222,9 @@ def test_writer_gate_refuses_unknown_features(spark, tmp_path):
         F.lit("true").alias("grp"),
         (F.col("id") * 10).alias("val"),
     )
-    with pytest.raises(ValueError, match="rowTracking"):
+    with pytest.raises(ValueError, match="liquidClustering"):
         write_delta(spark, df, path, partition_col="grp")
-    with pytest.raises(ValueError, match="rowTracking"):
+    with pytest.raises(ValueError, match="liquidClustering"):
         delete_where(spark, path, "id = 1")
     # reads remain available
     assert read_delta(spark, path).count() == 10
