@@ -2303,6 +2303,14 @@ DV_BROADCAST_MAX_POSITIONS = 4_000_000
 #: stays executor-side so the driver never holds the exploded list.
 DV_DRIVER_DECODE_MAX_POSITIONS = 200_000
 
+#: delete_where_dv: at or below this many MATCHED rows the position
+#: list collects to the driver (decode old + union locally — cheap);
+#: above, per-file bitmaps serialize EXECUTOR-side via applyInPandas
+#: and the driver only ever holds the compressed bytes (r9 VERDICT
+#: nit #3 — the erasure path must not be O(deleted rows) in driver
+#: memory).
+DV_DELETE_DRIVER_MAX_POSITIONS = 2_000_000
+
 
 def _dv_explode_batches(batches):
     """mapInPandas kernel: (group, file name, cardinality, raw bitmap
@@ -4296,12 +4304,15 @@ def delete_where_dv(
     ``delete`` change rows (cdc files), so the change feed never needs
     to reconstruct a DV commit.
 
-    Scale bound, stated honestly: matched row POSITIONS are collected
-    to the driver to serialize the bitmaps — O(deleted rows) driver
-    memory, fine for the selective deletes DVs are built for (GDPR
-    erasure, late-data corrections). A delete touching a large fraction
-    of the table should use copy-on-write (``write_delta`` with
-    ``replace_partitions`` / ``merge_delta``) instead, which also keeps
+    Scale: below ``DV_DELETE_DRIVER_MAX_POSITIONS`` matched rows the
+    position list collects to the driver (decode + union locally);
+    above it each file's bitmap serializes EXECUTOR-side (one
+    ``applyInPandas`` over the per-file position groups, existing
+    bitmaps shipped compressed in the closure) and the driver only
+    ever holds compressed roaring bytes — a 10^8-row erasure costs the
+    driver megabytes, not gigabytes. Deletes touching a large fraction
+    of the table should still prefer copy-on-write (``write_delta``
+    with ``replace_partitions`` / ``merge_delta``), which also keeps
     files from accumulating unbounded DVs; OPTIMIZE compacts DV-heavy
     files through the filter and drops their descriptors.
 
@@ -4323,15 +4334,6 @@ def delete_where_dv(
     if df is None:
         return None
     matched = df.filter(F.expr(predicate))
-    # one pass for positions; the optional cdc staging re-derives the
-    # same deterministic frame
-    per_file = (
-        matched.groupBy("__dv_grp", "__dv_fn")
-        .agg(F.sort_array(F.collect_list("__dv_pos")).alias("pos"))
-        .collect()
-    )
-    if not per_file:
-        return None
     pcols_log = st.meta.get("partitionColumns", [])
     l2p_map = _logical_to_physical(st.meta)
     pv_cols = [l2p_map.get(c, c) for c in pcols_log] if l2p_map else pcols_log
@@ -4346,47 +4348,130 @@ def delete_where_dv(
         )
         return _read_bytes(fs, jvm, target)
 
-    n_deleted = 0
-    fully_dead: list[str] = []
-    dv_files: list[tuple[str, np.ndarray]] = []  # (rel, combined positions)
-    for row in sorted(per_file, key=lambda r: (r["__dv_grp"], r["__dv_fn"])):
-        rel = by_key[(row["__dv_grp"], row["__dv_fn"])]
-        a = st.adds[rel]
-        n_deleted += len(row["pos"])
-        new_pos = np.asarray(row["pos"], dtype=np.int64)
-        old_desc = a.get("deletionVector")
-        if old_desc:
-            combined = np.union1d(
-                dv_codec.descriptor_positions(old_desc, read_rel, cache),
-                new_pos,
+    # one O(files) pre-count decides WHERE the bitmaps serialize: the
+    # driver never learns the position list's size the hard way
+    counts = (
+        matched.groupBy("__dv_grp", "__dv_fn").count().collect()
+    )
+    if not counts:
+        return None
+    n_deleted = sum(int(r["count"]) for r in counts)
+    #: (rel, framed-ready bitmap bytes, combined cardinality), sorted
+    dv_blobs: list[tuple[str, bytes, int]] = []
+    if n_deleted <= DV_DELETE_DRIVER_MAX_POSITIONS:
+        # SMALL path: positions collect to the driver (bounded by the
+        # constant), old descriptors decode + union locally
+        per_file = (
+            matched.groupBy("__dv_grp", "__dv_fn")
+            .agg(F.sort_array(F.collect_list("__dv_pos")).alias("pos"))
+            .collect()
+        )
+        for row in sorted(
+            per_file, key=lambda r: (r["__dv_grp"], r["__dv_fn"])
+        ):
+            rel = by_key[(row["__dv_grp"], row["__dv_fn"])]
+            new_pos = np.asarray(row["pos"], dtype=np.int64)
+            old_desc = st.adds[rel].get("deletionVector")
+            if old_desc:
+                combined = np.union1d(
+                    dv_codec.descriptor_positions(
+                        old_desc, read_rel, cache
+                    ),
+                    new_pos,
+                )
+            else:
+                combined = new_pos
+            dv_blobs.append(
+                (rel, dv_codec.serialize_roaring64(combined), len(combined))
             )
-        else:
-            combined = new_pos
+    else:
+        # BIG path (r9 VERDICT nit #3): positions NEVER reach the
+        # driver — each file's group serializes its own roaring bitmap
+        # executor-side (one applyInPandas over the (file, positions)
+        # groups), merging the file's EXISTING bitmap (shipped raw in
+        # the closure — compressed bytes, O(descriptors) not
+        # O(positions)); the driver collects only the compressed
+        # bitmaps for framing. A 10^8-row erasure costs the driver
+        # megabytes, not gigabytes.
+        old_raw = {
+            keymap_key: (
+                dv_codec.descriptor_data(
+                    st.adds[rel]["deletionVector"], read_rel, cache
+                ),
+                int(st.adds[rel]["deletionVector"]["cardinality"]),
+            )
+            for keymap_key, rel in by_key.items()
+            if st.adds[rel].get("deletionVector")
+        }
+
+        def _serialize_group(key, pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            from portfolio_data_pipelines_spark.operators import (
+                deletion_vectors as _dvc,
+            )
+
+            pos = _np.sort(pdf["__dv_pos"].to_numpy(_np.int64))
+            old = old_raw.get((int(key[0]), key[1]))
+            if old is not None:
+                pos = _np.union1d(_dvc.decode_dv_data(old[0], old[1]), pos)
+            return _pd.DataFrame(
+                {
+                    "__dvw_grp": [int(key[0])],
+                    "__dvw_fn": [key[1]],
+                    "__dvw_card": [int(len(pos))],
+                    "__dvw_data": [bytearray(
+                        _dvc.serialize_roaring64(pos)
+                    )],
+                }
+            )
+
+        out = (
+            matched.select("__dv_grp", "__dv_fn", "__dv_pos")
+            .groupBy("__dv_grp", "__dv_fn")
+            .applyInPandas(
+                _serialize_group,
+                schema=(
+                    "__dvw_grp int, __dvw_fn string, "
+                    "__dvw_card long, __dvw_data binary"
+                ),
+            )
+            .collect()
+        )
+        for row in sorted(out, key=lambda r: (r["__dvw_grp"], r["__dvw_fn"])):
+            rel = by_key[(row["__dvw_grp"], row["__dvw_fn"])]
+            dv_blobs.append(
+                (rel, bytes(row["__dvw_data"]), int(row["__dvw_card"]))
+            )
+    fully_dead: list[str] = []
+    dv_files: list[tuple[str, bytes, int]] = []
+    for rel, blob_bytes, card in dv_blobs:
+        a = st.adds[rel]
         n_records = None
         if a.get("stats"):
             n_records = json.loads(a["stats"]).get("numRecords")
-        if n_records is not None and len(combined) >= int(n_records):
+        if n_records is not None and card >= int(n_records):
             fully_dead.append(rel)
         else:
-            dv_files.append((rel, combined))
+            dv_files.append((rel, blob_bytes, card))
     new_version = st.version + 1
     descriptors: dict[str, dict] = {}
     if dv_files:
         # one framed .bin per commit holding every touched file's
         # bitmap, as delta-spark's DeletionVectorStore lays them out
-        bitmaps = [
-            dv_codec.serialize_roaring64(pos) for _rel, pos in dv_files
-        ]
-        blob, metas = dv_codec.frame_dv_blob(bitmaps)
+        blob, metas = dv_codec.frame_dv_blob(
+            [b for _rel, b, _c in dv_files]
+        )
         poi, bin_rel = dv_codec.new_dv_file_name()
         _write_small_bytes(fs, jvm, f"{path}/{bin_rel}", blob)
-        for (rel, pos), (off, size) in zip(dv_files, metas):
+        for (rel, _b, card), (off, size) in zip(dv_files, metas):
             descriptors[rel] = {
                 "storageType": "u",
                 "pathOrInlineDv": poi,
                 "offset": off,
                 "sizeInBytes": size,
-                "cardinality": int(len(pos)),
+                "cardinality": int(card),
             }
     cdc_actions: list[dict] = []
     if _cdf_enabled(st.meta):
@@ -4416,7 +4501,7 @@ def delete_where_dv(
         actions.append({"protocol": _upgraded_protocol_for_dv(proto)})
     actions.extend(cdc_actions)
     now = _now_ms()
-    for rel in fully_dead + [r for r, _p in dv_files]:
+    for rel in fully_dead + [r for r, _b, _c in dv_files]:
         rm = {
             "path": _encode_path(rel),
             "deletionTimestamp": now,
@@ -4426,7 +4511,7 @@ def delete_where_dv(
         if old:
             rm["deletionVector"] = old
         actions.append({"remove": rm})
-    for rel, _pos in dv_files:
+    for rel, _b, _c in dv_files:
         a = dict(st.adds[rel])
         a["path"] = _encode_path(rel)
         a["dataChange"] = True
@@ -5283,6 +5368,17 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
     meta = dict(st.meta)
     meta["schemaString"] = json.dumps({"type": "struct", "fields": mapped})
     meta["configuration"] = config
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    if (
+        proto.get("readerFeatures") is not None
+        or proto.get("writerFeatures") is not None
+    ):
+        # a table-features protocol (rowTracking, timestampNtz, ...)
+        # must KEEP its lists — flattening to the legacy (2, 5) pair
+        # would silently drop every listed duty
+        new_proto = _upgraded_protocol_with(proto, {"columnMapping"})
+    else:
+        new_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
     return _commit_metadata_only(
         spark, path,
         [
@@ -5290,7 +5386,7 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
                 "SET TBLPROPERTIES",
                 {"properties": {"delta.columnMapping.mode": "name"}},
             ),
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"protocol": new_proto},
             {"metaData": meta},
         ],
     )

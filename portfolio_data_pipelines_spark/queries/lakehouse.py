@@ -696,3 +696,181 @@ def delta_dv_purged_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_utc")
     )
+
+
+@extra_query(
+    "delta_identity_mart",
+    oracle=f"""
+    WITH n AS (
+      SELECT COUNT(*) AS c
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    )
+    SELECT c AS n_rows,
+           c AS n_distinct_ids,
+           CAST(7 AS BIGINT) AS min_id,
+           CAST(7 + 3 * (c - 1) AS BIGINT) AS max_id,
+           CAST(0 AS BIGINT) AS off_lattice,
+           CAST(0 AS BIGINT) AS gaps
+    FROM n
+    """,
+)
+def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-column allocation under the DuckDB value-hash gate
+    (ADVICE r9 #2): the events window lands in an identity table
+    (GENERATED ALWAYS AS IDENTITY START 7 INCREMENT 3) in THREE
+    separate append commits, and the read-back hashes the allocation
+    CONTRACT — dense (no gaps), unique, on-lattice, min at start, max
+    exactly start + step*(N-1). A double-allocated value breaks
+    n_distinct_ids; a skipped value breaks max_id/gaps; an off-lattice
+    value breaks off_lattice — each against numbers DuckDB derives
+    from the raw parquet row count alone.
+
+    Scale: allocation is per-input-partition (broadcast offset map +
+    partition-local row_number — never a global window), so the
+    contract holds at any partition count."""
+    from ..operators.delta_log import read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_identity"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    # the identity column is never in the batch — allocation ADDS it
+    # three batches split by a stable hash of event_id: exercises
+    # high-water-mark continuation across commits (and, within each
+    # commit, allocation across multiple input partitions)
+    bucket = F.abs(F.hash("event_id")) % 3
+    first = True
+    for b in range(3):
+        batch = events.filter(bucket == b).repartition(4)
+        write_delta(
+            spark, batch, table,
+            identity_cols=(
+                {"sk": {"start": 7, "step": 3}} if first else None
+            ),
+        )
+        first = False
+    t = read_delta(spark, table)
+    lat = (F.col("sk") - F.lit(7)) % F.lit(3)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("sk").alias("n_distinct_ids"),
+        F.min("sk").alias("min_id"),
+        F.max("sk").alias("max_id"),
+        F.sum((lat != 0).cast("long")).alias("off_lattice"),
+        # dense ⇔ the max equals start + step*(N-1) AND all distinct;
+        # count the arithmetic gap surplus explicitly
+        (
+            (F.max("sk") - F.lit(7)) / F.lit(3)
+            - (F.count(F.lit(1)) - F.lit(1))
+        ).cast("long").alias("gaps"),
+    )
+
+
+@extra_query(
+    "delta_rowtracking_mart",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    )
+    SELECT day,
+           COUNT(*) + (CASE WHEN day = '{_LO}' THEN COUNT(*) ELSE 0 END)
+             AS n_rows,
+           COUNT(*) AS n_stable,
+           CAST(CASE WHEN day = '{_LO}' THEN COUNT(*) ELSE 0 END AS BIGINT)
+             AS n_fresh,
+           COUNT(*) + (CASE WHEN day = '{_LO}' THEN COUNT(*) ELSE 0 END)
+             AS n_distinct_ids
+    FROM base
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def delta_rowtracking_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-id stability across a MERGE + OPTIMIZE + RESTORE window
+    (VERDICT r9 top-next's done-bar): events land in a rowTracking
+    table (v0), a MERGE updates one day's values and inserts shifted
+    keys (v1), OPTIMIZE compacts (v2), RESTORE returns to v1 (v3). The
+    final read joins each key's ``_row_id`` against its v0 id and
+    hashes, per day: every original key's id STABLE through all three
+    rewrites (n_stable), every inserted key's id fresh (n_fresh), and
+    all ids distinct — numbers DuckDB derives from the raw parquet
+    alone. One moved/duplicated/lost row id anywhere in the
+    merge-rewrite, compaction-materialization, or restore-rollback
+    chain breaks the hash.
+
+    Scale: ids ride the files (baseRowId + hidden materialized
+    columns) — stability costs no extra shuffle at any table size; the
+    verification join here is the TEST's cost, not the feature's."""
+    from ..operators.delta_log import (
+        merge_delta,
+        optimize_delta,
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_rowtracking"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    write_delta(
+        spark, events, table, partition_col="day",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    ids0 = (
+        read_delta(spark, table, version=0, row_ids=True)
+        .select("event_id", F.col("_row_id").alias("_rid0"))
+    )
+    lo_rows = events.filter(F.col("day") == _LO)
+    source = lo_rows.select(
+        "event_id", "day", (F.col("value") + 7.5).alias("value")
+    ).unionByName(
+        lo_rows.select(
+            (F.col("event_id") + 100000000).alias("event_id"),
+            "day",
+            (F.col("value") + 1.0).alias("value"),
+        )
+    )
+    v1 = merge_delta(spark, table, source, key_cols=["event_id"])
+    optimize_delta(spark, table)
+    restore_delta(spark, table, v1)
+    final = read_delta(spark, table, row_ids=True)
+    joined = final.join(F.broadcast(ids0), "event_id", "left")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (
+                    F.col("_rid0").isNotNull()
+                    & (F.col("_row_id") == F.col("_rid0"))
+                ).cast("long")
+            ).alias("n_stable"),
+            F.sum(F.col("_rid0").isNull().cast("long")).alias("n_fresh"),
+            F.countDistinct("_row_id").alias("n_distinct_ids"),
+        )
+        .orderBy("day")
+    )

@@ -415,3 +415,44 @@ def test_vacuum_tracks_bin_age_across_double_tombstones(spark, tmp_path):
     future = 10**18
     deleted2 = vacuum_delta(spark, path, retain_hours=168, now_ms=future)
     assert bin1 in deleted2 and bin2 in deleted2
+
+
+def test_large_dv_delete_serializes_executor_side(spark, tmp_path, monkeypatch):
+    """VERDICT r9 next #5: above the position-count bound the delete's
+    bitmaps must serialize EXECUTOR-side — the driver never
+    materializes the position list. Force the bound to 0 so every
+    delete takes the big path, run a ~million-row erasure plus a
+    second (merging) delete on a table with an EXISTING DV, and pin
+    the result equal to both readers and to time travel."""
+    from portfolio_data_pipelines_spark.operators import delta_log
+
+    path = str(tmp_path / "t_bigdv")
+    n = 1_000_000
+    write_delta(
+        spark,
+        spark.range(1, n + 1).select(
+            F.col("id"), (F.col("id") % 97).alias("val")
+        ).repartition(4),
+        path,
+    )
+    monkeypatch.setattr(delta_log, "DV_DELETE_DRIVER_MAX_POSITIONS", 0)
+    # first delete: ~half the table, executor-side bitmaps
+    v1 = delete_where_dv(spark, path, "id % 2 = 0")
+    assert v1 == 1
+    # second delete MERGES into the existing per-file bitmaps (the
+    # closure ships the old compressed bytes, the kernel unions)
+    v2 = delete_where_dv(spark, path, "id % 3 = 0")
+    assert v2 == 2
+    expected = n - n // 2 - (n // 3 - n // 6)
+    got = read_delta(spark, path)
+    assert got.count() == expected
+    assert got.filter("id % 2 = 0 or id % 3 = 0").count() == 0
+    # sum is a stronger pin than count (wrong positions break it)
+    live_sum = got.agg(F.sum("id")).first()[0]
+    want_sum = sum(i for i in range(1, n + 1) if i % 2 and i % 3)
+    assert live_sum == want_sum
+    # time travel through the first DV state still works
+    assert read_delta(spark, path, version=1).count() == n - n // 2
+    # and the external reader agrees on a sample predicate
+    names, rows = read_delta_external(path)
+    assert len(rows) == expected

@@ -309,3 +309,306 @@ def test_lifecycle_fuzz_cdf_replica_seed_3(spark, tmp_path):
 
 def test_lifecycle_fuzz_cdf_replica_seed_99(spark, tmp_path):
     _walk_with_cdf_replica(spark, tmp_path, seed=99, n_ops=10)
+
+
+def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
+    """The METADATA-surface walk (VERDICT r9 next #3): schema
+    evolution, column-mapping rename/drop, cleanup_log, vacuum and
+    checkpoints interleaved with data mutations — on a ROW-TRACKING
+    table, with per-key row-id stability asserted through BOTH readers
+    after every commit. ``v2=True`` runs the same walk on a
+    v2-checkpoint-mode table (UUID main + sidecars on every checkpoint
+    cadence hit)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        _commit_metadata_only,
+        _replay_log,
+        _upgraded_protocol_with,
+        cleanup_log,
+        drop_column,
+        enable_column_mapping,
+        rename_column,
+        vacuum_delta,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_meta_{seed}_{v2}")
+    model, next_id = _fresh_rows(rng, 0, 20)
+    # rows: id -> {col: value}; vcols evolves over the walk
+    rows = {i: {"grp": g, "val": v} for i, (g, v) in model.items()}
+    vcols = ["val"]
+
+    def frame(sub):
+        schema = "id long, grp string, " + ", ".join(
+            f"{c} long" for c in vcols
+        )
+        return spark.createDataFrame(
+            [
+                tuple([i, d["grp"]] + [d.get(c) for c in vcols])
+                for i, d in sorted(sub.items())
+            ],
+            schema,
+        ).coalesce(1)
+
+    write_delta(
+        spark, frame(rows), path, partition_col="grp",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    enable_column_mapping(spark, path)
+    version = 1
+    if v2:
+        st = _replay_log(spark, path, None)
+        version = _commit_metadata_only(
+            spark, path,
+            [{"protocol": _upgraded_protocol_with(
+                st.protocol, {"v2Checkpoint"}
+            )}],
+        )
+    rid: dict[int, int] = {}
+    trace = [f"meta-seed={seed}", f"v2={v2}", "create(20)+colmap"]
+    evolve_n = 0
+    renames = 0
+
+    def check():
+        df = read_delta(spark, path, row_ids=True)
+        got = {
+            r["id"]: (
+                {c: r[c] for c in ["grp"] + vcols},
+                r["_row_id"], r["_row_commit_version"],
+            )
+            for r in df.collect()
+        }
+        t = " ".join(trace)
+        assert sorted(got) == sorted(rows), (
+            f"spark key set diverged after {t}"
+        )
+        for i, (vals, r_id, r_cv) in got.items():
+            assert vals == rows[i], f"spark values diverged at id={i}: {t}"
+            assert r_id is not None and r_cv is not None, t
+            if i in rid:
+                assert rid[i] == r_id, (
+                    f"row id MOVED for id={i} ({rid[i]} -> {r_id}): {t}"
+                )
+            else:
+                rid[i] = r_id
+        ids = [g[1] for g in got.values()]
+        assert len(set(ids)) == len(ids), f"duplicate row ids: {t}"
+        names, ext_rows = read_delta_external(path, row_ids=True)
+        idx = {n: k for k, n in enumerate(names)}
+        ext = {
+            r[idx["id"]]: (
+                {c: r[idx[c]] for c in ["grp"] + vcols},
+                r[idx["_row_id"]], r[idx["_row_commit_version"]],
+            )
+            for r in ext_rows
+        }
+        assert ext == got, f"external reader diverged after {t}"
+
+    check()
+    ops = [
+        "append", "evolve", "rename", "drop", "delete", "update",
+        "optimize", "checkpoint", "vacuum", "cleanup",
+    ]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append":
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(2, 6))
+            sub = {
+                i: {"grp": g, **{c: v + k for k, c in enumerate(vcols)}}
+                for i, (g, v) in fresh.items()
+            }
+            version = write_delta(
+                spark, frame(sub), path, partition_col="grp"
+            )
+            rows.update(sub)
+        elif op == "evolve":
+            evolve_n += 1
+            c = f"c{evolve_n}"
+            vcols.append(c)
+            fresh, next_id = _fresh_rows(rng, next_id, 2)
+            sub = {
+                i: {"grp": g, **{cc: v for cc in vcols}}
+                for i, (g, v) in fresh.items()
+            }
+            # old rows read the new column as NULL
+            for d in rows.values():
+                d[c] = None
+            version = write_delta(
+                spark, frame(sub), path, partition_col="grp"
+            )
+            rows.update(sub)
+        elif op == "rename":
+            src = rng.choice(vcols)
+            renames += 1
+            dst = f"r{renames}"
+            version = rename_column(spark, path, src, dst)
+            vcols[vcols.index(src)] = dst
+            for d in rows.values():
+                d[dst] = d.pop(src)
+        elif op == "drop":
+            if len(vcols) < 2:
+                trace[-1] += "(noop)"
+                continue
+            victim = rng.choice(vcols[1:])
+            version = drop_column(spark, path, victim)
+            vcols.remove(victim)
+            for d in rows.values():
+                d.pop(victim, None)
+        elif op == "delete":
+            v = delete_where(spark, path, "id % 5 = 1")
+            doomed = [i for i in rows if i % 5 == 1]
+            if v is None:
+                assert not doomed, f"matched but no commit: {trace}"
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in doomed:
+                del rows[i]
+                rid.pop(i, None)
+        elif op == "update":
+            tgt = vcols[0]
+            v = update_where(
+                spark, path, "id % 4 = 2", {tgt: f"coalesce({tgt}, 0) + 7"}
+            )
+            hit = [i for i in rows if i % 4 == 2]
+            if v is None:
+                assert not hit, f"matched but no commit: {trace}"
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in hit:
+                rows[i][tgt] = (rows[i][tgt] or 0) + 7
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+            trace[-1] += f"@{version}"
+        elif op == "vacuum":
+            vacuum_delta(spark, path, retain_hours=168, now_ms=10**18)
+        elif op == "cleanup":
+            checkpoint_delta(spark, path, version)
+            cleanup_log(spark, path, retain_hours=1, now_ms=10**18)
+        check()
+    check()
+
+
+def test_lifecycle_fuzz_metadata_seed_11(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=11, n_ops=12)
+
+
+def test_lifecycle_fuzz_metadata_seed_77(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=77, n_ops=12)
+
+
+def test_lifecycle_fuzz_metadata_v2_seed_5(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=5, n_ops=10, v2=True)
+
+
+def _walk_identity_generated(spark, tmp_path, seed, n_ops):
+    """The same three-way discipline on an IDENTITY + GENERATED table
+    (VERDICT r9 next #3's last clause): appends allocate dense
+    surrogate keys past the high-water mark (modeled exactly — batches
+    are single-partition so allocation order is the frame order),
+    the generated column is recomputed/validated on every path, and
+    deletes/updates/optimize/checkpoint/vacuum interleave."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        vacuum_delta,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_idgen_{seed}")
+    # rows: id -> (grp, val); sk model: id -> expected identity value
+    model, next_id = _fresh_rows(rng, 0, 12)
+    sk_model: dict[int, int] = {}
+    hwm = [None]  # last allocated value
+
+    def alloc(ids):
+        for i in ids:  # frame order == sorted(ids) (single partition)
+            nxt = 7 if hwm[0] is None else hwm[0] + 3
+            sk_model[i] = nxt
+            hwm[0] = nxt
+
+    write_delta(
+        spark, _frame(spark, model), path, partition_col="grp",
+        identity_cols={"sk": {"start": 7, "step": 3}},
+        generated_cols={"dbl": "val * 2"},
+    )
+    alloc(sorted(model))
+    version = 0
+    trace = [f"idgen-seed={seed}", "create(12)"]
+
+    def check():
+        t = " ".join(trace)
+        got = {
+            r["id"]: (r["grp"], r["val"], r["sk"], r["dbl"])
+            for r in read_delta(spark, path).collect()
+        }
+        want = {
+            i: (g, v, sk_model[i], v * 2) for i, (g, v) in model.items()
+        }
+        assert got == want, f"spark diverged after {t}"
+        names, ext_rows = read_delta_external(path)
+        idx = {n: k for k, n in enumerate(names)}
+        ext = {
+            r[idx["id"]]: (
+                r[idx["grp"]], r[idx["val"]], r[idx["sk"]], r[idx["dbl"]]
+            )
+            for r in ext_rows
+        }
+        assert ext == want, f"external reader diverged after {t}"
+
+    check()
+    ops = ["append", "delete", "update", "optimize", "checkpoint", "vacuum"]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append":
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(2, 5))
+            version = write_delta(
+                spark, _frame(spark, fresh), path, partition_col="grp"
+            )
+            model.update(fresh)
+            alloc(sorted(fresh))
+        elif op == "delete":
+            v = delete_where(spark, path, "id % 6 = 2")
+            doomed = [i for i in model if i % 6 == 2]
+            if v is None:
+                assert not doomed, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in doomed:
+                del model[i]
+                del sk_model[i]
+        elif op == "update":
+            # updating val must RECOMPUTE the generated column
+            v = update_where(spark, path, "id % 5 = 3", {"val": "val + 9"})
+            hit = [i for i in model if i % 5 == 3]
+            if v is None:
+                assert not hit, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in hit:
+                model[i] = (model[i][0], model[i][1] + 9)
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+            trace[-1] += f"@{version}"
+        elif op == "vacuum":
+            vacuum_delta(spark, path, retain_hours=168, now_ms=10**18)
+        check()
+    check()
+
+
+def test_lifecycle_fuzz_identity_generated_seed_13(spark, tmp_path):
+    _walk_identity_generated(spark, tmp_path, seed=13, n_ops=12)
