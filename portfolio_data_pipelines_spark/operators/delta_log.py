@@ -848,6 +848,17 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     # the feature's reader duty IS the protocol check vacuum performs
     "vacuumProtocolCheck",
+    # TYPE WIDENING (read side): files written before a widening ALTER
+    # carry the narrower physical type; the reader duty is upcasting
+    # them to the current schemaString type. Spark's parquet reader
+    # performs every spec widening natively (probed: int32→long,
+    # float→double, int→double, smallint→int), and the grouped
+    # fallback's unionByName coerces — entered this set with the
+    # foreign-fixture conformance test. The WRITER feature is NOT
+    # claimed: widening ALTERs here would need typeWideningMetadata
+    # bookkeeping this writer does not do, so commits to such tables
+    # stay refused by name.
+    "typeWidening",
 }
 
 #: Writer features this implementation knows how to honor; listed on

@@ -45,6 +45,10 @@ _READER_FEATURES = {
     "v2Checkpoint",
     "timestampNtz",
     "vacuumProtocolCheck",
+    # type widening read duty: pre-ALTER files carry the narrower
+    # physical type and are upcast per the declared schema — which
+    # this reader's output loop already does for every numeric column
+    "typeWidening",
 }
 
 
@@ -519,6 +523,15 @@ def read_delta_external(
                         v = int(v)
                     elif v is not None and types[n] == "double":
                         v = float(v)
+                    elif (
+                        v is not None
+                        and types[n] in ("timestamp", "timestamp_ntz")
+                        and isinstance(v, _dt.date)
+                        and not isinstance(v, _dt.datetime)
+                    ):
+                        # typeWidening's date → timestampNtz: pre-ALTER
+                        # files carry date32, read as local midnight
+                        v = _dt.datetime(v.year, v.month, v.day)
                     row.append(v)
                 else:
                     row.append(None)  # pre-evolution file

@@ -662,3 +662,108 @@ def test_partless_multipart_listing_refused(spark, tmp_path):
         read_delta(spark, path).collect()
     with pytest.raises(Exception, match="multi-part"):
         read_delta_external(path)
+
+
+def test_type_widening_foreign_table_reads_in_both(spark, tmp_path):
+    """VERDICT r9 next #6 — the typeWidening READER feature: a foreign
+    table whose schema widened (int→long, float→double, smallint→int,
+    decimal(6,2)→decimal(10,2), date→timestamp_ntz) after its first
+    files were written must read in BOTH readers, pre-widen files
+    upcast per the current schemaString; and unknown reader features
+    stay refused by name."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "t_widen"
+    (root / "_delta_log").mkdir(parents=True)
+    # v0 file: narrow physical types, written the foreign way
+    pq.write_table(
+        pa.table(
+            {
+                "i": pa.array([1, 2], pa.int32()),
+                "f": pa.array([1.5, 2.5], pa.float32()),
+                "s": pa.array([3, 4], pa.int16()),
+                "m": pa.array([None, None], pa.decimal128(6, 2)),
+                "d": pa.array(
+                    [datetime.date(2024, 1, 5)] * 2, pa.date32()
+                ),
+            }
+        ),
+        root / "part-0000-narrow.parquet",
+    )
+
+    def field(name, typ):
+        return {
+            "name": name, "type": typ, "nullable": True, "metadata": {},
+        }
+
+    narrow = json.dumps({"type": "struct", "fields": [
+        field("i", "integer"), field("f", "float"), field("s", "short"),
+        field("m", "decimal(6,2)"), field("d", "date"),
+    ]})
+    wide = json.dumps({"type": "struct", "fields": [
+        field("i", "long"), field("f", "double"), field("s", "integer"),
+        field("m", "decimal(10,2)"), field("d", "timestamp_ntz"),
+    ]})
+
+    def commit(v, actions):
+        with open(root / "_delta_log" / f"{v:020d}.json", "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+
+    commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "widen-fixture", "format": {
+                "provider": "parquet", "options": {}
+            },
+            "schemaString": narrow, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+        {"add": {
+            "path": "part-0000-narrow.parquet", "partitionValues": {},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+        }},
+    ])
+    # v1: the widening ALTER — protocol gains the reader feature, the
+    # schema widens; the narrow file stays live as-is
+    commit(1, [
+        {"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "typeWidening"],
+            "writerFeatures": ["timestampNtz", "typeWidening"],
+        }},
+        {"metaData": {
+            "id": "widen-fixture", "format": {
+                "provider": "parquet", "options": {}
+            },
+            "schemaString": wide, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0,
+        }},
+    ])
+    path = str(root)
+    want = [
+        (1, 1.5, 3, None, datetime.datetime(2024, 1, 5)),
+        (2, 2.5, 4, None, datetime.datetime(2024, 1, 5)),
+    ]
+    got = sorted(
+        (r["i"], r["f"], r["s"], r["m"], r["d"])
+        for r in read_delta(spark, path).collect()
+    )
+    assert got == want, got
+    assert [f.dataType.simpleString() for f in read_delta(
+        spark, path
+    ).schema.fields] == ["bigint", "double", "int", "decimal(10,2)",
+                         "timestamp_ntz"]
+    names, rows = read_delta_external(path)
+    assert names == ["i", "f", "s", "m", "d"]
+    assert sorted(rows) == want, sorted(rows)
+    # the gate still refuses genuinely unknown reader features by name
+    commit(2, [{"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["typeWidening", "variantType-preview"],
+        "writerFeatures": [],
+    }}])
+    with pytest.raises(Exception, match="variantType-preview"):
+        read_delta(spark, path).collect()
+    with pytest.raises(Exception, match="variantType-preview"):
+        read_delta_external(path)
