@@ -405,6 +405,14 @@ def main() -> None:
                 "metric": "declared-query suite wall-clock",
                 "value": total,
                 "unit": "sec",
+                # the record self-interprets (r9 VERDICT #4): the total a
+                # fully-delivered host would show — total * cpu_efficiency
+                # (efficiency < 1 means the hypervisor under-delivered and
+                # uniformly inflated every wall-clock)
+                "value_efficiency_normalized": (
+                    round(total * load_report["cpu_efficiency"], 2)
+                    if load_report["cpu_efficiency"] else None
+                ),
                 "queries": {"daily_events_mart": timings.get("daily_events_mart")},
                 # warm AND cold side by side so round-over-round comparison
                 # never conflates timing methodology with regression

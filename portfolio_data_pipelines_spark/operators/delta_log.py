@@ -854,10 +854,7 @@ _SUPPORTED_READER_FEATURES = {
     # performs every spec widening natively (probed: int32→long,
     # float→double, int→double, smallint→int), and the grouped
     # fallback's unionByName coerces — entered this set with the
-    # foreign-fixture conformance test. The WRITER feature is NOT
-    # claimed: widening ALTERs here would need typeWideningMetadata
-    # bookkeeping this writer does not do, so commits to such tables
-    # stay refused by name.
+    # foreign-fixture conformance test.
     "typeWidening",
 }
 
@@ -900,6 +897,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # via _rt_finalize_commit and rewrites preserve materialized ids —
     # entered this set in the same commit as those duties (round 10)
     "rowTracking",
+    # widening evolutions record the delta.typeWidening field-metadata
+    # history and upgrade the protocol in the SAME commit — the
+    # feature's writer duty (round 10)
+    "typeWidening",
 }
 
 
@@ -1348,6 +1349,49 @@ def _validate_additive(prev_fields: list, new_fields: list) -> None:
             )
 
 
+def _widened_fields(prev_meta: dict, evolved_meta: dict) -> list[tuple]:
+    """(name, fromType, toType) for every field whose type the
+    evolution WIDENED (by construction of ``_validate_additive`` any
+    type change that got this far is a safe widening)."""
+    prev = {
+        f["name"]: f["type"]
+        for f in json.loads(prev_meta["schemaString"])["fields"]
+    }
+    return [
+        (f["name"], prev[f["name"]], f["type"])
+        for f in json.loads(evolved_meta["schemaString"])["fields"]
+        if f["name"] in prev and prev[f["name"]] != f["type"]
+    ]
+
+
+def _record_type_widening(
+    evolved_meta: dict, widened: list[tuple], version: int
+) -> dict:
+    """The typeWidening WRITER duty: each widened field's metadata
+    gains a ``delta.typeWidening`` history entry
+    ({fromType, toType, tableVersion}) so foreign readers can tell
+    which files predate which change — without the history a reader
+    cannot distinguish a widened column from a corrupt one."""
+    doc = json.loads(evolved_meta["schemaString"])
+    by_name = {f["name"]: f for f in doc["fields"]}
+    for name, from_t, to_t in widened:
+        f = by_name[name]
+        md = dict(f.get("metadata") or {})
+        hist = list(md.get("delta.typeWidening") or [])
+        hist.append(
+            {
+                "fromType": from_t,
+                "toType": to_t,
+                "tableVersion": int(version),
+            }
+        )
+        md["delta.typeWidening"] = hist
+        f["metadata"] = md
+    out = dict(evolved_meta)
+    out["schemaString"] = json.dumps(doc)
+    return out
+
+
 def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
     """The metaData action an incoming frame's schema requires, or None
     when the stored schema already covers it.
@@ -1708,6 +1752,15 @@ def write_delta(
     # mapping (new columns get their col-<uuid> physical names), so the
     # metaData action is computed before staging.
     evolved_meta = _evolve_meta(df, prev_meta) if prev_meta is not None else None
+    widened: list[tuple] = []
+    if evolved_meta is not None:
+        widened = _widened_fields(prev_meta, evolved_meta)
+        if widened:
+            # evolution commits never auto-retry to a later version, so
+            # new_version is the final tableVersion of this change
+            evolved_meta = _record_type_widening(
+                evolved_meta, widened, new_version
+            )
     l2p = (
         _logical_to_physical(evolved_meta or prev_meta) if prev_meta else None
     )
@@ -1827,21 +1880,19 @@ def write_delta(
         )
     elif evolved_meta is not None:
         actions.append({"metaData": evolved_meta})
-    if (
-        new_version > 0
-        and evolved_meta is not None
-        and _schema_uses_ntz(evolved_meta["schemaString"])
-    ):
-        # evolution introduced a timestamp_ntz column: the same commit
-        # must upgrade the protocol to declare the feature
+    if new_version > 0 and evolved_meta is not None:
+        # evolution can introduce features the protocol must declare in
+        # the SAME commit: timestamp_ntz columns and type widenings
         proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-        if "timestampNtz" not in (proto.get("readerFeatures") or []):
+        have = set(proto.get("readerFeatures") or [])
+        need = set()
+        if _schema_uses_ntz(evolved_meta["schemaString"]):
+            need.add("timestampNtz")
+        if widened:
+            need.add("typeWidening")
+        if need - have:
             actions.append(
-                {
-                    "protocol": _upgraded_protocol_with(
-                        proto, {"timestampNtz"}
-                    )
-                }
+                {"protocol": _upgraded_protocol_with(proto, need - have)}
             )
     if txn is not None:
         actions.append(

@@ -293,10 +293,10 @@ def test_reader_features_granular_gate(spark, tmp_path):
     bad = _foreign_table(
         spark, tmp_path, "t_feat_bad",
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["columnMapping", "typeWidening"],
-         "writerFeatures": ["columnMapping", "typeWidening"]},
+         "readerFeatures": ["columnMapping", "collations-preview"],
+         "writerFeatures": ["columnMapping", "collations-preview"]},
     )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="collations-preview"):
         read_delta(spark, bad).collect()
 
 
@@ -767,3 +767,79 @@ def test_type_widening_foreign_table_reads_in_both(spark, tmp_path):
         read_delta(spark, path).collect()
     with pytest.raises(Exception, match="variantType-preview"):
         read_delta_external(path)
+
+
+def test_widening_evolution_records_history_and_protocol(spark, tmp_path):
+    """The typeWidening WRITER duty: a schema evolution that widens a
+    column must, in the SAME commit, record the delta.typeWidening
+    field-metadata history ({fromType, toType, tableVersion}) and
+    upgrade the protocol to declare the feature — then read correctly
+    in both readers (pre-widen files upcast) and accept further
+    appends."""
+    path = str(tmp_path / "t_widen_hist")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, 1.5)], "id int, v float").coalesce(1),
+        path,
+    )
+    write_delta(  # widening evolution: int->long, float->double
+        spark,
+        spark.createDataFrame(
+            [(2**40, 2.5)], "id long, v double"
+        ).coalesce(1),
+        path,
+    )
+    acts = [
+        json.loads(l)
+        for l in open(f"{path}/_delta_log/{1:020d}.json")
+        if l.strip()
+    ]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    fields = {
+        f["name"]: f for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert fields["id"]["metadata"]["delta.typeWidening"] == [
+        {"fromType": "integer", "toType": "long", "tableVersion": 1}
+    ]
+    assert fields["v"]["metadata"]["delta.typeWidening"] == [
+        {"fromType": "float", "toType": "double", "tableVersion": 1}
+    ]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "typeWidening" in proto["readerFeatures"]
+    assert "typeWidening" in proto["writerFeatures"]
+    # a SECOND widening appends to the history, not replaces it
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, 3.5, 9)], "id long, v double, w short")
+        .coalesce(1),
+        path,
+    )
+    write_delta(
+        spark,
+        spark.createDataFrame([(4, 4.5, 2**33)], "id long, v double, w long")
+        .coalesce(1),
+        path,
+    )
+    acts3 = [
+        json.loads(l)
+        for l in open(f"{path}/_delta_log/{3:020d}.json")
+        if l.strip()
+    ]
+    meta3 = next(a["metaData"] for a in acts3 if "metaData" in a)
+    f3 = {
+        f["name"]: f for f in json.loads(meta3["schemaString"])["fields"]
+    }
+    assert f3["w"]["metadata"]["delta.typeWidening"] == [
+        {"fromType": "short", "toType": "long", "tableVersion": 3}
+    ]
+    assert f3["id"]["metadata"]["delta.typeWidening"][0]["tableVersion"] == 1
+    want = sorted([
+        (1, 1.5, None), (2**40, 2.5, None), (3, 3.5, 9), (4, 4.5, 2**33)
+    ])
+    got = sorted(
+        (r["id"], r["v"], r["w"])
+        for r in read_delta(spark, path).collect()
+    )
+    assert got == want
+    names, rows = read_delta_external(path)
+    assert sorted(rows) == want

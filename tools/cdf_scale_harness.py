@@ -93,10 +93,10 @@ def measure(spark, base_events, replicas):
     scanned = []
     orig = dl._read_adds
 
-    def spy(spark_, path_, adds, meta, with_file=False):
+    def spy(spark_, path_, adds, meta, with_file=False, **kw):
         if with_file:  # the discovery pass
             scanned.append(len(adds))
-        return orig(spark_, path_, adds, meta, with_file)
+        return orig(spark_, path_, adds, meta, with_file, **kw)
 
     dl._read_adds = spy
     try:
