@@ -406,6 +406,16 @@ def _metadata_action(
         # table configuration under delta.constraints.<name>
         config[f"delta.constraints.{name}"] = expr
     schema_str = _schema_string(df)
+    if '"variant"' in schema_str:
+        # READ-only support: Spark's writer emits the new parquet
+        # VARIANT logical type, not Delta's struct<value,metadata>
+        # physical form — committing it would produce a table foreign
+        # readers (and this repo's own external reader) cannot read
+        raise ValueError(
+            "variant columns cannot be written: this engine reads the "
+            "variantType feature (foreign tables) but does not write "
+            "it — store the value as a JSON string or a typed struct"
+        )
     if generated_cols or identity_cols:
         doc = json.loads(schema_str)
         by_name = {f["name"]: f for f in doc.get("fields", [])}
@@ -856,6 +866,15 @@ _SUPPORTED_READER_FEATURES = {
     # fallback's unionByName coerces — entered this set with the
     # foreign-fixture conformance test.
     "typeWidening",
+    # VARIANT columns (semi-structured): schemaString type "variant",
+    # physically struct<value binary, metadata binary> carrying the
+    # open Variant binary encoding — Spark 4 decodes that form natively
+    # under an explicit variant read schema (probed), so reads ride the
+    # same single-scan plan. READ-ONLY: this writer refuses to create /
+    # evolve variant columns (its parquet writer emits the NEW parquet
+    # VARIANT logical type, which is not the Delta physical form), so
+    # the writer feature is not claimed.
+    "variantType",
 }
 
 #: Writer features this implementation knows how to honor; listed on
@@ -1334,6 +1353,11 @@ def _validate_additive(prev_fields: list, new_fields: list) -> None:
     for f in new_fields:
         pf = prev_by_name.get(f["name"])
         if pf is None:
+            if f["type"] == "variant":
+                raise ValueError(
+                    "cannot evolve a variant column in: this engine "
+                    "reads the variantType feature but does not write it"
+                )
             continue
         if pf["type"] != f["type"] and (
             pf["type"],
@@ -2583,6 +2607,17 @@ def _read_adds(
         if need_pos and not fast_id  # grouped identity needs the tag
         else _fast_hive_read(spark, path, adds, read_schema, pcols)
     )
+    if df is None and any(
+        f.dataType.typeName() == "variant" for f in read_schema.fields
+    ):
+        # the grouped fallback reads without an explicit schema, so the
+        # struct<value,metadata> physical pair would surface as a plain
+        # struct instead of decoding — refuse rather than mis-type
+        raise ValueError(
+            "variant columns are supported only on hive-layout tables "
+            "(the explicit-schema fast path); this layout would "
+            "surface the raw value/metadata struct"
+        )
     if df is not None:
         if with_file:
             df = df.withColumn("_file", F.input_file_name())

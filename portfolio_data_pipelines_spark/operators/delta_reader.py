@@ -49,7 +49,121 @@ _READER_FEATURES = {
     # physical type and are upcast per the declared schema — which
     # this reader's output loop already does for every numeric column
     "typeWidening",
+    # VARIANT columns: physically a struct<value binary, metadata
+    # binary> pair carrying the open Variant binary encoding; decoded
+    # to plain Python by this module's own from-spec decoder below
+    "variantType",
 }
+
+
+# --- independent VARIANT decoding (the open Variant binary encoding,
+# --- parquet-format VariantEncoding.md; shares no code with pyspark's
+# --- VariantVal.toPython so conformance tests pair two decoders)
+
+def _variant_metadata_keys(md: bytes) -> list[str]:
+    """The metadata dictionary: header (version | sorted | offset
+    size), dict size, offsets, utf-8 key bytes."""
+    h = md[0]
+    if (h & 0x0F) != 1:
+        raise ValueError(f"unsupported variant metadata version {h & 0x0F}")
+    osz = ((h >> 6) & 3) + 1
+    pos = 1
+    n = int.from_bytes(md[pos:pos + osz], "little")
+    pos += osz
+    offs = [
+        int.from_bytes(md[pos + i * osz:pos + (i + 1) * osz], "little")
+        for i in range(n + 1)
+    ]
+    base = pos + (n + 1) * osz
+    return [md[base + offs[i]:base + offs[i + 1]].decode() for i in range(n)]
+
+
+def _variant_value(buf: bytes, pos: int, keys: list[str]):
+    """Decode the value at ``pos``; returns (python value, end pos)."""
+    import struct as _struct
+    from decimal import Decimal
+
+    h = buf[pos]
+    basic, info = h & 3, h >> 2
+    p = pos + 1
+    if basic == 1:  # short string: length IS the type info
+        return buf[p:p + info].decode(), p + info
+    if basic == 2:  # object
+        fo_sz = (info & 3) + 1
+        fid_sz = ((info >> 2) & 3) + 1
+        large = (info >> 4) & 1
+        n = int.from_bytes(buf[p:p + (4 if large else 1)], "little")
+        p += 4 if large else 1
+        ids = [
+            int.from_bytes(buf[p + i * fid_sz:p + (i + 1) * fid_sz], "little")
+            for i in range(n)
+        ]
+        p += n * fid_sz
+        offs = [
+            int.from_bytes(buf[p + i * fo_sz:p + (i + 1) * fo_sz], "little")
+            for i in range(n + 1)
+        ]
+        base = p + (n + 1) * fo_sz
+        return {
+            keys[ids[i]]: _variant_value(buf, base + offs[i], keys)[0]
+            for i in range(n)
+        }, base + offs[n]
+    if basic == 3:  # array
+        fo_sz = (info & 3) + 1
+        large = (info >> 2) & 1
+        n = int.from_bytes(buf[p:p + (4 if large else 1)], "little")
+        p += 4 if large else 1
+        offs = [
+            int.from_bytes(buf[p + i * fo_sz:p + (i + 1) * fo_sz], "little")
+            for i in range(n + 1)
+        ]
+        base = p + (n + 1) * fo_sz
+        return [
+            _variant_value(buf, base + offs[i], keys)[0] for i in range(n)
+        ], base + offs[n]
+    # basic == 0: primitive, type id in the info bits
+    if info == 0:
+        return None, p
+    if info == 1:
+        return True, p
+    if info == 2:
+        return False, p
+    if info in (3, 4, 5, 6):  # int8/16/32/64
+        w = {3: 1, 4: 2, 5: 4, 6: 8}[info]
+        return int.from_bytes(buf[p:p + w], "little", signed=True), p + w
+    if info == 7:
+        return _struct.unpack("<d", buf[p:p + 8])[0], p + 8
+    if info in (8, 9, 10):  # decimal4/8/16: scale byte + LE unscaled
+        w = {8: 4, 9: 8, 10: 16}[info]
+        scale = buf[p]
+        unscaled = int.from_bytes(buf[p + 1:p + 1 + w], "little", signed=True)
+        return Decimal(unscaled).scaleb(-scale), p + 1 + w
+    if info == 11:  # date: days since epoch
+        days = int.from_bytes(buf[p:p + 4], "little", signed=True)
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), p + 4
+    if info in (12, 13):  # timestamp micros (UTC-adjusted / ntz)
+        us = int.from_bytes(buf[p:p + 8], "little", signed=True)
+        base_dt = _dt.datetime(
+            1970, 1, 1,
+            tzinfo=_dt.timezone.utc if info == 12 else None,
+        )
+        return base_dt + _dt.timedelta(microseconds=us), p + 8
+    if info == 14:
+        return _struct.unpack("<f", buf[p:p + 4])[0], p + 4
+    if info in (15, 16):  # binary / long string: 4-byte LE length
+        ln = int.from_bytes(buf[p:p + 4], "little")
+        raw = buf[p + 4:p + 4 + ln]
+        return (bytes(raw) if info == 15 else raw.decode()), p + 4 + ln
+    raise ValueError(f"unsupported variant primitive type {info}")
+
+
+def _variant_decode(pair: dict):
+    """struct<value, metadata> row value (pyarrow dict) → Python."""
+    if pair is None:
+        return None
+    return _variant_value(
+        bytes(pair["value"]), 0, _variant_metadata_keys(bytes(pair["metadata"]))
+    )[0]
 
 
 # --- independent deletion-vector decoding (spec-only, shares no code
@@ -517,7 +631,9 @@ def read_delta_external(
                     row.append(pvals[n])
                 elif phys[n] in cols_present:
                     v = r[phys[n]]
-                    if v is not None and types[n] in (
+                    if v is not None and types[n] == "variant":
+                        v = _variant_decode(v)
+                    elif v is not None and types[n] in (
                         "byte", "short", "integer", "long"
                     ):
                         v = int(v)

@@ -843,3 +843,110 @@ def test_widening_evolution_records_history_and_protocol(spark, tmp_path):
     assert got == want
     names, rows = read_delta_external(path)
     assert sorted(rows) == want
+
+
+def test_variant_foreign_table_reads_in_both(spark, tmp_path):
+    """The variantType READER feature: a foreign table with a VARIANT
+    column (physically struct<value binary, metadata binary> carrying
+    the open Variant binary encoding) reads in BOTH readers — Spark
+    decodes the pair natively under the explicit variant schema; the
+    external reader uses this repo's own from-spec decoder, pinned
+    against pyspark's VariantVal.toPython (two independent decoders).
+    The writer refuses variant columns (read-only support)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    payloads = [
+        '{"a": 1, "b": [true, null, 2.5], "s": "hello"}',
+        '{"nested": {"x": [1, 2, {"y": "z"}]}, "n": -12345678901234}',
+        '"' + "L" * 100 + '"',          # long string (4-byte length)
+        "[1.5, -0.25, 123456789012345678901234.5]",  # doubles + decimal16
+        "null",
+        "true",
+        '{"empty_obj": {}, "empty_arr": []}',
+    ]
+    vv = [
+        r["v"]
+        for r in spark.sql(
+            "select parse_json(p) as v from values "
+            + ", ".join(f"('{p}')" for p in payloads)
+            + " as t(p)"
+        ).collect()
+    ]
+    root = tmp_path / "t_variant"
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(len(vv)), pa.int64()),
+                "v": pa.array(
+                    [
+                        {"value": bytes(x.value), "metadata": bytes(x.metadata)}
+                        for x in vv
+                    ],
+                    pa.struct(
+                        [("value", pa.binary()), ("metadata", pa.binary())]
+                    ),
+                ),
+            }
+        ),
+        root / "part-0000-variant.parquet",
+    )
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "variant", "nullable": True, "metadata": {}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": ["variantType"],
+            }},
+            {"metaData": {
+                "id": "variant-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {}, "createdTime": 0,
+            }},
+            {"add": {
+                "path": "part-0000-variant.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    path = str(root)
+
+    def norm(x):
+        from decimal import Decimal
+
+        if isinstance(x, Decimal):
+            return ("dec", str(x.normalize()))
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in sorted(x.items())}
+        if isinstance(x, list):
+            return [norm(v) for v in x]
+        return x
+
+    got_spark = {
+        r["id"]: norm(r["v"].toPython() if r["v"] is not None else None)
+        for r in read_delta(spark, path).collect()
+    }
+    names, rows = read_delta_external(path)
+    assert names == ["id", "v"]
+    got_ext = {r[0]: norm(r[1]) for r in rows}
+    assert got_spark == got_ext, (got_spark, got_ext)
+    # spot-pin absolute values so both decoders can't be wrong together
+    assert got_ext[0] == {
+        "a": 1, "b": [True, None, ("dec", "2.5")], "s": "hello"
+    }
+    assert got_ext[2] == "L" * 100
+    assert got_ext[4] is None or got_ext[4] == None  # noqa: E711
+    assert got_ext[6] == {"empty_obj": {}, "empty_arr": []}
+    # the writer refuses to CREATE variant columns (read-only feature)
+    with pytest.raises(ValueError, match="variant"):
+        write_delta(
+            spark,
+            spark.sql("select 1 as id, parse_json('{}') as v"),
+            str(tmp_path / "t_variant_w"),
+        )
