@@ -307,3 +307,48 @@ def test_vacuum_after_rewrites_keeps_rt_reads(spark, tmp_path):
     before = _rows_both(spark, path)
     vacuum_delta(spark, path, retain_hours=168, now_ms=10**18)
     assert _rows_both(spark, path) == before
+
+
+def test_row_tracking_composes_with_cdf(spark, tmp_path):
+    """rowTracking + changeDataFeed on one table: the merge stages cdc
+    change files (which never carry the hidden materialized columns)
+    AND preserves row ids in the rewrite; the CDF nets the merge
+    correctly and ids stay stable."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        read_delta_cdf,
+    )
+
+    path = str(tmp_path / "t_rt_cdf")
+    write_delta(
+        spark,
+        spark.range(1, 7).select(
+            F.col("id"), (F.col("id") * 1.0).alias("v")
+        ).coalesce(1),
+        path,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    before = _rows_both(spark, path)
+    v = merge_delta(
+        spark, path,
+        spark.createDataFrame([(3, 33.0), (9, 9.0)], "id bigint, v double"),
+        key_cols=["id"],
+    )
+    after = _rows_both(spark, path)
+    assert after[3][0] == before[3][0] and after[3][1] == v
+    assert after[9][0] > max(x[0] for x in before.values())
+    ch = read_delta_cdf(spark, path, from_version=0, key_cols=["id"])
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [
+        (3, 3.0, "update_preimage"),
+        (3, 33.0, "update_postimage"),
+        (9, 9.0, "insert"),
+    ], got
+    # cdc files never leak the hidden materialized columns
+    assert set(ch.columns) == {
+        "id", "v", "_change_type", "_commit_version", "_commit_timestamp"
+    }
