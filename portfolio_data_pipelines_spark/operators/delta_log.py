@@ -5396,6 +5396,7 @@ def restore_delta(
                 }
             }
         )
+    readd_actions = []
     for rel in to_readd:
         a = dict(old.adds[rel])
         a["path"] = _encode_path(rel)
@@ -5405,7 +5406,13 @@ def restore_delta(
         # (dataChange=false) — otherwise the change feed and the
         # delta_feed source would skip rows the restore re-introduced.
         a["dataChange"] = True
-        actions.append({"add": a})
+        readd_actions.append({"add": a})
+    # rowTracking: re-adds from versions AFTER enablement carry their
+    # original ids (stability); a restore to a PRE-enablement version
+    # re-adds bare files — they get fresh ids here so a row-tracking
+    # table never serves null row ids
+    _rt_finalize_commit(cur, readd_actions, actions, new_version)
+    actions.extend(readd_actions)
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)

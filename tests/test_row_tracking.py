@@ -352,3 +352,32 @@ def test_row_tracking_composes_with_cdf(spark, tmp_path):
     assert set(ch.columns) == {
         "id", "v", "_change_type", "_commit_version", "_commit_timestamp"
     }
+
+
+def test_restore_across_enablement_assigns_fresh_ids(spark, tmp_path):
+    """RESTORE to a version BEFORE row tracking was enabled re-adds
+    files that never had a baseRowId — the restore commit must assign
+    fresh ids to those (never serve null row ids), while re-adds from
+    post-enablement versions keep their originals."""
+    path = str(tmp_path / "t_restore_pre")
+    write_delta(
+        spark,
+        spark.range(1, 6).select(
+            F.col("id"), (F.col("id") % 2 == 0).cast("string").alias("grp"),
+            (F.col("id") * 10.0).alias("val"),
+        ).coalesce(1),
+        path,
+    )
+    write_delta(  # v1: replaced by the overwrite below, pre-enablement
+        spark,
+        spark.createDataFrame(
+            [(9, "x", 9.0)], "id bigint, grp string, val double"
+        ).coalesce(1),
+        path, mode="overwrite",
+    )
+    enable_row_tracking(spark, path)  # v2: backfills the LIVE set only
+    restore_delta(spark, path, 0)     # v3: re-adds v0's bare file
+    got = _rows_both(spark, path)     # asserts non-null + unique
+    assert sorted(got) == [1, 2, 3, 4, 5]
+    # the restore commit carries the advanced high-water mark
+    assert _hwm(path, 3) is not None
