@@ -5078,7 +5078,7 @@ def purge_delta(
 #: Features :func:`drop_table_feature` knows how to verify as unused
 #: before removing them from the protocol. Growing this set requires a
 #: matching live-state check below.
-_DROPPABLE_FEATURES = {"deletionVectors"}
+_DROPPABLE_FEATURES = {"deletionVectors", "rowTracking"}
 
 
 def _downgraded_protocol(proto: dict, feature: str) -> dict:
@@ -5262,20 +5262,46 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
             f"table at {path} does not list feature {feature!r} in its "
             "protocol — nothing to drop"
         )
-    live_dv = sorted(
-        rel for rel, a in st.adds.items() if a.get("deletionVector")
-    )
-    if live_dv:
-        raise ValueError(
-            f"cannot drop {feature!r}: {len(live_dv)} live file(s) still "
-            f"carry deletion vectors (e.g. {live_dv[0]}) — run "
-            "purge_delta(...) first"
-        )
     new_version = st.version + 1
     actions = [
         _commit_info("DROP FEATURE", {"feature": feature}),
         {"protocol": _downgraded_protocol(proto, feature)},
     ]
+    if feature == "deletionVectors":
+        live_dv = sorted(
+            rel for rel, a in st.adds.items() if a.get("deletionVector")
+        )
+        if live_dv:
+            raise ValueError(
+                f"cannot drop {feature!r}: {len(live_dv)} live file(s) "
+                f"still carry deletion vectors (e.g. {live_dv[0]}) — run "
+                "purge_delta(...) first"
+            )
+    elif feature == "rowTracking":
+        # row ids are advisory metadata: dropping needs no data check,
+        # only the table property / materialized-column config and the
+        # high-water-mark domain leave with the feature (the hidden
+        # columns left inside files are invisible — not in
+        # schemaString — and the baseRowId fields on adds are ignored
+        # per spec once the feature is gone)
+        config = dict(st.meta.get("configuration") or {})
+        for key in (
+            "delta.enableRowTracking", _RT_MAT_ID_KEY, _RT_MAT_CV_KEY
+        ):
+            config.pop(key, None)
+        meta = dict(st.meta)
+        meta["configuration"] = config
+        actions.append({"metaData": meta})
+        if (st.domain_metadata or {}).get(_ROW_TRACKING_DOMAIN):
+            actions.append(
+                {
+                    "domainMetadata": {
+                        "domain": _ROW_TRACKING_DOMAIN,
+                        "configuration": "{}",
+                        "removed": True,
+                    }
+                }
+            )
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)

@@ -381,3 +381,49 @@ def test_restore_across_enablement_assigns_fresh_ids(spark, tmp_path):
     assert sorted(got) == [1, 2, 3, 4, 5]
     # the restore commit carries the advanced high-water mark
     assert _hwm(path, 3) is not None
+
+
+def test_drop_row_tracking_feature(spark, tmp_path):
+    """DROP FEATURE rowTracking: the feature leaves the protocol, the
+    table property + materialized-column names leave the
+    configuration, and the delta.rowTracking domain is removed —
+    afterwards row-id reads refuse cleanly and plain reads still
+    serve every row; re-enabling works and starts a fresh mark."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        drop_table_feature,
+        get_domain_metadata,
+    )
+
+    path = _mk(spark, tmp_path, "t_drop")
+    update_where(spark, path, "id = 2", {"val": "val + 1"})
+    v = drop_table_feature(spark, path, "rowTracking")
+    acts = _log_actions(path, v)
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "rowTracking" not in (proto.get("writerFeatures") or [])
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert not any(
+        k.startswith("delta.rowTracking") or k == "delta.enableRowTracking"
+        for k in meta["configuration"]
+    )
+    assert "delta.rowTracking" not in get_domain_metadata(spark, path)
+    # plain reads keep every row; both readers agree
+    got = sorted(r["id"] for r in read_delta(spark, path).collect())
+    assert got == list(range(1, 11))
+    names, rows = read_delta_external(path)
+    assert sorted(r[names.index("id")] for r in rows) == got
+    # appends no longer carry the duty
+    v2 = write_delta(
+        spark,
+        spark.createDataFrame(
+            [(99, "x", 9.0)], "id bigint, grp string, val double"
+        ).coalesce(1),
+        path,
+    )
+    add = next(
+        a["add"] for a in _log_actions(path, v2) if "add" in a
+    )
+    assert "baseRowId" not in add
+    # re-enabling backfills everything again
+    enable_row_tracking(spark, path)
+    got2 = _rows_both(spark, path)
+    assert sorted(got2) == list(range(1, 11)) + [99]
