@@ -920,6 +920,10 @@ _SUPPORTED_WRITER_FEATURES = {
     # history and upgrade the protocol in the SAME commit — the
     # feature's writer duty (round 10)
     "typeWidening",
+    # liquid clustering: state lives in the delta.clustering domain
+    # (enable_clustering) and OPTIMIZE clusters on the recorded columns
+    # by default — the duty every pass honors (round 10)
+    "clustering",
 }
 
 
@@ -4877,6 +4881,17 @@ def optimize_delta(
         raise ValueError(
             "partitions scope given but the table is unpartitioned"
         )
+    if zorder_by is None:
+        # liquid clustering's OPTIMIZE duty: a clustered table's
+        # maintenance pass clusters on the recorded columns
+        raw_cc = (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
+        if raw_cc:
+            cc = [
+                p[-1]
+                for p in json.loads(raw_cc).get("clusteringColumns", [])
+            ]
+            if cc:
+                zorder_by = cc
     schema = _spark_schema_from_string(st.meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     doomed_adds: dict[str, dict] = {}
@@ -5223,6 +5238,77 @@ def get_domain_metadata(
     """{domain: configuration json string} live at ``version`` (latest
     when None) — replayed state, so it reflects removals."""
     return dict(_replay_log(spark, path, version).domain_metadata or {})
+
+
+_CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def enable_clustering(
+    spark: SparkSession, path: str, columns: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY — Delta's liquid clustering state:
+    one metadata-only commit that records the clustering columns in the
+    ``delta.clustering`` metadata domain (the layout delta-spark uses)
+    and upgrades the protocol with the ``clustering`` +
+    ``domainMetadata`` writer features (delta-spark's feature name) (reader side untouched — a
+    clustered table reads like any other). Afterwards
+    :func:`optimize_delta` with no ``zorder_by`` clusters on these
+    columns automatically (the incremental-clustering shape; the
+    Hilbert-vs-Morton difference is a layout quality detail, not a
+    correctness one). Pass a new column list to re-cluster; future
+    OPTIMIZE passes pick it up. Returns the committed version.
+
+    Scale: clustering state is O(1) metadata; each OPTIMIZE pass
+    rewrites only the files in its scope, exactly as ZORDER does."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    schema = _spark_schema_from_string(st.meta["schemaString"])
+    known = {f.name for f in schema.fields}
+    missing = sorted(set(columns) - known)
+    if missing:
+        raise ValueError(f"clustering columns {missing} not in schema")
+    pcols = st.meta.get("partitionColumns", [])
+    overlap = sorted(set(columns) & set(pcols))
+    if overlap:
+        raise ValueError(
+            f"clustering columns {overlap} are partition columns — "
+            "liquid clustering and hive partitioning are exclusive "
+            "per column"
+        )
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    proto = _upgraded_protocol_writer_only(proto, "clustering")
+    proto = _upgraded_protocol_writer_only(proto, "domainMetadata")
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info("CLUSTER BY", {"clusterBy": list(columns)}),
+            {"protocol": proto},
+            {
+                "domainMetadata": {
+                    "domain": _CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        # the spec's form: each entry is the PHYSICAL
+                        # name path of one clustering column
+                        {"clusteringColumns": [[c] for c in columns]},
+                        sort_keys=True,
+                    ),
+                    "removed": False,
+                }
+            },
+        ],
+    )
+
+
+def clustering_columns(spark: SparkSession, path: str) -> list[str]:
+    """The table's liquid-clustering columns (empty when unclustered)."""
+    st = _replay_log(spark, path, None)
+    raw = (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
+    if not raw:
+        return []
+    return [p[-1] for p in json.loads(raw).get("clusteringColumns", [])]
 
 
 def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
