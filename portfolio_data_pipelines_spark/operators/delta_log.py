@@ -4861,6 +4861,11 @@ def optimize_delta(
     partitions the streaming sink just peppered with micro-batch
     files, not the whole table.
 
+    On a LIQUID-CLUSTERED table (:func:`enable_clustering`) an
+    OPTIMIZE without an explicit ``zorder_by`` clusters on the
+    recorded columns automatically — the maintenance duty of the
+    ``clustering`` feature.
+
     ``zorder_by`` is Delta's OPTIMIZE ZORDER BY: every live file in
     scope (not just multi-file partitions) is rewritten range-
     partitioned on the Morton code of the named columns into
