@@ -5809,6 +5809,12 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
             last_ts / 1000.0, tz=_dt.timezone.utc
         ),
         "partitionColumns": list(st.meta.get("partitionColumns") or []),
+        "clusteringColumns": [
+            path_parts[-1]
+            for path_parts in json.loads(
+                (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN) or "{}"
+            ).get("clusteringColumns", [])
+        ],
         "numFiles": len(st.adds),
         "sizeInBytes": sum(
             int(a.get("size") or 0) for a in st.adds.values()
@@ -5830,6 +5836,7 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
             StructField("createdAt", TimestampType()),
             StructField("lastModified", TimestampType()),
             StructField("partitionColumns", ArrayType(StringType())),
+            StructField("clusteringColumns", ArrayType(StringType())),
             StructField("numFiles", LongType()),
             StructField("sizeInBytes", LongType()),
             StructField("properties", MapType(StringType(), StringType())),

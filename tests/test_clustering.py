@@ -98,3 +98,16 @@ def test_optimize_clusters_on_recorded_columns(spark, tmp_path):
     ]
     info2 = next(a["commitInfo"] for a in acts2 if "commitInfo" in a)
     assert json.loads(info2["operationParameters"]["zOrderBy"]) == ["b"]
+
+
+def test_describe_detail_surfaces_clustering_columns(spark, tmp_path):
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        describe_detail,
+    )
+
+    path = _mk(spark, tmp_path, "t_cl_desc", n=100)
+    assert describe_detail(spark, path).first()["clusteringColumns"] == []
+    enable_clustering(spark, path, ["b", "a"])
+    row = describe_detail(spark, path).first()
+    assert row["clusteringColumns"] == ["b", "a"]
+    assert "clustering" in row["tableFeatures"]
