@@ -4493,7 +4493,11 @@ def delete_where_dv(
         # the closure — compressed bytes, O(descriptors) not
         # O(positions)); the driver collects only the compressed
         # bitmaps for framing. A 10^8-row erasure costs the driver
-        # megabytes, not gigabytes.
+        # megabytes, not gigabytes. Only files with MATCHED rows (the
+        # keys in `counts`) ship their existing bitmaps — untouched
+        # files' DVs never enter the closure, so its size scales with
+        # the delete's footprint, not the table's total DV bytes.
+        matched_keys = {(int(r["__dv_grp"]), r["__dv_fn"]) for r in counts}
         old_raw = {
             keymap_key: (
                 dv_codec.descriptor_data(
@@ -4502,7 +4506,8 @@ def delete_where_dv(
                 int(st.adds[rel]["deletionVector"]["cardinality"]),
             )
             for keymap_key, rel in by_key.items()
-            if st.adds[rel].get("deletionVector")
+            if keymap_key in matched_keys
+            and st.adds[rel].get("deletionVector")
         }
 
         def _serialize_group(key, pdf):
@@ -4888,15 +4893,12 @@ def optimize_delta(
         )
     if zorder_by is None:
         # liquid clustering's OPTIMIZE duty: a clustered table's
-        # maintenance pass clusters on the recorded columns
-        raw_cc = (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
-        if raw_cc:
-            cc = [
-                p[-1]
-                for p in json.loads(raw_cc).get("clusteringColumns", [])
-            ]
-            if cc:
-                zorder_by = cc
+        # maintenance pass clusters on the recorded columns (the domain
+        # stores PHYSICAL name paths — translate back to logical so the
+        # sort expression below resolves against the read frame)
+        cc = _clustering_logical_columns(st)
+        if cc:
+            zorder_by = cc
     schema = _spark_schema_from_string(st.meta["schemaString"])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
     doomed_adds: dict[str, dict] = {}
@@ -5286,6 +5288,7 @@ def enable_clustering(
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
     proto = _upgraded_protocol_writer_only(proto, "clustering")
     proto = _upgraded_protocol_writer_only(proto, "domainMetadata")
+    l2p = _logical_to_physical(st.meta) or {}
     return _commit_metadata_only(
         spark, path,
         [
@@ -5296,8 +5299,14 @@ def enable_clustering(
                     "domain": _CLUSTERING_DOMAIN,
                     "configuration": json.dumps(
                         # the spec's form: each entry is the PHYSICAL
-                        # name path of one clustering column
-                        {"clusteringColumns": [[c] for c in columns]},
+                        # name path of one clustering column — on a
+                        # column-mapped table that is the col-<uuid>
+                        # name, so foreign engines resolve correctly
+                        {
+                            "clusteringColumns": [
+                                [l2p.get(c, c)] for c in columns
+                            ]
+                        },
                         sort_keys=True,
                     ),
                     "removed": False,
@@ -5307,13 +5316,27 @@ def enable_clustering(
     )
 
 
+def _clustering_logical_columns(st: LogState) -> list[str]:
+    """The table's liquid-clustering columns in LOGICAL names: the
+    ``delta.clustering`` domain records PHYSICAL name paths (the form
+    foreign engines expect), so on a column-mapped table each entry is
+    translated back through the mapping before callers use it in
+    expressions or surface it to users."""
+    raw = (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
+    if not raw or st.meta is None:
+        return []
+    p2l = {
+        p: l for l, p in (_logical_to_physical(st.meta) or {}).items()
+    }
+    return [
+        p2l.get(p[-1], p[-1])
+        for p in json.loads(raw).get("clusteringColumns", [])
+    ]
+
+
 def clustering_columns(spark: SparkSession, path: str) -> list[str]:
     """The table's liquid-clustering columns (empty when unclustered)."""
-    st = _replay_log(spark, path, None)
-    raw = (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN)
-    if not raw:
-        return []
-    return [p[-1] for p in json.loads(raw).get("clusteringColumns", [])]
+    return _clustering_logical_columns(_replay_log(spark, path, None))
 
 
 def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
@@ -5809,12 +5832,7 @@ def describe_detail(spark: SparkSession, path: str) -> DataFrame:
             last_ts / 1000.0, tz=_dt.timezone.utc
         ),
         "partitionColumns": list(st.meta.get("partitionColumns") or []),
-        "clusteringColumns": [
-            path_parts[-1]
-            for path_parts in json.loads(
-                (st.domain_metadata or {}).get(_CLUSTERING_DOMAIN) or "{}"
-            ).get("clusteringColumns", [])
-        ],
+        "clusteringColumns": _clustering_logical_columns(st),
         "numFiles": len(st.adds),
         "sizeInBytes": sum(
             int(a.get("size") or 0) for a in st.adds.values()

@@ -61,6 +61,16 @@ a commit whose touched files exceed ``maxReconstructBytes`` (default
 256 MiB) fails planning with a clear remedy (enable CDF on the table,
 or use the batch ``read_delta_cdf``) instead of an opaque task OOM.
 
+Plain (non-CDF) mode refuses change commits (dataChange removes) by
+default, as delta-spark does — planning the re-added files would
+silently duplicate surviving rows. Two opt-outs, mirroring
+delta-spark's options: ``ignoreDeletes=true`` tolerates DELETE-ONLY
+commits (removes with zero dataChange adds, e.g. a partition drop —
+nothing new to emit, so no duplicates are possible);
+``ignoreChanges=true`` additionally accepts rewrite commits and their
+duplicate rows. (Behavior change note: before round 10 this source
+silently planned change commits' re-added files.)
+
 Local-filesystem tables (this sandbox has no object store); an external
 deployment swaps the ``os`` calls for its store's SDK.
 """
@@ -275,9 +285,20 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         )
         # plain mode refuses change commits (dataChange removes) unless
         # the consumer opts into duplicates — delta-spark's
-        # ignoreChanges contract
+        # ignoreChanges contract. ignoredeletes is the narrower opt-out
+        # (also from delta-spark): tolerate DELETE-ONLY commits
+        # (dataChange removes with zero dataChange adds — e.g. a
+        # partition drop), which add no rows to the feed and so cannot
+        # duplicate anything; commits that REWRITE rows (removes +
+        # adds, or DV re-adds) still require ignorechanges. Behavior
+        # note: before round 10 plain mode silently planned the
+        # re-added files of change commits; it now refuses them without
+        # one of these options, matching delta-spark.
         self.ignore_changes = str(
             options.get("ignorechanges", "false")
+        ).lower() == "true"
+        self.ignore_deletes = str(
+            options.get("ignoredeletes", "false")
         ).lower() == "true"
         self._progress: int | None = None  # known position, once seen
 
@@ -310,7 +331,11 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         if not self.cdf:
             for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
                 adds_v, has_dc_removes = _commit_data_adds(log_dir, v)
-                if has_dc_removes and not self.ignore_changes:
+                if (
+                    has_dc_removes
+                    and not self.ignore_changes
+                    and not (self.ignore_deletes and not adds_v)
+                ):
                     # delta-spark's streaming source errors on change
                     # commits too, unless ignoreChanges/skipChangeCommits
                     # is opted into — planning the re-added files here
@@ -320,8 +345,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         "(DELETE/UPDATE/MERGE: dataChange removes "
                         "alongside adds); plain feed mode would emit "
                         "surviving rows twice. Use mode=cdf (exact "
-                        "row-level changes) or pass "
-                        "ignorechanges=true to accept duplicates."
+                        "row-level changes), pass ignorechanges=true "
+                        "to accept duplicates, or ignoredeletes=true "
+                        "to tolerate delete-only commits."
                     )
                 group: list = []
                 group_bytes = 0

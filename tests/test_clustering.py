@@ -100,6 +100,70 @@ def test_optimize_clusters_on_recorded_columns(spark, tmp_path):
     assert json.loads(info2["operationParameters"]["zOrderBy"]) == ["b"]
 
 
+def test_clustering_domain_carries_physical_names_under_mapping(
+    spark, tmp_path
+):
+    """On a column-mapped table the ``delta.clustering`` domain must
+    record PHYSICAL name paths (delta-spark's format — foreign engines
+    resolve them against parquet columns), while every API surface
+    (clustering_columns, describe_detail, OPTIMIZE's zOrderBy) speaks
+    LOGICAL names. Advisory fix, round 11."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        describe_detail,
+        enable_column_mapping,
+        rename_column,
+    )
+
+    path = _mk(spark, tmp_path, "t_cl_cm")
+    enable_column_mapping(spark, path)
+    rename_column(spark, path, "a", "alpha")
+    v = enable_clustering(spark, path, ["alpha"])
+    acts = [
+        json.loads(l)
+        for l in open(f"{path}/_delta_log/{v:020d}.json")
+        if l.strip()
+    ]
+    dm = next(a["domainMetadata"] for a in acts if "domainMetadata" in a)
+    meta = json.loads(open(f"{path}/_delta_log/{0:020d}.json").readline())
+    recorded = json.loads(dm["configuration"])["clusteringColumns"]
+    # the recorded path is the col-<uuid>/original physical name, NOT
+    # the logical name the caller passed
+    assert recorded != [["alpha"]]
+    # physicalName of the renamed column comes from the current meta
+    st_meta = None
+    for vv in range(v, -1, -1):
+        for l in open(f"{path}/_delta_log/{vv:020d}.json"):
+            if l.strip() and "metaData" in json.loads(l):
+                st_meta = json.loads(l)["metaData"]
+                break
+        if st_meta:
+            break
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(st_meta["schemaString"])["fields"]
+    }
+    assert recorded == [[phys["alpha"]]]
+    # every API surface translates back to logical
+    assert clustering_columns(spark, path) == ["alpha"]
+    assert describe_detail(spark, path).first()["clusteringColumns"] == [
+        "alpha"
+    ]
+    rows_before = sorted(tuple(r) for r in read_delta(spark, path).collect())
+    v2 = optimize_delta(spark, path)
+    acts2 = [
+        json.loads(l)
+        for l in open(f"{path}/_delta_log/{v2:020d}.json")
+        if l.strip()
+    ]
+    info = next(a["commitInfo"] for a in acts2 if "commitInfo" in a)
+    assert json.loads(info["operationParameters"]["zOrderBy"]) == ["alpha"]
+    assert sorted(
+        tuple(r) for r in read_delta(spark, path).collect()
+    ) == rows_before
+
+
 def test_describe_detail_surfaces_clustering_columns(spark, tmp_path):
     from portfolio_data_pipelines_spark.operators.delta_log import (
         describe_detail,

@@ -899,3 +899,60 @@ def test_plain_feed_refuses_change_commits_without_opt_in(
     rows = spark.read.parquet(out2).collect()
     v1 = sorted(r["id"] for r in rows if r["_commit_version"] == 1)
     assert v1 == [1, 2, 4, 5]  # the rewrite's surviving rows
+
+
+def test_plain_feed_ignoredeletes_tolerates_delete_only_commits(
+    registered, tmp_path
+):
+    """``ignoreDeletes`` — delta-spark's NARROWER plain-mode opt-out:
+    a DELETE-ONLY commit (dataChange removes, zero dataChange adds —
+    here a whole-partition delete) adds nothing to the feed and so
+    cannot duplicate rows; it is tolerated and skipped. A commit that
+    REWRITES rows still refuses under ignoreDeletes alone."""
+    import pytest
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_igdel")
+    write_delta(
+        spark,
+        _df(spark, [(1, 1.0, _day("2021-01-01")),
+                    (2, 2.0, _day("2021-01-01"))]).coalesce(1),
+        path, partition_col="date",
+    )
+    write_delta(
+        spark,
+        _df(spark, [(3, 3.0, _day("2021-01-02"))]).coalesce(1),
+        path, partition_col="date",
+    )
+    # commit 2: removes 2021-01-01's only file outright — no survivors,
+    # no adds
+    delete_where(spark, path, "date = DATE'2021-01-01'")
+    # default still refuses (dataChange removes present)
+    out0, ckpt0 = str(tmp_path / "out0"), str(tmp_path / "ckpt0")
+    with pytest.raises(Exception, match="change commit"):
+        _run_available(spark, path, out0, ckpt0)
+    # ignoredeletes admits the delete-only commit; the feed carries
+    # exactly the appended rows, nothing doubled, nothing from the
+    # delete
+    out1, ckpt1 = str(tmp_path / "out1"), str(tmp_path / "ckpt1")
+    _run_available(spark, path, out1, ckpt1, ignoredeletes="true")
+    rows = spark.read.parquet(out1).collect()
+    assert sorted((r["id"], r["_commit_version"]) for r in rows) == [
+        (1, 0), (2, 0), (3, 1),
+    ]
+    # a REWRITE commit (partial delete of a multi-row file: removes AND
+    # adds the survivor) is beyond ignoredeletes — still refused
+    write_delta(
+        spark,
+        _df(spark, [(4, 4.0, _day("2021-01-03")),
+                    (5, 5.0, _day("2021-01-03"))]).coalesce(1),
+        path, partition_col="date",
+    )
+    delete_where(spark, path, "id = 4")
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    with pytest.raises(Exception, match="change commit"):
+        _run_available(spark, path, out2, ckpt2, ignoredeletes="true")
