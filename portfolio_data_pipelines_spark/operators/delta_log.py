@@ -391,6 +391,110 @@ def _schema_string(df: DataFrame) -> str:
     return df.schema.json()
 
 
+def _type_contains_variant(t) -> bool:
+    """Does a schema-JSON type (string or nested dict) use variant
+    anywhere?"""
+    if t == "variant":
+        return True
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return any(
+                _type_contains_variant(f.get("type"))
+                for f in t.get("fields", [])
+            )
+        if kind == "array":
+            return _type_contains_variant(t.get("elementType"))
+        if kind == "map":
+            return _type_contains_variant(
+                t.get("keyType")
+            ) or _type_contains_variant(t.get("valueType"))
+    return False
+
+
+def _variant_field_split(schema_str: str) -> tuple[list[str], list[str]]:
+    """(top-level variant column names, names of columns with variant
+    NESTED inside a struct/array/map). Top-level variant columns are
+    writable (the staging transform converts them to the physical
+    ``struct<value,metadata>`` pair); nested ones are refused — the
+    transform re-wraps whole columns only. A field merely NAMED
+    'variant' matches neither (the check parses types, it never
+    substring-greps the schema JSON)."""
+    top: list[str] = []
+    nested: list[str] = []
+    for f in json.loads(schema_str).get("fields", []):
+        t = f.get("type")
+        if t == "variant":
+            top.append(f["name"])
+        elif _type_contains_variant(t):
+            nested.append(f["name"])
+    return top, nested
+
+
+def _variant_physical(df: DataFrame) -> DataFrame:
+    """Convert top-level VARIANT columns to Delta's physical form —
+    ``struct<value binary, metadata binary>`` carrying the open Variant
+    binary encoding — ahead of the parquet write. Spark's own parquet
+    writer would emit the new parquet VARIANT logical type, which
+    foreign Delta readers (and pyarrow) cannot read; the spec requires
+    the plain binary pair. The re-wrap is LOSSLESS and cheap:
+    ``VariantVal`` already carries exactly these bytes, so one
+    arrow-batched ``mapInPandas`` moves them without re-encoding
+    (probed: nulls round-trip as null structs, and reading the struct
+    file back under an explicit variant schema restores identical
+    binaries). Only variant-bearing frames pay the Python hop —
+    everything else returns unchanged."""
+    from pyspark.sql.types import (
+        BinaryType,
+        StructField,
+        StructType,
+    )
+
+    vcols = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() == "variant"
+    ]
+    if not vcols:
+        return df
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() != "variant"
+        and _type_contains_variant(json.loads(f.dataType.json()))
+    ]
+    if nested:
+        raise ValueError(
+            f"columns {nested} nest variant inside a struct/array/map — "
+            "only top-level variant columns are writable; restructure "
+            "or store the nested value as a JSON string"
+        )
+    phys = StructType(
+        [
+            StructField("value", BinaryType(), False),
+            StructField("metadata", BinaryType(), False),
+        ]
+    )
+    out = StructType(
+        [
+            StructField(f.name, phys if f.name in vcols else f.dataType, True)
+            for f in df.schema.fields
+        ]
+    )
+
+    def conv(batches):
+        for pdf in batches:
+            for c in vcols:
+                pdf[c] = pdf[c].map(
+                    lambda v: None
+                    if v is None
+                    else {"value": v.value, "metadata": v.metadata}
+                )
+            yield pdf
+
+    return df.mapInPandas(conv, out)
+
+
 def _metadata_action(
     df: DataFrame,
     partition_cols: list[str],
@@ -399,6 +503,7 @@ def _metadata_action(
     identity_cols: dict | None = None,
     identity_hwms: dict | None = None,
     configuration: dict | None = None,
+    default_cols: dict | None = None,
 ) -> dict:
     config = dict(configuration or {})
     for name, expr in (constraints or {}).items():
@@ -406,28 +511,40 @@ def _metadata_action(
         # table configuration under delta.constraints.<name>
         config[f"delta.constraints.{name}"] = expr
     schema_str = _schema_string(df)
-    if '"variant"' in schema_str:
-        # READ-only support: Spark's writer emits the new parquet
-        # VARIANT logical type, not Delta's struct<value,metadata>
-        # physical form — committing it would produce a table foreign
-        # readers (and this repo's own external reader) cannot read
+    _top_var, nested_var = _variant_field_split(schema_str)
+    if nested_var:
+        # top-level variant columns ARE writable (the staging transform
+        # converts them to the physical struct<value,metadata> pair);
+        # nested variant can't be re-wrapped column-wise, so it is
+        # refused by TYPE (a column merely named 'variant' passes)
         raise ValueError(
-            "variant columns cannot be written: this engine reads the "
-            "variantType feature (foreign tables) but does not write "
-            "it — store the value as a JSON string or a typed struct"
+            f"columns {nested_var} nest variant inside a struct/array/"
+            "map — only top-level variant columns are writable; "
+            "restructure or store the nested value as a JSON string"
         )
-    if generated_cols or identity_cols:
+    if generated_cols or identity_cols or default_cols:
         doc = json.loads(schema_str)
         by_name = {f["name"]: f for f in doc.get("fields", [])}
         unknown = sorted(
-            (set(generated_cols or {}) | set(identity_cols or {}))
+            (
+                set(generated_cols or {})
+                | set(identity_cols or {})
+                | set(default_cols or {})
+            )
             - set(by_name)
         )
         if unknown:
             raise ValueError(
-                f"generated/identity column(s) {unknown} not present in "
-                "the written frame's schema"
+                f"generated/identity/default column(s) {unknown} not "
+                "present in the written frame's schema"
             )
+        # column DEFAULT values (allowColumnDefaults writer feature):
+        # delta-spark's convention stores the SQL expression in the
+        # field's CURRENT_DEFAULT metadata key
+        for name, expr in (default_cols or {}).items():
+            md = dict(by_name[name].get("metadata") or {})
+            md["CURRENT_DEFAULT"] = expr
+            by_name[name]["metadata"] = md
         # the spec's generated-column convention: the SQL expression
         # lives in the field's metadata under delta.generationExpression
         for name, expr in (generated_cols or {}).items():
@@ -472,6 +589,21 @@ def _generated_exprs(meta: dict | None) -> dict[str, str]:
         for f in doc.get("fields", [])
         if isinstance(f.get("metadata"), dict)
         and "delta.generationExpression" in f["metadata"]
+    }
+
+
+def _column_defaults(meta: dict | None) -> dict[str, str]:
+    """{column: SQL default expression} from the schemaString's field
+    metadata (``CURRENT_DEFAULT`` — delta-spark's allowColumnDefaults
+    convention), empty for tables without any."""
+    if not meta:
+        return {}
+    doc = json.loads(meta["schemaString"])
+    return {
+        f["name"]: f["metadata"]["CURRENT_DEFAULT"]
+        for f in doc.get("fields", [])
+        if isinstance(f.get("metadata"), dict)
+        and "CURRENT_DEFAULT" in f["metadata"]
     }
 
 
@@ -793,6 +925,30 @@ def _apply_generated_columns(
     return df, True
 
 
+def _apply_column_defaults(df: DataFrame, meta: dict | None) -> DataFrame:
+    """The allowColumnDefaults writer duty (fill-on-omit): a column the
+    batch OMITS is filled with its declared DEFAULT expression, cast to
+    the declared type; a column the batch provides is taken as-is —
+    unlike generated columns, defaults never validate provided values
+    (SQL DEFAULT semantics). Free column expressions, no extra pass."""
+    defaults = _column_defaults(meta)
+    if not defaults:
+        return df
+    schema = _spark_schema_from_string(meta["schemaString"])
+    types = {f.name: f.dataType for f in schema.fields}
+    changed = False
+    for c, e in sorted(defaults.items()):
+        if c not in df.columns:
+            df = df.withColumn(c, F.expr(e).cast(types[c]))
+            changed = True
+    if changed:
+        # stage in declared column order (fills append at the end)
+        order = [f.name for f in schema.fields if f.name in df.columns]
+        rest = [c for c in df.columns if c not in set(order)]
+        df = df.select(*order, *rest)
+    return df
+
+
 def _enforce_constraints(
     df: DataFrame, meta: dict | None
 ) -> tuple[DataFrame, bool]:
@@ -838,6 +994,35 @@ def _enforce_constraints(
 
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
+#: The collation table feature's known spellings (delta-spark shipped
+#: the preview name first). Accepted on read iff every declared
+#: collation is the UTF8_BINARY default (byte-identical semantics);
+#: non-default collations are refused by name at the gate.
+_COLLATION_FEATURES = {"collations", "collations-preview"}
+
+
+def _non_binary_collations(meta: dict | None) -> list[str]:
+    """Collations other than the UTF8_BINARY default declared anywhere
+    in the schemaString's ``__COLLATIONS`` field-metadata maps
+    (Spark's form: {field path: "spark.<COLLATION>"}), recursing into
+    nested struct fields."""
+    if not meta:
+        return []
+    out: list[str] = []
+
+    def walk(fields, prefix=""):
+        for f in fields:
+            md = f.get("metadata") or {}
+            for path, name in (md.get("__COLLATIONS") or {}).items():
+                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                    out.append(f"{prefix}{path}: {name}")
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), prefix=f"{prefix}{f['name']}.")
+
+    walk(json.loads(meta["schemaString"]).get("fields", []))
+    return sorted(out)
+
 #: Feature-granular protocol support (reader version 3 / writer 7, the
 #: table-features form). A reader refuses a table iff it uses a feature
 #: outside this set — per spec, never on the bare version number. A
@@ -870,10 +1055,11 @@ _SUPPORTED_READER_FEATURES = {
     # physically struct<value binary, metadata binary> carrying the
     # open Variant binary encoding — Spark 4 decodes that form natively
     # under an explicit variant read schema (probed), so reads ride the
-    # same single-scan plan. READ-ONLY: this writer refuses to create /
-    # evolve variant columns (its parquet writer emits the NEW parquet
-    # VARIANT logical type, which is not the Delta physical form), so
-    # the writer feature is not claimed.
+    # same single-scan plan. Since round 11 the WRITE side is covered
+    # too: every staging path converts variant columns to the physical
+    # pair (``_variant_physical`` — Spark's own parquet writer would
+    # emit the incompatible parquet VARIANT logical type), so the
+    # feature is claimed in _SUPPORTED_WRITER_FEATURES as well.
     "variantType",
 }
 
@@ -924,6 +1110,15 @@ _SUPPORTED_WRITER_FEATURES = {
     # (enable_clustering) and OPTIMIZE clusters on the recorded columns
     # by default — the duty every pass honors (round 10)
     "clustering",
+    # variant columns: the single writer duty (store the physical
+    # struct<value,metadata> pair, never the parquet VARIANT logical
+    # type) is enforced inside _stage_commit_files/_stage_cdc_files —
+    # the chokepoints every commit path stages through (round 11)
+    "variantType",
+    # column DEFAULT values (CURRENT_DEFAULT field metadata): the
+    # fill-on-omit duty runs on every row-adding commit path via
+    # _apply_column_defaults (round 11)
+    "allowColumnDefaults",
 }
 
 
@@ -939,6 +1134,7 @@ def _creation_protocol(
     generated_cols: dict | None,
     identity_cols: dict | None,
     configuration: dict | None = None,
+    default_cols: dict | None = None,
 ) -> dict:
     """The protocol action a CREATION commit needs: the lowest legacy
     pair covering the declared column features, upgraded to the
@@ -958,26 +1154,41 @@ def _creation_protocol(
         # rows without ever seeing the constraint duty
         legacy_w = max(legacy_w, 3)
     ntz = _schema_uses_ntz(schema_string)
+    has_variant = bool(_variant_field_split(schema_string)[0])
     row_tracking = str((configuration or {}).get(
         "delta.enableRowTracking", ""
     )).lower() == "true"
-    if not ntz and not row_tracking:
+    if (
+        not ntz
+        and not row_tracking
+        and not has_variant
+        and not default_cols
+    ):
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
     # features with no legacy level force the table-features form
-    writer = set()
+    reader = set()
     if ntz:
-        writer.add("timestampNtz")
+        reader.add("timestampNtz")
+    if has_variant:
+        # variantType is a reader+writer feature: readers must decode
+        # the physical struct<value,metadata> pair
+        reader.add("variantType")
+    writer = set(reader)
     if row_tracking:
         # rowTracking is writer-only (readers may ignore row ids) and
         # depends on domainMetadata for its high-water mark
         writer.update({"rowTracking", "domainMetadata"})
+    if default_cols:
+        # allowColumnDefaults is writer-only: existing files are
+        # complete, only the fill-on-omit duty needs declaring
+        writer.add("allowColumnDefaults")
     for v, feats in _LEGACY_WRITER_FEATURES.items():
         if legacy_w >= v:
             writer.update(feats)
     return {
-        "minReaderVersion": 3 if ntz else 1,
+        "minReaderVersion": 3 if reader else 1,
         "minWriterVersion": 7,
-        **({"readerFeatures": ["timestampNtz"]} if ntz else {}),
+        **({"readerFeatures": sorted(reader)} if reader else {}),
         "writerFeatures": sorted(writer),
     }
 
@@ -1250,6 +1461,11 @@ def _stage_commit_files(
     exactly the rows that would commit) the staging dir is cleaned up
     and ValueError raised."""
     staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
+    # variantType write duty: every staging path converts variant
+    # columns to the spec's physical struct<value,metadata> pair here,
+    # so no commit path can leak Spark's incompatible parquet VARIANT
+    # logical type into the table
+    df = _variant_physical(df)
     if l2p:
         # column-mapped table: parquet files carry PHYSICAL names (and
         # so do partition dirs / partitionValues), logical names live
@@ -1357,10 +1573,13 @@ def _validate_additive(prev_fields: list, new_fields: list) -> None:
     for f in new_fields:
         pf = prev_by_name.get(f["name"])
         if pf is None:
-            if f["type"] == "variant":
+            if f["type"] != "variant" and _type_contains_variant(
+                f.get("type")
+            ):
                 raise ValueError(
-                    "cannot evolve a variant column in: this engine "
-                    "reads the variantType feature but does not write it"
+                    f"cannot evolve column {f['name']!r} in: it nests "
+                    "variant inside a struct/array/map — only top-level "
+                    "variant columns are writable"
                 )
             continue
         if pf["type"] != f["type"] and (
@@ -1556,6 +1775,7 @@ def write_delta(
     generated_cols: dict[str, str] | None = None,
     identity_cols: dict[str, dict] | None = None,
     configuration: dict[str, str] | None = None,
+    default_cols: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
@@ -1618,6 +1838,17 @@ def write_delta(
     table version, writes nothing) — the ledger Structured Streaming
     sinks use for exactly-once delivery across restarts
     (:func:`delta_stream_sink`).
+
+    ``default_cols`` ({column: sql_expr}, table-creation commit only)
+    declares column DEFAULT values (the ``allowColumnDefaults`` writer
+    feature, ``CURRENT_DEFAULT`` field metadata): every later commit
+    that OMITS the column — appends, MERGE sources, stream-sink
+    batches — fills it with the expression cast to the declared type;
+    provided values are taken as-is (SQL DEFAULT semantics — no
+    validation, unlike generated columns). The creation batch must
+    carry the column (its declared type comes from the frame). Use
+    :func:`set_column_default` / :func:`drop_column_default` to alter
+    defaults on an existing table.
 
     ``constraints`` ({name: sql_expr}, table-creation commit only)
     records Delta CHECK constraints in the table configuration
@@ -1685,12 +1916,16 @@ def write_delta(
                 "— this table already exists; use add_check_constraint "
                 "(which validates existing rows first, as Delta does)"
             )
-        if generated_cols or identity_cols or configuration:
+        if generated_cols or identity_cols or configuration or default_cols:
             raise ValueError(
-                "generated_cols / identity_cols / configuration are "
-                "declared at table creation (version 0) — this table "
-                "already exists"
+                "generated_cols / identity_cols / configuration / "
+                "default_cols are declared at table creation (version 0) "
+                "— this table already exists (use set_column_default to "
+                "alter defaults)"
             )
+        # allowColumnDefaults duty: fill omitted DEFAULT columns before
+        # any other per-commit duty sees the frame
+        df = _apply_column_defaults(df, prev_meta)
         df, id_hwms, id_cache_ref = _apply_identity_columns(
             df, _identity_specs(prev_meta)
         )
@@ -1752,10 +1987,34 @@ def write_delta(
             for c in sorted(generated_cols):
                 if c not in df.columns:
                     df = df.withColumn(c, F.expr(generated_cols[c]))
-        if generated_cols or identity_cols:
+        if default_cols:
+            missing_defaults = sorted(set(default_cols) - set(df.columns))
+            if missing_defaults:
+                raise ValueError(
+                    f"default column(s) {missing_defaults} must be present "
+                    "in the CREATION batch (their declared type comes from "
+                    "the frame); later appends may omit them"
+                )
+            overlap_gen = sorted(
+                set(default_cols)
+                & (set(generated_cols or {}) | set(identity_cols or {}))
+            )
+            if overlap_gen:
+                raise ValueError(
+                    f"column(s) {overlap_gen} cannot be both DEFAULT and "
+                    "generated/identity"
+                )
+            for c in sorted(default_cols):
+                # DEFAULT expressions must be constant (SQL/delta-spark
+                # rule): planning against a columnless frame rejects
+                # any column reference before anything commits
+                spark.createDataFrame([], "__dummy int").select(
+                    F.expr(default_cols[c])
+                ).schema  # noqa: B018 — forces analysis
+        if generated_cols or identity_cols or default_cols:
             creation_meta = _metadata_action(
                 df, pcols, constraints, generated_cols,
-                identity_cols, id_hwms, configuration,
+                identity_cols, id_hwms, configuration, default_cols,
             )
             if generated_cols:
                 df, gen_cached = _apply_generated_columns(
@@ -1893,6 +2152,7 @@ def write_delta(
             generated_cols,
             identity_cols,
             meta_action["metaData"].get("configuration"),
+            default_cols,
         )
         actions.append({"protocol": rt_proto})
         actions.append(meta_action)
@@ -1910,12 +2170,15 @@ def write_delta(
         actions.append({"metaData": evolved_meta})
     if new_version > 0 and evolved_meta is not None:
         # evolution can introduce features the protocol must declare in
-        # the SAME commit: timestamp_ntz columns and type widenings
+        # the SAME commit: timestamp_ntz / variant columns and type
+        # widenings
         proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
         have = set(proto.get("readerFeatures") or [])
         need = set()
         if _schema_uses_ntz(evolved_meta["schemaString"]):
             need.add("timestampNtz")
+        if _variant_field_split(evolved_meta["schemaString"])[0]:
+            need.add("variantType")
         if widened:
             need.add("typeWidening")
         if need - have:
@@ -2266,6 +2529,22 @@ def _replay_log(
                 )
             feats = set(protocol["readerFeatures"])
             unknown = feats - _SUPPORTED_READER_FEATURES
+            # collation features: delta-spark 4.x stamps them even when
+            # every collation is UTF8_BINARY — byte-identical to the
+            # default, so reads are safe and the feature is accepted in
+            # that case; any NON-default collation stays refused by
+            # name (string comparison semantics would silently differ)
+            coll = unknown & _COLLATION_FEATURES
+            if coll:
+                bad = _non_binary_collations(meta)
+                if bad:
+                    raise ValueError(
+                        f"table declares collation(s) {bad} — only the "
+                        "UTF8_BINARY default is supported; refusing to "
+                        "read rather than silently changing string "
+                        "comparison semantics."
+                    )
+                unknown -= coll
             if unknown:
                 raise ValueError(
                     f"table requires reader features {sorted(unknown)} "
@@ -3552,6 +3831,7 @@ def _stage_cdc_files(
     carry them, and vacuum ages them by file mtime like any
     unreferenced file — so CDF history expires with the same retention
     as time travel, the Delta contract."""
+    changes = _variant_physical(changes)  # same duty as data staging
     if l2p:
         changes = changes.select(
             *[F.col(c).alias(l2p.get(c, c)) for c in changes.columns]
@@ -3640,6 +3920,13 @@ def _maybe_stage_cdc(
     empty = spark.createDataFrame([], schema=schema)
     old_df = old_df if old_df is not None else empty
     new_df = new_df if new_df is not None else empty
+    # variant columns diff in their PHYSICAL binary form — variant has
+    # no comparison operator, the binary pair does (conservative:
+    # byte-unequal-but-semantically-equal cells would emit an update
+    # pair, but both sides come from files this engine wrote, so
+    # carried-over rows keep identical bytes). Staging below then
+    # no-ops its own conversion.
+    old_df, new_df = _variant_physical(old_df), _variant_physical(new_df)
     if key_cols:
         changes = _net_changes(old_df, new_df, key_cols, cols)
     else:
@@ -3910,9 +4197,11 @@ def merge_delta(
             "— use write_delta appends (values are allocated) or "
             "delete+insert"
         )
-    # generated columns: a merge source may legitimately OMIT them
-    # (computed here, before the completeness check); ones it provides
-    # must match their expression or the merge is rejected
+    # generated/default columns: a merge source may legitimately OMIT
+    # them (computed/filled here, before the completeness check); ones
+    # it provides must match their expression (generated) or are taken
+    # as-is (defaults)
+    source = _apply_column_defaults(source, meta)
     gen_frame, gen_cached = _apply_generated_columns(source, meta)
     source = gen_frame
     missing = [c for c in cols if c not in source.columns]
@@ -5100,7 +5389,11 @@ def purge_delta(
 #: Features :func:`drop_table_feature` knows how to verify as unused
 #: before removing them from the protocol. Growing this set requires a
 #: matching live-state check below.
-_DROPPABLE_FEATURES = {"deletionVectors", "rowTracking"}
+_DROPPABLE_FEATURES = {
+    "deletionVectors",
+    "rowTracking",
+    "allowColumnDefaults",
+}
 
 
 def _downgraded_protocol(proto: dict, feature: str) -> dict:
@@ -5415,6 +5708,16 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
                         "removed": True,
                     }
                 }
+            )
+    elif feature == "allowColumnDefaults":
+        # droppable only once no column still declares a default —
+        # otherwise a foreign writer omitting the column would insert
+        # nulls where the table contract promises the default
+        still = sorted(_column_defaults(st.meta))
+        if still:
+            raise ValueError(
+                f"cannot drop {feature!r}: column(s) {still} still "
+                "declare a DEFAULT — drop_column_default them first"
             )
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -6029,6 +6332,105 @@ def drop_check_constraint(
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
         checkpoint_delta(spark, path, new_version)
     return new_version
+
+
+def set_column_default(
+    spark: SparkSession, path: str, column: str, expr: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN SET DEFAULT — the allowColumnDefaults
+    writer feature's post-creation path: record ``expr`` in the
+    column's ``CURRENT_DEFAULT`` field metadata (delta-spark's
+    convention) so every later commit that OMITS the column fills it
+    with the expression. Existing files are untouched (the feature is
+    writer-only: their rows predate the default and keep their stored
+    values — SQL DEFAULT semantics, no backfill). The protocol gains
+    the ``allowColumnDefaults`` writer feature in the SAME commit, so
+    foreign writers either honor the fill-on-omit duty or refuse.
+    Identity and generated columns are refused — their values are
+    writer-allocated/derived and a DEFAULT would contradict that.
+    Returns the committed version.
+
+    The expression is validated by PLANNING it against the declared
+    column type before anything commits (a malformed default would
+    otherwise fail every later append)."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    doc = json.loads(st.meta["schemaString"])
+    by_name = {f["name"]: f for f in doc.get("fields", [])}
+    if column not in by_name:
+        raise ValueError(f"column {column!r} not in table schema")
+    md = dict(by_name[column].get("metadata") or {})
+    if "delta.generationExpression" in md or "delta.identity.start" in md:
+        raise ValueError(
+            f"column {column!r} is generated/identity — its values are "
+            "derived/allocated, a DEFAULT cannot apply"
+        )
+    # plan-validate the expression against the declared type (throws
+    # AnalysisException on malformed/unresolvable expressions)
+    schema = _spark_schema_from_string(st.meta["schemaString"])
+    col_type = next(f.dataType for f in schema.fields if f.name == column)
+    spark.createDataFrame([], "dummy int").select(
+        F.expr(expr).cast(col_type)
+    ).schema  # noqa: B018 — forces analysis
+    md["CURRENT_DEFAULT"] = expr
+    by_name[column]["metadata"] = md
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps(doc)
+    actions = [
+        _commit_info(
+            "ALTER COLUMN", {"column": column, "setDefault": expr}
+        ),
+        {"metaData": meta},
+    ]
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    if "allowColumnDefaults" not in (proto.get("writerFeatures") or []):
+        actions.insert(
+            1,
+            {
+                "protocol": _upgraded_protocol_writer_only(
+                    proto, "allowColumnDefaults"
+                )
+            },
+        )
+    return _commit_metadata_only(spark, path, actions)
+
+
+def drop_column_default(
+    spark: SparkSession, path: str, column: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN DROP DEFAULT: remove the column's
+    ``CURRENT_DEFAULT`` metadata in one metadata-only commit (the
+    protocol keeps the feature — other columns may still declare
+    defaults, and a declared writer feature is never silently
+    retracted; use :func:`drop_table_feature` once no column has
+    one)."""
+    _warn_if_commit_unsafe(path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    doc = json.loads(st.meta["schemaString"])
+    by_name = {f["name"]: f for f in doc.get("fields", [])}
+    if column not in by_name:
+        raise ValueError(f"column {column!r} not in table schema")
+    md = dict(by_name[column].get("metadata") or {})
+    if "CURRENT_DEFAULT" not in md:
+        raise ValueError(f"column {column!r} has no DEFAULT")
+    del md["CURRENT_DEFAULT"]
+    by_name[column]["metadata"] = md
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps(doc)
+    return _commit_metadata_only(
+        spark, path,
+        [
+            _commit_info("ALTER COLUMN", {"column": column,
+                                          "dropDefault": True}),
+            {"metaData": meta},
+        ],
+    )
 
 
 def vacuum_delta(

@@ -134,10 +134,17 @@ def _variant_value(buf: bytes, pos: int, keys: list[str]):
     if info == 7:
         return _struct.unpack("<d", buf[p:p + 8])[0], p + 8
     if info in (8, 9, 10):  # decimal4/8/16: scale byte + LE unscaled
+        from decimal import Context
+
         w = {8: 4, 9: 8, 10: 16}[info]
         scale = buf[p]
         unscaled = int.from_bytes(buf[p + 1:p + 1 + w], "little", signed=True)
-        return Decimal(unscaled).scaleb(-scale), p + 1 + w
+        # explicit 50-digit context: the default 28-digit one silently
+        # ROUNDS decimal16 values wider than 28 significant digits
+        return (
+            Decimal(unscaled).scaleb(-scale, Context(prec=50)),
+            p + 1 + w,
+        )
     if info == 11:  # date: days since epoch
         days = int.from_bytes(buf[p:p + 4], "little", signed=True)
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), p + 4
@@ -522,6 +529,20 @@ def _replay(path: str, version: int | None):
                 "readerFeatures list"
             )
         unknown = set(feats) - _READER_FEATURES
+        # collation features are accepted iff every declared collation
+        # is the UTF8_BINARY default (byte-identical to no collation);
+        # non-default collations are refused by name — this reader's
+        # plain-byte string handling would silently change comparison
+        # semantics
+        coll = unknown & {"collations", "collations-preview"}
+        if coll:
+            bad = _non_binary_collations(meta)
+            if bad:
+                raise ValueError(
+                    f"table declares collation(s) {bad} — only the "
+                    "UTF8_BINARY default is supported"
+                )
+            unknown -= coll
         if unknown:
             raise ValueError(
                 f"table requires reader features {sorted(unknown)} "
@@ -533,6 +554,27 @@ def _replay(path: str, version: int | None):
             f"(columnMapping.mode={mode!r})"
         )
     return root, adds, meta
+
+
+def _non_binary_collations(meta: dict) -> list[str]:
+    """Collations other than the UTF8_BINARY default declared anywhere
+    in the schemaString's ``__COLLATIONS`` field-metadata maps —
+    re-derived here independently of the engine-side check (spec: the
+    maps live per struct field, keyed by field path)."""
+    out: list[str] = []
+
+    def walk(fields, prefix=""):
+        for f in fields:
+            md = f.get("metadata") or {}
+            for path, name in (md.get("__COLLATIONS") or {}).items():
+                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                    out.append(f"{prefix}{path}: {name}")
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), prefix=f"{prefix}{f['name']}.")
+
+    walk(json.loads(meta["schemaString"]).get("fields", []))
+    return sorted(out)
 
 
 def _cast_partition_value(v: str | None, type_name: str):

@@ -874,3 +874,82 @@ def delta_rowtracking_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@extra_query(
+    "delta_variant_mart",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS date_utc,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           {dsum_sql('value')} AS total_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY date_utc
+    """,
+)
+def delta_variant_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variantType WRITE path under the oracle gate (round 11): each
+    event's fields fold into one semi-structured document
+    (``parse_json`` → VARIANT), land in a Delta table whose staging
+    converts the column to the spec's physical struct<value,metadata>
+    pair, read back through the native variant decode, and the typed
+    fields are re-extracted with ``variant_get`` — the aggregate must
+    hash-match DuckDB computing the same numbers from the RAW parquet.
+    Any loss anywhere in encode → physical transform → write → read →
+    decode → extract breaks the hash (nested object + array + int64 +
+    double all exercised per row).
+
+    Scale: the variant re-wrap is one arrow-batched mapInPandas over
+    the staged rows (no per-row Python objects besides the binary
+    pair); reads ride the same single-scan plan as any other column."""
+    from ..operators.delta_log import read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_variant"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    events = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(
+            F.to_date("ts").alias("date_utc"),
+            F.parse_json(
+                F.to_json(
+                    F.struct(
+                        F.get_json_object("props", "$.k")
+                        .cast("bigint")
+                        .alias("k"),
+                        F.struct(
+                            F.col("event_type").alias("type")
+                        ).alias("meta"),
+                        F.array("value").alias("vals"),
+                    )
+                )
+            ).alias("doc"),
+        )
+    )
+    write_delta(
+        spark, events, table,
+        partition_col="date_utc",
+    )
+    back = read_delta(spark, table)
+    return (
+        back.select(
+            "date_utc",
+            F.expr("variant_get(doc, '$.k', 'bigint')").alias("k"),
+            F.expr("variant_get(doc, '$.meta.type', 'string')").alias("typ"),
+            F.expr("variant_get(doc, '$.vals[0]', 'double')").alias("val"),
+        )
+        .groupBy("date_utc")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            dsum("val").alias("total_value"),
+            F.countDistinct("typ").alias("n_types"),
+        )
+        .orderBy("date_utc")
+    )

@@ -293,10 +293,10 @@ def test_reader_features_granular_gate(spark, tmp_path):
     bad = _foreign_table(
         spark, tmp_path, "t_feat_bad",
         {"minReaderVersion": 3, "minWriterVersion": 7,
-         "readerFeatures": ["columnMapping", "collations-preview"],
-         "writerFeatures": ["columnMapping", "collations-preview"]},
+         "readerFeatures": ["columnMapping", "someFutureFeature"],
+         "writerFeatures": ["columnMapping", "someFutureFeature"]},
     )
-    with pytest.raises(ValueError, match="collations-preview"):
+    with pytest.raises(ValueError, match="someFutureFeature"):
         read_delta(spark, bad).collect()
 
 
@@ -852,7 +852,7 @@ def test_variant_foreign_table_reads_in_both(spark, tmp_path):
     decodes the pair natively under the explicit variant schema; the
     external reader uses this repo's own from-spec decoder, pinned
     against pyspark's VariantVal.toPython (two independent decoders).
-    The writer refuses variant columns (read-only support)."""
+    (Write-side coverage lives in tests/test_delta_variant_write.py.)"""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -943,10 +943,13 @@ def test_variant_foreign_table_reads_in_both(spark, tmp_path):
     assert got_ext[2] == "L" * 100
     assert got_ext[4] is None or got_ext[4] == None  # noqa: E711
     assert got_ext[6] == {"empty_obj": {}, "empty_arr": []}
-    # the writer refuses to CREATE variant columns (read-only feature)
-    with pytest.raises(ValueError, match="variant"):
+    # NESTED variant (inside a struct) stays refused — the write-side
+    # physical transform re-wraps whole columns only
+    with pytest.raises(ValueError, match="nest"):
         write_delta(
             spark,
-            spark.sql("select 1 as id, parse_json('{}') as v"),
+            spark.sql(
+                "select 1 as id, named_struct('inner', parse_json('{}')) as v"
+            ),
             str(tmp_path / "t_variant_w"),
         )

@@ -1,0 +1,377 @@
+"""variantType WRITE path (round 11).
+
+``write_delta`` (and every other commit path) accepts top-level VARIANT
+columns: the staging chokepoints convert them to Delta's physical
+``struct<value binary, metadata binary>`` pair (Spark's own parquet
+writer would emit the incompatible parquet VARIANT logical type), the
+creation/evolution protocol declares ``variantType`` in BOTH feature
+lists, and reads in BOTH readers (Spark's native variant decode + the
+external reader's from-spec decoder) return the values byte- and
+semantics-identically.
+
+Also covers the spec ENCODER (``operators/variant.encode_variant`` —
+the inverse of the external reader's decoder, sharing code with
+neither it nor pyspark's VariantVal): encoder→external-decoder and
+encoder→Spark round trips over adversarial payloads.
+
+Reference parity note: the 509-line reference repo has no
+semi-structured binary surface; this implements the public Delta
+protocol (PROTOCOL.md §Variant Data Type) + parquet-format
+VariantEncoding.md.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    delete_where,
+    enable_change_data_feed,
+    merge_delta,
+    optimize_delta,
+    read_delta,
+    read_delta_cdf,
+    restore_delta,
+    write_delta,
+)
+from portfolio_data_pipelines_spark.operators.delta_reader import (
+    read_delta_external,
+)
+from portfolio_data_pipelines_spark.operators.variant import encode_variant
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id",
+        F.parse_json(
+            F.format_string(
+                '{"n": %d, "tag": "t%d", "arr": [%d, null]}', "id", "id", "id"
+            )
+        ).alias("v"),
+    )
+
+
+def _norm(x):
+    if isinstance(x, Decimal):
+        return ("dec", str(x.normalize()))
+    if isinstance(x, dict):
+        return {k: _norm(v) for k, v in sorted(x.items())}
+    if isinstance(x, list):
+        return [_norm(v) for v in x]
+    return x
+
+
+def _spark_rows(spark, path, **kw):
+    return {
+        r["id"]: _norm(r["v"].toPython() if r["v"] is not None else None)
+        for r in read_delta(spark, path, **kw).collect()
+    }
+
+
+def _ext_rows(path, **kw):
+    names, rows = read_delta_external(path, **kw)
+    i, v = names.index("id"), names.index("v")
+    return {r[i]: _norm(r[v]) for r in rows}
+
+
+def _log_actions(path, version):
+    return [
+        json.loads(l)
+        for l in open(f"{path}/_delta_log/{version:020d}.json")
+        if l.strip()
+    ]
+
+
+def test_create_append_declares_protocol_and_reads_in_both(spark, tmp_path):
+    path = str(tmp_path / "t_var")
+    write_delta(spark, _mk(spark, 0, 5).coalesce(1), path)
+    proto = next(
+        a["protocol"] for a in _log_actions(path, 0) if "protocol" in a
+    )
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "variantType" in proto["readerFeatures"]
+    assert "variantType" in proto["writerFeatures"]
+    write_delta(spark, _mk(spark, 5, 8).coalesce(1), path)
+    got = _spark_rows(spark, path)
+    assert len(got) == 8
+    assert got[3] == {"arr": [3, None], "n": 3, "tag": "t3"}
+    assert _ext_rows(path) == got
+    # the staged files carry the plain binary pair (pyarrow-readable —
+    # Spark's parquet VARIANT logical type would fail this open)
+    import pyarrow.parquet as pq
+
+    f = read_delta(spark, path).inputFiles()[0].replace("file:", "")
+    t = pq.read_schema("/" + f.lstrip("/"))
+    assert t.field("v").type.num_fields == 2  # struct<value, metadata>
+
+
+def test_null_variants_round_trip(spark, tmp_path):
+    path = str(tmp_path / "t_var_null")
+    df = spark.range(4).select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.parse_json(F.lit('{"k": 1}'))).alias(
+            "v"
+        ),
+    )
+    write_delta(spark, df.coalesce(1), path)
+    got = _spark_rows(spark, path)
+    assert got == {0: {"k": 1}, 1: None, 2: {"k": 1}, 3: None}
+    assert _ext_rows(path) == got
+
+
+def test_lifecycle_merge_optimize_delete_timetravel_restore(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t_var_life")
+    write_delta(spark, _mk(spark, 0, 6).coalesce(2), path)
+    src = spark.range(4, 8).select(
+        "id", F.parse_json(F.lit('{"merged": true}')).alias("v")
+    )
+    merge_delta(spark, path, src, key_cols=["id"])
+    got = _spark_rows(spark, path)
+    assert got[4] == {"merged": True} and got[7] == {"merged": True}
+    assert got[0] == {"arr": [0, None], "n": 0, "tag": "t0"}
+    assert _ext_rows(path) == got
+    # OPTIMIZE preserves binaries bit-exactly
+    before = {
+        r["id"]: (bytes(r["v"].value), bytes(r["v"].metadata))
+        for r in read_delta(spark, path).collect()
+    }
+    optimize_delta(spark, path)
+    after = {
+        r["id"]: (bytes(r["v"].value), bytes(r["v"].metadata))
+        for r in read_delta(spark, path).collect()
+    }
+    assert before == after
+    delete_where(spark, path, "id < 2")
+    assert sorted(_spark_rows(spark, path)) == [2, 3, 4, 5, 6, 7]
+    # time travel to v0 and RESTORE
+    assert sorted(_spark_rows(spark, path, version=0)) == list(range(6))
+    restore_delta(spark, path, version=0)
+    got0 = _spark_rows(spark, path)
+    assert sorted(got0) == list(range(6))
+    assert got0[4] == {"arr": [4, None], "n": 4, "tag": "t4"}
+    assert _ext_rows(path) == got0
+
+
+def test_cdf_overwrite_materializes_variant_changes(spark, tmp_path):
+    path = str(tmp_path / "t_var_cdf")
+    write_delta(spark, _mk(spark, 0, 3).coalesce(1), path)
+    enable_change_data_feed(spark, path)
+    v = write_delta(
+        spark,
+        _mk(spark, 1, 4).coalesce(1),
+        path,
+        mode="overwrite",
+        cdf_key_cols=["id"],
+    )
+    cdf = read_delta_cdf(spark, path, from_version=v - 1)
+    rows = {
+        (r["id"], r["_change_type"]): (
+            None if r["v"] is None else _norm(r["v"].toPython())
+        )
+        for r in cdf.collect()
+    }
+    # ids 1,2 carried over byte-identically -> no change rows for them
+    assert (0, "delete") in rows
+    assert (3, "insert") in rows
+    assert (1, "insert") not in rows and (2, "delete") not in rows
+    assert rows[(3, "insert")] == {"arr": [3, None], "n": 3, "tag": "t3"}
+
+
+def test_evolution_adds_variant_column_with_protocol_upgrade(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t_var_evo")
+    write_delta(
+        spark, spark.range(3).select("id").coalesce(1), path
+    )
+    proto0 = next(
+        a["protocol"] for a in _log_actions(path, 0) if "protocol" in a
+    )
+    assert proto0 == {"minReaderVersion": 1, "minWriterVersion": 2}
+    v = write_delta(spark, _mk(spark, 3, 5).coalesce(1), path)
+    acts = _log_actions(path, v)
+    proto1 = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "variantType" in proto1["readerFeatures"]
+    assert "variantType" in proto1["writerFeatures"]
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    types = {
+        f["name"]: f["type"]
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert types["v"] == "variant"
+    got = _spark_rows(spark, path)
+    assert got[0] is None and got[4] == {
+        "arr": [4, None], "n": 4, "tag": "t4"
+    }
+    assert _ext_rows(path) == got
+
+
+def test_nested_variant_refused_but_variant_NAME_accepted(spark, tmp_path):
+    # nested: struct<inner variant> — refused by TYPE on create
+    with pytest.raises(ValueError, match="nest"):
+        write_delta(
+            spark,
+            spark.sql(
+                "select 1 as id, named_struct('inner', parse_json('1')) as s"
+            ),
+            str(tmp_path / "t_nested"),
+        )
+    # array<variant> — refused too
+    with pytest.raises(ValueError, match="nest"):
+        write_delta(
+            spark,
+            spark.sql("select 1 as id, array(parse_json('1')) as a"),
+            str(tmp_path / "t_nested_arr"),
+        )
+    # a column merely NAMED 'variant' passes (the old substring gate
+    # false-positived on this — advisory fix, round 11)
+    p = str(tmp_path / "t_named")
+    write_delta(
+        spark, spark.sql("select 1 as id, 'x' as variant").coalesce(1), p
+    )
+    assert read_delta(spark, p).count() == 1
+    # ... and so does a string column CONTAINING the quoted word
+    p2 = str(tmp_path / "t_contains")
+    write_delta(
+        spark,
+        spark.sql("""select 1 as id, '"variant"' as s""").coalesce(1),
+        p2,
+    )
+    assert read_delta(spark, p2).count() == 1
+
+
+ADVERSARIAL = [
+    None,
+    True,
+    {"deep": [[{"a": [{"b": {"c": [1, 2, [3, [4]]]}}]}]]},
+    # decimal16 (unscaled > int64) but <= 28 significant digits:
+    # pyspark's VariantVal.toPython itself rounds wider decimals
+    # through the default context (the >28-digit case is pinned
+    # encoder<->external-decoder below, where neither side rounds)
+    Decimal("9999999999999999999999999.999"),
+    Decimal("-0.000000001"),
+    b"\x00\xff\xfe raw bytes",
+    dt.date(1969, 7, 20),
+    dt.datetime(2024, 2, 29, 23, 59, 59, 999999, tzinfo=dt.timezone.utc),
+    dt.datetime(2024, 2, 29, 23, 59, 59, 999999),  # ntz
+    {"mixed": [1, "two", 3.5, None, True, {"k": b"v"}]},
+    "s" * 200,  # long string
+    {str(i): i for i in range(300)},  # large object
+    list(range(260)),  # large array
+    -(2**63),
+    1.7976931348623157e308,
+]
+
+
+def test_encoder_spark_and_external_decoders_agree(spark, tmp_path):
+    """Three-way conformance: this repo's ENCODER output must decode
+    identically through (a) the external reader's from-spec decoder and
+    (b) Spark's native variant reader — on a hand-authored foreign
+    fixture table whose cells were produced WITHOUT Spark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from portfolio_data_pipelines_spark.operators.delta_reader import (
+        _variant_metadata_keys,
+        _variant_value,
+    )
+
+    pairs = [encode_variant(v) for v in ADVERSARIAL]
+    # (a) external decoder round trip
+    for src, (md, val) in zip(ADVERSARIAL, pairs):
+        got, end = _variant_value(val, 0, _variant_metadata_keys(md))
+        assert end == len(val)
+        if isinstance(src, dt.datetime) or isinstance(src, Decimal):
+            assert got == src
+        else:
+            assert _norm(got) == _norm(src)
+    # 29+-digit decimal16: exact through encoder + external decoder
+    # (pyspark's VariantVal.toPython rounds it, so it stays out of the
+    # Spark leg)
+    wide = Decimal("79228162514264337593543950.335")
+    md, val = encode_variant(wide)
+    assert _variant_value(val, 0, _variant_metadata_keys(md))[0] == wide
+    # (b) foreign fixture table -> Spark native decode
+    root = tmp_path / "t_enc_fixture"
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(len(pairs)), pa.int64()),
+                "v": pa.array(
+                    [{"value": v, "metadata": m} for m, v in pairs],
+                    pa.struct(
+                        [("value", pa.binary()), ("metadata", pa.binary())]
+                    ),
+                ),
+            }
+        ),
+        root / "part-0000.parquet",
+    )
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "v", "type": "variant", "nullable": True, "metadata": {}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["variantType"],
+                "writerFeatures": ["variantType"],
+            }},
+            {"metaData": {
+                "id": "enc-fixture",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {}, "createdTime": 0,
+            }},
+            {"add": {
+                "path": "part-0000.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    got = {
+        r["id"]: (None if r["v"] is None else r["v"].toPython())
+        for r in read_delta(spark, str(root)).collect()
+    }
+    for i, src in enumerate(ADVERSARIAL):
+        g = got[i]
+        if isinstance(src, (dt.datetime, Decimal)):
+            assert g == src, (i, src, g)
+        elif src is None:
+            # encoded variant null decodes as VariantVal(null) -> None
+            assert g is None or g == src
+        else:
+            assert _norm(g) == _norm(src), (i, src, g)
+
+
+def test_spark_written_binaries_decode_through_encoder_suite(
+    spark, tmp_path
+):
+    """Inverse pin: values Spark's parse_json encoded, written through
+    write_delta, must decode via the EXTERNAL decoder to the same
+    Python values VariantVal.toPython reports (two decoders, one
+    writer)."""
+    path = str(tmp_path / "t_two_decoders")
+    payloads = [
+        '{"a": 1, "b": [true, null, 2.5]}',
+        '{"nested": {"x": [1, {"y": "z"}]}}',
+        "[-12345678901234, 0.125]",
+        '"plain"',
+        "null",
+    ]
+    df = spark.sql(
+        "select monotonically_increasing_id() as id, parse_json(p) as v "
+        "from values " + ", ".join(f"('{p}')" for p in payloads) + " as t(p)"
+    )
+    write_delta(spark, df.coalesce(1), path)
+    assert _ext_rows(path) == _spark_rows(spark, path)

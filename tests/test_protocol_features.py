@@ -291,3 +291,67 @@ def test_check_constraints_bump_writer_version(spark, tmp_path):
     assert _proto(p3, 0)["minWriterVersion"] == 7
     v3 = add_check_constraint(spark, p3, "id_pos", "id >= 0")
     assert "checkConstraints" in _proto(p3, v3)["writerFeatures"]
+
+
+def _collated_fixture(tmp_path, name, collation):
+    """Hand-author a foreign table whose schema stamps a __COLLATIONS
+    map and whose protocol lists the collations-preview reader
+    feature (delta-spark 4.x's form)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / name
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "s": pa.array(["a", "B"], pa.string())}),
+        root / "part-0000.parquet",
+    )
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "s", "type": "string", "nullable": True,
+         "metadata": {"__COLLATIONS": {"s": f"spark.{collation}"}}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["collations-preview"],
+                "writerFeatures": ["collations-preview"],
+            }},
+            {"metaData": {
+                "id": f"coll-{collation}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {}, "createdTime": 0,
+            }},
+            {"add": {
+                "path": "part-0000.parquet", "partitionValues": {},
+                "size": 1, "modificationTime": 0, "dataChange": True,
+            }},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    return str(root)
+
+
+def test_utf8_binary_collation_accepted_on_read(spark, tmp_path):
+    """delta-spark 4.x stamps collation metadata + the
+    collations-preview feature even when every collation is
+    UTF8_BINARY — byte-identical to the default, so BOTH readers accept
+    the table (round-11 advisory); rows read normally."""
+    path = _collated_fixture(tmp_path, "t_coll_bin", "UTF8_BINARY")
+    got = {r["id"]: r["s"] for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "B"}
+    names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == got
+
+
+def test_non_default_collation_refused_by_name(spark, tmp_path):
+    """Any NON-default collation stays refused BY NAME in both readers
+    — reading it with plain byte semantics would silently change
+    string comparison behavior."""
+    path = _collated_fixture(tmp_path, "t_coll_lcase", "UTF8_LCASE")
+    with pytest.raises(ValueError, match="UTF8_LCASE"):
+        read_delta(spark, path).collect()
+    with pytest.raises(ValueError, match="UTF8_LCASE"):
+        read_delta_external(path)
