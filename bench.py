@@ -330,8 +330,24 @@ def main() -> None:
     families: dict[str, float] = {}
     families_cold: dict[str, float] = {}
     fam_load: dict[str, dict] = {}  # per-family jiffy/load accumulation
+
+    # Pre-build the bucketed layout OUTSIDE the timed loop (r10 verdict:
+    # timing the one-time bucketed write inside the declared query
+    # conflated a sink with a join — regressions in the JOIN could hide
+    # behind write noise). The query fn builds lazily on first call and
+    # reuses the session-keyed tables afterwards, so this first
+    # invocation pays the layout write + first join; the loop below then
+    # times the zero-Exchange join alone. Reported separately like the
+    # lakehouse family.
+    qmap = all_queries()
+    t0 = time.perf_counter()
+    qmap["bucketed_orders_lineitem_join"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    bucketed_layout_sec = round(time.perf_counter() - t0, 4)
+
     load_start = _load_sample()
-    for name, fn in sorted(all_queries().items()):
+    for name, fn in sorted(qmap.items()):
         s0 = _load_sample()
         cold[name] = round(run_once(fn), 4)
         timings[name] = round(run_once(fn), 4)
@@ -390,6 +406,9 @@ def main() -> None:
         "lakehouse": lake_timings,
         "lakehouse_total": lakehouse_total,
         "lakehouse_read_amp": lake_meta,
+        # one-time bucketed-table layout write (+ first join), paid
+        # before the timed loop so the declared query times the join
+        "bucketed_layout_sec": bucketed_layout_sec,
         # host-contention telemetry (see _load_sample): a run with
         # steal_pct > ~2 or loadavg far above the bench's own demand is
         # contended — do not compare its timings round-over-round.
@@ -398,46 +417,56 @@ def main() -> None:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
-    # Compact stdout line (~300 B): family subtotals at 1 dp, no per-query map.
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                # the record self-interprets (r9 VERDICT #4): the total a
-                # fully-delivered host would show — total * cpu_efficiency
-                # (efficiency < 1 means the hypervisor under-delivered and
-                # uniformly inflated every wall-clock)
-                "value_efficiency_normalized": (
-                    round(total * load_report["cpu_efficiency"], 2)
-                    if load_report["cpu_efficiency"] else None
-                ),
-                "queries": {"daily_events_mart": timings.get("daily_events_mart")},
-                # warm AND cold side by side so round-over-round comparison
-                # never conflates timing methodology with regression
-                "cold_total": cold_total,
-                "families": {
-                    **{k: round(v, 1) for k, v in sorted(families.items())},
-                    "lakehouse(excl)": round(lakehouse_total, 1),
-                },
-                "families_cold": {k: round(v, 1) for k, v in sorted(families_cold.items())},
-                "lakehouse_read_amp": lake_meta,
-                "load": {
-                    "steal_pct": load_report["steal_pct_overall"],
-                    "cpu_efficiency": load_report["cpu_efficiency"],
-                    "loadavg1": [
-                        load_report["loadavg1_start"],
-                        load_report["loadavg1_end"],
-                    ],
-                },
-                "sf": sf,
-                "n_queries": len(timings),
-                "detail": "BENCH_FULL.json",
-            },
-            separators=(",", ":"),
-        )
-    )
+    # Compact stdout line. The driver captures only a 2000-char stdout
+    # TAIL (r1's full line overflowed it -> "parsed": null), so the
+    # per-query map (r10 verdict #7: all 50 warm timings in the driver
+    # record, so round-over-round per-query audit needs no local re-run)
+    # ships at 2 dp with everything derivable dropped (families /
+    # families_cold live in BENCH_FULL.json, which the driver commits).
+    # A length guard falls back to family subtotals rather than ever
+    # risking an unparseable overflow.
+    line_base = {
+        "metric": "declared-query suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        # the record self-interprets (r9 VERDICT #4): the total a
+        # fully-delivered host would show — total * cpu_efficiency
+        # (efficiency < 1 means the hypervisor under-delivered and
+        # uniformly inflated every wall-clock)
+        "value_efficiency_normalized": (
+            round(total * load_report["cpu_efficiency"], 2)
+            if load_report["cpu_efficiency"] else None
+        ),
+        "queries": {k: round(v, 2) for k, v in sorted(timings.items())},
+        # warm AND cold side by side so round-over-round comparison
+        # never conflates timing methodology with regression
+        "cold_total": cold_total,
+        "excluded": {
+            "lakehouse": round(lakehouse_total, 1),
+            "bucketed_layout": round(bucketed_layout_sec, 1),
+        },
+        "load": {
+            "steal_pct": load_report["steal_pct_overall"],
+            "cpu_efficiency": load_report["cpu_efficiency"],
+            "loadavg1": [
+                load_report["loadavg1_start"],
+                load_report["loadavg1_end"],
+            ],
+        },
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(line_base, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the driver's capture tail
+        line_base["queries"] = {
+            "daily_events_mart": timings.get("daily_events_mart")
+        }
+        line_base["families"] = {
+            k: round(v, 1) for k, v in sorted(families.items())
+        }
+        line = json.dumps(line_base, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

@@ -222,6 +222,24 @@ def exact_quantiles_by_rank(
 
     Returns one row per (group, q): ``(*group_cols, _q double,
     _quantile double)``."""
+    cum = ranked_value_counts(df, group_cols, value_col,
+                              n_partitions=n_partitions)
+    return quantiles_from_ranked(cum, group_cols, value_col, qs)
+
+
+def ranked_value_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Step 1-2 of :func:`exact_quantiles_by_rank`, exposed so callers
+    needing BOTH exact quantiles and other rank-derived facts (e.g. the
+    sketch-verification ranks in ``approx_price_percentiles``) pay the
+    count shuffle + prefix sum ONCE: the distinct ``(group, value)``
+    frame with per-value count ``_c`` and inclusive global cumulative
+    count ``_cum``, materialized (localCheckpoint inside
+    :func:`running_total`) so every consumer reuses the same rows."""
     gcols = list(group_cols)
     # percentile()/quantile_cont ignore NULL values — match that
     cnts = (
@@ -230,8 +248,19 @@ def exact_quantiles_by_rank(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     order = [F.col(c) for c in gcols] + [F.col(value_col)]
-    cum = running_total(cnts, "_c", order, out_col="_cum",
-                        n_partitions=n_partitions)
+    return running_total(cnts, "_c", order, out_col="_cum",
+                         n_partitions=n_partitions)
+
+
+def quantiles_from_ranked(
+    cum: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Steps 3-4 of :func:`exact_quantiles_by_rank` over a
+    :func:`ranked_value_counts` frame."""
+    gcols = list(group_cols)
     # Per-group size and base offset, both FROM the prefix-summed
     # output (localCheckpoint'ed inside running_total, so this reuses
     # the materialized rows instead of recomputing cnts): within a

@@ -193,7 +193,7 @@ def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("minhash_lsh_dups_hi", oracle=_capped_jaccard_oracle(0.8))
+@extra_query("minhash_lsh_dups_hi", oracle=_capped_jaccard_oracle(0.8))
 def minhash_lsh_dups_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-threshold MinHash-LSH: r=4 rows per band, b=16 bands,
     capped Jaccard ≥ 0.8 — the config a production dedup runs when it
@@ -332,7 +332,7 @@ def _simhash_fp_cte() -> str:
     """
 
 
-@query(
+@extra_query(
     "simhash_fingerprints",
     oracle=f"WITH {_simhash_fp_cte()} SELECT doc_id, simhash FROM fp",
 )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import dsum, dsum_sql
 from ..sources.parquet import scan_table
-from . import extra_query
+from . import extra_query, query
 
 #: Fixed window inside the generator's 2024-01-01..30 span, so the
 #: oracle literal is scale-independent.
@@ -210,7 +210,7 @@ def delta_update_delete_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_cdf_merge_replace",
     oracle=f"""
     WITH base AS (

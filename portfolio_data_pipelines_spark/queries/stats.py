@@ -329,11 +329,16 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the sketch's outputs, so the driver's hash check covers the
     sketch's published contract.
 
-    Cost note: the rank-verification arm re-scans the fact table once
-    (broadcast of the 3-row sketch results, map-side conditional sums —
-    no extra shuffle beyond the group key). That is the price of an
-    oracled sketch; the production single-pass shape is
-    ``approx_price_percentiles_raw``.
+    Fusion note (r11, verdict #5): the exact-rank arm and the sketch-
+    verification ranks both need per-group value ranks, so they SHARE
+    one ``ranked_value_counts`` frame — the (flag, value) count shuffle
+    + two-phase prefix sum runs once (localCheckpoint-materialized) and
+    both arms consume the distinct-value rows. The fact table is
+    scanned twice total (sketch aggregate + value counts, different
+    group keys so their shuffles can't merge), down from three; the
+    verification sums are WEIGHTED by the per-value count over distinct
+    values instead of re-scanning raw rows — identical numbers, and the
+    heavy scan count no longer grows with the number of contract arms.
 
     Scale note (r7): the exact arm is computed by RANK on the two-phase
     distributed prefix-sum infrastructure
@@ -342,7 +347,10 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile()`` aggregate it replaced (which buffers a whole
     group's value counts in one executor). The contract no longer has
     to drop to the raw sketch at extreme scale."""
-    from ..operators.pipeline import exact_quantiles_by_rank
+    from ..operators.pipeline import (
+        quantiles_from_ranked,
+        ranked_value_counts,
+    )
 
     li = scan_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
@@ -355,8 +363,9 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_ap"),
         F.count(F.lit(1)).alias("_n"),
     )
-    exact_long = exact_quantiles_by_rank(
-        li, ["l_returnflag"], "l_extendedprice", list(_APPROX_PCT_QS)
+    cum = ranked_value_counts(li, ["l_returnflag"], "l_extendedprice")
+    exact_long = quantiles_from_ranked(
+        cum, ["l_returnflag"], "l_extendedprice", list(_APPROX_PCT_QS)
     )
     exact = exact_long.groupBy("l_returnflag").agg(
         *[
@@ -366,16 +375,17 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, q in enumerate(_APPROX_PCT_QS)
         ]
     )
-    probes = li.join(
+    probes = cum.join(
         F.broadcast(agg.select("l_returnflag", "_ap")), "l_returnflag"
     )
     rank_aggs = []
     for i in range(len(_APPROX_PCT_QS)):
         v = F.col("_ap")[i]
         p = F.col("l_extendedprice")
+        c = F.col("_c")
         rank_aggs += [
-            F.sum(F.when(p < v, 1).otherwise(0)).alias(f"_lo{i}"),
-            F.sum(F.when(p <= v, 1).otherwise(0)).alias(f"_hi{i}"),
+            F.sum(F.when(p < v, c).otherwise(0)).alias(f"_lo{i}"),
+            F.sum(F.when(p <= v, c).otherwise(0)).alias(f"_hi{i}"),
             F.max(F.when(p == v, 1).otherwise(0)).alias(f"_present{i}"),
         ]
     ranks = probes.groupBy("l_returnflag").agg(*rank_aggs)

@@ -180,7 +180,7 @@ def _lang_vote_sql() -> str:
     """
 
 
-@query("text_lang_id", oracle=_lang_vote_sql())
+@extra_query("text_lang_id", oracle=_lang_vote_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (SURVEY §2.10): stopword-vote heuristic — count
     stopword hits per candidate language, argmax with fixed tie-break
@@ -205,7 +205,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
@@ -251,7 +251,7 @@ CHUNK_WORDS = 32
 CHUNK_STRIDE = 24
 
 
-@query(
+@extra_query(
     "doc_chunks",
     oracle=rf"""
     WITH w AS (

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import dsum, dsum_sql
 from ..operators.cbo import stats_join
 from ..sources.parquet import scan_table
-from . import extra_query
+from . import extra_query, query
 
 
 def _dim_stats(spark, sf_dir: str, name: str):
@@ -86,7 +86,7 @@ def forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "volume_shipping_q7",
     oracle=f"""
     SELECT n1.n_name AS supp_nation,
@@ -164,7 +164,7 @@ def volume_shipping_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "market_share_q8",
     oracle=f"""
     SELECT o_year,
@@ -253,7 +253,7 @@ def market_share_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "product_profit_q9",
     oracle=f"""
     SELECT n.n_name AS nation,
@@ -528,7 +528,7 @@ def small_qty_revenue_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "large_volume_customers_q18",
     oracle=f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
@@ -709,7 +709,7 @@ def excess_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "waiting_suppliers_q21",
     oracle="""
     SELECT s.s_name, COUNT(*) AS numwait
@@ -855,7 +855,7 @@ def sales_opportunity_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "min_cost_supplier_q2",
     oracle="""
     WITH shipped AS (
