@@ -1061,6 +1061,13 @@ _SUPPORTED_READER_FEATURES = {
     # emit the incompatible parquet VARIANT logical type), so the
     # feature is claimed in _SUPPORTED_WRITER_FEATURES as well.
     "variantType",
+    # PREVIEW spellings: delta-spark 3.x stamped these names before the
+    # features went GA with identical read duties (the preview type-
+    # widening set is a subset of GA's; preview variant is the same
+    # physical pair), so tables carrying them read correctly today.
+    # Writes keep stamping the GA names only.
+    "typeWidening-preview",
+    "variantType-preview",
 }
 
 #: Writer features this implementation knows how to honor; listed on

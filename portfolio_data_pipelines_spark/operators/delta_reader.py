@@ -53,6 +53,10 @@ _READER_FEATURES = {
     # binary> pair carrying the open Variant binary encoding; decoded
     # to plain Python by this module's own from-spec decoder below
     "variantType",
+    # preview spellings delta-spark 3.x stamped before GA — identical
+    # read duties (see delta_log._SUPPORTED_READER_FEATURES)
+    "typeWidening-preview",
+    "variantType-preview",
 }
 
 

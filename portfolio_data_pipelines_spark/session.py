@@ -20,6 +20,8 @@ boundary:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 from .config import DEFAULT_CONFIG, PipelineConfig
@@ -80,6 +82,14 @@ def get_spark(
         # otherwise an illegal type for the Spark reader; read as long
         # and convert in the typed scan (sources/parquet.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Local mode runs every executor thread inside the driver JVM;
+        # Spark's 1g default heap is sized for a thin cluster driver,
+        # not a local[32] engine (the r11 sf1.0 soak OOM'd an
+        # ObjectHashAggregate there). Honored only at JVM launch —
+        # i.e. by whichever get_spark call creates the session.
+        "spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        ),
     }
 
     if warehouse_dir:

@@ -953,3 +953,29 @@ def test_variant_foreign_table_reads_in_both(spark, tmp_path):
             ),
             str(tmp_path / "t_variant_w"),
         )
+
+
+def test_preview_feature_spellings_accepted(spark, tmp_path):
+    """delta-spark 3.x stamped typeWidening-preview / variantType-preview
+    before the features went GA with identical read duties — tables
+    carrying the preview names read in BOTH readers (round 11); an
+    unknown -preview name is still refused."""
+    ok = _foreign_table(
+        spark, tmp_path, "t_preview_ok",
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["typeWidening-preview", "variantType-preview"],
+         "writerFeatures": ["typeWidening-preview", "variantType-preview"]},
+    )
+    assert [r["id"] for r in read_delta(spark, ok).collect()] == [1]
+    names, rows = read_delta_external(ok)
+    assert [r[names.index("id")] for r in rows] == [1]
+    bad = _foreign_table(
+        spark, tmp_path, "t_preview_bad",
+        {"minReaderVersion": 3, "minWriterVersion": 7,
+         "readerFeatures": ["someOtherThing-preview"],
+         "writerFeatures": ["someOtherThing-preview"]},
+    )
+    with pytest.raises(ValueError, match="someOtherThing-preview"):
+        read_delta(spark, bad).collect()
+    with pytest.raises(ValueError, match="someOtherThing-preview"):
+        read_delta_external(bad)
