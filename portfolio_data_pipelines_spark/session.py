@@ -62,6 +62,11 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Lake format parity: zstd parquet.
         "spark.sql.parquet.compression.codec": "zstd",
+        # Modern timestamp encoding (Spark's default is the deprecated
+        # INT96): INT64 micros is what every external parquet/Delta
+        # reader expects, and what the typed scan's footer probe treats
+        # as the native form.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Idempotent day-level upsert: only overwrite partitions present
         # in the incoming batch (K4 parity).
         "spark.sql.sources.partitionOverwriteMode": "dynamic",

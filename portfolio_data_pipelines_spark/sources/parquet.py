@@ -79,10 +79,27 @@ def _is_nanos_column(path: str, column: str) -> bool:
     try:
         verdicts = set()
         for probe in probes:
-            ftype = pq.read_schema(probe).field(column).type
+            pf = pq.ParquetFile(probe)
+            ftype = pf.schema_arrow.field(column).type
+            # pyarrow surfaces legacy INT96 timestamps as timestamp[ns]
+            # too, but those are NOT int64-nanos on disk (Spark reads
+            # INT96 natively; asking for bigint would fail the scan) —
+            # distinguish by the parquet PHYSICAL type.
+            phys = None
+            ps = pf.schema
+            for i in range(len(ps)):
+                if ps.column(i).name == column:
+                    phys = ps.column(i).physical_type
+                    break
             # TIMESTAMP(NANOS) footers, or raw int64 columns (this lake's
             # contract: a long-typed event time IS epoch-nanos).
-            verdicts.add(getattr(ftype, "unit", None) == "ns" or str(ftype) == "int64")
+            verdicts.add(
+                (
+                    getattr(ftype, "unit", None) == "ns"
+                    and phys != "INT96"
+                )
+                or str(ftype) == "int64"
+            )
         if len(verdicts) > 1:
             raise ValueError(
                 f"mixed timestamp units for column {column!r} across part files "

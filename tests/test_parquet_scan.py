@@ -101,3 +101,33 @@ def test_nanos_probe_rejects_mixed_units_in_directory(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mixed timestamp units"):
         scan_table(spark, str(tmp_path), "events")
+
+
+def test_int96_timestamps_read_as_timestamps(spark, tmp_path):
+    """Legacy INT96 parquet timestamps: pyarrow surfaces them as
+    timestamp[ns] in the ARROW schema, but they are not int64-nanos on
+    disk — the probe must check the parquet PHYSICAL type and let Spark
+    read INT96 natively (asking for bigint fails the whole scan)."""
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_i96"
+    sf.mkdir()
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")  # per-write option form is ignored
+    try:
+        spark.sql(
+            "select 1 as event_id, timestamp'2021-03-04 05:06:07' as ts, "
+            "2 as user_id, 'a' as event_type, 1.0 as value, '{}' as props"
+        ).coalesce(1).write.parquet(str(sf / "events.parquet"))
+    finally:
+        spark.conf.set(key, prev)
+    part = next((sf / "events.parquet").glob("*.parquet"))
+    ps = pq.ParquetFile(str(part)).schema
+    phys = {ps.column(i).name: ps.column(i).physical_type
+            for i in range(len(ps))}
+    assert phys["ts"] == "INT96", phys  # the fixture really is legacy
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    r = scan_table(spark, str(sf), "events").first()
+    assert str(r.ts) == "2021-03-04 05:06:07"
