@@ -65,12 +65,24 @@ def events_file_stream(
         if nanos
         else schema
     )
-    # The file source requires a directory; restrict listing to the
-    # events file(s) with a glob so sibling tables aren't picked up.
-    reader = spark.readStream.schema(read_schema).option("pathGlobFilter", "events*.parquet")
+    # The file source requires a directory. Two fixture shapes exist:
+    # a single FILE named events.parquet beside the other tables (the
+    # driver testdata), where a pathGlobFilter keeps sibling tables out
+    # of the listing — and a DIRECTORY dataset events.parquet/ of
+    # part-*.parquet files (every Spark-written table at scale), where
+    # that same glob would match ZERO leaf files and silently stream
+    # nothing; stream the directory itself instead.
+    import os as _os
+
+    reader = spark.readStream.schema(read_schema)
+    if _os.path.isdir(f"{sf_dir}/events.parquet"):
+        src_path = f"{sf_dir}/events.parquet"
+    else:
+        reader = reader.option("pathGlobFilter", "events*.parquet")
+        src_path = sf_dir
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.parquet(sf_dir)
+    df = reader.parquet(src_path)
     if nanos:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df.select(*[f.name for f in schema.fields])

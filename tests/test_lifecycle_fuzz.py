@@ -325,8 +325,10 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
         _upgraded_protocol_with,
         cleanup_log,
         drop_column,
+        drop_column_default,
         enable_column_mapping,
         rename_column,
+        set_column_default,
         vacuum_delta,
     )
 
@@ -367,6 +369,7 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
     trace = [f"meta-seed={seed}", f"v2={v2}", "create(20)+colmap"]
     evolve_n = 0
     renames = 0
+    defaults: dict[str, int] = {}  # col -> literal fill (r11 ops)
 
     def check():
         df = read_delta(spark, path, row_ids=True)
@@ -403,10 +406,24 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
         }
         assert ext == got, f"external reader diverged after {t}"
 
+    def frame_omit(sub, omit):
+        cols = [c for c in vcols if c != omit]
+        schema = "id long, grp string, " + ", ".join(
+            f"{c} long" for c in cols
+        )
+        return spark.createDataFrame(
+            [
+                tuple([i, d["grp"]] + [d.get(c) for c in cols])
+                for i, d in sorted(sub.items())
+            ],
+            schema,
+        ).coalesce(1)
+
     check()
     ops = [
         "append", "evolve", "rename", "drop", "delete", "update",
         "optimize", "checkpoint", "vacuum", "cleanup",
+        "setdefault", "dropdefault", "append_omit",
     ]
     for step in range(n_ops):
         op = rng.choice(ops)
@@ -443,6 +460,8 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
             dst = f"r{renames}"
             version = rename_column(spark, path, src, dst)
             vcols[vcols.index(src)] = dst
+            if src in defaults:  # CURRENT_DEFAULT rides the field
+                defaults[dst] = defaults.pop(src)
             for d in rows.values():
                 d[dst] = d.pop(src)
         elif op == "drop":
@@ -452,6 +471,7 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
             victim = rng.choice(vcols[1:])
             version = drop_column(spark, path, victim)
             vcols.remove(victim)
+            defaults.pop(victim, None)
             for d in rows.values():
                 d.pop(victim, None)
         elif op == "delete":
@@ -478,6 +498,37 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
             version = v
             for i in hit:
                 rows[i][tgt] = (rows[i][tgt] or 0) + 7
+        elif op == "setdefault":
+            col = rng.choice(vcols)
+            lit = rng.randrange(100, 1000)
+            version = set_column_default(spark, path, col, str(lit))
+            defaults[col] = lit
+            trace[-1] += f"({col}={lit})"
+        elif op == "dropdefault":
+            if not defaults:
+                trace[-1] += "(noop)"
+                continue
+            col = rng.choice(sorted(defaults))
+            version = drop_column_default(spark, path, col)
+            del defaults[col]
+            trace[-1] += f"({col})"
+        elif op == "append_omit":
+            if not defaults:
+                trace[-1] += "(noop)"
+                continue
+            omit = rng.choice(sorted(defaults))
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(2, 4))
+            sub = {
+                i: {"grp": g, **{c: v + k for k, c in enumerate(vcols)}}
+                for i, (g, v) in fresh.items()
+            }
+            version = write_delta(
+                spark, frame_omit(sub, omit), path, partition_col="grp"
+            )
+            for d in sub.values():
+                d[omit] = defaults[omit]  # fill-on-omit duty
+            rows.update(sub)
+            trace[-1] += f"(-{omit})"
         elif op == "optimize":
             v = optimize_delta(spark, path)
             if v is None:

@@ -45,7 +45,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from portfolio_data_pipelines_spark.session import get_spark  # noqa: E402
 from portfolio_data_pipelines_spark.sources.parquet import scan_table  # noqa: E402
 
-ID_STRIDE = 100_000_000
+# Far above any id-shifting arithmetic inside the queries themselves
+# (delta_cdf_merge_replace inserts event_id + 1e8 rows: a 1e8 stride
+# made those collide with the next replica's band -> duplicate merge
+# keys, correctly refused by merge_delta).
+ID_STRIDE = 10_000_000_000
 
 #: the heaviest declared queries by the r11 bench, plus the scale-path
 #: twin (semdedup_pairs) of the one deliberately-quadratic baseline
