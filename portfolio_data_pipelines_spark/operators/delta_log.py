@@ -1068,6 +1068,16 @@ _SUPPORTED_READER_FEATURES = {
     # Writes keep stamping the GA names only.
     "typeWidening-preview",
     "variantType-preview",
+    # SHREDDED variants (parquet-format VariantShredding.md): files may
+    # store a typed_value column alongside/instead of the binary pair.
+    # Spark 4's parquet reader reassembles the shredded form natively
+    # under the explicit variant read schema
+    # (spark.sql.variant.allowReadingShredded, probed with hand-built
+    # scalar/object/residual fixtures), so reads ride the same plan.
+    # WRITE-side the feature is NOT claimed: this writer always stores
+    # the plain binary pair.
+    "variantShredding-preview",
+    "variantShredding",
 }
 
 #: Writer features this implementation knows how to honor; listed on

@@ -57,6 +57,11 @@ _READER_FEATURES = {
     # read duties (see delta_log._SUPPORTED_READER_FEATURES)
     "typeWidening-preview",
     "variantType-preview",
+    # SHREDDED variants (VariantShredding.md): files may store a
+    # typed_value alongside/instead of the binary pair; this reader
+    # reassembles them from the spec (_shredded_value)
+    "variantShredding-preview",
+    "variantShredding",
 }
 
 
@@ -169,12 +174,62 @@ def _variant_value(buf: bytes, pos: int, keys: list[str]):
 
 
 def _variant_decode(pair: dict):
-    """struct<value, metadata> row value (pyarrow dict) → Python."""
+    """Variant column row value (pyarrow dict) → Python.
+
+    Handles BOTH physical layouts: the plain ``struct<value, metadata>``
+    pair, and the SHREDDED form (parquet-format VariantShredding.md,
+    Delta's ``variantShredding-preview`` feature) where the group adds a
+    ``typed_value`` field — a plain parquet-typed column, a group of
+    field groups (object shredding), or a list of element groups (array
+    shredding), each group carrying an optional binary ``value``
+    residual."""
     if pair is None:
         return None
-    return _variant_value(
-        bytes(pair["value"]), 0, _variant_metadata_keys(bytes(pair["metadata"]))
-    )[0]
+    keys = _variant_metadata_keys(bytes(pair["metadata"]))
+    if "typed_value" not in pair:
+        return _variant_value(bytes(pair["value"]), 0, keys)[0]
+    return _shredded_value(pair.get("value"), pair.get("typed_value"), keys)
+
+
+def _shredded_value(value, typed, keys: list[str]):
+    """One shredded (value?, typed_value?) pair → Python.
+
+    Spec rules (VariantShredding.md): when ``typed_value`` is null the
+    binary ``value`` is authoritative; a scalar ``typed_value`` IS the
+    value; an object ``typed_value`` holds per-field groups whose
+    both-null state means FIELD ABSENT, with the binary ``value`` (if
+    present) carrying the residual non-shredded fields to merge; array
+    elements are per-element groups."""
+    if typed is None:
+        if value is None:
+            return None
+        return _variant_value(bytes(value), 0, keys)[0]
+    if isinstance(typed, dict):
+        out = {}
+        for name, grp in typed.items():
+            if grp is None:
+                continue
+            fv, ft = grp.get("value"), grp.get("typed_value")
+            if fv is None and ft is None:
+                continue  # field absent in this row
+            out[name] = _shredded_value(fv, ft, keys)
+        if value is not None:
+            resid = _variant_value(bytes(value), 0, keys)[0]
+            if not isinstance(resid, dict):
+                raise ValueError(
+                    "shredded object residual value must be an object, "
+                    f"got {type(resid).__name__}"
+                )
+            out.update(resid)
+        return out
+    if isinstance(typed, list):
+        return [
+            None if e is None else _shredded_value(
+                e.get("value"), e.get("typed_value"), keys
+            )
+            for e in typed
+        ]
+    return typed  # scalar shredded type: already parquet-typed Python
 
 
 # --- independent deletion-vector decoding (spec-only, shares no code
