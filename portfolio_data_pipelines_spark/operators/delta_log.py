@@ -1010,15 +1010,27 @@ def _non_binary_collations(meta: dict | None) -> list[str]:
         return []
     out: list[str] = []
 
+    def walk_type(t, prefix):
+        # structs may hide inside arrays/maps at any depth — a missed
+        # level would silently ACCEPT a non-default collation there
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            walk(t.get("fields", []), prefix)
+        elif kind == "array":
+            walk_type(t.get("elementType"), f"{prefix}element.")
+        elif kind == "map":
+            walk_type(t.get("keyType"), f"{prefix}key.")
+            walk_type(t.get("valueType"), f"{prefix}value.")
+
     def walk(fields, prefix=""):
         for f in fields:
             md = f.get("metadata") or {}
             for path, name in (md.get("__COLLATIONS") or {}).items():
                 if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
                     out.append(f"{prefix}{path}: {name}")
-            t = f.get("type")
-            if isinstance(t, dict) and t.get("type") == "struct":
-                walk(t.get("fields", []), prefix=f"{prefix}{f['name']}.")
+            walk_type(f.get("type"), f"{prefix}{f['name']}.")
 
     walk(json.loads(meta["schemaString"]).get("fields", []))
     return sorted(out)

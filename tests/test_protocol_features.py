@@ -355,3 +355,55 @@ def test_non_default_collation_refused_by_name(spark, tmp_path):
         read_delta(spark, path).collect()
     with pytest.raises(ValueError, match="UTF8_LCASE"):
         read_delta_external(path)
+
+
+def test_collation_nested_in_array_struct_refused(spark, tmp_path):
+    """A non-default collation on a struct field NESTED inside an array
+    must still be refused — the walk descends through arrays/maps, not
+    just top-level structs (a missed level would silently accept it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "t_coll_nested"
+    (root / "_delta_log").mkdir(parents=True)
+    inner = pa.struct([("s", pa.string())])
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "arr": pa.array([[{"s": "a"}]], pa.list_(inner))}),
+        root / "part-0000.parquet",
+    )
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "arr", "nullable": True, "metadata": {},
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "s", "type": "string", "nullable": True,
+                       "metadata": {"__COLLATIONS":
+                                    {"s": "spark.UNICODE_CI"}}}]}}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["collations-preview"],
+                "writerFeatures": ["collations-preview"],
+            }},
+            {"metaData": {
+                "id": "coll-nested",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema, "partitionColumns": [],
+                "configuration": {}, "createdTime": 0,
+            }},
+            {"add": {"path": "part-0000.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="UNICODE_CI"):
+        read_delta(spark, str(root)).collect()
+    from portfolio_data_pipelines_spark.operators.delta_reader import (
+        read_delta_external,
+    )
+
+    with pytest.raises(ValueError, match="UNICODE_CI"):
+        read_delta_external(str(root))
