@@ -758,14 +758,15 @@ def test_type_widening_foreign_table_reads_in_both(spark, tmp_path):
     assert names == ["i", "f", "s", "m", "d"]
     assert sorted(rows) == want, sorted(rows)
     # the gate still refuses genuinely unknown reader features by name
+    # (variantType-preview, the old stand-in here, is accepted since r11)
     commit(2, [{"protocol": {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["typeWidening", "variantType-preview"],
+        "readerFeatures": ["typeWidening", "futureWidening-v9"],
         "writerFeatures": [],
     }}])
-    with pytest.raises(Exception, match="variantType-preview"):
+    with pytest.raises(Exception, match="futureWidening-v9"):
         read_delta(spark, path).collect()
-    with pytest.raises(Exception, match="variantType-preview"):
+    with pytest.raises(Exception, match="futureWidening-v9"):
         read_delta_external(path)
 
 
