@@ -956,3 +956,37 @@ def test_plain_feed_ignoredeletes_tolerates_delete_only_commits(
     out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
     with pytest.raises(Exception, match="change commit"):
         _run_available(spark, path, out2, ckpt2, ignoredeletes="true")
+
+
+def test_feed_streams_variant_columns(registered, tmp_path):
+    """The change-feed source composes with variantType (r11 write
+    path): streaming a variant table emits real VariantVal cells whose
+    typed extraction matches what was written — the arrow batches carry
+    the physical pair and Spark surfaces it as variant."""
+    import uuid
+
+    spark = registered
+    path = str(tmp_path / "t_var_feed")
+    write_delta(
+        spark,
+        spark.range(0, 6).select(
+            "id",
+            F.parse_json(F.format_string('{"n": %d}', "id")).alias("v"),
+        ).coalesce(1),
+        path,
+    )
+    name = "vfeed_" + uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("delta_feed").option("path", path).load()
+        .writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["id"]: r["n"]
+        for r in spark.table(name)
+        .select("id", F.expr("variant_get(v, '$.n', 'bigint')").alias("n"))
+        .collect()
+    }
+    assert got == {i: i for i in range(6)}, got
