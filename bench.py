@@ -346,6 +346,7 @@ def main() -> None:
     ).mode("overwrite").save()
     bucketed_layout_sec = round(time.perf_counter() - t0, 4)
 
+    eff_start = _cpu_efficiency()
     load_start = _load_sample()
     for name, fn in sorted(qmap.items()):
         s0 = _load_sample()
@@ -370,10 +371,17 @@ def main() -> None:
     lk1 = _load_sample()
     lakehouse_total = round(sum(lake_timings.values()), 4)
     load_end = _load_sample()
+    # Efficiency probed at BOTH ends; normalization uses the HIGHER
+    # (most conservative: higher efficiency → normalized value closer
+    # to the raw wall-clock). A single end-of-run probe occasionally
+    # caught a transient dip and flattered the normalized number.
+    eff_end = _cpu_efficiency()
+    eff_pair = [e for e in (eff_start, eff_end) if e is not None]
     load_report = {
         "loadavg1_start": load_start.get("loadavg1"),
         "loadavg1_end": load_end.get("loadavg1"),
-        "cpu_efficiency": _cpu_efficiency(),
+        "cpu_efficiency": max(eff_pair) if eff_pair else None,
+        "cpu_efficiency_start_end": [eff_start, eff_end],
         "steal_pct_overall": _steal_pct(load_start, load_end),
         "steal_pct_lakehouse": _steal_pct(lk0, lk1),
         "families_steal_pct": {
