@@ -1222,7 +1222,9 @@ def _creation_protocol(
     }
 
 
-def _check_writer_protocol(proto: dict | None) -> None:
+def _check_writer_protocol(
+    proto: dict | None, meta: dict | None = None
+) -> None:
     """The spec's writer-version gate, mirror of the reader gate every
     commit path must pass BEFORE writing anything: legacy versions up
     to 6 map onto implemented duties (6 = identity columns);
@@ -1230,7 +1232,21 @@ def _check_writer_protocol(proto: dict | None) -> None:
     list is malformed, an unknown or unimplemented feature is refused
     BY NAME. Without this gate a commit to e.g. a rowTracking or
     v2Checkpoint table would silently break duties foreign readers
-    rely on."""
+    rely on.
+
+    ``meta`` additionally gates MODE-level duties a feature name can't
+    express: id-mode column mapping is READ-only (r11) — this writer
+    stages physical names, not parquet field ids, so a commit would
+    produce files an id-resolving reader cannot map."""
+    if meta is not None and (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode"
+    ) == "id":
+        raise ValueError(
+            "cannot commit: table uses id-mode column mapping, which "
+            "this writer does not produce (files would lack the "
+            "parquet field ids id-resolving readers require); reads "
+            "remain available"
+        )
     if not proto:
         return
     w = int(proto.get("minWriterVersion", 2))
@@ -1924,7 +1940,7 @@ def write_delta(
     st: LogState | None = None
     if versions:
         st = _replay_log(spark, path, None)
-        _check_writer_protocol(st.protocol)
+        _check_writer_protocol(st.protocol, st.meta)
         prev_adds, prev_meta, prev_txns = st.adds, st.meta, st.txns
     if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
         # this (appId, version) already committed — exactly-once replay
@@ -2582,14 +2598,14 @@ def _replay_log(
                     "to read rather than silently dropping those "
                     "semantics."
                 )
-        if rv > 3 or (rv == 2 and mode not in ("none", "name")) or (
-            rv == 3 and mode not in ("none", "name")
+        if rv > 3 or (
+            rv in (2, 3) and mode not in ("none", "name", "id")
         ):
             raise ValueError(
                 f"table requires Delta reader version {rv} "
                 f"(columnMapping.mode={mode!r}); this implementation "
-                "supports versions 1-3 with name-mode column "
-                "mapping only. Refusing to read rather than silently "
+                "supports versions 1-3 with name- or id-mode column "
+                "mapping. Refusing to read rather than silently "
                 "dropping those semantics."
             )
     return LogState(
@@ -2670,6 +2686,83 @@ def _logical_to_physical(meta: dict) -> dict | None:
         )
         for f in json.loads(meta["schemaString"])["fields"]
     }
+
+
+def _field_ids(meta: dict) -> dict | None:
+    """{logical column: parquet field id} when the table uses ID-mode
+    column mapping (``delta.columnMapping.id`` field metadata), else
+    None. Id-mode tables come from Iceberg conversions: their parquet
+    files carry arbitrary column NAMES, and resolution is by the
+    field_id stamped in the parquet schema."""
+    mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode != "id":
+        return None
+    return {
+        f["name"]: int((f.get("metadata") or {})["delta.columnMapping.id"])
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+
+
+def _read_adds_id_mode(
+    spark, path: str, adds: dict, meta: dict, schema, fids: dict,
+    with_file: bool = False,
+):
+    """READ path for id-mode column-mapped tables: per partition group,
+    one reader call whose explicit schema carries LOGICAL names + the
+    ``parquet.field.id`` metadata Spark's field-id resolution matches
+    against the files' stamped ids (``spark.sql.parquet.fieldId.read.
+    enabled`` — on by default in this engine's sessions) — so files
+    whose column NAMES differ from every Delta name (the Iceberg-
+    conversion case) still resolve correctly. Partition values come
+    from the log (keyed by physicalName, typed by the declared
+    schema), exactly like the grouped fallback."""
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    pcols_log = meta.get("partitionColumns", [])
+    doc = json.loads(meta["schemaString"])
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in doc["fields"]
+    }
+    from pyspark.sql.types import StructField, StructType
+
+    data_fields = [
+        StructField(
+            f.name, f.dataType, f.nullable,
+            metadata={"parquet.field.id": fids[f.name]},
+        )
+        for f in schema.fields
+        if f.name not in pcols_log
+    ]
+    read_schema = StructType(data_fields)
+    ptypes = {f.name: f.dataType for f in schema.fields}
+    # group by the log's partitionValues (physical keys), read each
+    # group with the field-id schema, restore logical partition columns
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in adds.items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(phys[c]) for c in pcols_log)
+        groups.setdefault(key, []).append(rel)
+    parts = []
+    for key, rels in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        p = spark.read.schema(read_schema).parquet(
+            *[f"{path}/{r}" for r in sorted(rels)]
+        )
+        if with_file:
+            p = p.withColumn("_file", F.input_file_name())
+        for c, v in zip(pcols_log, key):
+            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    cols = [F.col(f.name) for f in schema.fields]
+    if with_file:
+        cols.append(F.col("_file"))
+    return out.select(*cols)
 
 
 def _physical_read_schema(meta: dict):
@@ -2868,6 +2961,23 @@ def _read_adds(
     if not adds:
         return None
     schema = _spark_schema_from_string(meta["schemaString"])
+    fids = _field_ids(meta)
+    if fids is not None:
+        # id-mode column mapping (READ-only, r11): resolution is by
+        # parquet FIELD ID, so the DV/row-id machinery's name-keyed
+        # plumbing doesn't apply — gate the unsupported combinations
+        # honestly rather than mis-resolving
+        if with_pos or row_ids or any(
+            a.get("deletionVector") for a in adds.values()
+        ):
+            raise ValueError(
+                "id-mode column mapping is supported for plain reads "
+                "only (no deletion vectors / row ids on id-mode "
+                "tables in this implementation)"
+            )
+        return _read_adds_id_mode(
+            spark, path, adds, meta, schema, fids, with_file=with_file
+        )
     l2p = _logical_to_physical(meta)
     pcols_log = meta.get("partitionColumns", [])
     if l2p is None:
@@ -3711,7 +3821,7 @@ def enable_change_data_feed(spark: SparkSession, path: str) -> int:
     the rewritten data files are vacuumed."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     config = dict(st.meta.get("configuration") or {})
@@ -4209,7 +4319,7 @@ def merge_delta(
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -4460,7 +4570,7 @@ def apply_changes_delta(
     if not versions:
         raise FileNotFoundError(f"no _delta_log under {path}")
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -4745,7 +4855,7 @@ def delete_where_dv(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     _check_append_only(st.meta, True)
@@ -4985,7 +5095,7 @@ def _copy_on_write_where(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     adds, meta = st.adds, st.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -5201,7 +5311,7 @@ def optimize_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
@@ -5333,7 +5443,7 @@ def purge_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     pcols = st.meta.get("partitionColumns", [])
@@ -5506,7 +5616,7 @@ def set_domain_metadata(
         configuration = json.dumps(configuration, sort_keys=True)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
     actions: list[dict] = [
         _commit_info("SET DOMAIN METADATA", {"domain": domain})
@@ -5541,7 +5651,7 @@ def remove_domain_metadata(
     currently set."""
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if domain not in (st.domain_metadata or {}):
         raise ValueError(f"domain {domain!r} is not set on {path}")
     actions = [
@@ -5591,7 +5701,7 @@ def enable_clustering(
     rewrites only the files in its scope, exactly as ZORDER does."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(st.meta["schemaString"])
@@ -5687,7 +5797,7 @@ def drop_table_feature(spark: SparkSession, path: str, feature: str) -> int:
         )
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
@@ -5782,7 +5892,7 @@ def restore_delta(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     cur = _replay_log(spark, path, None)
-    _check_writer_protocol(cur.protocol)
+    _check_writer_protocol(cur.protocol, cur.meta)
     old = _replay_log(spark, path, version)
     if old.meta is None or cur.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
@@ -5899,7 +6009,7 @@ def _commit_metadata_only(
     exactly ``actions``."""
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     new_version = st.version + 1
     _write_commit(fs, jvm, path, new_version, actions)
     if new_version % DELTA_CHECKPOINT_EVERY == 0:
@@ -5920,7 +6030,7 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
     (both this repo's readers enforce that)."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     config = dict(st.meta.get("configuration") or {})
@@ -5990,7 +6100,7 @@ def enable_row_tracking(spark: SparkSession, path: str) -> int:
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if _row_tracking_supported(st.protocol):
@@ -6055,7 +6165,7 @@ def rename_column(
     version still reads under the schema it was committed with."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if _logical_to_physical(st.meta) is None:
@@ -6094,7 +6204,7 @@ def drop_column(spark: SparkSession, path: str, name: str) -> int:
     through time travel to pre-drop versions."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     if _logical_to_physical(st.meta) is None:
@@ -6279,7 +6389,7 @@ def add_check_constraint(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     key = f"delta.constraints.{name}"
@@ -6342,7 +6452,7 @@ def drop_check_constraint(
     _warn_if_commit_unsafe(path)
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     key = f"delta.constraints.{name}"
@@ -6384,7 +6494,7 @@ def set_column_default(
     otherwise fail every later append)."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     doc = json.loads(st.meta["schemaString"])
@@ -6438,7 +6548,7 @@ def drop_column_default(
     one)."""
     _warn_if_commit_unsafe(path)
     st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol)
+    _check_writer_protocol(st.protocol, st.meta)
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     doc = json.loads(st.meta["schemaString"])
@@ -6497,7 +6607,7 @@ def vacuum_delta(
     # the vacuumProtocolCheck duty: vacuum validates BOTH protocol
     # sides before deleting anything — a vacuum that can't understand a
     # feature (e.g. unknown DV storage) must not reclaim its files
-    _check_writer_protocol(st_log.protocol)
+    _check_writer_protocol(st_log.protocol, st_log.meta)
     live, removes = st_log.adds, st_log.removes
     cutoff = (now_ms if now_ms is not None else _now_ms()) - int(
         retain_hours * 3600 * 1000

@@ -607,7 +607,7 @@ def _replay(path: str, version: int | None):
                 f"table requires reader features {sorted(unknown)} "
                 "this reader does not support"
             )
-    if rv > 3 or (rv >= 2 and mode not in ("none", "name")):
+    if rv > 3 or (rv >= 2 and mode not in ("none", "name", "id")):
         raise ValueError(
             f"table requires reader version {rv} "
             f"(columnMapping.mode={mode!r})"
@@ -699,20 +699,34 @@ def read_delta_external(
     pcols = meta.get("partitionColumns", [])
     names = [f["name"] for f in schema]
     types = {f["name"]: f["type"] for f in schema}
-    # name-mode column mapping: files and partitionValues carry the
-    # per-field physicalName from the schemaString metadata; logical
-    # names exist only in the schema. Identity map otherwise.
-    mapped = _config_of(meta).get("delta.columnMapping.mode", "none") == "name"
+    # column mapping: name mode resolves files' columns by the
+    # per-field physicalName; ID mode (Iceberg conversions — the
+    # files' column names are arbitrary) resolves by the parquet
+    # field_id stamped in each file's schema, per file since names may
+    # differ across files. partitionValues stay keyed by physicalName
+    # in BOTH modes. Identity map otherwise.
+    mode = _config_of(meta).get("delta.columnMapping.mode", "none")
+    mapped = mode == "name"
     phys = {
         f["name"]: (
             (f.get("metadata") or {}).get(
                 "delta.columnMapping.physicalName", f["name"]
             )
-            if mapped
+            if mode in ("name", "id")
             else f["name"]
         )
         for f in schema
     }
+    fid_of = (
+        {
+            f["name"]: int(
+                (f.get("metadata") or {})["delta.columnMapping.id"]
+            )
+            for f in schema
+        }
+        if mode == "id"
+        else None
+    )
     rows: list[tuple] = []
     for rel in sorted(adds):
         a = adds[rel]
@@ -724,6 +738,20 @@ def read_delta_external(
             )
             for c in pcols
         }
+        file_col = dict(phys)
+        if fid_of is not None:
+            # id mode: per-file field_id -> actual column name
+            arrow = pq.read_schema(fpath)
+            by_id = {}
+            for i in range(len(arrow)):
+                fmd = arrow.field(i).metadata or {}
+                fid = fmd.get(b"PARQUET:field_id")
+                if fid is not None:
+                    by_id[int(fid)] = arrow.field(i).name
+            file_col = {
+                n: by_id.get(fid_of[n], f"\x00missing:{n}")
+                for n in names
+            }
         cols_present = set(table.column_names)
         data = table.to_pylist()
         dvd = _dv_of(a)
@@ -742,8 +770,8 @@ def read_delta_external(
             for n in names:
                 if n in pvals:
                     row.append(pvals[n])
-                elif phys[n] in cols_present:
-                    v = r[phys[n]]
+                elif file_col[n] in cols_present:
+                    v = r[file_col[n]]
                     if v is not None and types[n] == "variant":
                         v = _variant_decode(v)
                     elif v is not None and types[n] in (

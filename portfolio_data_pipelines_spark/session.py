@@ -87,6 +87,11 @@ def get_spark(
         # otherwise an illegal type for the Spark reader; read as long
         # and convert in the typed scan (sources/parquet.py).
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Resolve parquet columns by stamped field id when the read
+        # schema carries parquet.field.id metadata — the mechanism
+        # id-mode column-mapped (Iceberg-converted) Delta tables need;
+        # inert for schemas without the metadata.
+        "spark.sql.parquet.fieldId.read.enabled": "true",
         # Local mode runs every executor thread inside the driver JVM;
         # Spark's 1g default heap is sized for a thin cluster driver,
         # not a local[32] engine (the r11 sf1.0 soak OOM'd an

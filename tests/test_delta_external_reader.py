@@ -1134,3 +1134,89 @@ def test_variant_shredded_foreign_table_reads_in_both(spark, tmp_path):
     names, rows_ext = read_delta_external(str(root))
     got_ext = {r[names.index("id")]: r[names.index("v")] for r in rows_ext}
     assert got_ext == want, got_ext
+
+
+def test_id_mode_column_mapping_reads_in_both(spark, tmp_path):
+    """ID-mode column mapping (Iceberg-converted tables): the parquet
+    files carry ARBITRARY column names — resolution is by the field_id
+    stamped in each file's schema, matched to delta.columnMapping.id.
+    Both readers must resolve (including a second file whose physical
+    NAMES differ from the first), partition values come from the log,
+    and WRITES are refused (this writer does not stamp field ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "t_idmode"
+    (root / "_delta_log").mkdir(parents=True)
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    # file 1: iceberg-ish names; file 2: totally different names, same ids
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array(["a", "b"])],
+            schema=pa.schema([fld("ice_id", pa.int64(), 1),
+                              fld("ice_s", pa.string(), 2)]),
+        ),
+        root / "f1.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            [pa.array([3], pa.int64()), pa.array(["c"])],
+            schema=pa.schema([fld("renamed_id", pa.int64(), 1),
+                              fld("renamed_s", pa.string(), 2)]),
+        ),
+        root / "f2.parquet",
+    )
+    schema_string = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "s", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_s"}},
+        {"name": "part", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "ice_part"}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": "idmode",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": ["part"],
+                "configuration": {"delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "3"},
+                "createdTime": 0,
+            }},
+            {"add": {"path": "f1.parquet",
+                     "partitionValues": {"ice_part": "p0"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+            {"add": {"path": "f2.parquet",
+                     "partitionValues": {"ice_part": "p1"},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+
+    want = {(1, "a", "p0"), (2, "b", "p0"), (3, "c", "p1")}
+    df = read_delta(spark, str(root))
+    assert df.columns == ["id", "s", "part"]
+    assert {tuple(r) for r in df.collect()} == want
+    names, rows = read_delta_external(str(root))
+    assert names == ["id", "s", "part"]
+    assert set(rows) == want, rows
+    # writes refused: this writer stages names, not field ids
+    with pytest.raises(ValueError, match="id-mode"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(9, "z", "p0")],
+                                  "id long, s string, part string"),
+            str(root),
+        )
