@@ -4143,6 +4143,15 @@ def read_delta_cdf(
     meta = tip_state.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
+    if _field_ids(meta) is not None:
+        # id-mode tables resolve columns by parquet field id (r11,
+        # plain reads only); CDF reconstruction and cdc-file reads
+        # resolve by name and would mis-map — refuse rather than
+        # misread
+        raise ValueError(
+            "read_delta_cdf does not support id-mode column-mapped "
+            "tables (plain read_delta does)"
+        )
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
     if key_cols:

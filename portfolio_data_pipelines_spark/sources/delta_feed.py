@@ -262,7 +262,17 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         # Spark streaming semantics — a mid-stream rename needs a
         # restart, as in delta-spark).
         _root, _adds, meta = _replay(self.path, None)
-        if _config_of(meta).get("delta.columnMapping.mode", "none") == "name":
+        _cm_mode = _config_of(meta).get("delta.columnMapping.mode", "none")
+        if _cm_mode == "id":
+            # id-mode tables resolve columns by parquet FIELD ID per
+            # file (r11, batch readers only); this source's arrow-batch
+            # path resolves by name and would stream WRONG columns —
+            # refuse rather than misread
+            raise ValueError(
+                "delta_feed does not support id-mode column-mapped "
+                "tables (batch read_delta/read_delta_external do)"
+            )
+        if _cm_mode == "name":
             self.phys = {
                 f["name"]: (f.get("metadata") or {}).get(
                     "delta.columnMapping.physicalName", f["name"]
