@@ -340,11 +340,13 @@ def main() -> None:
     # times the zero-Exchange join alone. Reported separately like the
     # lakehouse family.
     qmap = all_queries()
-    t0 = time.perf_counter()
-    qmap["bucketed_orders_lineitem_join"](spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    bucketed_layout_sec = round(time.perf_counter() - t0, 4)
+    bucketed_layout_sec = 0.0
+    if "bucketed_orders_lineitem_join" in qmap:  # rotation-proof
+        t0 = time.perf_counter()
+        qmap["bucketed_orders_lineitem_join"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        bucketed_layout_sec = round(time.perf_counter() - t0, 4)
 
     eff_start = _cpu_efficiency()
     load_start = _load_sample()
