@@ -2699,9 +2699,22 @@ def _field_ids(meta: dict) -> dict | None:
     )
     if mode != "id":
         return None
+    fields = json.loads(meta["schemaString"])["fields"]
+    nested = [
+        f["name"] for f in fields
+        if isinstance(f.get("type"), dict)
+    ]
+    if nested:
+        # nested struct fields carry their own ids; resolving only the
+        # top level would silently hand back physical inner names —
+        # refuse the uncommon shape rather than half-map it
+        raise ValueError(
+            f"id-mode column mapping with NESTED column(s) {nested} is "
+            "not supported (top-level resolution only)"
+        )
     return {
         f["name"]: int((f.get("metadata") or {})["delta.columnMapping.id"])
-        for f in json.loads(meta["schemaString"])["fields"]
+        for f in fields
     }
 
 

@@ -717,16 +717,24 @@ def read_delta_external(
         )
         for f in schema
     }
-    fid_of = (
-        {
+    fid_of = None
+    if mode == "id":
+        nested = [
+            f["name"] for f in schema if isinstance(f.get("type"), dict)
+        ]
+        if nested:
+            # nested fields carry their own ids; top-level-only
+            # resolution would hand back physical inner names
+            raise ValueError(
+                f"id-mode column mapping with NESTED column(s) "
+                f"{nested} is not supported (top-level resolution only)"
+            )
+        fid_of = {
             f["name"]: int(
                 (f.get("metadata") or {})["delta.columnMapping.id"]
             )
             for f in schema
         }
-        if mode == "id"
-        else None
-    )
     rows: list[tuple] = []
     for rel in sorted(adds):
         a = adds[rel]
