@@ -953,3 +953,79 @@ def delta_variant_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_utc")
     )
+
+
+@extra_query(
+    "delta_defaults_mart",
+    oracle=f"""
+    SELECT CASE WHEN CAST(ts AS DATE) <= '{_LO}' THEN 'seed'
+                WHEN CAST(ts AS DATE) <= '2024-01-12' THEN 'landing'
+                ELSE 'backfill' END AS src,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    GROUP BY 1
+    ORDER BY src
+    """,
+)
+def delta_defaults_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allowColumnDefaults under the oracle gate (round 11): the table
+    is created with a DEFAULT on ``src`` ('landing'), the creation
+    batch provides 'seed' explicitly, a second batch OMITS the column
+    (fill-on-omit duty → 'landing'), then ALTER COLUMN SET DEFAULT
+    'backfill' and a third omitting batch lands under the new default.
+    The aggregate groups by the filled column — DuckDB derives the same
+    labels from the RAW parquet day slices alone, so a fill that
+    missed a batch, used a stale default, or leaked onto provided
+    values breaks the hash.
+
+    Scale: fill-on-omit is one free column expression on the staged
+    frame (no extra pass); everything else is the ordinary partitioned
+    write + single-scan read."""
+    from ..operators.delta_log import (
+        read_delta,
+        set_column_default,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)), "events_defaults"
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    base = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts").between(_LO, _HI))
+        .select(F.to_date("ts").alias("date_utc"), "value")
+    )
+    seed = base.filter(F.col("date_utc") <= _LO).withColumn(
+        "src", F.lit("seed")
+    )
+    write_delta(
+        spark, seed, table,
+        partition_col="date_utc",
+        default_cols={"src": "'landing'"},
+    )
+    write_delta(  # omits src -> filled with 'landing'
+        spark,
+        base.filter(
+            (F.col("date_utc") > _LO) & (F.col("date_utc") <= "2024-01-12")
+        ),
+        table, partition_col="date_utc",
+    )
+    set_column_default(spark, table, "src", "'backfill'")
+    write_delta(  # omits src -> filled with the NEW default
+        spark,
+        base.filter(F.col("date_utc") > "2024-01-12"),
+        table, partition_col="date_utc",
+    )
+    return (
+        read_delta(spark, table)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("src")
+    )
