@@ -477,7 +477,14 @@ def _variant_physical(df: DataFrame) -> DataFrame:
     )
     out = StructType(
         [
-            StructField(f.name, phys if f.name in vcols else f.dataType, True)
+            # variant columns become the nullable physical pair; sibling
+            # columns keep their declared nullability so the staged
+            # parquet files preserve required-ness for stats consumers
+            StructField(
+                f.name,
+                phys if f.name in vcols else f.dataType,
+                True if f.name in vcols else f.nullable,
+            )
             for f in df.schema.fields
         ]
     )
@@ -2051,9 +2058,9 @@ def write_delta(
                 )
             for c in sorted(default_cols):
                 # DEFAULT expressions must be constant (SQL/delta-spark
-                # rule): planning against a columnless frame rejects
+                # rule): planning against a ZERO-column frame rejects
                 # any column reference before anything commits
-                spark.createDataFrame([], "__dummy int").select(
+                spark.range(1).select().select(
                     F.expr(default_cols[c])
                 ).schema  # noqa: B018 — forces analysis
         if generated_cols or identity_cols or default_cols:
@@ -4361,9 +4368,21 @@ def merge_delta(
     # generated/default columns: a merge source may legitimately OMIT
     # them (computed/filled here, before the completeness check); ones
     # it provides must match their expression (generated) or are taken
-    # as-is (defaults)
+    # as-is (defaults). SQL MERGE semantics for an omitted DEFAULT
+    # column: the default applies to INSERT (not-matched) rows only —
+    # matched rows keep the target's stored values. The fill below
+    # covers inserts (and defaulted key columns, which discovery
+    # needs); matched rows are repaired from the touched files once
+    # they are read, before anything is staged (r12, ADVICE).
+    defaults_omitted = sorted(
+        c for c in _column_defaults(meta) if c not in source.columns
+    )
+    gens_omitted = sorted(
+        c for c in _generated_exprs(meta) if c not in source.columns
+    )
     source = _apply_column_defaults(source, meta)
     gen_frame, gen_cached = _apply_generated_columns(source, meta)
+    cached_frames: list[DataFrame] = [gen_frame] if gen_cached else []
     source = gen_frame
     missing = [c for c in cols if c not in source.columns]
     if missing:
@@ -4373,9 +4392,8 @@ def merge_delta(
             "merge source has duplicate keys — ambiguous WHEN MATCHED"
         )
     source = source.select(*cols)
-    # CHECK constraints gate MERGE too; the returned (cached) frame is
-    # what gets staged, so validated rows == committed rows.
-    source, cached_source = _enforce_constraints(source, meta)
+    # CHECK constraints are enforced AFTER the matched-row default
+    # repair below (validated rows == committed rows).
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -4452,25 +4470,75 @@ def merge_delta(
         _check_append_only(meta, True)
     new_version = versions[-1] + 1
     if not touched_rels and source.isEmpty():
-        if cached_source:
-            source.unpersist()
-        if gen_cached:
-            gen_frame.unpersist()
+        for fr in cached_frames:
+            fr.unpersist()
         return versions[-1]
     # REWRITE pass reads ONLY the touched files (the Delta MERGE cost
     # model: O(files holding matching keys), not a second full-table
     # scan filtered by provenance — at scale the difference is the
     # whole table).
     rt = _row_tracking_supported(st.protocol)
+    touched_df = None
     if touched_rels:
         touched_adds = {rel: adds[rel] for rel in touched_rels}
         touched_df = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
+    # Matched-row DEFAULT repair: a source that omitted a defaulted
+    # column was filled above (correct for inserts), but SQL MERGE
+    # keeps the TARGET's stored values on matched rows. Pull them from
+    # the touched files (already read for the rewrite) and substitute
+    # per matched key; unmatched (insert) rows keep the default. When
+    # several target rows share a key they collapse to one source row —
+    # the kept value follows the surviving row (min row id under row
+    # tracking, else the deterministic minimum).
+    sub_cols = [c for c in defaults_omitted if c not in key_cols]
+    if sub_cols and touched_df is not None:
+        tgt_vals = F.broadcast(
+            touched_df.groupBy(*key_cols)
+            .agg(
+                *[
+                    (F.min_by(c, "_row_id") if rt else F.min(c)).alias(
+                        f"__tgt_{c}"
+                    )
+                    for c in sub_cols
+                ]
+            )
+            .withColumn("__matched", F.lit(True))
+        )
+        source = source.join(tgt_vals, key_cols, "left").select(
+            *[
+                F.when(F.col("__matched"), F.col(f"__tgt_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in sub_cols
+                else F.col(c)
+                for c in cols
+            ]
+        )
+        # generated columns that the source omitted were computed from
+        # the pre-repair (default-filled) values — recompute against
+        # the repaired frame, and revalidate provided ones, iff any
+        # generation expression can see a repaired column
+        pat = re.compile(
+            "|".join(rf"\b{re.escape(c)}\b" for c in sub_cols)
+        )
+        if any(pat.search(e) for e in _generated_exprs(meta).values()):
+            regen, regen_cached = _apply_generated_columns(
+                source.drop(*gens_omitted), meta
+            )
+            if regen_cached:
+                cached_frames.append(regen)
+            source = regen.select(*cols)
+    # CHECK constraints gate MERGE too; the returned (cached) frame is
+    # what gets staged, so validated rows == committed rows.
+    source, cached_source = _enforce_constraints(source, meta)
+    if cached_source:
+        cached_frames.append(source)
+    if touched_df is not None:
         survivors = touched_df.join(src_keys, key_cols, "left_anti").select(
             *cols,
             *(["_row_id", "_row_commit_version"] if rt else []),
         )
     else:
-        touched_df = None
         survivors = spark.createDataFrame([], schema=schema)
         if rt:
             survivors = survivors.withColumn(
@@ -4512,10 +4580,8 @@ def merge_delta(
             spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
         )
     finally:
-        if cached_source:
-            source.unpersist()
-        if gen_cached:
-            gen_frame.unpersist()
+        for fr in cached_frames:
+            fr.unpersist()
     # Write-side CDF: a rewrite commit on a CDF-enabled table
     # materializes its keyed net changes as change files — the staged
     # files are final on disk, so the diff reads them back rather than
@@ -6530,10 +6596,12 @@ def set_column_default(
             "derived/allocated, a DEFAULT cannot apply"
         )
     # plan-validate the expression against the declared type (throws
-    # AnalysisException on malformed/unresolvable expressions)
+    # AnalysisException on malformed/unresolvable expressions); the
+    # frame is ZERO-column so any attribute reference fails analysis —
+    # same constants-only rule as the creation path
     schema = _spark_schema_from_string(st.meta["schemaString"])
     col_type = next(f.dataType for f in schema.fields if f.name == column)
-    spark.createDataFrame([], "dummy int").select(
+    spark.range(1).select().select(
         F.expr(expr).cast(col_type)
     ).schema  # noqa: B018 — forces analysis
     md["CURRENT_DEFAULT"] = expr

@@ -265,7 +265,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs).orderBy("doc_id")
 
 
-@query(
+@extra_query(
     "embedding_cosine_dups",
     oracle="""
     WITH ev AS (

@@ -53,7 +53,7 @@ def daily_events_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "stg_events_projection",
     oracle="""
     SELECT event_id,
@@ -96,7 +96,7 @@ def events_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "batch_min_date",
     oracle="SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS batch_date FROM events",
 )
@@ -110,7 +110,7 @@ def batch_min_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "topk_events",
     oracle="""
     SELECT event_id, user_id, value
@@ -503,7 +503,7 @@ def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "customers_without_orders_anti",
     oracle="""
     SELECT c_mktsegment AS mktsegment, COUNT(*) AS n_customers

@@ -198,7 +198,7 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "semdedup_pairs",
     oracle=f"""
     WITH {_kmeans_cte(2)}

@@ -190,7 +190,7 @@ def salted_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "rolling_7d_user_value",
     oracle="""
     SELECT event_id, user_id, ts,
@@ -293,7 +293,7 @@ def daily_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "scd2_user_type_history",
     oracle="""
     WITH ordered AS (
@@ -405,7 +405,7 @@ def purchase_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "weekly_cohort_retention",
     oracle="""
     WITH firsts AS (

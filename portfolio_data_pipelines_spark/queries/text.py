@@ -531,7 +531,7 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-@extra_query(
+@query(
     "bm25_topk_docs",
     oracle=rf"""
     WITH tokens AS (

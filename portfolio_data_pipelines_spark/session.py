@@ -92,6 +92,10 @@ def get_spark(
         # id-mode column-mapped (Iceberg-converted) Delta tables need;
         # inert for schemas without the metadata.
         "spark.sql.parquet.fieldId.read.enabled": "true",
+        # Shredded-variant scans: the reader gate claims the
+        # variantShredding feature, so the ability to read shredded
+        # files must not depend on the build's ambient default.
+        "spark.sql.variant.allowReadingShredded": "true",
         # Local mode runs every executor thread inside the driver JVM;
         # Spark's 1g default heap is sized for a thin cluster driver,
         # not a local[32] engine (the r11 sf1.0 soak OOM'd an

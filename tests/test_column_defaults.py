@@ -113,9 +113,98 @@ def test_merge_source_omitting_defaulted_column_fills(spark, tmp_path):
         r["id"]: (r["region"], r["v"])
         for r in read_delta(spark, path).collect()
     }
-    # matched row REPLACED by the source (merge semantics: update sets
-    # all columns, the omitted one takes its default); new key filled
-    assert got == {1: ("unknown", 5.0), 2: ("unknown", 7.0)}
+    # SQL MERGE semantics for an omitted DEFAULT column: matched row
+    # KEEPS the target's stored value ("us"); only the INSERT row takes
+    # the default (r12, ADVICE)
+    assert got == {1: ("us", 5.0), 2: ("unknown", 7.0)}
+
+
+def test_merge_keeps_target_null_not_default_on_matched(spark, tmp_path):
+    # a matched row whose stored value is NULL must stay NULL — the
+    # repair distinguishes "matched, stored NULL" from "not matched"
+    path = str(tmp_path / "t_def_merge_null")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, None, 1.0), (3, "eu", 3.0)],
+            "id bigint, region string, v double",
+        ),
+        path,
+        default_cols={"region": "'unknown'"},
+    )
+    merge_delta(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, 5.0), (3, 8.0), (4, 9.0)], "id bigint, v double"
+        ),
+        key_cols=["id"],
+    )
+    got = {
+        r["id"]: (r["region"], r["v"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {1: (None, 5.0), 3: ("eu", 8.0), 4: ("unknown", 9.0)}
+
+
+def test_merge_source_providing_defaulted_column_taken_as_is(spark, tmp_path):
+    # defaults never override values the source PROVIDES — matched rows
+    # are replaced wholesale from the source as before
+    path = str(tmp_path / "t_def_merge_provided")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "us", 1.0)], "id bigint, region string, v double"
+        ),
+        path,
+        default_cols={"region": "'unknown'"},
+    )
+    merge_delta(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "br", 5.0), (2, "jp", 7.0)],
+            "id bigint, region string, v double",
+        ),
+        key_cols=["id"],
+    )
+    got = {
+        r["id"]: (r["region"], r["v"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {1: ("br", 5.0), 2: ("jp", 7.0)}
+
+
+def test_merge_generated_col_recomputed_over_repaired_default(
+    spark, tmp_path
+):
+    # a generated column whose expression references the defaulted
+    # column must be recomputed from the REPAIRED value on matched rows
+    path = str(tmp_path / "t_def_merge_gen")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "us", "us!", 1.0)],
+            "id bigint, region string, tag string, v double",
+        ),
+        path,
+        default_cols={"region": "'unknown'"},
+        generated_cols={"tag": "concat(region, '!')"},
+    )
+    merge_delta(
+        spark,
+        path,
+        spark.createDataFrame([(1, 5.0), (2, 7.0)], "id bigint, v double"),
+        key_cols=["id"],
+    )
+    got = {
+        r["id"]: (r["region"], r["tag"], r["v"])
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {
+        1: ("us", "us!", 5.0),
+        2: ("unknown", "unknown!", 7.0),
+    }
 
 
 def test_set_and_drop_default_on_existing_table(spark, tmp_path):
