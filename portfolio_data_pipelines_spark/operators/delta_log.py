@@ -638,7 +638,7 @@ def _identity_specs(meta: dict | None) -> dict[str, dict]:
 
 
 def _allocate_identity(
-    df: DataFrame, col: str, spec: dict
+    df: DataFrame, col: str, spec: dict, only_null: bool = False
 ) -> tuple[DataFrame, int | None]:
     """Assign the next identity values to a batch that omitted ``col``:
     dense, unique, on the ``start + k*step`` lattice, strictly past the
@@ -647,21 +647,28 @@ def _allocate_identity(
     pass and the numbering pass — the same validated-rows-are-committed
     contract constraint enforcement uses).
 
+    ``only_null=True`` allocates only to rows whose ``col`` IS NULL and
+    keeps every non-null value — the MERGE insert branch (matched rows
+    already carry their target-inherited values).
+
     Scale shape: values are computed per input partition from a
-    broadcast offset map (one tiny count pass + one row_number window
-    PARTITIONED by the physical partition id) — no global single-task
-    window, so a wide batch allocates in parallel."""
+    broadcast offset map (one tiny count pass + one running-count
+    window PARTITIONED by the physical partition id) — no global
+    single-task window, so a wide batch allocates in parallel."""
     from pyspark.sql.window import Window
 
     start, step = spec["start"], spec["step"]
     hwm = spec["highWaterMark"]
     base = start if hwm is None else hwm + step
+    need = F.col(col).isNull() if only_null else F.lit(True)
     tagged = df.withColumn("_id_pid", F.spark_partition_id())
     counts = {
         r["_id_pid"]: r["count"]
-        for r in tagged.groupBy("_id_pid").count().collect()
+        for r in tagged.filter(need).groupBy("_id_pid").count().collect()
     }
     if not counts:
+        if only_null:
+            return df, None
         return df.withColumn(col, F.lit(None).cast("long")), None
     offsets: dict[int, int] = {}
     acc = 0
@@ -671,16 +678,26 @@ def _allocate_identity(
     omap = F.create_map(
         *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
     )
-    w = Window.partitionBy("_id_pid").orderBy(F.monotonically_increasing_id())
+    w = (
+        Window.partitionBy("_id_pid")
+        .orderBy(F.monotonically_increasing_id())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running count of NEEDY rows == the dense 0-based allocation index
+    # (equals row_number-1 when every row allocates)
+    rn = F.sum(F.when(need, F.lit(1)).otherwise(F.lit(0))).over(w) - F.lit(1)
+    fresh = (
+        F.lit(base).cast("long")
+        + F.lit(step).cast("long") * (omap[F.col("_id_pid")] + rn)
+    )
     out = (
-        tagged.withColumn("_id_rn", F.row_number().over(w) - F.lit(1))
-        .withColumn(
+        tagged.withColumn(
             col,
-            F.lit(base).cast("long")
-            + F.lit(step).cast("long")
-            * (omap[F.col("_id_pid")] + F.col("_id_rn")),
+            F.when(need, fresh).otherwise(F.col(col).cast("long"))
+            if only_null
+            else fresh,
         )
-        .drop("_id_pid", "_id_rn")
+        .drop("_id_pid")
     )
     return out, base + step * (acc - 1)
 
@@ -1241,19 +1258,10 @@ def _check_writer_protocol(
     v2Checkpoint table would silently break duties foreign readers
     rely on.
 
-    ``meta`` additionally gates MODE-level duties a feature name can't
-    express: id-mode column mapping is READ-only (r11) — this writer
-    stages physical names, not parquet field ids, so a commit would
-    produce files an id-resolving reader cannot map."""
-    if meta is not None and (meta.get("configuration") or {}).get(
-        "delta.columnMapping.mode"
-    ) == "id":
-        raise ValueError(
-            "cannot commit: table uses id-mode column mapping, which "
-            "this writer does not produce (files would lack the "
-            "parquet field ids id-resolving readers require); reads "
-            "remain available"
-        )
+    ``meta`` gated id-mode column mapping as READ-only through r11;
+    r12 writes stamp ``parquet.field.id`` on every staged file
+    (:func:`_stage_commit_files` via the :class:`_IdModeMap` carrier),
+    so CONVERTed Iceberg tables accept commits."""
     if not proto:
         return
     w = int(proto.get("minWriterVersion", 2))
@@ -1521,9 +1529,22 @@ def _stage_commit_files(
     if l2p:
         # column-mapped table: parquet files carry PHYSICAL names (and
         # so do partition dirs / partitionValues), logical names live
-        # only in schemaString
+        # only in schemaString. On an id-mode table every mapped column
+        # is additionally stamped with its parquet field id (the
+        # resolution key id-resolving readers — including this one —
+        # use; column names in id-mode files are advisory).
+        fids = getattr(l2p, "fids", None)
+        if fids:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df = df.select(
-            *[F.col(c).alias(l2p.get(c, c)) for c in df.columns]
+            *[
+                F.col(c).alias(
+                    l2p.get(c, c), metadata={"parquet.field.id": fids[c]}
+                )
+                if fids and c in fids
+                else F.col(c).alias(l2p.get(c, c))
+                for c in df.columns
+            ]
         )
         partition_cols = [l2p.get(c, c) for c in partition_cols]
     writer = df.write.mode("overwrite").option("compression", "zstd")
@@ -2555,7 +2576,7 @@ def _replay_log(
             "delta.columnMapping.mode", "none"
         )
         # Reader version 2's feature is COLUMN MAPPING, supported here
-        # in ``name`` mode (and trivially ``none``); id-mode is refused.
+        # in ``name`` and ``id`` modes (and trivially ``none``).
         # Reader version 3 switches to FEATURE-GRANULAR negotiation
         # (the table-features protocol): ``readerFeatures`` lists
         # exactly what the table uses, and a reader refuses only
@@ -2644,6 +2665,7 @@ def _read_file_groups(
     schema,
     extra_cols=None,
     tag_col: str | None = None,
+    explicit_schema=None,
 ):
     """Read live files grouped by partitionValues (one scan per group,
     mergeSchema within), restore partition columns with their declared
@@ -2651,12 +2673,18 @@ def _read_file_groups(
     read_delta's fallback, merge_delta, and optimize_delta.
     ``extra_cols`` maps extra column names to per-group Column factories
     (e.g. input_file_name for merge provenance); ``tag_col`` stamps each
-    group's rows with its :func:`_group_adds` index."""
+    group's rows with its :func:`_group_adds` index. ``explicit_schema``
+    (id-mode tables) replaces name-keyed mergeSchema with a declared
+    data schema — its ``parquet.field.id`` metadata drives Spark's
+    field-id resolution against each file's stamped ids."""
     parts = []
     for i, (key, rels) in enumerate(_group_adds(adds, pcols)):
-        p = spark.read.option("mergeSchema", "true").parquet(
-            *[f"{path}/{r}" for r in rels]
+        rd = (
+            spark.read.schema(explicit_schema)
+            if explicit_schema is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        p = rd.parquet(*[f"{path}/{r}" for r in rels])
         if extra_cols:
             for name, factory in extra_cols.items():
                 p = p.withColumn(name, factory())
@@ -2676,23 +2704,43 @@ def _read_file_groups(
     return out
 
 
+class _IdModeMap(dict):
+    """logical→physical name map for an ID-mode column-mapped table.
+
+    A plain dict to every existing l2p consumer (renames,
+    partitionValues keys, predicate translation); additionally carries
+    ``fids`` ({logical column: parquet field id}) so the staging paths
+    can stamp ``parquet.field.id`` on written files and the read paths
+    can resolve by field id — the spec duty Iceberg-converted tables
+    rely on (their files carry arbitrary column NAMES)."""
+
+    __slots__ = ("fids",)
+
+
 def _logical_to_physical(meta: dict) -> dict | None:
     """Column-mapping translation: logical column name → physical
     parquet column name, from the per-field
     ``delta.columnMapping.physicalName`` metadata the spec stores in
-    ``schemaString``. None when the table has no name-mode mapping
-    (logical == physical)."""
+    ``schemaString``. None when the table has no mapping (logical ==
+    physical). For id-mode tables the returned map is an
+    :class:`_IdModeMap` whose ``fids`` attribute carries the parquet
+    field ids (resolution on read, stamping on write)."""
     mode = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if mode != "name":
+    if mode not in ("name", "id"):
         return None
-    return {
+    m = {
         f["name"]: (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", f["name"]
         )
         for f in json.loads(meta["schemaString"])["fields"]
     }
+    if mode == "id":
+        out = _IdModeMap(m)
+        out.fids = _field_ids(meta)
+        return out
+    return m
 
 
 def _field_ids(meta: dict) -> dict | None:
@@ -2725,71 +2773,17 @@ def _field_ids(meta: dict) -> dict | None:
     }
 
 
-def _read_adds_id_mode(
-    spark, path: str, adds: dict, meta: dict, schema, fids: dict,
-    with_file: bool = False,
-):
-    """READ path for id-mode column-mapped tables: per partition group,
-    one reader call whose explicit schema carries LOGICAL names + the
-    ``parquet.field.id`` metadata Spark's field-id resolution matches
-    against the files' stamped ids (``spark.sql.parquet.fieldId.read.
-    enabled`` — on by default in this engine's sessions) — so files
-    whose column NAMES differ from every Delta name (the Iceberg-
-    conversion case) still resolve correctly. Partition values come
-    from the log (keyed by physicalName, typed by the declared
-    schema), exactly like the grouped fallback."""
-    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    pcols_log = meta.get("partitionColumns", [])
-    doc = json.loads(meta["schemaString"])
-    phys = {
-        f["name"]: (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName", f["name"]
-        )
-        for f in doc["fields"]
-    }
-    from pyspark.sql.types import StructField, StructType
-
-    data_fields = [
-        StructField(
-            f.name, f.dataType, f.nullable,
-            metadata={"parquet.field.id": fids[f.name]},
-        )
-        for f in schema.fields
-        if f.name not in pcols_log
-    ]
-    read_schema = StructType(data_fields)
-    ptypes = {f.name: f.dataType for f in schema.fields}
-    # group by the log's partitionValues (physical keys), read each
-    # group with the field-id schema, restore logical partition columns
-    groups: dict[tuple, list[str]] = {}
-    for rel, a in adds.items():
-        pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(phys[c]) for c in pcols_log)
-        groups.setdefault(key, []).append(rel)
-    parts = []
-    for key, rels in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        p = spark.read.schema(read_schema).parquet(
-            *[f"{path}/{r}" for r in sorted(rels)]
-        )
-        if with_file:
-            p = p.withColumn("_file", F.input_file_name())
-        for c, v in zip(pcols_log, key):
-            p = p.withColumn(c, F.lit(v).cast(ptypes[c]))
-        parts.append(p)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    cols = [F.col(f.name) for f in schema.fields]
-    if with_file:
-        cols.append(F.col("_file"))
-    return out.select(*cols)
-
-
 def _physical_read_schema(meta: dict):
     """The schema to hand the parquet reader for a column-mapped table:
-    physical field names, logical types, no metadata."""
+    physical field names, logical types. On an ID-mode table each field
+    additionally carries ``parquet.field.id`` metadata so Spark's
+    field-id resolution (``spark.sql.parquet.fieldId.read.enabled``)
+    matches the files' stamped ids — files whose column NAMES differ
+    from every physical name (the Iceberg-conversion case) still
+    resolve correctly."""
     from pyspark.sql.types import StructType
 
+    fids = _field_ids(meta)
     doc = json.loads(meta["schemaString"])
     fields = []
     for f in doc["fields"]:
@@ -2797,7 +2791,9 @@ def _physical_read_schema(meta: dict):
         pf["name"] = (f.get("metadata") or {}).get(
             "delta.columnMapping.physicalName", f["name"]
         )
-        pf["metadata"] = {}
+        pf["metadata"] = (
+            {"parquet.field.id": fids[f["name"]]} if fids else {}
+        )
         fields.append(pf)
     return StructType.fromJson({"type": "struct", "fields": fields})
 
@@ -2981,24 +2977,15 @@ def _read_adds(
     if not adds:
         return None
     schema = _spark_schema_from_string(meta["schemaString"])
-    fids = _field_ids(meta)
-    if fids is not None:
-        # id-mode column mapping (READ-only, r11): resolution is by
-        # parquet FIELD ID, so the DV/row-id machinery's name-keyed
-        # plumbing doesn't apply — gate the unsupported combinations
-        # honestly rather than mis-resolving
-        if with_pos or row_ids or any(
-            a.get("deletionVector") for a in adds.values()
-        ):
-            raise ValueError(
-                "id-mode column mapping is supported for plain reads "
-                "only (no deletion vectors / row ids on id-mode "
-                "tables in this implementation)"
-            )
-        return _read_adds_id_mode(
-            spark, path, adds, meta, schema, fids, with_file=with_file
-        )
     l2p = _logical_to_physical(meta)
+    id_mode = isinstance(l2p, _IdModeMap)
+    if id_mode:
+        # resolution is by parquet FIELD ID: the physical read schema
+        # carries per-field ids and the session resolves by them
+        # (spark.sql.parquet.fieldId.read.enabled); everything else —
+        # DV anti-joins, row-id derivation, file identity — is keyed on
+        # file paths, not column names, so the one shared plan applies
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     pcols_log = meta.get("partitionColumns", [])
     if l2p is None:
         read_schema = schema
@@ -3073,10 +3060,20 @@ def _read_adds(
             extra["_file"] = F.input_file_name
         if need_pos:
             extra.update(pos_cols)
+        from pyspark.sql.types import StructType as _ST
+
         df = _read_file_groups(
             spark, path, adds, pcols, ptypes, read_schema,
             extra_cols=extra or None,
             tag_col="__dv_grp" if need_pos else None,
+            # id-mode: name-keyed mergeSchema would mis-resolve foreign
+            # files — read each group with the field-id-stamped data
+            # schema instead (partition columns restored from the log)
+            explicit_schema=_ST(
+                [f for f in read_schema.fields if f.name not in pcols]
+            )
+            if id_mode
+            else None,
         )
         if df is not None and need_pos and fast_id:
             # fast identity but non-hive layout fell back (defensive —
@@ -3992,8 +3989,21 @@ def _stage_cdc_files(
     as time travel, the Delta contract."""
     changes = _variant_physical(changes)  # same duty as data staging
     if l2p:
+        # id-mode tables: change files carry the same parquet field ids
+        # as data files (``_change_type`` has none — id-resolving CDF
+        # readers match it by its reserved name, as delta-spark does)
+        fids = getattr(l2p, "fids", None)
+        if fids:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         changes = changes.select(
-            *[F.col(c).alias(l2p.get(c, c)) for c in changes.columns]
+            *[
+                F.col(c).alias(
+                    l2p.get(c, c), metadata={"parquet.field.id": fids[c]}
+                )
+                if fids and c in fids
+                else F.col(c).alias(l2p.get(c, c))
+                for c in changes.columns
+            ]
         )
     staging = f"_staging_cdc_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
     (
@@ -4163,15 +4173,6 @@ def read_delta_cdf(
     meta = tip_state.meta
     if meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
-    if _field_ids(meta) is not None:
-        # id-mode tables resolve columns by parquet field id (r11,
-        # plain reads only); CDF reconstruction and cdc-file reads
-        # resolve by name and would mis-map — refuse rather than
-        # misread
-        raise ValueError(
-            "read_delta_cdf does not support id-mode column-mapped "
-            "tables (plain read_delta does)"
-        )
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
     if key_cols:
@@ -4354,16 +4355,31 @@ def merge_delta(
         raise ValueError(f"Delta log under {path} has no metaData action")
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
-    if _identity_specs(meta):
-        # a merge rewrite replaces matched rows wholesale from the
-        # source, which cannot preserve target-allocated identity
-        # values — refused rather than silently reallocated (delta-spark
-        # requires the source to carry them; this writer's MERGE has no
-        # column-level SET list to express that yet)
+    # identity columns through MERGE (r12; refused through r11): a
+    # source that OMITS the identity column takes the surrogate-key CDC
+    # shape — matched rows inherit the target's stored values (the same
+    # touched-file repair the omitted-DEFAULT path uses), insert-branch
+    # rows are allocated past the high-water mark, and the advanced
+    # mark re-emits in the SAME commit. A source that PROVIDES the
+    # column is accepted only on BY DEFAULT tables
+    # (allowExplicitInsert), and only when no matched row's value
+    # CHANGES — UPDATE of an identity column stays refused.
+    id_specs = _identity_specs(meta)
+    id_provided = sorted(c for c in id_specs if c in source.columns)
+    for c in id_provided:
+        if not id_specs[c]["allowExplicitInsert"]:
+            raise ValueError(
+                f"MERGE source provides identity column {c!r}, which is "
+                "GENERATED ALWAYS — omit it (matched rows keep their "
+                "stored values, inserted rows are allocated), or "
+                "declare the column BY DEFAULT (allow_explicit_insert)"
+            )
+    id_omitted = sorted(c for c in id_specs if c not in source.columns)
+    bad_id_keys = sorted(set(id_omitted) & set(key_cols))
+    if bad_id_keys:
         raise ValueError(
-            "MERGE into a table with identity columns is not supported "
-            "— use write_delta appends (values are allocated) or "
-            "delete+insert"
+            f"MERGE keys {bad_id_keys} are identity columns the source "
+            "does not provide — matching requires the key values"
         )
     # generated/default columns: a merge source may legitimately OMIT
     # them (computed/filled here, before the completeness check); ones
@@ -4381,6 +4397,10 @@ def merge_delta(
         c for c in _generated_exprs(meta) if c not in source.columns
     )
     source = _apply_column_defaults(source, meta)
+    for c in id_omitted:
+        # placeholder: matched rows are repaired from the target below,
+        # insert-branch rows are allocated past the high-water mark
+        source = source.withColumn(c, F.lit(None).cast("long"))
     gen_frame, gen_cached = _apply_generated_columns(source, meta)
     cached_frames: list[DataFrame] = [gen_frame] if gen_cached else []
     source = gen_frame
@@ -4490,7 +4510,9 @@ def merge_delta(
     # several target rows share a key they collapse to one source row —
     # the kept value follows the surviving row (min row id under row
     # tracking, else the deterministic minimum).
-    sub_cols = [c for c in defaults_omitted if c not in key_cols]
+    sub_cols = [
+        c for c in defaults_omitted + id_omitted if c not in key_cols
+    ]
     if sub_cols and touched_df is not None:
         tgt_vals = F.broadcast(
             touched_df.groupBy(*key_cols)
@@ -4514,12 +4536,63 @@ def merge_delta(
                 for c in cols
             ]
         )
+    # identity allocation for the INSERT branch: rows still NULL after
+    # the matched-row repair are genuinely new keys — allocate them
+    # past the high-water mark; the advanced mark re-emits in the SAME
+    # commit below. One cache (the allocator's two-pass contract).
+    id_hwms: dict[str, int] = {}
+    if id_omitted:
+        source = source.cache()
+        cached_frames.append(source)
+        for c in id_omitted:
+            source, new_hwm = _allocate_identity(
+                source, c, id_specs[c], only_null=True
+            )
+            if new_hwm is not None:
+                id_hwms[c] = new_hwm
+    if id_provided:
+        # BY DEFAULT source-carried values: matched rows must keep their
+        # stored values (UPDATE of identity stays refused) ...
+        if touched_df is not None:
+            clash = None
+            stored = touched_df.select(
+                *key_cols,
+                *[F.col(c).alias(f"__tid_{c}") for c in id_provided],
+            ).distinct()
+            for c in id_provided:
+                bad = ~F.col(c).eqNullSafe(F.col(f"__tid_{c}"))
+                clash = bad if clash is None else (clash | bad)
+            if source.join(stored, key_cols).filter(clash).take(1):
+                raise ValueError(
+                    "MERGE source changes identity column value(s) on "
+                    f"matched row(s) ({id_provided}) — UPDATE of an "
+                    "identity column is refused"
+                )
+        # ... and the high-water mark advances past observed inserts
+        obs = source.agg(
+            *[
+                (F.max(c) if id_specs[c]["step"] > 0 else F.min(c)).alias(c)
+                for c in id_provided
+            ]
+        ).first()
+        for c in id_provided:
+            if obs[c] is not None:
+                adv = _identity_hwm_advance(id_specs[c], int(obs[c]))
+                if adv is not None:
+                    id_hwms[c] = adv
+    # columns whose values changed AFTER the generated-column pass:
+    # target-repaired ones (only when matches existed) and allocated
+    # identity ones (always — they started as NULL placeholders)
+    changed_cols = sorted(
+        set(sub_cols if touched_df is not None else []) | set(id_omitted)
+    )
+    if changed_cols:
         # generated columns that the source omitted were computed from
-        # the pre-repair (default-filled) values — recompute against
-        # the repaired frame, and revalidate provided ones, iff any
-        # generation expression can see a repaired column
+        # the pre-repair (default-filled / identity-null) values —
+        # recompute against the repaired frame, and revalidate provided
+        # ones, iff any generation expression can see a repaired column
         pat = re.compile(
-            "|".join(rf"\b{re.escape(c)}\b" for c in sub_cols)
+            "|".join(rf"\b{re.escape(c)}\b" for c in changed_cols)
         )
         if any(pat.search(e) for e in _generated_exprs(meta).values()):
             regen, regen_cached = _apply_generated_columns(
@@ -4606,6 +4679,12 @@ def merge_delta(
             metrics=_add_metrics(new_adds, len(touched_rels)),
         )
     ]
+    if id_hwms:
+        # identity high-water marks advance in the SAME commit as the
+        # rows they cover (write_delta's append contract, kept by MERGE)
+        actions.append(
+            {"metaData": _meta_with_identity_hwm(meta, id_hwms)}
+        )
     actions.extend(cdc_actions)
     actions.extend(
         {
@@ -4666,11 +4745,22 @@ def apply_changes_delta(
         return versions[-1]
     schema = _spark_schema_from_string(meta["schemaString"])
     cols = [f.name for f in schema.fields]
-    if _identity_specs(meta):
+    # identity columns (r12): a change batch carries FULL rows, so the
+    # replica's identity values are source-allocated explicit inserts —
+    # legal exactly when the column is BY DEFAULT (allowExplicitInsert);
+    # the high-water mark then advances past the observed values in the
+    # same commit. GENERATED ALWAYS replicas stay refused: the target
+    # could never have produced those values itself.
+    id_specs = _identity_specs(meta)
+    id_always = sorted(
+        c for c in id_specs if not id_specs[c]["allowExplicitInsert"]
+    )
+    if id_always:
         raise ValueError(
-            "APPLY CHANGES into a table with identity columns is not "
-            "supported — replica rows carry source-allocated values the "
-            "target's high-water mark would not cover"
+            "APPLY CHANGES into a table with GENERATED ALWAYS identity "
+            f"column(s) {id_always} is not supported — replica rows "
+            "carry source-allocated values; declare the replica column "
+            "BY DEFAULT (allow_explicit_insert) to accept them"
         )
     missing = [c for c in cols if c not in changes.columns]
     if missing:
@@ -4696,6 +4786,21 @@ def apply_changes_delta(
     )
     net = net.localCheckpoint(eager=True)  # one evaluation: discovery + rewrite
     upserts = net.filter(F.col("_change_type") != "delete").select(*cols)
+    # BY DEFAULT identity: advance the high-water mark past the
+    # source-allocated values this batch replicates (same commit)
+    id_hwms: dict[str, int] = {}
+    if id_specs:
+        obs = upserts.agg(
+            *[
+                (F.max(c) if id_specs[c]["step"] > 0 else F.min(c)).alias(c)
+                for c in sorted(id_specs)
+            ]
+        ).first()
+        for c in sorted(id_specs):
+            if obs[c] is not None:
+                adv = _identity_hwm_advance(id_specs[c], int(obs[c]))
+                if adv is not None:
+                    id_hwms[c] = adv
     # CHECK constraints gate APPLY CHANGES exactly like WRITE and MERGE:
     # a replica table with delta.constraints.* must reject violating
     # upserts before a byte is staged (deletes carry no row state and
@@ -4823,6 +4928,10 @@ def apply_changes_delta(
             metrics=_add_metrics(new_adds, len(touched_rels)),
         )
     ]
+    if id_hwms:
+        actions.append(
+            {"metaData": _meta_with_identity_hwm(meta, id_hwms)}
+        )
     actions.extend(cdc_actions)
     if txn is not None:
         actions.append(
@@ -5202,6 +5311,13 @@ def _copy_on_write_where(
                 f"UPDATE cannot assign partition columns {bad_pcols} — "
                 "rows would silently change partitions; use MERGE or "
                 "delete+insert instead"
+            )
+        bad_ids = sorted(set(assignments) & set(_identity_specs(meta)))
+        if bad_ids:
+            raise ValueError(
+                f"UPDATE cannot assign identity column(s) {bad_ids} — "
+                "their values are writer-allocated (delta-spark refuses "
+                "this too)"
             )
     df = _read_adds(spark, path, adds, meta, with_pos=True)
     if df is None:

@@ -705,30 +705,48 @@ def delta_dv_purged_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS c
       FROM events
       WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+    ),
+    m AS (
+      SELECT COUNT(*) AS c15
+      FROM events
+      WHERE CAST(ts AS DATE) = '2024-01-15'
+    ),
+    u AS (
+      SELECT COUNT(*) AS cu
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN '{_LO}' AND '{_HI}'
+        AND event_id % 5 = 0
     )
-    SELECT c AS n_rows,
-           c AS n_distinct_ids,
+    SELECT c + c15 AS n_rows,
+           c + c15 AS n_distinct_ids,
            CAST(7 AS BIGINT) AS min_id,
-           CAST(7 + 3 * (c - 1) AS BIGINT) AS max_id,
+           CAST(7 + 3 * (c + c15 - 1) AS BIGINT) AS max_id,
            CAST(0 AS BIGINT) AS off_lattice,
-           CAST(0 AS BIGINT) AS gaps
-    FROM n
+           CAST(0 AS BIGINT) AS gaps,
+           cu AS n_updated
+    FROM n, m, u
     """,
 )
 def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identity-column allocation under the DuckDB value-hash gate
-    (ADVICE r9 #2): the events window lands in an identity table
-    (GENERATED ALWAYS AS IDENTITY START 7 INCREMENT 3) in THREE
-    separate append commits, and the read-back hashes the allocation
-    CONTRACT — dense (no gaps), unique, on-lattice, min at start, max
-    exactly start + step*(N-1). A double-allocated value breaks
+    (ADVICE r9 #2; extended through MERGE r12): the events window lands
+    in an identity table (GENERATED ALWAYS AS IDENTITY START 7
+    INCREMENT 3) in THREE separate append commits, then a MERGE whose
+    source OMITS the identity column updates every ``event_id % 5 = 0``
+    row (sentinel value) and inserts the next day's events. The
+    read-back hashes the allocation CONTRACT — dense (no gaps), unique,
+    on-lattice, min at start, max exactly start + step*(N-1) across
+    appends AND the merge. A double-allocated value breaks
     n_distinct_ids; a skipped value breaks max_id/gaps; an off-lattice
-    value breaks off_lattice — each against numbers DuckDB derives
-    from the raw parquet row count alone.
+    value breaks off_lattice; a MATCHED row whose identity was
+    reallocated instead of kept leaves a hole and pushes the max —
+    breaking gaps — and a lost update breaks n_updated; each against
+    numbers DuckDB derives from the raw parquet alone.
 
     Scale: allocation is per-input-partition (broadcast offset map +
-    partition-local row_number — never a global window), so the
-    contract holds at any partition count."""
+    partition-local running count — never a global window), so the
+    contract holds at any partition count; the merge repairs matched
+    rows from only the touched files."""
     from ..operators.delta_log import read_delta, write_delta
 
     table = os.path.join(
@@ -760,6 +778,26 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         first = False
+    # MERGE (r12): update every event_id%5==0 row to a sentinel value
+    # (matched rows must KEEP their sk) and insert the next day's
+    # events (allocated past the high-water mark) — sk omitted
+    from ..operators.delta_log import merge_delta
+
+    updates = events.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.lit(-123456.789)
+    )
+    inserts = (
+        scan_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") == "2024-01-15")
+        .select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("day"),
+            "value",
+        )
+    )
+    merge_delta(
+        spark, table, updates.unionByName(inserts), key_cols=["event_id"]
+    )
     t = read_delta(spark, table)
     lat = (F.col("sk") - F.lit(7)) % F.lit(3)
     return t.agg(
@@ -774,6 +812,9 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("sk") - F.lit(7)) / F.lit(3)
             - (F.count(F.lit(1)) - F.lit(1))
         ).cast("long").alias("gaps"),
+        F.sum(
+            (F.col("value") == F.lit(-123456.789)).cast("long")
+        ).alias("n_updated"),
     )
 
 

@@ -263,16 +263,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         # restart, as in delta-spark).
         _root, _adds, meta = _replay(self.path, None)
         _cm_mode = _config_of(meta).get("delta.columnMapping.mode", "none")
-        if _cm_mode == "id":
-            # id-mode tables resolve columns by parquet FIELD ID per
-            # file (r11, batch readers only); this source's arrow-batch
-            # path resolves by name and would stream WRONG columns —
-            # refuse rather than misread
-            raise ValueError(
-                "delta_feed does not support id-mode column-mapped "
-                "tables (batch read_delta/read_delta_external do)"
-            )
-        if _cm_mode == "name":
+        if _cm_mode in ("name", "id"):
             self.phys = {
                 f["name"]: (f.get("metadata") or {}).get(
                     "delta.columnMapping.physicalName", f["name"]
@@ -281,6 +272,21 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             }
         else:
             self.phys = None
+        # id-mode tables (Iceberg conversions) resolve columns by
+        # parquet FIELD ID per file — column names in the files are
+        # arbitrary. Each file's columns are renamed to the table's
+        # physical names by id (:meth:`_id_align`) right after the
+        # pyarrow read, so the name-keyed plumbing below applies
+        # unchanged (r12; refused through r11).
+        if _cm_mode == "id":
+            self.fids = {
+                f["name"]: int(
+                    (f.get("metadata") or {})["delta.columnMapping.id"]
+                )
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+        else:
+            self.fids = None
         # admission control: at most N commits per micro-batch, so a
         # restart against a long backlog drains in bounded batches
         # instead of one giant catch-up batch (maxFilesPerTrigger's
@@ -314,6 +320,27 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
 
     def _phys(self, name: str) -> str:
         return self.phys.get(name, name) if self.phys else name
+
+    def _id_align(self, table):
+        """id-mode resolution: rename THIS file's columns to the
+        table's physical names by matching each column's stamped
+        ``PARQUET:field_id`` against ``delta.columnMapping.id`` —
+        afterwards the shared name-keyed lookups apply unchanged.
+        Columns without a stamped id (e.g. ``_change_type`` in change
+        files) keep their names. No-op on non-id tables."""
+        if not self.fids:
+            return table
+        id2phys = {
+            fid: self.phys[logical]
+            for logical, fid in self.fids.items()
+        }
+        names = []
+        for f in table.schema:
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            names.append(
+                id2phys.get(int(fid), f.name) if fid is not None else f.name
+            )
+        return table.rename_columns(names)
 
     def initialOffset(self) -> dict:
         # cold start (no checkpoint): the position IS known
@@ -484,7 +511,7 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             )
             for c, v in pvals_raw.items()
         }
-        table = pq.read_table(os.path.join(root, rel))
+        table = self._id_align(pq.read_table(os.path.join(root, rel)))
         present = set(table.column_names)
         rows = table.to_pylist()
         if dv is not None:
@@ -593,7 +620,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
 
         target = to_arrow_schema(self.schema)
         for rel in partition.files:
-            tbl = pq.read_table(os.path.join(partition.root, rel))
+            tbl = self._id_align(
+                pq.read_table(os.path.join(partition.root, rel))
+            )
             n = tbl.num_rows
             present = set(tbl.column_names)
             arrays = []
@@ -659,7 +688,9 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self.schema)
         types = {f.name: f.dataType.typeName() for f in self.schema.fields}
         for rel, pvals_raw, dv in partition.files:
-            tbl = pq.read_table(os.path.join(partition.root, rel))
+            tbl = self._id_align(
+                pq.read_table(os.path.join(partition.root, rel))
+            )
             if dv is not None:
                 # DV'd positions are logically deleted — drop them
                 # before the batch leaves the task (arrow take keeps

@@ -1212,11 +1212,16 @@ def test_id_mode_column_mapping_reads_in_both(spark, tmp_path):
     names, rows = read_delta_external(str(root))
     assert names == ["id", "s", "part"]
     assert set(rows) == want, rows
-    # writes refused: this writer stages names, not field ids
-    with pytest.raises(ValueError, match="id-mode"):
-        write_delta(
-            spark,
-            spark.createDataFrame([(9, "z", "p0")],
-                                  "id long, s string, part string"),
-            str(root),
-        )
+    # writes round-trip (r12): the staged file carries physical names
+    # + parquet field ids, so both readers resolve it beside the
+    # foreign-named files
+    write_delta(
+        spark,
+        spark.createDataFrame([(9, "z", "p0")],
+                              "id long, s string, part string"),
+        str(root), mode="append", partition_col=["part"],
+    )
+    want2 = want | {(9, "z", "p0")}
+    assert {tuple(r) for r in read_delta(spark, str(root)).collect()} == want2
+    names2, rows2 = read_delta_external(str(root))
+    assert set(rows2) == want2

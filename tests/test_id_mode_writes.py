@@ -1,0 +1,262 @@
+"""ID-mode column-mapping WRITE path (r12).
+
+Through r11 id-mode (Iceberg-converted) tables were READ-only: the
+writer refused to commit because staged files carried physical names
+but no parquet field ids, which id-resolving readers require. r12
+stamps ``parquet.field.id`` on every staged file (data and change
+files) via the :class:`_IdModeMap` carrier, so CONVERTed tables accept
+the full commit surface: append, MERGE, UPDATE/DELETE, OPTIMIZE, DV
+deletes, CDF, and the streaming change feed.
+
+Every fixture here is FOREIGN-SHAPED: the pre-existing file's column
+names differ from the Delta schema's physical names, so any
+name-resolving read would return wrong columns — passing these tests
+requires genuine field-id resolution on both sides.
+"""
+
+import glob
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    delete_where,
+    delete_where_dv,
+    merge_delta,
+    optimize_delta,
+    read_delta,
+    read_delta_cdf,
+    update_where,
+    write_delta,
+)
+from portfolio_data_pipelines_spark.operators.delta_reader import (
+    read_delta_external,
+)
+
+
+def _fld(name, typ, fid):
+    return pa.field(
+        name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+    )
+
+
+def _mk_id_mode_table(root, partitioned=False, cdf=False):
+    """A foreign id-mode table: one parquet file whose column NAMES
+    (ice_*) differ from nothing yet — but later commits' staged files
+    use the physical names while THIS file only resolves by id."""
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array(["a", "b"])],
+            schema=pa.schema(
+                [_fld("weird_id", pa.int64(), 1), _fld("weird_s", pa.string(), 2)]
+            ),
+        ),
+        root / "f1.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "s", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_s"}},
+    ]
+    pcols = []
+    if partitioned:
+        fields.append(
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "ice_part"}}
+        )
+        pcols = ["part"]
+    config = {"delta.columnMapping.mode": "id",
+              "delta.columnMapping.maxColumnId": str(len(fields))}
+    writer_feats = ["columnMapping"]
+    if cdf:
+        config["delta.enableChangeDataFeed"] = "true"
+        writer_feats.append("changeDataFeed")
+    pv = {"ice_part": "p0"} if partitioned else {}
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": writer_feats}},
+            {"metaData": {"id": "idmode",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": pcols,
+                          "configuration": config,
+                          "createdTime": 0}},
+            {"add": {"path": "f1.parquet", "partitionValues": pv,
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    return str(root)
+
+
+def _rows(spark, path):
+    return {tuple(r) for r in read_delta(spark, path).collect()}
+
+
+def test_append_stamps_field_ids_and_physical_names(spark, tmp_path):
+    path = _mk_id_mode_table(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        path,
+        mode="append",
+    )
+    assert _rows(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+    names, rows = read_delta_external(path)
+    assert names == ["id", "s"]
+    assert set(rows) == {(1, "a"), (2, "b"), (3, "c")}
+    # staged file: physical names AND stamped field ids
+    staged = [
+        p for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if "f1" not in p and "_delta_log" not in p
+    ]
+    assert staged
+    sch = pq.read_schema(staged[0])
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    }
+    assert ids == {"ice_id": b"1", "ice_s": b"2"}
+
+
+def test_merge_update_delete_optimize_lifecycle(spark, tmp_path):
+    path = _mk_id_mode_table(tmp_path / "t", partitioned=True)
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, "c", "p1")],
+                              "id long, s string, part string"),
+        path, mode="append", partition_col=["part"],
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([(2, "B", "p0"), (4, "d", "p1")],
+                              "id long, s string, part string"),
+        key_cols=["id"],
+    )
+    assert _rows(spark, path) == {
+        (1, "a", "p0"), (2, "B", "p0"), (3, "c", "p1"), (4, "d", "p1")
+    }
+    update_where(spark, path, "id = 1", {"s": "'A'"})
+    delete_where(spark, path, "id = 4")
+    want = {(1, "A", "p0"), (2, "B", "p0"), (3, "c", "p1")}
+    assert _rows(spark, path) == want
+    optimize_delta(spark, path)
+    assert _rows(spark, path) == want
+    names, rows = read_delta_external(path)
+    assert set(rows) == want
+    # the foreign file is gone from the live set but still id-resolves
+    # through time travel
+    assert {tuple(r) for r in read_delta(spark, path, version=0).collect()} \
+        == {(1, "a", "p0"), (2, "b", "p0")}
+
+
+def test_cdf_and_dv_delete_on_id_mode(spark, tmp_path):
+    path = _mk_id_mode_table(tmp_path / "t", cdf=True)
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, s string"),
+        key_cols=["id"],
+    )
+    cdf = read_delta_cdf(spark, path, from_version=0, key_cols=["id"])
+    ch = {(r["id"], r["s"], r["_change_type"]) for r in cdf.collect()}
+    assert {(2, "b", "update_preimage"), (2, "B", "update_postimage"),
+            (4, "d", "insert")} <= ch
+    v = delete_where_dv(spark, path, "id = 1")
+    want = {(2, "B"), (4, "d")}
+    assert _rows(spark, path) == want
+    names, rows = read_delta_external(path)
+    assert set(rows) == want
+    ch2 = {
+        (r["id"], r["s"], r["_change_type"])
+        for r in read_delta_cdf(
+            spark, path, from_version=v - 1, key_cols=["id"]
+        ).collect()
+    }
+    assert (1, "a", "delete") in ch2
+
+
+def test_feed_plain_and_cdf_over_id_mode(spark, tmp_path):
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    path = _mk_id_mode_table(tmp_path / "t", cdf=True)
+    write_delta(
+        spark, spark.createDataFrame([(3, "c")], "id long, s string"),
+        path, mode="append",
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([(2, "B")], "id long, s string"),
+        key_cols=["id"],
+    )
+    q = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("ignorechanges", "true").load()
+        .writeStream.format("memory").queryName("idmode_feed_plain")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["id"], r["s"], r["_commit_version"])
+        for r in spark.sql("select * from idmode_feed_plain").collect()
+    }
+    # v0: the foreign file resolves by field id, not by name
+    assert {(1, "a", 0), (2, "b", 0), (3, "c", 1)} <= rows
+    q2 = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("readChangeFeed", "true").option("keyCols", "id").load()
+        .writeStream.format("memory").queryName("idmode_feed_cdf")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    ch = {
+        (r["id"], r["s"], r["_change_type"])
+        for r in spark.sql("select * from idmode_feed_cdf").collect()
+    }
+    assert {(2, "b", "update_preimage"), (2, "B", "update_postimage"),
+            (3, "c", "insert")} <= ch
+
+
+def test_nested_id_mode_still_refused(spark, tmp_path):
+    root = tmp_path / "t"
+    (root / "_delta_log").mkdir(parents=True)
+    pq.write_table(
+        pa.table([pa.array([1], pa.int64())],
+                 schema=pa.schema([_fld("x", pa.int64(), 1)])),
+        root / "f1.parquet",
+    )
+    ss = json.dumps({"type": "struct", "fields": [
+        {"name": "o", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "x", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 2,
+                           "delta.columnMapping.physicalName": "px"}}]},
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "po"}},
+    ]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {"id": "nested",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": ss, "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+                          "createdTime": 0}},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(ValueError, match="NESTED"):
+        read_delta(spark, str(root)).collect()

@@ -171,14 +171,118 @@ def test_update_delete_merge_apply_guards(spark, tmp_path):
     # deletes preserve the rest
     delete_where(spark, path, "k >= 8")
     assert read_delta(spark, path).count() == 8
+    # a source PROVIDING the ALWAYS identity column is refused …
     src = _payload(spark, 0, 3)
-    with pytest.raises(ValueError, match="MERGE"):
-        merge_delta(spark, path, src, key_cols=["k"])
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        merge_delta(
+            spark, path,
+            src.withColumn("rid", F.lit(1).cast("long")),
+            key_cols=["k"],
+        )
+    # … an ALWAYS replica refuses APPLY CHANGES (source-allocated
+    # values the target could never have produced)
     ch = src.withColumn("rid", F.lit(1).cast("long")).withColumn(
         "_change_type", F.lit("insert")
     ).withColumn("_commit_version", F.lit(1).cast("long"))
     with pytest.raises(ValueError, match="APPLY CHANGES"):
         apply_changes_delta(spark, path, ch, key_cols=["k"])
+
+
+def test_merge_omitting_identity_keeps_matched_allocates_inserts(
+    spark, tmp_path
+):
+    """The surrogate-key CDC shape (r12): a MERGE source without the
+    identity column — matched rows keep their allocated values, insert
+    rows allocate on-lattice past the high-water mark, and the mark
+    advances in the same commit."""
+    path = str(tmp_path / "t_idmerge")
+    write_delta(
+        spark, _payload(spark, 0, 5), path,
+        identity_cols={"rid": {"start": 10, "step": 10}},
+    )
+    before = {
+        r["k"]: r["rid"] for r in read_delta(spark, path).collect()
+    }
+    assert sorted(before.values()) == [10, 20, 30, 40, 50]
+    merge_delta(
+        spark, path,
+        _payload(spark, 3, 8).withColumn("v", F.col("k") * 1000),
+        key_cols=["k"],
+    )
+    after = {
+        r["k"]: (r["rid"], r["v"])
+        for r in read_delta(spark, path).collect()
+    }
+    # matched keys 3,4 keep their rids; new keys 5,6,7 allocate past 50
+    for k in (3, 4):
+        assert after[k][0] == before[k], (k, after[k], before[k])
+        assert after[k][1] == k * 1000
+    fresh = sorted(after[k][0] for k in (5, 6, 7))
+    assert fresh == [60, 70, 80], fresh
+    assert _identity_md(path, 1)["delta.identity.highWaterMark"] == 80
+    # untouched rows keep values
+    for k in (0, 1, 2):
+        assert after[k][0] == before[k]
+    # a follow-up append continues past the merged mark
+    write_delta(spark, _payload(spark, 100, 101), path)
+    r = read_delta(spark, path).filter("k = 100").collect()[0]
+    assert r["rid"] == 90
+
+
+def test_merge_by_default_identity_provided(spark, tmp_path):
+    """BY DEFAULT (allowExplicitInsert) tables accept source-carried
+    identity values through MERGE — inserts advance the mark; a source
+    that CHANGES a matched row's identity is refused."""
+    path = str(tmp_path / "t_idmerge_bd")
+    write_delta(
+        spark, _payload(spark, 0, 3), path,
+        identity_cols={
+            "rid": {"start": 1, "step": 1, "allow_explicit_insert": True}
+        },
+    )
+    stored = {
+        r["k"]: r["rid"] for r in read_delta(spark, path).collect()
+    }
+    # provide the STORED values for matched keys + explicit for inserts
+    src = spark.createDataFrame(
+        [(0, 0, stored[0]), (5, 5000, 500)], "k long, v long, rid long"
+    )
+    merge_delta(spark, path, src, key_cols=["k"])
+    after = {r["k"]: r["rid"] for r in read_delta(spark, path).collect()}
+    assert after[5] == 500 and after[0] == stored[0]
+    assert _identity_md(path, 1)["delta.identity.highWaterMark"] == 500
+    # changing a matched row's identity value is an UPDATE of identity
+    bad = spark.createDataFrame(
+        [(1, 1, 99999)], "k long, v long, rid long"
+    )
+    with pytest.raises(ValueError, match="UPDATE of an identity"):
+        merge_delta(spark, path, bad, key_cols=["k"])
+
+
+def test_apply_changes_by_default_identity_replica(spark, tmp_path):
+    """A BY DEFAULT replica accepts APPLY CHANGES; its mark advances
+    past the replicated values so local appends never collide."""
+    path = str(tmp_path / "t_idapply_bd")
+    write_delta(
+        spark, _payload(spark, 0, 2), path,
+        identity_cols={
+            "rid": {"start": 1, "step": 1, "allow_explicit_insert": True}
+        },
+    )
+    ch = (
+        spark.createDataFrame(
+            [(7, 700, 70), (8, 800, 80)], "k long, v long, rid long"
+        )
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long"))
+    )
+    apply_changes_delta(spark, path, ch, key_cols=["k"])
+    got = {r["k"]: r["rid"] for r in read_delta(spark, path).collect()}
+    assert got[7] == 70 and got[8] == 80
+    assert _identity_md(path, 1)["delta.identity.highWaterMark"] == 80
+    write_delta(spark, _payload(spark, 9, 10), path)
+    r = read_delta(spark, path).filter("k = 9").collect()[0]
+    assert r["rid"] == 81
 
 
 def test_identity_creation_only_and_zero_step(spark, tmp_path):

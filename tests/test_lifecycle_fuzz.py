@@ -311,14 +311,17 @@ def test_lifecycle_fuzz_cdf_replica_seed_99(spark, tmp_path):
     _walk_with_cdf_replica(spark, tmp_path, seed=99, n_ops=10)
 
 
-def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
+def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
     """The METADATA-surface walk (VERDICT r9 next #3): schema
     evolution, column-mapping rename/drop, cleanup_log, vacuum and
     checkpoints interleaved with data mutations — on a ROW-TRACKING
     table, with per-key row-id stability asserted through BOTH readers
     after every commit. ``v2=True`` runs the same walk on a
     v2-checkpoint-mode table (UUID main + sidecars on every checkpoint
-    cadence hit)."""
+    cadence hit). ``id_mode=True`` (r12) runs it on a FOREIGN-created
+    ID-mode column-mapped table — every commit stages field-id-stamped
+    files and every read resolves by id (no row tracking: converted
+    tables don't carry it)."""
     from portfolio_data_pipelines_spark.operators.delta_log import (
         _commit_metadata_only,
         _replay_log,
@@ -351,12 +354,53 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
             schema,
         ).coalesce(1)
 
-    write_delta(
-        spark, frame(rows), path, partition_col="grp",
-        configuration={"delta.enableRowTracking": "true"},
-    )
-    enable_column_mapping(spark, path)
-    version = 1
+    if id_mode:
+        # foreign-created EMPTY id-mode table (the Iceberg-conversion
+        # shape): metadata declares mode=id with per-field ids and
+        # physical names this writer never chose; the initial rows then
+        # land through the normal append path, which must stamp them
+        import json as _json
+        import os as _os
+
+        _os.makedirs(f"{path}/_delta_log")
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "ice_id"}},
+            {"name": "grp", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "ice_grp"}},
+            {"name": "val", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "ice_val"}},
+        ]
+        with open(f"{path}/_delta_log/{0:020d}.json", "w") as f:
+            for a in [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["columnMapping"],
+                              "writerFeatures": ["columnMapping"]}},
+                {"metaData": {"id": f"fuzz-id-{seed}",
+                              "format": {"provider": "parquet",
+                                         "options": {}},
+                              "schemaString": _json.dumps(
+                                  {"type": "struct", "fields": fields}),
+                              "partitionColumns": ["grp"],
+                              "configuration": {
+                                  "delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "3"},
+                              "createdTime": 0}},
+            ]:
+                f.write(_json.dumps(a) + "\n")
+        version = write_delta(
+            spark, frame(rows), path, partition_col="grp", mode="append"
+        )
+    else:
+        write_delta(
+            spark, frame(rows), path, partition_col="grp",
+            configuration={"delta.enableRowTracking": "true"},
+        )
+        enable_column_mapping(spark, path)
+        version = 1
     if v2:
         st = _replay_log(spark, path, None)
         version = _commit_metadata_only(
@@ -372,6 +416,24 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False):
     defaults: dict[str, int] = {}  # col -> literal fill (r11 ops)
 
     def check():
+        if id_mode:
+            # no row tracking on the converted table: values + both
+            # readers (every read here is a field-id resolution)
+            df = read_delta(spark, path)
+            got = {
+                r["id"]: {c: r[c] for c in ["grp"] + vcols}
+                for r in df.collect()
+            }
+            t = " ".join(trace)
+            assert got == rows, f"spark state diverged after {t}"
+            names, ext_rows = read_delta_external(path)
+            idx = {n: k for k, n in enumerate(names)}
+            ext = {
+                r[idx["id"]]: {c: r[idx[c]] for c in ["grp"] + vcols}
+                for r in ext_rows
+            }
+            assert ext == got, f"external reader diverged after {t}"
+            return
         df = read_delta(spark, path, row_ids=True)
         got = {
             r["id"]: (
@@ -559,6 +621,14 @@ def test_lifecycle_fuzz_metadata_v2_seed_5(spark, tmp_path):
     _walk_metadata(spark, tmp_path, seed=5, n_ops=10, v2=True)
 
 
+def test_lifecycle_fuzz_metadata_id_mode_seed_21(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=21, n_ops=12, id_mode=True)
+
+
+def test_lifecycle_fuzz_metadata_id_mode_seed_88(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=88, n_ops=12, id_mode=True)
+
+
 def _walk_identity_generated(spark, tmp_path, seed, n_ops):
     """The same three-way discipline on an IDENTITY + GENERATED table
     (VERDICT r9 next #3's last clause): appends allocate dense
@@ -613,7 +683,10 @@ def _walk_identity_generated(spark, tmp_path, seed, n_ops):
         assert ext == want, f"external reader diverged after {t}"
 
     check()
-    ops = ["append", "delete", "update", "optimize", "checkpoint", "vacuum"]
+    ops = [
+        "append", "delete", "update", "merge",
+        "optimize", "checkpoint", "vacuum",
+    ]
     for step in range(n_ops):
         op = rng.choice(ops)
         trace.append(f"{step}:{op}")
@@ -622,6 +695,22 @@ def _walk_identity_generated(spark, tmp_path, seed, n_ops):
             version = write_delta(
                 spark, _frame(spark, fresh), path, partition_col="grp"
             )
+            model.update(fresh)
+            alloc(sorted(fresh))
+        elif op == "merge":
+            # r12: MERGE with the identity column OMITTED — matched
+            # rows must KEEP their allocated sk, insert rows allocate
+            # past the mark (fresh ids sort AFTER existing ones, so
+            # frame order == alloc order)
+            hit = sorted(i for i in model if i % 4 == 1)[:3]
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(1, 3))
+            src = {i: (model[i][0], model[i][1] + 100) for i in hit}
+            src.update(fresh)
+            version = merge_delta(
+                spark, _frame(spark, src), path, key_cols=["id"]
+            )
+            for i in hit:
+                model[i] = (model[i][0], model[i][1] + 100)
             model.update(fresh)
             alloc(sorted(fresh))
         elif op == "delete":
