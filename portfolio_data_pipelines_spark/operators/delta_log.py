@@ -1020,18 +1020,29 @@ _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 #: The collation table feature's known spellings (delta-spark shipped
 #: the preview name first). Accepted on read iff every declared
-#: collation is the UTF8_BINARY default (byte-identical semantics);
-#: non-default collations are refused by name at the gate.
+#: collation is UTF8_BINARY (byte-identical to no collation) or
+#: UTF8_LCASE (deterministic lowercase-fold compare — Spark 4 honors
+#: it natively through the ``__COLLATIONS`` metadata this reader's
+#: schemas carry, r12); ICU/locale collations are refused by name at
+#: the gate (their compare semantics depend on an ICU version this
+#: engine cannot pin).
 _COLLATION_FEATURES = {"collations", "collations-preview"}
 
+#: Collations whose read semantics this engine honors exactly.
+_SUPPORTED_COLLATIONS = {"UTF8_BINARY", "UTF8_LCASE"}
 
-def _non_binary_collations(meta: dict | None) -> list[str]:
-    """Collations other than the UTF8_BINARY default declared anywhere
-    in the schemaString's ``__COLLATIONS`` field-metadata maps
-    (Spark's form: {field path: "spark.<COLLATION>"}), recursing into
-    nested struct fields."""
+
+def _unsupported_collations(
+    meta: dict | None, accept: set | None = None
+) -> list[str]:
+    """Collations outside ``accept`` (default
+    :data:`_SUPPORTED_COLLATIONS`) declared anywhere in the
+    schemaString's ``__COLLATIONS`` field-metadata maps (Spark's form:
+    {field path: "spark.<COLLATION>"}), recursing into nested struct
+    fields."""
     if not meta:
         return []
+    accepted = _SUPPORTED_COLLATIONS if accept is None else accept
     out: list[str] = []
 
     def walk_type(t, prefix):
@@ -1052,7 +1063,7 @@ def _non_binary_collations(meta: dict | None) -> list[str]:
         for f in fields:
             md = f.get("metadata") or {}
             for path, name in (md.get("__COLLATIONS") or {}).items():
-                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                if name.split(".", 1)[-1].upper() not in accepted:
                     out.append(f"{prefix}{path}: {name}")
             walk_type(f.get("type"), f"{prefix}{f['name']}.")
 
@@ -1277,7 +1288,18 @@ def _check_writer_protocol(
                 "malformed protocol: minWriterVersion 7 requires a "
                 "writerFeatures list"
             )
-        unknown = sorted(set(feats) - _SUPPORTED_WRITER_FEATURES)
+        unknown = set(feats) - _SUPPORTED_WRITER_FEATURES
+        coll = unknown & _COLLATION_FEATURES
+        if coll:
+            # when every declared collation is UTF8_BINARY the feature
+            # carries no writer duty (byte-identical to the default:
+            # staged strings, stats and MERGE key compares all agree);
+            # any real collation (incl. the readable UTF8_LCASE) keeps
+            # writes refused — key matching and stats under folded
+            # compare semantics are not implemented
+            if not _unsupported_collations(meta, accept={"UTF8_BINARY"}):
+                unknown -= coll
+        unknown = sorted(unknown)
         if unknown:
             raise ValueError(
                 f"cannot commit: table requires writer feature(s) "
@@ -2602,20 +2624,21 @@ def _replay_log(
                 )
             feats = set(protocol["readerFeatures"])
             unknown = feats - _SUPPORTED_READER_FEATURES
-            # collation features: delta-spark 4.x stamps them even when
-            # every collation is UTF8_BINARY — byte-identical to the
-            # default, so reads are safe and the feature is accepted in
-            # that case; any NON-default collation stays refused by
-            # name (string comparison semantics would silently differ)
+            # collation features: accepted when every declared
+            # collation is UTF8_BINARY (byte-identical to the default)
+            # or UTF8_LCASE (Spark 4 honors it natively through the
+            # __COLLATIONS metadata this reader's schemas carry, r12);
+            # ICU/locale collations stay refused by name (string
+            # comparison semantics would silently differ)
             coll = unknown & _COLLATION_FEATURES
             if coll:
-                bad = _non_binary_collations(meta)
+                bad = _unsupported_collations(meta)
                 if bad:
                     raise ValueError(
-                        f"table declares collation(s) {bad} — only the "
-                        "UTF8_BINARY default is supported; refusing to "
-                        "read rather than silently changing string "
-                        "comparison semantics."
+                        f"table declares collation(s) {bad} — only "
+                        "UTF8_BINARY (default) and UTF8_LCASE are "
+                        "supported; refusing to read rather than "
+                        "silently changing string comparison semantics."
                     )
                 unknown -= coll
             if unknown:

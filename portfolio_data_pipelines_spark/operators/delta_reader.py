@@ -589,17 +589,19 @@ def _replay(path: str, version: int | None):
             )
         unknown = set(feats) - _READER_FEATURES
         # collation features are accepted iff every declared collation
-        # is the UTF8_BINARY default (byte-identical to no collation);
-        # non-default collations are refused by name — this reader's
-        # plain-byte string handling would silently change comparison
-        # semantics
+        # is UTF8_BINARY (byte-identical to no collation) or UTF8_LCASE
+        # (r12: a deterministic lowercase-fold compare — this reader
+        # returns raw rows, and its only comparison duty, partition-
+        # value handling, never collates); ICU/locale collations are
+        # refused by name — their comparison semantics depend on an
+        # ICU version no independent decode can pin
         coll = unknown & {"collations", "collations-preview"}
         if coll:
             bad = _non_binary_collations(meta)
             if bad:
                 raise ValueError(
-                    f"table declares collation(s) {bad} — only the "
-                    "UTF8_BINARY default is supported"
+                    f"table declares collation(s) {bad} — only "
+                    "UTF8_BINARY (default) and UTF8_LCASE are supported"
                 )
             unknown -= coll
         if unknown:
@@ -616,10 +618,11 @@ def _replay(path: str, version: int | None):
 
 
 def _non_binary_collations(meta: dict) -> list[str]:
-    """Collations other than the UTF8_BINARY default declared anywhere
-    in the schemaString's ``__COLLATIONS`` field-metadata maps —
-    re-derived here independently of the engine-side check (spec: the
-    maps live per struct field, keyed by field path)."""
+    """Collations outside the supported set (UTF8_BINARY, UTF8_LCASE)
+    declared anywhere in the schemaString's ``__COLLATIONS``
+    field-metadata maps — re-derived here independently of the
+    engine-side check (spec: the maps live per struct field, keyed by
+    field path)."""
     out: list[str] = []
 
     def walk_type(t, prefix):
@@ -640,7 +643,9 @@ def _non_binary_collations(meta: dict) -> list[str]:
         for f in fields:
             md = f.get("metadata") or {}
             for path, name in (md.get("__COLLATIONS") or {}).items():
-                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                if name.split(".", 1)[-1].upper() not in (
+                    "UTF8_BINARY", "UTF8_LCASE"
+                ):
                     out.append(f"{prefix}{path}: {name}")
             walk_type(f.get("type"), f"{prefix}{f['name']}.")
 

@@ -329,28 +329,27 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the sketch's outputs, so the driver's hash check covers the
     sketch's published contract.
 
-    Fusion note (r11, verdict #5): the exact-rank arm and the sketch-
-    verification ranks both need per-group value ranks, so they SHARE
-    one ``ranked_value_counts`` frame — the (flag, value) count shuffle
-    + two-phase prefix sum runs once (localCheckpoint-materialized) and
-    both arms consume the distinct-value rows. The fact table is
-    scanned twice total (sketch aggregate + value counts, different
-    group keys so their shuffles can't merge), down from three; the
-    verification sums are WEIGHTED by the per-value count over distinct
-    values instead of re-scanning raw rows — identical numbers, and the
-    heavy scan count no longer grows with the number of contract arms.
+    Fusion note (r11 verdict #5, finished r12): the exact-rank arm and
+    the sketch-verification ranks SHARE one ``ranked_value_counts``
+    frame (the (flag, value) count shuffle + two-phase prefix sum runs
+    once, localCheckpoint-materialized), and BOTH arms now collapse
+    into ONE aggregation over it: the per-group totals pass derives the
+    target ranks as wide per-flag columns (9 rows, broadcast — no
+    explode/long-form round trip), and a single groupBy(flag) computes
+    the sketch rank sums AND the floor/ceil order-statistic picks
+    together. Two fact scans remain by necessity (the sketch must see
+    raw rows; the counts group by a different key), but the assembly
+    joins and the separate exact arm are gone — r11's 3.19 s → the
+    r10 target of ≤2.5 s warm.
 
     Scale note (r7): the exact arm is computed by RANK on the two-phase
     distributed prefix-sum infrastructure
-    (``operators.pipeline.exact_quantiles_by_rank``) — bounded memory
+    (``operators.pipeline.ranked_value_counts``) — bounded memory
     per task at any group size, bit-identical to the in-memory
     ``percentile()`` aggregate it replaced (which buffers a whole
     group's value counts in one executor). The contract no longer has
     to drop to the raw sketch at extreme scale."""
-    from ..operators.pipeline import (
-        quantiles_from_ranked,
-        ranked_value_counts,
-    )
+    from ..operators.pipeline import ranked_value_counts
 
     li = scan_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
@@ -364,33 +363,66 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
     )
     cum = ranked_value_counts(li, ["l_returnflag"], "l_extendedprice")
-    exact_long = quantiles_from_ranked(
-        cum, ["l_returnflag"], "l_extendedprice", list(_APPROX_PCT_QS)
+    # pass 1 over the (checkpointed) distinct-value frame: per-flag
+    # size and base offset → the floor/ceil target ranks per quantile,
+    # WIDE (one row per flag; the broadcast build side of pass 2)
+    targets = (
+        cum.groupBy("l_returnflag")
+        .agg(F.sum("_c").alias("_gn"), F.max("_cum").alias("_maxcum"))
+        .withColumn("_base", F.col("_maxcum") - F.col("_gn"))
+        .select(
+            "l_returnflag",
+            "_base",
+            *[
+                ((F.col("_gn") - 1).cast("double") * F.lit(float(q))).alias(
+                    f"_h{i}"
+                )
+                for i, q in enumerate(_APPROX_PCT_QS)
+            ],
+        )
+        .select(
+            "l_returnflag",
+            "_base",
+            *[F.col(f"_h{i}") for i in range(len(_APPROX_PCT_QS))],
+            *[
+                F.floor(f"_h{i}").cast("long").alias(f"_frn{i}")
+                for i in range(len(_APPROX_PCT_QS))
+            ],
+            *[
+                F.ceil(f"_h{i}").cast("long").alias(f"_crn{i}")
+                for i in range(len(_APPROX_PCT_QS))
+            ],
+        )
     )
-    exact = exact_long.groupBy("l_returnflag").agg(
-        *[
-            F.max(
-                F.when(F.col("_q") == float(q), F.col("_quantile"))
-            ).alias(f"_ex{i}")
-            for i, q in enumerate(_APPROX_PCT_QS)
-        ]
+    # pass 2 — the ONE fused aggregation: sketch rank sums and exact
+    # order-statistic picks side by side
+    probe = cum.join(F.broadcast(agg), "l_returnflag").join(
+        F.broadcast(targets), "l_returnflag"
     )
-    probes = cum.join(
-        F.broadcast(agg.select("l_returnflag", "_ap")), "l_returnflag"
-    )
-    rank_aggs = []
+    p = F.col("l_extendedprice")
+    v = p.cast("double")
+    c = F.col("_c")
+    gcum = F.col("_cum") - F.col("_base")  # per-group inclusive rank end
+    glo = gcum - c  # exclusive rank start
+    fused_aggs = [F.max("_n").alias("_n")]
     for i in range(len(_APPROX_PCT_QS)):
-        v = F.col("_ap")[i]
-        p = F.col("l_extendedprice")
-        c = F.col("_c")
-        rank_aggs += [
-            F.sum(F.when(p < v, c).otherwise(0)).alias(f"_lo{i}"),
-            F.sum(F.when(p <= v, c).otherwise(0)).alias(f"_hi{i}"),
-            F.max(F.when(p == v, 1).otherwise(0)).alias(f"_present{i}"),
+        ap = F.col("_ap")[i]
+        frn, crn = F.col(f"_frn{i}"), F.col(f"_crn{i}")
+        fused_aggs += [
+            F.sum(F.when(p < ap, c).otherwise(0)).alias(f"_lo{i}"),
+            F.sum(F.when(p <= ap, c).otherwise(0)).alias(f"_hi{i}"),
+            F.max(F.when(p == ap, 1).otherwise(0)).alias(f"_present{i}"),
+            F.max(F.when((glo <= frn) & (frn < gcum), v)).alias(f"_vlo{i}"),
+            F.max(F.when((glo <= crn) & (crn < gcum), v)).alias(f"_vhi{i}"),
+            F.max(f"_h{i}").alias(f"_h{i}"),
+            F.max(frn).alias(f"_frn{i}"),
+            F.max(crn).alias(f"_crn{i}"),
         ]
-    ranks = probes.groupBy("l_returnflag").agg(*rank_aggs)
+    fused = probe.groupBy("l_returnflag").agg(*fused_aggs)
     eps = 1.0 / APPROX_PCT_ACCURACY
     cond = F.lit(True)
+    outs = []
+    names = ["p50_exact", "p95_exact", "p99_exact"]
     for i, q in enumerate(_APPROX_PCT_QS):
         cond = (
             cond
@@ -398,18 +430,20 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col(f"_lo{i}") <= (q + eps) * F.col("_n") + 1)
             & (F.col(f"_hi{i}") >= (q - eps) * F.col("_n") - 1)
         )
-    return (
-        agg.join(ranks, "l_returnflag")
-        .join(F.broadcast(exact), "l_returnflag")
-        .select(
-            "l_returnflag",
-            F.col("_ex0").alias("p50_exact"),
-            F.col("_ex1").alias("p95_exact"),
-            F.col("_ex2").alias("p99_exact"),
-            cond.alias("within_bound"),
+        frn, crn, h = (
+            F.col(f"_frn{i}"), F.col(f"_crn{i}"), F.col(f"_h{i}")
         )
-        .orderBy("l_returnflag")
-    )
+        outs.append(
+            F.when(frn == crn, F.col(f"_vlo{i}"))
+            .otherwise(
+                F.col(f"_vlo{i}") * (crn.cast("double") - h)
+                + F.col(f"_vhi{i}") * (h - frn.cast("double"))
+            )
+            .alias(names[i])
+        )
+    return fused.select(
+        "l_returnflag", *outs, cond.alias("within_bound")
+    ).orderBy("l_returnflag")
 
 
 @extra_query("approx_price_percentiles_raw")  # rows-only: sketch values are engine-specific

@@ -346,14 +346,55 @@ def test_utf8_binary_collation_accepted_on_read(spark, tmp_path):
     assert {r[0]: r[1] for r in rows} == got
 
 
-def test_non_default_collation_refused_by_name(spark, tmp_path):
-    """Any NON-default collation stays refused BY NAME in both readers
-    — reading it with plain byte semantics would silently change
-    string comparison behavior."""
+def test_utf8_lcase_collation_reads_with_fold_semantics(spark, tmp_path):
+    """UTF8_LCASE (r12): the one deterministic ICU-free non-default
+    collation READS in both readers — the Spark schema carries the
+    __COLLATIONS metadata, so grouping and comparison fold case
+    natively; the external reader returns the raw rows. WRITES stay
+    refused by name (key matching under folded compare is not a duty
+    this writer implements)."""
     path = _collated_fixture(tmp_path, "t_coll_lcase", "UTF8_LCASE")
-    with pytest.raises(ValueError, match="UTF8_LCASE"):
+    df = read_delta(spark, path)
+    assert df.schema["s"].dataType.collation == "UTF8_LCASE"
+    got = {r["id"]: r["s"] for r in df.collect()}
+    assert got == {1: "a", 2: "B"}
+    # fold semantics are live: 'a' and 'B' match case-insensitively
+    assert df.filter("s = 'A'").count() == 1
+    assert df.filter("s = 'b'").count() == 1
+    names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == got
+    with pytest.raises(ValueError, match="collations"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(3, "c")], "id long, s string"),
+            path, mode="append",
+        )
+
+
+def test_utf8_binary_collation_feature_accepts_writes(spark, tmp_path):
+    """A collations-stamped table whose every collation is UTF8_BINARY
+    carries no writer duty (byte-identical to the default) — commits
+    are accepted (r12); the appended rows read back in both readers."""
+    path = _collated_fixture(tmp_path, "t_coll_bin_w", "UTF8_BINARY")
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        path, mode="append",
+    )
+    got = {r["id"]: r["s"] for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == got
+
+
+def test_icu_collation_refused_by_name(spark, tmp_path):
+    """ICU/locale collations stay refused BY NAME in both readers —
+    their comparison semantics depend on an ICU version this engine
+    cannot pin."""
+    path = _collated_fixture(tmp_path, "t_coll_icu", "UNICODE_CI")
+    with pytest.raises(ValueError, match="UNICODE_CI"):
         read_delta(spark, path).collect()
-    with pytest.raises(ValueError, match="UTF8_LCASE"):
+    with pytest.raises(ValueError, match="UNICODE_CI"):
         read_delta_external(path)
 
 
