@@ -454,6 +454,14 @@ def main() -> None:
         "excluded": {
             "lakehouse": round(lakehouse_total, 1),
             "bucketed_layout": round(bucketed_layout_sec, 1),
+            # per-step lakehouse timings (r11 verdict #9): the CDF
+            # reconstruction / feed / merge steps scale differently, so
+            # the driver record must carry them round-over-round, not
+            # just the family total ("lakehouse_" prefix stripped)
+            "lakehouse_steps": {
+                k.removeprefix("lakehouse_"): round(v, 1)
+                for k, v in sorted(lake_timings.items())
+            },
         },
         "load": {
             "steal_pct": load_report["steal_pct_overall"],
@@ -468,7 +476,23 @@ def main() -> None:
         "detail": "BENCH_FULL.json",
     }
     line = json.dumps(line_base, separators=(",", ":"))
-    if len(line) > 1900:  # never outgrow the driver's capture tail
+    # Never outgrow the driver's 2000-char capture tail: shed the most
+    # derivable detail first (plain-lake twin steps → all steps →
+    # per-query map), everything dropped stays in BENCH_FULL.json.
+    if len(line) > 1900:
+        # normalized = value × load.cpu_efficiency; detail is implied
+        line_base.pop("value_efficiency_normalized", None)
+        line_base.pop("detail", None)
+        line_base["excluded"]["lakehouse_steps"] = {
+            k: v
+            for k, v in line_base["excluded"]["lakehouse_steps"].items()
+            if not k.startswith("lake_")
+        }
+        line = json.dumps(line_base, separators=(",", ":"))
+    if len(line) > 1900:
+        line_base["excluded"].pop("lakehouse_steps", None)
+        line = json.dumps(line_base, separators=(",", ":"))
+    if len(line) > 1900:
         line_base["queries"] = {
             "daily_events_mart": timings.get("daily_events_mart")
         }

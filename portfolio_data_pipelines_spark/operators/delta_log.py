@@ -431,7 +431,9 @@ def _variant_field_split(schema_str: str) -> tuple[list[str], list[str]]:
     return top, nested
 
 
-def _variant_physical(df: DataFrame) -> DataFrame:
+def _variant_physical(
+    df: DataFrame, shred: dict | None = None
+) -> DataFrame:
     """Convert top-level VARIANT columns to Delta's physical form —
     ``struct<value binary, metadata binary>`` carrying the open Variant
     binary encoding — ahead of the parquet write. Spark's own parquet
@@ -443,7 +445,17 @@ def _variant_physical(df: DataFrame) -> DataFrame:
     (probed: nulls round-trip as null structs, and reading the struct
     file back under an explicit variant schema restores identical
     binaries). Only variant-bearing frames pay the Python hop —
-    everything else returns unchanged."""
+    everything else returns unchanged.
+
+    ``shred`` ({variant column: scalar spark type}) switches those
+    columns to the variantShredding TRIPLE (``metadata``, optional
+    ``value``, optional ``typed_value``) per VariantShredding.md's
+    top-level scalar shredding: a row whose value IS a scalar of the
+    target type stores ``typed_value`` and omits ``value`` (foreign
+    engines and stats consumers read the typed column directly); any
+    other shape keeps the full binary in ``value``. The decision costs
+    one header-byte inspection per row (operators/variant.py
+    ``shred_scalar``)."""
     from pyspark.sql.types import (
         BinaryType,
         StructField,
@@ -469,20 +481,56 @@ def _variant_physical(df: DataFrame) -> DataFrame:
             "only top-level variant columns are writable; restructure "
             "or store the nested value as a JSON string"
         )
-    phys = StructType(
-        [
-            StructField("value", BinaryType(), False),
-            StructField("metadata", BinaryType(), False),
-        ]
+    shred = dict(shred or {})
+    unknown_shred = sorted(set(shred) - set(vcols))
+    if unknown_shred:
+        raise ValueError(
+            f"shred_variants names non-variant column(s) {unknown_shred}"
+        )
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType,
     )
+
+    _typed = {
+        "long": LongType(), "double": DoubleType(),
+        "boolean": BooleanType(), "string": StringType(),
+    }
+    bad_types = sorted(
+        f"{c}: {t}" for c, t in shred.items() if t not in _typed
+    )
+    if bad_types:
+        raise ValueError(
+            f"unsupported scalar shred type(s) {bad_types} — supported: "
+            f"{sorted(_typed)}"
+        )
+
+    def phys_for(c):
+        # shredded columns stage the spec's triple (metadata, value?,
+        # typed_value?); plain variant columns the classic pair
+        if c in shred:
+            return StructType(
+                [
+                    StructField("metadata", BinaryType(), False),
+                    StructField("value", BinaryType(), True),
+                    StructField("typed_value", _typed[shred[c]], True),
+                ]
+            )
+        return StructType(
+            [
+                StructField("value", BinaryType(), False),
+                StructField("metadata", BinaryType(), False),
+            ]
+        )
+
     out = StructType(
         [
-            # variant columns become the nullable physical pair; sibling
-            # columns keep their declared nullability so the staged
-            # parquet files preserve required-ness for stats consumers
+            # variant columns become the nullable physical group;
+            # sibling columns keep their declared nullability so the
+            # staged parquet files preserve required-ness for stats
+            # consumers
             StructField(
                 f.name,
-                phys if f.name in vcols else f.dataType,
+                phys_for(f.name) if f.name in vcols else f.dataType,
                 True if f.name in vcols else f.nullable,
             )
             for f in df.schema.fields
@@ -490,13 +538,36 @@ def _variant_physical(df: DataFrame) -> DataFrame:
     )
 
     def conv(batches):
+        from .variant import shred_scalar
+
+        def cell_plain(v):
+            return (
+                None
+                if v is None
+                else {"value": v.value, "metadata": v.metadata}
+            )
+
+        def cell_shred(v, target):
+            if v is None:
+                return None
+            ok, typed = shred_scalar(v.value, target)
+            if ok:
+                return {
+                    "metadata": v.metadata, "value": None,
+                    "typed_value": typed,
+                }
+            return {
+                "metadata": v.metadata, "value": v.value,
+                "typed_value": None,
+            }
+
         for pdf in batches:
             for c in vcols:
-                pdf[c] = pdf[c].map(
-                    lambda v: None
-                    if v is None
-                    else {"value": v.value, "metadata": v.metadata}
-                )
+                if c in shred:
+                    t = shred[c]
+                    pdf[c] = pdf[c].map(lambda v, _t=t: cell_shred(v, _t))
+                else:
+                    pdf[c] = pdf[c].map(cell_plain)
             yield pdf
 
     return df.mapInPandas(conv, out)
@@ -1183,6 +1254,12 @@ _SUPPORTED_WRITER_FEATURES = {
     # fill-on-omit duty runs on every row-adding commit path via
     # _apply_column_defaults (round 11)
     "allowColumnDefaults",
+    # variant shredding (r12): write_delta(shred_variants=...) stages
+    # the spec's triple with typed_value for scalar shreds; every other
+    # commit path stages the plain pair, which the spec allows
+    # per-file — so any commit to a shredded table is legal
+    "variantShredding",
+    "variantShredding-preview",
 }
 
 
@@ -1222,10 +1299,14 @@ def _creation_protocol(
     row_tracking = str((configuration or {}).get(
         "delta.enableRowTracking", ""
     )).lower() == "true"
+    shredding = str((configuration or {}).get(
+        "delta.enableVariantShredding", ""
+    )).lower() == "true"
     if (
         not ntz
         and not row_tracking
         and not has_variant
+        and not shredding
         and not default_cols
     ):
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
@@ -1237,6 +1318,10 @@ def _creation_protocol(
         # variantType is a reader+writer feature: readers must decode
         # the physical struct<value,metadata> pair
         reader.add("variantType")
+    if shredding:
+        # variantShredding is a reader+writer feature: readers must
+        # reassemble typed_value rows (this engine's do, r11)
+        reader.add("variantShredding")
     writer = set(reader)
     if row_tracking:
         # rowTracking is writer-only (readers may ignore row ids) and
@@ -1532,6 +1617,7 @@ def _stage_commit_files(
     replace_partitions: list | None = None,
     data_change: bool = True,
     l2p: dict | None = None,
+    shred_variants: dict | None = None,
 ) -> list[dict]:
     """Stage ``df`` under a uuid-suffixed dir, rename the part files
     into the table layout with a version-prefixed name, and return the
@@ -1544,10 +1630,11 @@ def _stage_commit_files(
     and ValueError raised."""
     staging = f"_staging_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
     # variantType write duty: every staging path converts variant
-    # columns to the spec's physical struct<value,metadata> pair here,
-    # so no commit path can leak Spark's incompatible parquet VARIANT
-    # logical type into the table
-    df = _variant_physical(df)
+    # columns to the spec's physical struct<value,metadata> pair here
+    # (or the variantShredding triple when asked), so no commit path
+    # can leak Spark's incompatible parquet VARIANT logical type into
+    # the table
+    df = _variant_physical(df, shred_variants)
     if l2p:
         # column-mapped table: parquet files carry PHYSICAL names (and
         # so do partition dirs / partitionValues), logical names live
@@ -1871,8 +1958,19 @@ def write_delta(
     identity_cols: dict[str, dict] | None = None,
     configuration: dict[str, str] | None = None,
     default_cols: dict[str, str] | None = None,
+    shred_variants: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the Delta table at ``path``; returns the version.
+
+    ``shred_variants`` ({variant column: "long"|"double"|"boolean"|
+    "string"}) stages those columns in the variantShredding TRIPLE
+    (top-level scalar shredding per VariantShredding.md): rows whose
+    value is a scalar of the target type store ``typed_value``, others
+    keep the full binary. A creation commit declares the
+    ``variantShredding`` feature + ``delta.enableVariantShredding``;
+    appends require the table to already declare it. Shredding is
+    per-file per spec — other commit paths (MERGE/OPTIMIZE rewrites)
+    legally stage the plain pair.
 
     ``configuration`` ({key: value}, table-creation commit only) sets
     table properties in the metaData action — e.g. ``{"delta.appendOnly":
@@ -1974,6 +2072,17 @@ def write_delta(
     from the add actions alone)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if shred_variants:
+        non_var = sorted(
+            c for c in shred_variants
+            if c not in df.columns
+            or df.schema[c].dataType.typeName() != "variant"
+        )
+        if non_var:
+            raise ValueError(
+                f"shred_variants column(s) {non_var} are not VARIANT "
+                "columns of the batch"
+            )
     pcols = _norm_pcols(partition_col)
     if replace_partitions is not None and (mode != "overwrite" or not pcols):
         raise ValueError(
@@ -1992,6 +2101,14 @@ def write_delta(
         st = _replay_log(spark, path, None)
         _check_writer_protocol(st.protocol, st.meta)
         prev_adds, prev_meta, prev_txns = st.adds, st.meta, st.txns
+        if shred_variants:
+            feats = set((st.protocol or {}).get("writerFeatures") or [])
+            if not feats & {"variantShredding", "variantShredding-preview"}:
+                raise ValueError(
+                    "shred_variants requires the table to declare the "
+                    "variantShredding feature — create the table with "
+                    "shred_variants to declare it"
+                )
     if txn is not None and prev_txns.get(txn[0], -1) >= txn[1]:
         # this (appId, version) already committed — exactly-once replay
         return versions[-1]
@@ -2028,6 +2145,12 @@ def write_delta(
         staged, staged_cached = _enforce_constraints(df, prev_meta)
         staged_cached = staged_cached or gen_cached
     else:
+        if shred_variants:
+            # declare the shredding duty at creation: the feature rides
+            # the protocol, the property records intent (delta-spark's
+            # convention)
+            configuration = dict(configuration or {})
+            configuration.setdefault("delta.enableVariantShredding", "true")
         bad_keys = [
             k
             for k in (configuration or {})
@@ -2150,6 +2273,7 @@ def write_delta(
         adds = _stage_commit_files(
             spark, fs, jvm, path, staged, pcols, new_version,
             replace_partitions=replace_partitions, l2p=l2p,
+            shred_variants=shred_variants,
         )
     finally:
         if staged_cached:

@@ -217,3 +217,47 @@ def encode_variant(value) -> tuple[bytes, bytes]:
     ordered = sorted(keys)
     key_ids = {k: i for i, k in enumerate(ordered)}
     return _encode_metadata(ordered), _encode_value(value, key_ids)
+
+
+#: Scalar shred targets this writer supports (VariantShredding.md
+#: top-level scalar shredding): spark type name -> the variant
+#: primitive type-ids that shred into it losslessly.
+_SHRED_SCALAR_TYPES = {
+    "long": (3, 4, 5, 6),     # int8/16/32/64
+    "double": (7,),
+    "boolean": (1, 2),
+    "string": (16,),          # long string; short strings via basic=1
+}
+
+
+def shred_scalar(buf: bytes, target: str):
+    """Top-level scalar shredding decision for one variant value
+    (VariantShredding.md): if the encoded value IS a scalar of
+    ``target``'s type, return ``(True, decoded python value)`` — the
+    row stores ``typed_value`` and omits ``value``; otherwise
+    ``(False, None)`` — the row keeps the full binary in ``value``.
+    Decodes only the 1-byte header (plus the fixed-width payload on a
+    match), so the non-matching path costs one byte inspection."""
+    import struct as _struct
+
+    if not buf:
+        return False, None
+    h = buf[0]
+    basic, info = h & 3, h >> 2
+    if target == "string":
+        if basic == 1:  # short string: length IS the type info
+            return True, buf[1:1 + info].decode()
+        if basic == 0 and info == 16:
+            ln = int.from_bytes(buf[1:5], "little")
+            return True, buf[5:5 + ln].decode()
+        return False, None
+    if basic != 0:
+        return False, None
+    if target == "long" and info in (3, 4, 5, 6):
+        w = {3: 1, 4: 2, 5: 4, 6: 8}[info]
+        return True, int.from_bytes(buf[1:1 + w], "little", signed=True)
+    if target == "double" and info == 7:
+        return True, _struct.unpack("<d", buf[1:9])[0]
+    if target == "boolean" and info in (1, 2):
+        return True, info == 1
+    return False, None

@@ -321,6 +321,46 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
     def _phys(self, name: str) -> str:
         return self.phys.get(name, name) if self.phys else name
 
+    @staticmethod
+    def _unshred_cell(cell):
+        """One parquet-level variant cell → the plain (value, metadata)
+        pair. SHREDDED cells (a ``typed_value`` field present —
+        VariantShredding.md) are reassembled with the external reader's
+        from-spec logic and re-encoded through the spec encoder; plain
+        pairs and nulls pass through untouched. Residual-only rows
+        (typed_value null, value present) keep their original bytes."""
+        if cell is None or "typed_value" not in cell:
+            return cell
+        if cell.get("typed_value") is None and cell.get("value") is not None:
+            return {"value": cell["value"], "metadata": cell["metadata"]}
+        from ..operators.delta_reader import (
+            _shredded_value,
+            _variant_metadata_keys,
+        )
+        from ..operators.variant import encode_variant
+
+        keys = _variant_metadata_keys(cell["metadata"])
+        py = _shredded_value(
+            cell.get("value"), cell.get("typed_value"), keys
+        )
+        md, vb = encode_variant(py)
+        return {"value": vb, "metadata": md}
+
+    def _maybe_unshred(self, col, target_type):
+        """Arrow-path hook: a struct column carrying ``typed_value``
+        (a shredded variant) is rebuilt as the plain pair at the
+        target type; anything else returns unchanged (zero-copy)."""
+        import pyarrow as pa
+
+        t = col.type
+        if not pa.types.is_struct(t):
+            return col
+        names = {t.field(i).name for i in range(t.num_fields)}
+        if "typed_value" not in names:
+            return col
+        cells = [self._unshred_cell(c) for c in col.to_pylist()]
+        return pa.array(cells, type=target_type)
+
     def _id_align(self, table):
         """id-mode resolution: rename THIS file's columns to the
         table's physical names by matching each column's stamped
@@ -517,12 +557,21 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         if dv is not None:
             dead = _dv_deleted_rows(root, dv)
             rows = [r for i, r in enumerate(rows) if i not in dead]
+        def cell(row, f):
+            v = _fix_ts(row[self._phys(f.name)], types[f.name])
+            # shredded variant cells (typed_value present) reassemble
+            # to the plain pair so reconstruction diffs compare like
+            # with like across shredded and unshredded file versions
+            if types[f.name] == "variant" and isinstance(v, dict):
+                v = self._unshred_cell(v)
+            return v
+
         for row in rows:
             yield tuple(
                 pvals[f.name]
                 if f.name in pvals
                 else (
-                    _fix_ts(row[self._phys(f.name)], types[f.name])
+                    cell(row, f)
                     if self._phys(f.name) in present
                     else None
                 )
@@ -653,7 +702,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         else self._phys(f.name)
                     )
                     if pname in present:
-                        col = tbl.column(pname)
+                        col = tbl.column(pname).combine_chunks()
+                        col = self._maybe_unshred(col, f.type)
                         if (
                             pa.types.is_timestamp(f.type)
                             and f.type.tz is not None
@@ -717,7 +767,8 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                     )
                     arrays.append(pa.repeat(pa.scalar(v, f.type), n))
                 elif pname in present:
-                    col = tbl.column(pname)
+                    col = tbl.column(pname).combine_chunks()
+                    col = self._maybe_unshred(col, f.type)
                     if (
                         pa.types.is_timestamp(f.type)
                         and f.type.tz is not None

@@ -990,3 +990,40 @@ def test_feed_streams_variant_columns(registered, tmp_path):
         .collect()
     }
     assert got == {i: i for i in range(6)}, got
+
+
+def test_feed_streams_shredded_variant_table(registered, tmp_path):
+    """The plain feed over a variantShredding table (r12): each task
+    reassembles shredded cells (typed_value rows re-encoded through the
+    spec encoder, residual rows keep their bytes) into the plain pair
+    before the arrow cast — so a shredded table streams the same
+    logical values an unshredded one would."""
+    from pyspark.sql import functions as F
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        write_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_feed_shred")
+    df = spark.range(0, 6).select(
+        "id",
+        F.parse_json(
+            F.when(F.col("id") < 3, F.col("id").cast("string"))
+            .otherwise(F.lit('{"a": 1}'))
+        ).alias("v"),
+    )
+    write_delta(spark, df, path, shred_variants={"v": "long"})
+    q = (
+        spark.readStream.format("delta_feed").option("path", path).load()
+        .writeStream.format("memory").queryName("feed_shred_mem")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (None if r["v"] is None else r["v"].toPython())
+        for r in spark.sql("select * from feed_shred_mem").collect()
+    }
+    assert got == {
+        0: 0, 1: 1, 2: 2, 3: {"a": 1}, 4: {"a": 1}, 5: {"a": 1}
+    }, got

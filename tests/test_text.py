@@ -111,7 +111,10 @@ def test_bm25_scalars_count_tokenless_docs(spark, tmp_path):
             (5, "window of the hash world", "en", "s0", 24),
         ],
     ).write.parquet(str(sf / "documents.parquet"))
-    spec = EXTRA_REGISTRY["bm25_topk_docs"]
+    from portfolio_data_pipelines_spark.queries import REGISTRY
+
+    # declared since the r12 rotation (was extra-registry)
+    spec = REGISTRY["bm25_topk_docs"]
     srows = {r["doc_id"]: r["bm25"] for r in spec.fn(spark, str(sf)).collect()}
     con = duckdb.connect()
     try:
