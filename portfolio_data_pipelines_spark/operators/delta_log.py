@@ -1376,13 +1376,13 @@ def _check_writer_protocol(
         unknown = set(feats) - _SUPPORTED_WRITER_FEATURES
         coll = unknown & _COLLATION_FEATURES
         if coll:
-            # when every declared collation is UTF8_BINARY the feature
-            # carries no writer duty (byte-identical to the default:
-            # staged strings, stats and MERGE key compares all agree);
-            # any real collation (incl. the readable UTF8_LCASE) keeps
-            # writes refused — key matching and stats under folded
-            # compare semantics are not implemented
-            if not _unsupported_collations(meta, accept={"UTF8_BINARY"}):
+            # collation writer duties are honored for UTF8_BINARY
+            # (byte-identical to the default — no duty at all) and
+            # UTF8_LCASE (r12: source frames are cast to the collated
+            # type before any key join, and byte-ordered file stats
+            # never prune on folded-compare columns); ICU/locale
+            # collations keep writes refused by name
+            if not _unsupported_collations(meta):
                 unknown -= coll
         unknown = sorted(unknown)
         if unknown:
@@ -2851,6 +2851,46 @@ def _read_file_groups(
     return out
 
 
+def _fold_collated_columns(meta: dict | None) -> set:
+    """Top-level columns declaring a non-UTF8_BINARY collation
+    (UTF8_LCASE after the gate) — their compare semantics FOLD, so
+    byte-ordered file stats must not prune on them and source frames
+    must be cast to the collated type before any key join."""
+    if not meta:
+        return set()
+    out: set = set()
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        for name in ((f.get("metadata") or {}).get(
+            "__COLLATIONS"
+        ) or {}).values():
+            if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                out.add(f["name"])
+    return out
+
+
+def _align_source_types(df: DataFrame, schema) -> DataFrame:
+    """Cast source columns whose type differs from the DECLARED schema
+    type. The load-bearing case is collated strings: joining a
+    plain-string source key against a collated target column is
+    INDETERMINATE_COLLATION in Spark 4 — aligning the source makes
+    every downstream compare (key joins, unions, CDC diffs) use the
+    table's declared semantics."""
+    types = {f.name: f.dataType for f in schema.fields}
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if all(
+        by_name[c] == types[c] for c in df.columns if c in types
+    ):
+        return df
+    return df.select(
+        *[
+            F.col(c).cast(types[c]).alias(c)
+            if c in types and by_name[c] != types[c]
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 class _IdModeMap(dict):
     """logical→physical name map for an ID-mode column-mapped table.
 
@@ -3513,6 +3553,14 @@ def read_delta(
         derived = _derived_partition_bounds(meta, predicate, pcols)
         if derived:
             predicate = {**derived, **predicate}
+        # folded-compare (collated) columns never prune on byte-ordered
+        # file stats — drop their entries (superset-safe: more files
+        # read, never fewer)
+        fold = _fold_collated_columns(meta)
+        if fold:
+            predicate = {
+                c: b for c, b in predicate.items() if c not in fold
+            }
         # callers phrase predicates in LOGICAL names; stats documents
         # and partitionValues carry PHYSICAL names on mapped tables
         l2p = _logical_to_physical(meta)
@@ -4558,7 +4606,10 @@ def merge_delta(
         raise ValueError(
             "merge source has duplicate keys — ambiguous WHEN MATCHED"
         )
-    source = source.select(*cols)
+    # align source types to the DECLARED schema (collated strings:
+    # a plain-string key against a collated target column would be
+    # INDETERMINATE_COLLATION at the discovery join)
+    source = _align_source_types(source.select(*cols), schema)
     # CHECK constraints are enforced AFTER the matched-row default
     # repair below (validated rows == committed rows).
     pcols = meta.get("partitionColumns", [])
@@ -4578,12 +4629,15 @@ def merge_delta(
     ).first()
     l2p = _logical_to_physical(meta)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
+    fold_cols = _fold_collated_columns(meta)
     key_pred = {
         (l2p.get(k, k) if l2p else k): (
             bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
         )
         for k in key_cols
-        if bounds_row[f"_lo_{k}"] is not None
+        # folded-compare (collated) keys never prune on byte-ordered
+        # file stats — superset-safe to keep every file for them
+        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
     }
     scan_adds = (
         {
@@ -4915,6 +4969,9 @@ def apply_changes_delta(
     for c in ("_change_type", "_commit_version"):
         if c not in changes.columns:
             raise ValueError(f"change batch missing {c}")
+    # collated targets: align the batch's data columns to the declared
+    # types so key joins against the target use the table's collation
+    changes = _align_source_types(changes, schema)
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
@@ -4961,12 +5018,15 @@ def apply_changes_delta(
     ).first()
     l2p = _logical_to_physical(meta)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
+    fold_cols = _fold_collated_columns(meta)
     key_pred = {
         (l2p.get(k, k) if l2p else k): (
             bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
         )
         for k in key_cols
-        if bounds_row[f"_lo_{k}"] is not None
+        # folded-compare (collated) keys never prune on byte-ordered
+        # file stats — superset-safe to keep every file for them
+        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
     }
     scan_adds = (
         {r: a for r, a in adds.items() if _file_may_match(a, pv_cols, key_pred)}

@@ -350,9 +350,7 @@ def test_utf8_lcase_collation_reads_with_fold_semantics(spark, tmp_path):
     """UTF8_LCASE (r12): the one deterministic ICU-free non-default
     collation READS in both readers — the Spark schema carries the
     __COLLATIONS metadata, so grouping and comparison fold case
-    natively; the external reader returns the raw rows. WRITES stay
-    refused by name (key matching under folded compare is not a duty
-    this writer implements)."""
+    natively; the external reader returns the raw rows."""
     path = _collated_fixture(tmp_path, "t_coll_lcase", "UTF8_LCASE")
     df = read_delta(spark, path)
     assert df.schema["s"].dataType.collation == "UTF8_LCASE"
@@ -363,12 +361,48 @@ def test_utf8_lcase_collation_reads_with_fold_semantics(spark, tmp_path):
     assert df.filter("s = 'b'").count() == 1
     names, rows = read_delta_external(path)
     assert {r[0]: r[1] for r in rows} == got
-    with pytest.raises(ValueError, match="collations"):
-        write_delta(
-            spark,
-            spark.createDataFrame([(3, "c")], "id long, s string"),
-            path, mode="append",
-        )
+
+
+def test_utf8_lcase_collation_write_lifecycle(spark, tmp_path):
+    """UTF8_LCASE WRITES (r12 late): sources are cast to the collated
+    type before any key join, so MERGE/UPDATE/DELETE/APPLY CHANGES all
+    compare under the table's fold semantics — a source key 'A' matches
+    the stored 'a'; byte-ordered file stats never prune on the folded
+    column (superset-safe)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        apply_changes_delta,
+        delete_where,
+        merge_delta,
+        update_where,
+    )
+
+    path = _collated_fixture(tmp_path, "t_coll_lcase_w", "UTF8_LCASE")
+    write_delta(
+        spark, spark.createDataFrame([(3, "c")], "id long, s string"),
+        path, mode="append",
+    )
+    # merge ON the collated key: 'A' folds onto the stored 'a'
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("A", 10), ("d", 4)], "s string, id long"),
+        key_cols=["s"],
+    )
+    got = {r["s"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {"A": 10, "B": 2, "c": 3, "d": 4}, got
+    update_where(spark, path, "s = 'C'", {"id": "30"})
+    delete_where(spark, path, "s = 'b'")
+    got = {r["s"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {"A": 10, "c": 30, "d": 4}, got
+    ch = (
+        spark.createDataFrame([(40, "D")], "id long, s string")
+        .withColumn("_change_type", F.lit("insert"))
+        .withColumn("_commit_version", F.lit(1).cast("long"))
+    )
+    apply_changes_delta(spark, path, ch, key_cols=["s"])
+    got = {r["s"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {"A": 10, "c": 30, "D": 40}, got
+    names, rows = read_delta_external(path)
+    assert {r[1] for r in rows} == {"A", "c", "D"}
 
 
 def test_utf8_binary_collation_feature_accepts_writes(spark, tmp_path):
