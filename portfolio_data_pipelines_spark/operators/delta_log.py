@@ -1302,11 +1302,20 @@ def _creation_protocol(
     shredding = str((configuration or {}).get(
         "delta.enableVariantShredding", ""
     )).lower() == "true"
+    # non-default collations (a collated creation frame): a legacy
+    # reader would silently compare the strings byte-wise — the
+    # collations feature MUST ride the protocol (r12)
+    collated = bool(
+        _unsupported_collations(
+            {"schemaString": schema_string}, accept={"UTF8_BINARY"}
+        )
+    )
     if (
         not ntz
         and not row_tracking
         and not has_variant
         and not shredding
+        and not collated
         and not default_cols
     ):
         return {"minReaderVersion": 1, "minWriterVersion": legacy_w}
@@ -1322,6 +1331,8 @@ def _creation_protocol(
         # variantShredding is a reader+writer feature: readers must
         # reassemble typed_value rows (this engine's do, r11)
         reader.add("variantShredding")
+    if collated:
+        reader.add("collations")
     writer = set(reader)
     if row_tracking:
         # rowTracking is writer-only (readers may ignore row ids) and
@@ -2400,6 +2411,12 @@ def write_delta(
             need.add("variantType")
         if widened:
             need.add("typeWidening")
+        if _unsupported_collations(
+            evolved_meta, accept={"UTF8_BINARY"}
+        ) and not have & _COLLATION_FEATURES:
+            # evolution adding a collated column: declare the feature
+            # in the same commit (legacy readers would byte-compare)
+            need.add("collations")
         if need - have:
             actions.append(
                 {"protocol": _upgraded_protocol_with(proto, need - have)}

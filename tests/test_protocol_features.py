@@ -482,3 +482,42 @@ def test_collation_nested_in_array_struct_refused(spark, tmp_path):
 
     with pytest.raises(ValueError, match="UNICODE_CI"):
         read_delta_external(str(root))
+
+
+def test_collated_creation_declares_feature(spark, tmp_path):
+    """Creating a table FROM a collated frame (r12): the schemaString
+    carries Spark's __COLLATIONS metadata and the protocol declares the
+    collations feature in BOTH lists — a legacy reader would otherwise
+    silently byte-compare the folded column. Fold semantics survive the
+    round-trip, and evolution adding a collated column upgrades the
+    protocol in the same commit."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    path = str(tmp_path / "t_coll_create")
+    st = ST([StructField("id", LongType()),
+             StructField("s", StringType("UTF8_LCASE"))])
+    write_delta(spark, spark.createDataFrame([(1, "Ab"), (2, "aB")], st), path)
+    with open(f"{path}/_delta_log/{0:020d}.json") as fh:
+        acts = [json.loads(line) for line in fh if line.strip()]
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert "collations" in proto["readerFeatures"]
+    assert "collations" in proto["writerFeatures"]
+    df = read_delta(spark, path)
+    assert df.schema["s"].dataType.collation == "UTF8_LCASE"
+    assert df.groupBy("s").count().count() == 1  # 'Ab'/'aB' fold together
+    names, rows = read_delta_external(path)
+    assert {r[1] for r in rows} == {"Ab", "aB"}
+    # evolution on a PLAIN table adding a collated column declares the
+    # feature in the evolving commit
+    p2 = str(tmp_path / "t_coll_evolve")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), p2)
+    st2 = ST([StructField("id", LongType()),
+              StructField("tag", StringType("UTF8_LCASE"))])
+    write_delta(spark, spark.createDataFrame([(2, "X")], st2), p2)
+    with open(f"{p2}/_delta_log/{1:020d}.json") as fh:
+        acts2 = [json.loads(line) for line in fh if line.strip()]
+    proto2 = next(a["protocol"] for a in acts2 if "protocol" in a)
+    assert "collations" in proto2["readerFeatures"]
+    got = {r["id"]: r["tag"] for r in read_delta(spark, p2).collect()}
+    assert got == {1: None, 2: "X"}
