@@ -4125,12 +4125,13 @@ def _net_changes(old_df, new_df, key_cols: list, cols: list):
             )
         )
         .select(
-            # one key column per key — the side that is present (both
-            # NULL only when the key value itself is NULL)
-            *[
-                F.coalesce(F.col(c), F.col(post_keys[c])).alias(c)
-                for c in key_cols
-            ],
+            # keep BOTH sides' key values: under a fold-compare
+            # collation (UTF8_LCASE) the pre and post keys can be
+            # fold-equal but byte-different ('a' matched by 'A') — each
+            # emitted image must carry ITS side's bytes, exactly what a
+            # byte-faithful CDC consumer replays
+            *key_cols,
+            *[F.col(post_keys[c]) for c in key_cols],
             "_pre",
             "_post",
         )
@@ -4165,14 +4166,30 @@ def _net_changes(old_df, new_df, key_cols: list, cols: list):
             )
         )
     )
-    ch = j.select(*key_cols, F.explode(arr).alias("_c"))
+    ch = j.select(
+        *key_cols,
+        *[F.col(post_keys[c]) for c in key_cols],
+        F.explode(arr).alias("_c"),
+    )
     img_cols = (
         [F.col(f"_c._img.{c}").alias(c) for c in nonkey] if nonkey else []
     )
+    ct = F.col("_c._ct")
+    key_out = [
+        # post-state images carry the post side's key bytes, pre-state
+        # images the pre side's; coalesce covers the one-sided rows
+        F.when(
+            ct.isin("insert", "update_postimage"),
+            F.coalesce(F.col(post_keys[c]), F.col(c)),
+        )
+        .otherwise(F.coalesce(F.col(c), F.col(post_keys[c])))
+        .alias(c)
+        for c in key_cols
+    ]
     return ch.select(
-        *key_cols,
+        *key_out,
         *img_cols,
-        F.col("_c._ct").alias("_change_type"),
+        ct.alias("_change_type"),
     ).select(*cols, "_change_type")
 
 

@@ -321,6 +321,19 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
     def _phys(self, name: str) -> str:
         return self.phys.get(name, name) if self.phys else name
 
+    def _fold_cols(self) -> set:
+        """Top-level columns with a non-UTF8_BINARY (fold-compare)
+        collation, from the table's __COLLATIONS field metadata."""
+        _root, _adds, meta = _replay(self.path, None)
+        out: set = set()
+        for f in json.loads(meta["schemaString"]).get("fields", []):
+            for name in ((f.get("metadata") or {}).get(
+                "__COLLATIONS"
+            ) or {}).values():
+                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                    out.add(f["name"])
+        return out
+
     @staticmethod
     def _unshred_cell(cell):
         """One parquet-level variant cell → the plain (value, metadata)
@@ -511,6 +524,20 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
                         ".option('keyCols', 'a,b') to reconstruct its "
                         "changes, or enable_change_data_feed on the "
                         "table so rewrites materialize change files"
+                    )
+                folded = sorted(set(self.key_cols) & self._fold_cols())
+                if folded:
+                    # reconstruction groups rows in a PYTHON dict — a
+                    # byte-wise compare that would diverge from the
+                    # table's fold (UTF8_LCASE) key semantics
+                    raise ValueError(
+                        f"keyCols {folded} declare a non-default "
+                        "collation — reconstruction-mode CDF compares "
+                        "keys byte-wise and would diverge from the "
+                        "table's fold semantics; enable_change_data_feed "
+                        "on the table (write-side change files carry "
+                        "the rows, no diff needed) or use the batch "
+                        "read_delta_cdf"
                     )
                 if (
                     self.max_reconstruct > 0

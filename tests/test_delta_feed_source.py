@@ -1027,3 +1027,43 @@ def test_feed_streams_shredded_variant_table(registered, tmp_path):
     assert got == {
         0: 0, 1: 1, 2: 2, 3: {"a": 1}, 4: {"a": 1}, 5: {"a": 1}
     }, got
+
+
+def test_feed_reconstruction_refuses_folded_collation_keys(
+    registered, tmp_path
+):
+    """Reconstruction-mode CDF diffs keys in a PYTHON dict (byte-wise)
+    — on a fold-collated (UTF8_LCASE) key that diverges from the
+    table's semantics, so it is refused by name with the write-side-CDF
+    remedy. (The batch read_delta_cdf reconstructs via Spark joins on
+    the collated frame and folds correctly.)"""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType as ST,
+    )
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        merge_delta, write_delta,
+    )
+
+    spark = registered
+    path = str(tmp_path / "t_feed_lcase")
+    st = ST([StructField("s", StringType("UTF8_LCASE")),
+             StructField("v", LongType())])
+    write_delta(spark, spark.createDataFrame([("a", 1), ("B", 2)], st), path)
+    # a rewrite commit without cdc actions forces reconstruction mode
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("A", 10)], "s string, v long"),
+        key_cols=["s"],
+    )
+    q = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("readChangeFeed", "true").option("keyCols", "s").load()
+        .writeStream.format("memory").queryName("feed_lcase_mem")
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="fold|collation"):
+        q.awaitTermination(120)
+        raise AssertionError("expected the stream to fail planning")

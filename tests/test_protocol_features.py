@@ -521,3 +521,40 @@ def test_collated_creation_declares_feature(spark, tmp_path):
     assert "collations" in proto2["readerFeatures"]
     got = {r["id"]: r["tag"] for r in read_delta(spark, p2).collect()}
     assert got == {1: None, 2: "X"}
+
+
+def test_cdf_images_byte_faithful_on_folded_keys(spark, tmp_path):
+    """_net_changes byte fidelity (r12): under UTF8_LCASE a MERGE
+    source key 'A' matches the stored 'a' — the update PREIMAGE must
+    carry the pre side's bytes ('a') and the POSTIMAGE the post side's
+    ('A', what the table now stores); before this fix both images
+    carried the pre side's key and a byte-faithful CDC consumer
+    replicating to a non-collated sink diverged from the table."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        enable_change_data_feed, merge_delta, read_delta_cdf,
+    )
+
+    path = str(tmp_path / "t_cdf_fold")
+    st = ST([StructField("s", StringType("UTF8_LCASE")),
+             StructField("v", LongType())])
+    write_delta(spark, spark.createDataFrame([("a", 1), ("B", 2)], st), path)
+    enable_change_data_feed(spark, path)
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("A", 10)], "s string, v long"),
+        key_cols=["s"],
+    )
+    assert {tuple(r) for r in read_delta(spark, path).collect()} == {
+        ("A", 10), ("B", 2)
+    }
+    ch = {
+        (r["s"], r["v"], r["_change_type"])
+        for r in read_delta_cdf(
+            spark, path, from_version=1, key_cols=["s"]
+        ).collect()
+    }
+    assert ("a", 1, "update_preimage") in ch, ch
+    assert ("A", 10, "update_postimage") in ch, ch
