@@ -495,24 +495,57 @@ def _variant_physical(
         "long": LongType(), "double": DoubleType(),
         "boolean": BooleanType(), "string": StringType(),
     }
+
+    def _bad(spec):
+        if isinstance(spec, dict):
+            # object shredding: {field: scalar type}, at least one field
+            return not spec or any(t not in _typed for t in spec.values())
+        return spec not in _typed
+
     bad_types = sorted(
-        f"{c}: {t}" for c, t in shred.items() if t not in _typed
+        f"{c}: {t}" for c, t in shred.items() if _bad(t)
     )
     if bad_types:
         raise ValueError(
-            f"unsupported scalar shred type(s) {bad_types} — supported: "
-            f"{sorted(_typed)}"
+            f"unsupported shred spec(s) {bad_types} — supported: a "
+            f"scalar type in {sorted(_typed)}, or an OBJECT spec "
+            "{field: scalar type}"
         )
 
     def phys_for(c):
         # shredded columns stage the spec's triple (metadata, value?,
         # typed_value?); plain variant columns the classic pair
         if c in shred:
+            spec = shred[c]
+            if isinstance(spec, dict):
+                # object shredding: typed_value is a group of per-field
+                # (value?, typed_value?) groups (VariantShredding.md)
+                tv = StructType(
+                    [
+                        StructField(
+                            f,
+                            StructType(
+                                [
+                                    StructField(
+                                        "value", BinaryType(), True
+                                    ),
+                                    StructField(
+                                        "typed_value", _typed[t], True
+                                    ),
+                                ]
+                            ),
+                            True,
+                        )
+                        for f, t in sorted(spec.items())
+                    ]
+                )
+            else:
+                tv = _typed[spec]
             return StructType(
                 [
                     StructField("metadata", BinaryType(), False),
                     StructField("value", BinaryType(), True),
-                    StructField("typed_value", _typed[shred[c]], True),
+                    StructField("typed_value", tv, True),
                 ]
             )
         return StructType(
@@ -538,7 +571,16 @@ def _variant_physical(
     )
 
     def conv(batches):
-        from .variant import shred_scalar
+        from .delta_reader import _variant_metadata_keys, _variant_value
+        from .variant import _encode_value, shred_scalar
+
+        _py = {
+            "long": lambda x: isinstance(x, int)
+            and not isinstance(x, bool),
+            "double": lambda x: isinstance(x, float),
+            "boolean": lambda x: isinstance(x, bool),
+            "string": lambda x: isinstance(x, str),
+        }
 
         def cell_plain(v):
             return (
@@ -561,11 +603,55 @@ def _variant_physical(
                 "typed_value": None,
             }
 
+        def cell_obj_shred(v, spec):
+            # object shredding: decode THIS row against its own
+            # metadata dictionary; each declared field shreds into its
+            # own (value?, typed_value?) group, non-declared fields
+            # re-encode as the top-level residual object (same
+            # dictionary — key ids stay valid), non-object rows keep
+            # the full binary
+            if v is None:
+                return None
+            keys = _variant_metadata_keys(v.metadata)
+            if not v.value or (v.value[0] & 3) != 2:  # not an object
+                return {
+                    "metadata": v.metadata, "value": v.value,
+                    "typed_value": None,
+                }
+            obj = _variant_value(v.value, 0, keys)[0]
+            key_ids = {k: i for i, k in enumerate(keys)}
+            tv = {}
+            for f, t in spec.items():
+                if f not in obj:
+                    tv[f] = {"value": None, "typed_value": None}  # absent
+                elif _py[t](obj[f]):
+                    tv[f] = {"value": None, "typed_value": obj[f]}
+                else:
+                    # field present with a non-matching shape: its own
+                    # binary rides the FIELD group, not the residual
+                    tv[f] = {
+                        "value": _encode_value(obj[f], key_ids),
+                        "typed_value": None,
+                    }
+            resid = {k: x for k, x in obj.items() if k not in spec}
+            return {
+                "metadata": v.metadata,
+                "value": _encode_value(resid, key_ids) if resid else None,
+                "typed_value": tv,
+            }
+
         for pdf in batches:
             for c in vcols:
                 if c in shred:
                     t = shred[c]
-                    pdf[c] = pdf[c].map(lambda v, _t=t: cell_shred(v, _t))
+                    if isinstance(t, dict):
+                        pdf[c] = pdf[c].map(
+                            lambda v, _t=t: cell_obj_shred(v, _t)
+                        )
+                    else:
+                        pdf[c] = pdf[c].map(
+                            lambda v, _t=t: cell_shred(v, _t)
+                        )
                 else:
                     pdf[c] = pdf[c].map(cell_plain)
             yield pdf
@@ -1974,10 +2060,15 @@ def write_delta(
     """Commit ``df`` to the Delta table at ``path``; returns the version.
 
     ``shred_variants`` ({variant column: "long"|"double"|"boolean"|
-    "string"}) stages those columns in the variantShredding TRIPLE
-    (top-level scalar shredding per VariantShredding.md): rows whose
-    value is a scalar of the target type store ``typed_value``, others
-    keep the full binary. A creation commit declares the
+    "string", or {field: scalar type} for OBJECT shredding}) stages
+    those columns in the variantShredding TRIPLE per
+    VariantShredding.md. Scalar form: rows whose value is a scalar of
+    the target type store ``typed_value``, others keep the full
+    binary. Object form: each declared field gets its own
+    (value?, typed_value?) group (typed on match, field-level binary
+    on shape mismatch, both-null when absent) and non-declared fields
+    re-encode as the top-level residual against the row's own
+    metadata dictionary; non-object rows keep the full binary. A creation commit declares the
     ``variantShredding`` feature + ``delta.enableVariantShredding``;
     appends require the table to already declare it. Shredding is
     per-file per spec — other commit paths (MERGE/OPTIMIZE rewrites)

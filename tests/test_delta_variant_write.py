@@ -454,7 +454,7 @@ def test_shred_append_requires_declared_feature(spark, tmp_path):
         write_delta(
             spark, df, str(tmp_path / "t2"), shred_variants={"id": "long"}
         )
-    with pytest.raises(ValueError, match="unsupported scalar shred"):
+    with pytest.raises(ValueError, match="unsupported shred"):
         write_delta(
             spark, df, str(tmp_path / "t3"), shred_variants={"v": "date"}
         )
@@ -492,3 +492,75 @@ def test_shred_string_and_double_targets(spark, tmp_path):
     assert got == {0: "abc", 1: long_s, 2: 42}
     names, rows = read_delta_external(path)
     assert {r[0]: r[1] for r in rows} == got
+
+
+def test_object_shredding_write_round_trips(spark, tmp_path):
+    """OBJECT shredding WRITE (r12 late): shred_variants={col: {field:
+    scalar type}} stages per-field (value?, typed_value?) groups —
+    matching fields carry typed_value, mismatched shapes keep a
+    field-level binary, absent fields are both-null, non-declared
+    fields re-encode as the top-level residual (same metadata
+    dictionary), and non-object rows keep the full binary. Both readers
+    reassemble, and the feed streams the same logical values."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t_objshred")
+    df = spark.range(0, 6).select(
+        "id",
+        F.parse_json(
+            F.when(F.col("id") == 0, F.lit('{"a": 7, "b": "x"}'))
+            .when(F.col("id") == 1, F.lit('{"a": "notlong"}'))
+            .when(F.col("id") == 2, F.lit('{"b": true}'))
+            .when(F.col("id") == 3, F.lit('{"a": 5}'))
+            .when(F.col("id") == 4, F.lit('"scalar"'))
+            .otherwise(F.lit(None))
+        ).alias("v"),
+    )
+    write_delta(spark, df, path, shred_variants={"v": {"a": "long"}})
+    by_id = {}
+    for fl in sorted(glob.glob(f"{path}/*.parquet")):
+        for r in pq.read_table(fl).to_pylist():
+            by_id[r["id"]] = r["v"]
+    assert by_id[0]["typed_value"]["a"]["typed_value"] == 7
+    assert by_id[0]["value"] is not None  # residual {"b": "x"}
+    assert by_id[1]["typed_value"]["a"]["value"] is not None
+    assert by_id[1]["value"] is None
+    assert by_id[2]["typed_value"]["a"] == {
+        "value": None, "typed_value": None
+    }
+    assert by_id[3]["value"] is None
+    assert by_id[4]["typed_value"] is None
+    assert by_id[5] is None
+    want = {0: {"a": 7, "b": "x"}, 1: {"a": "notlong"}, 2: {"b": True},
+            3: {"a": 5}, 4: "scalar", 5: None}
+    got = {
+        r["id"]: (None if r["v"] is None else r["v"].toPython())
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == want
+    names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == want
+    # the change feed reassembles object shreds too
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    q = (
+        spark.readStream.format("delta_feed").option("path", path).load()
+        .writeStream.format("memory").queryName("objshred_feed")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    fgot = {
+        r["id"]: (None if r["v"] is None else r["v"].toPython())
+        for r in spark.sql("select * from objshred_feed").collect()
+    }
+    assert fgot == want, fgot
+    # empty object spec refused
+    with pytest.raises(ValueError, match="unsupported shred"):
+        write_delta(
+            spark, df, str(tmp_path / "t_obj_bad"), shred_variants={"v": {}}
+        )
