@@ -485,7 +485,7 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
     ops = [
         "append", "evolve", "rename", "drop", "delete", "update",
         "optimize", "checkpoint", "vacuum", "cleanup",
-        "setdefault", "dropdefault", "append_omit",
+        "setdefault", "dropdefault", "append_omit", "merge_omit",
     ]
     for step in range(n_ops):
         op = rng.choice(ops)
@@ -591,6 +591,51 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
                 d[omit] = defaults[omit]  # fill-on-omit duty
             rows.update(sub)
             trace[-1] += f"(-{omit})"
+        elif op == "merge_omit":
+            # r12 MERGE-defaults repair: a source omitting a defaulted
+            # column updates matched rows (which KEEP their stored
+            # value for the omitted column) and inserts fresh rows
+            # (which take the default)
+            if not defaults:
+                trace[-1] += "(noop)"
+                continue
+            from portfolio_data_pipelines_spark.operators.delta_log import (
+                merge_delta,
+            )
+
+            omit = rng.choice(sorted(defaults))
+            hit = sorted(i for i in rows if i % 3 == 0)[:3]
+            fresh, next_id = _fresh_rows(rng, next_id, rng.randrange(1, 3))
+            src = {}
+            for i in hit:
+                src[i] = dict(rows[i])
+                src[i][vcols[0]] = (src[i].get(vcols[0]) or 0) + 1000
+            for i, (g, v) in fresh.items():
+                src[i] = {"grp": g, **{c: v + k for k, c in
+                                       enumerate(vcols)}}
+            cols_k = [c for c in vcols if c != omit]
+            schema = ", ".join(
+                ["id long", "grp string"]
+                + [f"{c} long" for c in cols_k]
+            )
+            frame_src = spark.createDataFrame(
+                [
+                    tuple([i, d["grp"]] + [d.get(c) for c in cols_k])
+                    for i, d in sorted(src.items())
+                ],
+                schema,
+            ).coalesce(1)
+            version = merge_delta(spark, path, frame_src, key_cols=["id"])
+            for i in hit:
+                kept = rows[i][omit]  # matched keeps the stored value
+                rows[i] = {c: src[i].get(c) for c in ["grp"] + vcols}
+                rows[i]["grp"] = src[i]["grp"]
+                rows[i][omit] = kept
+            for i, (g, v) in fresh.items():
+                d = {"grp": g, **{c: v + k for k, c in enumerate(vcols)}}
+                d[omit] = defaults[omit]  # insert takes the default
+                rows[i] = d
+            trace[-1] += f"(-{omit},hit={len(hit)})"
         elif op == "optimize":
             v = optimize_delta(spark, path)
             if v is None:
