@@ -797,3 +797,125 @@ def _walk_identity_generated(spark, tmp_path, seed, n_ops):
 
 def test_lifecycle_fuzz_identity_generated_seed_13(spark, tmp_path):
     _walk_identity_generated(spark, tmp_path, seed=13, n_ops=12)
+
+
+def _walk_variant(spark, tmp_path, seed, n_ops):
+    """Variant-surface walk (r12): a table with a VARIANT column takes
+    appends that alternate between PLAIN-pair, scalar-SHREDDED and
+    object-SHREDDED staging (legal per-file mix per VariantShredding.md),
+    interleaved with MERGE rewrites, DELETEs, OPTIMIZE and checkpoints —
+    after every commit the model, Spark's read and the independent
+    external reader must agree on the decoded logical values."""
+    import json as _json
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        vacuum_delta,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_var_{seed}")
+    next_id = [0]
+    # model: id -> decoded python value of v (or None)
+    model: dict[int, object] = {}
+
+    def mk_payload(i):
+        kind = rng.randrange(5)
+        if kind == 0:
+            return i * 3  # scalar long
+        if kind == 1:
+            return f"s{i}"  # scalar string
+        if kind == 2:
+            return {"a": i, "b": f"x{i}"}  # object, a shreds
+        if kind == 3:
+            return {"b": True}  # object, a absent
+        return None  # JSON-null-ish: model as SQL NULL variant
+
+    def frame(rows):
+        items = sorted(rows.items())
+        return spark.createDataFrame(
+            [(i, _json.dumps(v) if v is not None else None)
+             for i, v in items],
+            "id long, payload string",
+        ).select(
+            "id", F.parse_json(F.col("payload")).alias("v")
+        ).coalesce(1)
+
+    def fresh(n):
+        rows = {}
+        for _ in range(n):
+            rows[next_id[0]] = mk_payload(next_id[0])
+            next_id[0] += 1
+        return rows
+
+    shreds = [None, {"v": "long"}, {"v": {"a": "long"}}]
+    first = fresh(8)
+    write_delta(spark, frame(first), path, shred_variants={"v": "long"})
+    model.update(first)
+    version = 0
+    trace = [f"var-seed={seed}", "create(8,shred=long)"]
+
+    def check():
+        t = " ".join(trace)
+        got = {
+            r["id"]: (None if r["v"] is None else r["v"].toPython())
+            for r in read_delta(spark, path).collect()
+        }
+        assert got == model, f"spark diverged after {t}"
+        names, rows = read_delta_external(path)
+        idx = {n: k for k, n in enumerate(names)}
+        ext = {r[idx["id"]]: r[idx["v"]] for r in rows}
+        assert ext == model, f"external reader diverged after {t}"
+
+    check()
+    ops = ["append", "merge", "delete", "optimize", "checkpoint", "vacuum"]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append":
+            shred = rng.choice(shreds)
+            rows = fresh(rng.randrange(2, 5))
+            version = write_delta(
+                spark, frame(rows), path, mode="append",
+                shred_variants=shred,
+            )
+            model.update(rows)
+            trace[-1] += f"(shred={shred and sorted(shred.values())})"
+        elif op == "merge":
+            hit = sorted(i for i in model if i % 4 == 1)[:3]
+            src = {i: mk_payload(i + 7000) for i in hit}
+            src.update(fresh(2))
+            version = merge_delta(
+                spark, path, frame(src), key_cols=["id"]
+            )
+            model.update(src)
+        elif op == "delete":
+            v = delete_where(spark, path, "id % 6 = 2")
+            doomed = [i for i in model if i % 6 == 2]
+            if v is None:
+                assert not doomed, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in doomed:
+                del model[i]
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+            trace[-1] += f"@{version}"
+        elif op == "vacuum":
+            vacuum_delta(spark, path, retain_hours=168, now_ms=10**18)
+        check()
+    check()
+
+
+def test_lifecycle_fuzz_variant_seed_3(spark, tmp_path):
+    _walk_variant(spark, tmp_path, seed=3, n_ops=10)
+
+
+def test_lifecycle_fuzz_variant_seed_19(spark, tmp_path):
+    _walk_variant(spark, tmp_path, seed=19, n_ops=10)
