@@ -317,22 +317,27 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
             options.get("ignoredeletes", "false")
         ).lower() == "true"
         self._progress: int | None = None  # known position, once seen
+        self._fold_cols_cache: set | None = None  # see _fold_cols
 
     def _phys(self, name: str) -> str:
         return self.phys.get(name, name) if self.phys else name
 
     def _fold_cols(self) -> set:
         """Top-level columns with a non-UTF8_BINARY (fold-compare)
-        collation, from the table's __COLLATIONS field metadata."""
-        _root, _adds, meta = _replay(self.path, None)
-        out: set = set()
-        for f in json.loads(meta["schemaString"]).get("fields", []):
-            for name in ((f.get("metadata") or {}).get(
-                "__COLLATIONS"
-            ) or {}).values():
-                if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
-                    out.add(f["name"])
-        return out
+        collation, from the table's __COLLATIONS field metadata —
+        resolved once per stream (the schema is pinned for the query's
+        lifetime), not per planned commit."""
+        if self._fold_cols_cache is None:
+            _root, _adds, meta = _replay(self.path, None)
+            out: set = set()
+            for f in json.loads(meta["schemaString"]).get("fields", []):
+                for name in ((f.get("metadata") or {}).get(
+                    "__COLLATIONS"
+                ) or {}).values():
+                    if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+                        out.add(f["name"])
+            self._fold_cols_cache = out
+        return self._fold_cols_cache
 
     @staticmethod
     def _unshred_cell(cell):
