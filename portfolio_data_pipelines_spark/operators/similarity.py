@@ -107,7 +107,12 @@ def _centroid_scores(vec_col: str):
     )
 
 
-def _nearest_centroid(df_with_cens: DataFrame, vec_col: str, centroid_id_col: str) -> DataFrame:
+def _nearest_centroid(
+    df_with_cens: DataFrame,
+    vec_col: str,
+    centroid_id_col: str,
+    sim_col: str | None = None,
+) -> DataFrame:
     """Per-row nearest-centroid argmax, fully map-side.
 
     ``transform`` scores every centroid in the broadcast array;
@@ -116,11 +121,18 @@ def _nearest_centroid(df_with_cens: DataFrame, vec_col: str, centroid_id_col: st
     aggregation, no shuffle, no re-join — each corpus row computes its
     own assignment inside whole-stage codegen. Requires ``_norm`` and
     the ``_cens`` array column; drops ``_cens`` on the way out.
+
+    ``sim_col`` (optional) also keeps the winning cosine — the 1-D
+    "distance to centroid" projection downstream candidate windows sort
+    on (`cluster_cosine_pairs`).
     """
     best = F.array_max(_centroid_scores(vec_col))
-    return df_with_cens.withColumn(
+    out = df_with_cens.withColumn(
         centroid_id_col, (-best.getField("negcid")).cast("long")
-    ).drop("_cens")
+    )
+    if sim_col is not None:
+        out = out.withColumn(sim_col, best.getField("s"))
+    return out.drop("_cens")
 
 
 def _probe_centroids(
@@ -148,6 +160,7 @@ def assign_centroids(
     vec_col: str,
     id_col: str,
     centroid_id_col: str = "centroid_id",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (IVF build).
 
@@ -161,7 +174,7 @@ def assign_centroids(
     c = _with_norm(corpus, vec_col).join(
         F.broadcast(_centroids_row(centroids, vec_col, centroid_id_col))
     )
-    return _nearest_centroid(c, vec_col, centroid_id_col).drop("_norm")
+    return _nearest_centroid(c, vec_col, centroid_id_col, sim_col=sim_col).drop("_norm")
 
 
 def ivf_topk(
@@ -227,6 +240,7 @@ def kmeans_refine(
     n_iter: int = 2,
     cluster_id_col: str = "cluster_id",
     exact: bool = True,
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement over cosine assignment.
 
@@ -285,7 +299,7 @@ def kmeans_refine(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda x: x["_m"]
             ).alias(vec_col)
         ).localCheckpoint(eager=True)
-    return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col)
+    return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col, sim_col=sim_col)
 
 
 def cluster_cosine_pairs(
@@ -296,53 +310,97 @@ def cluster_cosine_pairs(
     threshold: float = 0.4,
     n_iter: int = 2,
     cluster_id_col: str = "cluster_id",
+    max_cell_candidates: int = 256,
 ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup pairs: k-means-bucket the
     corpus (`kmeans_refine`), then exact cosine only WITHIN each
-    cluster. Output (id_a, id_b, cosine), id_a < id_b, cosine ≥
-    threshold.
+    cluster, with a pinned per-row candidate bound. Output
+    (id_a, id_b, cosine), id_a < id_b, cosine ≥ threshold.
 
     This is the scale path beside the all-pairs correctness baseline
     (dedup.embedding_cosine_pairs): candidate pairs drop from O(n²) to
-    O(Σ|cell|²), and the pair join is a hash equi-join on the cluster
-    id — both sides partition by cell, so each cell's quadratic loop
-    runs where its vectors already live. Recall < 1 by construction
-    (near-dups straddling a cell boundary are missed — mitigate with
-    more Lloyd rounds or cell-overlap probing), but fully deterministic,
-    hence oracle-checkable. Reference analogue: SemDeDup
+    O(Σ|cell|·W) where W = ``max_cell_candidates``. Within each cell,
+    rows sort by (cosine-to-centroid DESC, id ASC) — a deterministic 1-D
+    projection along the "distance to centroid" axis, the SortingLSH
+    trick — and each row pairs only with the next W rows in that order.
+    For cells of ≤ W+1 members the window covers every pair, so the
+    operator is exact in-cell dedup (the declared fixtures' cells are
+    ≤ 64 ≪ 256: output identical to the unbounded form); above that the
+    window caps work at |cell|·W instead of |cell|²/2 — a skewed or
+    degenerate mega-cell (all vectors near one centroid) can no longer
+    go quadratic. Recall contract: a pair is found iff its two members
+    share a cell AND sit within W positions of each other in the cell's
+    centroid-similarity order — near-dups have near-equal centroid
+    cosines, so they sort adjacent and survive any W ≥ 1 unless W/2
+    other vectors tie between them.
+
+    Fully deterministic (total sort order, sequential-double cosines) →
+    oracle-checkable at every scale. Reference analogue: SemDeDup
     (Abbas et al. 2023) — cluster embeddings, dedup within cluster.
     """
     assigned = kmeans_refine(
-        corpus, seeds, vec_col, id_col, n_iter=n_iter, cluster_id_col=cluster_id_col
+        corpus, seeds, vec_col, id_col, n_iter=n_iter,
+        cluster_id_col=cluster_id_col, sim_col="_csim",
     )
     # Both pair-join sides read the assignment; checkpoint the (id, vec,
-    # cell, norm) projection once so the final map-side assignment pass
-    # runs once, not twice (at scale: persist this projection
+    # cell, norm, rank) projection once so the final map-side assignment
+    # pass runs once, not twice (at scale: persist this projection
     # MEMORY_AND_DISK — it is the reusable "index" artifact, ~vector
     # width per row, the same stance as the dedup family's shared index).
-    norms = assigned.withColumn(
-        "_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col)))
-    ).localCheckpoint(eager=True)
-    a = norms.select(
+    # The rank window shuffles by cell — the same partitioning the pair
+    # join needs anyway, and cells stay bounded when seeds scale with the
+    # corpus (the declared shape), so no single task sees more than a
+    # cell.
+    w = Window.partitionBy(cluster_id_col).orderBy(F.desc("_csim"), F.asc(id_col))
+    ranked = (
+        assigned.withColumn("_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col))))
+        .withColumn("_rk", F.row_number().over(w))
+        .localCheckpoint(eager=True)
+    )
+    # Band-bucketed window join: rows carry bucket = floor((rank-1)/W);
+    # a pair within W positions spans at most adjacent buckets, so the
+    # b side explodes to (own bucket, own bucket - 1) and the join key
+    # is (cell, bucket). The hash join then ENUMERATES only O(|cell|·W)
+    # candidates — a plain cell equi-join would materialize |cell|²
+    # candidate rows before the rank filter could drop them, quadratic
+    # again for a mega-cell even with the cosine math deferred.
+    wdw = max_cell_candidates
+    a = ranked.select(
         F.col(cluster_id_col),
-        F.col(id_col).alias("id_a"),
+        F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
         F.col("_norm").alias("_na"),
+        F.col("_rk").alias("_rka"),
+        F.floor((F.col("_rk") - 1) / wdw).alias("_band"),
     )
-    b = norms.select(
+    b = ranked.select(
         F.col(cluster_id_col),
-        F.col(id_col).alias("id_b"),
+        F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
         F.col("_norm").alias("_nb"),
+        F.col("_rk").alias("_rkb"),
+        F.explode(
+            F.array(
+                F.floor((F.col("_rk") - 1) / wdw),
+                F.floor((F.col("_rk") - 1) / wdw) - 1,
+            )
+        ).alias("_band"),
     )
     return (
-        a.join(b, [cluster_id_col])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, [cluster_id_col, "_band"])
+        .filter(
+            (F.col("_rkb") > F.col("_rka"))
+            & (F.col("_rkb") <= F.col("_rka") + max_cell_candidates)
+        )
         .withColumn(
             "cosine", _dot_seq(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "cosine",
+        )
     )
 
 

@@ -141,8 +141,9 @@ def _kmeans_cte(n_iter: int = 2) -> str:
     def assign(n: int) -> str:
         return f"""
     a{n} AS (
-        SELECT vec_id, v, nv, cid FROM (
+        SELECT vec_id, v, nv, cid, csim FROM (
             SELECT e.vec_id, e.v, e.nv, c.cid,
+                   list_dot_product(e.v, c.v) / (e.nv * c.nv) AS csim,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
@@ -201,27 +202,40 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "semdedup_pairs",
     oracle=f"""
-    WITH {_kmeans_cte(2)}
-    SELECT id_a, id_b, cosine FROM (
-        SELECT p.vec_id AS id_a, q.vec_id AS id_b,
+    WITH {_kmeans_cte(2)},
+    rkd AS (
+        SELECT vec_id, v, nv, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cid ORDER BY csim DESC, vec_id ASC
+               ) AS rk
+        FROM a3
+    )
+    SELECT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b, cosine
+    FROM (
+        SELECT p.vec_id AS id_x, q.vec_id AS id_y,
                list_dot_product(p.v, q.v) / (p.nv * q.nv) AS cosine
-        FROM a3 p JOIN a3 q ON p.cid = q.cid AND p.vec_id < q.vec_id
+        FROM rkd p JOIN rkd q
+          ON p.cid = q.cid AND q.rk > p.rk AND q.rk <= p.rk + 256
     ) WHERE cosine >= 0.4
     """,
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped near-dup pairs: k-means-bucket the embeddings
-    (2 Lloyd rounds, 10 cells), exact cosine ≥ 0.4 only WITHIN each
-    cell. The scale path beside `embedding_cosine_dups`' O(n²)
-    baseline: candidates drop to O(Σ|cell|²) and the pair join
-    hash-partitions by cell. Deterministic end to end → full oracle;
+    (2 Lloyd rounds, every-53rd-id seeds), exact cosine ≥ 0.4 only
+    WITHIN each cell, candidates bounded per row at W=256 neighbors in
+    the cell's (centroid-cosine DESC, id ASC) order. The scale path
+    beside `embedding_cosine_dups`' O(n²) baseline: candidate work is
+    O(Σ|cell|·W) — exact in-cell dedup while cells stay ≤ W+1 (all
+    declared fixtures: cells ≤ 64), and a pinned linear bound when a
+    skewed cell blows past it. Deterministic end to end → full oracle;
     recall vs the baseline is the cell-boundary miss rate."""
     emb = scan_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
         F.col("vec_id").alias("cluster_id"), "embedding"
     )
     return cluster_cosine_pairs(
-        emb, seeds, "embedding", "vec_id", threshold=0.4, n_iter=2
+        emb, seeds, "embedding", "vec_id", threshold=0.4, n_iter=2,
+        max_cell_candidates=256,
     ).orderBy("id_a", "id_b")
 
 

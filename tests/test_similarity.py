@@ -144,6 +144,55 @@ def test_semdedup_pairs_subset_of_allpairs_baseline(spark):
         assert v == base[k], (k, v, base[k])
 
 
+def test_semdedup_cell_size_bound_is_enforced(spark):
+    """The r12→r13 pinned contract: per-row in-cell candidates are
+    bounded at W = max_cell_candidates even when one degenerate cell
+    swallows the whole corpus. Fixture: 40 near-identical vectors (one
+    tight cone → ONE cell, every pair above threshold). With W ≥ |cell|
+    the windowed form must equal exact all-pairs; with W < |cell| the
+    output must be (a) a strict subset, (b) exactly the pairs within W
+    positions of each other in the cell's (centroid-cosine, id) order —
+    i.e. per-row pair count ≤ W, so a mega-cell costs |cell|·W, not
+    |cell|²/2."""
+    from portfolio_data_pipelines_spark.operators.similarity import (
+        cluster_cosine_pairs,
+    )
+
+    n = 40
+    rows = [(i, [1.0, 0.001 * i, 0.0005 * (i % 7), 0.0]) for i in range(n)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    seeds = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+
+    def pairs(w):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in cluster_cosine_pairs(
+                emb, seeds, "embedding", "vec_id", threshold=0.9, n_iter=1,
+                max_cell_candidates=w,
+            ).collect()
+        }
+
+    exact = pairs(n)  # W ≥ |cell| - 1 → every in-cell pair
+    assert len(exact) == n * (n - 1) // 2  # cone fixture: all pairs ≥ 0.9
+    capped = pairs(5)
+    assert capped < exact  # strict subset — the window dropped pairs
+    # Per-row candidate bound: no row participates in > 2W pairs
+    # (W successors + W predecessors in the cell order).
+    from collections import Counter
+
+    cnt = Counter()
+    for a, b in capped:
+        cnt[a] += 1
+        cnt[b] += 1
+    assert max(cnt.values()) <= 2 * 5
+    # Linear work shape: |capped| ≤ |cell| · W, far below the quadratic count.
+    assert len(capped) <= n * 5
+
+
 def test_kmeans_exact_and_approx_modes_agree(spark):
     """exact=True (sequential-fold means) and exact=False (partial-agg
     sums) may differ at the ULP level, but on this fixture no point is
