@@ -329,18 +329,21 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the sketch's outputs, so the driver's hash check covers the
     sketch's published contract.
 
-    Fusion note (r11 verdict #5, finished r12): the exact-rank arm and
+    Fusion note (r11 verdict #5, reshaped r13): the exact-rank arm and
     the sketch-verification ranks SHARE one ``ranked_value_counts``
-    frame (the (flag, value) count shuffle + two-phase prefix sum runs
-    once, localCheckpoint-materialized), and BOTH arms now collapse
-    into ONE aggregation over it: the per-group totals pass derives the
-    target ranks as wide per-flag columns (9 rows, broadcast — no
-    explode/long-form round trip), and a single groupBy(flag) computes
-    the sketch rank sums AND the floor/ceil order-statistic picks
-    together. Two fact scans remain by necessity (the sketch must see
-    raw rows; the counts group by a different key), but the assembly
-    joins and the separate exact arm are gone — r11's 3.19 s → the
-    r10 target of ≤2.5 s warm.
+    frame (now a single range exchange + in-stage count/cumsum,
+    localCheckpoint-materialized). r12 fused everything into one wide
+    aggregation over that 594k-row frame; profiling showed the 27
+    when-expressions over every distinct value were the cost, so r13
+    splits by row volume instead: (a) the sketch rank sums
+    (lo/hi/present — full-population counts) run over the RAW fact
+    rows in the same codegen'd pass that already counts the group
+    (identical values: a count of raw rows IS the _c-weighted sum),
+    and (b) the floor/ceil order-statistic picks FILTER the ranked
+    frame to the handful of rows whose rank windows can match before
+    aggregating — tens of rows instead of 594k. The projected fact
+    scan is localCheckpoint'ed once and feeds the sampler, the ranked
+    build, the sketch, and the rank-sum pass from memory.
 
     Scale note (r7): the exact arm is computed by RANK on the two-phase
     distributed prefix-sum infrastructure
@@ -351,8 +354,14 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     to drop to the raw sketch at extreme scale."""
     from ..operators.pipeline import ranked_value_counts
 
-    li = scan_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    # One fact scan, four consumers (range sampler, ranked build, the
+    # sketch, the rank-sum pass): persist the 2-column projection —
+    # MEMORY_AND_DISK, so at scale it spills instead of evicting — and
+    # let the sampler's full pass populate it.
+    li = (
+        scan_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .persist()
     )
     qs = ", ".join(str(q) for q in _APPROX_PCT_QS)
     agg = li.groupBy("l_returnflag").agg(
@@ -394,31 +403,49 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    # pass 2 — the ONE fused aggregation: sketch rank sums and exact
-    # order-statistic picks side by side
-    probe = cum.join(F.broadcast(agg), "l_returnflag").join(
-        F.broadcast(targets), "l_returnflag"
+    # pass 2a — sketch rank sums over the RAW fact rows (a count of raw
+    # rows equals the _c-weighted sum over the distinct-value frame,
+    # value for value): simple codegen'd comparisons against the 3-row
+    # broadcast sketch, in the same pass that counts the group.
+    p_raw = F.col("l_extendedprice")
+    lohi_aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(len(_APPROX_PCT_QS)):
+        ap = F.col("_ap")[i]
+        lohi_aggs += [
+            F.sum(F.when(p_raw < ap, 1).otherwise(0)).alias(f"_lo{i}"),
+            F.sum(F.when(p_raw <= ap, 1).otherwise(0)).alias(f"_hi{i}"),
+            F.max(F.when(p_raw == ap, 1).otherwise(0)).alias(f"_present{i}"),
+        ]
+    lohi = (
+        li.join(F.broadcast(agg.select("l_returnflag", "_ap")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(*lohi_aggs)
     )
-    p = F.col("l_extendedprice")
-    v = p.cast("double")
+    # pass 2b — the exact order-statistic picks: FILTER the ranked frame
+    # to the rows whose rank window can match a floor/ceil target (a
+    # handful per group) before aggregating, instead of running wide
+    # when-aggregates over every distinct value.
+    probe = cum.join(F.broadcast(targets), "l_returnflag")
+    v = F.col("l_extendedprice").cast("double")
     c = F.col("_c")
     gcum = F.col("_cum") - F.col("_base")  # per-group inclusive rank end
     glo = gcum - c  # exclusive rank start
-    fused_aggs = [F.max("_n").alias("_n")]
+    hit = F.lit(False)
     for i in range(len(_APPROX_PCT_QS)):
-        ap = F.col("_ap")[i]
         frn, crn = F.col(f"_frn{i}"), F.col(f"_crn{i}")
-        fused_aggs += [
-            F.sum(F.when(p < ap, c).otherwise(0)).alias(f"_lo{i}"),
-            F.sum(F.when(p <= ap, c).otherwise(0)).alias(f"_hi{i}"),
-            F.max(F.when(p == ap, 1).otherwise(0)).alias(f"_present{i}"),
+        hit = hit | ((glo <= frn) & (frn < gcum)) | ((glo <= crn) & (crn < gcum))
+    pick_aggs = []
+    for i in range(len(_APPROX_PCT_QS)):
+        frn, crn = F.col(f"_frn{i}"), F.col(f"_crn{i}")
+        pick_aggs += [
             F.max(F.when((glo <= frn) & (frn < gcum), v)).alias(f"_vlo{i}"),
             F.max(F.when((glo <= crn) & (crn < gcum), v)).alias(f"_vhi{i}"),
             F.max(f"_h{i}").alias(f"_h{i}"),
             F.max(frn).alias(f"_frn{i}"),
             F.max(crn).alias(f"_crn{i}"),
         ]
-    fused = probe.groupBy("l_returnflag").agg(*fused_aggs)
+    picks = probe.filter(hit).groupBy("l_returnflag").agg(*pick_aggs)
+    fused = lohi.join(F.broadcast(picks), "l_returnflag")
     eps = 1.0 / APPROX_PCT_ACCURACY
     cond = F.lit(True)
     outs = []
