@@ -288,6 +288,32 @@ def _cpu_efficiency() -> float | None:
         return None
 
 
+def _prior_lakehouse_steps():
+    """(round, step map) from the newest driver-recorded
+    ``BENCH_r*.json`` — the comparison base for the per-step lakehouse
+    deltas printed each run (r12 verdict #8). (None, None) when no
+    prior record exists or it carries no parsed step block."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None, None
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        steps = ((doc.get("parsed") or {}).get("excluded") or {}).get(
+            "lakehouse_steps"
+        )
+        return best[0], steps or None
+    except Exception:
+        return best[0], None
+
+
 def main() -> None:
     # Python DataSource tasks (delta_feed) run in executor-side Python
     # workers that must import this package — set PYTHONPATH before the
@@ -475,6 +501,27 @@ def main() -> None:
         "n_queries": len(timings),
         "detail": "BENCH_FULL.json",
     }
+    # Round-over-round lakehouse step deltas (r12 verdict #8): compare
+    # against the most recent driver-recorded BENCH_r*.json so a CDF /
+    # merge / feed regression is visible in the bench output itself.
+    prior_round, prior_steps = _prior_lakehouse_steps()
+    if prior_steps:
+        cur = line_base["excluded"]["lakehouse_steps"]
+        deltas = {
+            k: round(cur[k] - prior_steps[k], 1)
+            for k in sorted(set(cur) & set(prior_steps))
+        }
+        moved = ", ".join(f"{k} {v:+.1f}s" for k, v in deltas.items() if v)
+        print(
+            f"lakehouse step deltas vs BENCH_r{prior_round:02d}: "
+            + (moved or "(all flat)")
+        )
+        # the parsed driver record carries the significant movers only
+        # (the full current map is already in the line; the guard can
+        # still shed this block first if the line outgrows the tail)
+        movers = {k: v for k, v in deltas.items() if abs(v) >= 0.3}
+        if movers:
+            line_base["excluded"]["step_delta_vs_prior"] = movers
     line = json.dumps(line_base, separators=(",", ":"))
     # Never outgrow the driver's 2000-char capture tail: shed the most
     # derivable detail first (plain-lake twin steps → all steps →
@@ -483,6 +530,7 @@ def main() -> None:
         # normalized = value × load.cpu_efficiency; detail is implied
         line_base.pop("value_efficiency_normalized", None)
         line_base.pop("detail", None)
+        line_base["excluded"].pop("step_delta_vs_prior", None)
         line_base["excluded"]["lakehouse_steps"] = {
             k: v
             for k, v in line_base["excluded"]["lakehouse_steps"].items()

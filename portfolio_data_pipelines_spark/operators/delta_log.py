@@ -1177,29 +1177,71 @@ _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 #: The collation table feature's known spellings (delta-spark shipped
 #: the preview name first). Accepted on read iff every declared
-#: collation is UTF8_BINARY (byte-identical to no collation) or
-#: UTF8_LCASE (deterministic lowercase-fold compare — Spark 4 honors
-#: it natively through the ``__COLLATIONS`` metadata this reader's
-#: schemas carry, r12); ICU/locale collations are refused by name at
-#: the gate (their compare semantics depend on an ICU version this
-#: engine cannot pin).
+#: collation is UTF8_BINARY (byte-identical to no collation) or one the
+#: RUNNING Spark build resolves: UTF8_LCASE (r12) and, since r13, the
+#: ICU collations Spark 4 bundles (UNICODE, UNICODE_CI, locale forms
+#: like en_CI) — the collated StringType materialized from the
+#: ``__COLLATIONS`` metadata carries the exact grouping/compare
+#: semantics natively, so the engine's duty reduces to (a) refusing
+#: names this build cannot resolve and (b) never stats-pruning on a
+#: collated column (:func:`_fold_collated_columns` — superset-safe).
 _COLLATION_FEATURES = {"collations", "collations-preview"}
 
-#: Collations whose read semantics this engine honors exactly.
+#: Collations accepted without probing (UTF8_BINARY is byte-identity;
+#: UTF8_LCASE is a deterministic fold every Spark 4 build ships).
 _SUPPORTED_COLLATIONS = {"UTF8_BINARY", "UTF8_LCASE"}
+
+#: probe cache: collation name -> does the running Spark resolve it
+_COLLATION_KNOWN: dict = {}
+
+
+def _collation_base(name: str) -> str:
+    """The bare collation name from a provider-qualified (optionally
+    version-suffixed) identifier: ``spark.UTF8_LCASE`` → UTF8_LCASE,
+    ``ICU.en_CI`` → en_CI, ``ICU.en_CI.75.1`` → en_CI."""
+    parts = name.split(".")
+    return parts[1] if len(parts) >= 2 else parts[0]
+
+
+def _collation_supported(name: str) -> bool:
+    """Does the running Spark build resolve this collation? UTF8_* are
+    accepted statically; anything else is probed once (analysis-only —
+    ``SELECT 'a' COLLATE name`` resolves on the driver without a job)
+    and cached. No active session → conservative refusal."""
+    base = _collation_base(name)
+    if base.upper() in _SUPPORTED_COLLATIONS:
+        return True
+    known = _COLLATION_KNOWN.get(base)
+    if known is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        try:
+            spark.sql(
+                "SELECT 'a' COLLATE `%s`" % base.replace("`", "")
+            ).schema
+            known = True
+        except Exception:
+            known = False
+        _COLLATION_KNOWN[base] = known
+    return known
 
 
 def _unsupported_collations(
     meta: dict | None, accept: set | None = None
 ) -> list[str]:
-    """Collations outside ``accept`` (default
-    :data:`_SUPPORTED_COLLATIONS`) declared anywhere in the
+    """Collations this engine cannot honor, declared anywhere in the
     schemaString's ``__COLLATIONS`` field-metadata maps (Spark's form:
-    {field path: "spark.<COLLATION>"}), recursing into nested struct
-    fields."""
+    {field path: "provider.<COLLATION>"}), recursing into nested struct
+    fields. With ``accept`` given, membership is against that set
+    (callers asking e.g. "anything non-binary?"); otherwise a collation
+    is supported iff the running Spark build resolves it
+    (:func:`_collation_supported`)."""
     if not meta:
         return []
-    accepted = _SUPPORTED_COLLATIONS if accept is None else accept
+    accepted = accept
     out: list[str] = []
 
     def walk_type(t, prefix):
@@ -1220,7 +1262,12 @@ def _unsupported_collations(
         for f in fields:
             md = f.get("metadata") or {}
             for path, name in (md.get("__COLLATIONS") or {}).items():
-                if name.split(".", 1)[-1].upper() not in accepted:
+                ok = (
+                    _collation_base(name).upper() in accepted
+                    if accepted is not None
+                    else _collation_supported(name)
+                )
+                if not ok:
                     out.append(f"{prefix}{path}: {name}")
             walk_type(f.get("type"), f"{prefix}{f['name']}.")
 
@@ -1742,9 +1789,12 @@ def _stage_commit_files(
         fids = getattr(l2p, "fids", None)
         if fids:
             spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        wtypes = getattr(l2p, "wtypes", None) or {}
         df = df.select(
             *[
-                F.col(c).alias(
+                (
+                    F.col(c).cast(wtypes[c]) if c in wtypes else F.col(c)
+                ).alias(
                     l2p.get(c, c), metadata={"parquet.field.id": fids[c]}
                 )
                 if fids and c in fids
@@ -1833,6 +1883,33 @@ def _norm_pcols(partition_col) -> list:
     return list(partition_col)
 
 
+def _json_type_shape(t):
+    """A schema-JSON type with field metadata (and nullability) stripped
+    at every level — the structural identity evolution compares. A
+    mapped table's nested fields carry delta.columnMapping.* keys the
+    incoming DataFrame's schema never has; those must not read as a
+    type change."""
+    if not isinstance(t, dict):
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        return (
+            "struct",
+            tuple(
+                (f["name"], _json_type_shape(f["type"])) for f in t["fields"]
+            ),
+        )
+    if kind == "array":
+        return ("array", _json_type_shape(t["elementType"]))
+    if kind == "map":
+        return (
+            "map",
+            _json_type_shape(t["keyType"]),
+            _json_type_shape(t["valueType"]),
+        )
+    return kind
+
+
 def _validate_additive(prev_fields: list, new_fields: list) -> None:
     """The evolution rules shared by plain and column-mapped tables:
     additive-only (drops/renames go through the mapping APIs on mapped
@@ -1861,10 +1938,11 @@ def _validate_additive(prev_fields: list, new_fields: list) -> None:
                     "variant columns are writable"
                 )
             continue
-        if pf["type"] != f["type"] and (
-            pf["type"],
-            f["type"],
-        ) not in _SAFE_UPCASTS:
+        if _json_type_shape(pf["type"]) != _json_type_shape(f["type"]) and not (
+            not isinstance(pf["type"], dict)
+            and not isinstance(f["type"], dict)
+            and (pf["type"], f["type"]) in _SAFE_UPCASTS
+        ):
             raise ValueError(
                 f"schema evolution cannot change column {f['name']!r} "
                 f"from {pf['type']} to {f['type']}: existing files "
@@ -1938,8 +2016,12 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
     if l2p is None:
         if _schema_string(df) == prev_meta["schemaString"]:
             return None
-        prev_shape = [(f["name"], f["type"]) for f in prev_fields]
-        if prev_shape == [(f["name"], f["type"]) for f in new_json]:
+        prev_shape = [
+            (f["name"], _json_type_shape(f["type"])) for f in prev_fields
+        ]
+        if prev_shape == [
+            (f["name"], _json_type_shape(f["type"])) for f in new_json
+        ]:
             # same columns, frame just lacks the stored field METADATA
             # (generation expressions etc.) — not an evolution
             return None
@@ -1958,8 +2040,8 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
         evolved = dict(prev_meta)
         evolved["schemaString"] = json.dumps(doc)
         return evolved
-    prev_shape = [(f["name"], f["type"]) for f in prev_fields]
-    new_shape = [(f["name"], f["type"]) for f in new_json]
+    prev_shape = [(f["name"], _json_type_shape(f["type"])) for f in prev_fields]
+    new_shape = [(f["name"], _json_type_shape(f["type"])) for f in new_json]
     if prev_shape == new_shape:
         return None
     _validate_additive(prev_fields, new_json)
@@ -1971,7 +2053,10 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
         pf = prev_by_name.get(f["name"])
         if pf is not None:
             nf = dict(pf)
-            nf["type"] = f["type"]  # identical or a safe widening
+            if _json_type_shape(pf["type"]) != _json_type_shape(f["type"]):
+                nf["type"] = f["type"]  # a safe (flat) widening
+            # same shape: KEEP the stored type — nested fields carry
+            # delta.columnMapping ids/physicalNames the frame lacks
             merged.append(nf)
         else:
             max_id += 1
@@ -2856,21 +2941,22 @@ def _replay_log(
                 )
             feats = set(protocol["readerFeatures"])
             unknown = feats - _SUPPORTED_READER_FEATURES
-            # collation features: accepted when every declared
-            # collation is UTF8_BINARY (byte-identical to the default)
-            # or UTF8_LCASE (Spark 4 honors it natively through the
-            # __COLLATIONS metadata this reader's schemas carry, r12);
-            # ICU/locale collations stay refused by name (string
-            # comparison semantics would silently differ)
+            # collation features: accepted when the RUNNING Spark build
+            # resolves every declared collation — UTF8_BINARY /
+            # UTF8_LCASE statically (r12) and the bundled ICU set
+            # (UNICODE, UNICODE_CI, locale forms) by probe (r13); the
+            # materialized collated StringType then carries the exact
+            # compare/grouping semantics natively. Only names this
+            # build cannot resolve stay refused.
             coll = unknown & _COLLATION_FEATURES
             if coll:
                 bad = _unsupported_collations(meta)
                 if bad:
                     raise ValueError(
-                        f"table declares collation(s) {bad} — only "
-                        "UTF8_BINARY (default) and UTF8_LCASE are "
-                        "supported; refusing to read rather than "
-                        "silently changing string comparison semantics."
+                        f"table declares collation(s) {bad} this Spark "
+                        "build does not resolve; refusing to read "
+                        "rather than silently changing string "
+                        "comparison semantics."
                     )
                 unknown -= coll
             if unknown:
@@ -2960,10 +3046,10 @@ def _read_file_groups(
 
 
 def _fold_collated_columns(meta: dict | None) -> set:
-    """Top-level columns declaring a non-UTF8_BINARY collation
-    (UTF8_LCASE after the gate) — their compare semantics FOLD, so
-    byte-ordered file stats must not prune on them and source frames
-    must be cast to the collated type before any key join."""
+    """Top-level columns declaring a non-UTF8_BINARY collation —
+    their compare semantics FOLD, so byte-ordered file stats must not
+    prune on them and source frames must be cast to the collated type
+    before any key join."""
     if not meta:
         return set()
     out: set = set()
@@ -2971,9 +3057,39 @@ def _fold_collated_columns(meta: dict | None) -> set:
         for name in ((f.get("metadata") or {}).get(
             "__COLLATIONS"
         ) or {}).values():
-            if name.split(".", 1)[-1].upper() != "UTF8_BINARY":
+            if _collation_base(name).upper() != "UTF8_BINARY":
                 out.add(f["name"])
     return out
+
+
+def _lcase_collated_columns(meta: dict | None) -> set:
+    """Top-level columns collated exactly UTF8_LCASE — the one fold
+    this driver can replicate for ASCII values (simple lowercase),
+    enabling fold-aware PARTITION pruning (r13). ICU collations stay
+    out: their folds depend on ICU tables no driver-side compare can
+    pin."""
+    if not meta:
+        return set()
+    out: set = set()
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        for name in ((f.get("metadata") or {}).get(
+            "__COLLATIONS"
+        ) or {}).values():
+            if _collation_base(name).upper() == "UTF8_LCASE":
+                out.add(f["name"])
+    return out
+
+
+def _ascii_fold(v) -> str | None:
+    """ASCII-only lowercase fold, None when the value is out of the
+    provable range (non-string or non-ASCII — those always KEEP the
+    file). ASCII simple lowercase is identical under Python and
+    Spark's UTF8_LCASE, so equality of folds is a sound proof; outside
+    ASCII the two folds can diverge (dotted-I, ligatures), so no
+    proof is attempted."""
+    if isinstance(v, str) and v.isascii():
+        return v.lower()
+    return None
 
 
 def _align_source_types(df: DataFrame, schema) -> DataFrame:
@@ -3007,9 +3123,13 @@ class _IdModeMap(dict):
     ``fids`` ({logical column: parquet field id}) so the staging paths
     can stamp ``parquet.field.id`` on written files and the read paths
     can resolve by field id — the spec duty Iceberg-converted tables
-    rely on (their files carry arbitrary column NAMES)."""
+    rely on (their files carry arbitrary column NAMES) — and
+    ``wtypes`` ({logical column: Spark DataType}) for nested struct
+    columns: the staging cast target with PHYSICAL nested names and
+    per-field ``parquet.field.id`` metadata (r13; nested was refused
+    through r12)."""
 
-    __slots__ = ("fids",)
+    __slots__ = ("fids", "wtypes")
 
 
 def _logical_to_physical(meta: dict) -> dict | None:
@@ -3034,6 +3154,7 @@ def _logical_to_physical(meta: dict) -> dict | None:
     if mode == "id":
         out = _IdModeMap(m)
         out.fids = _field_ids(meta)
+        out.wtypes = _idmode_write_types(meta)
         return out
     return m
 
@@ -3050,22 +3171,121 @@ def _field_ids(meta: dict) -> dict | None:
     if mode != "id":
         return None
     fields = json.loads(meta["schemaString"])["fields"]
-    nested = [
-        f["name"] for f in fields
-        if isinstance(f.get("type"), dict)
-    ]
-    if nested:
-        # nested struct fields carry their own ids; resolving only the
-        # top level would silently hand back physical inner names —
-        # refuse the uncommon shape rather than half-map it
-        raise ValueError(
-            f"id-mode column mapping with NESTED column(s) {nested} is "
-            "not supported (top-level resolution only)"
-        )
+    for f in fields:
+        _idmode_validate_shape(f.get("type"), f["name"])
     return {
         f["name"]: int((f.get("metadata") or {})["delta.columnMapping.id"])
         for f in fields
     }
+
+
+def _idmode_validate_shape(jtype, path: str) -> None:
+    """Recursive id-mode shape check (r13 — nested STRUCTS are now
+    supported; through r12 any nested column was refused). Every struct
+    field at any depth must carry ``delta.columnMapping.id``, and a
+    struct anywhere BELOW an array or map level is refused by name:
+    Spark's parquet field-id machinery keys ids off StructField
+    metadata, and list/map element types have no metadata slot to carry
+    them — resolving those inner fields by position or name would
+    silently mis-read a foreign file."""
+    if not isinstance(jtype, dict):
+        return
+    t = jtype.get("type")
+    if t == "struct":
+        for f in jtype["fields"]:
+            if "delta.columnMapping.id" not in (f.get("metadata") or {}):
+                raise ValueError(
+                    f"id-mode column mapping: nested field "
+                    f"{path}.{f['name']} carries no delta.columnMapping.id"
+                )
+            _idmode_validate_shape(f.get("type"), f"{path}.{f['name']}")
+    elif t == "array":
+        _idmode_refuse_struct_below(jtype["elementType"], path)
+    elif t == "map":
+        _idmode_refuse_struct_below(jtype["keyType"], path)
+        _idmode_refuse_struct_below(jtype["valueType"], path)
+
+
+def _idmode_refuse_struct_below(jtype, path: str) -> None:
+    if not isinstance(jtype, dict):
+        return
+    t = jtype.get("type")
+    if t == "struct":
+        raise ValueError(
+            f"id-mode column mapping with a STRUCT nested below an "
+            f"array/map level at column {path!r} is not supported — "
+            "parquet field-id resolution cannot address fields below a "
+            "list/map in Spark"
+        )
+    if t == "array":
+        _idmode_refuse_struct_below(jtype["elementType"], path)
+    elif t == "map":
+        _idmode_refuse_struct_below(jtype["keyType"], path)
+        _idmode_refuse_struct_below(jtype["valueType"], path)
+
+
+def _idmode_nested_type(jtype, physical: bool):
+    """An id-mode field's JSON type rewritten for the parquet boundary:
+    every nested struct field gains ``parquet.field.id`` metadata (the
+    resolution key), named PHYSICALLY for the write/staging cast target
+    or LOGICALLY for the read schema (field-id resolution makes read
+    names advisory, and keeping them logical means the scanned frame
+    needs no nested rename-back)."""
+    if not isinstance(jtype, dict):
+        return jtype
+    t = jtype.get("type")
+    if t == "struct":
+        fields = []
+        for f in jtype["fields"]:
+            md = f.get("metadata") or {}
+            fields.append({
+                "name": md.get("delta.columnMapping.physicalName", f["name"])
+                if physical else f["name"],
+                "type": _idmode_nested_type(f["type"], physical),
+                "nullable": f.get("nullable", True),
+                "metadata": {
+                    "parquet.field.id": int(md["delta.columnMapping.id"])
+                },
+            })
+        return {"type": "struct", "fields": fields}
+    if t == "array":
+        return {
+            **jtype,
+            "elementType": _idmode_nested_type(jtype["elementType"], physical),
+        }
+    if t == "map":
+        return {
+            **jtype,
+            "keyType": _idmode_nested_type(jtype["keyType"], physical),
+            "valueType": _idmode_nested_type(jtype["valueType"], physical),
+        }
+    return jtype
+
+
+def _dt_from_json_type(jtype):
+    """One field's JSON type → Spark DataType (metadata inside nested
+    StructFields preserved — that is what the id-stamping rides on)."""
+    from pyspark.sql.types import StructType
+
+    wrap = {"type": "struct", "fields": [
+        {"name": "_x", "type": jtype, "nullable": True, "metadata": {}}
+    ]}
+    return StructType.fromJson(wrap).fields[0].dataType
+
+
+def _idmode_write_types(meta: dict) -> dict:
+    """{logical top-level column: staging cast DataType} for the
+    NESTED-struct columns of an id-mode table: physical nested names +
+    ``parquet.field.id`` on every struct field, so a staged file is
+    spec-complete at every level. Flat columns need no cast (the alias
+    carries their id) and are absent from the map."""
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if isinstance(f.get("type"), dict):
+            out[f["name"]] = _dt_from_json_type(
+                _idmode_nested_type(f["type"], physical=True)
+            )
+    return out
 
 
 def _physical_read_schema(meta: dict):
@@ -3089,6 +3309,12 @@ def _physical_read_schema(meta: dict):
         pf["metadata"] = (
             {"parquet.field.id": fids[f["name"]]} if fids else {}
         )
+        if fids and isinstance(f.get("type"), dict):
+            # id mode, nested struct: resolution is by per-level field
+            # id, so nested names stay LOGICAL (the scanned frame then
+            # needs no nested rename-back) while each struct field
+            # carries its id
+            pf["type"] = _idmode_nested_type(f["type"], physical=False)
         fields.append(pf)
     return StructType.fromJson({"type": "struct", "fields": fields})
 
@@ -3288,6 +3514,28 @@ def _read_adds(
     else:
         read_schema = _physical_read_schema(meta)
         pcols = [l2p[c] for c in pcols_log]
+    # collated PARTITION columns: Spark's hive partition discovery
+    # cannot cast a dir value to a collated string type
+    # (INVALID_PARTITION_VALUE) — scan them as PLAIN strings and
+    # restore the declared collation in the output projection below
+    coll_pcols: set = set()
+    from pyspark.sql.types import StringType as _PStr
+    from pyspark.sql.types import StructField as _PSF
+    from pyspark.sql.types import StructType as _PST
+
+    _fields = []
+    for f in read_schema.fields:
+        if (
+            f.name in pcols
+            and isinstance(f.dataType, _PStr)
+            and f.dataType.collation != "UTF8_BINARY"
+        ):
+            coll_pcols.add(f.name)
+            _fields.append(_PSF(f.name, _PStr(), f.nullable, f.metadata))
+        else:
+            _fields.append(f)
+    if coll_pcols:
+        read_schema = _PST(_fields)
     mat_id_col, mat_cv_col = _rt_mat_cols(meta) if row_ids else (None, None)
     if row_ids:
         from pyspark.sql.types import LongType, StructField, StructType
@@ -3412,9 +3660,19 @@ def _read_adds(
             "left",
         )
     if l2p is None:
-        out_cols = [F.col(f.name) for f in schema.fields]
+        out_cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in coll_pcols
+            else F.col(f.name)
+            for f in schema.fields
+        ]
     else:
-        out_cols = [F.col(l2p[f.name]).alias(f.name) for f in schema.fields]
+        out_cols = [
+            F.col(l2p[f.name]).cast(f.dataType).alias(f.name)
+            if l2p[f.name] in coll_pcols
+            else F.col(l2p[f.name]).alias(f.name)
+            for f in schema.fields
+        ]
     if with_file:
         out_cols.append(F.col("_file"))
     if with_pos:
@@ -3663,9 +3921,22 @@ def read_delta(
             predicate = {**derived, **predicate}
         # folded-compare (collated) columns never prune on byte-ordered
         # file stats — drop their entries (superset-safe: more files
-        # read, never fewer)
+        # read, never fewer). One carve-out (r13): an EQUALITY bound on
+        # a UTF8_LCASE PARTITION column prunes by folded
+        # partitionValues compare — ASCII-only, where Python's and
+        # Spark's lowercase provably agree; any non-ASCII value keeps
+        # its file.
         fold = _fold_collated_columns(meta)
+        fold_eq: dict = {}
         if fold:
+            lcase_pcols = (
+                _lcase_collated_columns(meta) & set(pcols) & set(predicate)
+            )
+            for c in lcase_pcols:
+                lo, hi = predicate[c]
+                fv = _ascii_fold(lo) if lo == hi and lo is not None else None
+                if fv is not None:
+                    fold_eq[c] = fv
             predicate = {
                 c: b for c, b in predicate.items() if c not in fold
             }
@@ -3674,6 +3945,7 @@ def read_delta(
         l2p = _logical_to_physical(meta)
         if l2p is not None:
             predicate = {l2p.get(c, c): b for c, b in predicate.items()}
+            fold_eq = {l2p.get(c, c): v for c, v in fold_eq.items()}
             pcols_phys = [l2p[c] for c in pcols]
         else:
             pcols_phys = pcols
@@ -3681,6 +3953,12 @@ def read_delta(
             rel: a
             for rel, a in adds.items()
             if _file_may_match(a, pcols_phys, predicate)
+            and all(
+                (pv := a.get("partitionValues", {}).get(c)) is None
+                or _ascii_fold(pv) is None
+                or _ascii_fold(pv) == fv
+                for c, fv in fold_eq.items()
+            )
         }
     out = _read_adds(spark, path, adds, meta, row_ids=row_ids)
     if out is None:
@@ -4315,9 +4593,12 @@ def _stage_cdc_files(
         fids = getattr(l2p, "fids", None)
         if fids:
             spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        wtypes = getattr(l2p, "wtypes", None) or {}
         changes = changes.select(
             *[
-                F.col(c).alias(
+                (
+                    F.col(c).cast(wtypes[c]) if c in wtypes else F.col(c)
+                ).alias(
                     l2p.get(c, c), metadata={"parquet.field.id": fids[c]}
                 )
                 if fids and c in fids

@@ -588,22 +588,15 @@ def _replay(path: str, version: int | None):
                 "readerFeatures list"
             )
         unknown = set(feats) - _READER_FEATURES
-        # collation features are accepted iff every declared collation
-        # is UTF8_BINARY (byte-identical to no collation) or UTF8_LCASE
-        # (r12: a deterministic lowercase-fold compare — this reader
-        # returns raw rows, and its only comparison duty, partition-
-        # value handling, never collates); ICU/locale collations are
-        # refused by name — their comparison semantics depend on an
-        # ICU version no independent decode can pin
-        coll = unknown & {"collations", "collations-preview"}
-        if coll:
-            bad = _non_binary_collations(meta)
-            if bad:
-                raise ValueError(
-                    f"table declares collation(s) {bad} — only "
-                    "UTF8_BINARY (default) and UTF8_LCASE are supported"
-                )
-            unknown -= coll
+        # collation features are accepted unconditionally here (r13;
+        # r12 accepted UTF8_BINARY/UTF8_LCASE only): this reader
+        # returns RAW rows and never compares, groups, or prunes by a
+        # collated column — its only comparison duty, partition-value
+        # handling, never collates — so any declared collation's
+        # semantics are the consumer's concern, not a decode duty.
+        # (The Spark-side engine DOES compare; it keeps a gate that
+        # refuses collations the running build cannot resolve.)
+        unknown -= unknown & {"collations", "collations-preview"}
         if unknown:
             raise ValueError(
                 f"table requires reader features {sorted(unknown)} "
@@ -615,42 +608,6 @@ def _replay(path: str, version: int | None):
             f"(columnMapping.mode={mode!r})"
         )
     return root, adds, meta
-
-
-def _non_binary_collations(meta: dict) -> list[str]:
-    """Collations outside the supported set (UTF8_BINARY, UTF8_LCASE)
-    declared anywhere in the schemaString's ``__COLLATIONS``
-    field-metadata maps — re-derived here independently of the
-    engine-side check (spec: the maps live per struct field, keyed by
-    field path)."""
-    out: list[str] = []
-
-    def walk_type(t, prefix):
-        # structs may hide inside arrays/maps at any depth — a missed
-        # level would silently ACCEPT a non-default collation there
-        if not isinstance(t, dict):
-            return
-        kind = t.get("type")
-        if kind == "struct":
-            walk(t.get("fields", []), prefix)
-        elif kind == "array":
-            walk_type(t.get("elementType"), f"{prefix}element.")
-        elif kind == "map":
-            walk_type(t.get("keyType"), f"{prefix}key.")
-            walk_type(t.get("valueType"), f"{prefix}value.")
-
-    def walk(fields, prefix=""):
-        for f in fields:
-            md = f.get("metadata") or {}
-            for path, name in (md.get("__COLLATIONS") or {}).items():
-                if name.split(".", 1)[-1].upper() not in (
-                    "UTF8_BINARY", "UTF8_LCASE"
-                ):
-                    out.append(f"{prefix}{path}: {name}")
-            walk_type(f.get("type"), f"{prefix}{f['name']}.")
-
-    walk(json.loads(meta["schemaString"]).get("fields", []))
-    return sorted(out)
 
 
 def _cast_partition_value(v: str | None, type_name: str):
@@ -672,6 +629,96 @@ def _cast_partition_value(v: str | None, type_name: str):
         return decimal.Decimal(v)
     if type_name in ("timestamp", "timestamp_ntz"):
         return _dt.datetime.fromisoformat(v)
+    return v
+
+
+def _idmode_check_shape(jtype, path: str) -> None:
+    """From-spec id-mode shape duty (independent of delta_log's twin):
+    struct fields at every depth must carry ``delta.columnMapping.id``;
+    a struct below an array/map level is refused by name — parquet
+    field ids cannot be addressed per-field under a repeated level by
+    an id-resolving reader without positional guessing."""
+    if not isinstance(jtype, dict):
+        return
+    t = jtype.get("type")
+    if t == "struct":
+        for f in jtype["fields"]:
+            if "delta.columnMapping.id" not in (f.get("metadata") or {}):
+                raise ValueError(
+                    f"id-mode: nested field {path}.{f['name']} carries "
+                    "no delta.columnMapping.id"
+                )
+            _idmode_check_shape(f.get("type"), f"{path}.{f['name']}")
+    elif t == "array":
+        _refuse_struct_below(jtype["elementType"], path)
+    elif t == "map":
+        _refuse_struct_below(jtype["keyType"], path)
+        _refuse_struct_below(jtype["valueType"], path)
+
+
+def _refuse_struct_below(jtype, path: str) -> None:
+    if not isinstance(jtype, dict):
+        return
+    t = jtype.get("type")
+    if t == "struct":
+        raise ValueError(
+            f"id-mode column mapping with a STRUCT below an array/map "
+            f"level at column {path!r} is not supported"
+        )
+    if t == "array":
+        _refuse_struct_below(jtype["elementType"], path)
+    elif t == "map":
+        _refuse_struct_below(jtype["keyType"], path)
+        _refuse_struct_below(jtype["valueType"], path)
+
+
+def _id_remap_value(v, jtype, arrow_type):
+    """One cell of a nested id-mode column, remapped from the FILE's
+    arbitrary field names to the table's LOGICAL names by matching each
+    level's stamped ``PARQUET:field_id`` against the schema's
+    ``delta.columnMapping.id`` (r13). A logical field whose id is
+    absent from the file null-fills (pre-evolution file); file fields
+    with no logical counterpart drop. Arrays/maps recurse through their
+    element/value types (struct below a repeated level is refused
+    before any file is opened)."""
+    if v is None or not isinstance(jtype, dict):
+        return v
+    t = jtype.get("type")
+    if t == "struct":
+        if arrow_type is None:
+            return None
+        by_id = {}
+        for i in range(arrow_type.num_fields):
+            fl = arrow_type.field(i)
+            fid = (fl.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                by_id[int(fid)] = fl
+        out = {}
+        for f in jtype["fields"]:
+            fid = int((f.get("metadata") or {})["delta.columnMapping.id"])
+            fl = by_id.get(fid)
+            out[f["name"]] = (
+                _id_remap_value(v.get(fl.name), f["type"], fl.type)
+                if fl is not None
+                else None
+            )
+        return out
+    if t == "array":
+        inner = arrow_type.value_type if arrow_type is not None else None
+        return [
+            _id_remap_value(x, jtype["elementType"], inner) for x in v
+        ]
+    if t == "map":
+        kv = (
+            (arrow_type.key_type, arrow_type.item_type)
+            if arrow_type is not None
+            else (None, None)
+        )
+        return {
+            _id_remap_value(k, jtype["keyType"], kv[0]):
+            _id_remap_value(x, jtype["valueType"], kv[1])
+            for k, x in (v.items() if isinstance(v, dict) else v)
+        }
     return v
 
 
@@ -723,17 +770,10 @@ def read_delta_external(
         for f in schema
     }
     fid_of = None
+    jtype_of = {f["name"]: f.get("type") for f in schema}
     if mode == "id":
-        nested = [
-            f["name"] for f in schema if isinstance(f.get("type"), dict)
-        ]
-        if nested:
-            # nested fields carry their own ids; top-level-only
-            # resolution would hand back physical inner names
-            raise ValueError(
-                f"id-mode column mapping with NESTED column(s) "
-                f"{nested} is not supported (top-level resolution only)"
-            )
+        for f in schema:
+            _idmode_check_shape(f.get("type"), f["name"])
         fid_of = {
             f["name"]: int(
                 (f.get("metadata") or {})["delta.columnMapping.id"]
@@ -765,6 +805,12 @@ def read_delta_external(
                 n: by_id.get(fid_of[n], f"\x00missing:{n}")
                 for n in names
             }
+            arrow_names = set(arrow.names)
+            arrow_type_of = {
+                n: arrow.field(file_col[n]).type
+                for n in names
+                if file_col[n] in arrow_names
+            }
         cols_present = set(table.column_names)
         data = table.to_pylist()
         dvd = _dv_of(a)
@@ -785,6 +831,13 @@ def read_delta_external(
                     row.append(pvals[n])
                 elif file_col[n] in cols_present:
                     v = r[file_col[n]]
+                    if fid_of is not None and isinstance(types[n], dict):
+                        # nested struct under id mode: this FILE's inner
+                        # names are arbitrary — remap every level by its
+                        # stamped parquet field id (r13)
+                        v = _id_remap_value(
+                            v, jtype_of[n], arrow_type_of.get(n)
+                        )
                     if v is not None and types[n] == "variant":
                         v = _variant_decode(v)
                     elif v is not None and types[n] in (

@@ -438,7 +438,7 @@ def dedup_keep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "dup_span_coverage",
     oracle="""
     WITH t AS (

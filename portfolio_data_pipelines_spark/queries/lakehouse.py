@@ -818,7 +818,7 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_rowtracking_mart",
     oracle=f"""
     WITH base AS (

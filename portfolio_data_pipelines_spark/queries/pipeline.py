@@ -401,7 +401,7 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@extra_query(
+@query(
     "deterministic_corpus_shuffle",
     oracle="""
     SELECT doc_id, source, shuffle_key,

@@ -525,7 +525,7 @@ def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
+@extra_query(
     "order_count_distribution",
     oracle="""
     SELECT n_orders, COUNT(*) AS n_customers
@@ -873,7 +873,7 @@ def try_parse_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "user_event_deltas",
     oracle="""
     SELECT event_id, user_id, ts,

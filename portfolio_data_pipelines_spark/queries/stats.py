@@ -38,7 +38,7 @@ def _var_samp_sql(n: str, s1: str, s2: str) -> str:
     return f"({s2} - {s1} * {s1} / {n}) / ({n} - 1)"
 
 
-@query(
+@extra_query(
     "stats_value_moments",
     oracle=f"""
     WITH s AS (

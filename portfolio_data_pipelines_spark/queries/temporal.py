@@ -117,7 +117,7 @@ def user_sessions_gap30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "events_value_band_rollup",
     oracle=f"""
     WITH bands(band, lo, hi) AS (

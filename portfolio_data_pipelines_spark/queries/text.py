@@ -152,7 +152,7 @@ def quality_frame(d: DataFrame) -> DataFrame:
     )
 
 
-@query("text_quality_score", oracle=QUALITY_SQL)
+@extra_query("text_quality_score", oracle=QUALITY_SQL)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
     into one weighted score — the gating signal a pretraining pipeline
@@ -304,7 +304,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "vocab_top_terms",
     oracle=rf"""
     SELECT word,
@@ -695,7 +695,7 @@ def _llog2_fx_sql(expr: str) -> str:
     )
 
 
-@extra_query(
+@query(
     "unigram_logprob_filter",
     oracle=f"""
     WITH tokens AS (
@@ -936,7 +936,7 @@ VOCAB_K = 512
 OOV_ID = -1
 
 
-@extra_query(
+@query(
     "token_ids_encoded",
     oracle=f"""
     WITH docs AS (
@@ -1019,7 +1019,7 @@ from ..operators.bpe import (  # noqa: E402  (keeps the BPE block together)
 )
 
 
-@extra_query(
+@query(
     "bpe_token_ids",
     oracle=f"""
     SELECT doc_id,

@@ -106,6 +106,58 @@ from ..operators.delta_reader import (
 )
 
 
+def _arrow_type_of_json(jtype):
+    """A schema-JSON type → its arrow type (nested-field null fill for
+    pre-evolution files under id mode)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructType
+
+    dt = StructType.fromJson({
+        "type": "struct",
+        "fields": [
+            {"name": "_x", "type": jtype, "nullable": True, "metadata": {}}
+        ],
+    }).fields[0].dataType
+    return to_arrow_type(dt)
+
+
+def _align_nested_arrow(arr, jtype):
+    """One nested id-mode column: the FILE's arbitrary inner names →
+    the table's LOGICAL inner names, matching each struct level's
+    stamped ``PARQUET:field_id`` against ``delta.columnMapping.id``.
+    Zero-copy — children arrays are reused, only the type metadata is
+    rebuilt. A logical field whose id is absent from the file
+    null-fills (pre-evolution); arrays/maps pass through (a struct
+    below a repeated level is refused at stream construction)."""
+    import pyarrow as pa
+
+    if not isinstance(jtype, dict):
+        return arr
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if jtype.get("type") != "struct" or not pa.types.is_struct(arr.type):
+        return arr
+    by_id = {}
+    for i in range(arr.type.num_fields):
+        fl = arr.type.field(i)
+        fid = (fl.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = i
+    children, fields = [], []
+    for jf in jtype["fields"]:
+        fid = int((jf.get("metadata") or {})["delta.columnMapping.id"])
+        idx = by_id.get(fid)
+        child = (
+            _align_nested_arrow(arr.field(idx), jf["type"])
+            if idx is not None
+            else pa.nulls(len(arr), _arrow_type_of_json(jf["type"]))
+        )
+        children.append(child)
+        fields.append(pa.field(jf["name"], child.type, True))
+    mask = arr.is_null() if arr.null_count else None
+    return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
+
+
 class _FeedFilePartition(InputPartition):
     """One task's slice of a commit: a size-bounded GROUP of the
     commit's files (``files`` = list of (rel, partitionValues)). Feed
@@ -279,14 +331,25 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         # pyarrow read, so the name-keyed plumbing below applies
         # unchanged (r12; refused through r11).
         if _cm_mode == "id":
+            from ..operators.delta_reader import _idmode_check_shape
+
+            _jfields = json.loads(meta["schemaString"])["fields"]
+            for _f in _jfields:
+                _idmode_check_shape(_f.get("type"), _f["name"])
             self.fids = {
                 f["name"]: int(
                     (f.get("metadata") or {})["delta.columnMapping.id"]
                 )
-                for f in json.loads(meta["schemaString"])["fields"]
+                for f in _jfields
+            }
+            # nested struct columns need per-LEVEL id alignment — keep
+            # the schema-JSON fields for _id_align's recursion (r13)
+            self._jfields_by_id = {
+                self.fids[f["name"]]: f for f in _jfields
             }
         else:
             self.fids = None
+            self._jfields_by_id = None
         # admission control: at most N commits per micro-batch, so a
         # restart against a long backlog drains in bounded batches
         # instead of one giant catch-up batch (maxFilesPerTrigger's
@@ -384,21 +447,34 @@ class DeltaFeedStreamReader(DataSourceStreamReader):
         table's physical names by matching each column's stamped
         ``PARQUET:field_id`` against ``delta.columnMapping.id`` —
         afterwards the shared name-keyed lookups apply unchanged.
-        Columns without a stamped id (e.g. ``_change_type`` in change
-        files) keep their names. No-op on non-id tables."""
+        Nested struct columns additionally align each inner LEVEL by
+        its stamped id, renaming to the LOGICAL inner names (r13) —
+        zero-copy (children arrays are reused), so the arrow fast path
+        survives. Columns without a stamped id (e.g. ``_change_type``
+        in change files) keep their names. No-op on non-id tables."""
         if not self.fids:
             return table
-        id2phys = {
-            fid: self.phys[logical]
-            for logical, fid in self.fids.items()
-        }
-        names = []
-        for f in table.schema:
+        import pyarrow as pa
+
+        cols, fields = [], []
+        for i, f in enumerate(table.schema):
             fid = (f.metadata or {}).get(b"PARQUET:field_id")
-            names.append(
-                id2phys.get(int(fid), f.name) if fid is not None else f.name
+            jf = (
+                self._jfields_by_id.get(int(fid)) if fid is not None else None
             )
-        return table.rename_columns(names)
+            if jf is None:
+                fields.append(f)
+                cols.append(table.column(i))
+                continue
+            name = self.phys[jf["name"]]
+            col = table.column(i)
+            if isinstance(jf["type"], dict):
+                col = _align_nested_arrow(col.combine_chunks(), jf["type"])
+                fields.append(pa.field(name, col.type, f.nullable))
+            else:
+                fields.append(pa.field(name, f.type, f.nullable, f.metadata))
+            cols.append(col)
+        return pa.table(cols, schema=pa.schema(fields))
 
     def initialOffset(self) -> dict:
         # cold start (no checkpoint): the position IS known

@@ -158,10 +158,10 @@ def test_bpe_token_ids_plan_is_pure_projection(spark):
 
 def test_bpe_token_ids_matches_oracle_sf0001(spark):
     """Full value parity at sf0.001 (sf0.01 runs in test_oracle_parity)."""
-    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, all_queries
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, all_queries
 
     all_queries()
-    spec = EXTRA_REGISTRY["bpe_token_ids"]
+    spec = REGISTRY["bpe_token_ids"]
     got = [
         (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
         for r in spec.fn(spark, "/root/testdata/sf0.001").collect()

@@ -227,7 +227,192 @@ def test_feed_plain_and_cdf_over_id_mode(spark, tmp_path):
             (3, "c", "insert")} <= ch
 
 
-def test_nested_id_mode_still_refused(spark, tmp_path):
+def _mk_nested_id_mode_table(root, cdf=False):
+    """A foreign NESTED id-mode table: top-level and INNER column names
+    in the file (w_*) differ from both logical and physical names, so
+    every level must resolve by its stamped parquet field id."""
+    (root / "_delta_log").mkdir(parents=True)
+    inner = pa.struct([
+        _fld("w_name", pa.string(), 3), _fld("w_age", pa.int64(), 4)
+    ])
+    pq.write_table(
+        pa.table(
+            [
+                pa.array([1, 2], pa.int64()),
+                pa.array(
+                    [{"w_name": "bob", "w_age": 30},
+                     {"w_name": "eve", "w_age": 25}],
+                    type=inner,
+                ),
+                pa.array([[1, 2], [3]], type=pa.list_(pa.int64())),
+            ],
+            schema=pa.schema([
+                _fld("w_id", pa.int64(), 1),
+                _fld("w_info", inner, 2),
+                _fld("w_tags", pa.list_(pa.int64()), 5),
+            ]),
+        ),
+        root / "f1.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "info", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "name", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "ice_name"}},
+             {"name": "age", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "ice_age"}},
+         ]},
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_info"}},
+        {"name": "tags", "nullable": True,
+         "type": {"type": "array", "elementType": "long",
+                  "containsNull": True},
+         "metadata": {"delta.columnMapping.id": 5,
+                      "delta.columnMapping.physicalName": "ice_tags"}},
+    ]
+    config = {"delta.columnMapping.mode": "id",
+              "delta.columnMapping.maxColumnId": "5"}
+    feats = ["columnMapping"]
+    if cdf:
+        config["delta.enableChangeDataFeed"] = "true"
+        feats.append("changeDataFeed")
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": feats}},
+            {"metaData": {"id": "nested-id",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": config, "createdTime": 0}},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    return str(root)
+
+
+def test_nested_id_mode_full_lifecycle(spark, tmp_path):
+    """r13: nested STRUCTS under id-mode column mapping resolve by
+    per-level field id in both readers, and the write path stamps
+    physical names + ids on every struct level (refused through
+    r12)."""
+    path = _mk_nested_id_mode_table(tmp_path / "t", cdf=True)
+    df = read_delta(spark, path)
+    assert {(r["id"], r["info"]["name"], r["info"]["age"])
+            for r in df.collect()} == {(1, "bob", 30), (2, "eve", 25)}
+    names, rows = read_delta_external(path)
+    assert names == ["id", "info", "tags"]
+    assert sorted(rows) == [
+        (1, {"name": "bob", "age": 30}, [1, 2]),
+        (2, {"name": "eve", "age": 25}, [3]),
+    ]
+    # append with logical nested names; staged file must carry physical
+    # names + ids at BOTH levels
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, ("zed", 40), [7])],
+            "id long, info struct<name string, age long>, tags array<long>",
+        ),
+        path, mode="append",
+    )
+    staged = [
+        p for p in glob.glob(f"{path}/*.parquet") if "f1" not in p
+    ]
+    sch = pq.read_schema(staged[0])
+    tops = {f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+    assert tops == {"ice_id": b"1", "ice_info": b"2", "ice_tags": b"5"}
+    it = sch.field("ice_info").type
+    inner_ids = {
+        it.field(i).name: (it.field(i).metadata or {}).get(
+            b"PARQUET:field_id"
+        )
+        for i in range(it.num_fields)
+    }
+    assert inner_ids == {"ice_name": b"3", "ice_age": b"4"}
+    # MERGE updating a nested value; CDF carries the nested column
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(2, ("eva", 26), [9]), (4, ("kim", 50), [0])],
+            "id long, info struct<name string, age long>, tags array<long>",
+        ),
+        key_cols=["id"],
+    )
+    got = {
+        (r["id"], r["info"]["name"], r["info"]["age"], tuple(r["tags"]))
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {(1, "bob", 30, (1, 2)), (2, "eva", 26, (9,)),
+                   (3, "zed", 40, (7,)), (4, "kim", 50, (0,))}
+    _n, ext = read_delta_external(path)
+    assert sorted(ext) == [
+        (1, {"name": "bob", "age": 30}, [1, 2]),
+        (2, {"name": "eva", "age": 26}, [9]),
+        (3, {"name": "zed", "age": 40}, [7]),
+        (4, {"name": "kim", "age": 50}, [0]),
+    ]
+    ch = {
+        (r["id"], r["info"]["name"], r["_change_type"])
+        for r in read_delta_cdf(spark, path, 1).collect()
+    }
+    assert ch == {(2, "eve", "update_preimage"), (2, "eva", "update_postimage"),
+                  (4, "kim", "insert")}
+
+
+def test_nested_feed_plain_and_cdf_over_id_mode(spark, tmp_path):
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    path = _mk_nested_id_mode_table(tmp_path / "t", cdf=True)
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(2, ("eva", 26), [9])],
+            "id long, info struct<name string, age long>, tags array<long>",
+        ),
+        key_cols=["id"],
+    )
+    q = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("ignorechanges", "true").load()
+        .writeStream.format("memory").queryName("nested_idmode_plain")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["id"], r["info"]["name"], r["info"]["age"], r["_commit_version"])
+        for r in spark.sql("select * from nested_idmode_plain").collect()
+    }
+    assert {(1, "bob", 30, 0), (2, "eve", 25, 0), (2, "eva", 26, 1)} <= rows
+    q2 = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("readChangeFeed", "true").option("keyCols", "id").load()
+        .writeStream.format("memory").queryName("nested_idmode_cdf")
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    ch = {
+        (r["id"], r["info"]["name"], r["_change_type"])
+        for r in spark.sql("select * from nested_idmode_cdf").collect()
+    }
+    assert {(2, "eve", "update_preimage"), (2, "eva", "update_postimage")} <= ch
+
+
+def test_struct_below_array_id_mode_refused(spark, tmp_path):
+    """The remaining honest refusal: parquet field-id resolution cannot
+    address struct fields BELOW an array/map level in Spark — refuse by
+    name instead of half-mapping."""
     root = tmp_path / "t"
     (root / "_delta_log").mkdir(parents=True)
     pq.write_table(
@@ -236,13 +421,14 @@ def test_nested_id_mode_still_refused(spark, tmp_path):
         root / "f1.parquet",
     )
     ss = json.dumps({"type": "struct", "fields": [
-        {"name": "o", "nullable": True,
-         "type": {"type": "struct", "fields": [
-             {"name": "x", "type": "long", "nullable": True,
-              "metadata": {"delta.columnMapping.id": 2,
-                           "delta.columnMapping.physicalName": "px"}}]},
+        {"name": "items", "nullable": True,
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "x", "type": "long", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 2,
+                                    "delta.columnMapping.physicalName": "px"}}]}},
          "metadata": {"delta.columnMapping.id": 1,
-                      "delta.columnMapping.physicalName": "po"}},
+                      "delta.columnMapping.physicalName": "pi"}},
     ]})
     with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
         for a in [
@@ -258,5 +444,7 @@ def test_nested_id_mode_still_refused(spark, tmp_path):
                      "size": 1, "modificationTime": 0, "dataChange": True}},
         ]:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="NESTED"):
+    with pytest.raises(ValueError, match="STRUCT"):
         read_delta(spark, str(root)).collect()
+    with pytest.raises(ValueError, match="STRUCT"):
+        read_delta_external(str(root))

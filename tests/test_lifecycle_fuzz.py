@@ -311,7 +311,9 @@ def test_lifecycle_fuzz_cdf_replica_seed_99(spark, tmp_path):
     _walk_with_cdf_replica(spark, tmp_path, seed=99, n_ops=10)
 
 
-def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
+def _walk_metadata(
+    spark, tmp_path, seed, n_ops, v2=False, id_mode=False, nested=False
+):
     """The METADATA-surface walk (VERDICT r9 next #3): schema
     evolution, column-mapping rename/drop, cleanup_log, vacuum and
     checkpoints interleaved with data mutations — on a ROW-TRACKING
@@ -342,13 +344,29 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
     rows = {i: {"grp": g, "val": v} for i, (g, v) in model.items()}
     vcols = ["val"]
 
+    def stamp_obj(sub):
+        # nested id-mode walks carry a struct column whose value is
+        # derived from (id, grp-at-write-time) — every rewrite op must
+        # round-trip it through per-level field-id resolution (r13)
+        if nested:
+            for i, d in sub.items():
+                d["obj"] = {"a": i * 10, "b": d["grp"]}
+        return sub
+
+    stamp_obj(rows)
+
     def frame(sub):
         schema = "id long, grp string, " + ", ".join(
             f"{c} long" for c in vcols
         )
+        if nested:
+            schema += ", obj struct<a long, b string>"
         return spark.createDataFrame(
             [
-                tuple([i, d["grp"]] + [d.get(c) for c in vcols])
+                tuple(
+                    [i, d["grp"]] + [d.get(c) for c in vcols]
+                    + ([(d["obj"]["a"], d["obj"]["b"])] if nested else [])
+                )
                 for i, d in sorted(sub.items())
             ],
             schema,
@@ -374,6 +392,22 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
              "metadata": {"delta.columnMapping.id": 3,
                           "delta.columnMapping.physicalName": "ice_val"}},
         ]
+        if nested:
+            fields.append(
+                {"name": "obj", "nullable": True,
+                 "type": {"type": "struct", "fields": [
+                     {"name": "a", "type": "long", "nullable": True,
+                      "metadata": {
+                          "delta.columnMapping.id": 5,
+                          "delta.columnMapping.physicalName": "ice_a"}},
+                     {"name": "b", "type": "string", "nullable": True,
+                      "metadata": {
+                          "delta.columnMapping.id": 6,
+                          "delta.columnMapping.physicalName": "ice_b"}},
+                 ]},
+                 "metadata": {"delta.columnMapping.id": 4,
+                              "delta.columnMapping.physicalName": "ice_obj"}}
+            )
         with open(f"{path}/_delta_log/{0:020d}.json", "w") as f:
             for a in [
                 {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
@@ -387,7 +421,8 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
                               "partitionColumns": ["grp"],
                               "configuration": {
                                   "delta.columnMapping.mode": "id",
-                                  "delta.columnMapping.maxColumnId": "3"},
+                                  "delta.columnMapping.maxColumnId":
+                                      "6" if nested else "3"},
                               "createdTime": 0}},
             ]:
                 f.write(_json.dumps(a) + "\n")
@@ -421,7 +456,13 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
             # readers (every read here is a field-id resolution)
             df = read_delta(spark, path)
             got = {
-                r["id"]: {c: r[c] for c in ["grp"] + vcols}
+                r["id"]: {
+                    **{c: r[c] for c in ["grp"] + vcols},
+                    **(
+                        {"obj": r["obj"].asDict() if r["obj"] else None}
+                        if nested else {}
+                    ),
+                }
                 for r in df.collect()
             }
             t = " ".join(trace)
@@ -429,7 +470,10 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
             names, ext_rows = read_delta_external(path)
             idx = {n: k for k, n in enumerate(names)}
             ext = {
-                r[idx["id"]]: {c: r[idx[c]] for c in ["grp"] + vcols}
+                r[idx["id"]]: {
+                    **{c: r[idx[c]] for c in ["grp"] + vcols},
+                    **({"obj": r[idx["obj"]]} if nested else {}),
+                }
                 for r in ext_rows
             }
             assert ext == got, f"external reader diverged after {t}"
@@ -473,9 +517,14 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
         schema = "id long, grp string, " + ", ".join(
             f"{c} long" for c in cols
         )
+        if nested:
+            schema += ", obj struct<a long, b string>"
         return spark.createDataFrame(
             [
-                tuple([i, d["grp"]] + [d.get(c) for c in cols])
+                tuple(
+                    [i, d["grp"]] + [d.get(c) for c in cols]
+                    + ([(d["obj"]["a"], d["obj"]["b"])] if nested else [])
+                )
                 for i, d in sorted(sub.items())
             ],
             schema,
@@ -497,7 +546,7 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
                 for i, (g, v) in fresh.items()
             }
             version = write_delta(
-                spark, frame(sub), path, partition_col="grp"
+                spark, frame(stamp_obj(sub)), path, partition_col="grp"
             )
             rows.update(sub)
         elif op == "evolve":
@@ -513,7 +562,7 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
             for d in rows.values():
                 d[c] = None
             version = write_delta(
-                spark, frame(sub), path, partition_col="grp"
+                spark, frame(stamp_obj(sub)), path, partition_col="grp"
             )
             rows.update(sub)
         elif op == "rename":
@@ -585,7 +634,8 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
                 for i, (g, v) in fresh.items()
             }
             version = write_delta(
-                spark, frame_omit(sub, omit), path, partition_col="grp"
+                spark, frame_omit(stamp_obj(sub), omit), path,
+                partition_col="grp"
             )
             for d in sub.values():
                 d[omit] = defaults[omit]  # fill-on-omit duty
@@ -613,14 +663,21 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
             for i, (g, v) in fresh.items():
                 src[i] = {"grp": g, **{c: v + k for k, c in
                                        enumerate(vcols)}}
+            stamp_obj(src)
             cols_k = [c for c in vcols if c != omit]
             schema = ", ".join(
                 ["id long", "grp string"]
                 + [f"{c} long" for c in cols_k]
             )
+            if nested:
+                schema += ", obj struct<a long, b string>"
             frame_src = spark.createDataFrame(
                 [
-                    tuple([i, d["grp"]] + [d.get(c) for c in cols_k])
+                    tuple(
+                        [i, d["grp"]] + [d.get(c) for c in cols_k]
+                        + ([(d["obj"]["a"], d["obj"]["b"])]
+                           if nested else [])
+                    )
                     for i, d in sorted(src.items())
                 ],
                 schema,
@@ -631,10 +688,13 @@ def _walk_metadata(spark, tmp_path, seed, n_ops, v2=False, id_mode=False):
                 rows[i] = {c: src[i].get(c) for c in ["grp"] + vcols}
                 rows[i]["grp"] = src[i]["grp"]
                 rows[i][omit] = kept
+                if nested:
+                    rows[i]["obj"] = src[i]["obj"]
             for i, (g, v) in fresh.items():
                 d = {"grp": g, **{c: v + k for k, c in enumerate(vcols)}}
                 d[omit] = defaults[omit]  # insert takes the default
                 rows[i] = d
+            stamp_obj({i: rows[i] for i in fresh})
             trace[-1] += f"(-{omit},hit={len(hit)})"
         elif op == "optimize":
             v = optimize_delta(spark, path)
@@ -672,6 +732,18 @@ def test_lifecycle_fuzz_metadata_id_mode_seed_21(spark, tmp_path):
 
 def test_lifecycle_fuzz_metadata_id_mode_seed_88(spark, tmp_path):
     _walk_metadata(spark, tmp_path, seed=88, n_ops=12, id_mode=True)
+
+
+def test_lifecycle_fuzz_metadata_id_mode_nested_seed_5(spark, tmp_path):
+    _walk_metadata(
+        spark, tmp_path, seed=5, n_ops=12, id_mode=True, nested=True
+    )
+
+
+def test_lifecycle_fuzz_metadata_id_mode_nested_seed_31(spark, tmp_path):
+    _walk_metadata(
+        spark, tmp_path, seed=31, n_ops=12, id_mode=True, nested=True
+    )
 
 
 def _walk_identity_generated(spark, tmp_path, seed, n_ops):

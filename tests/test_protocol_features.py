@@ -421,21 +421,76 @@ def test_utf8_binary_collation_feature_accepts_writes(spark, tmp_path):
     assert {r[0]: r[1] for r in rows} == got
 
 
-def test_icu_collation_refused_by_name(spark, tmp_path):
-    """ICU/locale collations stay refused BY NAME in both readers —
-    their comparison semantics depend on an ICU version this engine
-    cannot pin."""
+def test_icu_collation_reads_with_native_semantics(spark, tmp_path):
+    """ICU collations (r13): any collation the RUNNING Spark build
+    resolves — UNICODE, UNICODE_CI, locale forms — is accepted; the
+    materialized collated StringType carries Spark's own ICU compare/
+    grouping semantics. The external reader returns raw rows (it never
+    compares)."""
     path = _collated_fixture(tmp_path, "t_coll_icu", "UNICODE_CI")
-    with pytest.raises(ValueError, match="UNICODE_CI"):
+    df = read_delta(spark, path)
+    assert df.schema["s"].dataType.collation == "UNICODE_CI"
+    got = {r["id"]: r["s"] for r in df.collect()}
+    assert got == {1: "a", 2: "B"}
+    # ICU case-insensitive compare is live
+    assert df.filter("s = 'A'").count() == 1
+    assert df.filter("s = 'b'").count() == 1
+    assert df.groupBy("s").count().count() == 2
+    _names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == got
+    # locale form too
+    p2 = _collated_fixture(tmp_path, "t_coll_locale", "en_CI")
+    df2 = read_delta(spark, p2)
+    assert df2.filter("s = 'A'").count() == 1
+
+
+def test_icu_collation_write_lifecycle(spark, tmp_path):
+    """Writes to an ICU-collated table (r13): sources cast to the
+    collated type before key joins, so MERGE folds per ICU semantics —
+    a source key 'A' matches the stored 'a' under UNICODE_CI; stats
+    never prune on the collated column (superset-safe, same duty as
+    UTF8_LCASE)."""
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        delete_where,
+        merge_delta,
+    )
+
+    path = _collated_fixture(tmp_path, "t_coll_icu_w", "UNICODE_CI")
+    write_delta(
+        spark, spark.createDataFrame([(3, "c")], "id long, s string"),
+        path, mode="append",
+    )
+    merge_delta(
+        spark, path,
+        spark.createDataFrame([("A", 10), ("d", 4)], "s string, id long"),
+        key_cols=["s"],
+    )
+    got = {r["s"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {"A": 10, "B": 2, "c": 3, "d": 4}, got
+    delete_where(spark, path, "s = 'b'")
+    got = {r["s"]: r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {"A": 10, "c": 3, "d": 4}, got
+    _names, rows = read_delta_external(path)
+    assert {r[1] for r in rows} == {"A", "c", "d"}
+
+
+def test_unknown_collation_refused_by_name(spark, tmp_path):
+    """Only collations the running Spark build cannot resolve stay
+    refused — by name, Spark side only (the external reader returns raw
+    rows under any collation)."""
+    path = _collated_fixture(tmp_path, "t_coll_bogus", "NOPE_CI")
+    with pytest.raises(ValueError, match="NOPE_CI"):
         read_delta(spark, path).collect()
-    with pytest.raises(ValueError, match="UNICODE_CI"):
-        read_delta_external(path)
+    _names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == {1: "a", 2: "B"}
 
 
 def test_collation_nested_in_array_struct_refused(spark, tmp_path):
-    """A non-default collation on a struct field NESTED inside an array
-    must still be refused — the walk descends through arrays/maps, not
-    just top-level structs (a missed level would silently accept it)."""
+    """An UNRESOLVABLE collation on a struct field NESTED inside an
+    array must still be refused — the walk descends through arrays/
+    maps, not just top-level structs (a missed level would silently
+    accept it). Since r13 known ICU names pass everywhere, so the
+    fixture uses a name no Spark build resolves."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -454,7 +509,7 @@ def test_collation_nested_in_array_struct_refused(spark, tmp_path):
                   "elementType": {"type": "struct", "fields": [
                       {"name": "s", "type": "string", "nullable": True,
                        "metadata": {"__COLLATIONS":
-                                    {"s": "spark.UNICODE_CI"}}}]}}},
+                                    {"s": "spark.NOPE_CI"}}}]}}},
     ]})
     with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
         for a in [
@@ -474,14 +529,15 @@ def test_collation_nested_in_array_struct_refused(spark, tmp_path):
                      "dataChange": True}},
         ]:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="UNICODE_CI"):
+    with pytest.raises(ValueError, match="NOPE_CI"):
         read_delta(spark, str(root)).collect()
     from portfolio_data_pipelines_spark.operators.delta_reader import (
         read_delta_external,
     )
 
-    with pytest.raises(ValueError, match="UNICODE_CI"):
-        read_delta_external(str(root))
+    # the external reader returns raw rows under ANY collation (r13)
+    _names, rows = read_delta_external(str(root))
+    assert len(rows) == 1
 
 
 def test_collated_creation_declares_feature(spark, tmp_path):
@@ -558,3 +614,73 @@ def test_cdf_images_byte_faithful_on_folded_keys(spark, tmp_path):
     }
     assert ("a", 1, "update_preimage") in ch, ch
     assert ("A", 10, "update_postimage") in ch, ch
+
+
+def test_lcase_partition_fold_pruning_superset_safe(spark, tmp_path):
+    """Fold-aware PARTITION pruning (r13): an equality predicate on a
+    UTF8_LCASE partition column prunes files whose folded
+    partitionValue provably differs — ASCII-only, so Python's and
+    Spark's lowercase agree — while every fold-equal spelling ('EU',
+    'eu') and every non-ASCII value (no proof attempted) keeps its
+    file. Result rows must equal the unpruned filter exactly
+    (superset guarantee), and byte-stats pruning stays off."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "t_lcase_part"
+    (root / "_delta_log").mkdir(parents=True)
+    adds = []
+    for i, reg in enumerate(["EU", "eu", "US", "Straße"]):
+        (root / f"region={reg}").mkdir(exist_ok=True)
+        pq.write_table(
+            pa.table({"id": pa.array([i + 1], pa.int64())}),
+            root / f"region={reg}" / "part-0.parquet",
+        )
+        adds.append({"add": {
+            "path": f"region={reg}/part-0.parquet",
+            "partitionValues": {"region": reg}, "size": 1,
+            "modificationTime": 0, "dataChange": True}})
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "region", "type": "string", "nullable": True,
+         "metadata": {"__COLLATIONS": {"region": "spark.UTF8_LCASE"}}}]})
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["collations-preview"],
+                          "writerFeatures": ["collations-preview"]}},
+            {"metaData": {"id": "collpart",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": schema,
+                          "partitionColumns": ["region"],
+                          "configuration": {}, "createdTime": 0}},
+        ] + adds:
+            f.write(json.dumps(a) + "\n")
+    path = str(root)
+    full = read_delta(spark, path)
+    assert full.count() == 4  # collated partition type restored on read
+    assert full.schema["region"].dataType.collation == "UTF8_LCASE"
+    pruned = read_delta(spark, path, predicate={"region": ("eu", "eu")})
+    dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    # both fold-equal spellings kept, the non-ASCII value kept (no
+    # proof attempted), the provably fold-different US file pruned
+    assert dirs == {"region=EU", "region=eu", "region=Straße"}
+    # predicate is a pruning HINT: the filtered result over the pruned
+    # plan equals the unpruned filter (the superset contract)
+    want = sorted(r["id"] for r in full.filter("region = 'eu'").collect())
+    assert want == [1, 2]
+    got = sorted(
+        r["id"] for r in pruned.filter("region = 'eu'").collect()
+    )
+    assert got == want
+    # non-ASCII equality: no proof, nothing pruned
+    p2 = read_delta(
+        spark, path, predicate={"region": ("Straße", "Straße")}
+    )
+    assert len(p2.inputFiles()) == 4
+    # range (non-equality) bounds on the folded column never prune
+    p3 = read_delta(spark, path, predicate={"region": ("A", "F")})
+    assert len(p3.inputFiles()) == 4

@@ -96,7 +96,7 @@ def test_bm25_scalars_count_tokenless_docs(spark, tmp_path):
     # the oracle's COUNT(*) FROM documents on every BM25 score.
     import duckdb
 
-    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, _load_all
 
     _load_all()
     sf = tmp_path / "sf"
@@ -156,7 +156,7 @@ def test_llog2_fixed_point_semantics(spark):
 def test_unigram_filter_scores_relative_rarity(spark, tmp_path):
     """A doc of corpus-common tokens must out-score a doc containing a
     rare token, and the keep flag must follow the threshold."""
-    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, _load_all
 
     _load_all()
     sf = tmp_path / "sf"
@@ -169,7 +169,7 @@ def test_unigram_filter_scores_relative_rarity(spark, tmp_path):
     ).write.parquet(str(sf / "documents.parquet"))
     rows = {
         r["doc_id"]: r
-        for r in EXTRA_REGISTRY["unigram_logprob_filter"].fn(spark, str(sf)).collect()
+        for r in REGISTRY["unigram_logprob_filter"].fn(spark, str(sf)).collect()
     }
     assert rows[1]["mean_log2_prob"] > rows[2]["mean_log2_prob"]
     # "the" has c=7 of N=8: llog2 fine; both docs' flags follow threshold
@@ -180,7 +180,7 @@ def test_unigram_filter_scores_relative_rarity(spark, tmp_path):
 def test_bigram_filter_backoff_and_ranking(spark, tmp_path):
     """Held-out bigram gate: seen-bigram docs out-score docs needing
     backoff, and n_backoff counts exactly the unseen transitions."""
-    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, _load_all
 
     _load_all()
     sf = tmp_path / "sf"
@@ -209,7 +209,7 @@ def test_bigram_filter_backoff_and_ranking(spark, tmp_path):
 def test_token_ids_roundtrip_semantics(spark, tmp_path):
     """Encoding invariants: ids follow frequency rank (count desc, word
     asc), OOV maps to -1, and id order preserves token order."""
-    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, _load_all
+    from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY, REGISTRY, _load_all
     from portfolio_data_pipelines_spark.queries.text import OOV_ID
 
     _load_all()
@@ -230,7 +230,7 @@ def test_token_ids_roundtrip_semantics(spark, tmp_path):
     ).write.parquet(str(sf / "documents.parquet"))
     rows = {
         r["doc_id"]: r
-        for r in EXTRA_REGISTRY["token_ids_encoded"].fn(spark, str(sf)).collect()
+        for r in REGISTRY["token_ids_encoded"].fn(spark, str(sf)).collect()
     }
     assert list(rows[1]["token_ids"]) == [1, 0, 2, 0]
     assert list(rows[2]["token_ids"]) == [0, 1]
