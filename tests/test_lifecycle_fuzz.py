@@ -991,3 +991,136 @@ def test_lifecycle_fuzz_variant_seed_3(spark, tmp_path):
 
 def test_lifecycle_fuzz_variant_seed_19(spark, tmp_path):
     _walk_variant(spark, tmp_path, seed=19, n_ops=10)
+
+
+def _walk_folded_merge(spark, tmp_path, seed, n_ops):
+    """Folded-key walk (r13, VERDICT r12 #10): a UTF8_LCASE-keyed table
+    under a seeded op walk whose MERGE / DELETE / UPDATE sources spell
+    every key in RANDOM case — each op must fold onto the stored
+    spelling (row identity is the folded key), and after every commit
+    the model, Spark's read and the external reader's raw rows must
+    agree on (stored spelling, value) per folded key. Keys are ASCII
+    so Python's lower() provably equals Spark's UTF8_LCASE fold."""
+    from pyspark.sql.types import LongType, StringType, StructField
+    from pyspark.sql.types import StructType as ST
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        update_where,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_fold_{seed}")
+    st = ST([
+        StructField("key", StringType("UTF8_LCASE")),
+        StructField("val", LongType()),
+    ])
+    next_key = [0]
+    # model: folded key -> (stored spelling, val)
+    model: dict[str, tuple] = {}
+
+    def recase(base):
+        return "".join(
+            c.upper() if rng.randrange(2) else c for c in base
+        )
+
+    def fresh(n):
+        out = {}
+        for _ in range(n):
+            base = f"key{next_key[0]:04d}x"
+            next_key[0] += 1
+            sp = recase(base)
+            out[base] = (sp, rng.randrange(1000))
+        return out
+
+    def frame(sub):
+        return spark.createDataFrame(
+            [(sp, v) for _b, (sp, v) in sorted(sub.items())], st
+        ).coalesce(1)
+
+    first = fresh(12)
+    write_delta(spark, frame(first), path)
+    model.update(first)
+    version = 0
+    trace = [f"fold-seed={seed}", "create(12)"]
+
+    def check():
+        t = " ".join(trace)
+        got = {
+            r["key"].lower(): (r["key"], r["val"])
+            for r in read_delta(spark, path).collect()
+        }
+        assert got == model, f"spark diverged after {t}"
+        names, rows = read_delta_external(path)
+        idx = {n: k for k, n in enumerate(names)}
+        ext = {
+            r[idx["key"]].lower(): (r[idx["key"]], r[idx["val"]])
+            for r in rows
+        }
+        assert ext == model, f"external reader diverged after {t}"
+
+    check()
+    ops = ["append", "merge", "delete", "update", "optimize", "checkpoint"]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append":
+            sub = fresh(rng.randrange(2, 5))
+            version = write_delta(spark, frame(sub), path, mode="append")
+            model.update(sub)
+        elif op == "merge":
+            # matched rows: RE-CASED spellings of existing folded keys —
+            # the fold must match them, and the stored spelling becomes
+            # the source's (MERGE updates every column)
+            hit = sorted(model)[: rng.randrange(1, 4)]
+            src = {
+                b: (recase(b), model[b][1] + 1000) for b in hit
+            }
+            src.update(fresh(rng.randrange(1, 3)))
+            version = merge_delta(
+                spark, path, frame(src), key_cols=["key"]
+            )
+            model.update(src)
+        elif op == "delete":
+            if len(model) < 2:
+                trace[-1] += "(noop)"
+                continue
+            victim = sorted(model)[rng.randrange(len(model))]
+            sp = recase(victim)  # random-case predicate must fold
+            v = delete_where(spark, path, f"key = '{sp}'")
+            assert v is not None, f"fold-delete missed {sp}: {trace}"
+            version = v
+            del model[victim]
+            trace[-1] += f"({sp})"
+        elif op == "update":
+            if not model:
+                trace[-1] += "(noop)"
+                continue
+            victim = sorted(model)[rng.randrange(len(model))]
+            sp = recase(victim)
+            v = update_where(
+                spark, path, f"key = '{sp}'", {"val": "val + 7"}
+            )
+            assert v is not None, f"fold-update missed {sp}: {trace}"
+            version = v
+            stored_sp, val = model[victim]
+            model[victim] = (stored_sp, val + 7)
+            trace[-1] += f"({sp})"
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+            trace[-1] += f"@{version}"
+        check()
+    check()
+
+
+def test_lifecycle_fuzz_folded_merge_seed_9(spark, tmp_path):
+    _walk_folded_merge(spark, tmp_path, seed=9, n_ops=12)
+
+
+def test_lifecycle_fuzz_folded_merge_seed_47(spark, tmp_path):
+    _walk_folded_merge(spark, tmp_path, seed=47, n_ops=12)
