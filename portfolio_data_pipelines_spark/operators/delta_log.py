@@ -1393,6 +1393,14 @@ _SUPPORTED_WRITER_FEATURES = {
     # per-file — so any commit to a shredded table is legal
     "variantShredding",
     "variantShredding-preview",
+    # Iceberg compatibility (r13): every commit path enforces the
+    # compat duties via _check_iceberg_compat_duties (column mapping
+    # required, DVs refused, typeWidening refused, complete field ids)
+    # and stamps parquet field ids on staged files even in name mode
+    # (the _IdModeMap carrier with read_by_id=False) — the one duty
+    # that makes the files addressable by converted Iceberg metadata
+    "icebergCompatV1",
+    "icebergCompatV2",
 }
 
 
@@ -1535,6 +1543,8 @@ def _check_writer_protocol(
                 f"{unknown} this writer does not implement (reads "
                 "remain available)"
             )
+    if meta is not None and _iceberg_compat_version(meta):
+        _check_iceberg_compat_duties(proto, meta)
 
 
 def _check_append_only(meta: dict | None, removing: bool) -> None:
@@ -2447,6 +2457,11 @@ def write_delta(
     widened: list[tuple] = []
     if evolved_meta is not None:
         widened = _widened_fields(prev_meta, evolved_meta)
+        if widened and _iceberg_compat_version(prev_meta):
+            raise ValueError(
+                "icebergCompat tables cannot take type-widening "
+                f"evolutions (pre-V3): {widened}"
+            )
         if widened:
             # evolution commits never auto-retry to a later version, so
             # new_version is the final tableVersion of this change
@@ -3127,9 +3142,12 @@ class _IdModeMap(dict):
     ``wtypes`` ({logical column: Spark DataType}) for nested struct
     columns: the staging cast target with PHYSICAL nested names and
     per-field ``parquet.field.id`` metadata (r13; nested was refused
-    through r12)."""
+    through r12). ``read_by_id`` tells the read paths whether files
+    resolve by field id (true id-mode tables) or by physical name
+    (name-mode tables that merely STAMP ids on writes — the
+    icebergCompat duty, whose pre-compat files may lack ids)."""
 
-    __slots__ = ("fids", "wtypes")
+    __slots__ = ("fids", "wtypes", "read_by_id")
 
 
 def _logical_to_physical(meta: dict) -> dict | None:
@@ -3155,6 +3173,28 @@ def _logical_to_physical(meta: dict) -> dict | None:
         out = _IdModeMap(m)
         out.fids = _field_ids(meta)
         out.wtypes = _idmode_write_types(meta)
+        out.read_by_id = True
+        return out
+    if _iceberg_compat_version(meta):
+        # name-mode icebergCompat table: WRITES must stamp parquet
+        # field ids (Iceberg addresses columns by id) while reads stay
+        # name-resolved (pre-compat files may lack ids). Incomplete ids
+        # fall back to the plain map — the commit gate refuses with the
+        # precise message before any stamping could half-apply.
+        try:
+            fids = {
+                f["name"]: int(
+                    (f.get("metadata") or {})["delta.columnMapping.id"]
+                )
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+            wtypes = _idmode_write_types(meta)
+        except (KeyError, TypeError, ValueError):
+            return m
+        out = _IdModeMap(m)
+        out.fids = fids
+        out.wtypes = wtypes
+        out.read_by_id = False
         return out
     return m
 
@@ -3260,6 +3300,93 @@ def _idmode_nested_type(jtype, physical: bool):
             "valueType": _idmode_nested_type(jtype["valueType"], physical),
         }
     return jtype
+
+
+def _iceberg_compat_version(meta: dict | None) -> int:
+    """The table's enabled Iceberg-compat writer version (0 = none),
+    from ``delta.enableIcebergCompatV1/V2``."""
+    if not meta:
+        return 0
+    cfg = meta.get("configuration") or {}
+    if str(cfg.get("delta.enableIcebergCompatV2", "")).lower() == "true":
+        return 2
+    if str(cfg.get("delta.enableIcebergCompatV1", "")).lower() == "true":
+        return 1
+    return 0
+
+
+def _check_iceberg_compat_duties(proto: dict | None, meta: dict) -> None:
+    """The icebergCompatV1/V2 writer duties this engine enforces on
+    every commit (r13; refused by name through r12). Per the public
+    protocol's Iceberg-compatibility sections and delta-spark's
+    IcebergCompat checks: exactly one version enabled; column mapping
+    required (V1: name mode; V2: name or id); deletion vectors must
+    stay disabled; typeWidening is incompatible (pre-V3); every field
+    — top-level and nested struct — must carry a stable
+    ``delta.columnMapping.id`` (staged files are stamped with matching
+    parquet field ids so converted Iceberg metadata can address them).
+    Array/map columns are refused by name: Iceberg requires field ids
+    on list/map ELEMENT levels (the spec's nested-ids metadata), which
+    this writer does not stamp — half-mapping would produce files
+    Iceberg cannot safely read."""
+    cfg = meta.get("configuration") or {}
+    v1 = str(cfg.get("delta.enableIcebergCompatV1", "")).lower() == "true"
+    v2 = str(cfg.get("delta.enableIcebergCompatV2", "")).lower() == "true"
+    if v1 and v2:
+        raise ValueError(
+            "icebergCompat: V1 and V2 are both enabled — the spec "
+            "allows exactly one"
+        )
+    version = 2 if v2 else 1
+    mode = cfg.get("delta.columnMapping.mode", "none")
+    if version == 1 and mode != "name":
+        raise ValueError(
+            "icebergCompatV1 requires column mapping in NAME mode "
+            f"(table has mode={mode!r})"
+        )
+    if version == 2 and mode not in ("name", "id"):
+        raise ValueError(
+            "icebergCompatV2 requires column mapping (name or id mode) "
+            f"— table has mode={mode!r}"
+        )
+    if str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true":
+        raise ValueError(
+            "icebergCompat tables cannot enable deletion vectors "
+            "(Iceberg cannot read DV'd files before compat V3)"
+        )
+    if proto and "typeWidening" in (proto.get("writerFeatures") or []):
+        raise ValueError(
+            "icebergCompat is incompatible with the typeWidening "
+            "feature (pre-V3)"
+        )
+
+    def walk(jtype, path):
+        if not isinstance(jtype, dict):
+            return
+        t = jtype.get("type")
+        if t in ("array", "map"):
+            raise ValueError(
+                f"icebergCompat: column {path!r} is an array/map — "
+                "Iceberg requires field ids on list/map element "
+                "levels, which this writer does not stamp; refusing "
+                "rather than producing files Iceberg cannot read"
+            )
+        if t == "struct":
+            for f in jtype["fields"]:
+                if "delta.columnMapping.id" not in (f.get("metadata") or {}):
+                    raise ValueError(
+                        f"icebergCompat: nested field {path}."
+                        f"{f['name']} carries no delta.columnMapping.id"
+                    )
+                walk(f.get("type"), f"{path}.{f['name']}")
+
+    for f in json.loads(meta["schemaString"])["fields"]:
+        if "delta.columnMapping.id" not in (f.get("metadata") or {}):
+            raise ValueError(
+                f"icebergCompat: column {f['name']!r} carries no "
+                "delta.columnMapping.id"
+            )
+        walk(f.get("type"), f["name"])
 
 
 def _dt_from_json_type(jtype):
@@ -3499,7 +3626,7 @@ def _read_adds(
         return None
     schema = _spark_schema_from_string(meta["schemaString"])
     l2p = _logical_to_physical(meta)
-    id_mode = isinstance(l2p, _IdModeMap)
+    id_mode = getattr(l2p, "read_by_id", False)
     if id_mode:
         # resolution is by parquet FIELD ID: the physical read schema
         # carries per-field ids and the session resolves by them
@@ -5666,6 +5793,12 @@ def delete_where_dv(
     fs, _, jvm = _hadoop_fs(spark, path)
     st = _replay_log(spark, path, None)
     _check_writer_protocol(st.protocol, st.meta)
+    if st.meta is not None and _iceberg_compat_version(st.meta):
+        raise ValueError(
+            "icebergCompat tables cannot take deletion-vector deletes "
+            "(Iceberg cannot read DV'd files before compat V3) — use "
+            "the copy-on-write delete_where instead"
+        )
     if st.meta is None:
         raise ValueError(f"Delta log under {path} has no metaData action")
     _check_append_only(st.meta, True)
@@ -6893,6 +7026,195 @@ def enable_column_mapping(spark: SparkSession, path: str) -> int:
             {"metaData": meta},
         ],
     )
+
+
+def enable_iceberg_compat(
+    spark: SparkSession, path: str, version: int = 2
+) -> int:
+    """Enable Iceberg compatibility (``icebergCompatV1``/``V2``, r13 —
+    refused by name through r12): after this, every data file the
+    table accepts is addressable by converted Iceberg metadata.
+
+    Preconditions (delta-spark's IcebergCompat checks): column mapping
+    already enabled (V1: name mode; V2: name or id); no deletion
+    vectors (feature-with-live-DVs, config, or descriptors on live
+    adds); no typeWidening feature; no array/map columns (Iceberg
+    needs element-level field ids this writer does not stamp); no
+    other compat version enabled.
+
+    The commit: assigns ``delta.columnMapping.id`` to any nested
+    struct field missing one (advancing ``maxColumnId`` — top-level
+    ids exist by the mapping precondition), sets
+    ``delta.enableIcebergCompatV{n}=true``, declares the writer
+    feature, and REWRITES live files whose parquet schema lacks
+    field ids (dataChange=false — the spec's REORG UPGRADE ICEBERG
+    shape, so pre-compat files become id-addressable without changing
+    a row). Returns the final committed version.
+
+    Scale note: the rewrite touches only files MISSING ids — a table
+    written id-stamped from birth (or a CONVERTed one) rewrites
+    nothing; the footer probe is O(live files) of metadata reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if version not in (1, 2):
+        raise ValueError(f"icebergCompat version must be 1 or 2, got {version}")
+    _warn_if_commit_unsafe(path)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    st = _replay_log(spark, path, None)
+    _check_writer_protocol(st.protocol, st.meta)
+    if st.meta is None:
+        raise ValueError(f"Delta log under {path} has no metaData action")
+    config = dict(st.meta.get("configuration") or {})
+    if _iceberg_compat_version(st.meta):
+        raise ValueError(
+            f"iceberg compat already enabled on {path} "
+            f"(V{_iceberg_compat_version(st.meta)})"
+        )
+    mode = config.get("delta.columnMapping.mode", "none")
+    if version == 1 and mode != "name":
+        raise ValueError(
+            "icebergCompatV1 requires column mapping in NAME mode — "
+            f"table has mode={mode!r} (enable_column_mapping first)"
+        )
+    if version == 2 and mode not in ("name", "id"):
+        raise ValueError(
+            "icebergCompatV2 requires column mapping — "
+            f"table has mode={mode!r} (enable_column_mapping first)"
+        )
+    if str(config.get("delta.enableDeletionVectors", "")).lower() == "true":
+        raise ValueError(
+            "cannot enable iceberg compat: delta.enableDeletionVectors "
+            "is set (Iceberg cannot read DV'd files before compat V3)"
+        )
+    if any(a.get("deletionVector") for a in st.adds.values()):
+        raise ValueError(
+            "cannot enable iceberg compat: live files carry deletion "
+            "vectors — purge_delta first"
+        )
+    if "typeWidening" in ((st.protocol or {}).get("writerFeatures") or []):
+        raise ValueError(
+            "cannot enable iceberg compat: the table declares "
+            "typeWidening (incompatible pre-V3)"
+        )
+    # assign missing NESTED struct ids; refuse array/map columns
+    fields = json.loads(st.meta["schemaString"])["fields"]
+    max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+
+    def fill(jtype, path_):
+        nonlocal max_id
+        if not isinstance(jtype, dict):
+            return jtype
+        t = jtype.get("type")
+        if t in ("array", "map"):
+            raise ValueError(
+                f"cannot enable iceberg compat: column {path_!r} is an "
+                "array/map (Iceberg requires element-level field ids "
+                "this writer does not stamp)"
+            )
+        if t == "struct":
+            out = []
+            for f in jtype["fields"]:
+                nf = dict(f)
+                md = dict(f.get("metadata") or {})
+                if "delta.columnMapping.id" not in md:
+                    max_id += 1
+                    md["delta.columnMapping.id"] = max_id
+                    md.setdefault(
+                        "delta.columnMapping.physicalName", f["name"]
+                    )
+                nf["metadata"] = md
+                nf["type"] = fill(f["type"], f"{path_}.{f['name']}")
+                out.append(nf)
+            return {"type": "struct", "fields": out}
+        return jtype
+
+    new_fields = []
+    for f in fields:
+        nf = dict(f)
+        nf["type"] = fill(f.get("type"), f["name"])
+        new_fields.append(nf)
+    config[f"delta.enableIcebergCompatV{version}"] = "true"
+    config["delta.columnMapping.maxColumnId"] = str(
+        max(max_id, int(config.get("delta.columnMapping.maxColumnId", 0)))
+    )
+    meta = dict(st.meta)
+    meta["schemaString"] = json.dumps(
+        {"type": "struct", "fields": new_fields}
+    )
+    meta["configuration"] = config
+    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
+    feat = f"icebergCompatV{version}"
+    actions = [
+        _commit_info(
+            "SET TBLPROPERTIES",
+            {"properties": {f"delta.enableIcebergCompatV{version}": "true"}},
+        )
+    ]
+    if feat not in (proto.get("writerFeatures") or []):
+        actions.append(
+            {"protocol": _upgraded_protocol_writer_only(proto, feat)}
+        )
+    actions.append({"metaData": meta})
+    v = _commit_metadata_only(spark, path, actions)
+    # REORG UPGRADE ICEBERG: rewrite live files whose parquet footer
+    # lacks field ids (local-filesystem footer probe; files already
+    # stamped — id-mode writes, prior compat writes — are untouched)
+    from urllib.parse import unquote
+
+    st2 = _replay_log(spark, path, None)
+    doomed: dict[str, dict] = {}
+    local_root = _normalize_uri(path, decode=False)
+    for rel, a in sorted(st2.adds.items()):
+        fpath = os.path.join(local_root, unquote(rel))
+        try:
+            sch = pq.read_schema(fpath)
+            has_ids = all(
+                (fl.metadata or {}).get(b"PARQUET:field_id") is not None
+                for fl in sch
+            )
+        except Exception:
+            has_ids = False  # unreadable locally: rewrite to be safe
+        if not has_ids:
+            doomed[rel] = a
+    if not doomed:
+        return v
+    pcols = st2.meta.get("partitionColumns", [])
+    l2p = _logical_to_physical(st2.meta)
+    rt = _row_tracking_supported(st2.protocol)
+    rewritten = _read_adds(spark, path, doomed, st2.meta, row_ids=rt)
+    if rt:
+        rewritten = _rt_materialize(rewritten, st2.meta)
+    new_version = st2.version + 1
+    adds = _stage_commit_files(
+        spark, fs, jvm, path, rewritten, pcols, new_version,
+        data_change=False, l2p=l2p,
+    )
+    now = _now_ms()
+    actions = [
+        _commit_info(
+            "REORG",
+            {"applyIcebergCompat": f"V{version}"},
+            metrics=_add_metrics(adds, len(doomed)),
+        )
+    ]
+    actions.extend(
+        {
+            "remove": {
+                "path": _encode_path(rel),
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for rel in sorted(doomed)
+    )
+    _rt_finalize_commit(st2, adds, actions, new_version)
+    actions.extend(adds)
+    _write_commit(fs, jvm, path, new_version, actions)
+    if new_version % DELTA_CHECKPOINT_EVERY == 0:
+        checkpoint_delta(spark, path, new_version)
+    return new_version
 
 
 def enable_row_tracking(spark: SparkSession, path: str) -> int:

@@ -1,0 +1,239 @@
+"""icebergCompatV1/V2 writer features (r13 — refused by name through
+r12, the top remaining gap after nested id-mode landed).
+
+The duty that matters: every data file on a compat table must carry
+parquet field ids matching ``delta.columnMapping.id`` at every struct
+level, so converted Iceberg metadata can address them. Enabling
+performs the REORG-UPGRADE-ICEBERG shape (rewrite only files missing
+ids, dataChange=false); every later commit stamps ids even in NAME
+mode; DV deletes and type-widening evolutions are refused; reads are
+untouched (writer-only feature) in both readers.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from portfolio_data_pipelines_spark.operators.delta_log import (
+    delete_where,
+    delete_where_dv,
+    enable_column_mapping,
+    enable_iceberg_compat,
+    merge_delta,
+    read_delta,
+    write_delta,
+)
+from portfolio_data_pipelines_spark.operators.delta_reader import (
+    read_delta_external,
+)
+
+
+def _field_ids_of(fpath):
+    sch = pq.read_schema(fpath)
+    return {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    }
+
+
+def _data_files(path):
+    return [
+        p for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if "_delta_log" not in p and "_change_data" not in p
+    ]
+
+
+def _live_files(path):
+    from portfolio_data_pipelines_spark.operators.delta_reader import _replay
+
+    root, adds, _meta = _replay(path, None)
+    import os
+
+    return [os.path.join(root, rel) for rel in sorted(adds)]
+
+
+def test_enable_v2_rewrites_unstamped_files_and_stamps_appends(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", ("x", 10)), (2, "b", ("y", 20))],
+            "id long, s string, o struct<p string, q long>",
+        ),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    v = enable_iceberg_compat(spark, path, version=2)
+    assert v >= 2
+    # protocol declares the feature; config records it
+    log = sorted(glob.glob(f"{path}/_delta_log/*.json"))
+    feats: set = set()
+    for lf in log:
+        for line in open(lf):
+            a = json.loads(line)
+            if "protocol" in a:
+                feats = set(a["protocol"].get("writerFeatures") or [])
+    assert "icebergCompatV2" in feats
+    # EVERY live file now carries field ids (the pre-compat file was
+    # rewritten dataChange=false)
+    for f in _live_files(path):
+        ids = _field_ids_of(f)
+        assert all(v is not None for v in ids.values()), (f, ids)
+    # nested struct level stamped too
+    f0 = _live_files(path)[0]
+    sch = pq.read_schema(f0)
+    ot = sch.field("o").type
+    inner = {
+        ot.field(i).name: (ot.field(i).metadata or {}).get(
+            b"PARQUET:field_id"
+        )
+        for i in range(ot.num_fields)
+    }
+    assert all(v is not None for v in inner.values()), inner
+    # rows unchanged through the rewrite, in both readers
+    got = {(r["id"], r["s"], tuple(r["o"]))
+           for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a", ("x", 10)), (2, "b", ("y", 20))}
+    _names, rows = read_delta_external(path)
+    assert len(rows) == 2
+    # appends stamp ids (name mode!)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", ("z", 30))],
+            "id long, s string, o struct<p string, q long>",
+        ),
+        path, mode="append",
+    )
+    for f in _live_files(path):
+        assert all(v is not None for v in _field_ids_of(f).values()), f
+    # MERGE rewrites stamp ids too
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(2, "B", ("Y", 22))],
+            "id long, s string, o struct<p string, q long>",
+        ),
+        key_cols=["id"],
+    )
+    for f in _live_files(path):
+        assert all(v is not None for v in _field_ids_of(f).values()), f
+    got = {(r["id"], r["s"]) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_compat_preconditions_and_refusals(spark, tmp_path):
+    # no column mapping → refused
+    p1 = str(tmp_path / "plain")
+    write_delta(spark, spark.createDataFrame([(1,)], "id long"), p1)
+    with pytest.raises(ValueError, match="column mapping"):
+        enable_iceberg_compat(spark, p1, version=2)
+    # V1 requires NAME mode specifically; array/map columns refused
+    p2 = str(tmp_path / "arr")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>"),
+        p2,
+    )
+    enable_column_mapping(spark, p2)
+    with pytest.raises(ValueError, match="array/map"):
+        enable_iceberg_compat(spark, p2, version=2)
+
+
+def test_compat_refuses_dv_and_widening(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(i, i * 2) for i in range(10)],
+                              "id long, v long"),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    enable_iceberg_compat(spark, path, version=2)
+    # DV deletes refused; copy-on-write deletes fine
+    with pytest.raises(ValueError, match="deletion-vector"):
+        delete_where_dv(spark, path, "id = 3")
+    delete_where(spark, path, "id = 3")
+    assert read_delta(spark, path).count() == 9
+    # widening evolution refused
+    with pytest.raises(ValueError, match="widening"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(100.5, 100)], "v double, id long"),
+            path, mode="append",
+        )
+
+
+def test_foreign_declared_compat_table_accepts_stamped_commits(
+    spark, tmp_path
+):
+    """A foreign table that already declares icebergCompatV2 (the
+    Iceberg-conversion shape: id mode + complete ids) takes commits —
+    the write gate validates the duties instead of refusing by name."""
+    import pyarrow as pa
+
+    root = tmp_path / "t"
+    (root / "_delta_log").mkdir(parents=True)
+
+    def fld(name, typ, fid):
+        return pa.field(
+            name, typ, metadata={b"PARQUET:field_id": str(fid).encode()}
+        )
+
+    pq.write_table(
+        pa.table(
+            [pa.array([1], pa.int64()), pa.array(["a"])],
+            schema=pa.schema(
+                [fld("w_id", pa.int64(), 1), fld("w_s", pa.string(), 2)]
+            ),
+        ),
+        root / "f1.parquet",
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "s", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_s"}},
+    ]
+    with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping",
+                                             "icebergCompatV2"]}},
+            {"metaData": {"id": "iceb",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2",
+                              "delta.enableIcebergCompatV2": "true"},
+                          "createdTime": 0}},
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0,
+                     "dataChange": True}},
+        ]:
+            f.write(json.dumps(a) + "\n")
+    path = str(root)
+    write_delta(
+        spark, spark.createDataFrame([(2, "b")], "id long, s string"),
+        path, mode="append",
+    )
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    staged = [p for p in _live_files(path) if "f1" not in p]
+    assert all(
+        v is not None for v in _field_ids_of(staged[0]).values()
+    )
+    # DV delete refused on the foreign compat table too
+    with pytest.raises(ValueError, match="deletion-vector"):
+        delete_where_dv(spark, path, "id = 1")
