@@ -24,6 +24,8 @@ available foreign reader, values compared against Spark's read):
                  on the parquet checkpoint)
   column_mapped  name-mode column mapping (physical names in files)
   id_mapped      id-mode column mapping (parquet field-id resolution)
+  nested_id_mapped  nested struct under id mode (per-LEVEL field ids, r13)
+  iceberg_compat icebergCompatV2 (enable-rewrite + stamped commits, r13)
   dv             deletion vectors (foreign reader must drop DV'd rows)
   cdf            change-data-feed table (plain read ignores cdc files)
   defaults       allowColumnDefaults (fill-on-omit rows present)
@@ -216,6 +218,78 @@ def run_matrix(spark, readers: dict, work: str) -> list[dict]:
             p, shred_variants={"v": "long"},
         )
 
+    def build_nested_id_mapped(p):
+        # r13: NESTED struct under id mode — inner levels resolve by
+        # per-level field id; our appends must stamp both levels
+        import os
+
+        os.makedirs(f"{p}/_delta_log")
+        fields = [
+            {"name": "id", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "ice_id"}},
+            {"name": "o", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "a", "type": "long", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "ice_a"}},
+                 {"name": "b", "type": "string", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 4,
+                               "delta.columnMapping.physicalName": "ice_b"}},
+             ]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "ice_o"}},
+        ]
+        with open(f"{p}/_delta_log/{0:020d}.json", "w") as f:
+            for a in [
+                {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                              "readerFeatures": ["columnMapping"],
+                              "writerFeatures": ["columnMapping"]}},
+                {"metaData": {"id": "interop-nested-id",
+                              "format": {"provider": "parquet",
+                                         "options": {}},
+                              "schemaString": json.dumps(
+                                  {"type": "struct", "fields": fields}),
+                              "partitionColumns": [],
+                              "configuration": {
+                                  "delta.columnMapping.mode": "id",
+                                  "delta.columnMapping.maxColumnId": "4"},
+                              "createdTime": 0}},
+            ]:
+                f.write(json.dumps(a) + "\n")
+        nested = spark.range(0, 30).select(
+            "id",
+            F.struct(
+                (F.col("id") * 10).alias("a"),
+                F.col("id").cast("string").alias("b"),
+            ).alias("o"),
+        )
+        write_delta(spark, nested, p, mode="append")
+        merge_delta(
+            spark, p,
+            nested.filter("id >= 20").withColumn(
+                "o",
+                F.struct(
+                    (F.col("id") * 100).alias("a"),
+                    F.lit("m").alias("b"),
+                ),
+            ),
+            key_cols=["id"],
+        )
+
+    def build_iceberg_compat(p):
+        # r13: enable_iceberg_compat rewrites unstamped files and every
+        # later commit stamps field ids in NAME mode
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            enable_iceberg_compat,
+        )
+
+        write_delta(spark, frame(0, 30), p)
+        enable_column_mapping(spark, p)
+        enable_iceberg_compat(spark, p, version=2)
+        write_delta(spark, frame(30, 45), p, mode="append")
+        merge_delta(spark, p, frame(40, 55), key_cols=["id"])
+
     builders = {
         "plain": build_plain,
         "partitioned": build_partitioned,
@@ -223,6 +297,8 @@ def run_matrix(spark, readers: dict, work: str) -> list[dict]:
         "checkpointed": build_checkpointed,
         "column_mapped": build_column_mapped,
         "id_mapped": build_id_mapped,
+        "nested_id_mapped": build_nested_id_mapped,
+        "iceberg_compat": build_iceberg_compat,
         "dv": build_dv,
         "cdf": build_cdf,
         "defaults": build_defaults,
@@ -243,7 +319,13 @@ def run_matrix(spark, readers: dict, work: str) -> list[dict]:
             cols = sdf.columns
 
             def norm(v):
-                return str(v.toPython()) if hasattr(v, "toPython") else str(v)
+                if hasattr(v, "toPython"):  # VariantVal
+                    v = v.toPython()
+                if hasattr(v, "asDict"):  # nested struct Row
+                    v = v.asDict()
+                if isinstance(v, dict):  # canonical either-side form
+                    return str(sorted((k, norm(x)) for k, x in v.items()))
+                return str(v)
 
             srows = {
                 tuple(norm(r[c]) for c in cols) for r in sdf.collect()
@@ -257,7 +339,7 @@ def run_matrix(spark, readers: dict, work: str) -> list[dict]:
             try:
                 fcols, frows = fn(p)
                 frows = {
-                    tuple(str(v) for v in r) for r in frows
+                    tuple(norm(v) for v in r) for r in frows
                 }
                 row[rname] = (
                     "MATCH"
