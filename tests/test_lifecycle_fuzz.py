@@ -312,7 +312,8 @@ def test_lifecycle_fuzz_cdf_replica_seed_99(spark, tmp_path):
 
 
 def _walk_metadata(
-    spark, tmp_path, seed, n_ops, v2=False, id_mode=False, nested=False
+    spark, tmp_path, seed, n_ops, v2=False, id_mode=False, nested=False,
+    iceberg=False,
 ):
     """The METADATA-surface walk (VERDICT r9 next #3): schema
     evolution, column-mapping rename/drop, cleanup_log, vacuum and
@@ -436,6 +437,15 @@ def _walk_metadata(
         )
         enable_column_mapping(spark, path)
         version = 1
+        if iceberg:
+            # icebergCompatV2 on top (r13): the enable pass rewrites
+            # every unstamped file, and check() then asserts EVERY op's
+            # staged files carry complete parquet field ids
+            from portfolio_data_pipelines_spark.operators.delta_log import (
+                enable_iceberg_compat,
+            )
+
+            version = enable_iceberg_compat(spark, path, version=2)
     if v2:
         st = _replay_log(spark, path, None)
         version = _commit_metadata_only(
@@ -478,6 +488,38 @@ def _walk_metadata(
             }
             assert ext == got, f"external reader diverged after {t}"
             return
+        if iceberg:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            from portfolio_data_pipelines_spark.operators.delta_reader import (
+                _replay,
+            )
+
+            import json as _json
+
+            _root, _adds, _m = _replay(path, None)
+            _phys = {
+                (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName", f["name"]
+                )
+                for f in _json.loads(_m["schemaString"])["fields"]
+            }
+            for _rel in _adds:
+                _sch = _pq.read_schema(_os.path.join(_root, _rel))
+                for _fl in _sch:
+                    if _fl.name not in _phys:
+                        # hidden rowTracking materialized columns carry
+                        # no schema id — Iceberg projects only known
+                        # ids, so unmapped extras are invisible to it
+                        continue
+                    assert (_fl.metadata or {}).get(
+                        b"PARQUET:field_id"
+                    ) is not None, (
+                        f"unstamped file {_rel} field {_fl.name} after "
+                        + " ".join(trace)
+                    )
         df = read_delta(spark, path, row_ids=True)
         got = {
             r["id"]: (
@@ -1124,3 +1166,11 @@ def test_lifecycle_fuzz_folded_merge_seed_9(spark, tmp_path):
 
 def test_lifecycle_fuzz_folded_merge_seed_47(spark, tmp_path):
     _walk_folded_merge(spark, tmp_path, seed=47, n_ops=12)
+
+
+def test_lifecycle_fuzz_metadata_iceberg_seed_17(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=17, n_ops=12, iceberg=True)
+
+
+def test_lifecycle_fuzz_metadata_iceberg_seed_61(spark, tmp_path):
+    _walk_metadata(spark, tmp_path, seed=61, n_ops=12, iceberg=True)

@@ -64,7 +64,14 @@ QUERIES = [
     "decontam_overlap_pairs",
     "simhash_dup_pairs",
     "embedding_cosine_dups",  # documented quadratic baseline
-    "semdedup_pairs",  # its bucketed scale path (extra registry)
+    "semdedup_pairs",  # its bucketed scale path
+    # r13 rotation: the newly-declared heavies need measured exponents
+    "bpe_token_ids",
+    "token_ids_encoded",
+    "dup_span_coverage",
+    "unigram_logprob_filter",
+    "deterministic_corpus_shuffle",
+    "delta_rowtracking_mart",
 ]
 
 
@@ -167,6 +174,13 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 cold = cold if cold is not None else dt
                 warm = dt
+                # drop leaked localCheckpoint blocks between runs (the
+                # bench does the same — see bench.drop_leaked_blocks);
+                # at 10x the gram/index checkpoints are GBs per run
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rr = jrdd.rdd()
+                    if rr.isLocallyCheckpointed():
+                        rr.unpersist(False)
             rec[f"{label}_cold"] = round(cold, 2)
             rec[f"{label}_warm"] = round(warm, 2)
         rec["warm_ratio"] = round(rec["x10_warm"] / rec["base_warm"], 2)
