@@ -355,13 +355,15 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pipeline import ranked_value_counts
 
     # One fact scan, four consumers (range sampler, ranked build, the
-    # sketch, the rank-sum pass): persist the 2-column projection —
-    # MEMORY_AND_DISK, so at scale it spills instead of evicting — and
-    # let the sampler's full pass populate it.
+    # sketch, the rank-sum pass): localCheckpoint the 2-column
+    # projection lazily — materialized by the sampler's full pass,
+    # reused from memory by the other three, and reclaimed by the
+    # bench's between-runs checkpoint cleanup (a plain persist would
+    # leak until the driver's periodic GC).
     li = (
         scan_table(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_extendedprice")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     qs = ", ".join(str(q) for q in _APPROX_PCT_QS)
     agg = li.groupBy("l_returnflag").agg(
