@@ -1070,3 +1070,114 @@ def delta_defaults_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+@extra_query(
+    "delta_nested_idmode_mart",
+    oracle=f"""
+    WITH base AS (SELECT event_id, event_type, value FROM events),
+    upd AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 7 = 0 THEN value + 1000
+                    ELSE value END AS v
+        FROM base
+    ),
+    ins AS (
+        SELECT event_id + 1000000000 AS event_id, event_type,
+               value + 5 AS v
+        FROM base WHERE event_id % 13 = 0
+    ),
+    m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT event_type AS t,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v')} AS total_v
+    FROM m GROUP BY event_type ORDER BY t
+    """,
+)
+def delta_nested_idmode_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r13 nested-id-mode surface under the full value-hash gate:
+    a FOREIGN-created id-mode table whose schema nests a struct (per-
+    level ``delta.columnMapping.id``s, physical names this writer never
+    chose) takes an events-derived append and a MERGE that updates a
+    nested field on matched keys and inserts offset keys — then the
+    mart aggregates per nested ``obj.t`` THROUGH field-id resolution.
+    The oracle reproduces the end state from the raw parquet alone, so
+    any mis-stamped id, mis-resolved nested level, or merge-rewrite
+    drift surfaces as a hash mismatch.
+
+    Scale: identical to the other delta marts — the lifecycle is the
+    fixture; reads plan O(live files) and the aggregation is one
+    (t)-keyed shuffle with map-side partials."""
+    import json as _json
+
+    from ..operators.delta_log import merge_delta, read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        f"nested_idmode_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(f"{table}/_delta_log")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "obj", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "t", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 3,
+                           "delta.columnMapping.physicalName": "ice_t"}},
+             {"name": "v", "type": "double", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "ice_v"}},
+         ]},
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_obj"}},
+    ]
+    with open(f"{table}/_delta_log/{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "nested-idmode-mart",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "4"},
+                          "createdTime": 0}},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+    e = scan_table(spark, sf_dir, "events")
+    rows = e.select(
+        F.col("event_id").alias("id"),
+        F.struct(
+            F.col("event_type").alias("t"), F.col("value").alias("v")
+        ).alias("obj"),
+    )
+    write_delta(spark, rows, table, mode="append")
+    src = rows.filter(F.col("id") % 7 == 0).select(
+        "id",
+        F.struct(
+            F.col("obj.t").alias("t"), (F.col("obj.v") + 1000).alias("v")
+        ).alias("obj"),
+    ).unionByName(
+        rows.filter(F.col("id") % 13 == 0).select(
+            (F.col("id") + 1_000_000_000).alias("id"),
+            F.struct(
+                F.col("obj.t").alias("t"), (F.col("obj.v") + 5).alias("v")
+            ).alias("obj"),
+        )
+    )
+    merge_delta(spark, table, src, key_cols=["id"])
+    out = read_delta(spark, table)
+    return (
+        out.groupBy(F.col("obj.t").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("obj.v")).alias("total_v"),
+        )
+        .orderBy("t")
+    )
