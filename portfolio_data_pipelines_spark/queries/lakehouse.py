@@ -1181,3 +1181,109 @@ def delta_nested_idmode_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@extra_query(
+    "delta_lcase_merge_mart",
+    oracle=f"""
+    WITH base AS (SELECT event_id AS id, event_type, value FROM events),
+    upd AS (
+        SELECT id,
+               CASE WHEN id % 7 = 0
+                        THEN lower(event_type || '-' || CAST(id AS VARCHAR))
+                    WHEN id % 2 = 0
+                        THEN upper(event_type || '-' || CAST(id AS VARCHAR))
+                    ELSE event_type || '-' || CAST(id AS VARCHAR) END AS k,
+               CASE WHEN id % 7 = 0 THEN value + 1000 ELSE value END AS v
+        FROM base
+    ),
+    ins AS (
+        SELECT id + 1000000000 AS id,
+               'new-' || CAST(id AS VARCHAR) AS k,
+               value + 5 AS v
+        FROM base WHERE id % 13 = 0
+    ),
+    m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT lower(string_split(k, '-')[1]) AS t,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v')} AS total_v
+    FROM m GROUP BY 1 ORDER BY t
+    """,
+)
+def delta_lcase_merge_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8_LCASE fold-MERGE under the full value-hash gate (r13): a
+    foreign collated table stores MIXED-case keys (even ids upper), a
+    MERGE source spells its matched keys strictly LOWER — so the even
+    ids it touches (id % 7 = 0 ∧ id % 2 = 0) match ONLY if the key join
+    genuinely folds per the declared collation. A failed fold turns
+    those updates into spurious inserts and the hash diverges. The
+    oracle reproduces the end state with plain lower()/upper() algebra
+    over the raw parquet."""
+    import json as _json
+
+    from ..operators.delta_log import merge_delta, read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        f"lcase_merge_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(f"{table}/_delta_log")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "k", "type": "string", "nullable": True,
+         "metadata": {"__COLLATIONS": {"k": "spark.UTF8_LCASE"}}},
+        {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+    ]
+    with open(f"{table}/_delta_log/{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["collations-preview"],
+                          "writerFeatures": ["collations-preview"]}},
+            {"metaData": {"id": "lcase-merge-mart",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {}, "createdTime": 0}},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+    e = scan_table(spark, sf_dir, "events")
+    kbase = F.concat_ws(
+        "-", F.col("event_type"), F.col("event_id").cast("string")
+    )
+    rows = e.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 2 == 0, F.upper(kbase))
+        .otherwise(kbase)
+        .alias("k"),
+        F.col("value").alias("v"),
+    )
+    write_delta(spark, rows, table, mode="append")
+    src = e.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("id"),
+        F.lower(kbase).alias("k"),
+        (F.col("value") + 1000).alias("v"),
+    ).unionByName(
+        e.filter(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + 1_000_000_000).alias("id"),
+            F.concat(
+                F.lit("new-"), F.col("event_id").cast("string")
+            ).alias("k"),
+            (F.col("value") + 5).alias("v"),
+        )
+    )
+    # keyed on the COLLATED column: the matched branch exists only if
+    # the key join folds ('pageview-124' must match 'PAGEVIEW-124')
+    merge_delta(spark, table, src, key_cols=["k"])
+    out = read_delta(spark, table)
+    return (
+        out.groupBy(
+            F.lower(F.split(F.col("k"), "-")[0]).alias("t")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("v")).alias("total_v"),
+        )
+        .orderBy("t")
+    )
