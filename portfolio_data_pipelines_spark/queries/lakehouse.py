@@ -1287,3 +1287,75 @@ def delta_lcase_merge_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@extra_query(
+    "delta_iceberg_compat_mart",
+    oracle=f"""
+    WITH base AS (SELECT event_id AS id, event_type, value FROM events),
+    upd AS (
+        SELECT id, event_type,
+               CASE WHEN id % 7 = 0 THEN value + 1000 ELSE value END AS v
+        FROM base
+    ),
+    ins AS (
+        SELECT id + 1000000000 AS id, event_type, value + 5 AS v
+        FROM base WHERE id % 13 = 0
+    ),
+    m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT event_type AS t,
+           COUNT(*) AS n_rows,
+           {dsum_sql('v')} AS total_v
+    FROM m GROUP BY event_type ORDER BY t
+    """,
+)
+def delta_iceberg_compat_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """icebergCompatV2 lifecycle under the full value-hash gate (r13):
+    events land in a PLAIN table, column mapping + compat are enabled
+    (the enable pass REWRITES every unstamped file dataChange=false),
+    then a MERGE updates/inserts through the stamping commit path and
+    the mart aggregates the end state. The oracle reproduces it from
+    the raw parquet alone — a row lost or duplicated by the
+    enable-rewrite, or a mis-stamped file breaking the merge's read,
+    surfaces as a hash mismatch."""
+    from ..operators.delta_log import (
+        enable_column_mapping,
+        enable_iceberg_compat,
+        merge_delta,
+        read_delta,
+        write_delta,
+    )
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        f"iceberg_compat_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    e = scan_table(spark, sf_dir, "events")
+    rows = e.select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("t"),
+        F.col("value").alias("v"),
+    )
+    write_delta(spark, rows, table)
+    enable_column_mapping(spark, table)
+    enable_iceberg_compat(spark, table, version=2)
+    src = rows.filter(F.col("id") % 7 == 0).withColumn(
+        "v", F.col("v") + 1000
+    ).unionByName(
+        rows.filter(F.col("id") % 13 == 0).select(
+            (F.col("id") + 1_000_000_000).alias("id"),
+            "t",
+            (F.col("v") + 5).alias("v"),
+        )
+    )
+    merge_delta(spark, table, src, key_cols=["id"])
+    out = read_delta(spark, table)
+    return (
+        out.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("v")).alias("total_v"),
+        )
+        .orderBy("t")
+    )
