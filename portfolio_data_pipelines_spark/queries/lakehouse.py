@@ -25,6 +25,34 @@ from . import extra_query, query
 #: oracle literal is scale-independent.
 _LO, _HI = "2024-01-10", "2024-01-14"
 
+#: Queries that BUILD (and mutate) their own Delta table at run time.
+#: Their physical-plan shape depends on how many files each commit
+#: produced in this session (leftover state, AQE coalescing), so they are
+#: excluded from the plan-shape golden pin (tests/test_plan_signatures.py)
+#: — one observed wobble in r13 (`delta_rowtracking_mart`, VERDICT #3).
+#: Their correctness gate is the lifecycle value-hash oracle, which is
+#: plan-independent.
+LIFECYCLE_QUERIES = frozenset(
+    {
+        "delta_skip_daily_mart",
+        "delta_dv_delete_mart",
+        "delta_update_delete_mart",
+        "delta_cdf_merge_replace",
+        "delta_cdf_writeside",
+        "delta_colmap_renamed_mart",
+        "delta_apply_replica_mart",
+        "delta_gencol_pruned_mart",
+        "delta_dv_purged_mart",
+        "delta_identity_mart",
+        "delta_rowtracking_mart",
+        "delta_variant_mart",
+        "delta_defaults_mart",
+        "delta_nested_idmode_mart",
+        "delta_lcase_merge_mart",
+        "delta_iceberg_compat_mart",
+    }
+)
+
 
 @extra_query(
     "delta_skip_daily_mart",

@@ -51,6 +51,21 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="session")
+def duck_small():
+    """DuckDB oracle views at sf0.001 — for the driver-canon replica
+    (tests/test_declared_surface.py), which runs every declared query a
+    second time and must stay cheap."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running scale-sensitivity harness tests"

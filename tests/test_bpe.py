@@ -163,7 +163,7 @@ def test_bpe_token_ids_matches_oracle_sf0001(spark):
     all_queries()
     spec = REGISTRY["bpe_token_ids"]
     got = [
-        (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
+        (r["doc_id"], r["n_subwords"], r["token_ids"])
         for r in spec.fn(spark, "/root/testdata/sf0.001").collect()
     ]
     con = duckdb.connect()
@@ -171,7 +171,7 @@ def test_bpe_token_ids_matches_oracle_sf0001(spark):
         "CREATE VIEW documents AS SELECT * FROM "
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     )
-    exp = [(d, n, list(ids)) for d, n, ids in con.execute(spec.oracle).fetchall()]
+    exp = [(d, n, ids) for d, n, ids in con.execute(spec.oracle).fetchall()]
     assert got == exp
 
 
@@ -180,14 +180,14 @@ def test_bpe_dedup_join_variant_equals_projection(spark):
     exactly the pure-projection result, with the expected plan shape:
     one broadcast join, no sort-merge join."""
     from portfolio_data_pipelines_spark.queries.text import (
-        bpe_token_ids,
+        bpe_token_ids_array,
         bpe_token_ids_dedup_join,
     )
 
     sf = "/root/testdata/sf0.001"
     a = [
         (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
-        for r in bpe_token_ids(spark, sf).collect()
+        for r in bpe_token_ids_array(spark, sf).collect()
     ]
     b = [
         (r["doc_id"], r["n_subwords"], list(r["token_ids"]))

@@ -16,6 +16,7 @@ requires genuine field-id resolution on both sides.
 
 import glob
 import json
+import os
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -115,9 +116,11 @@ def test_append_stamps_field_ids_and_physical_names(spark, tmp_path):
     assert names == ["id", "s"]
     assert set(rows) == {(1, "a"), (2, "b"), (3, "c")}
     # staged file: physical names AND stamped field ids
+    # exact-basename match, not substring — UUID part names can contain
+    # the digram "f1" and would be dropped ~11% of runs (VERDICT r13 #3)
     staged = [
         p for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
-        if "f1" not in p and "_delta_log" not in p
+        if os.path.basename(p) != "f1.parquet" and "_delta_log" not in p
     ]
     assert staged
     sch = pq.read_schema(staged[0])
@@ -325,7 +328,8 @@ def test_nested_id_mode_full_lifecycle(spark, tmp_path):
         path, mode="append",
     )
     staged = [
-        p for p in glob.glob(f"{path}/*.parquet") if "f1" not in p
+        p for p in glob.glob(f"{path}/*.parquet")
+        if os.path.basename(p) != "f1.parquet"
     ]
     sch = pq.read_schema(staged[0])
     tops = {f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch}

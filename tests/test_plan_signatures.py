@@ -22,8 +22,15 @@ import pytest
 
 from portfolio_data_pipelines_spark.plans.signature import plan_shape_signature
 from portfolio_data_pipelines_spark.queries import REGISTRY, _load_all
+from portfolio_data_pipelines_spark.queries.lakehouse import LIFECYCLE_QUERIES
 
 _load_all()
+
+# Lifecycle queries build/mutate their own Delta table; file counts (and
+# hence scan/exchange shape) vary run to run, so they are value-hash
+# gated instead of plan-pinned (VERDICT r13 #3: one observed golden
+# wobble for delta_rowtracking_mart).
+PINNED = sorted(n for n in REGISTRY if n not in LIFECYCLE_QUERIES)
 
 GOLDEN_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "golden", "plan_signatures.json"
@@ -35,13 +42,13 @@ with open(GOLDEN_PATH) as _f:
 
 
 def test_golden_covers_every_declared_query():
-    assert sorted(GOLDEN) == sorted(REGISTRY), (
+    assert sorted(GOLDEN) == PINNED, (
         "declared registry and golden file diverged — regenerate with "
         "tools/gen_plan_signatures.py"
     )
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize("name", PINNED)
 def test_plan_shape_matches_golden(spark, name):
     from portfolio_data_pipelines_spark.operators.dedup import (
         clear_shared_plans,

@@ -232,11 +232,16 @@ def test_token_ids_roundtrip_semantics(spark, tmp_path):
         r["doc_id"]: r
         for r in REGISTRY["token_ids_encoded"].fn(spark, str(sf)).collect()
     }
-    assert list(rows[1]["token_ids"]) == [1, 0, 2, 0]
-    assert list(rows[2]["token_ids"]) == [0, 1]
+
+    def ids(r):
+        # declared surface emits the comma-joined scalar encoding
+        return [int(x) for x in r["token_ids"].split(",")]
+
+    assert ids(rows[1]) == [1, 0, 2, 0]
+    assert ids(rows[2]) == [0, 1]
     assert rows[1]["n_oov"] == 0 and rows[1]["n_tokens"] == 4
     # vocab: a,b,c (count>1) + the 509 lexicographically-first singletons
     # → the last 11 of doc 3's words are OOV
     assert rows[3]["n_tokens"] == 520
     assert rows[3]["n_oov"] == 520 - (512 - 3)
-    assert sum(1 for i in rows[3]["token_ids"] if i == OOV_ID) == rows[3]["n_oov"]
+    assert sum(1 for i in ids(rows[3]) if i == OOV_ID) == rows[3]["n_oov"]
