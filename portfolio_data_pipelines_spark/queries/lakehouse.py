@@ -105,7 +105,7 @@ def delta_skip_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_dv_delete_mart",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
@@ -726,7 +726,7 @@ def delta_dv_purged_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_identity_mart",
     oracle=f"""
     WITH n AS (
@@ -1317,7 +1317,7 @@ def delta_lcase_merge_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_iceberg_compat_mart",
     oracle=f"""
     WITH base AS (SELECT event_id AS id, event_type, value FROM events),

@@ -186,7 +186,7 @@ _DISC_PRICE_DEC = (
 _CHARGE_DEC = f"({_DISC_PRICE_DEC} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(8,2))))"
 
 
-@query(
+@extra_query(
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag,
@@ -357,7 +357,7 @@ def orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "revenue_by_region",
     oracle=f"""
     SELECT r.r_name AS region_name,
@@ -707,7 +707,7 @@ def events_union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "rollup_returnflag_status",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

@@ -173,7 +173,7 @@ def _kmeans_cte(n_iter: int = 2) -> str:
     return ",".join(parts)
 
 
-@extra_query(
+@query(
     "kmeans_embedding_clusters",
     oracle=f"""
     WITH {_kmeans_cte(2)}

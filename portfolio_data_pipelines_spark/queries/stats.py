@@ -119,7 +119,7 @@ def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("l_returnflag", corr.alias("corr_qty_price")).orderBy("l_returnflag")
 
 
-@query(
+@extra_query(
     "stats_quantity_quantiles",
     oracle="""
     SELECT l_returnflag,
@@ -160,7 +160,7 @@ def stats_quantity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "grouping_sets_events",
     oracle=f"""
     SELECT COALESCE(event_type, 'ALL') AS event_type,
@@ -191,7 +191,7 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "returnflag_status_pivot",
     oracle=f"""
     SELECT l_linestatus,

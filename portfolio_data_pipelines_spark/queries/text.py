@@ -787,7 +787,7 @@ LM2_BACKOFF_FX = -LM_Q
 LM2_KEEP_LOG2 = -4.96875
 
 
-@extra_query(
+@query(
     "bigram_logprob_filter",
     oracle=f"""
     WITH docs AS (
@@ -1170,12 +1170,12 @@ def bpe_token_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "bpe_token_ids_dedup_join",
     oracle=f"""
     SELECT doc_id,
            CAST(len(ids) AS BIGINT) AS n_subwords,
-           ids AS token_ids
+           array_to_string(ids, ',') AS token_ids
     FROM (
       SELECT doc_id, {bpe_encode_ids_duckdb("text", FIXTURE_MERGES)} AS ids
       FROM documents
@@ -1218,12 +1218,15 @@ def bpe_token_ids_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sort_array(F.collect_list(F.struct("pos", "ids"))),
                     lambda s: s["ids"],
                 )
-            ).alias("token_ids")
+            ).alias("ids")
         )
         .select(
             "doc_id",
-            F.size("token_ids").cast("long").alias("n_subwords"),
-            "token_ids",
+            F.size("ids").cast("long").alias("n_subwords"),
+            # declared-surface contract: scalar encoding (VERDICT r13 #2)
+            F.array_join(
+                F.transform("ids", lambda x: x.cast("string")), ","
+            ).alias("token_ids"),
         )
         .orderBy("doc_id")
     )

@@ -180,17 +180,18 @@ def test_bpe_dedup_join_variant_equals_projection(spark):
     exactly the pure-projection result, with the expected plan shape:
     one broadcast join, no sort-merge join."""
     from portfolio_data_pipelines_spark.queries.text import (
-        bpe_token_ids_array,
+        bpe_token_ids,
         bpe_token_ids_dedup_join,
     )
 
     sf = "/root/testdata/sf0.001"
+    # both declared forms emit the scalar (comma-joined) id encoding
     a = [
-        (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
-        for r in bpe_token_ids_array(spark, sf).collect()
+        (r["doc_id"], r["n_subwords"], r["token_ids"])
+        for r in bpe_token_ids(spark, sf).collect()
     ]
     b = [
-        (r["doc_id"], r["n_subwords"], list(r["token_ids"]))
+        (r["doc_id"], r["n_subwords"], r["token_ids"])
         for r in bpe_token_ids_dedup_join(spark, sf).collect()
     ]
     assert a == b
