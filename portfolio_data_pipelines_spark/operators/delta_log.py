@@ -1173,6 +1173,81 @@ def _enforce_constraints(
     return df, True
 
 
+def _not_null_paths(fields: list, prefix: str = "") -> list[str]:
+    """Dotted paths of every field the schema declares non-nullable,
+    recursing into struct chains (array/map element levels are not
+    addressable by a column path and are skipped)."""
+    out: list[str] = []
+    for f in fields:
+        p = f"{prefix}{f['name']}"
+        if f.get("nullable") is False:
+            out.append(p)
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            out.extend(_not_null_paths(t["fields"], p + "."))
+    return out
+
+
+def _enforce_not_null(
+    df: DataFrame, meta: dict | None, already_cached: bool
+) -> tuple[DataFrame, bool]:
+    """The spec's column invariant: a field the STORED schema declares
+    non-nullable must never receive NULL. ``_json_type_shape`` ignores
+    nullability on purpose (mapped-table metadata must not read as type
+    changes), so without this check a frame declaring a stored
+    non-nullable field as nullable slides through shape comparison and
+    stages NULLs external readers are told cannot exist (r13 ADVICE).
+
+    Cost discipline: the batch is only scanned for paths where the
+    stored schema says non-nullable AND the incoming frame says
+    nullable — when the frame's own schema already guarantees
+    non-null (the common case: same writer both times), Spark's type
+    system is the proof and no job runs. Inner struct fields pass when
+    their parent struct is NULL (the invariant constrains the field
+    only where the struct is present)."""
+    if not meta:
+        return df, False
+    stored = _not_null_paths(json.loads(meta["schemaString"])["fields"])
+    if not stored:
+        return df, False
+    frame_fields = json.loads(_schema_string(df))["fields"]
+    frame_nn = set(_not_null_paths(frame_fields))
+
+    def frame_paths(fields, prefix=""):
+        for f in fields:
+            p = f"{prefix}{f['name']}"
+            yield p
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                yield from frame_paths(t["fields"], p + ".")
+
+    present = set(frame_paths(frame_fields))
+    check = [p for p in stored if p in present and p not in frame_nn]
+    if not check:
+        return df, False
+    violated = None
+    for p in check:
+        c = F.col(p).isNull()
+        if "." in p:
+            c = F.col(p.rsplit(".", 1)[0]).isNotNull() & c
+        violated = c if violated is None else (violated | c)
+    did_cache = False
+    if not already_cached:
+        df = df.cache()
+        did_cache = True
+    n_bad = df.filter(violated).count()
+    if n_bad:
+        # the commit aborts here, so release the batch cache whether we
+        # created it or an earlier duty (constraints/generated) did
+        df.unpersist()
+        raise ValueError(
+            f"commit writes NULL into non-nullable column(s) {check} "
+            f"on {n_bad} row(s) — the stored schema declares them NOT "
+            "NULL and external readers rely on it"
+        )
+    return df, did_cache
+
+
 _PROTOCOL_ACTION = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 #: The collation table feature's known spellings (delta-spark shipped
@@ -1227,6 +1302,48 @@ def _collation_supported(name: str) -> bool:
             known = False
         _COLLATION_KNOWN[base] = known
     return known
+
+
+#: Tables already warned about version-suffixed collations (by metaData
+#: id) — one log line per table per process, not per commit.
+_VERSIONED_COLLATION_WARNED: set[str] = set()
+
+
+def _warn_on_versioned_collations(meta: dict | None) -> None:
+    """Log once per table when a declared collation carries an ICU
+    version suffix (``ICU.en_CI.75.1``): the acceptance probe discards
+    the suffix, so fold/compare semantics follow THIS build's ICU, which
+    may drift from the version the table was written under (r13 ADVICE —
+    accepted by design, but no longer silently)."""
+    if not meta:
+        return
+    tid = meta.get("id") or ""
+    if tid in _VERSIONED_COLLATION_WARNED:
+        return
+    versioned: list[str] = []
+
+    def walk(fields):
+        for f in fields:
+            md = f.get("metadata") or {}
+            for path, name in (md.get("__COLLATIONS") or {}).items():
+                if len(name.split(".")) > 2:
+                    versioned.append(f"{path}: {name}")
+            t = f.get("type")
+            if isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []))
+
+    walk(json.loads(meta["schemaString"]).get("fields", []))
+    if versioned:
+        _VERSIONED_COLLATION_WARNED.add(tid)
+        import warnings
+
+        warnings.warn(
+            "table declares version-suffixed collation(s) "
+            f"{sorted(versioned)}; this writer honors them with the "
+            "running Spark build's ICU, which may fold differently "
+            "than the version the table was written under",
+            stacklevel=3,
+        )
 
 
 def _unsupported_collations(
@@ -1528,13 +1645,17 @@ def _check_writer_protocol(
         unknown = set(feats) - _SUPPORTED_WRITER_FEATURES
         coll = unknown & _COLLATION_FEATURES
         if coll:
-            # collation writer duties are honored for UTF8_BINARY
-            # (byte-identical to the default — no duty at all) and
-            # UTF8_LCASE (r12: source frames are cast to the collated
-            # type before any key join, and byte-ordered file stats
-            # never prune on folded-compare columns); ICU/locale
-            # collations keep writes refused by name
+            # collation writer duties (r13 dynamic gate): any collation
+            # the RUNNING Spark build resolves is honored — UTF8_BINARY
+            # (no duty), UTF8_LCASE (fold-cast before key joins), and
+            # ICU/locale names Spark 4 resolves natively (UNICODE,
+            # en_CI, …). Only names the build cannot resolve keep
+            # writes refused. Caveat: the probe drops any declared ICU
+            # version suffix (ICU.en_CI.75.1 → en_CI), so a table
+            # stamped under a different ICU release is accepted with
+            # this build's fold rules — warned once per table below.
             if not _unsupported_collations(meta):
+                _warn_on_versioned_collations(meta)
                 unknown -= coll
         unknown = sorted(unknown)
         if unknown:
@@ -2006,6 +2127,42 @@ def _record_type_widening(
     return out
 
 
+def _assign_nested_ids(jtype, bump):
+    """Assign ``delta.columnMapping.id`` to every nested struct field
+    that lacks one, recursing through array/map element types (the
+    columnMapping spec wants ids at every level; delta-spark assigns
+    them on mergeSchema-under-mapping). physicalName defaults to the
+    field's OWN name — the same convention :func:`enable_iceberg_compat`
+    uses — so staged files need no nested renaming in name mode."""
+    if not isinstance(jtype, dict):
+        return jtype
+    t = jtype.get("type")
+    if t == "struct":
+        out = []
+        for f in jtype["fields"]:
+            nf = dict(f)
+            md = dict(f.get("metadata") or {})
+            if "delta.columnMapping.id" not in md:
+                md["delta.columnMapping.id"] = bump()
+                md.setdefault("delta.columnMapping.physicalName", f["name"])
+            nf["metadata"] = md
+            nf["type"] = _assign_nested_ids(f["type"], bump)
+            out.append(nf)
+        return {"type": "struct", "fields": out}
+    if t == "array":
+        return {
+            **jtype,
+            "elementType": _assign_nested_ids(jtype["elementType"], bump),
+        }
+    if t == "map":
+        return {
+            **jtype,
+            "keyType": _assign_nested_ids(jtype["keyType"], bump),
+            "valueType": _assign_nested_ids(jtype["valueType"], bump),
+        }
+    return jtype
+
+
 def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
     """The metaData action an incoming frame's schema requires, or None
     when the stored schema already covers it.
@@ -2058,6 +2215,12 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
     prev_by_name = {f["name"]: f for f in prev_fields}
     config = dict(prev_meta.get("configuration") or {})
     max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+
+    def _bump() -> int:
+        nonlocal max_id
+        max_id += 1
+        return max_id
+
     merged = []
     for f in new_json:
         pf = prev_by_name.get(f["name"])
@@ -2076,6 +2239,13 @@ def _evolve_meta(df: DataFrame, prev_meta: dict) -> dict | None:
                 "delta.columnMapping.id": max_id,
                 "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:16]}",
             }
+            # nested fields of a NEW column get mapping ids too (the
+            # columnMapping spec requires ids at every level; without
+            # them an icebergCompat duty check would wedge the commit —
+            # r13 ADVICE). physicalName defaults to the field's own name
+            # (enable_iceberg_compat's convention), so staging needs no
+            # nested rename.
+            nf["type"] = _assign_nested_ids(f["type"], _bump)
             merged.append(nf)
     config["delta.columnMapping.maxColumnId"] = str(max_id)
     evolved = dict(prev_meta)
@@ -2341,6 +2511,10 @@ def write_delta(
         df, gen_cached = _apply_generated_columns(df, prev_meta)
         staged, staged_cached = _enforce_constraints(df, prev_meta)
         staged_cached = staged_cached or gen_cached
+        staged, nn_cached = _enforce_not_null(
+            staged, prev_meta, already_cached=staged_cached
+        )
+        staged_cached = staged_cached or nn_cached
     else:
         if shred_variants:
             # declare the shredding duty at creation: the feature rides
@@ -2359,6 +2533,18 @@ def write_delta(
                 f"configuration keys {bad_keys} are managed by dedicated "
                 "APIs (constraints=..., enable_column_mapping) — raw "
                 "values would skip their validation"
+            )
+        if _iceberg_compat_version({"configuration": configuration or {}}):
+            # a creation-time compat declaration would pass this commit
+            # (the writer gate checks the PRIOR meta, and there is none)
+            # and wedge every later one: compat requires column mapping
+            # + per-field ids, which only enable_iceberg_compat assigns
+            # (r13 ADVICE).
+            raise ValueError(
+                "delta.enableIcebergCompatV1/V2 cannot be declared at "
+                "table creation — create the table, enable_column_mapping, "
+                "then enable_iceberg_compat (which assigns field ids, "
+                "declares the writer feature, and rewrites id-less files)"
             )
         if str((configuration or {}).get(
             "delta.enableRowTracking", ""
@@ -2467,6 +2653,15 @@ def write_delta(
             # new_version is the final tableVersion of this change
             evolved_meta = _record_type_widening(
                 evolved_meta, widened, new_version
+            )
+        if _iceberg_compat_version(evolved_meta):
+            # re-run the compat duties against the EVOLVED meta before
+            # anything is staged: the gate at the top of this function
+            # saw only the PRIOR meta, so an evolution adding an
+            # array/map column would otherwise commit files Iceberg
+            # cannot address and wedge every later commit (r13 ADVICE).
+            _check_iceberg_compat_duties(
+                st.protocol if st is not None else None, evolved_meta
             )
     l2p = (
         _logical_to_physical(evolved_meta or prev_meta) if prev_meta else None
@@ -4131,7 +4326,55 @@ def _fast_hive_read(spark, path: str, adds: dict, schema, pcols):
 def _spark_schema_from_string(schema_string: str):
     from pyspark.sql.types import StructType
 
-    return StructType.fromJson(json.loads(schema_string))
+    return StructType.fromJson(_normalize_collation_versions(
+        json.loads(schema_string)
+    ))
+
+
+def _normalize_collation_versions(doc):
+    """Truncate version-suffixed ``__COLLATIONS`` values
+    (``ICU.en_CI.75.1`` → ``ICU.en_CI``) at every nesting level before
+    :meth:`StructType.fromJson` sees them — PySpark asserts exactly
+    2-part names, so an untreated versioned table crashes on ANY
+    read/write. The semantics of accepting them (this build's ICU may
+    fold differently than the writing version's) are surfaced by
+    :func:`_warn_on_versioned_collations` at the write gate."""
+
+    def fix_field(f):
+        md = f.get("metadata") or {}
+        coll = md.get("__COLLATIONS")
+        if coll and any(len(v.split(".")) > 2 for v in coll.values()):
+            f = dict(f)
+            f["metadata"] = {
+                **md,
+                "__COLLATIONS": {
+                    k: ".".join(v.split(".")[:2]) for k, v in coll.items()
+                },
+            }
+        t = f.get("type")
+        fixed_t = fix_type(t)
+        if fixed_t is not t:
+            f = dict(f)
+            f["type"] = fixed_t
+        return f
+
+    def fix_type(t):
+        if not isinstance(t, dict):
+            return t
+        kind = t.get("type")
+        if kind == "struct":
+            return {**t, "fields": [fix_field(f) for f in t["fields"]]}
+        if kind == "array":
+            return {**t, "elementType": fix_type(t["elementType"])}
+        if kind == "map":
+            return {
+                **t,
+                "keyType": fix_type(t["keyType"]),
+                "valueType": fix_type(t["valueType"]),
+            }
+        return t
+
+    return {**doc, "fields": [fix_field(f) for f in doc.get("fields", [])]}
 
 
 def checkpoint_delta(spark: SparkSession, path: str, version: int) -> None:
@@ -7159,25 +7402,62 @@ def enable_iceberg_compat(
     actions.append({"metaData": meta})
     v = _commit_metadata_only(spark, path, actions)
     # REORG UPGRADE ICEBERG: rewrite live files whose parquet footer
-    # lacks field ids (local-filesystem footer probe; files already
-    # stamped — id-mode writes, prior compat writes — are untouched)
+    # lacks field ids (files already stamped — id-mode writes, prior
+    # compat writes — are untouched). The probe reads the footer via a
+    # plain path for local tables and through pyarrow's URI-resolved
+    # filesystem (s3://, hdfs://, gs://…) otherwise; a file the probe
+    # cannot read is rewritten TO BE SAFE, but never silently — if
+    # every rewrite came from probe failures the enable pass would be
+    # rewriting a healthy remote table (r13 ADVICE), so the counts are
+    # surfaced in a warning.
     from urllib.parse import unquote
 
     st2 = _replay_log(spark, path, None)
     doomed: dict[str, dict] = {}
+    probe_failed = 0
     local_root = _normalize_uri(path, decode=False)
-    for rel, a in sorted(st2.adds.items()):
-        fpath = os.path.join(local_root, unquote(rel))
+    is_local = "://" not in path or path.startswith("file:")
+    remote_fs = None
+    if not is_local:
         try:
-            sch = pq.read_schema(fpath)
+            import pyarrow.fs as pafs
+
+            remote_fs, remote_root = pafs.FileSystem.from_uri(path)
+        except Exception:
+            remote_fs = None
+    for rel, a in sorted(st2.adds.items()):
+        try:
+            if is_local:
+                sch = pq.read_schema(
+                    os.path.join(local_root, unquote(rel))
+                )
+            elif remote_fs is not None:
+                sch = pq.read_schema(
+                    f"{remote_root}/{unquote(rel)}", filesystem=remote_fs
+                )
+            else:
+                raise OSError("no filesystem handler for table URI")
             has_ids = all(
                 (fl.metadata or {}).get(b"PARQUET:field_id") is not None
                 for fl in sch
             )
         except Exception:
-            has_ids = False  # unreadable locally: rewrite to be safe
+            has_ids = False  # unreadable: rewrite to be safe — counted
+            probe_failed += 1
         if not has_ids:
             doomed[rel] = a
+    if probe_failed:
+        import warnings
+
+        warnings.warn(
+            f"enable_iceberg_compat: footer probe failed on "
+            f"{probe_failed} of {len(st2.adds)} live file(s) — those "
+            f"are rewritten conservatively ({len(doomed) - probe_failed} "
+            "genuinely lacked field ids). If the table is on remote "
+            "storage ensure pyarrow can reach it, or expect a full "
+            "rewrite.",
+            stacklevel=2,
+        )
     if not doomed:
         return v
     pcols = st2.meta.get("partitionColumns", [])

@@ -283,6 +283,22 @@ def ranked_value_counts(
         else src.repartitionByRange(*order)
     )
     cnts = part.groupBy(*gcols, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    # Runtime guard (r13 ADVICE): the global cumsum below is correct
+    # ONLY because the aggregation reuses the range exchange
+    # (RangePartitioning satisfies its ClusteredDistribution), so
+    # spark_partition_id() reflects range order. A future planner
+    # change inserting a hash exchange here would silently corrupt
+    # every rank — fail loudly instead. Plan-string inspection only:
+    # costs no job.
+    plan = cnts._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    if n_exchanges != 1 or "rangepartitioning" not in plan:
+        raise AssertionError(
+            "ranked_value_counts: expected the count aggregation to "
+            "reuse the single range exchange (spark_partition_id must "
+            f"reflect range order); plan has {n_exchanges} exchange(s):"
+            f"\n{plan}"
+        )
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(*order)

@@ -3624,3 +3624,91 @@ class TestWriteSideCDF:
         p_off = self._lifecycle(spark, tmp_path / "off", False)
         with pytest.raises(ValueError, match="cdc"):
             read_delta_changes_external(p_off, -1)
+
+
+class TestNotNullInvariant:
+    """r13 ADVICE: _json_type_shape ignores nullability (by design —
+    mapped-table metadata must not read as a type change), so the
+    nullable-flip refusal moved to a DATA invariant: a commit writing
+    NULL into a field the stored schema declares non-nullable is
+    refused before staging, at every nesting level."""
+
+    def _mk(self, spark, tmp_path, nested=True):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        inner = StructType(
+            [
+                StructField("p", StringType(), True),
+                StructField("q", LongType(), False),
+            ]
+        )
+        schema = StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("o", inner, True),
+            ]
+        )
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, ("x", 10))], schema)
+        write_delta(spark, df, path)
+        return path, schema
+
+    def test_null_into_nested_non_nullable_refused(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [(2, ("y", None))],
+            "id long, o struct<p string, q long>",  # frame says nullable
+        )
+        with pytest.raises(ValueError, match="non-nullable"):
+            write_delta(spark, bad, path, mode="append")
+        # nothing staged; a clean append still works
+        ok = spark.createDataFrame(
+            [(3, ("z", 30))], "id long, o struct<p string, q long>"
+        )
+        write_delta(spark, ok, path, mode="append")
+        assert read_delta(spark, path).count() == 2
+
+    def test_null_into_top_level_non_nullable_refused(self, spark, tmp_path):
+        path, _ = self._mk(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [(None, ("y", 1))], "id long, o struct<p string, q long>"
+        )
+        with pytest.raises(ValueError, match="non-nullable"):
+            write_delta(spark, bad, path, mode="append")
+
+    def test_null_parent_struct_passes_inner_invariant(self, spark, tmp_path):
+        # o itself is nullable; o.q NOT NULL only constrains present structs
+        path, _ = self._mk(spark, tmp_path)
+        ok = spark.createDataFrame(
+            [(4, None)], "id long, o struct<p string, q long>"
+        )
+        write_delta(spark, ok, path, mode="append")
+        rows = {r["id"] for r in read_delta(spark, path).collect()}
+        assert rows == {1, 4}
+
+    def test_nullable_frame_without_nulls_accepted(self, spark, tmp_path):
+        path, schema = self._mk(spark, tmp_path)
+        ok = spark.createDataFrame(
+            [(5, ("w", 50))], "id long, o struct<p string, q long>"
+        )
+        write_delta(spark, ok, path, mode="append")
+        assert read_delta(spark, path).count() == 2
+
+    def test_same_writer_schema_skips_the_scan(self, spark, tmp_path):
+        # frame declares the same non-nullables → type system is the
+        # proof; _enforce_not_null must not cache/scan
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _enforce_not_null,
+            _replay_log,
+        )
+
+        path, schema = self._mk(spark, tmp_path)
+        st = _replay_log(spark, path, None)
+        df = spark.createDataFrame([(6, ("v", 60))], schema)
+        out, cached = _enforce_not_null(df, st.meta, already_cached=False)
+        assert out is df and cached is False

@@ -242,3 +242,113 @@ def test_foreign_declared_compat_table_accepts_stamped_commits(
     # DV delete refused on the foreign compat table too
     with pytest.raises(ValueError, match="deletion-vector"):
         delete_where_dv(spark, path, "id = 1")
+
+
+def test_array_evolution_refused_at_the_offending_commit(spark, tmp_path):
+    """r13 ADVICE (medium): the writer gate used to check compat duties
+    against the PRIOR meta, so an evolution ADDING an array column
+    committed files Iceberg cannot address and wedged every later
+    write. The offending commit itself must now be refused — and the
+    table must stay fully writable afterwards."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    enable_iceberg_compat(spark, path, version=2)
+    with pytest.raises(ValueError, match="array/map"):
+        write_delta(
+            spark,
+            spark.createDataFrame(
+                [(2, "b", [1, 2])], "id long, s string, tags array<long>"
+            ),
+            path, mode="append",
+        )
+    # nothing staged, nothing wedged: a clean append still commits
+    write_delta(
+        spark,
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        path, mode="append",
+    )
+    got = {tuple(r) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (3, "c")}
+
+
+def test_struct_evolution_on_compat_table_assigns_nested_ids(spark, tmp_path):
+    """Additive struct evolution under icebergCompat: the new column's
+    NESTED fields get mapping ids in the same commit (r13 ADVICE —
+    without them the next commit's duty check wedged the table), staged
+    files carry parquet field ids at both levels, and later commits
+    keep working."""
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame([(1, "a")], "id long, s string"),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    enable_iceberg_compat(spark, path, version=2)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", ("x", 10))],
+            "id long, s string, o struct<p string, q long>",
+        ),
+        path, mode="append",
+    )
+    # the evolved schema carries ids on the nested fields
+    from portfolio_data_pipelines_spark.operators.delta_reader import _replay
+
+    _root, _adds, meta = _replay(path, None)
+    o = next(
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "o"
+    )
+    for sub in o["type"]["fields"]:
+        assert "delta.columnMapping.id" in sub["metadata"], sub
+    # a staged file of the evolving commit is id-stamped at both levels
+    # (the new top-level column rides its col-<uuid> PHYSICAL name, so
+    # locate the struct field by type)
+    import pyarrow.types as pat
+
+    stamped = [
+        f for f in _live_files(path)
+        if any(pat.is_struct(fl.type) for fl in pq.read_schema(f))
+    ]
+    assert stamped
+    sch = pq.read_schema(stamped[0])
+    ot = next(fl.type for fl in sch if pat.is_struct(fl.type))
+    inner = {
+        ot.field(i).name: (ot.field(i).metadata or {}).get(b"PARQUET:field_id")
+        for i in range(ot.num_fields)
+    }
+    assert all(v is not None for v in inner.values()), inner
+    # next commit passes the duty gate (this is what used to wedge)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", ("y", 20))],
+            "id long, s string, o struct<p string, q long>",
+        ),
+        path, mode="append",
+    )
+    got = {(r["id"], r["s"]) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_compat_config_refused_at_creation(spark, tmp_path):
+    """Declaring delta.enableIcebergCompatV2 in the CREATION
+    configuration used to pass (the gate saw no prior meta) and wedge
+    every later commit; it is now refused by name with the supported
+    path spelled out (r13 ADVICE)."""
+    path = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="enable_iceberg_compat"):
+        write_delta(
+            spark,
+            spark.createDataFrame([(1, "a")], "id long, s string"),
+            path,
+            configuration={"delta.enableIcebergCompatV2": "true"},
+        )
+    assert not glob.glob(f"{path}/_delta_log/*.json")

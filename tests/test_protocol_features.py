@@ -684,3 +684,26 @@ def test_lcase_partition_fold_pruning_superset_safe(spark, tmp_path):
     # range (non-equality) bounds on the folded column never prune
     p3 = read_delta(spark, path, predicate={"region": ("A", "F")})
     assert len(p3.inputFiles()) == 4
+
+
+def test_versioned_icu_collation_warns_once_on_write(spark, tmp_path):
+    """A declared ICU version suffix (ICU.en_CI.75.1) is accepted —
+    the probe folds with THIS build's ICU — but no longer silently:
+    the first write to the table warns about possible cross-version
+    fold drift, later writes stay quiet (r13 ADVICE)."""
+    import warnings as _w
+
+    path = _collated_fixture(tmp_path, "t_coll_icu_ver", "en_CI.75.1")
+    with pytest.warns(UserWarning, match="version-suffixed"):
+        write_delta(
+            spark, spark.createDataFrame([(3, "c")], "id long, s string"),
+            path, mode="append",
+        )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        write_delta(
+            spark, spark.createDataFrame([(4, "d")], "id long, s string"),
+            path, mode="append",
+        )
+    got = {r["id"] for r in read_delta(spark, path).collect()}
+    assert got == {1, 2, 3, 4}
