@@ -3415,14 +3415,14 @@ def _field_ids(meta: dict) -> dict | None:
 
 
 def _idmode_validate_shape(jtype, path: str) -> None:
-    """Recursive id-mode shape check (r13 — nested STRUCTS are now
-    supported; through r12 any nested column was refused). Every struct
-    field at any depth must carry ``delta.columnMapping.id``, and a
-    struct anywhere BELOW an array or map level is refused by name:
-    Spark's parquet field-id machinery keys ids off StructField
-    metadata, and list/map element types have no metadata slot to carry
-    them — resolving those inner fields by position or name would
-    silently mis-read a foreign file."""
+    """Recursive id-mode shape check (r13 nested structs; r14 structs
+    BELOW array/map levels — the last id-mode refusal). Every struct
+    field at any depth — including inside list elements and map
+    keys/values — must carry ``delta.columnMapping.id``: StructFields
+    exist (and carry metadata) below repeated levels too, and Spark 4's
+    parquet field-id machinery both stamps and resolves them there
+    (verified empirically; delta_reader's pyarrow remap recurses the
+    same way). Only a struct field MISSING its id is refused."""
     if not isinstance(jtype, dict):
         return
     t = jtype.get("type")
@@ -3435,28 +3435,10 @@ def _idmode_validate_shape(jtype, path: str) -> None:
                 )
             _idmode_validate_shape(f.get("type"), f"{path}.{f['name']}")
     elif t == "array":
-        _idmode_refuse_struct_below(jtype["elementType"], path)
+        _idmode_validate_shape(jtype["elementType"], f"{path}.element")
     elif t == "map":
-        _idmode_refuse_struct_below(jtype["keyType"], path)
-        _idmode_refuse_struct_below(jtype["valueType"], path)
-
-
-def _idmode_refuse_struct_below(jtype, path: str) -> None:
-    if not isinstance(jtype, dict):
-        return
-    t = jtype.get("type")
-    if t == "struct":
-        raise ValueError(
-            f"id-mode column mapping with a STRUCT nested below an "
-            f"array/map level at column {path!r} is not supported — "
-            "parquet field-id resolution cannot address fields below a "
-            "list/map in Spark"
-        )
-    if t == "array":
-        _idmode_refuse_struct_below(jtype["elementType"], path)
-    elif t == "map":
-        _idmode_refuse_struct_below(jtype["keyType"], path)
-        _idmode_refuse_struct_below(jtype["valueType"], path)
+        _idmode_validate_shape(jtype["keyType"], f"{path}.key")
+        _idmode_validate_shape(jtype["valueType"], f"{path}.value")
 
 
 def _idmode_nested_type(jtype, physical: bool):

@@ -634,10 +634,10 @@ def _cast_partition_value(v: str | None, type_name: str):
 
 def _idmode_check_shape(jtype, path: str) -> None:
     """From-spec id-mode shape duty (independent of delta_log's twin):
-    struct fields at every depth must carry ``delta.columnMapping.id``;
-    a struct below an array/map level is refused by name — parquet
-    field ids cannot be addressed per-field under a repeated level by
-    an id-resolving reader without positional guessing."""
+    struct fields at every depth — including below array/map levels
+    (r14; refused through r13) — must carry ``delta.columnMapping.id``.
+    :func:`_id_remap_value` resolves stamped parquet field ids against
+    those at every nesting level, so only a MISSING id is refused."""
     if not isinstance(jtype, dict):
         return
     t = jtype.get("type")
@@ -650,26 +650,10 @@ def _idmode_check_shape(jtype, path: str) -> None:
                 )
             _idmode_check_shape(f.get("type"), f"{path}.{f['name']}")
     elif t == "array":
-        _refuse_struct_below(jtype["elementType"], path)
+        _idmode_check_shape(jtype["elementType"], f"{path}.element")
     elif t == "map":
-        _refuse_struct_below(jtype["keyType"], path)
-        _refuse_struct_below(jtype["valueType"], path)
-
-
-def _refuse_struct_below(jtype, path: str) -> None:
-    if not isinstance(jtype, dict):
-        return
-    t = jtype.get("type")
-    if t == "struct":
-        raise ValueError(
-            f"id-mode column mapping with a STRUCT below an array/map "
-            f"level at column {path!r} is not supported"
-        )
-    if t == "array":
-        _refuse_struct_below(jtype["elementType"], path)
-    elif t == "map":
-        _refuse_struct_below(jtype["keyType"], path)
-        _refuse_struct_below(jtype["valueType"], path)
+        _idmode_check_shape(jtype["keyType"], f"{path}.key")
+        _idmode_check_shape(jtype["valueType"], f"{path}.value")
 
 
 def _id_remap_value(v, jtype, arrow_type):
@@ -679,8 +663,8 @@ def _id_remap_value(v, jtype, arrow_type):
     ``delta.columnMapping.id`` (r13). A logical field whose id is
     absent from the file null-fills (pre-evolution file); file fields
     with no logical counterpart drop. Arrays/maps recurse through their
-    element/value types (struct below a repeated level is refused
-    before any file is opened)."""
+    element/value types, so structs below repeated levels resolve by id
+    too (r14)."""
     if v is None or not isinstance(jtype, dict):
         return v
     t = jtype.get("type")

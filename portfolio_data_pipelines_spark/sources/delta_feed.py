@@ -127,15 +127,29 @@ def _align_nested_arrow(arr, jtype):
     stamped ``PARQUET:field_id`` against ``delta.columnMapping.id``.
     Zero-copy — children arrays are reused, only the type metadata is
     rebuilt. A logical field whose id is absent from the file
-    null-fills (pre-evolution); arrays/maps pass through (a struct
-    below a repeated level is refused at stream construction)."""
+    null-fills (pre-evolution); arrays/maps recurse into their
+    element/key/value children (r14 — structs below repeated levels
+    align by id like any other; refused at stream construction through
+    r13)."""
     import pyarrow as pa
 
     if not isinstance(jtype, dict):
         return arr
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if jtype.get("type") != "struct" or not pa.types.is_struct(arr.type):
+    t = jtype.get("type")
+    if t == "array" and pa.types.is_list(arr.type):
+        values = _align_nested_arrow(arr.values, jtype["elementType"])
+        return pa.ListArray.from_arrays(
+            arr.offsets,
+            values,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if t == "map" and pa.types.is_map(arr.type):
+        keys = _align_nested_arrow(arr.keys, jtype["keyType"])
+        items = _align_nested_arrow(arr.items, jtype["valueType"])
+        return pa.MapArray.from_arrays(arr.offsets, keys, items)
+    if t != "struct" or not pa.types.is_struct(arr.type):
         return arr
     by_id = {}
     for i in range(arr.type.num_fields):

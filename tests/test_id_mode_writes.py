@@ -413,42 +413,176 @@ def test_nested_feed_plain_and_cdf_over_id_mode(spark, tmp_path):
     assert {(2, "eve", "update_preimage"), (2, "eva", "update_postimage")} <= ch
 
 
-def test_struct_below_array_id_mode_refused(spark, tmp_path):
-    """The remaining honest refusal: parquet field-id resolution cannot
-    address struct fields BELOW an array/map level in Spark — refuse by
-    name instead of half-mapping."""
-    root = tmp_path / "t"
+def _mk_below_array_id_mode_table(root):
+    """A foreign id-mode table whose ARRAY column holds structs: the
+    file's names differ from logical AND physical names at every level
+    (top, list element struct fields), so resolution must ride parquet
+    field ids even below the repeated level."""
     (root / "_delta_log").mkdir(parents=True)
+    inner = pa.struct([_fld("w_x", pa.int64(), 3),
+                       _fld("w_y", pa.string(), 4)])
     pq.write_table(
-        pa.table([pa.array([1], pa.int64())],
-                 schema=pa.schema([_fld("x", pa.int64(), 1)])),
+        pa.table(
+            [
+                pa.array([1, 2], pa.int64()),
+                pa.array(
+                    [[{"w_x": 10, "w_y": "a"}, {"w_x": 11, "w_y": "b"}],
+                     [{"w_x": 20, "w_y": "c"}]],
+                    type=pa.list_(pa.field("element", inner)),
+                ),
+            ],
+            schema=pa.schema([
+                _fld("w_id", pa.int64(), 1),
+                _fld("w_items", pa.list_(pa.field("element", inner)), 2),
+            ]),
+        ),
         root / "f1.parquet",
     )
-    ss = json.dumps({"type": "struct", "fields": [
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
         {"name": "items", "nullable": True,
          "type": {"type": "array", "containsNull": True,
                   "elementType": {"type": "struct", "fields": [
                       {"name": "x", "type": "long", "nullable": True,
-                       "metadata": {"delta.columnMapping.id": 2,
-                                    "delta.columnMapping.physicalName": "px"}}]}},
-         "metadata": {"delta.columnMapping.id": 1,
-                      "delta.columnMapping.physicalName": "pi"}},
-    ]})
+                       "metadata": {"delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName":
+                                        "ice_x"}},
+                      {"name": "y", "type": "string", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 4,
+                                    "delta.columnMapping.physicalName":
+                                        "ice_y"}}]}},
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_items"}},
+    ]
     with open(root / "_delta_log" / f"{0:020d}.json", "w") as f:
         for a in [
-            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-            {"metaData": {"id": "nested",
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "below-array-id",
                           "format": {"provider": "parquet", "options": {}},
-                          "schemaString": ss, "partitionColumns": [],
+                          "schemaString": json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
                           "configuration": {
                               "delta.columnMapping.mode": "id",
-                              "delta.columnMapping.maxColumnId": "2"},
+                              "delta.columnMapping.maxColumnId": "4"},
                           "createdTime": 0}},
             {"add": {"path": "f1.parquet", "partitionValues": {},
                      "size": 1, "modificationTime": 0, "dataChange": True}},
         ]:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(ValueError, match="STRUCT"):
-        read_delta(spark, str(root)).collect()
-    with pytest.raises(ValueError, match="STRUCT"):
-        read_delta_external(str(root))
+    return str(root)
+
+
+def test_struct_below_array_id_mode_lifecycle(spark, tmp_path):
+    """r14 (VERDICT r13 #5 — the last id-mode refusal closed): structs
+    BELOW an array level resolve by per-level parquet field id in BOTH
+    readers, and the write path stamps physical names + ids on the
+    inner fields of staged files (Spark 4's field-id machinery rides
+    StructField metadata, which exists below repeated levels too)."""
+    path = _mk_below_array_id_mode_table(tmp_path / "t")
+
+    def canon(rows):
+        return {
+            (r[0], tuple((e["x"], e["y"]) for e in (r[1] or [])))
+            for r in rows
+        }
+
+    got = canon([(r["id"], r["items"])
+                 for r in read_delta(spark, path).collect()])
+    want = {(1, ((10, "a"), (11, "b"))), (2, ((20, "c"),))}
+    assert got == want
+    names, erows = read_delta_external(path)
+    assert names == ["id", "items"]
+    ext = {
+        (r[0], tuple((e["x"], e["y"]) for e in (r[1] or [])))
+        for r in erows
+    }
+    assert ext == want
+
+    # append: staged file carries PHYSICAL names + ids at BOTH levels
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, [(30, "d")])],
+            "id long, items array<struct<x long, y string>>",
+        ),
+        path, mode="append",
+    )
+    staged = [
+        p for p in glob.glob(f"{path}/*.parquet")
+        if os.path.basename(p) != "f1.parquet"
+    ]
+    assert staged
+    sch = pq.read_schema(staged[0])
+    assert {f.name for f in sch} == {"ice_id", "ice_items"}
+    tops = {f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch}
+    assert tops == {"ice_id": b"1", "ice_items": b"2"}
+    vt = sch.field("ice_items").type.value_type
+    inner_ids = {
+        vt.field(i).name: (vt.field(i).metadata or {}).get(
+            b"PARQUET:field_id"
+        )
+        for i in range(vt.num_fields)
+    }
+    assert inner_ids == {"ice_x": b"3", "ice_y": b"4"}
+
+    # MERGE folds the foreign file's id-resolved rows with new ones
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(2, [(21, "C")]), (4, [(40, "e")])],
+            "id long, items array<struct<x long, y string>>",
+        ),
+        key_cols=["id"],
+    )
+    got = canon([(r["id"], r["items"])
+                 for r in read_delta(spark, path).collect()])
+    assert got == {
+        (1, ((10, "a"), (11, "b"))),
+        (2, ((21, "C"),)),
+        (3, ((30, "d"),)),
+        (4, ((40, "e"),)),
+    }
+    _names, erows = read_delta_external(path)
+    assert canon(erows) == got
+
+
+def test_struct_below_array_feed_stream(spark, tmp_path):
+    """The streaming change feed aligns struct-below-array columns by
+    id too (the pyarrow align recurses through list children, r14)."""
+    from portfolio_data_pipelines_spark.sources.delta_feed import (
+        DeltaChangeFeedDataSource,
+    )
+
+    spark.dataSource.register(DeltaChangeFeedDataSource)
+    path = _mk_below_array_id_mode_table(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, [(30, "d")])],
+            "id long, items array<struct<x long, y string>>",
+        ),
+        path, mode="append",
+    )
+    q = (
+        spark.readStream.format("delta_feed").option("path", path)
+        .option("ignorechanges", "true").load()
+        .writeStream.format("memory").queryName("below_array_plain")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["id"],
+         tuple((e["x"], e["y"]) for e in (r["items"] or [])),
+         r["_commit_version"])
+        for r in spark.sql("select * from below_array_plain").collect()
+    }
+    assert {
+        (1, ((10, "a"), (11, "b")), 0),
+        (2, ((20, "c"),), 0),
+        (3, ((30, "d"),), 1),
+    } <= rows
