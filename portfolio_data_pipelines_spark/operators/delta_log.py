@@ -3613,6 +3613,21 @@ def _physical_read_schema(meta: dict):
         pf["metadata"] = (
             {"parquet.field.id": fids[f["name"]]} if fids else {}
         )
+        coll = (f.get("metadata") or {}).get("__COLLATIONS")
+        if coll:
+            # collations must survive into the scanned frame (dropping
+            # them made every compare on the column INDETERMINATE once
+            # a collated source joined in — r14 composed fuzz). fromJson
+            # keys the map by field PATH, so the leading segment follows
+            # the physical rename.
+            pf["metadata"]["__COLLATIONS"] = {
+                (
+                    pf["name"] + k[len(f["name"]):]
+                    if k == f["name"] or k.startswith(f["name"] + ".")
+                    else k
+                ): v
+                for k, v in coll.items()
+            }
         if fids and isinstance(f.get("type"), dict):
             # id mode, nested struct: resolution is by per-level field
             # id, so nested names stay LOGICAL (the scanned frame then

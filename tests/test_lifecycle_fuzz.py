@@ -1174,3 +1174,226 @@ def test_lifecycle_fuzz_metadata_iceberg_seed_17(spark, tmp_path):
 
 def test_lifecycle_fuzz_metadata_iceberg_seed_61(spark, tmp_path):
     _walk_metadata(spark, tmp_path, seed=61, n_ops=12, iceberg=True)
+
+
+def _walk_composed(spark, tmp_path, seed, n_ops):
+    """r14 composed walk (VERDICT r13 #8): the r13 features fuzzed
+    TOGETHER on one foreign table — icebergCompatV2 duties + id-mode
+    column mapping + a nested struct + a UTF8_LCASE-collated MERGE key
+    + a shredded VARIANT column. Every commit must satisfy every
+    feature's duty simultaneously; after each op the model, the native
+    reader, and the independent external reader must agree, and every
+    live file must carry complete parquet field ids (the compat duty)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        checkpoint_delta,
+        merge_delta,
+        optimize_delta,
+        update_where,
+    )
+    from portfolio_data_pipelines_spark.operators.delta_reader import _replay
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_comp_{seed}")
+    _os.makedirs(f"{path}/_delta_log")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "k", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_k",
+                      "__COLLATIONS": {"k": "spark.UTF8_LCASE"}}},
+        {"name": "obj", "nullable": True,
+         "type": {"type": "struct", "fields": [
+             {"name": "a", "type": "long", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 4,
+                           "delta.columnMapping.physicalName": "ice_a"}},
+             {"name": "b", "type": "string", "nullable": True,
+              "metadata": {"delta.columnMapping.id": 5,
+                           "delta.columnMapping.physicalName": "ice_b"}},
+         ]},
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "ice_obj"}},
+        {"name": "v", "type": "variant", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 6,
+                      "delta.columnMapping.physicalName": "ice_v"}},
+    ]
+    with open(f"{path}/_delta_log/{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": [
+                    "columnMapping", "variantType", "variantShredding",
+                    "collations-preview",
+                ],
+                "writerFeatures": [
+                    "columnMapping", "icebergCompatV2", "variantType",
+                    "variantShredding", "collations-preview",
+                ],
+            }},
+            {"metaData": {
+                "id": f"fuzz-comp-{seed}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.columnMapping.mode": "id",
+                    "delta.columnMapping.maxColumnId": "6",
+                    "delta.enableIcebergCompatV2": "true",
+                    "delta.enableVariantShredding": "true",
+                },
+                "createdTime": 0}},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+
+    # model: id -> {"k": stored spelling, "a": long, "b": str, "v": val}
+    rows: dict[int, dict] = {}
+    next_id = 0
+    trace = [f"comp-seed={seed}", "create(empty foreign)"]
+
+    def frame(sub):
+        return spark.createDataFrame(
+            [
+                (i, d["k"], (d["a"], d["b"]), str(d["v"]))
+                for i, d in sorted(sub.items())
+            ],
+            "id long, k string, obj struct<a long, b string>, vj string",
+        ).select(
+            "id", "k", "obj", F.parse_json("vj").alias("v")
+        ).coalesce(1)
+
+    def fresh(n):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            i = next_id
+            next_id += 1
+            case_upper = rng.random() < 0.5
+            k = f"K{i}" if case_upper else f"k{i}"
+            out[i] = {"k": k, "a": i * 10, "b": f"s{i}", "v": i}
+        return out
+
+    def check():
+        t = " ".join(trace)
+        got = {
+            r["id"]: {
+                "k": r["k"],
+                "a": r["obj"]["a"] if r["obj"] else None,
+                "b": r["obj"]["b"] if r["obj"] else None,
+                "v": r["v"].toPython() if r["v"] is not None else None,
+            }
+            for r in read_delta(spark, path).collect()
+        }
+        want = {
+            i: {"k": d["k"], "a": d["a"], "b": d["b"], "v": d["v"]}
+            for i, d in rows.items()
+        }
+        assert got == want, f"spark diverged after {t}"
+        names, ext_rows = read_delta_external(path)
+        idx = {n: j for j, n in enumerate(names)}
+        ext = {
+            r[idx["id"]]: {
+                "k": r[idx["k"]],
+                "a": (r[idx["obj"]] or {}).get("a"),
+                "b": (r[idx["obj"]] or {}).get("b"),
+                "v": r[idx["v"]],
+            }
+            for r in ext_rows
+        }
+        assert ext == want, f"external reader diverged after {t}"
+        # icebergCompat duty: every live file id-stamped on every
+        # schema-mapped top-level field
+        _root, _adds, _m = _replay(path, None)
+        phys = {"ice_id", "ice_k", "ice_obj", "ice_v"}
+        for _rel in _adds:
+            sch = _pq.read_schema(_os.path.join(_root, _rel))
+            for fl in sch:
+                if fl.name in phys:
+                    assert (fl.metadata or {}).get(
+                        b"PARQUET:field_id"
+                    ) is not None, f"unstamped {_rel}:{fl.name} after {t}"
+
+    seeded = fresh(6)
+    write_delta(spark, frame(seeded), path, mode="append")
+    rows.update(seeded)
+    trace.append("seed-append(6)")
+    check()
+
+    ops = ["append", "shred_append", "merge_fold", "update", "delete",
+           "optimize", "checkpoint"]
+    version = 1
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op in ("append", "shred_append"):
+            sub = fresh(rng.randrange(2, 5))
+            version = write_delta(
+                spark, frame(sub), path, mode="append",
+                shred_variants={"v": "long"} if op == "shred_append"
+                else None,
+            )
+            rows.update(sub)
+        elif op == "merge_fold":
+            # source spells every key with the OPPOSITE case — the
+            # matched branch exists only if the key join folds
+            if not rows:
+                trace[-1] += "(noop)"
+                continue
+            picks = sorted(rng.sample(sorted(rows), min(2, len(rows))))
+            sub = {}
+            for i in picks:
+                d = rows[i]
+                flipped = d["k"].swapcase()
+                sub[i] = {"k": flipped, "a": d["a"] + 1,
+                          "b": d["b"] + "!", "v": d["v"] if not
+                          isinstance(d["v"], int) else d["v"] + 100}
+            new = fresh(1)
+            sub.update(new)
+            version = merge_delta(spark, path, frame(sub), key_cols=["k"])
+            rows.update(sub)
+        elif op == "update":
+            matched = [i for i in rows if i % 4 == 2]
+            v = update_where(
+                spark, path, "id % 4 = 2",
+                {"obj": "named_struct('a', obj.a + 7, 'b', obj.b)"},
+            )
+            if v is None:
+                assert not matched, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in matched:
+                rows[i]["a"] += 7
+        elif op == "delete":
+            matched = [i for i in rows if i % 5 == 1]
+            v = delete_where(spark, path, "id % 5 = 1")
+            if v is None:
+                assert not matched, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in matched:
+                del rows[i]
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+        check()
+
+
+def test_lifecycle_fuzz_composed_seed_8(spark, tmp_path):
+    _walk_composed(spark, tmp_path, seed=8, n_ops=10)
+
+
+def test_lifecycle_fuzz_composed_seed_23(spark, tmp_path):
+    _walk_composed(spark, tmp_path, seed=23, n_ops=10)
