@@ -48,6 +48,7 @@ LIFECYCLE_QUERIES = frozenset(
         "delta_variant_mart",
         "delta_defaults_mart",
         "delta_nested_idmode_mart",
+        "delta_below_array_mart",
         "delta_lcase_merge_mart",
         "delta_iceberg_compat_mart",
     }
@@ -1206,6 +1207,130 @@ def delta_nested_idmode_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             dsum(F.col("obj.v")).alias("total_v"),
+        )
+        .orderBy("t")
+    )
+
+
+@extra_query(
+    "delta_below_array_mart",
+    oracle=f"""
+    WITH base AS (SELECT event_id AS id, event_type AS t, value FROM events),
+    upd AS (
+        SELECT id, t,
+               CASE WHEN id % 7 = 0 THEN value + 1000 ELSE value END AS v
+        FROM base
+    ),
+    ins AS (
+        SELECT id + 1000000000 AS id, t, value + 5 AS v
+        FROM base WHERE id % 13 = 0
+    ),
+    m AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    elems AS (
+        SELECT t, v FROM m
+        UNION ALL
+        SELECT t, v / 2 AS v FROM m
+    )
+    SELECT t,
+           COUNT(*) AS n_elems,
+           {dsum_sql('v')} AS total_v
+    FROM elems GROUP BY t ORDER BY t
+    """,
+)
+def delta_below_array_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 struct-below-array id-mode surface under the full
+    value-hash gate: a FOREIGN-created id-mode table whose only data
+    column is ``items array<struct<t, v>>`` (per-level ids, physical
+    names this writer never chose — including BELOW the array) takes an
+    events-derived append (two elements per row: (t, v) and (t, v/2))
+    and a MERGE that rewrites matched rows' arrays and inserts offset
+    keys — then the mart EXPLODES the array and aggregates per inner
+    ``t`` through field-id resolution below the repeated level. The
+    oracle reproduces the element stream from the raw parquet alone, so
+    a mis-stamped inner id, a mis-aligned list child, or a merge drift
+    surfaces as a hash mismatch.
+
+    Scale: the explode is map-side (no shuffle until the final t-keyed
+    aggregation with partials); the lifecycle is the fixture's cost."""
+    import json as _json
+
+    from ..operators.delta_log import merge_delta, read_delta, write_delta
+
+    table = os.path.join(
+        "/tmp", "pdp_delta_q", f"pid{os.getpid()}",
+        f"below_array_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(f"{table}/_delta_log")
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "ice_id"}},
+        {"name": "items", "nullable": True,
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "t", "type": "string", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 3,
+                                    "delta.columnMapping.physicalName":
+                                        "ice_t"}},
+                      {"name": "v", "type": "double", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 4,
+                                    "delta.columnMapping.physicalName":
+                                        "ice_v"}}]}},
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "ice_items"}},
+    ]
+    with open(f"{table}/_delta_log/{0:020d}.json", "w") as f:
+        for a in [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            {"metaData": {"id": "below-array-mart",
+                          "format": {"provider": "parquet", "options": {}},
+                          "schemaString": _json.dumps(
+                              {"type": "struct", "fields": fields}),
+                          "partitionColumns": [],
+                          "configuration": {
+                              "delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "4"},
+                          "createdTime": 0}},
+        ]:
+            f.write(_json.dumps(a) + "\n")
+
+    def two_elems(t, v):
+        return F.array(
+            F.struct(t.alias("t"), v.alias("v")),
+            F.struct(t.alias("t"), (v / 2).alias("v")),
+        )
+
+    e = scan_table(spark, sf_dir, "events")
+    rows = e.select(
+        F.col("event_id").alias("id"),
+        two_elems(F.col("event_type"), F.col("value")).alias("items"),
+    )
+    write_delta(spark, rows, table, mode="append")
+    base = e.select("event_id", "event_type", "value")
+    src = base.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("id"),
+        two_elems(
+            F.col("event_type"), F.col("value") + 1000
+        ).alias("items"),
+    ).unionByName(
+        base.filter(F.col("event_id") % 13 == 0).select(
+            (F.col("event_id") + 1_000_000_000).alias("id"),
+            two_elems(
+                F.col("event_type"), F.col("value") + 5
+            ).alias("items"),
+        )
+    )
+    merge_delta(spark, table, src, key_cols=["id"])
+    out = read_delta(spark, table)
+    return (
+        out.select(F.explode("items").alias("e"))
+        .groupBy(F.col("e.t").alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_elems"),
+            dsum(F.col("e.v")).alias("total_v"),
         )
         .orderBy("t")
     )
