@@ -198,7 +198,7 @@ def test_bigram_filter_backoff_and_ranking(spark, tmp_path):
     ).write.parquet(str(sf / "documents.parquet"))
     rows = {
         r["doc_id"]: r
-        for r in EXTRA_REGISTRY["bigram_logprob_filter"].fn(spark, str(sf)).collect()
+        for r in REGISTRY["bigram_logprob_filter"].fn(spark, str(sf)).collect()
     }
     assert set(rows) == {1, 3}
     assert rows[1]["n_backoff"] == 0
