@@ -268,37 +268,66 @@ def kmeans_refine(
     is re-broadcast each round. Rounds are a fixed small constant —
     k-means for corpus bucketing (SemDeDup) needs 1-3, not convergence.
     """
-    cen = seeds.select(
-        F.col(cluster_id_col).cast("long").alias(cluster_id_col), F.col(vec_col)
+    def _refine_centroids() -> DataFrame:
+        cen = seeds.select(
+            F.col(cluster_id_col).cast("long").alias(cluster_id_col),
+            F.col(vec_col),
+        )
+        for _ in range(n_iter):
+            assigned = assign_centroids(
+                corpus, cen, vec_col, id_col, cluster_id_col
+            )
+            ex = assigned.select(
+                cluster_id_col,
+                F.col(id_col).alias("_id"),
+                F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+            ).withColumn("_val", F.col("_val").cast("double"))
+            if exact:
+                dims = ex.groupBy(cluster_id_col, "_pos").agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("_id", "_val"))
+                    ).alias("_sv")
+                )
+                mean = (
+                    F.aggregate(
+                        F.col("_sv"), F.lit(0.0),
+                        lambda acc, x: acc + x["_val"],
+                    )
+                    / F.size("_sv")
+                ).alias("_m")
+                means = dims.select(cluster_id_col, "_pos", mean)
+            else:
+                means = ex.groupBy(cluster_id_col, "_pos").agg(
+                    (F.sum("_val") / F.count("_val")).alias("_m")
+                )
+            # k-row table: checkpoint eagerly so each round's plan is
+            # flat (O(1) lineage per round — the dup_clusters pattern)
+            # instead of nesting every previous round's corpus scan
+            # into the next.
+            cen = means.groupBy(cluster_id_col).agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                    lambda x: x["_m"],
+                ).alias(vec_col)
+            ).localCheckpoint(eager=True)
+        return cen
+
+    # The refined centroid TABLE (k rows) is the reusable index-level
+    # artifact — the expensive part is the n_iter corpus scans +
+    # (cell, dim) shuffles that build it, which the clustering query
+    # and SemDeDup would otherwise each pay for the same
+    # (corpus, seeds) input. Same session-scoped memo as the dedup
+    # family's shingle/signature indexes (cleared together by
+    # clear_shared_plans).
+    from .dedup import _memo_persist, _plan_key
+
+    cen = _memo_persist(
+        _plan_key(
+            corpus, "kmeans_centroids", seeds.semanticHash(), vec_col,
+            id_col, n_iter, exact, cluster_id_col,
+        ),
+        _refine_centroids,
     )
-    for _ in range(n_iter):
-        assigned = assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col)
-        ex = assigned.select(
-            cluster_id_col,
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
-        ).withColumn("_val", F.col("_val").cast("double"))
-        if exact:
-            dims = ex.groupBy(cluster_id_col, "_pos").agg(
-                F.array_sort(F.collect_list(F.struct("_id", "_val"))).alias("_sv")
-            )
-            mean = (
-                F.aggregate(F.col("_sv"), F.lit(0.0), lambda acc, x: acc + x["_val"])
-                / F.size("_sv")
-            ).alias("_m")
-            means = dims.select(cluster_id_col, "_pos", mean)
-        else:
-            means = ex.groupBy(cluster_id_col, "_pos").agg(
-                (F.sum("_val") / F.count("_val")).alias("_m")
-            )
-        # k-row table: checkpoint eagerly so each round's plan is flat
-        # (O(1) lineage per round — the dup_clusters pattern) instead of
-        # nesting every previous round's corpus scan into the next.
-        cen = means.groupBy(cluster_id_col).agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda x: x["_m"]
-            ).alias(vec_col)
-        ).localCheckpoint(eager=True)
     return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col, sim_col=sim_col)
 
 
