@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import os
 import re
 import uuid
 from typing import NamedTuple
@@ -1971,6 +1972,7 @@ def _stage_commit_files(
             )
     adds = []
     now = _now_ms()
+    elem_ids = getattr(l2p, "elem_ids", None) if l2p else None
     for rel, size, pvals in staged:
         # strip the staging prefix; prefix the file name with the
         # version so names stay unique across commits into the same
@@ -1984,6 +1986,15 @@ def _stage_commit_files(
         fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             raise IOError(f"rename failed for {rel}")
+        if elem_ids and _stamp_element_ids_file(
+            f"{path}/{final_rel}", elem_ids
+        ):
+            # the icebergCompat repeated-node stamp rewrote the footer;
+            # the add action must carry the REWRITTEN size
+            local = f"{path}/{final_rel}"
+            if local.startswith("file:"):
+                local = "/" + local.split(":", 1)[1].lstrip("/")
+            size = os.path.getsize(local)
         add = {
             # logical (URI-encoded) form of the physical relative path
             "path": _encode_path(final_rel),
@@ -2660,6 +2671,10 @@ def write_delta(
             # saw only the PRIOR meta, so an evolution adding an
             # array/map column would otherwise commit files Iceberg
             # cannot address and wedge every later commit (r13 ADVICE).
+            # New array/map levels first get their repeated-node ids
+            # assigned (r14), the same duty enable_iceberg_compat
+            # performs — then the check validates completeness.
+            evolved_meta = _assign_compat_element_ids(evolved_meta)
             _check_iceberg_compat_duties(
                 st.protocol if st is not None else None, evolved_meta
             )
@@ -3342,7 +3357,11 @@ class _IdModeMap(dict):
     (name-mode tables that merely STAMP ids on writes — the
     icebergCompat duty, whose pre-compat files may lack ids)."""
 
-    __slots__ = ("fids", "wtypes", "read_by_id")
+    # elem_ids (r14): {full physical dotted path: id} of declared
+    # repeated-node ids — the staging pyarrow pass stamps them into
+    # list element / map key/value footer nodes (icebergCompat duty);
+    # empty on tables without array/map columns.
+    __slots__ = ("fids", "wtypes", "read_by_id", "elem_ids")
 
 
 def _logical_to_physical(meta: dict) -> dict | None:
@@ -3369,6 +3388,7 @@ def _logical_to_physical(meta: dict) -> dict | None:
         out.fids = _field_ids(meta)
         out.wtypes = _idmode_write_types(meta)
         out.read_by_id = True
+        out.elem_ids = _element_id_map(meta)
         return out
     if _iceberg_compat_version(meta):
         # name-mode icebergCompat table: WRITES must stamp parquet
@@ -3390,6 +3410,7 @@ def _logical_to_physical(meta: dict) -> dict | None:
         out.fids = fids
         out.wtypes = wtypes
         out.read_by_id = False
+        out.elem_ids = _element_id_map(meta)
         return out
     return m
 
@@ -3501,11 +3522,11 @@ def _check_iceberg_compat_duties(proto: dict | None, meta: dict) -> None:
     stay disabled; typeWidening is incompatible (pre-V3); every field
     — top-level and nested struct — must carry a stable
     ``delta.columnMapping.id`` (staged files are stamped with matching
-    parquet field ids so converted Iceberg metadata can address them).
-    Array/map columns are refused by name: Iceberg requires field ids
-    on list/map ELEMENT levels (the spec's nested-ids metadata), which
-    this writer does not stamp — half-mapping would produce files
-    Iceberg cannot safely read."""
+    parquet field ids so converted Iceberg metadata can address them);
+    every array/map level must declare repeated-node ids in the owning
+    field's ``parquet.field.nested.ids`` map (r14 — refused by name
+    through r13; the staging pyarrow pass stamps them into footers,
+    since Spark's writer has no StructField to ride them on)."""
     cfg = meta.get("configuration") or {}
     v1 = str(cfg.get("delta.enableIcebergCompatV1", "")).lower() == "true"
     v2 = str(cfg.get("delta.enableIcebergCompatV2", "")).lower() == "true"
@@ -3537,33 +3558,260 @@ def _check_iceberg_compat_duties(proto: dict | None, meta: dict) -> None:
             "feature (pre-V3)"
         )
 
+    def check_field(f, path):
+        md = f.get("metadata") or {}
+        if "delta.columnMapping.id" not in md:
+            raise ValueError(
+                f"icebergCompat: field {path!r} carries no "
+                "delta.columnMapping.id"
+            )
+        phys = md.get("delta.columnMapping.physicalName", f["name"])
+        needed = _elem_id_paths(f.get("type"), phys)
+        if needed:
+            # array/map columns (r14; refused by name through r13):
+            # Iceberg addresses list element / map key/value nodes by
+            # field id — those ids ride the owning field's
+            # parquet.field.nested.ids map and are stamped into staged
+            # footers by the pyarrow pass in _stage_commit_files.
+            have = set(md.get(PARQUET_NESTED_IDS_KEY) or {})
+            missing = [p for p in needed if p not in have]
+            if missing:
+                raise ValueError(
+                    f"icebergCompat: field {path!r} has array/map "
+                    f"levels without declared nested field ids "
+                    f"({missing}) — enable_iceberg_compat assigns them"
+                )
+        walk(f.get("type"), path)
+
     def walk(jtype, path):
         if not isinstance(jtype, dict):
             return
         t = jtype.get("type")
-        if t in ("array", "map"):
-            raise ValueError(
-                f"icebergCompat: column {path!r} is an array/map — "
-                "Iceberg requires field ids on list/map element "
-                "levels, which this writer does not stamp; refusing "
-                "rather than producing files Iceberg cannot read"
-            )
         if t == "struct":
             for f in jtype["fields"]:
-                if "delta.columnMapping.id" not in (f.get("metadata") or {}):
-                    raise ValueError(
-                        f"icebergCompat: nested field {path}."
-                        f"{f['name']} carries no delta.columnMapping.id"
-                    )
-                walk(f.get("type"), f"{path}.{f['name']}")
+                check_field(f, f"{path}.{f['name']}")
+        elif t == "array":
+            walk(jtype["elementType"], f"{path}.element")
+        elif t == "map":
+            walk(jtype["keyType"], f"{path}.key")
+            walk(jtype["valueType"], f"{path}.value")
 
     for f in json.loads(meta["schemaString"])["fields"]:
-        if "delta.columnMapping.id" not in (f.get("metadata") or {}):
-            raise ValueError(
-                f"icebergCompat: column {f['name']!r} carries no "
-                "delta.columnMapping.id"
+        check_field(f, f["name"])
+
+
+#: delta-spark's metadata key for field ids of parquet's repeated
+#: nodes (list element / map key / map value), which have no StructField
+#: of their own: a per-field map {physical dotted path: id}, e.g.
+#: {"ice_items.element": 7}. Carried by the NEAREST enclosing struct
+#: field; deeper repeated levels extend the path ("p.element.element").
+PARQUET_NESTED_IDS_KEY = "parquet.field.nested.ids"
+
+
+def _elem_id_paths(jtype, prefix: str) -> list[str]:
+    """The repeated-node paths (relative to the owning field's physical
+    name) this field's type needs ids for — array/map chains only;
+    recursion STOPS at a struct (its fields carry their own
+    ``delta.columnMapping.id`` and their own nested-ids map)."""
+    if not isinstance(jtype, dict):
+        return []
+    t = jtype.get("type")
+    if t == "array":
+        p = f"{prefix}.element"
+        return [p] + _elem_id_paths(jtype["elementType"], p)
+    if t == "map":
+        pk, pv = f"{prefix}.key", f"{prefix}.value"
+        return (
+            [pk] + _elem_id_paths(jtype["keyType"], pk)
+            + [pv] + _elem_id_paths(jtype["valueType"], pv)
+        )
+    return []
+
+
+def _assign_compat_element_ids(meta: dict) -> dict:
+    """Fill missing ``parquet.field.nested.ids`` entries for every
+    array/map level in the schema (any struct depth), advancing
+    ``delta.columnMapping.maxColumnId`` — the icebergCompat duty
+    delta-spark performs when enabling/evolving: Iceberg addresses list
+    element and map key/value nodes by field id, and those nodes have
+    no StructField to ride ``delta.columnMapping.id`` on. Returns the
+    (possibly identical) meta."""
+    config = dict(meta.get("configuration") or {})
+    max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
+    changed = False
+
+    def phys(f):
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+
+    def fix_field(f):
+        nonlocal max_id, changed
+        needed = _elem_id_paths(f.get("type"), phys(f))
+        nf = dict(f)
+        if needed:
+            md = dict(f.get("metadata") or {})
+            ids = dict(md.get(PARQUET_NESTED_IDS_KEY) or {})
+            for p in needed:
+                if p not in ids:
+                    max_id += 1
+                    ids[p] = max_id
+                    changed = True
+            md[PARQUET_NESTED_IDS_KEY] = ids
+            nf["metadata"] = md
+        nf["type"] = fix_type(f.get("type"))
+        return nf
+
+    def fix_type(t):
+        if not isinstance(t, dict):
+            return t
+        k = t.get("type")
+        if k == "struct":
+            return {**t, "fields": [fix_field(sf) for sf in t["fields"]]}
+        if k == "array":
+            return {**t, "elementType": fix_type(t["elementType"])}
+        if k == "map":
+            return {
+                **t,
+                "keyType": fix_type(t["keyType"]),
+                "valueType": fix_type(t["valueType"]),
+            }
+        return t
+
+    fields = [fix_field(f) for f in json.loads(meta["schemaString"])["fields"]]
+    if not changed:
+        return meta
+    out = dict(meta)
+    out["schemaString"] = json.dumps({"type": "struct", "fields": fields})
+    config["delta.columnMapping.maxColumnId"] = str(max_id)
+    out["configuration"] = config
+    return out
+
+
+def _element_id_map(meta: dict) -> dict[str, int]:
+    """Flat {full physical dotted path: id} of every declared repeated-
+    node id — the staging stamper's lookup while it walks a staged
+    file's arrow schema. Empty when the schema declares none."""
+    out: dict[str, int] = {}
+
+    def phys(f):
+        return (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+
+    def walk_field(f, parent):
+        md = f.get("metadata") or {}
+        for rel, fid in (md.get(PARQUET_NESTED_IDS_KEY) or {}).items():
+            out[parent + rel] = int(fid)
+        walk_type(f.get("type"), parent + phys(f))
+
+    def walk_type(t, base):
+        if not isinstance(t, dict):
+            return
+        k = t.get("type")
+        if k == "struct":
+            for sf in t["fields"]:
+                walk_field(sf, base + ".")
+        elif k == "array":
+            walk_type(t["elementType"], base + ".element")
+        elif k == "map":
+            walk_type(t["keyType"], base + ".key")
+            walk_type(t["valueType"], base + ".value")
+
+    for f in json.loads(meta["schemaString"])["fields"]:
+        walk_field(f, "")
+    return out
+
+
+def _arrow_schema_ids_complete(sch) -> bool:
+    """Is every addressable node of this arrow schema id-stamped —
+    struct fields at any depth AND list element / map key/value nodes
+    (the r14 icebergCompat duty)? Used by the enable pass to decide
+    which live files the REORG must rewrite."""
+    import pyarrow as pa
+
+    def fok(fld):
+        if (fld.metadata or {}).get(b"PARQUET:field_id") is None:
+            return False
+        return tok(fld.type)
+
+    def tok(typ):
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return fok(typ.value_field)
+        if pa.types.is_map(typ):
+            return fok(typ.key_field) and fok(typ.item_field)
+        if pa.types.is_struct(typ):
+            return all(fok(typ.field(i)) for i in range(typ.num_fields))
+        return True
+
+    return all(fok(sch.field(i)) for i in range(len(sch)))
+
+
+def _stamp_element_ids_file(path_str: str, elem_ids: dict[str, int]) -> bool:
+    """Stamp declared repeated-node field ids into one staged parquet
+    file's footer (Spark's writer rides StructField metadata, which
+    list/map element nodes do not have — only pyarrow can place these).
+    Rewrites the file in place iff its schema contains a list/map node
+    missing a declared id; returns whether it rewrote. Local-filesystem
+    only — the same constraint (and path normalization) as
+    :func:`_footer_stats`; at cluster scale this pass would ride the
+    same distributed rewrite REORG uses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    if path_str.startswith("file:"):
+        local = "/" + path_str.split(":", 1)[1].lstrip("/")
+    else:
+        local = path_str
+    if not os.path.exists(local):
+        return False
+    sch = pq_.read_schema(local)
+    changed = [False]
+
+    def with_id(fld, path):
+        fld = fld.with_type(fix_type(fld.type, path))
+        fid = elem_ids.get(path)
+        if fid is not None and (
+            (fld.metadata or {}).get(b"PARQUET:field_id") is None
+        ):
+            md = dict(fld.metadata or {})
+            md[b"PARQUET:field_id"] = str(fid).encode()
+            fld = fld.with_metadata(md)
+            changed[0] = True
+        return fld
+
+    def fix_type(typ, path):
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return pa.list_(with_id(typ.value_field, path + ".element"))
+        if pa.types.is_map(typ):
+            return pa.map_(
+                with_id(typ.key_field, path + ".key"),
+                with_id(typ.item_field, path + ".value"),
             )
-        walk(f.get("type"), f["name"])
+        if pa.types.is_struct(typ):
+            return pa.struct(
+                [
+                    with_id(typ.field(i), path + "." + typ.field(i).name)
+                    for i in range(typ.num_fields)
+                ]
+            )
+        return typ
+
+    fields = [with_id(sch.field(i), sch.field(i).name) for i in range(len(sch))]
+    if not changed[0]:
+        return False
+    t = pq_.read_table(local)
+    t = t.cast(pa.schema(fields, metadata=sch.metadata))
+    pq_.write_table(t, local, compression="zstd")
+    # the rewrite invalidates Hadoop LocalFS's checksum sidecar — a
+    # stale .crc makes every later Spark read fail with
+    # ChecksumException, so drop it
+    crc = os.path.join(
+        os.path.dirname(local), f".{os.path.basename(local)}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    return True
 
 
 def _dt_from_json_type(jtype):
@@ -7338,7 +7586,9 @@ def enable_iceberg_compat(
             "cannot enable iceberg compat: the table declares "
             "typeWidening (incompatible pre-V3)"
         )
-    # assign missing NESTED struct ids; refuse array/map columns
+    # assign missing NESTED struct ids; array/map levels get repeated-
+    # node ids via _assign_compat_element_ids below (r14 — refused by
+    # name through r13)
     fields = json.loads(st.meta["schemaString"])["fields"]
     max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
 
@@ -7347,12 +7597,17 @@ def enable_iceberg_compat(
         if not isinstance(jtype, dict):
             return jtype
         t = jtype.get("type")
-        if t in ("array", "map"):
-            raise ValueError(
-                f"cannot enable iceberg compat: column {path_!r} is an "
-                "array/map (Iceberg requires element-level field ids "
-                "this writer does not stamp)"
-            )
+        if t == "array":
+            return {
+                **jtype,
+                "elementType": fill(jtype["elementType"], f"{path_}.element"),
+            }
+        if t == "map":
+            return {
+                **jtype,
+                "keyType": fill(jtype["keyType"], f"{path_}.key"),
+                "valueType": fill(jtype["valueType"], f"{path_}.value"),
+            }
         if t == "struct":
             out = []
             for f in jtype["fields"]:
@@ -7384,6 +7639,7 @@ def enable_iceberg_compat(
         {"type": "struct", "fields": new_fields}
     )
     meta["configuration"] = config
+    meta = _assign_compat_element_ids(meta)
     proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
     feat = f"icebergCompatV{version}"
     actions = [
@@ -7434,10 +7690,10 @@ def enable_iceberg_compat(
                 )
             else:
                 raise OSError("no filesystem handler for table URI")
-            has_ids = all(
-                (fl.metadata or {}).get(b"PARQUET:field_id") is not None
-                for fl in sch
-            )
+            # complete = ids on every struct field at any depth AND on
+            # list element / map key/value nodes (r14: Iceberg
+            # addresses repeated nodes by id too)
+            has_ids = _arrow_schema_ids_complete(sch)
         except Exception:
             has_ids = False  # unreadable: rewrite to be safe — counted
             probe_failed += 1

@@ -134,16 +134,10 @@ def test_compat_preconditions_and_refusals(spark, tmp_path):
     write_delta(spark, spark.createDataFrame([(1,)], "id long"), p1)
     with pytest.raises(ValueError, match="column mapping"):
         enable_iceberg_compat(spark, p1, version=2)
-    # V1 requires NAME mode specifically; array/map columns refused
-    p2 = str(tmp_path / "arr")
-    write_delta(
-        spark,
-        spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>"),
-        p2,
-    )
-    enable_column_mapping(spark, p2)
-    with pytest.raises(ValueError, match="array/map"):
-        enable_iceberg_compat(spark, p2, version=2)
+    # array/map columns are SUPPORTED since r14: enable assigns
+    # repeated-node ids (parquet.field.nested.ids) and the REORG stamps
+    # them into the rewritten footers — see
+    # test_array_column_compat_lifecycle
 
 
 def test_compat_refuses_dv_and_widening(spark, tmp_path):
@@ -244,12 +238,15 @@ def test_foreign_declared_compat_table_accepts_stamped_commits(
         delete_where_dv(spark, path, "id = 1")
 
 
-def test_array_evolution_refused_at_the_offending_commit(spark, tmp_path):
-    """r13 ADVICE (medium): the writer gate used to check compat duties
-    against the PRIOR meta, so an evolution ADDING an array column
-    committed files Iceberg cannot address and wedged every later
-    write. The offending commit itself must now be refused — and the
-    table must stay fully writable afterwards."""
+def test_array_evolution_assigns_element_ids_in_the_same_commit(
+    spark, tmp_path
+):
+    """r13 ADVICE (medium) + r14: the writer gate used to check compat
+    duties against the PRIOR meta, so an evolution ADDING an array
+    column committed files Iceberg cannot address and wedged every
+    later write. The evolving commit now assigns repeated-node ids
+    (parquet.field.nested.ids) itself and stages element-id-stamped
+    files — and later commits keep working."""
     path = str(tmp_path / "t")
     write_delta(
         spark,
@@ -258,22 +255,109 @@ def test_array_evolution_refused_at_the_offending_commit(spark, tmp_path):
     )
     enable_column_mapping(spark, path)
     enable_iceberg_compat(spark, path, version=2)
-    with pytest.raises(ValueError, match="array/map"):
-        write_delta(
-            spark,
-            spark.createDataFrame(
-                [(2, "b", [1, 2])], "id long, s string, tags array<long>"
-            ),
-            path, mode="append",
-        )
-    # nothing staged, nothing wedged: a clean append still commits
     write_delta(
         spark,
-        spark.createDataFrame([(3, "c")], "id long, s string"),
+        spark.createDataFrame(
+            [(2, "b", [1, 2])], "id long, s string, tags array<long>"
+        ),
         path, mode="append",
     )
-    got = {tuple(r) for r in read_delta(spark, path).collect()}
-    assert got == {(1, "a"), (3, "c")}
+    # the evolved schema declares the element id; the staged file's
+    # list element node is stamped
+    from portfolio_data_pipelines_spark.operators.delta_reader import _replay
+
+    _root, _adds, meta = _replay(path, None)
+    tags = next(
+        f for f in json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "tags"
+    )
+    nested = tags["metadata"]["parquet.field.nested.ids"]
+    assert len(nested) == 1 and list(nested)[0].endswith(".element")
+    import pyarrow.types as pat
+
+    stamped = [
+        f for f in _live_files(path)
+        if any(pat.is_list(fl.type) for fl in pq.read_schema(f))
+    ]
+    assert stamped
+    lf = next(
+        fl for fl in pq.read_schema(stamped[0]) if pat.is_list(fl.type)
+    )
+    assert (lf.type.value_field.metadata or {}).get(
+        b"PARQUET:field_id"
+    ) == str(list(nested.values())[0]).encode()
+    # table stays writable
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(3, "c", [3])], "id long, s string, tags array<long>"
+        ),
+        path, mode="append",
+    )
+    got = {(r["id"], r["s"]) for r in read_delta(spark, path).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_array_column_compat_lifecycle(spark, tmp_path):
+    """r14: enable_iceberg_compat on a table WITH an array column (the
+    r13 refusal) — enable assigns repeated-node ids, the REORG rewrite
+    stamps pre-compat files' element nodes, and every later commit's
+    staged files carry complete ids (struct fields AND element
+    nodes)."""
+    import pyarrow.types as pat
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, [1, 2], {"k": 10})],
+            "id long, xs array<long>, m map<string, long>",
+        ),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    enable_iceberg_compat(spark, path, version=2)
+
+    def ids_complete(fpath):
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _arrow_schema_ids_complete,
+        )
+
+        return _arrow_schema_ids_complete(pq.read_schema(fpath))
+
+    # the pre-compat file was rewritten with element/key/value ids
+    for f in _live_files(path):
+        assert ids_complete(f), f
+    # appends stamp repeated nodes too
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(2, [3], {"j": 20})],
+            "id long, xs array<long>, m map<string, long>",
+        ),
+        path, mode="append",
+    )
+    for f in _live_files(path):
+        assert ids_complete(f), f
+    # MERGE rewrites keep the duty
+    merge_delta(
+        spark, path,
+        spark.createDataFrame(
+            [(1, [9, 9], {"k": 99})],
+            "id long, xs array<long>, m map<string, long>",
+        ),
+        key_cols=["id"],
+    )
+    for f in _live_files(path):
+        assert ids_complete(f), f
+    got = {
+        (r["id"], tuple(r["xs"]), tuple(sorted(r["m"].items())))
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == {(1, (9, 9), (("k", 99),)), (2, (3,), (("j", 20),))}
+    # external reader agrees
+    _names, rows = read_delta_external(path)
+    assert len(rows) == 2
 
 
 def test_struct_evolution_on_compat_table_assigns_nested_ids(spark, tmp_path):

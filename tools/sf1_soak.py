@@ -72,6 +72,14 @@ QUERIES = [
     "unigram_logprob_filter",
     "deterministic_corpus_shuffle",
     "delta_rowtracking_mart",
+    # r14 rotation + new surfaces
+    "kmeans_embedding_clusters",
+    "bigram_logprob_filter",
+    "bpe_token_ids_dedup_join",
+    "delta_dv_delete_mart",
+    "delta_identity_mart",
+    "delta_iceberg_compat_mart",
+    "delta_below_array_mart",
 ]
 
 
