@@ -1222,6 +1222,20 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
         {"name": "v", "type": "variant", "nullable": True,
          "metadata": {"delta.columnMapping.id": 6,
                       "delta.columnMapping.physicalName": "ice_v"}},
+        # r14: struct below an array UNDER icebergCompat — the repeated
+        # node declares its id via parquet.field.nested.ids (the compat
+        # duty) and the inner struct fields carry their own mapping ids
+        {"name": "items", "nullable": True,
+         "type": {"type": "array", "containsNull": True,
+                  "elementType": {"type": "struct", "fields": [
+                      {"name": "x", "type": "long", "nullable": True,
+                       "metadata": {"delta.columnMapping.id": 8,
+                                    "delta.columnMapping.physicalName":
+                                        "ice_x"}}]}},
+         "metadata": {"delta.columnMapping.id": 7,
+                      "delta.columnMapping.physicalName": "ice_items",
+                      "parquet.field.nested.ids": {
+                          "ice_items.element": 9}}},
     ]
     with open(f"{path}/_delta_log/{0:020d}.json", "w") as f:
         for a in [
@@ -1244,7 +1258,7 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
                 "partitionColumns": [],
                 "configuration": {
                     "delta.columnMapping.mode": "id",
-                    "delta.columnMapping.maxColumnId": "6",
+                    "delta.columnMapping.maxColumnId": "9",
                     "delta.enableIcebergCompatV2": "true",
                     "delta.enableVariantShredding": "true",
                 },
@@ -1260,12 +1274,13 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
     def frame(sub):
         return spark.createDataFrame(
             [
-                (i, d["k"], (d["a"], d["b"]), str(d["v"]))
+                (i, d["k"], (d["a"], d["b"]), str(d["v"]), d["items"])
                 for i, d in sorted(sub.items())
             ],
-            "id long, k string, obj struct<a long, b string>, vj string",
+            "id long, k string, obj struct<a long, b string>, vj string,"
+            " items array<struct<x long>>",
         ).select(
-            "id", "k", "obj", F.parse_json("vj").alias("v")
+            "id", "k", "obj", F.parse_json("vj").alias("v"), "items"
         ).coalesce(1)
 
     def fresh(n):
@@ -1276,7 +1291,8 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
             next_id += 1
             case_upper = rng.random() < 0.5
             k = f"K{i}" if case_upper else f"k{i}"
-            out[i] = {"k": k, "a": i * 10, "b": f"s{i}", "v": i}
+            out[i] = {"k": k, "a": i * 10, "b": f"s{i}", "v": i,
+                      "items": [(i,), (i + 1,)]}
         return out
 
     def check():
@@ -1287,11 +1303,13 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
                 "a": r["obj"]["a"] if r["obj"] else None,
                 "b": r["obj"]["b"] if r["obj"] else None,
                 "v": r["v"].toPython() if r["v"] is not None else None,
+                "items": [tuple(e) for e in (r["items"] or [])],
             }
             for r in read_delta(spark, path).collect()
         }
         want = {
-            i: {"k": d["k"], "a": d["a"], "b": d["b"], "v": d["v"]}
+            i: {"k": d["k"], "a": d["a"], "b": d["b"], "v": d["v"],
+                "items": [tuple(e) for e in d["items"]]}
             for i, d in rows.items()
         }
         assert got == want, f"spark diverged after {t}"
@@ -1303,6 +1321,7 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
                 "a": (r[idx["obj"]] or {}).get("a"),
                 "b": (r[idx["obj"]] or {}).get("b"),
                 "v": r[idx["v"]],
+                "items": [tuple(e.values()) for e in (r[idx["items"]] or [])],
             }
             for r in ext_rows
         }
@@ -1310,7 +1329,9 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
         # icebergCompat duty: every live file id-stamped on every
         # schema-mapped top-level field
         _root, _adds, _m = _replay(path, None)
-        phys = {"ice_id", "ice_k", "ice_obj", "ice_v"}
+        phys = {"ice_id", "ice_k", "ice_obj", "ice_v", "ice_items"}
+        import pyarrow.types as pat
+
         for _rel in _adds:
             sch = _pq.read_schema(_os.path.join(_root, _rel))
             for fl in sch:
@@ -1318,6 +1339,11 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
                     assert (fl.metadata or {}).get(
                         b"PARQUET:field_id"
                     ) is not None, f"unstamped {_rel}:{fl.name} after {t}"
+                if fl.name == "ice_items" and pat.is_list(fl.type):
+                    # the r14 duty: the list ELEMENT node is id-stamped
+                    assert (fl.type.value_field.metadata or {}).get(
+                        b"PARQUET:field_id"
+                    ) == b"9", f"element unstamped {_rel} after {t}"
 
     seeded = fresh(6)
     write_delta(spark, frame(seeded), path, mode="append")
@@ -1352,7 +1378,8 @@ def _walk_composed(spark, tmp_path, seed, n_ops):
                 flipped = d["k"].swapcase()
                 sub[i] = {"k": flipped, "a": d["a"] + 1,
                           "b": d["b"] + "!", "v": d["v"] if not
-                          isinstance(d["v"], int) else d["v"] + 100}
+                          isinstance(d["v"], int) else d["v"] + 100,
+                          "items": [(x[0] + 1,) for x in d["items"]]}
             new = fresh(1)
             sub.update(new)
             version = merge_delta(spark, path, frame(sub), key_cols=["k"])
