@@ -501,6 +501,10 @@ def _variant_physical(
         if isinstance(spec, dict):
             # object shredding: {field: scalar type}, at least one field
             return not spec or any(t not in _typed for t in spec.values())
+        if isinstance(spec, list):
+            # array shredding (r14): a one-element list naming the
+            # element scalar type — ["long"] = array-of-long target
+            return len(spec) != 1 or spec[0] not in _typed
         return spec not in _typed
 
     bad_types = sorted(
@@ -509,8 +513,8 @@ def _variant_physical(
     if bad_types:
         raise ValueError(
             f"unsupported shred spec(s) {bad_types} — supported: a "
-            f"scalar type in {sorted(_typed)}, or an OBJECT spec "
-            "{field: scalar type}"
+            f"scalar type in {sorted(_typed)}, an OBJECT spec "
+            "{field: scalar type}, or an ARRAY spec [scalar type]"
         )
 
     def phys_for(c):
@@ -539,6 +543,22 @@ def _variant_physical(
                         )
                         for f, t in sorted(spec.items())
                     ]
+                )
+            elif isinstance(spec, list):
+                # array shredding: typed_value is a LIST of per-element
+                # (value?, typed_value?) groups (VariantShredding.md)
+                from pyspark.sql.types import ArrayType
+
+                tv = ArrayType(
+                    StructType(
+                        [
+                            StructField("value", BinaryType(), True),
+                            StructField(
+                                "typed_value", _typed[spec[0]], True
+                            ),
+                        ]
+                    ),
+                    False,
                 )
             else:
                 tv = _typed[spec]
@@ -641,6 +661,35 @@ def _variant_physical(
                 "typed_value": tv,
             }
 
+        def cell_arr_shred(v, elem_t):
+            # array shredding (r14): an ARRAY row stores typed_value as
+            # per-element (value?, typed_value?) groups — matching
+            # scalars typed, anything else as the element's own binary
+            # (row-local metadata dictionary, so key ids stay valid);
+            # non-array rows keep the full binary in value
+            if v is None:
+                return None
+            if not v.value or (v.value[0] & 3) != 3:  # not an array
+                return {
+                    "metadata": v.metadata, "value": v.value,
+                    "typed_value": None,
+                }
+            keys = _variant_metadata_keys(v.metadata)
+            arr = _variant_value(v.value, 0, keys)[0]
+            key_ids = {k: i for i, k in enumerate(keys)}
+            tv = []
+            for x in arr:
+                if _py[elem_t](x):
+                    tv.append({"value": None, "typed_value": x})
+                else:
+                    tv.append(
+                        {
+                            "value": _encode_value(x, key_ids),
+                            "typed_value": None,
+                        }
+                    )
+            return {"metadata": v.metadata, "value": None, "typed_value": tv}
+
         for pdf in batches:
             for c in vcols:
                 if c in shred:
@@ -648,6 +697,10 @@ def _variant_physical(
                     if isinstance(t, dict):
                         pdf[c] = pdf[c].map(
                             lambda v, _t=t: cell_obj_shred(v, _t)
+                        )
+                    elif isinstance(t, list):
+                        pdf[c] = pdf[c].map(
+                            lambda v, _t=t[0]: cell_arr_shred(v, _t)
                         )
                     else:
                         pdf[c] = pdf[c].map(

@@ -564,3 +564,50 @@ def test_object_shredding_write_round_trips(spark, tmp_path):
         write_delta(
             spark, df, str(tmp_path / "t_obj_bad"), shred_variants={"v": {}}
         )
+
+
+def test_array_shredded_write_round_trips_in_both_readers(spark, tmp_path):
+    """ARRAY shredding WRITE (r14 — reads supported since r11's foreign
+    fixtures): write_delta(shred_variants={"v": ["long"]}) stages
+    typed_value as a LIST of per-element (value?, typed_value?) groups —
+    matching elements typed, mixed elements as their own binary, and
+    non-array rows keep the full binary — and BOTH readers reassemble
+    identical logical values."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t_shred_arr")
+    df = spark.range(0, 5).select(
+        "id",
+        F.parse_json(
+            F.when(F.col("id") == 0, F.lit("[1, 2, 3]"))
+            .when(F.col("id") == 1, F.lit('[4, "five", 6]'))
+            .when(F.col("id") == 2, F.lit('{"a": 1}'))
+            .when(F.col("id") == 3, F.lit("42"))
+            .otherwise(F.lit(None))
+        ).alias("v"),
+    )
+    write_delta(spark, df, path, shred_variants={"v": ["long"]})
+    # physical: typed_value is a list of groups; element decisions per row
+    by_id = {}
+    for fl in sorted(glob.glob(f"{path}/*.parquet")):
+        for r in pq.read_table(fl).to_pylist():
+            by_id[r["id"]] = r["v"]
+    assert by_id[0]["value"] is None
+    assert [e["typed_value"] for e in by_id[0]["typed_value"]] == [1, 2, 3]
+    mixed = by_id[1]["typed_value"]
+    assert [e["typed_value"] for e in mixed] == [4, None, 6]
+    assert mixed[1]["value"] is not None  # "five" rides its own binary
+    assert by_id[2]["typed_value"] is None and by_id[2]["value"] is not None
+    assert by_id[3]["typed_value"] is None and by_id[3]["value"] is not None
+    assert by_id[4] is None
+    # both readers reassemble the logical values
+    want = {0: [1, 2, 3], 1: [4, "five", 6], 2: {"a": 1}, 3: 42, 4: None}
+    got = {
+        r["id"]: (None if r["v"] is None else r["v"].toPython())
+        for r in read_delta(spark, path).collect()
+    }
+    assert got == want
+    names, rows = read_delta_external(path)
+    assert {r[0]: r[1] for r in rows} == want
