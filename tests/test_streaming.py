@@ -300,3 +300,41 @@ def test_stream_static_enrichment_equals_batch_join(spark):
         t in ("click", "purchase", "view")
         for t in {r[0] for r in got}
     )
+
+
+def test_transform_with_state_totals_equal_classic_form(spark):
+    """Spark 4's transformWithState spelling of the running-totals
+    operator (named ValueState in a StatefulProcessor) must produce
+    exactly the classic applyInPandasWithState results — and match the
+    batch groupBy ground truth.
+
+    Environment gate: TWS's streaming Python runner imports
+    google.protobuf at init (the driver-side processor channel);
+    sandboxes without the protobuf wheel cannot start the query at all
+    (probed r14: ImportError inside StreamingPythonRunner), so the test
+    skips there rather than fake a pass — same stance as the
+    no-network HTTP source."""
+    pytest.importorskip("google.protobuf")
+    from portfolio_data_pipelines_spark.streaming import (
+        running_user_totals_tws,
+    )
+
+    name = _run_to_memory(
+        running_user_totals_tws(events_file_stream(spark, SF)), "update"
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6), r["last_ts"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["tv"], 6), r["m"])
+        for r in scan_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("tv"),
+            F.max("ts").alias("m"),
+        )
+        .collect()
+    }
+    assert got == batch
