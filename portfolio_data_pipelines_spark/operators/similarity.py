@@ -177,6 +177,154 @@ def assign_centroids(
     return _nearest_centroid(c, vec_col, centroid_id_col, sim_col=sim_col).drop("_norm")
 
 
+#: Coarse cells probed per point by the pruned assignment. 2 (not 1)
+#: so a point near a coarse-cell boundary still sees both sides'
+#: fine centroids — the standard IVF recall/cost knob.
+PRUNED_ASSIGN_NPROBE = 2
+
+
+def _hierarchy_row(
+    centroids: DataFrame, vec_col: str, centroid_id_col: str
+) -> DataFrame:
+    """Collapse the centroid set to ONE broadcastable row holding a
+    two-level (coarse → fine) index: an array of coarse structs
+    ``(ccid, cv, cn, fines)`` where ``fines`` is the array of fine
+    centroids ``(cid, v, n)`` whose nearest coarse centroid is this one.
+
+    Deterministic construction (the oracle-replicable contract):
+    rank the k centroids by cid ascending; coarse = every m-th by rank
+    with ``m = ceil(k / ceil(sqrt(k)))`` (so ~√k coarse cells); each
+    fine centroid maps to its nearest coarse by cosine with the usual
+    (sim DESC, ccid ASC) tie-break. Every step is tiny — k rows — and
+    the expensive part (fine→coarse argmax) is the existing map-side
+    `_nearest_centroid` over a broadcast coarse array: O(k·√k·dim)
+    total, negligible next to the corpus assignment it prunes.
+    """
+    cen = centroids.select(
+        F.col(centroid_id_col).cast("long").alias("cid"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("n", F.sqrt(_dot_seq(F.col("v"), F.col("v"))))
+    # k-row metadata windows: the centroid table is the index artifact
+    # (k ≪ n rows), so a single-task rank over it is driver-scale work,
+    # the same stance as the Delta file-list handling.
+    ranked = cen.withColumn(
+        "_rk0", F.row_number().over(Window.orderBy("cid")) - 1
+    )
+    stats = cen.agg(F.count(F.lit(1)).alias("_k")).select(
+        F.ceil(F.col("_k") / F.ceil(F.sqrt(F.col("_k")))).cast("long").alias("_m")
+    )
+    ranked = ranked.join(F.broadcast(stats))
+    coarse = ranked.filter(F.col("_rk0") % F.col("_m") == 0).select(
+        F.col("cid").alias("_ccid"),
+        F.col("v").alias("_cv"),
+        F.col("n").alias("_cn"),
+    )
+    coarse_row = coarse.agg(
+        F.collect_list(
+            F.struct(
+                F.col("_ccid").alias("cid"),
+                F.col("_cv").alias("v"),
+                F.col("_cn").alias("n"),
+            )
+        ).alias("_cens")
+    )
+    f2c = _nearest_centroid(
+        ranked.select("cid", "v", "n")
+        .withColumn("_norm", F.col("n"))
+        .join(F.broadcast(coarse_row)),
+        "v",
+        "_ccid",
+    ).drop("_norm")
+    groups = f2c.groupBy("_ccid").agg(
+        F.collect_list(F.struct("cid", "v", "n")).alias("_fines")
+    )
+    return groups.join(F.broadcast(coarse), "_ccid").agg(
+        F.collect_list(
+            F.struct(
+                F.col("_ccid").alias("ccid"),
+                F.col("_cv").alias("cv"),
+                F.col("_cn").alias("cn"),
+                F.col("_fines").alias("fines"),
+            )
+        ).alias("_hier")
+    )
+
+
+def _nearest_centroid_pruned(
+    df_with_hier: DataFrame,
+    vec_col: str,
+    centroid_id_col: str,
+    nprobe: int = PRUNED_ASSIGN_NPROBE,
+    sim_col: str | None = None,
+) -> DataFrame:
+    """Per-row nearest-centroid argmax restricted to the fine centroids
+    of the row's ``nprobe`` nearest coarse cells — still fully map-side
+    (the `_hier` array is broadcast), but O(√k + nprobe·k/√k) ≈ O(√k)
+    dot products per row instead of `_nearest_centroid`'s O(k).
+
+    Approximate relative to the exact argmax (a point whose true
+    nearest fine centroid lives in an unprobed coarse cell gets its
+    best probed one), but FULLY deterministic: coarse probing uses the
+    same (sim DESC, ccid ASC) total order as `_probe_centroids`, fine
+    argmax the same (sim, -cid) struct max as `_nearest_centroid`, so
+    the rule replicates bit-for-bit in a SQL oracle. Requires ``_norm``
+    and ``_hier``; drops ``_hier`` on the way out.
+    """
+    scored = F.transform(
+        F.col("_hier"),
+        lambda h: F.struct(
+            (_dot_seq(F.col(vec_col), h["cv"]) / (F.col("_norm") * h["cn"])).alias("s"),
+            (-h["ccid"]).alias("negcid"),
+            h["fines"].alias("fines"),
+        ),
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    cands = F.flatten(F.transform(probes, lambda p: p["fines"]))
+    best = F.array_max(
+        F.transform(
+            cands,
+            lambda x: F.struct(
+                (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
+                (-x["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    out = df_with_hier.withColumn(
+        centroid_id_col, (-best.getField("negcid")).cast("long")
+    )
+    if sim_col is not None:
+        out = out.withColumn(sim_col, best.getField("s"))
+    return out.drop("_hier")
+
+
+def assign_centroids_pruned(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_id_col: str = "centroid_id",
+    sim_col: str | None = None,
+    nprobe: int = PRUNED_ASSIGN_NPROBE,
+) -> DataFrame:
+    """`assign_centroids` with two-level (coarse → fine) pruning — the
+    scale form when the centroid count k grows with the corpus (the
+    SemDeDup seeding shape, k ∝ n): per-row cost drops from O(k·dim)
+    to O(√k·dim), total assignment from O(n²·dim/53) to O(n^1.5·dim)
+    at k = n/53. Same zero-shuffle plan shape (one broadcast row, all
+    scoring inside whole-stage codegen); memory still holds all k
+    centroids in the broadcast — beyond broadcast limits the assignment
+    becomes a shuffle join keyed on the coarse cell (each point
+    repartitioned to its nprobe coarse cells, fines co-partitioned),
+    which this two-level construction is the direct precursor of.
+    """
+    c = _with_norm(corpus, vec_col).join(
+        F.broadcast(_hierarchy_row(centroids, vec_col, centroid_id_col))
+    )
+    return _nearest_centroid_pruned(
+        c, vec_col, centroid_id_col, nprobe=nprobe, sim_col=sim_col
+    ).drop("_norm")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -241,6 +389,7 @@ def kmeans_refine(
     cluster_id_col: str = "cluster_id",
     exact: bool = True,
     sim_col: str | None = None,
+    pruned: bool = True,
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement over cosine assignment.
 
@@ -262,19 +411,33 @@ def kmeans_refine(
     differ across runs at the ULP level, which can flip an assignment
     only for points equidistant to that precision.
 
+    ``pruned=True`` (default — the scale form) routes every assignment
+    pass through `assign_centroids_pruned`: a two-level coarse→fine
+    index over the round's centroids cuts per-row work from O(k·dim)
+    to O(√k·dim), which is what makes k ∝ n seeding (the SemDeDup
+    shape) survive scale — brute-force assignment at k = n/53 is
+    O(n²·dim/53) per round (r14's measured 6.86× wall at 10× rows).
+    The pruning rule is deterministic (see `_hierarchy_row`), so the
+    pruned form stays oracle-checkable; it is approximate relative to
+    the exact argmax only for points whose true nearest centroid hides
+    outside their 2 nearest coarse cells. ``pruned=False`` keeps the
+    exact brute-force argmax — right when k is small and fixed.
+
     Scale shape: per round, one corpus scan (assignment is map-side) +
     one (cell, dim)-keyed aggregation shuffle whose row count is
     |corpus|·dim regardless of skew; the centroid table stays k rows and
     is re-broadcast each round. Rounds are a fixed small constant —
     k-means for corpus bucketing (SemDeDup) needs 1-3, not convergence.
     """
+    assign = assign_centroids_pruned if pruned else assign_centroids
+
     def _refine_centroids() -> DataFrame:
         cen = seeds.select(
             F.col(cluster_id_col).cast("long").alias(cluster_id_col),
             F.col(vec_col),
         )
         for _ in range(n_iter):
-            assigned = assign_centroids(
+            assigned = assign(
                 corpus, cen, vec_col, id_col, cluster_id_col
             )
             ex = assigned.select(
@@ -324,11 +487,11 @@ def kmeans_refine(
     cen = _memo_persist(
         _plan_key(
             corpus, "kmeans_centroids", seeds.semanticHash(), vec_col,
-            id_col, n_iter, exact, cluster_id_col,
+            id_col, n_iter, exact, cluster_id_col, pruned,
         ),
         _refine_centroids,
     )
-    return assign_centroids(corpus, cen, vec_col, id_col, cluster_id_col, sim_col=sim_col)
+    return assign(corpus, cen, vec_col, id_col, cluster_id_col, sim_col=sim_col)
 
 
 def cluster_cosine_pairs(
@@ -340,6 +503,7 @@ def cluster_cosine_pairs(
     n_iter: int = 2,
     cluster_id_col: str = "cluster_id",
     max_cell_candidates: int = 256,
+    pruned: bool = True,
 ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup pairs: k-means-bucket the
     corpus (`kmeans_refine`), then exact cosine only WITHIN each
@@ -369,7 +533,7 @@ def cluster_cosine_pairs(
     """
     assigned = kmeans_refine(
         corpus, seeds, vec_col, id_col, n_iter=n_iter,
-        cluster_id_col=cluster_id_col, sim_col="_csim",
+        cluster_id_col=cluster_id_col, sim_col="_csim", pruned=pruned,
     )
     # Both pair-join sides read the assignment; checkpoint the (id, vec,
     # cell, norm, rank) projection once so the final map-side assignment

@@ -122,17 +122,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_cte(n_iter: int = 2) -> str:
     """Unrolled Lloyd-iteration CTE chain replicating
-    operators.similarity.kmeans_refine(exact=True) bit-for-bit.
+    operators.similarity.kmeans_refine(exact=True, pruned=True)
+    bit-for-bit.
 
-    Round N: ``a{N}`` assigns every vector to its nearest ``c{N-1}``
-    centroid by cosine (smallest-cid tie-break — same total order as the
-    Spark argmax over (sim, -cid) structs); ``m{N}`` recomputes each
-    dimension's mean as a sequential double fold over the cell's values
-    ordered by vec_id (``list_dot_product(vals, ones)`` folds
-    left-to-right from 0.0 — identical to Spark's ``F.aggregate``), then
-    divides by the cell size. The final CTE ``a{n_iter+1}`` is the
-    corpus assigned to the refined centroids, carrying v/nv for
-    downstream pair math."""
+    Round N's assignment mirrors the two-level pruned argmax
+    (`operators.similarity._hierarchy_row` + `_nearest_centroid_pruned`):
+    ``r{N}`` ranks the round's centroids by cid and derives the coarse
+    stride ``m = ceil(k / ceil(sqrt(k)))``; ``co{N}`` keeps every m-th
+    centroid as a coarse cell; ``f2c{N}`` maps each fine centroid to its
+    nearest coarse (sim DESC, ccid ASC — the Spark struct-max order);
+    ``nc{N}`` drops coarse cells that attracted no fine (the Spark index
+    array is built by an inner join, so an empty coarse cell is never
+    probed); ``pr{N}`` gives each vector its 2 nearest non-empty coarse
+    cells; ``a{N}`` is the argmax over the fine centroids of the probed
+    cells only. ``m{N}`` then recomputes each dimension's mean as a
+    sequential double fold over the cell's values ordered by vec_id
+    (``list_dot_product(vals, ones)`` folds left-to-right from 0.0 —
+    identical to Spark's ``F.aggregate``), divided by the cell size.
+    The final CTE ``a{n_iter+1}`` is the corpus assigned to the refined
+    centroids, carrying v/nv for downstream pair math."""
     parts = [
         _E_NRM,
         "c0 AS (SELECT vec_id AS cid, v, nv FROM ev WHERE vec_id % 53 = 0)",
@@ -140,16 +148,53 @@ def _kmeans_cte(n_iter: int = 2) -> str:
 
     def assign(n: int) -> str:
         return f"""
-    a{n} AS (
-        SELECT vec_id, v, nv, cid, csim FROM (
-            SELECT e.vec_id, e.v, e.nv, c.cid,
-                   list_dot_product(e.v, c.v) / (e.nv * c.nv) AS csim,
+    r{n} AS (
+        SELECT cid, v, nv,
+               ROW_NUMBER() OVER (ORDER BY cid) - 1 AS rk0,
+               CAST(ceil(CAST(COUNT(*) OVER () AS DOUBLE)
+                         / ceil(sqrt(CAST(COUNT(*) OVER () AS DOUBLE))))
+                    AS BIGINT) AS m
+        FROM c{n - 1}
+    ),
+    co{n} AS (SELECT cid AS ccid, v AS cv, nv AS cn FROM r{n} WHERE rk0 % m = 0),
+    f2c{n} AS (
+        SELECT cid, v, nv, ccid FROM (
+            SELECT f.cid, f.v, f.nv, c.ccid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY f.cid
+                       ORDER BY list_dot_product(f.v, c.cv) / (f.nv * c.cn) DESC,
+                                c.ccid ASC
+                   ) AS rk
+            FROM r{n} f CROSS JOIN co{n} c
+        ) WHERE rk = 1
+    ),
+    nc{n} AS (
+        SELECT ccid, cv, cn FROM co{n}
+        WHERE ccid IN (SELECT ccid FROM f2c{n})
+    ),
+    pr{n} AS (
+        SELECT vec_id, ccid FROM (
+            SELECT e.vec_id, c.ccid,
                    ROW_NUMBER() OVER (
                        PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
-                                c.cid ASC
+                       ORDER BY list_dot_product(e.v, c.cv) / (e.nv * c.cn) DESC,
+                                c.ccid ASC
                    ) AS rk
-            FROM ev e CROSS JOIN c{n - 1} c
+            FROM ev e CROSS JOIN nc{n} c
+        ) WHERE rk <= 2
+    ),
+    a{n} AS (
+        SELECT vec_id, v, nv, cid, csim FROM (
+            SELECT e.vec_id, e.v, e.nv, f.cid,
+                   list_dot_product(e.v, f.v) / (e.nv * f.nv) AS csim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, f.v) / (e.nv * f.nv) DESC,
+                                f.cid ASC
+                   ) AS rk
+            FROM ev e
+            JOIN pr{n} p ON p.vec_id = e.vec_id
+            JOIN f2c{n} f ON f.ccid = p.ccid
         ) WHERE rk = 1
     )"""
 
@@ -182,12 +227,17 @@ def _kmeans_cte(n_iter: int = 2) -> str:
 )
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bucketing for embedding-space dedup/mixing: 2 Lloyd rounds
-    of cosine k-means from deterministic seeds (every 53rd vec_id → 10
-    cells), exact-reproducible means (sequential fold over vec_id-ordered
-    cell values). Output (vec_id, cluster_id) — cluster labels are the
-    seed ids. Assignment is map-side per round (broadcast centroid
-    array); the mean recomputation is one (cell, dim)-keyed shuffle of
-    |corpus|·dim skew-free rows per round."""
+    of cosine k-means from deterministic seeds (every 53rd vec_id, so
+    k ∝ n — cells stay bounded as the corpus grows), exact-reproducible
+    means (sequential fold over vec_id-ordered cell values). Output
+    (vec_id, cluster_id) — cluster labels are the seed ids. Assignment
+    is map-side per round (broadcast two-level coarse→fine index,
+    `_hierarchy_row`): each row scores ~√k coarse cells then only the
+    fine centroids of its 2 nearest — O(n·√k·dim) per round instead of
+    the brute-force O(n·k·dim) = O(n²·dim/53), which is what lets the
+    k ∝ n seeding survive a 100× scale-up (r14 soak: 6.86× wall at 10×
+    rows for the brute-force form). The mean recomputation is one
+    (cell, dim)-keyed shuffle of |corpus|·dim skew-free rows per round."""
     emb = scan_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
         F.col("vec_id").alias("cluster_id"), "embedding"
@@ -221,7 +271,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped near-dup pairs: k-means-bucket the embeddings
-    (2 Lloyd rounds, every-53rd-id seeds), exact cosine ≥ 0.4 only
+    (2 Lloyd rounds, every-53rd-id seeds, pruned two-level assignment —
+    see `kmeans_embedding_clusters`), exact cosine ≥ 0.4 only
     WITHIN each cell, candidates bounded per row at W=256 neighbors in
     the cell's (centroid-cosine DESC, id ASC) order. The scale path
     beside `embedding_cosine_dups`' O(n²) baseline: candidate work is
