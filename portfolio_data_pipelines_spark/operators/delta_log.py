@@ -2026,6 +2026,7 @@ def _stage_commit_files(
     adds = []
     now = _now_ms()
     elem_ids = getattr(l2p, "elem_ids", None) if l2p else None
+    renamed = []
     for rel, size, pvals in staged:
         # strip the staging prefix; prefix the file name with the
         # version so names stay unique across commits into the same
@@ -2039,15 +2040,20 @@ def _stage_commit_files(
         fs.mkdirs(dst.getParent())
         if not fs.rename(src, dst):
             raise IOError(f"rename failed for {rel}")
-        if elem_ids and _stamp_element_ids_file(
-            f"{path}/{final_rel}", elem_ids
-        ):
-            # the icebergCompat repeated-node stamp rewrote the footer;
-            # the add action must carry the REWRITTEN size
-            local = f"{path}/{final_rel}"
-            if local.startswith("file:"):
-                local = "/" + local.split(":", 1)[1].lstrip("/")
-            size = os.path.getsize(local)
+        renamed.append((final_rel, size, pvals))
+    if elem_ids:
+        # icebergCompat repeated-node stamp over ALL renamed files at
+        # once — driver loop for small commits, distributed Spark job
+        # above STAMP_DISTRIBUTE_MIN_FILES (the add actions must carry
+        # the REWRITTEN sizes)
+        newsizes = _stamp_element_ids_batch(
+            spark, [f"{path}/{fr}" for fr, _, _ in renamed], elem_ids
+        )
+        renamed = [
+            (fr, newsizes.get(f"{path}/{fr}", size), pvals)
+            for fr, size, pvals in renamed
+        ]
+    for final_rel, size, pvals in renamed:
         add = {
             # logical (URI-encoded) form of the physical relative path
             "path": _encode_path(final_rel),
@@ -3865,6 +3871,99 @@ def _stamp_element_ids_file(path_str: str, elem_ids: dict[str, int]) -> bool:
     if os.path.exists(crc):
         os.remove(crc)
     return True
+
+
+#: Staged-file count at or above which the icebergCompat repeated-node
+#: stamp runs as a distributed Spark job instead of a driver loop. A
+#: Spark job costs ~0.1-0.3 s of fixed overhead, so tiny commits (the
+#: common case) stay driver-side; a bulk backfill/enable-rewrite with
+#: hundreds of staged files fans the per-file read+write out to
+#: executors — the same REORG-shaped distribution OPTIMIZE uses.
+STAMP_DISTRIBUTE_MIN_FILES = 8
+
+
+def _stamp_element_ids_batch(
+    spark, uris: list[str], elem_ids: dict[str, int]
+) -> dict[str, int]:
+    """Stamp declared repeated-node ids into MANY staged files; returns
+    {uri: new_size} for the files actually rewritten.
+
+    Below `STAMP_DISTRIBUTE_MIN_FILES` this is a driver loop (the
+    footer-stats locality stance: staged files of a small commit are
+    local metadata-scale work). At or above it, the per-file rewrite
+    runs inside Spark tasks via ``mapInPandas`` over the path list —
+    the cluster form the r14 driver-side pass was the placeholder for:
+    the driver holds only the file LIST (the same driver-scale state
+    every Delta writer holds); each executor task reads, re-stamps and
+    rewrites its own files, so a bulk compat rewrite scales with the
+    cluster, not the driver. Executors resolve paths with the same
+    file:-URI normalization as `_stamp_element_ids_file` (the package
+    must be importable on executors — the standing constraint shared
+    with the delta_feed / shredding kernels)."""
+    if not uris:
+        return {}
+    if len(uris) < STAMP_DISTRIBUTE_MIN_FILES or spark is None:
+        out = {}
+        for u in uris:
+            if _stamp_element_ids_file(u, elem_ids):
+                local = u
+                if local.startswith("file:"):
+                    local = "/" + local.split(":", 1)[1].lstrip("/")
+                out[u] = os.path.getsize(local)
+        return out
+
+    eids = dict(elem_ids)
+
+    def _stamp_batches(batches):
+        import pandas as pd
+
+        from portfolio_data_pipelines_spark.operators.delta_log import (
+            _stamp_element_ids_file,
+        )
+
+        for b in batches:
+            rows = []
+            for u in b["uri"]:
+                size = -1
+                if _stamp_element_ids_file(u, eids):
+                    local = u
+                    if local.startswith("file:"):
+                        local = "/" + local.split(":", 1)[1].lstrip("/")
+                    size = os.path.getsize(local)
+                rows.append((u, size))
+            yield pd.DataFrame(rows, columns=["uri", "size"])
+
+    n_slices = min(len(uris), spark.sparkContext.defaultParallelism)
+    try:
+        res = (
+            spark.createDataFrame([(u,) for u in uris], "uri string")
+            .repartition(n_slices)
+            .mapInPandas(_stamp_batches, "uri string, size long")
+            .collect()
+        )
+    except Exception as exc:  # noqa: BLE001
+        import warnings
+
+        # executors that cannot import this package (driver launched
+        # without the package on the worker PYTHONPATH) fail the
+        # distributed pass; the stamp is a correctness duty, so fall
+        # back to the driver loop rather than failing the commit
+        warnings.warn(
+            "distributed element-id stamp failed "
+            f"({type(exc).__name__}); falling back to the driver-side "
+            "loop — ship the package to executors to distribute this "
+            "pass",
+            stacklevel=2,
+        )
+        out = {}
+        for u in uris:
+            if _stamp_element_ids_file(u, eids):
+                local = u
+                if local.startswith("file:"):
+                    local = "/" + local.split(":", 1)[1].lstrip("/")
+                out[u] = os.path.getsize(local)
+        return out
+    return {r["uri"]: r["size"] for r in res if r["size"] >= 0}
 
 
 def _dt_from_json_type(jtype):

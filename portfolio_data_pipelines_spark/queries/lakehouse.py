@@ -1101,7 +1101,7 @@ def delta_defaults_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_nested_idmode_mart",
     oracle=f"""
     WITH base AS (SELECT event_id, event_type, value FROM events),
@@ -1212,7 +1212,7 @@ def delta_nested_idmode_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_below_array_mart",
     oracle=f"""
     WITH base AS (SELECT event_id AS id, event_type AS t, value FROM events),
@@ -1336,7 +1336,7 @@ def delta_below_array_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_lcase_merge_mart",
     oracle=f"""
     WITH base AS (SELECT event_id AS id, event_type, value FROM events),

@@ -441,7 +441,7 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "shuffle_key", "shuffle_pos")
 
 
-@extra_query(
+@query(
     "quality_classifier_scores",
     oracle="""
     WITH tokens AS (

@@ -131,7 +131,7 @@ def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "topk_per_day_events",
     oracle="""
     SELECT date_utc, event_id, value, rk
@@ -476,7 +476,7 @@ def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query(
+@extra_query(
     "customers_with_orders_semi",
     oracle="""
     SELECT n.n_name AS nation_name, COUNT(*) AS n_customers

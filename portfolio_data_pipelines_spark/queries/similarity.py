@@ -36,7 +36,7 @@ _E_NRM = """
 """
 
 
-@query(
+@extra_query(
     "cosine_topk_bruteforce",
     oracle=f"""
     WITH {_E_NRM}

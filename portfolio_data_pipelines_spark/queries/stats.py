@@ -227,7 +227,7 @@ def returnflag_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_RSD = 0.02
 
 
-@query(
+@extra_query(
     "approx_distinct_users_daily",
     oracle="""
     SELECT CAST(ts AS DATE) AS date_utc,

@@ -405,7 +405,7 @@ def purchase_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "weekly_cohort_retention",
     oracle="""
     WITH firsts AS (

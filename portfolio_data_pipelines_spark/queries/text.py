@@ -399,7 +399,7 @@ def tfidf_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "text_repetition_filters",
     oracle="""
     WITH toks AS (

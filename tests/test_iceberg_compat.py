@@ -436,3 +436,62 @@ def test_compat_config_refused_at_creation(spark, tmp_path):
             configuration={"delta.enableIcebergCompatV2": "true"},
         )
     assert not glob.glob(f"{path}/_delta_log/*.json")
+
+
+def test_element_id_stamp_distributes_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """r15: the repeated-node stamp fans out to Spark tasks when a
+    commit stages >= STAMP_DISTRIBUTE_MIN_FILES files. Force the
+    threshold to 1 so even this small append takes the mapInPandas
+    path, and assert the distributed rewrite leaves exactly the same
+    observable state as the driver loop: complete footer ids on every
+    live file, add.size matching the on-disk (rewritten) size, and
+    value parity in both readers."""
+    import pyarrow.parquet as pq
+
+    from portfolio_data_pipelines_spark.operators import delta_log as dl
+
+    path = str(tmp_path / "t")
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, [1, 2], {"k": 10})],
+            "id long, xs array<long>, m map<string, long>",
+        ),
+        path,
+    )
+    enable_column_mapping(spark, path)
+    enable_iceberg_compat(spark, path, version=2)
+
+    monkeypatch.setattr(dl, "STAMP_DISTRIBUTE_MIN_FILES", 1)
+    write_delta(
+        spark,
+        spark.createDataFrame(
+            [(i, [i, i + 1], {"j": i}) for i in range(2, 8)],
+            "id long, xs array<long>, m map<string, long>",
+        ).repartition(4),
+        path,
+        mode="append",
+    )
+    for f in _live_files(path):
+        assert dl._arrow_schema_ids_complete(pq.read_schema(f)), f
+    # add.size must reflect the REWRITTEN file, not the staged one
+    import json as _json
+    import os as _os
+
+    last = sorted(
+        p for p in _os.listdir(f"{path}/_delta_log") if p.endswith(".json")
+    )[-1]
+    with open(f"{path}/_delta_log/{last}") as fh:
+        for line in fh:
+            act = _json.loads(line)
+            if "add" in act:
+                rel = act["add"]["path"]
+                assert act["add"]["size"] == _os.path.getsize(
+                    f"{path}/{rel}"
+                ), rel
+    got = {r["id"] for r in read_delta(spark, path).collect()}
+    assert got == set(range(1, 8))
+    _names, rows = read_delta_external(path)
+    assert len(rows) == 7
