@@ -1424,3 +1424,223 @@ def test_lifecycle_fuzz_composed_seed_8(spark, tmp_path):
 
 def test_lifecycle_fuzz_composed_seed_23(spark, tmp_path):
     _walk_composed(spark, tmp_path, seed=23, n_ops=10)
+
+
+def _walk_composed_rt(spark, tmp_path, seed, n_ops):
+    """r15 composed walk (VERDICT r14 #6): the OTHER writer-feature
+    cluster — the one icebergCompat forbids mixing with — fuzzed
+    together on ONE table: rowTracking + identity column + column
+    default + generated column + CDF, from creation. Every commit must
+    satisfy every feature's duty simultaneously:
+
+    - the generated column tracks its expression through appends
+      (omitted AND provided), MERGE and UPDATE;
+    - the default fills omitted appends and insert-branch MERGE rows;
+    - identity values are allocated once, never reused, and survive
+      matched MERGE / UPDATE / OPTIMIZE / RESTORE;
+    - materialized row ids stay stable per surviving row through every
+      rewrite (and resurrect unchanged through RESTORE);
+    - a replica maintained purely from read_delta_cdf +
+      apply_changes_delta converges to the model after every commit;
+    - the independent external reader agrees with the native one.
+    """
+    from portfolio_data_pipelines_spark.operators.delta_log import (
+        apply_changes_delta,
+        checkpoint_delta,
+        merge_delta,
+        optimize_delta,
+        read_delta_cdf,
+        update_where,
+    )
+
+    rng = random.Random(seed)
+    path = str(tmp_path / f"fuzz_rt_{seed}")
+    rep = str(tmp_path / f"fuzz_rt_rep_{seed}")
+
+    # model: id -> (v, src); dbl is ALWAYS v*2 (generated), rid/row_id
+    # are engine-allocated and tracked via expectation dicts that are
+    # never pruned (RESTORE must resurrect the original values)
+    model: dict[int, tuple[int, str]] = {}
+    next_id = 0
+    rid_expect: dict[int, int] = {}
+    rowid_expect: dict[int, int] = {}
+    seen_rids: set[int] = set()
+    seen_rowids: set[int] = set()
+    trace = [f"rt-seed={seed}"]
+
+    def frame(sub, omit_src=False, with_dbl=False):
+        cols = "id long, v long" + ("" if omit_src else ", src string") + (
+            ", dbl long" if with_dbl else ""
+        )
+        rows = []
+        for i, (v, src) in sorted(sub.items()):
+            r = [i, v]
+            if not omit_src:
+                r.append(src)
+            if with_dbl:
+                r.append(v * 2)
+            rows.append(tuple(r))
+        return spark.createDataFrame(rows, cols).coalesce(1)
+
+    def fresh(n, src=None):
+        nonlocal next_id
+        out = {}
+        for _ in range(n):
+            i = next_id
+            next_id += 1
+            out[i] = (i * 10, src if src is not None else "web")
+        return out
+
+    seeded = fresh(6)
+    # the creation batch must carry the default column (its declared
+    # type comes from the frame); later appends may omit it
+    write_delta(
+        spark, frame(seeded), path,
+        generated_cols={"dbl": "v * 2"},
+        identity_cols={"rid": {"start": 1, "step": 1}},
+        default_cols={"src": "'web'"},
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    model.update(seeded)
+    trace.append("create(6)")
+    write_delta(  # empty replica, plain shape
+        spark,
+        spark.createDataFrame([], "id long, v long, src string, dbl long, rid long"),
+        rep,
+    )
+    version = 0
+    applied = -1
+    snapshots = {0: dict(model)}
+
+    def check():
+        t = " ".join(trace)
+        got = {}
+        for r in read_delta(spark, path, row_ids=True).collect():
+            assert r["dbl"] == r["v"] * 2, f"generated drift after {t}"
+            got[r["id"]] = (r["v"], r["src"], r["rid"], r["_row_id"])
+        assert {i: (v, s) for i, (v, s, _r, _w) in got.items()} == {
+            i: vs for i, vs in model.items()
+        }, f"value state diverged after {t}"
+        rids = [g[2] for g in got.values()]
+        rowids = [g[3] for g in got.values()]
+        assert len(set(rids)) == len(rids), f"duplicate rid after {t}"
+        assert len(set(rowids)) == len(rowids), f"duplicate row id after {t}"
+        for i, (_v, _s, rid, rowid) in got.items():
+            if i in rid_expect:
+                assert rid_expect[i] == rid, f"rid of {i} moved after {t}"
+            else:
+                assert rid not in seen_rids, f"rid {rid} reused after {t}"
+                rid_expect[i] = rid
+            if i in rowid_expect:
+                assert rowid_expect[i] == rowid, (
+                    f"row id of {i} moved after {t}"
+                )
+            else:
+                assert rowid not in seen_rowids, (
+                    f"row id {rowid} reused after {t}"
+                )
+                rowid_expect[i] = rowid
+            seen_rids.add(rid)
+            seen_rowids.add(rowid)
+        # the independent reader agrees on the full surface
+        names, ext_rows = read_delta_external(path, row_ids=True)
+        idx = {n: j for j, n in enumerate(names)}
+        ext = {
+            r[idx["id"]]: (r[idx["v"]], r[idx["src"]], r[idx["rid"]],
+                           r[idx["_row_id"]])
+            for r in ext_rows
+        }
+        assert ext == got, f"external reader diverged after {t}"
+
+    def sync():
+        nonlocal applied
+        changes = read_delta_cdf(
+            spark, path, applied, key_cols=["id"], to_version=version
+        )
+        apply_changes_delta(spark, rep, changes, key_cols=["id"])
+        applied = version
+        got = sorted(
+            (r["id"], r["v"], r["src"], r["dbl"])
+            for r in read_delta(spark, rep).collect()
+        )
+        want = sorted((i, v, s, v * 2) for i, (v, s) in model.items())
+        assert got == want, f"CDF replica diverged after {' '.join(trace)}"
+
+    check()
+    sync()
+    ops = ["append_omit", "append_full", "merge", "update", "delete",
+           "delete_dv", "optimize", "restore", "checkpoint"]
+    for step in range(n_ops):
+        op = rng.choice(ops)
+        trace.append(f"{step}:{op}")
+        if op == "append_omit":
+            sub = fresh(rng.randrange(2, 5))
+            version = write_delta(spark, frame(sub, omit_src=True), path,
+                                  mode="append")
+            model.update(sub)
+        elif op == "append_full":
+            # provides src AND the generated column (must match its expr)
+            sub = fresh(rng.randrange(2, 4), src="app")
+            version = write_delta(spark, frame(sub, with_dbl=True), path,
+                                  mode="append")
+            model.update(sub)
+        elif op == "merge":
+            upd = {
+                i: (model[i][0] + 1000, model[i][1])
+                for i in rng.sample(sorted(model), min(3, len(model)))
+            }
+            ins = fresh(2, src="merge")
+            src = {**upd, **ins}
+            version = merge_delta(spark, path, frame(src), key_cols=["id"])
+            model.update(src)
+        elif op == "update":
+            matched = [i for i in model if i % 6 == 3]
+            v = update_where(spark, path, "id % 6 = 3", {"v": "v + 7"})
+            if v is None:
+                assert not matched, trace
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in matched:
+                model[i] = (model[i][0] + 7, model[i][1])
+        elif op in ("delete", "delete_dv"):
+            k, r = rng.choice([(5, 1), (7, 2)])
+            fn = delete_where if op == "delete" else delete_where_dv
+            v = fn(spark, path, f"id % {k} = {r}")
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+            for i in [i for i in model if i % k == r]:
+                del model[i]
+        elif op == "optimize":
+            v = optimize_delta(spark, path)
+            if v is None:
+                trace[-1] += "(noop)"
+                continue
+            version = v
+        elif op == "restore":
+            candidates = [v for v in snapshots if v < version]
+            if not candidates:
+                trace[-1] += "(noop)"
+                continue
+            target = rng.choice(candidates)
+            version = restore_delta(spark, path, target, cdf_key_cols=["id"])
+            model = dict(snapshots[target])
+            trace[-1] += f"->{target}"
+        elif op == "checkpoint":
+            checkpoint_delta(spark, path, version)
+        snapshots[version] = dict(model)
+        check()
+        sync()
+
+
+def test_lifecycle_fuzz_composed_rt_seed_4(spark, tmp_path):
+    _walk_composed_rt(spark, tmp_path, seed=4, n_ops=10)
+
+
+def test_lifecycle_fuzz_composed_rt_seed_57(spark, tmp_path):
+    _walk_composed_rt(spark, tmp_path, seed=57, n_ops=10)
