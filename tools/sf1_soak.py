@@ -80,6 +80,12 @@ QUERIES = [
     "delta_identity_mart",
     "delta_iceberg_compat_mart",
     "delta_below_array_mart",
+    # r15 rotation + pruned-assignment queries
+    "delta_lcase_merge_mart",
+    "delta_nested_idmode_mart",
+    "lateness_priority_q12",
+    "text_repetition_filters",
+    "quality_classifier_scores",
 ]
 
 
