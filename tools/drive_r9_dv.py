@@ -96,7 +96,13 @@ write_delta(spark, spark.range(1, 101).select(
     tf, partition_col="bucket")
 delete_where_dv(spark, tf, "id % 4 = 0")
 out = os.path.join(base, "feed_out"); ckpt = os.path.join(base, "feed_ckpt")
-q = (spark.readStream.format("delta_feed").option("path", tf).load()
+# r10 made the plain feed refuse change commits, and a DV delete IS a
+# change commit (dataChange remove + DV re-add of the same path), so
+# the documented ignorechanges opt-in is required; duplicates of
+# surviving rows are accepted — the drive's point is exactly that the
+# DV'd rows are never emitted
+q = (spark.readStream.format("delta_feed").option("path", tf)
+     .option("ignorechanges", "true").load()
      .writeStream.format("parquet").option("path", out)
      .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
 q.awaitTermination(300)
