@@ -16,8 +16,6 @@ Reference: delta-io PROTOCOL.md (Deletion Vectors).
 from __future__ import annotations
 
 import json
-import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

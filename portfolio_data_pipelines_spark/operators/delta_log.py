@@ -3219,11 +3219,29 @@ def _stamp_element_ids_file(path_str: str, elem_ids: dict[str, int]) -> bool:
 STAMP_DISTRIBUTE_MIN_FILES = 8
 
 
+def _stamp_and_size(uri: str, elem_ids: dict[str, int]) -> int:
+    """Stamp one staged file (if its repeated nodes lack ids) and
+    return its current ON-DISK size; ``-2`` when the file is not
+    visible on this host. Reporting the on-disk size even when this
+    attempt did NOT rewrite (ids already present) makes the stamp
+    retry-safe: a re-run task — or the driver fallback after a
+    partially-successful distributed job — still records the rewritten
+    size instead of resurrecting the stale pre-rewrite add.size."""
+    local = uri
+    if local.startswith("file:"):
+        local = "/" + local.split(":", 1)[1].lstrip("/")
+    if not os.path.exists(local):
+        return -2
+    _stamp_element_ids_file(uri, elem_ids)
+    return os.path.getsize(local)
+
+
 def _stamp_element_ids_batch(
     spark, uris: list[str], elem_ids: dict[str, int]
 ) -> dict[str, int]:
     """Stamp declared repeated-node ids into MANY staged files; returns
-    {uri: new_size} for the files actually rewritten.
+    {uri: on_disk_size} for every reachable file (rewritten or already
+    stamped — see :func:`_stamp_and_size` for why both are reported).
 
     Below `STAMP_DISTRIBUTE_MIN_FILES` this is a driver loop (the
     footer-stats locality stance: staged files of a small commit are
@@ -3236,18 +3254,27 @@ def _stamp_element_ids_batch(
     cluster, not the driver. Executors resolve paths with the same
     file:-URI normalization as `_stamp_element_ids_file` (the package
     must be importable on executors — the standing constraint shared
-    with the delta_feed / shredding kernels)."""
+    with the delta_feed / shredding kernels). A file an executor
+    cannot see (non-shared filesystem) is a per-file failure, not a
+    silent no-op: any ``-2`` result routes the whole batch through the
+    driver loop, which raises if the file is missing there too — the
+    icebergCompat footer-id duty is never silently dropped."""
     if not uris:
         return {}
-    if len(uris) < STAMP_DISTRIBUTE_MIN_FILES or spark is None:
+
+    def _driver_loop() -> dict[str, int]:
         out = {}
         for u in uris:
-            if _stamp_element_ids_file(u, elem_ids):
-                local = u
-                if local.startswith("file:"):
-                    local = "/" + local.split(":", 1)[1].lstrip("/")
-                out[u] = os.path.getsize(local)
+            size = _stamp_and_size(u, elem_ids)
+            if size == -2:
+                raise IOError(
+                    f"staged file vanished during element-id stamp: {u}"
+                )
+            out[u] = size
         return out
+
+    if len(uris) < STAMP_DISTRIBUTE_MIN_FILES or spark is None:
+        return _driver_loop()
 
     eids = dict(elem_ids)
 
@@ -3255,19 +3282,11 @@ def _stamp_element_ids_batch(
         import pandas as pd
 
         from portfolio_data_pipelines_spark.operators.delta_log import (
-            _stamp_element_ids_file,
+            _stamp_and_size,
         )
 
         for b in batches:
-            rows = []
-            for u in b["uri"]:
-                size = -1
-                if _stamp_element_ids_file(u, eids):
-                    local = u
-                    if local.startswith("file:"):
-                        local = "/" + local.split(":", 1)[1].lstrip("/")
-                    size = os.path.getsize(local)
-                rows.append((u, size))
+            rows = [(u, _stamp_and_size(u, eids)) for u in b["uri"]]
             yield pd.DataFrame(rows, columns=["uri", "size"])
 
     n_slices = min(len(uris), spark.sparkContext.defaultParallelism)
@@ -3278,28 +3297,32 @@ def _stamp_element_ids_batch(
             .mapInPandas(_stamp_batches, "uri string, size long")
             .collect()
         )
+        if any(r["size"] == -2 for r in res):
+            missing = [r["uri"] for r in res if r["size"] == -2]
+            raise IOError(
+                f"{len(missing)} of {len(uris)} staged files not "
+                "visible on executors (non-shared filesystem?), e.g. "
+                f"{missing[0]}"
+            )
     except Exception as exc:  # noqa: BLE001
         import warnings
 
         # executors that cannot import this package (driver launched
-        # without the package on the worker PYTHONPATH) fail the
-        # distributed pass; the stamp is a correctness duty, so fall
-        # back to the driver loop rather than failing the commit
+        # without the package on the worker PYTHONPATH) or cannot see
+        # the staged files (non-shared FS) fail the distributed pass;
+        # the stamp is a correctness duty, so fall back to the driver
+        # loop rather than failing the commit — loudly, with the file
+        # count, so a 10k-file REORG on a broken cluster image is not
+        # a quiet one-liner
         warnings.warn(
-            "distributed element-id stamp failed "
-            f"({type(exc).__name__}); falling back to the driver-side "
-            "loop — ship the package to executors to distribute this "
-            "pass",
+            f"distributed element-id stamp over {len(uris)} staged "
+            f"files failed ({type(exc).__name__}: {exc}); falling "
+            "back to the driver-side loop — ship the package to "
+            "executors (and stage on a shared filesystem) to "
+            "distribute this pass",
             stacklevel=2,
         )
-        out = {}
-        for u in uris:
-            if _stamp_element_ids_file(u, eids):
-                local = u
-                if local.startswith("file:"):
-                    local = "/" + local.split(":", 1)[1].lstrip("/")
-                out[u] = os.path.getsize(local)
-        return out
+        return _driver_loop()
     return {r["uri"]: r["size"] for r in res if r["size"] >= 0}
 
 

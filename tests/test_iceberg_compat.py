@@ -495,3 +495,45 @@ def test_element_id_stamp_distributes_above_threshold(
     assert got == set(range(1, 8))
     _names, rows = read_delta_external(path)
     assert len(rows) == 7
+
+
+def test_element_id_stamp_retry_safe_and_missing_file_loud(
+    spark, tmp_path, monkeypatch
+):
+    """r16 (advisor): a retried stamp pass must report the on-disk
+    (rewritten) size for files it finds already stamped — not drop
+    them from the result so a stale pre-rewrite add.size survives —
+    and a file that is unreachable must fail loudly instead of
+    silently skipping the icebergCompat footer-id duty."""
+    import pyarrow as pa
+
+    from portfolio_data_pipelines_spark.operators import delta_log as dl
+
+    f = str(tmp_path / "staged.parquet")
+    pq.write_table(
+        pa.table({"xs": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}), f
+    )
+    eids = {"xs": 1, "xs.element": 2}
+    first = dl._stamp_element_ids_batch(None, [f], eids)
+    assert first == {f: os.path.getsize(f)}
+    assert dl._arrow_schema_ids_complete(pq.read_schema(f))
+    # second (retried) pass: nothing left to rewrite, but the size must
+    # still be reported — and identical to the rewritten on-disk size
+    again = dl._stamp_element_ids_batch(None, [f], eids)
+    assert again == first
+    # the distributed kernel reports the same tri-state per file
+    assert dl._stamp_and_size(f, eids) == os.path.getsize(f)
+    assert dl._stamp_and_size(str(tmp_path / "nope.parquet"), eids) == -2
+    # a missing file in the driver loop is an error, not a silent skip
+    with pytest.raises(IOError, match="vanished"):
+        dl._stamp_element_ids_batch(
+            None, [str(tmp_path / "nope.parquet")], eids
+        )
+    # ... and in the distributed path it routes through the driver loop
+    # (which then raises) rather than returning a partial result
+    monkeypatch.setattr(dl, "STAMP_DISTRIBUTE_MIN_FILES", 1)
+    with pytest.warns(UserWarning, match="1 of 2 staged files"):
+        with pytest.raises(IOError, match="vanished"):
+            dl._stamp_element_ids_batch(
+                spark, [f, str(tmp_path / "nope.parquet")], eids
+            )
