@@ -62,11 +62,31 @@ _PLAN_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
 _PLAN_CACHE_MAX = 16
 
 
+#: Scalar twin of _PLAN_CACHE for index-level metadata (e.g. the seed
+#: count the kmeans auto-switch resolves from): same keying, same
+#: lifetime, no persistence to manage.
+_SCALAR_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+
+
 def clear_shared_plans() -> None:
     """Unpersist and drop every cached shared index artifact."""
     while _PLAN_CACHE:
         _, df = _PLAN_CACHE.popitem(last=False)
         df.unpersist()
+    _SCALAR_CACHE.clear()
+
+
+def _memo_scalar(key: tuple, build):
+    """Return the cached scalar for ``key``, computing it on first
+    request (LRU-bounded alongside the plan cache)."""
+    if key in _SCALAR_CACHE:
+        _SCALAR_CACHE.move_to_end(key)
+        return _SCALAR_CACHE[key]
+    val = build()
+    _SCALAR_CACHE[key] = val
+    while len(_SCALAR_CACHE) > _PLAN_CACHE_MAX:
+        _SCALAR_CACHE.popitem(last=False)
+    return val
 
 
 # Back-compat alias (r3 interim name).

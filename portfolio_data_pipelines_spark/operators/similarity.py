@@ -182,6 +182,17 @@ def assign_centroids(
 #: fine centroids — the standard IVF recall/cost knob.
 PRUNED_ASSIGN_NPROBE = 2
 
+#: Centroid count at or above which ``pruned="auto"`` (the
+#: `kmeans_refine` default) switches from the exact brute-force argmax
+#: to the two-level pruned one. The pruned form's asymptotic win
+#: (O(√k) vs O(k) dot products per row) only pays past the fixed cost
+#: of its heavier per-row expression (sort/slice/flatten over struct
+#: arrays carrying the fine vectors): measured at dim=64 on local[32],
+#: brute force is still ~1.7× faster at k≈95 (sf0.1's k = n/53 seeding)
+#: while the pruned form is ~5× faster at k≈950 (the 10× soak) — the
+#: crossover sits between, so 192 wins both measured regimes.
+PRUNED_ASSIGN_MIN_K = 192
+
 
 def _hierarchy_row(
     centroids: DataFrame, vec_col: str, centroid_id_col: str
@@ -389,7 +400,7 @@ def kmeans_refine(
     cluster_id_col: str = "cluster_id",
     exact: bool = True,
     sim_col: str | None = None,
-    pruned: bool = True,
+    pruned: bool | str = "auto",
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement over cosine assignment.
 
@@ -411,16 +422,27 @@ def kmeans_refine(
     differ across runs at the ULP level, which can flip an assignment
     only for points equidistant to that precision.
 
-    ``pruned=True`` (default — the scale form) routes every assignment
-    pass through `assign_centroids_pruned`: a two-level coarse→fine
-    index over the round's centroids cuts per-row work from O(k·dim)
-    to O(√k·dim), which is what makes k ∝ n seeding (the SemDeDup
-    shape) survive scale — brute-force assignment at k = n/53 is
+    ``pruned`` picks the assignment rule. **The default, "auto",
+    decides from the data**: brute-force exact argmax when the initial
+    seed count k₀ < `PRUNED_ASSIGN_MIN_K`, two-level pruned above —
+    so assignments ARE the exact argmax for the common small-fixed-k
+    caller (the pre-r15 semantics; r15 briefly defaulted every caller
+    to the approximate rule, flagged by the r15 advisor) and switch to
+    the approximate-but-scale-safe rule exactly where brute force
+    stops being viable. The decision is a single k₀ threshold fixed
+    for ALL rounds (including the final assignment), computed once per
+    call via ``seeds.count()`` — a seed-table-sized job, negligible
+    next to the n_iter corpus scans, and deterministic, so a SQL
+    oracle replicates the same switch from ``COUNT(*)`` over the seed
+    CTE. ``pruned=True`` forces `assign_centroids_pruned`: the
+    two-level coarse→fine index cuts per-row work from O(k·dim) to
+    O(√k·dim), which is what makes k ∝ n seeding (the SemDeDup shape)
+    survive scale — brute-force assignment at k = n/53 is
     O(n²·dim/53) per round (r14's measured 6.86× wall at 10× rows).
     The pruning rule is deterministic (see `_hierarchy_row`), so the
     pruned form stays oracle-checkable; it is approximate relative to
     the exact argmax only for points whose true nearest centroid hides
-    outside their 2 nearest coarse cells. ``pruned=False`` keeps the
+    outside their 2 nearest coarse cells. ``pruned=False`` forces the
     exact brute-force argmax — right when k is small and fixed.
 
     Scale shape: per round, one corpus scan (assignment is map-side) +
@@ -429,6 +451,16 @@ def kmeans_refine(
     is re-broadcast each round. Rounds are a fixed small constant —
     k-means for corpus bucketing (SemDeDup) needs 1-3, not convergence.
     """
+    if pruned == "auto":
+        # Session-memoized (the same lifetime as the centroid index the
+        # count guards): the resolution costs one seed-table count per
+        # distinct seed plan, not one per call.
+        from .dedup import _memo_scalar, _plan_key as _pk
+
+        pruned = (
+            _memo_scalar(_pk(seeds, "seed_count"), seeds.count)
+            >= PRUNED_ASSIGN_MIN_K
+        )
     assign = assign_centroids_pruned if pruned else assign_centroids
 
     def _refine_centroids() -> DataFrame:
@@ -503,7 +535,7 @@ def cluster_cosine_pairs(
     n_iter: int = 2,
     cluster_id_col: str = "cluster_id",
     max_cell_candidates: int = 256,
-    pruned: bool = True,
+    pruned: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup-shaped embedding near-dup pairs: k-means-bucket the
     corpus (`kmeans_refine`), then exact cosine only WITHIN each

@@ -122,11 +122,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_cte(n_iter: int = 2) -> str:
     """Unrolled Lloyd-iteration CTE chain replicating
-    operators.similarity.kmeans_refine(exact=True, pruned=True)
-    bit-for-bit.
+    operators.similarity.kmeans_refine(exact=True, pruned="auto")
+    bit-for-bit — INCLUDING the auto-switch: ``k0`` counts the seeds
+    once, and every round's assignment is a UNION ALL of two
+    complementarily-gated branches — the exact brute-force argmax when
+    ``k0 < PRUNED_ASSIGN_MIN_K`` (so at sf0.01/sf0.1's k = n/53 the
+    oracle runs the same exact rule Spark does) and the two-level
+    pruned argmax at or above it (the k ∝ n scale regime). Exactly one
+    branch yields rows per execution; the gate scalar is the same
+    seed count Spark's ``seeds.count()`` resolves ``"auto"`` from.
 
-    Round N's assignment mirrors the two-level pruned argmax
-    (`operators.similarity._hierarchy_row` + `_nearest_centroid_pruned`):
+    The pruned branch mirrors `operators.similarity._hierarchy_row` +
+    `_nearest_centroid_pruned`:
     ``r{N}`` ranks the round's centroids by cid and derives the coarse
     stride ``m = ceil(k / ceil(sqrt(k)))``; ``co{N}`` keeps every m-th
     centroid as a coarse cell; ``f2c{N}`` maps each fine centroid to its
@@ -134,16 +141,20 @@ def _kmeans_cte(n_iter: int = 2) -> str:
     ``nc{N}`` drops coarse cells that attracted no fine (the Spark index
     array is built by an inner join, so an empty coarse cell is never
     probed); ``pr{N}`` gives each vector its 2 nearest non-empty coarse
-    cells; ``a{N}`` is the argmax over the fine centroids of the probed
-    cells only. ``m{N}`` then recomputes each dimension's mean as a
-    sequential double fold over the cell's values ordered by vec_id
-    (``list_dot_product(vals, ones)`` folds left-to-right from 0.0 —
-    identical to Spark's ``F.aggregate``), divided by the cell size.
-    The final CTE ``a{n_iter+1}`` is the corpus assigned to the refined
-    centroids, carrying v/nv for downstream pair math."""
+    cells; the pruned ``a{N}`` branch is the argmax over the fine
+    centroids of the probed cells only. ``m{N}`` then recomputes each
+    dimension's mean as a sequential double fold over the cell's values
+    ordered by vec_id (``list_dot_product(vals, ones)`` folds
+    left-to-right from 0.0 — identical to Spark's ``F.aggregate``),
+    divided by the cell size. The final CTE ``a{n_iter+1}`` is the
+    corpus assigned to the refined centroids, carrying v/nv for
+    downstream pair math."""
+    from ..operators.similarity import PRUNED_ASSIGN_MIN_K as _T
+
     parts = [
         _E_NRM,
         "c0 AS (SELECT vec_id AS cid, v, nv FROM ev WHERE vec_id % 53 = 0)",
+        "k0 AS (SELECT COUNT(*) AS k FROM c0)",
     ]
 
     def assign(n: int) -> str:
@@ -185,6 +196,18 @@ def _kmeans_cte(n_iter: int = 2) -> str:
     ),
     a{n} AS (
         SELECT vec_id, v, nv, cid, csim FROM (
+            SELECT e.vec_id, e.v, e.nv, c.cid,
+                   list_dot_product(e.v, c.v) / (e.nv * c.nv) AS csim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
+                                c.cid ASC
+                   ) AS rk
+            FROM ev e CROSS JOIN c{n - 1} c
+            WHERE (SELECT k FROM k0) < {_T}
+        ) WHERE rk = 1
+        UNION ALL
+        SELECT vec_id, v, nv, cid, csim FROM (
             SELECT e.vec_id, e.v, e.nv, f.cid,
                    list_dot_product(e.v, f.v) / (e.nv * f.nv) AS csim,
                    ROW_NUMBER() OVER (
@@ -195,6 +218,7 @@ def _kmeans_cte(n_iter: int = 2) -> str:
             FROM ev e
             JOIN pr{n} p ON p.vec_id = e.vec_id
             JOIN f2c{n} f ON f.ccid = p.ccid
+            WHERE (SELECT k FROM k0) >= {_T}
         ) WHERE rk = 1
     )"""
 
@@ -231,12 +255,16 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k ∝ n — cells stay bounded as the corpus grows), exact-reproducible
     means (sequential fold over vec_id-ordered cell values). Output
     (vec_id, cluster_id) — cluster labels are the seed ids. Assignment
-    is map-side per round (broadcast two-level coarse→fine index,
-    `_hierarchy_row`): each row scores ~√k coarse cells then only the
-    fine centroids of its 2 nearest — O(n·√k·dim) per round instead of
-    the brute-force O(n·k·dim) = O(n²·dim/53), which is what lets the
-    k ∝ n seeding survive a 100× scale-up (r14 soak: 6.86× wall at 10×
-    rows for the brute-force form). The mean recomputation is one
+    is map-side per round and auto-switches on the seed count (r16):
+    the exact brute-force argmax below `PRUNED_ASSIGN_MIN_K` seeds
+    (cheaper AND exact at small k — the sf0.01/sf0.1 regime), the
+    broadcast two-level coarse→fine index (`_hierarchy_row`) above it —
+    each row scores ~√k coarse cells then only the fine centroids of
+    its 2 nearest, O(n·√k·dim) per round instead of the brute-force
+    O(n·k·dim) = O(n²·dim/53), which is what lets the k ∝ n seeding
+    survive a 100× scale-up (r14 soak: 6.86× wall at 10× rows for the
+    brute-force form; 1.42× pruned). The oracle replicates the same
+    switch from the seed count. The mean recomputation is one
     (cell, dim)-keyed shuffle of |corpus|·dim skew-free rows per round."""
     emb = scan_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
@@ -271,8 +299,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped near-dup pairs: k-means-bucket the embeddings
-    (2 Lloyd rounds, every-53rd-id seeds, pruned two-level assignment —
-    see `kmeans_embedding_clusters`), exact cosine ≥ 0.4 only
+    (2 Lloyd rounds, every-53rd-id seeds, k-thresholded auto-switch
+    between exact and pruned assignment — see
+    `kmeans_embedding_clusters`), exact cosine ≥ 0.4 only
     WITHIN each cell, candidates bounded per row at W=256 neighbors in
     the cell's (centroid-cosine DESC, id ASC) order. The scale path
     beside `embedding_cosine_dups`' O(n²) baseline: candidate work is

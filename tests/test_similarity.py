@@ -341,3 +341,60 @@ def test_pruned_assignment_contract_and_quality(spark):
     # worst case for coarse pruning; real clustered embeddings agree far
     # more. 0.7 is the honest floor here, matching the SQ8 test's stance.
     assert agree >= 0.7, agree
+
+
+def test_kmeans_auto_switch_picks_rule_by_seed_count(spark, monkeypatch):
+    """r16: the default ``pruned="auto"`` resolves from the seed count —
+    exact brute-force argmax below PRUNED_ASSIGN_MIN_K (assignments
+    identical to ``pruned=False``), the two-level pruned rule at or
+    above it (identical to ``pruned=True``). Library callers with a
+    small fixed k therefore get exact assignments by default again
+    (the r15 advisor flag)."""
+    from portfolio_data_pipelines_spark.operators import similarity as sim
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.01", "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+
+    def labels(pruned):
+        rows = sim.kmeans_refine(
+            emb, seeds, "embedding", "vec_id", n_iter=2, pruned=pruned
+        ).select("vec_id", "cluster_id").collect()
+        return {r["vec_id"]: r["cluster_id"] for r in rows}
+
+    # k ≈ 10 here, far below the default threshold: auto == exact
+    assert seeds.count() < sim.PRUNED_ASSIGN_MIN_K
+    assert labels("auto") == labels(False)
+    # force the threshold below k: auto == pruned
+    monkeypatch.setattr(sim, "PRUNED_ASSIGN_MIN_K", 1)
+    assert labels("auto") == labels(True)
+
+
+def test_kmeans_gated_oracle_lockstep_in_pruned_regime(spark, duck, monkeypatch):
+    """r16: the k0-gated oracle CTE must replicate the PRUNED branch
+    too, not just the small-k brute branch the sf0.01 parity suite
+    exercises. Force the auto threshold below the fixture's k so Spark
+    runs the two-level pruned assignment, regenerate the oracle SQL
+    (``_kmeans_cte`` reads the threshold at call time), and demand
+    bit-identical (vec_id, cluster_id) labels through the gate."""
+    from portfolio_data_pipelines_spark.operators import similarity as sim
+    from portfolio_data_pipelines_spark.queries.similarity import _kmeans_cte
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    monkeypatch.setattr(sim, "PRUNED_ASSIGN_MIN_K", 2)
+    emb = scan_table(spark, "/root/testdata/sf0.01", "embeddings")
+    seeds = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("cluster_id"), "embedding"
+    )
+    assert seeds.count() >= 2  # the pruned branch is the live one
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in sim.kmeans_refine(
+            emb, seeds, "embedding", "vec_id", n_iter=2
+        ).select("vec_id", "cluster_id").collect()
+    }
+    sql = f"WITH {_kmeans_cte(2)} SELECT vec_id, cid AS cluster_id FROM a3"
+    want = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
+    assert got == want

@@ -151,6 +151,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get(
         "SPARK_GRAFT_CPUS", os.cpu_count() or 4)))
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="soak just these queries (any registered name — rotation "
+        "candidates get their scale evidence BEFORE being declared)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -174,7 +179,7 @@ def main() -> None:
            **{n: s.fn for n, s in q.EXTRA_REGISTRY.items()}}
 
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in (args.only if args.only is not None else QUERIES):
         if name in args.skip:
             continue
         fn = fns[name]
