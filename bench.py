@@ -288,11 +288,10 @@ def _cpu_efficiency() -> float | None:
         return None
 
 
-def _prior_lakehouse_steps():
-    """(round, step map) from the newest driver-recorded
-    ``BENCH_r*.json`` — the comparison base for the per-step lakehouse
-    deltas printed each run (r12 verdict #8). (None, None) when no
-    prior record exists or it carries no parsed step block."""
+def _prior_bench_parsed():
+    """(round, parsed record) from the newest driver-recorded
+    ``BENCH_r*.json``. (None, None) when no prior record exists or it
+    failed to parse."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -306,12 +305,19 @@ def _prior_lakehouse_steps():
     try:
         with open(best[1]) as f:
             doc = json.load(f)
-        steps = ((doc.get("parsed") or {}).get("excluded") or {}).get(
-            "lakehouse_steps"
-        )
-        return best[0], steps or None
+        return best[0], doc.get("parsed") or None
     except Exception:
         return best[0], None
+
+
+def _prior_lakehouse_steps():
+    """(round, step map) from the newest driver-recorded
+    ``BENCH_r*.json`` — the comparison base for the per-step lakehouse
+    deltas printed each run (r12 verdict #8). (None, None) when no
+    prior record exists or it carries no parsed step block."""
+    n, parsed = _prior_bench_parsed()
+    steps = ((parsed or {}).get("excluded") or {}).get("lakehouse_steps")
+    return n, steps or None
 
 
 def main() -> None:
@@ -519,9 +525,29 @@ def main() -> None:
             ],
         },
         "sf": sf,
-        "n_queries": len(timings),
         "detail": "BENCH_FULL.json",
     }
+    # Common-subset total vs the prior driver record (r15 verdict #4):
+    # rotation changes the declared composition every round, so the
+    # suite total alone conflates engine regressions with composition —
+    # the common-query sum is the like-for-like number, now a
+    # first-class field instead of a hand computation each round.
+    # Compact keys: r = prior round, n = common query count, prev/cur =
+    # common-subset warm totals (the driver tail is 2000 chars).
+    prev_n, prev_parsed = _prior_bench_parsed()
+    prev_q = (prev_parsed or {}).get("queries") or {}
+    common = sorted(set(prev_q) & set(timings))
+    if common:
+        common_block = {
+            "r": prev_n,
+            "n": len(common),
+            "prev": round(sum(prev_q[k] for k in common), 1),
+            "cur": round(sum(timings[k] for k in common), 1),
+        }
+        line_base["common"] = common_block
+        full["common_vs_prev"] = common_block
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     # Round-over-round lakehouse step deltas (r12 verdict #8): compare
     # against the most recent driver-recorded BENCH_r*.json so a CDF /
     # merge / feed regression is visible in the bench output itself.
@@ -557,6 +583,12 @@ def main() -> None:
             for k, v in line_base["excluded"]["lakehouse_steps"].items()
             if not k.startswith("lake_")
         }
+        line = json.dumps(line_base, separators=(",", ":"))
+    if len(line) > 1900:
+        # the common-subset block lives in BENCH_FULL.json too and is
+        # recomputable from two driver records — shed it before the
+        # per-step lakehouse map (r12 verdict #8 wants steps recorded)
+        line_base.pop("common", None)
         line = json.dumps(line_base, separators=(",", ":"))
     if len(line) > 1900:
         line_base["excluded"].pop("lakehouse_steps", None)

@@ -106,7 +106,7 @@ def delta_skip_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "delta_dv_delete_mart",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
@@ -239,7 +239,7 @@ def delta_update_delete_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "delta_cdf_merge_replace",
     oracle=f"""
     WITH base AS (
@@ -610,7 +610,7 @@ def delta_apply_replica_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_gencol_pruned_mart",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
@@ -664,7 +664,7 @@ def delta_gencol_pruned_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_dv_purged_mart",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
@@ -847,7 +847,7 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "delta_rowtracking_mart",
     oracle=f"""
     WITH base AS (
@@ -946,12 +946,16 @@ def delta_rowtracking_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@extra_query(
+@query(
     "delta_variant_mart",
     oracle=f"""
     SELECT CAST(ts AS DATE) AS date_utc,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           -- driver-contract cast: DuckDB SUM(BIGINT) is HUGEINT, which
+           -- the driver's .df() fetch coerces to float64 ("860.0" vs
+           -- "860" — the q12 lesson, r15)
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
            {dsum_sql('value')} AS total_value,
            COUNT(DISTINCT event_type) AS n_types
     FROM events

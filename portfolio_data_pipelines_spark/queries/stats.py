@@ -305,7 +305,7 @@ APPROX_PCT_ACCURACY = 10000
 _APPROX_PCT_QS = (0.5, 0.95, 0.99)
 
 
-@query(
+@extra_query(
     "approx_price_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -39,7 +39,7 @@ def _clicks_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "asof_purchase_last_click",
     oracle="""
     WITH purchases AS (
@@ -73,7 +73,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@extra_query(
     "user_sessions_gap30m",
     oracle="""
     WITH marked AS (

@@ -152,7 +152,7 @@ def quality_frame(d: DataFrame) -> DataFrame:
     )
 
 
-@extra_query("text_quality_score", oracle=QUALITY_SQL)
+@query("text_quality_score", oracle=QUALITY_SQL)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
     into one weighted score — the gating signal a pretraining pipeline
@@ -180,7 +180,7 @@ def _lang_vote_sql() -> str:
     """
 
 
-@extra_query("text_lang_id", oracle=_lang_vote_sql())
+@query("text_lang_id", oracle=_lang_vote_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (SURVEY §2.10): stopword-vote heuristic — count
     stopword hits per candidate language, argmax with fixed tie-break

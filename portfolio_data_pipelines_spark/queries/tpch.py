@@ -472,7 +472,7 @@ def top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@extra_query(
+@query(
     "small_qty_revenue_q17",
     oracle=f"""
     WITH part_avg AS (

@@ -18,7 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from portfolio_data_pipelines_spark.plans.signature import plan_shape_signature
+from portfolio_data_pipelines_spark.plans.signature import (
+    plan_shape_signature,
+    plan_shape_signature_reduced,
+)
 from portfolio_data_pipelines_spark.queries import all_queries
 from portfolio_data_pipelines_spark.queries.lakehouse import LIFECYCLE_QUERIES
 from portfolio_data_pipelines_spark.session import get_spark
@@ -46,17 +49,20 @@ def main() -> None:
 
     sigs: dict[str, list[str]] = {}
     for name, fn in sorted(all_queries().items()):
-        if name in LIFECYCLE_QUERIES:
-            # lifecycle queries mutate their own Delta table; plan shape
-            # varies with per-commit file counts — value-hash gated instead
-            print(f"skip lifecycle {name}")
-            continue
         try:
             # canonical COLD plan: the dedup family's shared-artifact
             # cache would otherwise make a query's shape depend on which
             # queries ran earlier in the session
             clear_shared_plans()
-            sigs[name] = plan_shape_signature(fn(spark, SF_DIR))
+            df = fn(spark, SF_DIR)
+            # lifecycle queries mutate their own Delta table; the FULL
+            # node sequence varies with per-commit file counts, so they
+            # pin the REDUCED (count-level) signature instead (r16 —
+            # previously excluded entirely)
+            if name in LIFECYCLE_QUERIES:
+                sigs[name] = plan_shape_signature_reduced(df)
+            else:
+                sigs[name] = plan_shape_signature(df)
         except Exception as exc:  # pragma: no cover - generator diagnostics
             print(f"SKIP {name}: {exc}", file=sys.stderr)
             raise

@@ -86,6 +86,13 @@ QUERIES = [
     "lateness_priority_q12",
     "text_repetition_filters",
     "quality_classifier_scores",
+    # r16 rotation (soaked BEFORE declaration — the r15 pattern)
+    "delta_variant_mart",
+    "delta_dv_purged_mart",
+    "delta_gencol_pruned_mart",
+    "text_lang_id",
+    "text_quality_score",
+    "small_qty_revenue_q17",
 ]
 
 
