@@ -39,6 +39,33 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .delta_cdf import (  # noqa: F401  (re-exported surface)
+    _cdf_enabled,
+    _maybe_stage_cdc,
+    _net_changes,
+    _read_adds_subset,
+    _read_cdc_rows,
+    _stage_cdc_files,
+    enable_change_data_feed,
+    read_delta_cdf,
+)
+from .delta_merge import (  # noqa: F401  (re-exported surface)
+    apply_changes_delta,
+    delta_cdf_apply_sink,
+    merge_delta,
+)
+from .delta_alter import (  # noqa: F401  (re-exported surface)
+    _guard_constraints_reference,
+    add_check_constraint,
+    drop_check_constraint,
+    drop_column,
+    drop_column_default,
+    enable_column_mapping,
+    enable_iceberg_compat,
+    enable_row_tracking,
+    rename_column,
+    set_column_default,
+)
 from .delta_dv import (  # noqa: F401  (re-exported surface)
     DV_BROADCAST_MAX_POSITIONS,
     DV_DELETE_DRIVER_MAX_POSITIONS,
@@ -4048,1213 +4075,6 @@ def read_delta_changes(
     return out.select(*out_fields)
 
 
-def _read_adds_subset(spark, path, subset, meta):
-    """Rows of an explicit add-entry subset (one commit's adds, or the
-    live entries of its removed files), projected to the logical
-    schema's columns (column mapping resolved). None when empty."""
-    return _read_adds(spark, path, subset, meta)
-
-
-def _cdf_enabled(meta: dict | None) -> bool:
-    """Is ``delta.enableChangeDataFeed=true`` set in the table
-    configuration? When it is, every REWRITE commit (MERGE / APPLY
-    CHANGES / replaceWhere / keyed overwrite / keyed RESTORE)
-    materializes its row-level changes as ``_change_data/`` files
-    referenced by ``cdc`` actions — the public protocol's Change Data
-    Feed writer duty. Append-only and remove-only commits stay
-    derivable from add/remove actions and carry no cdc (also per
-    spec), so the hot append path pays nothing."""
-    return bool(meta) and str(
-        (meta.get("configuration") or {}).get(
-            "delta.enableChangeDataFeed", ""
-        )
-    ).lower() == "true"
-
-
-def enable_change_data_feed(spark: SparkSession, path: str) -> int:
-    """Set ``delta.enableChangeDataFeed=true`` — one metadata-only
-    commit, as ``ALTER TABLE ... SET TBLPROPERTIES`` does. The protocol
-    advances to minWriterVersion 4 (the CDF writer feature's legacy
-    version; column-mapped tables are already at 5, which subsumes
-    it). From the next rewrite commit on, changes are materialized at
-    write time, so CDF reads cost O(changes) instead of re-deriving
-    them from both sides of every rewrite — and stay readable after
-    the rewritten data files are vacuumed."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    config = dict(st.meta.get("configuration") or {})
-    if str(config.get("delta.enableChangeDataFeed", "")).lower() == "true":
-        return st.version  # idempotent
-    config["delta.enableChangeDataFeed"] = "true"
-    meta = dict(st.meta)
-    meta["configuration"] = config
-    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-    proto["minWriterVersion"] = max(int(proto["minWriterVersion"]), 4)
-    if int(proto["minWriterVersion"]) >= 7 or proto.get(
-        "writerFeatures"
-    ) is not None:
-        # table-features protocol: every ACTIVE writer feature must be
-        # listed — the legacy version bump alone would hide the CDF
-        # duty from foreign writers
-        wf = set(proto.get("writerFeatures") or [])
-        wf.add("changeDataFeed")
-        proto["writerFeatures"] = sorted(wf)
-    return _commit_metadata_only(
-        spark, path,
-        [
-            _commit_info(
-                "SET TBLPROPERTIES",
-                {"properties": {"delta.enableChangeDataFeed": "true"}},
-            ),
-            {"protocol": proto},
-            {"metaData": meta},
-        ],
-    )
-
-
-def _net_changes(old_df, new_df, key_cols: list, cols: list):
-    """NET row-level changes from ``old_df`` to ``new_df`` keyed by
-    ``key_cols``: a frame of ``cols + _change_type`` (insert /
-    update_preimage / update_postimage / delete). Value-equal rows on
-    both sides (carried over by a copy-on-write rewrite) emit nothing.
-    THE single diff used by both the read-side CDF reconstruction and
-    the write-side cdc materialization, so the two paths cannot
-    diverge (they are pinned equal in tests). One full-outer key join
-    — O(touched rows), the only shuffle either path pays."""
-    nonkey = [c for c in cols if c not in key_cols]
-    post_keys = {c: f"_nk_{c}" for c in key_cols}
-    if nonkey:
-        o = old_df.select(*key_cols, F.struct(*nonkey).alias("_pre"))
-        n = new_df.select(
-            *[F.col(c).alias(post_keys[c]) for c in key_cols],
-            F.struct(*nonkey).alias("_post"),
-        )
-    else:
-        o = old_df.select(*key_cols).withColumn("_pre", F.lit(True))
-        n = new_df.select(
-            *[F.col(c).alias(post_keys[c]) for c in key_cols]
-        ).withColumn("_post", F.lit(True))
-    # NULL-SAFE key pairing: under plain join semantics a NULL key
-    # never equals itself, so a NULL-keyed row would mispair into a
-    # spurious delete+insert; eqNullSafe keeps it one row of the diff
-    cond = None
-    for c in key_cols:
-        e = F.col(c).eqNullSafe(F.col(post_keys[c]))
-        cond = e if cond is None else (cond & e)
-    j = (
-        o.join(n, cond, "full_outer")
-        .filter(
-            # carried-over rows (equal images on both sides) are not
-            # changes; dropping them first keeps every surviving row
-            # mapped to a NON-EMPTY change array below
-            ~(
-                F.col("_pre").isNotNull()
-                & F.col("_post").isNotNull()
-                & F.col("_pre").eqNullSafe(F.col("_post"))
-            )
-        )
-        .select(
-            # keep BOTH sides' key values: under a fold-compare
-            # collation (UTF8_LCASE) the pre and post keys can be
-            # fold-equal but byte-different ('a' matched by 'A') — each
-            # emitted image must carry ITS side's bytes, exactly what a
-            # byte-faithful CDC consumer replays
-            *key_cols,
-            *[F.col(post_keys[c]) for c in key_cols],
-            "_pre",
-            "_post",
-        )
-    )
-    arr = (
-        F.when(
-            F.col("_pre").isNull(),
-            F.array(
-                F.struct(
-                    F.lit("insert").alias("_ct"), F.col("_post").alias("_img")
-                )
-            ),
-        )
-        .when(
-            F.col("_post").isNull(),
-            F.array(
-                F.struct(
-                    F.lit("delete").alias("_ct"), F.col("_pre").alias("_img")
-                )
-            ),
-        )
-        .otherwise(
-            F.array(
-                F.struct(
-                    F.lit("update_preimage").alias("_ct"),
-                    F.col("_pre").alias("_img"),
-                ),
-                F.struct(
-                    F.lit("update_postimage").alias("_ct"),
-                    F.col("_post").alias("_img"),
-                ),
-            )
-        )
-    )
-    ch = j.select(
-        *key_cols,
-        *[F.col(post_keys[c]) for c in key_cols],
-        F.explode(arr).alias("_c"),
-    )
-    img_cols = (
-        [F.col(f"_c._img.{c}").alias(c) for c in nonkey] if nonkey else []
-    )
-    ct = F.col("_c._ct")
-    key_out = [
-        # post-state images carry the post side's key bytes, pre-state
-        # images the pre side's; coalesce covers the one-sided rows
-        F.when(
-            ct.isin("insert", "update_postimage"),
-            F.coalesce(F.col(post_keys[c]), F.col(c)),
-        )
-        .otherwise(F.coalesce(F.col(c), F.col(post_keys[c])))
-        .alias(c)
-        for c in key_cols
-    ]
-    return ch.select(
-        *key_out,
-        *img_cols,
-        ct.alias("_change_type"),
-    ).select(*cols, "_change_type")
-
-
-def _stage_cdc_files(
-    spark, fs, jvm, path: str, changes, new_version: int, l2p: dict | None
-) -> list[dict]:
-    """Write ``changes`` (logical table columns + ``_change_type``) as
-    the commit's change-data files under ``_change_data/`` and return
-    the ``cdc`` actions referencing them.
-
-    Layout choice, documented deviation: files are UNPARTITIONED with
-    EVERY column (including partition columns) materialized in-file
-    under its physical name, and ``partitionValues`` is ``{}`` —
-    delta-spark mirrors the table's hive layout under ``_change_data/``
-    instead and omits partition columns from the files. Both are
-    readable from the actions alone; the flat form keeps the cdc read
-    path one schema'd parquet scan with no partition-dir parsing. A
-    net-empty rewrite still stages one (0-row) file so the commit
-    carries an explicit cdc record — readers then KNOW the rewrite
-    changed nothing instead of falling back to reconstruction.
-
-    Change files are never part of the live set: readers of the table
-    ignore them (cdc actions are skipped by replay), checkpoints don't
-    carry them, and vacuum ages them by file mtime like any
-    unreferenced file — so CDF history expires with the same retention
-    as time travel, the Delta contract."""
-    changes = _variant_physical(changes)  # same duty as data staging
-    if l2p:
-        # id-mode tables: change files carry the same parquet field ids
-        # as data files (``_change_type`` has none — id-resolving CDF
-        # readers match it by its reserved name, as delta-spark does)
-        fids = getattr(l2p, "fids", None)
-        if fids:
-            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        wtypes = getattr(l2p, "wtypes", None) or {}
-        changes = changes.select(
-            *[
-                (
-                    F.col(c).cast(wtypes[c]) if c in wtypes else F.col(c)
-                ).alias(
-                    l2p.get(c, c), metadata={"parquet.field.id": fids[c]}
-                )
-                if fids and c in fids
-                else F.col(c).alias(l2p.get(c, c))
-                for c in changes.columns
-            ]
-        )
-    staging = f"_staging_cdc_v{new_version:020d}_{uuid.uuid4().hex[:12]}"
-    (
-        changes.write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(f"{path}/{staging}")
-    )
-    staged = _relative_files(fs, jvm, path, staging, [])
-    actions = []
-    for i, (rel, size, _pv) in enumerate(sorted(staged)):
-        fname = f"cdc-v{new_version:06d}-{rel.rsplit('/', 1)[-1]}"
-        final_rel = f"_change_data/{fname}"
-        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(src, dst):
-            raise IOError(f"rename failed for {rel}")
-        actions.append(
-            {
-                "cdc": {
-                    "path": _encode_path(final_rel),
-                    "partitionValues": {},
-                    "size": size,
-                    "dataChange": False,
-                }
-            }
-        )
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
-    if not actions:
-        raise IOError(
-            f"staging wrote no change files for commit {new_version} — "
-            "expected at least one (possibly empty) parquet part"
-        )
-    return actions
-
-
-def _read_cdc_rows(spark, path: str, rels: list, meta: dict):
-    """Rows of a commit's change-data files: logical table columns +
-    ``_change_type``. Files carry physical names and every column
-    materialized (see :func:`_stage_cdc_files`); the explicit read
-    schema null-fills columns added by later evolution."""
-    from pyspark.sql.types import StringType, StructField, StructType
-
-    schema = _spark_schema_from_string(meta["schemaString"])
-    l2p = _logical_to_physical(meta)
-    base = _physical_read_schema(meta) if l2p else schema
-    read_schema = StructType(
-        list(base.fields) + [StructField("_change_type", StringType())]
-    )
-    df = spark.read.schema(read_schema).parquet(
-        *[f"{path}/{rel}" for rel in rels]
-    )
-    if l2p:
-        sel = [F.col(l2p[f.name]).alias(f.name) for f in schema.fields]
-    else:
-        sel = [F.col(f.name) for f in schema.fields]
-    return df.select(*sel, F.col("_change_type"))
-
-
-def _maybe_stage_cdc(
-    spark,
-    fs,
-    jvm,
-    path: str,
-    meta: dict,
-    old_df,
-    new_df,
-    key_cols: list | None,
-    cols: list,
-    new_version: int,
-    l2p: dict | None,
-) -> list[dict]:
-    """The write-side CDF duty for one REWRITE commit (both removed
-    and added data files): materialize its row-level changes as cdc
-    actions. With ``key_cols`` the changes are the keyed NET diff
-    (identical to what read-side reconstruction would compute); without
-    keys — an unkeyed overwrite — the protocol's operation semantics
-    apply: every removed row is a ``delete``, every written row an
-    ``insert``. Returns [] when the table hasn't enabled CDF."""
-    if not _cdf_enabled(meta):
-        return []
-    schema = _spark_schema_from_string(meta["schemaString"])
-    empty = spark.createDataFrame([], schema=schema)
-    old_df = old_df if old_df is not None else empty
-    new_df = new_df if new_df is not None else empty
-    # variant columns diff in their PHYSICAL binary form — variant has
-    # no comparison operator, the binary pair does (conservative:
-    # byte-unequal-but-semantically-equal cells would emit an update
-    # pair, but both sides come from files this engine wrote, so
-    # carried-over rows keep identical bytes). Staging below then
-    # no-ops its own conversion.
-    old_df, new_df = _variant_physical(old_df), _variant_physical(new_df)
-    if key_cols:
-        changes = _net_changes(old_df, new_df, key_cols, cols)
-    else:
-        changes = old_df.select(
-            *cols, F.lit("delete").alias("_change_type")
-        ).unionByName(
-            new_df.select(*cols, F.lit("insert").alias("_change_type"))
-        )
-    return _stage_cdc_files(spark, fs, jvm, path, changes, new_version, l2p)
-
-
-def read_delta_cdf(
-    spark: SparkSession,
-    path: str,
-    from_version: int,
-    key_cols: list[str] | None = None,
-    to_version: int | None = None,
-) -> DataFrame:
-    """Row-level change-data-feed for commits ``(from_version,
-    to_version]`` — Delta CDF semantics reconstructed from the
-    transaction log: each commit's NET row-level changes, tagged
-    ``_change_type`` ∈ {insert, update_preimage, update_postimage,
-    delete} with ``_commit_version`` and ``_commit_timestamp`` (the
-    commit file's time) — the contract delta-spark's
-    ``readChangeFeed`` exposes. Unlike :func:`read_delta_changes` (the
-    append feed), a MERGE/replaceWhere/RESTORE rewrite does NOT
-    re-deliver carried-over rows: downstream consumers see exactly the
-    rows that changed, once.
-
-    Reconstruction, per commit (dataChange actions only, so OPTIMIZE /
-    ZORDER layout commits emit nothing):
-
-    - adds without removes (append) → every added row is an ``insert``
-      — map-side, no join, identical rows to the append feed;
-    - removes without adds (truncating overwrite) → every removed row
-      is a ``delete``;
-    - adds AND removes (MERGE / overwrite / replaceWhere / RESTORE,
-      copy-on-write) → a full-outer ``key_cols`` join of the REMOVED
-      files' rows (the pre-state, from the prior version's live set)
-      against the ADDED files' rows: key only in old → ``delete``, only
-      in new → ``insert``, in both with differing non-key values → an
-      ``update_preimage`` + ``update_postimage`` pair; equal rows
-      (carried over by the rewrite) emit nothing.
-
-    ``key_cols`` must uniquely identify a row within the touched files
-    of each snapshot side (the MERGE contract); duplicate keys make
-    image pairing ambiguous — the same contract as
-    ``medallion.diff_versions``, whose value-level diff this matches
-    commit-by-commit (pinned in tests).
-
-    WRITE-SIDE cdc files are preferred: a commit carrying ``cdc``
-    actions (written by this repo's rewrite commits once
-    :func:`enable_change_data_feed` is on, or by any standard Delta
-    writer with ``delta.enableChangeDataFeed=true``) is answered by
-    reading its ``_change_data`` files directly — no join, no need for
-    the rewritten data files to still exist (vacuum-safe), O(changes)
-    cost. Reconstruction remains the fallback for commits from before
-    the table enabled CDF; on such commits ``key_cols`` is required
-    (it may be omitted when every rewrite commit in the window carries
-    cdc actions).
-
-    Scale: the pre-state comes from ONE log replay at ``from_version``
-    advanced incrementally through the commit actions (never a replay
-    per commit); each commit reads only ITS touched files — O(files
-    the commit rewrote), not O(table) — and pays one key shuffle only
-    when it actually rewrote files without cdc. A feed window over an
-    append-mostly table is join-free, and over a CDF-enabled table it
-    is join-free everywhere."""
-    fs, _, jvm = _hadoop_fs(spark, path)
-    versions = _list_log_versions(fs, jvm, path)
-    if not versions:
-        raise FileNotFoundError(f"no _delta_log under {path}")
-    tip = versions[-1] if to_version is None else to_version
-    tip_state = _replay_log(spark, path, tip)
-    meta = tip_state.meta
-    if meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    schema = _spark_schema_from_string(meta["schemaString"])
-    cols = [f.name for f in schema.fields]
-    if key_cols:
-        missing_keys = [k for k in key_cols if k not in cols]
-        if missing_keys:
-            raise ValueError(
-                f"key_cols {missing_keys} not in table schema {cols}"
-            )
-    pcols = meta.get("partitionColumns", [])
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-
-    # live set at from_version, advanced commit by commit below
-    live: dict[str, dict] = (
-        dict(_replay_log(spark, path, from_version).adds)
-        if from_version >= 0
-        else {}
-    )
-
-    def _tag(df, ct, v, ts_ms):
-        return df.select(
-            *cols,
-            F.lit(ct).alias("_change_type"),
-            F.lit(v).cast("long").alias("_commit_version"),
-            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
-        )
-
-    def _diff(old_df, new_df, v, ts_ms):
-        if not key_cols:
-            raise ValueError(
-                f"commit {v} rewrote files and carries no cdc actions — "
-                "pass key_cols to reconstruct its changes, or "
-                "enable_change_data_feed on the table so rewrite commits "
-                "materialize change files"
-            )
-        return _net_changes(old_df, new_df, key_cols, cols).select(
-            *cols,
-            "_change_type",
-            F.lit(v).cast("long").alias("_commit_version"),
-            F.timestamp_millis(F.lit(ts_ms)).alias("_commit_timestamp"),
-        )
-
-    pieces = []
-    for v in range(from_version + 1, tip + 1):
-        log_file = f"{path}/{_log_path(v)}"
-        hpath = jvm.org.apache.hadoop.fs.Path(log_file)
-        if not fs.exists(hpath):
-            raise FileNotFoundError(
-                f"commit {v} missing from {path}/_delta_log"
-            )
-        ts_ms = _commit_ts_ms(fs, jvm, path, v)
-        adds_v: dict[str, dict] = {}
-        removed_adds: dict[str, dict] = {}
-        cdc_v: list[str] = []
-        for line in _read_text(fs, jvm, log_file).splitlines():
-            if not line.strip():
-                continue
-            action = json.loads(line)
-            if "add" in action:
-                a = dict(action["add"])
-                rel = _decode_path(a["path"])
-                a["path"] = rel
-                if a.get("dataChange", True):
-                    adds_v[rel] = a
-                live[rel] = a
-            elif "remove" in action:
-                rel = _decode_path(action["remove"]["path"])
-                # the removed entry comes from the PRE-commit live set
-                prev = live.pop(rel, None)
-                if action["remove"].get("dataChange", True) and prev is not None:
-                    removed_adds[rel] = prev
-            elif "cdc" in action:
-                cdc_v.append(_decode_path(action["cdc"]["path"]))
-        if cdc_v:
-            # write-side change files: the commit's changes verbatim —
-            # no join, and valid even after the rewritten data files
-            # were vacuumed (live was still advanced above)
-            gone_cdc = [
-                rel
-                for rel in cdc_v
-                if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"))
-            ]
-            if gone_cdc:
-                raise FileNotFoundError(
-                    f"change files of commit {v} were vacuumed "
-                    f"({gone_cdc[:3]}{'...' if len(gone_cdc) > 3 else ''}) "
-                    "— the CDF window exceeds the table's retention"
-                )
-            pieces.append(
-                _read_cdc_rows(spark, path, cdc_v, meta).select(
-                    *cols,
-                    "_change_type",
-                    F.lit(v).cast("long").alias("_commit_version"),
-                    F.timestamp_millis(F.lit(ts_ms)).alias(
-                        "_commit_timestamp"
-                    ),
-                )
-            )
-            continue
-        if not adds_v and not removed_adds:
-            continue  # txn-only / layout-only commit
-        gone = [
-            rel
-            for rel in removed_adds
-            if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}"))
-        ]
-        if gone:
-            raise FileNotFoundError(
-                f"cannot reconstruct changes for commit {v}: its removed "
-                f"files were vacuumed ({gone[:3]}"
-                f"{'...' if len(gone) > 3 else ''}) — the CDF window "
-                "exceeds the table's retention; start from a newer "
-                "version or raise the vacuum retention"
-            )
-        new_df = _read_adds_subset(spark, path, adds_v, meta)
-        old_df = _read_adds_subset(spark, path, removed_adds, meta)
-        if old_df is None:
-            pieces.append(_tag(new_df, "insert", v, ts_ms))
-        elif new_df is None:
-            pieces.append(_tag(old_df, "delete", v, ts_ms))
-        else:
-            pieces.append(_diff(old_df, new_df, v, ts_ms))
-
-    out_fields = cols + ["_change_type", "_commit_version", "_commit_timestamp"]
-    if not pieces:
-        from pyspark.sql.types import (
-            LongType,
-            StringType,
-            StructField,
-            StructType,
-            TimestampType,
-        )
-
-        empty = StructType(
-            schema.fields
-            + [
-                StructField("_change_type", StringType()),
-                StructField("_commit_version", LongType()),
-                StructField("_commit_timestamp", TimestampType()),
-            ]
-        )
-        return spark.createDataFrame([], schema=empty)
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.select(*out_fields)
-
-
-def merge_delta(
-    spark: SparkSession,
-    path: str,
-    source: DataFrame,
-    key_cols: list[str],
-) -> int:
-    """MERGE INTO the Delta table at ``path``: rows matching ``source``
-    on ``key_cols`` are replaced, new keys are inserted (WHEN MATCHED
-    THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *). Returns the
-    committed version.
-
-    Copy-on-write at FILE granularity, the Delta MERGE algorithm: a
-    semi-join of the target against the source keys identifies the
-    touched files (via ``input_file_name``); ONLY those files are
-    rewritten — their non-matching rows survive alongside the full
-    source — then one commit tombstones the touched files and adds the
-    rewrites. Untouched files are neither read twice nor rewritten, so
-    cost is O(files containing matching keys), not O(table). Ambiguous
-    sources (duplicate keys) are rejected, as Delta does.
-
-    The reference's roadmap names exactly this (``README.md:209``);
-    ``operators/medallion.merge_upsert`` is the plain-parquet
-    restatement at partition granularity."""
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    versions = _list_log_versions(fs, jvm, path)
-    if not versions:
-        raise FileNotFoundError(f"no _delta_log under {path}")
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    adds, meta = st.adds, st.meta
-    if meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    schema = _spark_schema_from_string(meta["schemaString"])
-    cols = [f.name for f in schema.fields]
-    # identity columns through MERGE (r12; refused through r11): a
-    # source that OMITS the identity column takes the surrogate-key CDC
-    # shape — matched rows inherit the target's stored values (the same
-    # touched-file repair the omitted-DEFAULT path uses), insert-branch
-    # rows are allocated past the high-water mark, and the advanced
-    # mark re-emits in the SAME commit. A source that PROVIDES the
-    # column is accepted only on BY DEFAULT tables
-    # (allowExplicitInsert), and only when no matched row's value
-    # CHANGES — UPDATE of an identity column stays refused.
-    id_specs = _identity_specs(meta)
-    id_provided = sorted(c for c in id_specs if c in source.columns)
-    for c in id_provided:
-        if not id_specs[c]["allowExplicitInsert"]:
-            raise ValueError(
-                f"MERGE source provides identity column {c!r}, which is "
-                "GENERATED ALWAYS — omit it (matched rows keep their "
-                "stored values, inserted rows are allocated), or "
-                "declare the column BY DEFAULT (allow_explicit_insert)"
-            )
-    id_omitted = sorted(c for c in id_specs if c not in source.columns)
-    bad_id_keys = sorted(set(id_omitted) & set(key_cols))
-    if bad_id_keys:
-        raise ValueError(
-            f"MERGE keys {bad_id_keys} are identity columns the source "
-            "does not provide — matching requires the key values"
-        )
-    # generated/default columns: a merge source may legitimately OMIT
-    # them (computed/filled here, before the completeness check); ones
-    # it provides must match their expression (generated) or are taken
-    # as-is (defaults). SQL MERGE semantics for an omitted DEFAULT
-    # column: the default applies to INSERT (not-matched) rows only —
-    # matched rows keep the target's stored values. The fill below
-    # covers inserts (and defaulted key columns, which discovery
-    # needs); matched rows are repaired from the touched files once
-    # they are read, before anything is staged (r12, ADVICE).
-    defaults_omitted = sorted(
-        c for c in _column_defaults(meta) if c not in source.columns
-    )
-    gens_omitted = sorted(
-        c for c in _generated_exprs(meta) if c not in source.columns
-    )
-    source = _apply_column_defaults(source, meta)
-    for c in id_omitted:
-        # placeholder: matched rows are repaired from the target below,
-        # insert-branch rows are allocated past the high-water mark
-        source = source.withColumn(c, F.lit(None).cast("long"))
-    gen_frame, gen_cached = _apply_generated_columns(source, meta)
-    cached_frames: list[DataFrame] = [gen_frame] if gen_cached else []
-    source = gen_frame
-    missing = [c for c in cols if c not in source.columns]
-    if missing:
-        raise ValueError(f"merge source missing target columns {missing}")
-    if source.groupBy(*key_cols).count().filter(F.col("count") > 1).take(1):
-        raise ValueError(
-            "merge source has duplicate keys — ambiguous WHEN MATCHED"
-        )
-    # align source types to the DECLARED schema (collated strings:
-    # a plain-string key against a collated target column would be
-    # INDETERMINATE_COLLATION at the discovery join)
-    source = _align_source_types(source.select(*cols), schema)
-    # CHECK constraints are enforced AFTER the matched-row default
-    # repair below (validated rows == committed rows).
-    pcols = meta.get("partitionColumns", [])
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-
-    # STATS PRUNING before the discovery scan: a file whose per-key
-    # min/max range (from the log's stats document / partitionValues)
-    # is disjoint from the SOURCE's key range cannot hold a matching
-    # key, so it is neither scanned for discovery nor eligible for
-    # rewrite. Cost: one tiny agg over the (feed-sized) source; payoff
-    # at 100 TB: a MERGE of one day's keys into a years-deep table
-    # plans O(that day's files), not O(table files). Superset-safe —
-    # files without stats are always kept (_file_may_match).
-    bounds_row = source.agg(
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
-    l2p = _logical_to_physical(meta)
-    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
-    fold_cols = _fold_collated_columns(meta)
-    key_pred = {
-        (l2p.get(k, k) if l2p else k): (
-            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
-        )
-        for k in key_cols
-        # folded-compare (collated) keys never prune on byte-ordered
-        # file stats — superset-safe to keep every file for them
-        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
-    }
-    scan_adds = (
-        {
-            rel: a
-            for rel, a in adds.items()
-            if _file_may_match(a, pv_cols, key_pred)
-        }
-        if key_pred
-        else adds
-    )
-
-    # Touched-file DISCOVERY pass: key columns + file provenance only,
-    # so the scan prunes to the join keys (never the full row width).
-    # Writer-produced hive layouts resolve in ONE reader call; foreign
-    # layouts take the grouped union fallback.
-    target_keys = _read_adds(spark, path, scan_adds, meta, with_file=True)
-    if target_keys is None:
-        # zero live files (e.g. truncated by an empty overwrite): the
-        # merge degenerates to a pure insert
-        target_keys = spark.createDataFrame([], schema=schema).withColumn(
-            "_file", F.lit("")
-        )
-    target_keys = target_keys.select(*key_cols, "_file")
-
-    src_keys = F.broadcast(source.select(*key_cols).distinct())
-    touched_uris = {
-        r["_file"]
-        for r in target_keys.join(src_keys, key_cols, "left_semi")
-        .select("_file").distinct().collect()
-    }
-    # Map absolute scan URIs back to log-relative paths via an EXACT
-    # normalized-URI lookup — a suffix match would false-positive when
-    # one add's relative path is a path-suffix of another's (possible in
-    # foreign-written/exported layouts with nested dirs), silently
-    # tombstoning an untouched file without rewriting its rows.
-    uri_to_rel = {
-        _normalize_uri(f"{path}/{rel}", decode=False): rel for rel in adds
-    }
-    touched_rels = []
-    for u in touched_uris:
-        rel = uri_to_rel.get(_normalize_uri(u, decode=True))
-        if rel is None:
-            raise ValueError(
-                f"scanned file {u} does not map to any live add entry — "
-                "log and filesystem views diverged"
-            )
-        touched_rels.append(rel)
-    touched_rels = sorted(touched_rels)
-    if touched_rels:
-        # the rewrite deletes rows from the touched files
-        _check_append_only(meta, True)
-    new_version = versions[-1] + 1
-    if not touched_rels and source.isEmpty():
-        for fr in cached_frames:
-            fr.unpersist()
-        return versions[-1]
-    # REWRITE pass reads ONLY the touched files (the Delta MERGE cost
-    # model: O(files holding matching keys), not a second full-table
-    # scan filtered by provenance — at scale the difference is the
-    # whole table).
-    rt = _row_tracking_supported(st.protocol)
-    touched_df = None
-    if touched_rels:
-        touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
-    # Matched-row DEFAULT repair: a source that omitted a defaulted
-    # column was filled above (correct for inserts), but SQL MERGE
-    # keeps the TARGET's stored values on matched rows. Pull them from
-    # the touched files (already read for the rewrite) and substitute
-    # per matched key; unmatched (insert) rows keep the default. When
-    # several target rows share a key they collapse to one source row —
-    # the kept value follows the surviving row (min row id under row
-    # tracking, else the deterministic minimum).
-    sub_cols = [
-        c for c in defaults_omitted + id_omitted if c not in key_cols
-    ]
-    if sub_cols and touched_df is not None:
-        tgt_vals = F.broadcast(
-            touched_df.groupBy(*key_cols)
-            .agg(
-                *[
-                    (F.min_by(c, "_row_id") if rt else F.min(c)).alias(
-                        f"__tgt_{c}"
-                    )
-                    for c in sub_cols
-                ]
-            )
-            .withColumn("__matched", F.lit(True))
-        )
-        source = source.join(tgt_vals, key_cols, "left").select(
-            *[
-                F.when(F.col("__matched"), F.col(f"__tgt_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
-                if c in sub_cols
-                else F.col(c)
-                for c in cols
-            ]
-        )
-    # identity allocation for the INSERT branch: rows still NULL after
-    # the matched-row repair are genuinely new keys — allocate them
-    # past the high-water mark; the advanced mark re-emits in the SAME
-    # commit below. One cache (the allocator's two-pass contract).
-    id_hwms: dict[str, int] = {}
-    if id_omitted:
-        source = source.cache()
-        cached_frames.append(source)
-        for c in id_omitted:
-            source, new_hwm = _allocate_identity(
-                source, c, id_specs[c], only_null=True
-            )
-            if new_hwm is not None:
-                id_hwms[c] = new_hwm
-    if id_provided:
-        # BY DEFAULT source-carried values: matched rows must keep their
-        # stored values (UPDATE of identity stays refused) ...
-        if touched_df is not None:
-            clash = None
-            stored = touched_df.select(
-                *key_cols,
-                *[F.col(c).alias(f"__tid_{c}") for c in id_provided],
-            ).distinct()
-            for c in id_provided:
-                bad = ~F.col(c).eqNullSafe(F.col(f"__tid_{c}"))
-                clash = bad if clash is None else (clash | bad)
-            if source.join(stored, key_cols).filter(clash).take(1):
-                raise ValueError(
-                    "MERGE source changes identity column value(s) on "
-                    f"matched row(s) ({id_provided}) — UPDATE of an "
-                    "identity column is refused"
-                )
-        # ... and the high-water mark advances past observed inserts
-        obs = source.agg(
-            *[
-                (F.max(c) if id_specs[c]["step"] > 0 else F.min(c)).alias(c)
-                for c in id_provided
-            ]
-        ).first()
-        for c in id_provided:
-            if obs[c] is not None:
-                adv = _identity_hwm_advance(id_specs[c], int(obs[c]))
-                if adv is not None:
-                    id_hwms[c] = adv
-    # columns whose values changed AFTER the generated-column pass:
-    # target-repaired ones (only when matches existed) and allocated
-    # identity ones (always — they started as NULL placeholders)
-    changed_cols = sorted(
-        set(sub_cols if touched_df is not None else []) | set(id_omitted)
-    )
-    if changed_cols:
-        # generated columns that the source omitted were computed from
-        # the pre-repair (default-filled / identity-null) values —
-        # recompute against the repaired frame, and revalidate provided
-        # ones, iff any generation expression can see a repaired column
-        pat = re.compile(
-            "|".join(rf"\b{re.escape(c)}\b" for c in changed_cols)
-        )
-        if any(pat.search(e) for e in _generated_exprs(meta).values()):
-            regen, regen_cached = _apply_generated_columns(
-                source.drop(*gens_omitted), meta
-            )
-            if regen_cached:
-                cached_frames.append(regen)
-            source = regen.select(*cols)
-    # CHECK constraints gate MERGE too; the returned (cached) frame is
-    # what gets staged, so validated rows == committed rows.
-    source, cached_source = _enforce_constraints(source, meta)
-    if cached_source:
-        cached_frames.append(source)
-    if touched_df is not None:
-        survivors = touched_df.join(src_keys, key_cols, "left_anti").select(
-            *cols,
-            *(["_row_id", "_row_commit_version"] if rt else []),
-        )
-    else:
-        survivors = spark.createDataFrame([], schema=schema)
-        if rt:
-            survivors = survivors.withColumn(
-                "_row_id", F.lit(None).cast("long")
-            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
-    if rt:
-        # row-id preservation through MERGE: survivors keep id AND
-        # commit version; matched-updated rows inherit the TARGET row's
-        # id (one broadcast-sized join against the touched files' keys)
-        # with a fresh commit version; inserts get null ids — fresh
-        # ones derive from the new add's baseRowId
-        survivors = _rt_materialize(survivors, meta)
-        if touched_df is not None:
-            # N matched target rows collapse to ONE source row: the
-            # smallest id survives deterministically, the rest retire
-            tgt_ids = touched_df.groupBy(*key_cols).agg(
-                F.min("_row_id").alias("_row_id")
-            )
-            source_rt = source.join(tgt_ids, key_cols, "left").select(
-                *cols, "_row_id"
-            )
-        else:
-            source_rt = source.withColumn(
-                "_row_id", F.lit(None).cast("long")
-            )
-        source_rt = _rt_materialize(
-            source_rt.withColumn(
-                "_row_commit_version", F.lit(None).cast("long")
-            ),
-            meta,
-            fresh_cv=True,
-        )
-        new_data = survivors.unionByName(source_rt)
-    else:
-        new_data = survivors.unionByName(source)
-
-    try:
-        new_adds = _stage_commit_files(
-            spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
-        )
-    finally:
-        for fr in cached_frames:
-            fr.unpersist()
-    # Write-side CDF: a rewrite commit on a CDF-enabled table
-    # materializes its keyed net changes as change files — the staged
-    # files are final on disk, so the diff reads them back rather than
-    # re-evaluating the merge plan. Touch-free commits (pure inserts)
-    # stay derivable from their add actions and write no cdc.
-    cdc_actions: list[dict] = []
-    if touched_rels and _cdf_enabled(meta):
-        staged_map = {
-            _decode_path(a["add"]["path"]): a["add"] for a in new_adds
-        }
-        cdc_actions = _maybe_stage_cdc(
-            spark, fs, jvm, path, meta,
-            _read_adds(spark, path, {r: adds[r] for r in touched_rels}, meta),
-            _read_adds(spark, path, staged_map, meta),
-            key_cols, cols, new_version, l2p,
-        )
-    now = _now_ms()
-
-    actions: list[dict] = [
-        _commit_info(
-            "MERGE", {"keyColumns": key_cols},
-            metrics=_add_metrics(new_adds, len(touched_rels)),
-        )
-    ]
-    if id_hwms:
-        # identity high-water marks advance in the SAME commit as the
-        # rows they cover (write_delta's append contract, kept by MERGE)
-        actions.append(
-            {"metaData": _meta_with_identity_hwm(meta, id_hwms)}
-        )
-    actions.extend(cdc_actions)
-    actions.extend(
-        {
-            "remove": {
-                "path": _encode_path(rel),
-                "deletionTimestamp": now,
-                "dataChange": True,
-            }
-        }
-        for rel in touched_rels
-    )
-    _rt_finalize_commit(st, new_adds, actions, new_version)
-    actions.extend(new_adds)
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def apply_changes_delta(
-    spark: SparkSession,
-    path: str,
-    changes: DataFrame,
-    key_cols: list[str],
-    txn: tuple[str, int] | None = None,
-) -> int:
-    """APPLY CHANGES INTO — fold a batch of row-level CDF rows
-    (``_change_type`` ∈ insert | update_preimage | update_postimage |
-    delete, ``_commit_version``) into the Delta table at ``path``:
-    upserts for the latest insert/update_postimage per key, DELETES for
-    keys whose latest change is a delete. This is the replica-
-    maintenance consumer of :func:`read_delta_cdf` / the ``delta_feed``
-    readChangeFeed stream (DLT's ``APPLY CHANGES INTO`` shape): chain
-    source → CDF → apply and the target converges to the source.
-
-    Net-change resolution: preimages carry no final state and are
-    dropped; among the rest, the highest ``_commit_version`` per key
-    wins (a key updated at v3 and deleted at v7 nets to a delete).
-
-    Copy-on-write at file granularity like MERGE, plus deletes: only
-    files holding an affected key (stats-pruned by the batch's key
-    range, then semi-join discovered) are rewritten; their unaffected
-    rows survive next to the upserts. ``txn`` gives the commit the
-    exactly-once ledger for streaming replay. Returns the committed
-    version (or the current one for an idempotent replay / empty
-    batch)."""
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    versions = _list_log_versions(fs, jvm, path)
-    if not versions:
-        raise FileNotFoundError(f"no _delta_log under {path}")
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    adds, meta = st.adds, st.meta
-    if meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    if txn is not None and st.txns.get(txn[0], -1) >= txn[1]:
-        return versions[-1]
-    schema = _spark_schema_from_string(meta["schemaString"])
-    cols = [f.name for f in schema.fields]
-    # identity columns (r12): a change batch carries FULL rows, so the
-    # replica's identity values are source-allocated explicit inserts —
-    # legal exactly when the column is BY DEFAULT (allowExplicitInsert);
-    # the high-water mark then advances past the observed values in the
-    # same commit. GENERATED ALWAYS replicas stay refused: the target
-    # could never have produced those values itself.
-    id_specs = _identity_specs(meta)
-    id_always = sorted(
-        c for c in id_specs if not id_specs[c]["allowExplicitInsert"]
-    )
-    if id_always:
-        raise ValueError(
-            "APPLY CHANGES into a table with GENERATED ALWAYS identity "
-            f"column(s) {id_always} is not supported — replica rows "
-            "carry source-allocated values; declare the replica column "
-            "BY DEFAULT (allow_explicit_insert) to accept them"
-        )
-    missing = [c for c in cols if c not in changes.columns]
-    if missing:
-        raise ValueError(f"change batch missing target columns {missing}")
-    for c in ("_change_type", "_commit_version"):
-        if c not in changes.columns:
-            raise ValueError(f"change batch missing {c}")
-    # collated targets: align the batch's data columns to the declared
-    # types so key joins against the target use the table's collation
-    changes = _align_source_types(changes, schema)
-    pcols = meta.get("partitionColumns", [])
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
-
-    # net change per key: drop preimages (no final-state info), then
-    # the highest commit version wins — within one commit a key has
-    # exactly one final action, so the version alone is the order
-    finals = changes.filter(F.col("_change_type") != "update_preimage")
-    net = (
-        finals.groupBy(*key_cols)
-        .agg(
-            F.max_by(
-                F.struct(*cols, "_change_type"), F.col("_commit_version")
-            ).alias("_last")
-        )
-        .select("_last.*")  # the struct carries keys + values + type
-    )
-    net = net.localCheckpoint(eager=True)  # one evaluation: discovery + rewrite
-    upserts = net.filter(F.col("_change_type") != "delete").select(*cols)
-    # BY DEFAULT identity: advance the high-water mark past the
-    # source-allocated values this batch replicates (same commit)
-    id_hwms: dict[str, int] = {}
-    if id_specs:
-        obs = upserts.agg(
-            *[
-                (F.max(c) if id_specs[c]["step"] > 0 else F.min(c)).alias(c)
-                for c in sorted(id_specs)
-            ]
-        ).first()
-        for c in sorted(id_specs):
-            if obs[c] is not None:
-                adv = _identity_hwm_advance(id_specs[c], int(obs[c]))
-                if adv is not None:
-                    id_hwms[c] = adv
-    # CHECK constraints gate APPLY CHANGES exactly like WRITE and MERGE:
-    # a replica table with delta.constraints.* must reject violating
-    # upserts before a byte is staged (deletes carry no row state and
-    # cannot violate a CHECK).
-    upserts, upserts_cached = _enforce_constraints(upserts, meta)
-
-    # discovery: files holding ANY affected key (upsert or delete)
-    bounds_row = net.agg(
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
-    l2p = _logical_to_physical(meta)
-    pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
-    fold_cols = _fold_collated_columns(meta)
-    key_pred = {
-        (l2p.get(k, k) if l2p else k): (
-            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
-        )
-        for k in key_cols
-        # folded-compare (collated) keys never prune on byte-ordered
-        # file stats — superset-safe to keep every file for them
-        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
-    }
-    scan_adds = (
-        {r: a for r, a in adds.items() if _file_may_match(a, pv_cols, key_pred)}
-        if key_pred
-        else adds
-    )
-    target_keys = _read_adds(spark, path, scan_adds, meta, with_file=True)
-    affected_keys = F.broadcast(net.select(*key_cols).distinct())
-    if target_keys is not None:
-        touched_uris = {
-            r["_file"]
-            for r in target_keys.select(*key_cols, "_file")
-            .join(affected_keys, key_cols, "left_semi")
-            .select("_file").distinct().collect()
-        }
-    else:
-        touched_uris = set()
-    uri_to_rel = {
-        _normalize_uri(f"{path}/{rel}", decode=False): rel for rel in adds
-    }
-    touched_rels = []
-    for u in touched_uris:
-        rel = uri_to_rel.get(_normalize_uri(u, decode=True))
-        if rel is None:
-            raise ValueError(
-                f"scanned file {u} does not map to any live add entry — "
-                "log and filesystem views diverged"
-            )
-        touched_rels.append(rel)
-    touched_rels = sorted(touched_rels)
-    if touched_rels:
-        _check_append_only(meta, True)
-    new_version = versions[-1] + 1
-    if not touched_rels and upserts.isEmpty():
-        if upserts_cached:
-            upserts.unpersist()
-        return versions[-1]
-    rt = _row_tracking_supported(st.protocol)
-    if touched_rels:
-        touched_adds = {rel: adds[rel] for rel in touched_rels}
-        touched_df = _read_adds(spark, path, touched_adds, meta, row_ids=rt)
-        survivors = (
-            touched_df.join(affected_keys, key_cols, "left_anti")
-            .select(
-                *cols,
-                *(["_row_id", "_row_commit_version"] if rt else []),
-            )
-        )
-    else:
-        touched_df = None
-        survivors = spark.createDataFrame([], schema=schema)
-        if rt:
-            survivors = survivors.withColumn(
-                "_row_id", F.lit(None).cast("long")
-            ).withColumn("_row_commit_version", F.lit(None).cast("long"))
-    if rt:
-        # same preservation contract as MERGE: survivors keep id+cv,
-        # upserted keys inherit the target row's id with a fresh cv,
-        # genuinely new keys derive fresh ids from the add
-        survivors = _rt_materialize(survivors, meta)
-        if touched_df is not None:
-            tgt_ids = touched_df.groupBy(*key_cols).agg(
-                F.min("_row_id").alias("_row_id")
-            )
-            upserts_rt = upserts.join(tgt_ids, key_cols, "left").select(
-                *cols, "_row_id"
-            )
-        else:
-            upserts_rt = upserts.withColumn(
-                "_row_id", F.lit(None).cast("long")
-            )
-        upserts_rt = _rt_materialize(
-            upserts_rt.withColumn(
-                "_row_commit_version", F.lit(None).cast("long")
-            ),
-            meta,
-            fresh_cv=True,
-        )
-        new_data = survivors.unionByName(upserts_rt)
-    else:
-        new_data = survivors.unionByName(upserts)
-    try:
-        new_adds = _stage_commit_files(
-            spark, fs, jvm, path, new_data, pcols, new_version, l2p=l2p
-        )
-    finally:
-        if upserts_cached:
-            upserts.unpersist()
-    # write-side CDF on the replica: rewrite commits carry cdc files,
-    # so a replica-of-a-replica chain stays O(changes) end to end
-    cdc_actions: list[dict] = []
-    if touched_rels and _cdf_enabled(meta):
-        staged_map = {
-            _decode_path(a["add"]["path"]): a["add"] for a in new_adds
-        }
-        cdc_actions = _maybe_stage_cdc(
-            spark, fs, jvm, path, meta,
-            _read_adds(spark, path, {r: adds[r] for r in touched_rels}, meta),
-            _read_adds(spark, path, staged_map, meta),
-            key_cols, cols, new_version, l2p,
-        )
-    now = _now_ms()
-    actions: list[dict] = [
-        _commit_info(
-            "APPLY CHANGES", {"keyColumns": key_cols},
-            metrics=_add_metrics(new_adds, len(touched_rels)),
-        )
-    ]
-    if id_hwms:
-        actions.append(
-            {"metaData": _meta_with_identity_hwm(meta, id_hwms)}
-        )
-    actions.extend(cdc_actions)
-    if txn is not None:
-        actions.append(
-            {"txn": {"appId": txn[0], "version": txn[1], "lastUpdated": now}}
-        )
-    actions.extend(
-        {
-            "remove": {
-                "path": _encode_path(rel),
-                "deletionTimestamp": now,
-                "dataChange": True,
-            }
-        }
-        for rel in touched_rels
-    )
-    _rt_finalize_commit(st, new_adds, actions, new_version)
-    actions.extend(new_adds)
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def delta_cdf_apply_sink(
-    target_path: str,
-    key_cols: list[str],
-    app_id: str = "cdf-apply",
-):
-    """foreachBatch sink: apply a ``delta_feed`` readChangeFeed stream
-    into a target Delta table exactly once —
-    ``source → CDF stream → apply_changes_delta`` keeps the target a
-    converging replica of the source across MERGEs, replaceWheres and
-    RESTOREs (not just appends). The txn ledger makes replayed batch
-    ids no-ops, the same contract as :func:`delta_stream_sink`."""
-
-    def sink(batch: DataFrame, batch_id: int) -> None:
-        apply_changes_delta(
-            batch.sparkSession,
-            target_path,
-            batch,
-            key_cols=key_cols,
-            txn=(app_id, int(batch_id)),
-        )
-
-    return sink
-
-
 def delta_stream_sink(
     path: str,
     partition_col: str | None = None,
@@ -6183,459 +5003,6 @@ def _commit_metadata_only(
     return new_version
 
 
-def enable_column_mapping(spark: SparkSession, path: str) -> int:
-    """Upgrade the table to NAME-mode column mapping — the Delta
-    feature that makes RENAME and DROP COLUMN metadata-only
-    operations: every field gets a stable ``delta.columnMapping.id``
-    and a ``physicalName`` (its CURRENT name, so every existing parquet
-    file stays readable — delta-spark's upgrade rule), the
-    configuration records ``delta.columnMapping.mode=name`` +
-    ``maxColumnId``, and the protocol advances to reader 2 / writer 5
-    as the spec requires. One metadata-only commit, zero data
-    movement. Readers below version 2 must refuse the table afterwards
-    (both this repo's readers enforce that)."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    config = dict(st.meta.get("configuration") or {})
-    if config.get("delta.columnMapping.mode", "none") != "none":
-        raise ValueError(
-            f"column mapping already enabled on {path} "
-            f"(mode={config['delta.columnMapping.mode']!r})"
-        )
-    fields = json.loads(st.meta["schemaString"])["fields"]
-    mapped = []
-    for i, f in enumerate(fields, start=1):
-        nf = dict(f)
-        nf["metadata"] = {
-            **(f.get("metadata") or {}),
-            "delta.columnMapping.id": i,
-            "delta.columnMapping.physicalName": f["name"],
-        }
-        mapped.append(nf)
-    config["delta.columnMapping.mode"] = "name"
-    config["delta.columnMapping.maxColumnId"] = str(len(fields))
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps({"type": "struct", "fields": mapped})
-    meta["configuration"] = config
-    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-    if (
-        proto.get("readerFeatures") is not None
-        or proto.get("writerFeatures") is not None
-    ):
-        # a table-features protocol (rowTracking, timestampNtz, ...)
-        # must KEEP its lists — flattening to the legacy (2, 5) pair
-        # would silently drop every listed duty
-        new_proto = _upgraded_protocol_with(proto, {"columnMapping"})
-    else:
-        new_proto = {"minReaderVersion": 2, "minWriterVersion": 5}
-    return _commit_metadata_only(
-        spark, path,
-        [
-            _commit_info(
-                "SET TBLPROPERTIES",
-                {"properties": {"delta.columnMapping.mode": "name"}},
-            ),
-            {"protocol": new_proto},
-            {"metaData": meta},
-        ],
-    )
-
-
-def enable_iceberg_compat(
-    spark: SparkSession, path: str, version: int = 2
-) -> int:
-    """Enable Iceberg compatibility (``icebergCompatV1``/``V2``, r13 —
-    refused by name through r12): after this, every data file the
-    table accepts is addressable by converted Iceberg metadata.
-
-    Preconditions (delta-spark's IcebergCompat checks): column mapping
-    already enabled (V1: name mode; V2: name or id); no deletion
-    vectors (feature-with-live-DVs, config, or descriptors on live
-    adds); no typeWidening feature; no array/map columns (Iceberg
-    needs element-level field ids this writer does not stamp); no
-    other compat version enabled.
-
-    The commit: assigns ``delta.columnMapping.id`` to any nested
-    struct field missing one (advancing ``maxColumnId`` — top-level
-    ids exist by the mapping precondition), sets
-    ``delta.enableIcebergCompatV{n}=true``, declares the writer
-    feature, and REWRITES live files whose parquet schema lacks
-    field ids (dataChange=false — the spec's REORG UPGRADE ICEBERG
-    shape, so pre-compat files become id-addressable without changing
-    a row). Returns the final committed version.
-
-    Scale note: the rewrite touches only files MISSING ids — a table
-    written id-stamped from birth (or a CONVERTed one) rewrites
-    nothing; the footer probe is O(live files) of metadata reads."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    if version not in (1, 2):
-        raise ValueError(f"icebergCompat version must be 1 or 2, got {version}")
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    config = dict(st.meta.get("configuration") or {})
-    if _iceberg_compat_version(st.meta):
-        raise ValueError(
-            f"iceberg compat already enabled on {path} "
-            f"(V{_iceberg_compat_version(st.meta)})"
-        )
-    mode = config.get("delta.columnMapping.mode", "none")
-    if version == 1 and mode != "name":
-        raise ValueError(
-            "icebergCompatV1 requires column mapping in NAME mode — "
-            f"table has mode={mode!r} (enable_column_mapping first)"
-        )
-    if version == 2 and mode not in ("name", "id"):
-        raise ValueError(
-            "icebergCompatV2 requires column mapping — "
-            f"table has mode={mode!r} (enable_column_mapping first)"
-        )
-    if str(config.get("delta.enableDeletionVectors", "")).lower() == "true":
-        raise ValueError(
-            "cannot enable iceberg compat: delta.enableDeletionVectors "
-            "is set (Iceberg cannot read DV'd files before compat V3)"
-        )
-    if any(a.get("deletionVector") for a in st.adds.values()):
-        raise ValueError(
-            "cannot enable iceberg compat: live files carry deletion "
-            "vectors — purge_delta first"
-        )
-    if "typeWidening" in ((st.protocol or {}).get("writerFeatures") or []):
-        raise ValueError(
-            "cannot enable iceberg compat: the table declares "
-            "typeWidening (incompatible pre-V3)"
-        )
-    # assign missing NESTED struct ids; array/map levels get repeated-
-    # node ids via _assign_compat_element_ids below (r14 — refused by
-    # name through r13)
-    fields = json.loads(st.meta["schemaString"])["fields"]
-    max_id = int(config.get("delta.columnMapping.maxColumnId", 0))
-
-    def fill(jtype, path_):
-        nonlocal max_id
-        if not isinstance(jtype, dict):
-            return jtype
-        t = jtype.get("type")
-        if t == "array":
-            return {
-                **jtype,
-                "elementType": fill(jtype["elementType"], f"{path_}.element"),
-            }
-        if t == "map":
-            return {
-                **jtype,
-                "keyType": fill(jtype["keyType"], f"{path_}.key"),
-                "valueType": fill(jtype["valueType"], f"{path_}.value"),
-            }
-        if t == "struct":
-            out = []
-            for f in jtype["fields"]:
-                nf = dict(f)
-                md = dict(f.get("metadata") or {})
-                if "delta.columnMapping.id" not in md:
-                    max_id += 1
-                    md["delta.columnMapping.id"] = max_id
-                    md.setdefault(
-                        "delta.columnMapping.physicalName", f["name"]
-                    )
-                nf["metadata"] = md
-                nf["type"] = fill(f["type"], f"{path_}.{f['name']}")
-                out.append(nf)
-            return {"type": "struct", "fields": out}
-        return jtype
-
-    new_fields = []
-    for f in fields:
-        nf = dict(f)
-        nf["type"] = fill(f.get("type"), f["name"])
-        new_fields.append(nf)
-    config[f"delta.enableIcebergCompatV{version}"] = "true"
-    config["delta.columnMapping.maxColumnId"] = str(
-        max(max_id, int(config.get("delta.columnMapping.maxColumnId", 0)))
-    )
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps(
-        {"type": "struct", "fields": new_fields}
-    )
-    meta["configuration"] = config
-    meta = _assign_compat_element_ids(meta)
-    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-    feat = f"icebergCompatV{version}"
-    actions = [
-        _commit_info(
-            "SET TBLPROPERTIES",
-            {"properties": {f"delta.enableIcebergCompatV{version}": "true"}},
-        )
-    ]
-    if feat not in (proto.get("writerFeatures") or []):
-        actions.append(
-            {"protocol": _upgraded_protocol_writer_only(proto, feat)}
-        )
-    actions.append({"metaData": meta})
-    v = _commit_metadata_only(spark, path, actions)
-    # REORG UPGRADE ICEBERG: rewrite live files whose parquet footer
-    # lacks field ids (files already stamped — id-mode writes, prior
-    # compat writes — are untouched). The probe reads the footer via a
-    # plain path for local tables and through pyarrow's URI-resolved
-    # filesystem (s3://, hdfs://, gs://…) otherwise; a file the probe
-    # cannot read is rewritten TO BE SAFE, but never silently — if
-    # every rewrite came from probe failures the enable pass would be
-    # rewriting a healthy remote table (r13 ADVICE), so the counts are
-    # surfaced in a warning.
-    from urllib.parse import unquote
-
-    st2 = _replay_log(spark, path, None)
-    doomed: dict[str, dict] = {}
-    probe_failed = 0
-    local_root = _normalize_uri(path, decode=False)
-    is_local = "://" not in path or path.startswith("file:")
-    remote_fs = None
-    if not is_local:
-        try:
-            import pyarrow.fs as pafs
-
-            remote_fs, remote_root = pafs.FileSystem.from_uri(path)
-        except Exception:
-            remote_fs = None
-    for rel, a in sorted(st2.adds.items()):
-        try:
-            if is_local:
-                sch = pq.read_schema(
-                    os.path.join(local_root, unquote(rel))
-                )
-            elif remote_fs is not None:
-                sch = pq.read_schema(
-                    f"{remote_root}/{unquote(rel)}", filesystem=remote_fs
-                )
-            else:
-                raise OSError("no filesystem handler for table URI")
-            # complete = ids on every struct field at any depth AND on
-            # list element / map key/value nodes (r14: Iceberg
-            # addresses repeated nodes by id too)
-            has_ids = _arrow_schema_ids_complete(sch)
-        except Exception:
-            has_ids = False  # unreadable: rewrite to be safe — counted
-            probe_failed += 1
-        if not has_ids:
-            doomed[rel] = a
-    if probe_failed:
-        import warnings
-
-        warnings.warn(
-            f"enable_iceberg_compat: footer probe failed on "
-            f"{probe_failed} of {len(st2.adds)} live file(s) — those "
-            f"are rewritten conservatively ({len(doomed) - probe_failed} "
-            "genuinely lacked field ids). If the table is on remote "
-            "storage ensure pyarrow can reach it, or expect a full "
-            "rewrite.",
-            stacklevel=2,
-        )
-    if not doomed:
-        return v
-    pcols = st2.meta.get("partitionColumns", [])
-    l2p = _logical_to_physical(st2.meta)
-    rt = _row_tracking_supported(st2.protocol)
-    rewritten = _read_adds(spark, path, doomed, st2.meta, row_ids=rt)
-    if rt:
-        rewritten = _rt_materialize(rewritten, st2.meta)
-    new_version = st2.version + 1
-    adds = _stage_commit_files(
-        spark, fs, jvm, path, rewritten, pcols, new_version,
-        data_change=False, l2p=l2p,
-    )
-    now = _now_ms()
-    actions = [
-        _commit_info(
-            "REORG",
-            {"applyIcebergCompat": f"V{version}"},
-            metrics=_add_metrics(adds, len(doomed)),
-        )
-    ]
-    actions.extend(
-        {
-            "remove": {
-                "path": _encode_path(rel),
-                "deletionTimestamp": now,
-                "dataChange": False,
-            }
-        }
-        for rel in sorted(doomed)
-    )
-    _rt_finalize_commit(st2, adds, actions, new_version)
-    actions.extend(adds)
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def enable_row_tracking(spark: SparkSession, path: str) -> int:
-    """Upgrade the table to ROW TRACKING (public Delta protocol, "Row
-    Tracking"): one commit that (a) advances the protocol to the
-    table-features form with the ``rowTracking`` + ``domainMetadata``
-    writer features (reader side untouched — row ids are writer-duty
-    metadata foreign readers may ignore), (b) sets
-    ``delta.enableRowTracking`` plus the hidden materialized-column
-    names in the configuration, (c) BACKFILLS every live add with a
-    ``baseRowId``/``defaultRowCommitVersion`` (dataChange=false
-    re-adds — existing rows get ids without a byte of data movement;
-    delta-spark's ALTER does the same), and (d) records the advanced
-    ``rowIdHighWaterMark`` in the ``delta.rowTracking`` metadata
-    domain. Afterwards ``read_delta(..., row_ids=True)`` surfaces
-    ``_row_id``/``_row_commit_version`` and every rewrite path
-    preserves them. Returns the committed version.
-
-    Scale: the backfill is O(live files) of driver-side log work and
-    zero data I/O — it needs only the per-file numRecords the adds'
-    stats already carry."""
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    if _row_tracking_supported(st.protocol):
-        raise ValueError(f"row tracking already enabled on {path}")
-    config = dict(st.meta.get("configuration") or {})
-    config["delta.enableRowTracking"] = "true"
-    config.setdefault(_RT_MAT_ID_KEY, f"_row-id-col-{uuid.uuid4()}")
-    config.setdefault(
-        _RT_MAT_CV_KEY, f"_row-commit-version-col-{uuid.uuid4()}"
-    )
-    meta = dict(st.meta)
-    meta["configuration"] = config
-    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-    proto = _upgraded_protocol_writer_only(proto, "rowTracking")
-    proto = _upgraded_protocol_writer_only(proto, "domainMetadata")
-    new_version = st.version + 1
-    backfill = []
-    for rel in sorted(st.adds):
-        a = dict(st.adds[rel])
-        a["path"] = _encode_path(rel)
-        a["dataChange"] = False
-        a.pop("baseRowId", None)  # force fresh assignment
-        a.pop("defaultRowCommitVersion", None)
-        backfill.append({"add": a})
-    hwm = _rt_assign(backfill, _rt_hwm(st.domain_metadata), new_version)
-    actions: list[dict] = [
-        _commit_info(
-            "SET TBLPROPERTIES",
-            {"properties": {"delta.enableRowTracking": "true"}},
-        ),
-        {"protocol": proto},
-        {"metaData": meta},
-        _rt_domain_action(hwm if hwm is not None else -1),
-    ]
-    actions.extend(backfill)
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def _guard_constraints_reference(meta: dict, column: str, op: str) -> None:
-    import re as _re
-
-    for k, expr in (meta.get("configuration") or {}).items():
-        if k.startswith("delta.constraints.") and _re.search(
-            rf"\b{_re.escape(column)}\b", expr
-        ):
-            raise ValueError(
-                f"cannot {op} column {column!r}: CHECK constraint "
-                f"{k[len('delta.constraints.'):]!r} references it "
-                f"({expr}); drop the constraint first"
-            )
-
-
-def rename_column(
-    spark: SparkSession, path: str, old: str, new: str
-) -> int:
-    """ALTER TABLE RENAME COLUMN — metadata-only under name-mode
-    column mapping: the LOGICAL name changes, the field keeps its id
-    and physical name, so no file is touched and every retained
-    version still reads under the schema it was committed with."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    if _logical_to_physical(st.meta) is None:
-        raise ValueError(
-            "rename_column requires name-mode column mapping — run "
-            "enable_column_mapping(path) first"
-        )
-    _guard_constraints_reference(st.meta, old, "rename")
-    fields = json.loads(st.meta["schemaString"])["fields"]
-    names = [f["name"] for f in fields]
-    if old not in names:
-        raise ValueError(f"no column {old!r} (have {names})")
-    if new in names:
-        raise ValueError(f"column {new!r} already exists")
-    for f in fields:
-        if f["name"] == old:
-            f["name"] = new
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps({"type": "struct", "fields": fields})
-    meta["partitionColumns"] = [
-        new if c == old else c for c in st.meta.get("partitionColumns", [])
-    ]
-    return _commit_metadata_only(
-        spark, path,
-        [
-            _commit_info("RENAME COLUMN", {"from": old, "to": new}),
-            {"metaData": meta},
-        ],
-    )
-
-
-def drop_column(spark: SparkSession, path: str, name: str) -> int:
-    """ALTER TABLE DROP COLUMN — metadata-only under name-mode column
-    mapping: the field leaves the logical schema; its physical data
-    stays in the files (ignored by mapped readers) and remains visible
-    through time travel to pre-drop versions."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    if _logical_to_physical(st.meta) is None:
-        raise ValueError(
-            "drop_column requires name-mode column mapping — run "
-            "enable_column_mapping(path) first"
-        )
-    if name in st.meta.get("partitionColumns", []):
-        raise ValueError(f"cannot drop partition column {name!r}")
-    _guard_constraints_reference(st.meta, name, "drop")
-    fields = json.loads(st.meta["schemaString"])["fields"]
-    if name not in [f["name"] for f in fields]:
-        raise ValueError(f"no column {name!r}")
-    if len(fields) == 1:
-        raise ValueError("cannot drop the only column")
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps(
-        {
-            "type": "struct",
-            "fields": [f for f in fields if f["name"] != name],
-        }
-    )
-    return _commit_metadata_only(
-        spark, path,
-        [
-            _commit_info("DROP COLUMNS", {"columns": [name]}),
-            {"metaData": meta},
-        ],
-    )
-
-
 def describe_detail(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE DETAIL: a one-row summary of the table's CURRENT state
     — format, id, location, created/modified times, partition columns,
@@ -6771,206 +5138,6 @@ def describe_history(spark: SparkSession, path: str) -> DataFrame:
     )
     return spark.createDataFrame(
         sorted(rows, key=lambda r: -r["version"]), schema=schema
-    )
-
-
-def add_check_constraint(
-    spark: SparkSession, path: str, name: str, expr: str
-) -> int:
-    """ALTER TABLE ADD CONSTRAINT — Delta's post-creation constraint
-    path: validate the EXISTING table data against ``expr`` first (one
-    filter + count over the current snapshot — exactly what delta-spark
-    pays), refuse if any live row violates it, then commit an updated
-    metaData whose configuration carries
-    ``delta.constraints.<name>``. Every subsequent commit (append,
-    overwrite, MERGE source, stream-sink batch — by this writer or any
-    conformant one reading the configuration) enforces it. Returns the
-    committed version."""
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    key = f"delta.constraints.{name}"
-    config = dict(st.meta.get("configuration") or {})
-    if key in config:
-        raise ValueError(f"constraint {name!r} already exists: {config[key]}")
-    current = read_delta(spark, path)
-    n_bad = current.filter(~F.coalesce(F.expr(expr), F.lit(True))).count()
-    if n_bad:
-        raise ValueError(
-            f"cannot add CHECK constraint {name!r} ({expr}): {n_bad} "
-            "existing row(s) violate it — Delta validates history before "
-            "accepting a constraint"
-        )
-    config[key] = expr
-    meta = dict(st.meta)
-    meta["configuration"] = config
-    new_version = st.version + 1
-    actions = [
-        _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
-        {"metaData": meta},
-    ]
-    # checkConstraints is a writer-version-3 duty: a legacy-v2 table
-    # must bump in the SAME commit or a foreign legacy writer keeps
-    # committing without ever enforcing the new constraint
-    proto = st.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
-    if proto.get("writerFeatures") is not None:
-        if "checkConstraints" not in proto["writerFeatures"]:
-            actions.append(
-                {
-                    "protocol": _upgraded_protocol_writer_only(
-                        proto, "checkConstraints"
-                    )
-                }
-            )
-    elif int(proto.get("minWriterVersion", 2)) < 3:
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": int(
-                        proto.get("minReaderVersion", 1)
-                    ),
-                    "minWriterVersion": 3,
-                }
-            }
-        )
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def drop_check_constraint(
-    spark: SparkSession, path: str, name: str
-) -> int:
-    """ALTER TABLE DROP CONSTRAINT: remove ``delta.constraints.<name>``
-    from the table configuration in one metadata-only commit. Raises if
-    the constraint does not exist (Delta's behavior without IF
-    EXISTS)."""
-    _warn_if_commit_unsafe(path)
-    fs, _, jvm = _hadoop_fs(spark, path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    key = f"delta.constraints.{name}"
-    config = dict(st.meta.get("configuration") or {})
-    if key not in config:
-        raise ValueError(f"no CHECK constraint named {name!r} on {path}")
-    del config[key]
-    meta = dict(st.meta)
-    meta["configuration"] = config
-    new_version = st.version + 1
-    actions = [
-        _commit_info("DROP CONSTRAINT", {"name": name}),
-        {"metaData": meta},
-    ]
-    _write_commit(fs, jvm, path, new_version, actions)
-    if new_version % DELTA_CHECKPOINT_EVERY == 0:
-        checkpoint_delta(spark, path, new_version)
-    return new_version
-
-
-def set_column_default(
-    spark: SparkSession, path: str, column: str, expr: str
-) -> int:
-    """ALTER TABLE ALTER COLUMN SET DEFAULT — the allowColumnDefaults
-    writer feature's post-creation path: record ``expr`` in the
-    column's ``CURRENT_DEFAULT`` field metadata (delta-spark's
-    convention) so every later commit that OMITS the column fills it
-    with the expression. Existing files are untouched (the feature is
-    writer-only: their rows predate the default and keep their stored
-    values — SQL DEFAULT semantics, no backfill). The protocol gains
-    the ``allowColumnDefaults`` writer feature in the SAME commit, so
-    foreign writers either honor the fill-on-omit duty or refuse.
-    Identity and generated columns are refused — their values are
-    writer-allocated/derived and a DEFAULT would contradict that.
-    Returns the committed version.
-
-    The expression is validated by PLANNING it against the declared
-    column type before anything commits (a malformed default would
-    otherwise fail every later append)."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    doc = json.loads(st.meta["schemaString"])
-    by_name = {f["name"]: f for f in doc.get("fields", [])}
-    if column not in by_name:
-        raise ValueError(f"column {column!r} not in table schema")
-    md = dict(by_name[column].get("metadata") or {})
-    if "delta.generationExpression" in md or "delta.identity.start" in md:
-        raise ValueError(
-            f"column {column!r} is generated/identity — its values are "
-            "derived/allocated, a DEFAULT cannot apply"
-        )
-    # plan-validate the expression against the declared type (throws
-    # AnalysisException on malformed/unresolvable expressions); the
-    # frame is ZERO-column so any attribute reference fails analysis —
-    # same constants-only rule as the creation path
-    schema = _spark_schema_from_string(st.meta["schemaString"])
-    col_type = next(f.dataType for f in schema.fields if f.name == column)
-    spark.range(1).select().select(
-        F.expr(expr).cast(col_type)
-    ).schema  # noqa: B018 — forces analysis
-    md["CURRENT_DEFAULT"] = expr
-    by_name[column]["metadata"] = md
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps(doc)
-    actions = [
-        _commit_info(
-            "ALTER COLUMN", {"column": column, "setDefault": expr}
-        ),
-        {"metaData": meta},
-    ]
-    proto = dict(st.protocol or _PROTOCOL_ACTION["protocol"])
-    if "allowColumnDefaults" not in (proto.get("writerFeatures") or []):
-        actions.insert(
-            1,
-            {
-                "protocol": _upgraded_protocol_writer_only(
-                    proto, "allowColumnDefaults"
-                )
-            },
-        )
-    return _commit_metadata_only(spark, path, actions)
-
-
-def drop_column_default(
-    spark: SparkSession, path: str, column: str
-) -> int:
-    """ALTER TABLE ALTER COLUMN DROP DEFAULT: remove the column's
-    ``CURRENT_DEFAULT`` metadata in one metadata-only commit (the
-    protocol keeps the feature — other columns may still declare
-    defaults, and a declared writer feature is never silently
-    retracted; use :func:`drop_table_feature` once no column has
-    one)."""
-    _warn_if_commit_unsafe(path)
-    st = _replay_log(spark, path, None)
-    _check_writer_protocol(st.protocol, st.meta)
-    if st.meta is None:
-        raise ValueError(f"Delta log under {path} has no metaData action")
-    doc = json.loads(st.meta["schemaString"])
-    by_name = {f["name"]: f for f in doc.get("fields", [])}
-    if column not in by_name:
-        raise ValueError(f"column {column!r} not in table schema")
-    md = dict(by_name[column].get("metadata") or {})
-    if "CURRENT_DEFAULT" not in md:
-        raise ValueError(f"column {column!r} has no DEFAULT")
-    del md["CURRENT_DEFAULT"]
-    by_name[column]["metadata"] = md
-    meta = dict(st.meta)
-    meta["schemaString"] = json.dumps(doc)
-    return _commit_metadata_only(
-        spark, path,
-        [
-            _commit_info("ALTER COLUMN", {"column": column,
-                                          "dropDefault": True}),
-            {"metaData": meta},
-        ],
     )
 
 
