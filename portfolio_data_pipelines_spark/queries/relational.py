@@ -1043,7 +1043,9 @@ def event_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN oagg.o_custkey IS NULL THEN 'customer_only'
                 ELSE 'both' END AS presence,
            COUNT(*) AS n_keys,
-           COALESCE(SUM(oagg.n_orders), 0) AS n_orders,
+           -- driver-contract cast: SUM(BIGINT) is HUGEINT, float64
+           -- through the driver's .df() fetch (r16 rotation gate)
+           CAST(COALESCE(SUM(oagg.n_orders), 0) AS BIGINT) AS n_orders,
            CAST(COALESCE(SUM(CAST(oagg.spend AS DECIMAL(30,4))), 0) AS DOUBLE)
              AS total_spend
     FROM customer c

@@ -121,3 +121,49 @@ def test_declared_query_survives_driver_canon(spark, duck, name):
             f"{name}: driver-canon mismatch (often an un-CAST HUGEINT "
             f"aggregate in the oracle). First diffs: {diffs}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Rotation-eligibility gate over the EXTRA registry (r16): a rotation
+# into the declared window should never be the first time a query meets
+# the driver's canonicalizer. Every extra-registry oracle query whose
+# schema is already scalar-only gets the same driver-canon replica as
+# the declared set — so the whole candidate pool is pre-validated and a
+# future rotation is a decorator swap, not a discovery exercise.
+# Container-schema extras (the deliberate array forms) are exempt: they
+# are not rotation candidates as-is and are covered by the fetchall
+# parity harness (tests/test_oracle_parity.py) instead.
+# ---------------------------------------------------------------------------
+
+from portfolio_data_pipelines_spark.queries import EXTRA_REGISTRY  # noqa: E402
+
+EXTRA_WITH_ORACLE = sorted(n for n in EXTRA_REGISTRY if EXTRA_REGISTRY[n].oracle)
+
+
+def _scalar_only(spark, name) -> bool:
+    df = EXTRA_REGISTRY[name].fn(spark, SF_SMALL)
+    return not any(
+        isinstance(f.dataType, _CONTAINER) for f in df.schema.fields
+    )
+
+
+@pytest.mark.parametrize("name", EXTRA_WITH_ORACLE)
+def test_rotation_candidate_survives_driver_canon(spark, duck, name):
+    spec = EXTRA_REGISTRY[name]
+    if not _scalar_only(spark, name):
+        pytest.skip(f"{name}: container schema — not rotation-eligible as-is")
+    spark_pdf = spec.fn(spark, SF_ORACLE).toPandas()
+    oracle_pdf = duck.sql(spec.oracle).df()
+    assert sorted(spark_pdf.columns) == sorted(oracle_pdf.columns), (
+        f"{name}: column mismatch {list(spark_pdf.columns)} vs "
+        f"{list(oracle_pdf.columns)}"
+    )
+    s = _driver_canon(spark_pdf)
+    d = _driver_canon(oracle_pdf)
+    assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
+        raise AssertionError(
+            f"{name}: driver-canon mismatch — fix BEFORE any rotation "
+            f"(often an un-CAST HUGEINT aggregate). First diffs: {diffs}"
+        )

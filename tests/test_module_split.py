@@ -1,0 +1,83 @@
+"""The delta_log decomposition seam (r15 delta_protocol/checkpoint/dv,
+r16 delta_cdf/merge/alter): every split module must keep two promises —
+
+1. its public names stay importable from ``operators.delta_log``
+   (the re-export surface callers and tests were written against), and
+2. it reads delta_log internals at CALL time (the ``dl`` proxy), so a
+   monkeypatch on the ``delta_log`` module affects the moved code —
+   the property the whole test suite's tunable patches rely on.
+"""
+
+from __future__ import annotations
+
+
+def test_split_public_names_reexported_from_delta_log():
+    from portfolio_data_pipelines_spark.operators import delta_log as dl
+
+    expected = {
+        # delta_cdf (r16)
+        "enable_change_data_feed": "delta_cdf",
+        "read_delta_cdf": "delta_cdf",
+        "_net_changes": "delta_cdf",
+        "_maybe_stage_cdc": "delta_cdf",
+        # delta_merge (r16)
+        "merge_delta": "delta_merge",
+        "apply_changes_delta": "delta_merge",
+        "delta_cdf_apply_sink": "delta_merge",
+        # delta_alter (r16)
+        "enable_column_mapping": "delta_alter",
+        "enable_iceberg_compat": "delta_alter",
+        "enable_row_tracking": "delta_alter",
+        "rename_column": "delta_alter",
+        "drop_column": "delta_alter",
+        "add_check_constraint": "delta_alter",
+        "set_column_default": "delta_alter",
+        # r15 splits keep their seam too
+        "checkpoint_delta": "delta_checkpoint",
+        "delete_where_dv": "delta_dv",
+        "_check_writer_protocol": "delta_protocol",
+    }
+    for name, module in expected.items():
+        fn = getattr(dl, name)
+        assert fn.__module__.endswith(module), (name, fn.__module__)
+
+
+def test_split_modules_see_delta_log_monkeypatches(monkeypatch):
+    """The _DeltaLogProxy contract: patching an internal (or tunable)
+    on the delta_log MODULE must be what the split modules observe at
+    call time — otherwise every existing ``monkeypatch.setattr(dl,…)``
+    in the suite silently stops covering the moved code."""
+    from portfolio_data_pipelines_spark.operators import (
+        delta_alter,
+        delta_cdf,
+        delta_log as dl,
+        delta_merge,
+    )
+
+    monkeypatch.setattr(dl, "_now_ms", lambda: 424242)
+    for split in (delta_cdf, delta_merge, delta_alter):
+        assert split.dl._now_ms() == 424242, split.__name__
+    monkeypatch.setattr(dl, "DELTA_CHECKPOINT_EVERY", 3)
+    assert delta_merge.dl.DELTA_CHECKPOINT_EVERY == 3
+
+
+def test_split_modules_import_standalone():
+    """Importing a split module FIRST (fresh interpreter order) must
+    not hit a partially-initialized delta_log: the proxy defers the
+    delta_log import to call time, so a bare import is cycle-free."""
+    import subprocess
+    import sys
+
+    for mod in ("delta_cdf", "delta_merge", "delta_alter", "delta_dv"):
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"from portfolio_data_pipelines_spark.operators import {mod}; "
+                f"print({mod}.__name__)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, (mod, r.stderr[-500:])
