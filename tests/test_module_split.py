@@ -1,5 +1,6 @@
 """The delta_log decomposition seam (r15 delta_protocol/checkpoint/dv,
-r16 delta_cdf/merge/alter): every split module must keep two promises —
+r16 delta_cdf/merge/alter/maintain): every split module must keep two
+promises —
 
 1. its public names stay importable from ``operators.delta_log``
    (the re-export surface callers and tests were written against), and
@@ -32,6 +33,20 @@ def test_split_public_names_reexported_from_delta_log():
         "drop_column": "delta_alter",
         "add_check_constraint": "delta_alter",
         "set_column_default": "delta_alter",
+        # delta_maintain (r16)
+        "optimize_delta": "delta_maintain",
+        "purge_delta": "delta_maintain",
+        "restore_delta": "delta_maintain",
+        "vacuum_delta": "delta_maintain",
+        "cleanup_log": "delta_maintain",
+        "drop_table_feature": "delta_maintain",
+        "describe_detail": "delta_maintain",
+        "describe_history": "delta_maintain",
+        "enable_clustering": "delta_maintain",
+        "clustering_columns": "delta_maintain",
+        "set_domain_metadata": "delta_maintain",
+        "convert_parquet_to_delta": "delta_maintain",
+        "export_versioned_as_delta": "delta_maintain",
         # r15 splits keep their seam too
         "checkpoint_delta": "delta_checkpoint",
         "delete_where_dv": "delta_dv",
@@ -51,14 +66,16 @@ def test_split_modules_see_delta_log_monkeypatches(monkeypatch):
         delta_alter,
         delta_cdf,
         delta_log as dl,
+        delta_maintain,
         delta_merge,
     )
 
     monkeypatch.setattr(dl, "_now_ms", lambda: 424242)
-    for split in (delta_cdf, delta_merge, delta_alter):
+    for split in (delta_cdf, delta_merge, delta_alter, delta_maintain):
         assert split.dl._now_ms() == 424242, split.__name__
     monkeypatch.setattr(dl, "DELTA_CHECKPOINT_EVERY", 3)
     assert delta_merge.dl.DELTA_CHECKPOINT_EVERY == 3
+    assert delta_maintain.dl.DELTA_CHECKPOINT_EVERY == 3
 
 
 def test_split_modules_import_standalone():
@@ -68,7 +85,10 @@ def test_split_modules_import_standalone():
     import subprocess
     import sys
 
-    for mod in ("delta_cdf", "delta_merge", "delta_alter", "delta_dv"):
+    for mod in (
+        "delta_cdf", "delta_merge", "delta_alter", "delta_dv",
+        "delta_maintain",
+    ):
         r = subprocess.run(
             [
                 sys.executable,
