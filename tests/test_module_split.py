@@ -33,6 +33,15 @@ def test_split_public_names_reexported_from_delta_log():
         "drop_column": "delta_alter",
         "add_check_constraint": "delta_alter",
         "set_column_default": "delta_alter",
+        # delta_scan (r16)
+        "read_delta": "delta_scan",
+        "read_delta_changes": "delta_scan",
+        "version_as_of": "delta_scan",
+        "_read_adds": "delta_scan",
+        "_fast_hive_read": "delta_scan",
+        "_file_may_match": "delta_scan",
+        "_read_file_groups": "delta_scan",
+        "_derived_partition_bounds": "delta_scan",
         # delta_maintain (r16)
         "optimize_delta": "delta_maintain",
         "purge_delta": "delta_maintain",
@@ -68,10 +77,13 @@ def test_split_modules_see_delta_log_monkeypatches(monkeypatch):
         delta_log as dl,
         delta_maintain,
         delta_merge,
+        delta_scan,
     )
 
     monkeypatch.setattr(dl, "_now_ms", lambda: 424242)
-    for split in (delta_cdf, delta_merge, delta_alter, delta_maintain):
+    for split in (
+        delta_cdf, delta_merge, delta_alter, delta_maintain, delta_scan
+    ):
         assert split.dl._now_ms() == 424242, split.__name__
     monkeypatch.setattr(dl, "DELTA_CHECKPOINT_EVERY", 3)
     assert delta_merge.dl.DELTA_CHECKPOINT_EVERY == 3
@@ -87,7 +99,7 @@ def test_split_modules_import_standalone():
 
     for mod in (
         "delta_cdf", "delta_merge", "delta_alter", "delta_dv",
-        "delta_maintain",
+        "delta_maintain", "delta_scan",
     ):
         r = subprocess.run(
             [
