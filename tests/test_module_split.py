@@ -33,6 +33,12 @@ def test_split_public_names_reexported_from_delta_log():
         "drop_column": "delta_alter",
         "add_check_constraint": "delta_alter",
         "set_column_default": "delta_alter",
+        # delta_colmap (r16)
+        "_logical_to_physical": "delta_colmap",
+        "_physical_read_schema": "delta_colmap",
+        "_stamp_element_ids_batch": "delta_colmap",
+        "_assign_compat_element_ids": "delta_colmap",
+        "_field_ids": "delta_colmap",
         # delta_scan (r16)
         "read_delta": "delta_scan",
         "read_delta_changes": "delta_scan",
@@ -75,6 +81,7 @@ def test_split_modules_see_delta_log_monkeypatches(monkeypatch):
         delta_alter,
         delta_cdf,
         delta_log as dl,
+        delta_colmap,
         delta_maintain,
         delta_merge,
         delta_scan,
@@ -82,7 +89,8 @@ def test_split_modules_see_delta_log_monkeypatches(monkeypatch):
 
     monkeypatch.setattr(dl, "_now_ms", lambda: 424242)
     for split in (
-        delta_cdf, delta_merge, delta_alter, delta_maintain, delta_scan
+        delta_cdf, delta_merge, delta_alter, delta_maintain, delta_scan,
+        delta_colmap,
     ):
         assert split.dl._now_ms() == 424242, split.__name__
     monkeypatch.setattr(dl, "DELTA_CHECKPOINT_EVERY", 3)
@@ -99,7 +107,7 @@ def test_split_modules_import_standalone():
 
     for mod in (
         "delta_cdf", "delta_merge", "delta_alter", "delta_dv",
-        "delta_maintain", "delta_scan",
+        "delta_maintain", "delta_scan", "delta_colmap",
     ):
         r = subprocess.run(
             [
