@@ -15,6 +15,18 @@ Reference behavior: the reference repo's roadmap names Delta/MERGE
 (``README.md:204,209``) but ships none; this is the driver-mandated
 lakehouse surface.
 
+This module is the WRITE half and the family's hub: staging + commit +
+replay + schema evolution + copy-on-write DML live here, and the rest
+of the protocol is split into sibling modules whose public names are
+re-exported from this one (import from ``delta_log`` and never notice
+the decomposition): ``delta_protocol`` (feature gates), ``delta_scan``
+(the shared read path + data skipping), ``delta_checkpoint``,
+``delta_cdf``, ``delta_merge``, ``delta_alter``, ``delta_maintain``
+(OPTIMIZE/RESTORE/VACUUM/…), ``delta_colmap`` (column-mapping physical
+schema + icebergCompat stamping), ``delta_dv``, ``deletion_vectors``.
+Each sibling reaches delta_log internals through a call-time proxy, so
+``monkeypatch.setattr(delta_log, …)`` affects the moved code too.
+
 Scale notes:
 - A commit is one staging write + per-file renames + ONE small NDJSON
   file — commit cost is O(files in the batch), independent of table
