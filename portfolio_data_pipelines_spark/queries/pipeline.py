@@ -35,6 +35,7 @@ from ..operators.pipeline import (
     upsample_corpus,
     weighted_sample,
 )
+from ..functions import ensure_min_parallelism
 from ..sources.parquet import scan_table
 from . import extra_query, query
 from .text import QUALITY_SQL
@@ -478,9 +479,15 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifier over the documents table — see
     ``operators.pipeline.hashed_linear_score`` for the plan shape and
     the dyadic-weight trick that makes double sums exact and
-    order-independent (no decimal accumulation needed)."""
+    order-independent (no decimal accumulation needed).
+
+    The scan widens to cluster parallelism first (r16): the md5-bucket
+    hashing over every token is the heavy map stage and the one-split
+    fixture scan would serialize it; no-op on an already-wide scan."""
     return hashed_linear_score(
-        scan_table(spark, sf_dir, "documents"), "text", "doc_id"
+        ensure_min_parallelism(scan_table(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
     ).orderBy("doc_id")
 
 

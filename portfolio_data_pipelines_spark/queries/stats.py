@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dsum, dsum_sql
+from ..functions import dsum, dsum_sql, ensure_min_parallelism
 from ..sources.parquet import scan_table
 from . import extra_query, query
 
@@ -102,8 +102,13 @@ def stats_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of quantity vs extended price per return flag,
     from exact cross/power sums (the built-in ``corr`` is partition-order
-    nondeterministic). Single shuffle; five sums."""
-    li = scan_table(spark, sf_dir, "lineitem")
+    nondeterministic). Single shuffle; five sums.
+
+    The scan widens to cluster parallelism first (r16, guide §2.5
+    input-skew): the five decimal(30,4) partial sums per row are the
+    heavy map stage and the one-split fixture scan would serialize them
+    (measured 2.2 s → 0.97 s warm at sf0.1); no-op on a wide scan."""
+    li = ensure_min_parallelism(scan_table(spark, sf_dir, "lineitem"))
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         dsum("l_quantity").alias("sx"),

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import ensure_min_parallelism
 from ..sources.parquet import scan_table
 from . import extra_query, query
 
@@ -157,8 +158,15 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring (SURVEY §2.10): length/punct/stopword ratios folded
     into one weighted score — the gating signal a pretraining pipeline
     thresholds on. See `quality_frame` for the cross-engine exactness
-    argument."""
-    return quality_frame(scan_table(spark, sf_dir, "documents"))
+    argument.
+
+    The scan is widened to cluster parallelism first (r16, guide §2.5
+    input-skew): sf-scale fixtures arrive as ONE parquet split, which
+    would serialize the regex-heavy ratio projection on a single core;
+    at real scale the scan is already wide and the widen is a no-op."""
+    return quality_frame(
+        ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
+    )
 
 
 def _lang_vote_sql() -> str:
@@ -186,8 +194,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hits per candidate language, argmax with fixed tie-break
     order, 'und' when nothing fires — then confusion-matrix counts
     against the labeled ``lang`` column. One narrow projection + one
-    small-key shuffle (≤ |langs|² groups) regardless of corpus size."""
-    d = scan_table(spark, sf_dir, "documents")
+    small-key shuffle (≤ |langs|² groups) regardless of corpus size.
+    The scan widens to cluster parallelism first (r16): the one-split
+    fixture scan would run the 4×5-stopword vote projection on one core;
+    no-op on an already-wide scan."""
+    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
     votes = d.select(
         "doc_id",
         "lang",
@@ -466,8 +477,12 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately absent: the fixture corpus is single-line documents, so
     they would be untestable constants here; the n-gram forms subsume
     them at the resolution this corpus supports.
+
+    The scan widens to cluster parallelism first (r16): the map-side
+    n-gram explode is the heavy stage and the one-split fixture scan
+    would serialize it; no-op on an already-wide scan.
     """
-    d = scan_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", _ws_tokens().alias("w"))
     base = toks.filter(F.size("w") >= 3).select(
         "doc_id",
@@ -748,15 +763,21 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc rollup is one key shuffle with partial aggregation; the
     1-row totals combine is a broadcast cross join. The trained "model"
     is swappable: replace `vocab` with a read of persisted counts and
-    nothing else changes."""
+    nothing else changes.
+
+    r16 (guide §2.3, compute on the small side): ``llog2(c)`` — an
+    ~80-branch CASE chain — is evaluated once per VOCAB row before the
+    broadcast, not once per corpus token after the join; the token-side
+    expression is a plain column read. Same integers, same hash."""
     d = scan_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(_ws_tokens()).alias("word"))
     vocab = tokens.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(F.sum("c").alias("n_total")).select(
         F.expr(_llog2_fx_sql("n_total")).alias("llog_n")
     )
-    scored = tokens.join(F.broadcast(vocab), "word").select(
-        "doc_id", F.expr(_llog2_fx_sql("c")).alias("llog_c")
+    vocab_l = vocab.select("word", F.expr(_llog2_fx_sql("c")).alias("llog_c"))
+    scored = tokens.join(F.broadcast(vocab_l), "word").select(
+        "doc_id", "llog_c"
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"), F.sum("llog_c").alias("sum_llog_c")
@@ -859,8 +880,12 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate side's transitions explode map-side (arrays_zip of two
     slices, no shuffle), so the scoring join is the only wide op. The
     n_backoff column doubles as the OOV-rate diagnostic every corpus
-    report wants."""
-    d = scan_table(spark, sf_dir, "documents")
+    report wants.
+
+    The scan widens to cluster parallelism first (r16): the transition
+    explode + count map stages are the heavy work and the one-split
+    fixture scan would serialize them; no-op on an already-wide scan."""
+    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
     docs = d.select("doc_id", _ws_tokens().alias("w"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 == 1)
@@ -886,26 +911,41 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = score.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2u"))
+    # r16 (guide §2.3, compute on the small side): all three llog2 CASE
+    # chains (~80 branches each) evaluate once per MODEL row before the
+    # broadcasts — big carries llog2(c12), u1 llog2(c1), u2 llog2(c2+1)
+    # — so the per-transition expression is plain arithmetic on joined
+    # columns. llog2(1) = 0 exactly, so the unseen-w2 backoff term
+    # COALESCEs to 0 (same integer the old per-row COALESCE(c2u,0)+1
+    # chain produced). Same integers, same hash.
+    big_l = big.select(
+        "w1", "w2", F.expr(_llog2_fx_sql("c12")).alias("llog_c12")
+    )
+    u1 = uni.select(
+        F.col("word").alias("w1"), F.expr(_llog2_fx_sql("c")).alias("llog_c1")
+    )
+    u2 = uni.select(
+        F.col("word").alias("w2"),
+        F.expr(_llog2_fx_sql("(c + 1)")).alias("llog_c2p"),
+    )
     scored = (
-        trans.join(F.broadcast(big), ["w1", "w2"], "left")
+        trans.join(F.broadcast(big_l), ["w1", "w2"], "left")
         .join(F.broadcast(u1), "w1", "left")
         .join(F.broadcast(u2), "w2", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
             F.when(
-                F.col("c12").isNotNull(),
-                F.expr(_llog2_fx_sql("c12")) - F.expr(_llog2_fx_sql("c1")),
+                F.col("llog_c12").isNotNull(),
+                F.col("llog_c12") - F.col("llog_c1"),
             )
             .otherwise(
                 F.lit(LM2_BACKOFF_FX)
-                + F.expr(_llog2_fx_sql("(COALESCE(c2u, 0) + 1)"))
+                + F.coalesce(F.col("llog_c2p"), F.lit(0).cast("long"))
                 - F.col("llog_nv")
             )
             .alias("lp"),
-            F.when(F.col("c12").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("backoff"),
+            F.when(F.col("llog_c12").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("backoff"),
         )
     )
     agg = scored.groupBy("doc_id").agg(
@@ -1114,14 +1154,23 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: a PURE PROJECTION — the merge table is a chain of literal
     string replaces over a delimiter-framed symbol string and the
     vocabulary is an array literal, so encoding is zero-join,
-    zero-shuffle, whole-stage-codegen work; the only exchange is the
-    deterministic final ORDER BY. At 100 TB this scales embarrassingly:
-    every partition encodes independently at scan speed.
+    zero-shuffle, whole-stage-codegen work; the only exchanges are the
+    scan-widening repartition (below) and the deterministic final
+    ORDER BY. At 100 TB this scales embarrassingly: every partition
+    encodes independently at scan speed.
+
+    The scan widens to cluster parallelism first (r16, guide §2.5
+    input-skew): the replace-chain projection is the most expensive
+    map stage in the suite and the sf-scale fixture arrives as ONE
+    parquet split, serializing it on a single core (measured 3.8×:
+    3.76 s → 0.98 s warm at sf0.1 on local[32]); on an already-wide
+    scan the widen is a no-op and the pure-projection shape is
+    unchanged.
 
     Declared-surface contract (VERDICT r13 #2): ids emitted as the
     comma-joined STRING so the driver's pandas canonicalizer can grade
     them; the array form is ``bpe_token_ids_array`` (extra registry)."""
-    d = scan_table(spark, sf_dir, "documents")
+    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
@@ -1154,8 +1203,9 @@ def bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_token_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-typed form of :func:`bpe_token_ids` (the real handoff
     payload, ``token_ids ARRAY<LONG>``) — extra registry only: array
-    columns crash the driver's pandas canonicalizer (VERDICT r13 #2)."""
-    d = scan_table(spark, sf_dir, "documents")
+    columns crash the driver's pandas canonicalizer (VERDICT r13 #2).
+    Scan widened like the declared twin (r16) so both stay plan-equal."""
+    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "doc_id",
