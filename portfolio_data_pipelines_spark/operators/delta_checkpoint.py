@@ -24,7 +24,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 from .delta_protocol import _PROTOCOL_ACTION
-from .medallion import _hadoop_fs, _write_small_file
+from .medallion import _hadoop_fs, _local_path, _write_small_file
 
 #: Parquet checkpoint cadence, mirroring delta-spark's default.
 DELTA_CHECKPOINT_EVERY = 10
@@ -44,10 +44,13 @@ TOMBSTONE_RETENTION_MS = 30 * 24 * 3600 * 1000
 
 def _read_last_checkpoint_doc(fs, jvm, path: str) -> dict | None:
     from . import delta_log as _dl
-    lc = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log/_last_checkpoint")
-    if not fs.exists(lc):
+    ps = f"{path}/_delta_log/_last_checkpoint"
+    lp = _local_path(ps)
+    if lp is not None and not os.path.exists(lp):
         return None
-    return json.loads(_dl._read_text(fs, jvm, f"{path}/_delta_log/_last_checkpoint"))
+    if lp is None and not fs.exists(jvm.org.apache.hadoop.fs.Path(ps)):
+        return None
+    return json.loads(_dl._read_text(fs, jvm, ps))
 
 
 def _checkpoint_files(fs, jvm, path: str, lc: dict) -> list[str]:
@@ -70,7 +73,12 @@ def _checkpoint_files(fs, jvm, path: str, lc: dict) -> list[str]:
             for i in range(1, n + 1)
         ]
     classic = f"{path}/_delta_log/{v:020d}.checkpoint.parquet"
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(classic)):
+    lcl = _local_path(classic)
+    if (
+        os.path.exists(lcl)
+        if lcl is not None
+        else fs.exists(jvm.org.apache.hadoop.fs.Path(classic))
+    ):
         return [classic]
     prefix = f"{v:020d}.checkpoint."
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")

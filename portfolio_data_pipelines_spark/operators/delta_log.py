@@ -178,7 +178,7 @@ from .delta_protocol import (  # noqa: F401  (re-exported surface)
     _warn_on_versioned_collations,
 )
 
-from .medallion import _hadoop_fs, _write_small_file
+from .medallion import _hadoop_fs, _local_path, _write_small_file
 
 
 
@@ -305,6 +305,18 @@ def _list_log_versions(fs, jvm, path: str) -> list[int]:
     construction (each is claimed by exclusive create), so reads cost
     O(tail since checkpoint) small RPCs at any table age, matching the
     medallion lake's probe pattern (``medallion._tail_versions``)."""
+    lp = _local_path(path)
+    if lp is not None:
+        if not os.path.isdir(f"{lp}/_delta_log"):
+            return []
+        lc = _read_last_checkpoint_doc(fs, jvm, path)
+        start = int(lc["version"]) if lc else 0
+        out = []
+        v = start
+        while os.path.exists(f"{lp}/{_log_path(v)}"):
+            out.append(v)
+            v += 1
+        return out
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
     if not fs.exists(log_dir):
         return []
@@ -330,6 +342,17 @@ def _all_commit_versions(fs, jvm, path: str) -> list[int]:
     cleanup has not yet removed. Timestamp resolution must search this
     full retained history: delta-spark resolves ``timestampAsOf``
     against all retained commits, not just the post-checkpoint tail."""
+    lp = _local_path(path)
+    if lp is not None:
+        try:
+            names = os.listdir(f"{lp}/_delta_log")
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[:20])
+            for n in names
+            if len(n) == 25 and n.endswith(".json") and n[:20].isdigit()
+        )
     log_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/_delta_log")
     if not fs.exists(log_dir):
         return []
@@ -342,6 +365,13 @@ def _all_commit_versions(fs, jvm, path: str) -> list[int]:
 
 
 def _read_text(fs, jvm, path_str: str) -> str:
+    # Local fast path (medallion._local_path): the Hadoop route below
+    # costs one py4j round trip PER LINE — a multi-add commit file is
+    # hundreds of round trips where open().read() is none.
+    lp = _local_path(path_str)
+    if lp is not None:
+        with open(lp, encoding="utf-8") as f:
+            return f.read().rstrip("\n")
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
     reader = jvm.java.io.BufferedReader(
         jvm.java.io.InputStreamReader(stream, "UTF-8")
@@ -360,6 +390,10 @@ def _read_bytes(fs, jvm, path_str: str) -> bytes:
     """Raw bytes of a (small) file through the Hadoop FS — deletion
     vector .bin files are kilobytes (compressed roaring bitmaps), never
     data-sized."""
+    lp = _local_path(path_str)
+    if lp is not None:
+        with open(lp, "rb") as f:
+            return f.read()
     stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
     try:
         out = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
@@ -371,6 +405,12 @@ def _read_bytes(fs, jvm, path_str: str) -> bytes:
 def _write_small_bytes(fs, jvm, path_str: str, data: bytes) -> None:
     """Exclusive-create a small binary file (DV .bin blobs) through the
     Hadoop FS."""
+    lp = _local_path(path_str)
+    if lp is not None:
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(lp, "xb") as f:
+            f.write(data)
+        return
     out = fs.create(jvm.org.apache.hadoop.fs.Path(path_str), False)
     out.write(bytearray(data))
     out.close()
@@ -1468,6 +1508,27 @@ def _relative_files(fs, jvm, root: str, sub: str, partition_cols: list):
     root, size, partitionValues dict) — partition values parsed (and
     unescaped) from ``col=value`` directory names along the way."""
     out = []
+    lroot = _local_path(root)
+    if lroot is not None:
+        def lwalk(p, rel_prefix, pvals):
+            for name in sorted(os.listdir(p)):
+                full = f"{p}/{name}"
+                rel = f"{rel_prefix}{name}"
+                if os.path.isdir(full):
+                    nvals = dict(pvals)
+                    if "=" in name:
+                        k, v = name.split("=", 1)
+                        nvals[k] = _unescape_partition_value(v)
+                    lwalk(full, rel + "/", nvals)
+                elif name.endswith(".parquet"):
+                    out.append((rel, os.path.getsize(full), pvals))
+
+        lwalk(f"{lroot}/{sub}" if sub else lroot, f"{sub}/" if sub else "", {})
+        for col in partition_cols:
+            for rel, _sz, pv in out:
+                if col not in pv:
+                    raise ValueError(f"file {rel} missing partition dir {col}=")
+        return out
     base = jvm.org.apache.hadoop.fs.Path(f"{root}/{sub}" if sub else root)
 
     def walk(p, rel_prefix, pvals):
@@ -1583,6 +1644,7 @@ def _stage_commit_files(
     now = _now_ms()
     elem_ids = getattr(l2p, "elem_ids", None) if l2p else None
     renamed = []
+    lp = _local_path(path)
     for rel, size, pvals in staged:
         # strip the staging prefix; prefix the file name with the
         # version so names stay unique across commits into the same
@@ -1591,11 +1653,19 @@ def _stage_commit_files(
         segs = inner.rsplit("/", 1)
         fname = f"v{new_version:06d}-{segs[-1]}"
         final_rel = (segs[0] + "/" + fname) if len(segs) == 2 else fname
-        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
-        dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
-        fs.mkdirs(dst.getParent())
-        if not fs.rename(src, dst):
-            raise IOError(f"rename failed for {rel}")
+        if lp is not None:
+            ldst = f"{lp}/{final_rel}"
+            os.makedirs(os.path.dirname(ldst), exist_ok=True)
+            if os.path.exists(ldst):
+                # HDFS rename-to-existing returns false; keep that contract
+                raise IOError(f"rename failed for {rel}")
+            os.rename(f"{lp}/{rel}", ldst)
+        else:
+            src = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+            dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{final_rel}")
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                raise IOError(f"rename failed for {rel}")
         renamed.append((final_rel, size, pvals))
     if elem_ids:
         # icebergCompat repeated-node stamp over ALL renamed files at
@@ -1625,7 +1695,12 @@ def _stage_commit_files(
             # data skipping here and in standard readers
             add["stats"] = json.dumps(stats, sort_keys=True)
         adds.append({"add": add})
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
+    if lp is not None:
+        import shutil
+
+        shutil.rmtree(f"{lp}/{staging}", ignore_errors=True)
+    else:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{staging}"), True)
     return adds
 
 
@@ -2697,9 +2772,15 @@ def _replay_log(
                 }
                 _note_dv_tombstone(dvd, int(r.get("deletionTimestamp", 0)))
         start = lc["version"] + 1
+    lp = _local_path(path)
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(log_file)):
+        present = (
+            os.path.exists(f"{lp}/{_log_path(v)}")
+            if lp is not None
+            else fs.exists(jvm.org.apache.hadoop.fs.Path(log_file))
+        )
+        if not present:
             raise FileNotFoundError(
                 f"commit {v} missing from {path}/_delta_log "
                 "(cleaned up before this pinned version's checkpoint)"

@@ -131,10 +131,6 @@ def merge_delta(
     missing = [c for c in cols if c not in source.columns]
     if missing:
         raise ValueError(f"merge source missing target columns {missing}")
-    if source.groupBy(*key_cols).count().filter(F.col("count") > 1).take(1):
-        raise ValueError(
-            "merge source has duplicate keys — ambiguous WHEN MATCHED"
-        )
     # align source types to the DECLARED schema (collated strings:
     # a plain-string key against a collated target column would be
     # INDETERMINATE_COLLATION at the discovery join)
@@ -144,18 +140,37 @@ def merge_delta(
     pcols = meta.get("partitionColumns", [])
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
+    # ONE fused source-profile job (r16): the duplicate-key check and
+    # the stats-pruning key bounds both reduce the (feed-sized) source,
+    # so they share a single groupBy(keys) → global-agg pass instead of
+    # two separate jobs. Running the dup check on the ALIGNED source
+    # also makes it exact for collated keys: two fold-equal spellings
+    # both match the same target row — genuinely ambiguous — which the
+    # pre-alignment byte-wise check could miss. min/max over the group
+    # keys equal min/max over the raw rows, so the bounds are unchanged.
+    #
     # STATS PRUNING before the discovery scan: a file whose per-key
     # min/max range (from the log's stats document / partitionValues)
     # is disjoint from the SOURCE's key range cannot hold a matching
     # key, so it is neither scanned for discovery nor eligible for
-    # rewrite. Cost: one tiny agg over the (feed-sized) source; payoff
-    # at 100 TB: a MERGE of one day's keys into a years-deep table
-    # plans O(that day's files), not O(table files). Superset-safe —
-    # files without stats are always kept (_file_may_match).
-    bounds_row = source.agg(
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
+    # rewrite. Payoff at 100 TB: a MERGE of one day's keys into a
+    # years-deep table plans O(that day's files), not O(table files).
+    # Superset-safe — files without stats are always kept
+    # (_file_may_match).
+    bounds_row = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_kc"))
+        .agg(
+            F.max("_kc").alias("_max_kc"),
+            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+        )
+        .first()
+    )
+    if (bounds_row["_max_kc"] or 0) > 1:
+        raise ValueError(
+            "merge source has duplicate keys — ambiguous WHEN MATCHED"
+        )
     l2p = dl._logical_to_physical(meta)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     fold_cols = dl._fold_collated_columns(meta)
@@ -219,7 +234,8 @@ def merge_delta(
         # the rewrite deletes rows from the touched files
         _check_append_only(meta, True)
     new_version = versions[-1] + 1
-    if not touched_rels and source.isEmpty():
+    # empty source ⇔ the fused profile saw zero key groups — no extra job
+    if not touched_rels and bounds_row["_max_kc"] is None:
         for fr in cached_frames:
             fr.unpersist()
         return versions[-1]
