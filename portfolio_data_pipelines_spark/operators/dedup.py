@@ -387,16 +387,18 @@ def minhash_lsh_pairs(
     sh = arrs.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     # Signatures map-side from the per-doc shingle array: k array_min
     # scans per doc, zero shuffle — equivalent to (and replacing) the
-    # exploded groupBy/min form in minhash_signatures. NB: the seed must
-    # close over a factory, not a lambda default — a two-parameter
-    # lambda is PySpark's (element, index) form and would shadow it.
-    def _mh(i: int):
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
-        ).alias(f"mh_{i}")
-
+    # exploded groupBy/min form in minhash_signatures. Built as ONE
+    # selectExpr (r16): the per-column Column-API form paid ~10 py4j
+    # round trips per permutation to CONSTRUCT (~0.4 s of driver time
+    # per call at k=64); a single SQL parse builds the identical plan.
     def _build_sig() -> DataFrame:
-        return arrs.select(F.col(id_col), *[_mh(i) for i in range(num_perm)])
+        return arrs.selectExpr(
+            id_col,
+            *[
+                f"array_min(transform(shingles, s -> xxhash64({i}, s))) AS mh_{i}"
+                for i in range(num_perm)
+            ],
+        )
 
     # The signature table is band-config-independent (seeds are fixed by
     # num_perm alone), so every LSH configuration in the session — r=1
@@ -409,18 +411,21 @@ def minhash_lsh_pairs(
     else:
         sig = _build_sig()
 
-    # band hash = xxhash64 of the band's signature slice
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("h"),
+    # band hash = xxhash64 of the band's signature slice. One SQL parse
+    # (r16): the Column-API listcomp cost ~0.5 s of py4j round trips per
+    # CALL at b=64 — and unlike the signature table this runs on every
+    # invocation, not once per session.
+    band_exprs = ", ".join(
+        "struct(CAST({b} AS INT) AS band, xxhash64({cols}) AS h)".format(
+            b=bi,
+            cols=", ".join(
+                f"mh_{bi * rows_per_band + r}" for r in range(rows_per_band)
+            ),
         )
         for bi in range(n_bands)
-    ]
+    )
     buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+        F.col(id_col), F.explode(F.expr(f"array({band_exprs})")).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
 
     ca = buckets.select(F.col(id_col).alias("id_a"), "band", "h")
@@ -847,6 +852,20 @@ def _dot_seq(a, b):
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def _dot_seq_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`_dot_seq` — the IDENTICAL expression
+    tree, parsed in ONE py4j round trip instead of the ~10 the
+    Column-API lambdas cost to construct (r16: expression construction,
+    not execution, dominated the sub-second similarity queries' driver
+    time). ``CAST(0.0 AS DOUBLE)`` matters: a bare SQL ``0.0`` literal
+    is DECIMAL(2,1) where ``F.lit(0.0)`` is double."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 

@@ -30,14 +30,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import ensure_min_parallelism
-from .dedup import _dot_seq
+from .dedup import _dot_seq, _dot_seq_sql
+
+
+def _q(col: str) -> str:
+    """Backtick-quote a column name for embedding in SQL strings."""
+    return f"`{col}`"
 
 
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     # Corpus-side math (norms, bucket hashes, candidate dots) must not be
     # serialized onto the 1-2 partitions a small single-file scan yields.
     return ensure_min_parallelism(df).withColumn(
-        "_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col)))
+        "_norm", F.expr(f"sqrt({_dot_seq_sql(_q(vec_col), _q(vec_col))})")
     )
 
 
@@ -67,7 +72,7 @@ def cosine_topk(
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", F.expr(f"{_dot_seq_sql('_vc', '_vq')} / (_nc * _nq)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -94,16 +99,15 @@ def _centroids_row(centroids: DataFrame, vec_col: str, centroid_id_col: str) -> 
     )
 
 
-def _centroid_scores(vec_col: str):
-    """(sim, -cid) struct per centroid in the broadcast ``_cens`` array;
-    lexicographic struct order == highest sim with smallest-cid
-    tie-break. Requires ``_norm``."""
-    return F.transform(
-        F.col("_cens"),
-        lambda x: F.struct(
-            (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
-            (-x["cid"]).alias("negcid"),
-        ),
+def _centroid_scores_sql(vec_col: str) -> str:
+    """SQL for the (sim, -cid) struct per centroid in the broadcast
+    ``_cens`` array; lexicographic struct order == highest sim with
+    smallest-cid tie-break. Requires ``_norm``. A string (one parse)
+    rather than Column-API lambdas — construction cost, r16."""
+    dot = _dot_seq_sql(_q(vec_col), "x.v")
+    return (
+        f"transform(_cens, x -> struct("
+        f"{dot} / (_norm * x.n) AS s, -x.cid AS negcid))"
     )
 
 
@@ -126,7 +130,7 @@ def _nearest_centroid(
     "distance to centroid" projection downstream candidate windows sort
     on (`cluster_cosine_pairs`).
     """
-    best = F.array_max(_centroid_scores(vec_col))
+    best = F.expr(f"array_max({_centroid_scores_sql(vec_col)})")
     out = df_with_cens.withColumn(
         centroid_id_col, (-best.getField("negcid")).cast("long")
     )
@@ -146,7 +150,10 @@ def _probe_centroids(
     lives in exactly one cell, so probing P distinct cells can never
     produce duplicate (query, neighbor) candidates.
     """
-    top = F.slice(F.reverse(F.array_sort(_centroid_scores(vec_col))), 1, nprobe)
+    top = F.expr(
+        f"slice(reverse(array_sort({_centroid_scores_sql(vec_col)})), "
+        f"1, {int(nprobe)})"
+    )
     return (
         df_with_cens.withColumn("_probe", F.explode(top))
         .withColumn(centroid_id_col, (-F.col("_probe.negcid")).cast("long"))
@@ -279,26 +286,22 @@ def _nearest_centroid_pruned(
     same (sim DESC, ccid ASC) total order as `_probe_centroids`, fine
     argmax the same (sim, -cid) struct max as `_nearest_centroid`, so
     the rule replicates bit-for-bit in a SQL oracle. Requires ``_norm``
-    and ``_hier``; drops ``_hier`` on the way out.
+    and ``_hier``; drops ``_hier`` on the way out. Built as one SQL
+    parse (r16) — the Column-API lambda form cost hundreds of py4j
+    round trips to CONSTRUCT per call.
     """
-    scored = F.transform(
-        F.col("_hier"),
-        lambda h: F.struct(
-            (_dot_seq(F.col(vec_col), h["cv"]) / (F.col("_norm") * h["cn"])).alias("s"),
-            (-h["ccid"]).alias("negcid"),
-            h["fines"].alias("fines"),
-        ),
+    coarse_dot = _dot_seq_sql(_q(vec_col), "h.cv")
+    fine_dot = _dot_seq_sql(_q(vec_col), "x.v")
+    scored = (
+        "transform(_hier, h -> struct("
+        f"{coarse_dot} / (_norm * h.cn) AS s, "
+        "-h.ccid AS negcid, h.fines AS fines))"
     )
-    probes = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
-    cands = F.flatten(F.transform(probes, lambda p: p["fines"]))
-    best = F.array_max(
-        F.transform(
-            cands,
-            lambda x: F.struct(
-                (_dot_seq(F.col(vec_col), x["v"]) / (F.col("_norm") * x["n"])).alias("s"),
-                (-x["cid"]).alias("negcid"),
-            ),
-        )
+    probes = f"slice(reverse(array_sort({scored})), 1, {int(nprobe)})"
+    cands = f"flatten(transform({probes}, p -> p.fines))"
+    best = F.expr(
+        f"array_max(transform({cands}, x -> struct("
+        f"{fine_dot} / (_norm * x.n) AS s, -x.cid AS negcid)))"
     )
     out = df_with_hier.withColumn(
         centroid_id_col, (-best.getField("negcid")).cast("long")
@@ -381,7 +384,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), centroid_id_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", F.expr(f"{_dot_seq_sql('_vc', '_vq')} / (_nc * _nq)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -578,7 +581,9 @@ def cluster_cosine_pairs(
     # cell.
     w = Window.partitionBy(cluster_id_col).orderBy(F.desc("_csim"), F.asc(id_col))
     ranked = (
-        assigned.withColumn("_norm", F.sqrt(_dot_seq(F.col(vec_col), F.col(vec_col))))
+        assigned.withColumn(
+            "_norm", F.expr(f"sqrt({_dot_seq_sql(_q(vec_col), _q(vec_col))})")
+        )
         .withColumn("_rk", F.row_number().over(w))
         .localCheckpoint(eager=True)
     )
@@ -618,7 +623,7 @@ def cluster_cosine_pairs(
             & (F.col("_rkb") <= F.col("_rka") + max_cell_candidates)
         )
         .withColumn(
-            "cosine", _dot_seq(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+            "cosine", F.expr(f"{_dot_seq_sql('_va', '_vb')} / (_na * _nb)")
         )
         .filter(F.col("cosine") >= threshold)
         .select(
@@ -823,8 +828,10 @@ def rp_lsh_topk(
         raise ValueError(f"unknown plane_dist {plane_dist!r}")
 
     def buckets(df: DataFrame, out_id: str) -> DataFrame:
-        proj = _dot_seq(F.col(vec_col), F.col("plane"))
-        bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.expr(
+            f"CASE WHEN {_dot_seq_sql(_q(vec_col), 'plane')} >= 0 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
         return (
             df.crossJoin(F.broadcast(planes_df))
             .select(F.col(id_col).alias(out_id), "t", "p", bit.alias("_bit"))
@@ -855,7 +862,7 @@ def rp_lsh_topk(
     scored = (
         candidates.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", _dot_seq(F.col("_vc"), F.col("_vq")) / (F.col("_nc") * F.col("_nq")))
+        .withColumn("cosine", F.expr(f"{_dot_seq_sql('_vc', '_vq')} / (_nc * _nq)"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
