@@ -165,15 +165,20 @@ def shingle_arrays(
         )
     df = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
-    # Guard: sequence(0, negative) would generate a DESCENDING range in
-    # Spark; docs shorter than n words must yield no shingles instead.
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Short-doc guard WITHOUT a CASE WHEN: sequence(0, negative) would
+    # generate a DESCENDING range in Spark, so docs shorter than n words
+    # must yield no shingles — expressed as a slice of the ascending
+    # index array down to max(size - n + 1, 0) elements. The r15 form
+    # wrapped the transform in when(size >= n, ...).otherwise(array()),
+    # which knocks the whole generator expression out of codegen when it
+    # feeds an explode — measured 6× slower (1.47 s vs 0.26 s) on the
+    # decontam bench side at sf0.1 (r16). Same grams, same order.
+    idx = F.slice(
+        F.sequence(F.lit(1), F.size(words)),
+        1,
+        F.greatest(F.size(words) - n + 1, F.lit(0)),
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return df.select(
         F.col(id_col),
         F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("shingles"),
@@ -955,18 +960,21 @@ def dup_span_coverage(
     d = ensure_min_parallelism(df)
     words = F.split(F.col(text_col), " ")
     base = d.select(F.col(id_col), F.size(words).alias("n_tokens"))
+    # short-doc guard as an index-array slice, not a CASE WHEN — the
+    # conditional around the transform disables codegen of the generator
+    # input (see shingle_arrays, r16); same grams, same positions
+    idx = F.slice(
+        F.sequence(F.lit(1), F.size(words)),
+        1,
+        F.greatest(F.size(words) - n + 1, F.lit(0)),
+    )
     grams = d.select(
         F.col(id_col),
         F.posexplode(
-            F.when(
-                F.size(words) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(words) - n),
-                    lambda i: F.xxhash64(
-                        F.concat_ws(" ", F.slice(words, i + 1, n))
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<long>"))
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+            )
         ).alias("pos", "gram"),
     ).localCheckpoint(eager=True)
     dup_grams = (

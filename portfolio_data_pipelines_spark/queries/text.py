@@ -897,10 +897,12 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).select(
         F.expr(_llog2_fx_sql("(n + v)")).alias("llog_nv")
     )
+    # short-doc guard as an index slice, not a CASE WHEN — a conditional
+    # around the transform disables codegen of the generator input when
+    # it feeds the explode (see dedup.shingle_arrays, r16); same pairs
     pairs = F.expr(
-        "CASE WHEN size(w) >= 2 THEN "
-        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2)) "
-        "ELSE array() END"
+        "transform(slice(sequence(1, size(w)), 1, greatest(size(w) - 1, 0)), "
+        "i -> struct(w[i - 1] AS w1, w[i] AS w2))"
     )
     big = (
         train.select(F.explode(pairs).alias("p"))

@@ -70,6 +70,22 @@ def get_spark(
         # Idempotent day-level upsert: only overwrite partitions present
         # in the incoming batch (K4 parity).
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # InferFiltersFromGenerate substitutes the generator expression
+        # into an inferred (size(e) > 0 AND isnotnull(e)) filter BELOW
+        # every explode — for this engine's explodes (shingles, n-grams,
+        # token streams: all computed, expensive string expressions over
+        # whole documents) that re-evaluates the most expensive
+        # projection in the plan 1-2 extra times per input row, to prune
+        # rows an empty-array Generate would emit nothing for anyway.
+        # Measured r16 at sf0.1: the decontamination bench-side shingle
+        # explode drops 1.45 s -> 0.17 s with the rule excluded; the
+        # penalty is per-row, so the win holds at any scale wherever
+        # generators are expensive and empty arrays are rare (every
+        # explode in this engine). Scale-independent — a workload
+        # property, not a local-mode tune.
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
         # Adaptive execution: coalesce shuffle partitions, split skewed
         # joins at runtime. Critical at 100 TB, harmless at sf0.001.
         "spark.sql.adaptive.enabled": "true",
