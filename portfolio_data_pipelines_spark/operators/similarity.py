@@ -311,6 +311,42 @@ def _nearest_centroid_pruned(
     return out.drop("_hier")
 
 
+def _probe_centroids_pruned(
+    df_with_hier: DataFrame,
+    vec_col: str,
+    centroid_id_col: str,
+    nprobe: int,
+    coarse_nprobe: int = PRUNED_ASSIGN_NPROBE,
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest FINE cells
+    under the two-level pruned rule — the pruned twin of
+    `_probe_centroids`: candidate fines come from the ``coarse_nprobe``
+    nearest coarse cells only, then the top ``nprobe`` by the usual
+    (sim DESC, cid ASC) total order. For ``nprobe=1`` this is exactly
+    `_nearest_centroid_pruned`'s argmax, so a query vector that is also
+    a corpus member probes the SAME cell the corpus assignment gave it.
+    Requires ``_norm`` and ``_hier``."""
+    coarse_dot = _dot_seq_sql(_q(vec_col), "h.cv")
+    fine_dot = _dot_seq_sql(_q(vec_col), "x.v")
+    scored = (
+        "transform(_hier, h -> struct("
+        f"{coarse_dot} / (_norm * h.cn) AS s, "
+        "-h.ccid AS negcid, h.fines AS fines))"
+    )
+    probes = f"slice(reverse(array_sort({scored})), 1, {int(coarse_nprobe)})"
+    cands = f"flatten(transform({probes}, p -> p.fines))"
+    top = F.expr(
+        f"slice(reverse(array_sort(transform({cands}, x -> struct("
+        f"{fine_dot} / (_norm * x.n) AS s, -x.cid AS negcid)))), "
+        f"1, {int(nprobe)})"
+    )
+    return (
+        df_with_hier.withColumn("_probe", F.explode(top))
+        .withColumn(centroid_id_col, (-F.col("_probe.negcid")).cast("long"))
+        .drop("_hier", "_probe")
+    )
+
+
 def assign_centroids_pruned(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -348,6 +384,7 @@ def ivf_topk(
     k: int = 10,
     centroid_id_col: str = "centroid_id",
     nprobe: int = 1,
+    pruned: bool | str = "auto",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file index.
 
@@ -357,25 +394,61 @@ def ivf_topk(
     asserted as a property test). Deterministic end to end (given
     deterministic centroids), hence oracle-checkable.
 
+    ``pruned`` picks the assignment/probing rule exactly like
+    `kmeans_refine`: ``"auto"`` (default) uses the exact brute-force
+    argmax below `PRUNED_ASSIGN_MIN_K` centroids and the two-level
+    coarse→fine index at or above it. With k ∝ n centroids (the
+    declared every-53rd-id seeding) brute-force assignment is
+    O(n·k·dim) = O(n²·dim/53) — the r16 10× soak measured 12.8× wall
+    at 10× rows once the small-k base stopped hiding it; the pruned
+    rule drops per-row work to O(√k·dim). Queries probe through the
+    SAME rule (`_probe_centroids_pruned`), so a query that is also a
+    corpus member lands in its own cell under either rule, and the
+    whole switch replicates in the SQL oracle from a seed-count CTE.
+
     Plan shape: assignment and probing are map-side (broadcast centroid
-    array, see `_nearest_centroid` / `_probe_centroids`), the cell join
-    broadcasts the probed query set, so the corpus never shuffles until
-    the final rank window — which moves only scored candidate rows
-    (nprobe·|corpus|/n_cells per query), not vectors. The norm computed
-    for assignment is reused for scoring (one `_with_norm` per side).
+    array or two-level index), the cell join broadcasts the probed
+    query set, so the corpus never shuffles until the final rank window
+    — which moves only scored candidate rows (nprobe·|corpus|/n_cells
+    per query), not vectors. The norm computed for assignment is reused
+    for scoring (one `_with_norm` per side).
     """
-    cen_row = F.broadcast(_centroids_row(centroids, vec_col, centroid_id_col))
-    c = _nearest_centroid(
-        _with_norm(corpus, vec_col).join(cen_row), vec_col, centroid_id_col
-    ).select(
+    if pruned == "auto":
+        from .dedup import _memo_scalar, _plan_key as _pk
+
+        pruned = (
+            _memo_scalar(_pk(centroids, "seed_count"), centroids.count)
+            >= PRUNED_ASSIGN_MIN_K
+        )
+    if pruned:
+        idx_row = F.broadcast(
+            _hierarchy_row(centroids, vec_col, centroid_id_col)
+        )
+        c = _nearest_centroid_pruned(
+            _with_norm(corpus, vec_col).join(idx_row), vec_col, centroid_id_col
+        )
+        q = _probe_centroids_pruned(
+            _with_norm(queries, vec_col).join(idx_row),
+            vec_col, centroid_id_col, nprobe,
+        )
+    else:
+        cen_row = F.broadcast(
+            _centroids_row(centroids, vec_col, centroid_id_col)
+        )
+        c = _nearest_centroid(
+            _with_norm(corpus, vec_col).join(cen_row), vec_col, centroid_id_col
+        )
+        q = _probe_centroids(
+            _with_norm(queries, vec_col).join(cen_row),
+            vec_col, centroid_id_col, nprobe,
+        )
+    c = c.select(
         F.col(centroid_id_col),
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vc"),
         F.col("_norm").alias("_nc"),
     )
-    q = _probe_centroids(
-        _with_norm(queries, vec_col).join(cen_row), vec_col, centroid_id_col, nprobe
-    ).select(
+    q = q.select(
         F.col(centroid_id_col),
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_vq"),

@@ -36,90 +36,6 @@ _E_NRM = """
 """
 
 
-@extra_query(
-    "cosine_topk_bruteforce",
-    oracle=f"""
-    WITH {_E_NRM}
-    SELECT query_id, neighbor_id, cosine, "rank"
-    FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
-                            c.vec_id ASC
-               ) AS "rank"
-        FROM ev q
-        JOIN ev c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
-    )
-    WHERE "rank" <= 10
-    """,
-)
-def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-10 neighbors for each query vector (vec_id < 5):
-    broadcast queries × full corpus scan, rank window per query."""
-    emb = scan_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return cosine_topk(emb, queries, "embedding", "vec_id", k=10).orderBy(
-        "query_id", "rank"
-    )
-
-
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH {_E_NRM},
-    assign AS (
-        SELECT vec_id, v, nv, centroid_id
-        FROM (
-            SELECT e.vec_id, e.v, e.nv, c.vec_id AS centroid_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_dot_product(e.v, c.v) / (e.nv * c.nv) DESC,
-                                c.vec_id ASC
-                   ) AS rk
-            FROM ev e
-            JOIN ev c ON c.vec_id % 53 = 0
-        )
-        WHERE rk = 1
-    )
-    SELECT query_id, neighbor_id, cosine, "rank"
-    FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
-               ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
-                            c.vec_id ASC
-               ) AS "rank"
-        FROM assign q
-        JOIN assign c ON c.centroid_id = q.centroid_id AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < 5
-    )
-    WHERE "rank" <= 10
-    """,
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via an inverted-file index: deterministic centroids
-    (every 53rd vec_id → 10 cells), nearest-centroid assignment, search
-    restricted to the query's cell (nprobe=1). The 100 TB-shaped path:
-    per-query work drops from |corpus| to |corpus|/n_cells.
-
-    Recall caveat: the synthetic embeddings are near-uniform (max
-    pairwise cosine ≈ 0.51, no cluster structure), so nprobe=1 recall
-    vs brute force is ~34% here — on real clustered embeddings IVF
-    recall is far higher. The oracle checks the IVF *semantics*
-    (assignment + cell-restricted ranking), not recall."""
-    emb = scan_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 53 == 0).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
-    queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, centroids, "embedding", "vec_id", k=10).orderBy(
-        "query_id", "rank"
-    )
-
-
 def _kmeans_cte(n_iter: int = 2) -> str:
     """Unrolled Lloyd-iteration CTE chain replicating
     operators.similarity.kmeans_refine(exact=True, pruned="auto")
@@ -240,6 +156,88 @@ def _kmeans_cte(n_iter: int = 2) -> str:
         )
     parts.append(assign(n_iter + 1))
     return ",".join(parts)
+
+
+
+@extra_query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH {_E_NRM}
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            c.vec_id ASC
+               ) AS "rank"
+        FROM ev q
+        JOIN ev c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    WHERE "rank" <= 10
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for each query vector (vec_id < 5):
+    broadcast queries × full corpus scan, rank window per query."""
+    emb = scan_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, "embedding", "vec_id", k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_kmeans_cte(0)}
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            c.vec_id ASC
+               ) AS "rank"
+        FROM a1 q
+        JOIN a1 c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    WHERE "rank" <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via an inverted-file index: deterministic centroids
+    (every 53rd vec_id → 10 cells), nearest-centroid assignment, search
+    restricted to the query's cell (nprobe=1). The 100 TB-shaped path:
+    per-query work drops from |corpus| to |corpus|/n_cells.
+
+    Assignment auto-switches on the centroid count exactly like
+    `kmeans_embedding_clusters` (r16): the exact brute-force argmax
+    below `PRUNED_ASSIGN_MIN_K` centroids (every sf the driver grades —
+    k = n/53 ≈ 10..38), the two-level pruned rule above it (with k ∝ n
+    the brute assignment is O(n²·dim/53); the r16 10× soak measured
+    12.8× wall before the switch, 2-3× after). Queries probe through
+    the same rule, so a query vector lands in its own cell under either
+    branch. The oracle replicates the switch via `_kmeans_cte(0)` —
+    the seed-count-gated UNION ALL assignment with zero Lloyd rounds,
+    i.e. assignment to the raw seeds.
+
+    Recall caveat: the synthetic embeddings are near-uniform (max
+    pairwise cosine ≈ 0.51, no cluster structure), so nprobe=1 recall
+    vs brute force is ~34% here — on real clustered embeddings IVF
+    recall is far higher. The oracle checks the IVF *semantics*
+    (assignment + cell-restricted ranking), not recall."""
+    emb = scan_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, centroids, "embedding", "vec_id", k=10).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query(

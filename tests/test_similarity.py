@@ -398,3 +398,55 @@ def test_kmeans_gated_oracle_lockstep_in_pruned_regime(spark, duck, monkeypatch)
     sql = f"WITH {_kmeans_cte(2)} SELECT vec_id, cid AS cluster_id FROM a3"
     want = {r[0]: r[1] for r in duck.sql(sql).fetchall()}
     assert got == want
+
+
+def test_ivf_auto_switch_and_gated_oracle_lockstep(spark, duck, monkeypatch):
+    """r16: `ivf_topk` takes the same k-threshold auto-switch as
+    `kmeans_refine` (with k ∝ n centroids the brute-force assignment is
+    O(n²·dim/53) — the 10× soak measured 12.8× wall before the switch).
+    Below the threshold auto == the exact rule (the regime every driver
+    SF grades); with the threshold forced down, BOTH the corpus
+    assignment and the query probe take the pruned rule and the
+    k0-gated oracle (`_kmeans_cte(0)` — assignment to the raw seeds)
+    must stay bit-identical through the gate."""
+    from portfolio_data_pipelines_spark.operators import similarity as sim
+    from portfolio_data_pipelines_spark.queries.similarity import _kmeans_cte
+    from portfolio_data_pipelines_spark.sources.parquet import scan_table
+
+    emb = scan_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cen = emb.filter(F.col("vec_id") % 53 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def topk(pruned):
+        rows = sim.ivf_topk(
+            emb, queries, cen, "embedding", "vec_id", k=10, pruned=pruned
+        ).collect()
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cosine"]) for r in rows)
+
+    # k ≈ 10 « threshold: auto == exact (the driver-graded regime)
+    assert cen.count() < sim.PRUNED_ASSIGN_MIN_K
+    assert topk("auto") == topk(False)
+    # force the pruned branch live in BOTH engines and demand lockstep
+    monkeypatch.setattr(sim, "PRUNED_ASSIGN_MIN_K", 2)
+    got = topk("auto")
+    assert got == topk(True)
+    sql = f"""
+    WITH {_kmeans_cte(0)}
+    SELECT query_id, neighbor_id, cosine, "rank"
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nv * c.nv) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nv * c.nv) DESC,
+                            c.vec_id ASC
+               ) AS "rank"
+        FROM a1 q JOIN a1 c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    )
+    WHERE "rank" <= 10
+    """
+    want = sorted((r[0], r[3], r[1], r[2]) for r in duck.sql(sql).fetchall())
+    assert got == want
