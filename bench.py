@@ -340,6 +340,17 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Scaling-contract evidence (r16 verdict #2): the driver's 8-core
+    # rerun fired `suspect_cpus_ignored` because at sf0.1 most queries
+    # are job-latency-bound, not compute-bound — so the record itself
+    # must prove the requested core count was APPLIED. master comes
+    # from the env var above; defaultParallelism is what the JVM
+    # actually granted (local[N] ⇒ N).
+    env_block = {
+        "cpus": cpus,
+        "master": spark.sparkContext.master,
+        "defaultParallelism": spark.sparkContext.defaultParallelism,
+    }
 
     # Warm the JVM/codegen paths so per-query numbers measure the engine,
     # not first-touch class loading.
@@ -476,6 +487,7 @@ def main() -> None:
         # steal_pct > ~2 or loadavg far above the bench's own demand is
         # contended — do not compare its timings round-over-round.
         "load": load_report,
+        "env": env_block,
     }
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(sidecar, "w") as f:
@@ -525,6 +537,9 @@ def main() -> None:
             ],
         },
         "sf": sf,
+        # never shed by the length ladder: this is the field the
+        # driver's scaling check verifies cores against (r16 verdict #2)
+        "env": env_block,
         "detail": "BENCH_FULL.json",
     }
     # Common-subset total vs the prior driver record (r15 verdict #4):

@@ -179,9 +179,16 @@ def shingle_arrays(
         F.greatest(F.size(words) - n + 1, F.lit(0)),
     )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    # NULL text propagates NULL through split→slice→transform; the
+    # exposed column contract is an EMPTY set for such docs (the r15
+    # behavior, kept by the coalesce — unlike a CASE WHEN around the
+    # generator input, a coalesce around its OUTPUT stays codegen).
     return df.select(
         F.col(id_col),
-        F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0).alias("shingles"),
+        F.coalesce(
+            F.filter(F.array_distinct(grams), lambda s: F.length(s) > 0),
+            F.array().cast("array<string>"),
+        ).alias("shingles"),
     )
 
 
@@ -397,8 +404,10 @@ def minhash_lsh_pairs(
     # round trips per permutation to CONSTRUCT (~0.4 s of driver time
     # per call at k=64); a single SQL parse builds the identical plan.
     def _build_sig() -> DataFrame:
+        # backtick-quote id_col (similarity._q): a reserved word or a
+        # dotted/spaced name parsed fine through F.col but not raw SQL
         return arrs.selectExpr(
-            id_col,
+            f"`{id_col}`",
             *[
                 f"array_min(transform(shingles, s -> xxhash64({i}, s))) AS mh_{i}"
                 for i in range(num_perm)

@@ -322,13 +322,19 @@ def _list_log_versions(fs, jvm, path: str) -> list[int]:
         return []
     lc = _read_last_checkpoint_doc(fs, jvm, path)
     start = int(lc["version"]) if lc else 0
-    if not fs.exists(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(start)}")
-    ):
-        return []
+    # ONE listing instead of one fs.exists round trip per version (r16
+    # verdict #7): on object stores each probe is a metadata RPC, so a
+    # 50-commit tail cost 50 sequential calls; the listing costs one.
+    # The result contract is unchanged — the contiguous run from the
+    # checkpoint anchor (same set the forward probe walked).
+    present = set()
+    for st in fs.listStatus(log_dir):
+        name = st.getPath().getName()
+        if len(name) == 25 and name.endswith(".json") and name[:20].isdigit():
+            present.add(int(name[:20]))
     out = []
     v = start
-    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_log_path(v)}")):
+    while v in present:
         out.append(v)
         v += 1
     return out
@@ -372,18 +378,10 @@ def _read_text(fs, jvm, path_str: str) -> str:
     if lp is not None:
         with open(lp, encoding="utf-8") as f:
             return f.read().rstrip("\n")
-    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path_str))
-    reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(stream, "UTF-8")
-    )
-    lines = []
-    while True:
-        line = reader.readLine()
-        if line is None:
-            break
-        lines.append(line)
-    reader.close()
-    return "\n".join(lines)
+    # one buffered transfer instead of a py4j round trip per line (r16
+    # verdict #7) — commit files are small, so the whole body rides one
+    # call like the local branch's read()
+    return _read_bytes(fs, jvm, path_str).decode("utf-8").rstrip("\n")
 
 
 def _read_bytes(fs, jvm, path_str: str) -> bytes:
@@ -2773,18 +2771,24 @@ def _replay_log(
                 _note_dv_tombstone(dvd, int(r.get("deletionTimestamp", 0)))
         start = lc["version"] + 1
     lp = _local_path(path)
+    vset = set(versions)  # already proven present by the tip listing
     for v in range(start, target + 1):
         log_file = f"{path}/{_log_path(v)}"
-        present = (
-            os.path.exists(f"{lp}/{_log_path(v)}")
-            if lp is not None
-            else fs.exists(jvm.org.apache.hadoop.fs.Path(log_file))
-        )
-        if not present:
-            raise FileNotFoundError(
-                f"commit {v} missing from {path}/_delta_log "
-                "(cleaned up before this pinned version's checkpoint)"
+        if v not in vset:
+            # only pre-checkpoint pinned reads land here — those
+            # versions are below the listing's checkpoint anchor, so
+            # presence needs its own probe (r16 verdict #7: the common
+            # path no longer pays one existence RPC per version)
+            present = (
+                os.path.exists(f"{lp}/{_log_path(v)}")
+                if lp is not None
+                else fs.exists(jvm.org.apache.hadoop.fs.Path(log_file))
             )
+            if not present:
+                raise FileNotFoundError(
+                    f"commit {v} missing from {path}/_delta_log "
+                    "(cleaned up before this pinned version's checkpoint)"
+                )
         text = _read_text(fs, jvm, log_file)
         for line in text.splitlines():
             if not line.strip():
