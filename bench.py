@@ -310,14 +310,27 @@ def _prior_bench_parsed():
         return best[0], None
 
 
+def _step_key(k: str) -> str:
+    """Compact line-record key for one lakehouse step: the
+    ``lakehouse_``/``delta_`` prefixes carry no information inside the
+    steps map (r17: the stdout line must fit the driver's 2000-char
+    tail WITH the env block, the common block and the step map — the
+    full names live in BENCH_FULL.json)."""
+    return k.removeprefix("lakehouse_").removeprefix("delta_")
+
+
 def _prior_lakehouse_steps():
     """(round, step map) from the newest driver-recorded
     ``BENCH_r*.json`` — the comparison base for the per-step lakehouse
-    deltas printed each run (r12 verdict #8). (None, None) when no
-    prior record exists or it carries no parsed step block."""
+    deltas printed each run (r12 verdict #8). Keys normalized through
+    :func:`_step_key` so records from rounds before the r17 compaction
+    still diff. (None, None) when no prior record exists or it carries
+    no parsed step block."""
     n, parsed = _prior_bench_parsed()
     steps = ((parsed or {}).get("excluded") or {}).get("lakehouse_steps")
-    return n, steps or None
+    if not steps:
+        return n, None
+    return n, {_step_key(k): v for k, v in steps.items()}
 
 
 def main() -> None:
@@ -522,10 +535,15 @@ def main() -> None:
             # per-step lakehouse timings (r11 verdict #9): the CDF
             # reconstruction / feed / merge steps scale differently, so
             # the driver record must carry them round-over-round, not
-            # just the family total ("lakehouse_" prefix stripped)
+            # just the family total. Delta-side steps only, compact
+            # keys (r17): the plain-lake twin steps are derivable and
+            # live in BENCH_FULL.json — dropping them here is what lets
+            # the line keep the step map, the common block AND the env
+            # block inside the driver's capture tail.
             "lakehouse_steps": {
-                k.removeprefix("lakehouse_"): round(v, 1)
+                _step_key(k): round(v, 1)
                 for k, v in sorted(lake_timings.items())
+                if not k.startswith("lakehouse_lake_")
             },
         },
         "load": {
@@ -593,11 +611,6 @@ def main() -> None:
         line_base.pop("value_efficiency_normalized", None)
         line_base.pop("detail", None)
         line_base["excluded"].pop("step_delta_vs_prior", None)
-        line_base["excluded"]["lakehouse_steps"] = {
-            k: v
-            for k, v in line_base["excluded"]["lakehouse_steps"].items()
-            if not k.startswith("lake_")
-        }
         line = json.dumps(line_base, separators=(",", ":"))
     if len(line) > 1900:
         # the common-subset block lives in BENCH_FULL.json too and is

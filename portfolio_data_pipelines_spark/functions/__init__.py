@@ -25,6 +25,8 @@ integer range. At scale 4 that holds for per-row values < ~9e11 and sums
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -54,7 +56,17 @@ def davg(c: str | Column) -> Column:
 #: within one session, so operators that re-build the same scan many
 #: times (every bench/oracle invocation) pay it once. Plan metadata,
 #: not results — nothing here caches data.
-_NUM_PARTITIONS_CACHE: dict[tuple, int] = {}
+#:
+#: Freshness caveat (r16 ADVICE): a scan's split count is NOT a pure
+#: function of the logical plan across time — re-scanning a path after
+#: files were appended keeps the semanticHash but changes the split
+#: count, so the memo can mis-size the widen for the rest of the app.
+#: Every current call site reads a STATIC fixture table (documents /
+#: lineitem), where the memo is exact; operators over growing tables
+#: (the delta marts) do not call this helper. If one ever does, bypass
+#: the memo or key it on a freshness token (input file count/mtime).
+_NUM_PARTITIONS_CACHE: OrderedDict[tuple, int] = OrderedDict()
+_NUM_PARTITIONS_CACHE_MAX = 256
 
 
 def ensure_min_parallelism(df, target: int | None = None):
@@ -72,9 +84,11 @@ def ensure_min_parallelism(df, target: int | None = None):
     nparts = _NUM_PARTITIONS_CACHE.get(key)
     if nparts is None:
         nparts = df.rdd.getNumPartitions()
-        if len(_NUM_PARTITIONS_CACHE) > 256:
-            _NUM_PARTITIONS_CACHE.clear()
+        while len(_NUM_PARTITIONS_CACHE) >= _NUM_PARTITIONS_CACHE_MAX:
+            _NUM_PARTITIONS_CACHE.popitem(last=False)  # LRU, not clear()
         _NUM_PARTITIONS_CACHE[key] = nparts
+    else:
+        _NUM_PARTITIONS_CACHE.move_to_end(key)
     if nparts < target:
         return df.repartition(target)
     return df

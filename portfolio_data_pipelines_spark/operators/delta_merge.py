@@ -43,6 +43,19 @@ class _DeltaLogProxy:
 
 dl = _DeltaLogProxy()
 
+#: Fused-discovery bound: when the table's live set is at most this many
+#: files, MERGE/APPLY CHANGES skip the stats-pruning pass (which needs
+#: its own source-bounds action BEFORE the discovery scan can be
+#: planned) and run the source profile + touched-file discovery as ONE
+#: Spark action over all files' key columns. Cost model, valid at any
+#: deployment: pruning can at best avoid scanning (N-1) small files'
+#: key columns, while the extra sequential action costs a fixed
+#: driver/scheduling latency (~0.2-0.3 s measured) — for tiny live sets
+#: the action dominates; past this bound the pruned two-action path is
+#: the 100 TB shape (a one-day MERGE into a years-deep table must plan
+#: O(that day's files), not O(table)).
+FUSED_DISCOVERY_MAX_FILES = 32
+
 
 def merge_delta(
     spark: SparkSession,
@@ -157,61 +170,94 @@ def merge_delta(
     # years-deep table plans O(that day's files), not O(table files).
     # Superset-safe — files without stats are always kept
     # (_file_may_match).
-    bounds_row = (
-        source.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_kc"))
-        .agg(
-            F.max("_kc").alias("_max_kc"),
-            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-        )
-        .first()
-    )
-    if (bounds_row["_max_kc"] or 0) > 1:
-        raise ValueError(
-            "merge source has duplicate keys — ambiguous WHEN MATCHED"
-        )
+    #
+    # Small live sets (≤ FUSED_DISCOVERY_MAX_FILES) fuse further (r17):
+    # pruning is worth at most N-1 small key-column scans there, less
+    # than the fixed latency of the extra sequential action it needs —
+    # so the source profile and the touched-file discovery run as ONE
+    # action (a cross join of two single-row aggregates) over all
+    # files' key columns, and stats pruning is skipped.
     l2p = dl._logical_to_physical(meta)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     fold_cols = dl._fold_collated_columns(meta)
-    key_pred = {
-        (l2p.get(k, k) if l2p else k): (
-            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
-        )
-        for k in key_cols
-        # folded-compare (collated) keys never prune on byte-ordered
-        # file stats — superset-safe to keep every file for them
-        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
-    }
-    scan_adds = (
-        {
-            rel: a
-            for rel, a in adds.items()
-            if dl._file_may_match(a, pv_cols, key_pred)
-        }
-        if key_pred
-        else adds
-    )
-
-    # Touched-file DISCOVERY pass: key columns + file provenance only,
-    # so the scan prunes to the join keys (never the full row width).
-    # Writer-produced hive layouts resolve in ONE reader call; foreign
-    # layouts take the grouped union fallback.
-    target_keys = dl._read_adds(spark, path, scan_adds, meta, with_file=True)
-    if target_keys is None:
-        # zero live files (e.g. truncated by an empty overwrite): the
-        # merge degenerates to a pure insert
-        target_keys = spark.createDataFrame([], schema=schema).withColumn(
-            "_file", F.lit("")
-        )
-    target_keys = target_keys.select(*key_cols, "_file")
-
+    fused = len(adds) <= FUSED_DISCOVERY_MAX_FILES
+    if fused and not id_omitted:
+        # the source plan is evaluated by the profile action, the key
+        # broadcast AND the staging write (identity merges already
+        # cache it for the allocator's two-pass contract) — one cached
+        # materialization beats three upstream re-runs. Gated on the
+        # small-table branch: at 100 TB the source is a feed whose
+        # caching policy belongs to the caller.
+        source = source.cache()
+        cached_frames.append(source)
+    src_prof = source.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kc"))
     src_keys = F.broadcast(source.select(*key_cols).distinct())
-    touched_uris = {
-        r["_file"]
-        for r in target_keys.join(src_keys, key_cols, "left_semi")
-        .select("_file").distinct().collect()
-    }
+    if fused:
+        target_keys = dl._read_adds(spark, path, adds, meta, with_file=True)
+        if target_keys is None:
+            target_keys = spark.createDataFrame(
+                [], schema=schema
+            ).withColumn("_file", F.lit(""))
+        target_keys = target_keys.select(*key_cols, "_file")
+        row = (
+            src_prof.agg(F.max("_kc").alias("_max_kc"))
+            .crossJoin(
+                target_keys.join(src_keys, key_cols, "left_semi")
+                .agg(F.collect_set("_file").alias("_files"))
+            )
+            .first()
+        )
+        max_kc = row["_max_kc"]
+        touched_uris = set(row["_files"])
+    else:
+        bounds_row = src_prof.agg(
+            F.max("_kc").alias("_max_kc"),
+            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+        ).first()
+        max_kc = bounds_row["_max_kc"]
+        key_pred = {
+            (l2p.get(k, k) if l2p else k): (
+                bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+            )
+            for k in key_cols
+            # folded-compare (collated) keys never prune on byte-ordered
+            # file stats — superset-safe to keep every file for them
+            if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
+        }
+        scan_adds = (
+            {
+                rel: a
+                for rel, a in adds.items()
+                if dl._file_may_match(a, pv_cols, key_pred)
+            }
+            if key_pred
+            else adds
+        )
+
+        # Touched-file DISCOVERY pass: key columns + file provenance
+        # only, so the scan prunes to the join keys (never the full row
+        # width). Writer-produced hive layouts resolve in ONE reader
+        # call; foreign layouts take the grouped union fallback.
+        target_keys = dl._read_adds(
+            spark, path, scan_adds, meta, with_file=True
+        )
+        if target_keys is None:
+            # zero live files (e.g. truncated by an empty overwrite):
+            # the merge degenerates to a pure insert
+            target_keys = spark.createDataFrame(
+                [], schema=schema
+            ).withColumn("_file", F.lit(""))
+        target_keys = target_keys.select(*key_cols, "_file")
+        touched_uris = {
+            r["_file"]
+            for r in target_keys.join(src_keys, key_cols, "left_semi")
+            .select("_file").distinct().collect()
+        }
+    if (max_kc or 0) > 1:
+        raise ValueError(
+            "merge source has duplicate keys — ambiguous WHEN MATCHED"
+        )
     # Map absolute scan URIs back to log-relative paths via an EXACT
     # normalized-URI lookup — a suffix match would false-positive when
     # one add's relative path is a path-suffix of another's (possible in
@@ -235,7 +281,7 @@ def merge_delta(
         _check_append_only(meta, True)
     new_version = versions[-1] + 1
     # empty source ⇔ the fused profile saw zero key groups — no extra job
-    if not touched_rels and bounds_row["_max_kc"] is None:
+    if not touched_rels and max_kc is None:
         for fr in cached_frames:
             fr.unpersist()
         return versions[-1]
@@ -556,28 +602,40 @@ def apply_changes_delta(
     # cannot violate a CHECK).
     upserts, upserts_cached = dl._enforce_constraints(upserts, meta)
 
-    # discovery: files holding ANY affected key (upsert or delete)
-    bounds_row = net.agg(
-        *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
-        *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
-    ).first()
+    # discovery: files holding ANY affected key (upsert or delete).
+    # Small live sets skip the stats-pruning bounds action entirely
+    # (r17, same cost model as merge_delta's FUSED_DISCOVERY_MAX_FILES:
+    # pruning can at best avoid N-1 small key-column scans, the bounds
+    # action costs a fixed driver latency).
     l2p = dl._logical_to_physical(meta)
     pv_cols = [l2p.get(c, c) for c in pcols] if l2p else pcols
     fold_cols = dl._fold_collated_columns(meta)
-    key_pred = {
-        (l2p.get(k, k) if l2p else k): (
-            bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+    if len(adds) <= FUSED_DISCOVERY_MAX_FILES:
+        scan_adds = adds
+    else:
+        bounds_row = net.agg(
+            *[F.min(k).alias(f"_lo_{k}") for k in key_cols],
+            *[F.max(k).alias(f"_hi_{k}") for k in key_cols],
+        ).first()
+        key_pred = {
+            (l2p.get(k, k) if l2p else k): (
+                bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+            )
+            for k in key_cols
+            # folded-compare (collated) keys never prune on
+            # byte-ordered file stats — superset-safe to keep every
+            # file for them
+            if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
+        }
+        scan_adds = (
+            {
+                r: a
+                for r, a in adds.items()
+                if dl._file_may_match(a, pv_cols, key_pred)
+            }
+            if key_pred
+            else adds
         )
-        for k in key_cols
-        # folded-compare (collated) keys never prune on byte-ordered
-        # file stats — superset-safe to keep every file for them
-        if bounds_row[f"_lo_{k}"] is not None and k not in fold_cols
-    }
-    scan_adds = (
-        {r: a for r, a in adds.items() if dl._file_may_match(a, pv_cols, key_pred)}
-        if key_pred
-        else adds
-    )
     target_keys = dl._read_adds(spark, path, scan_adds, meta, with_file=True)
     affected_keys = F.broadcast(net.select(*key_cols).distinct())
     if target_keys is not None:

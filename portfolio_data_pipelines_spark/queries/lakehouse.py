@@ -783,15 +783,28 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.basename(os.path.normpath(sf_dir)), "events_identity"
     )
     shutil.rmtree(table, ignore_errors=True)
-    events = (
+    # ONE scan + ONE round-robin exchange feed every downstream action
+    # (r17, guide §1.2): the query runs ~10 sequential driver actions
+    # (3 allocation counts + 3 staged writes + the MERGE profile and
+    # rewrite + the read-back), each ~0.25 s of fixed latency at sf0.1,
+    # and before this every one of them re-planned and re-ran the
+    # parquet scan + date filter + a per-batch repartition. The LAZY
+    # localCheckpoint materializes the 6-day projection on its first
+    # consumer (no dedicated action) into 4 partitions, so each batch
+    # filter inherits multi-partition allocation (the contract the mart
+    # exercises) without paying a per-commit exchange.
+    evs_all = (
         scan_table(spark, sf_dir, "events")
-        .filter(F.to_date("ts").between(_LO, _HI))
+        .filter(F.to_date("ts").between(_LO, "2024-01-15"))
         .select(
             "event_id",
             F.to_date("ts").cast("string").alias("day"),
             "value",
         )
+        .repartition(4)
+        .localCheckpoint(eager=False)
     )
+    events = evs_all.filter(F.col("day") <= _HI)
     # the identity column is never in the batch — allocation ADDS it
     # three batches split by a stable hash of event_id: exercises
     # high-water-mark continuation across commits (and, within each
@@ -799,7 +812,7 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.abs(F.hash("event_id")) % 3
     first = True
     for b in range(3):
-        batch = events.filter(bucket == b).repartition(4)
+        batch = events.filter(bucket == b)
         write_delta(
             spark, batch, table,
             identity_cols=(
@@ -815,15 +828,7 @@ def delta_identity_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = events.filter(F.col("event_id") % 5 == 0).withColumn(
         "value", F.lit(-123456.789)
     )
-    inserts = (
-        scan_table(spark, sf_dir, "events")
-        .filter(F.to_date("ts") == "2024-01-15")
-        .select(
-            "event_id",
-            F.to_date("ts").cast("string").alias("day"),
-            "value",
-        )
-    )
+    inserts = evs_all.filter(F.col("day") == "2024-01-15")
     merge_delta(
         spark, table, updates.unionByName(inserts), key_cols=["event_id"]
     )

@@ -2209,7 +2209,12 @@ class TestMergeStatsPruning:
         self, spark, tmp_path, monkeypatch
     ):
         import portfolio_data_pipelines_spark.operators.delta_log as dl
+        import portfolio_data_pipelines_spark.operators.delta_merge as dm
 
+        # force the at-scale two-action path (stats pruning) — small
+        # live sets take the r17 fused single-action discovery, which
+        # deliberately scans every file (see test_fused_discovery...)
+        monkeypatch.setattr(dm, "FUSED_DISCOVERY_MAX_FILES", 0)
         path = self._seed_two_ranges(spark, tmp_path, "t_mprune")
         calls = []
         orig = dl._fast_hive_read
@@ -2234,7 +2239,9 @@ class TestMergeStatsPruning:
         self, spark, tmp_path, monkeypatch
     ):
         import portfolio_data_pipelines_spark.operators.delta_log as dl
+        import portfolio_data_pipelines_spark.operators.delta_merge as dm
 
+        monkeypatch.setattr(dm, "FUSED_DISCOVERY_MAX_FILES", 0)
         path = self._seed_two_ranges(spark, tmp_path, "t_mprune2")
         calls = []
         orig = dl._fast_hive_read
@@ -2259,6 +2266,54 @@ class TestMergeStatsPruning:
 
         live = _replay_log(spark, path, None).adds
         assert sum(1 for rel in live if "v000000" in rel or "v000001" in rel) == 2
+
+    def test_fused_discovery_single_action_same_result(
+        self, spark, tmp_path
+    ):
+        """r17: small live sets (≤ FUSED_DISCOVERY_MAX_FILES) fuse the
+        dup-key check and the touched-file discovery into ONE Spark
+        action; the rewrite set and the merged rows equal the pruned
+        two-action path's."""
+        import pytest as _pytest
+
+        import portfolio_data_pipelines_spark.operators.delta_log as dl
+
+        path = self._seed_two_ranges(spark, tmp_path, "t_mfused")
+        calls = []
+        orig = dl._fast_hive_read
+
+        def spy(spark_, path_, adds, schema, pcols):
+            calls.append(sorted(adds))
+            return orig(spark_, path_, adds, schema, pcols)
+
+        mp = _pytest.MonkeyPatch()
+        mp.setattr(dl, "_fast_hive_read", spy)
+        try:
+            merge_delta(
+                spark, path,
+                _df(spark, [(1005, 5000.0, _day("2024-01-02")),
+                            (2000, 2.5, _day("2024-01-03"))]),
+                key_cols=["id"],
+            )
+        finally:
+            mp.undo()
+        # the fused discovery reads ALL live files' key columns in its
+        # one action (no stats pruning below the file bound); only the
+        # touched file is then re-read for the rewrite
+        assert len(calls[0]) == 2
+        assert len(calls[1]) == 1 and "v000001" in calls[1][0]
+        got = {r["id"]: r["v"] for r in read_delta(spark, path).collect()}
+        assert got[1005] == 5000.0 and got[2000] == 2.5 and len(got) == 22
+        # duplicate source keys still refused through the fused profile
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="duplicate keys"):
+            merge_delta(
+                spark, path,
+                _df(spark, [(1, 1.0, _day("2024-01-01")),
+                            (1, 2.0, _day("2024-01-01"))]),
+                key_cols=["id"],
+            )
 
 
 class TestCommitInfoHistory:

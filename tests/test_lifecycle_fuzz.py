@@ -18,7 +18,13 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
+
+# Whole-module slow tier (r16 verdict #1): the broadest conformance
+# net, ~6 min of the full suite — pre-submission tier, not the
+# driver's default verify run (pytest.ini deselects slow by default).
+pytestmark = pytest.mark.slow
 
 from portfolio_data_pipelines_spark.operators.delta_log import (
     checkpoint_delta,

@@ -57,13 +57,15 @@ def main() -> None:
         ji = tracker.getJobInfo(jid)
         stages = []
         ntasks = 0
+        names = []
         for sid in sorted(ji.stageIds):
             si = tracker.getStageInfo(sid)
             if si is not None:
                 stages.append(f"s{sid}:{si.numTasks}t")
                 ntasks += si.numTasks
+                names.append(si.name.split(" at ")[-1][-52:])
         print(f"  job {jid}: {len(ji.stageIds)} stages, {ntasks} tasks "
-              f"[{' '.join(stages)}]")
+              f"[{' '.join(stages)}] {names}")
     spark.stop()
 
 
