@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions import ensure_min_parallelism
+from ..functions import CPU_LIGHT_BYTES_PER_PARTITION, ensure_min_parallelism
 
 NUM_PERM = 64  # minhash permutations; also the simhash bit width
 
@@ -163,7 +163,14 @@ def shingle_arrays(
             _plan_key(df, "shingle_arrays", text_col, id_col, n),
             lambda: shingle_arrays(df, text_col, id_col, n, shared=False),
         )
-    df = ensure_min_parallelism(df)
+    # Shingling is a CPU-LIGHT map stage: split + slice/concat per row.
+    # Widening a small scan to full cluster width costs more in exchange
+    # + per-task overhead than the cores return (r17 A/B: minhash
+    # 2.11→1.68 s, dup_span 1.69→1.35 s at 32 cores) — bound the widen
+    # to one partition per ~64 KiB of input; no-op at real scale.
+    df = ensure_min_parallelism(
+        df, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    )
     words = F.split(F.col(text_col), " ")
     # Short-doc guard WITHOUT a CASE WHEN: sequence(0, negative) would
     # generate a DESCENDING range in Spark, so docs shorter than n words
@@ -741,7 +748,11 @@ def simhash(
             _plan_key(df, "simhash", text_col, id_col, bits),
             lambda: simhash(df, text_col, id_col, bits, shared=False),
         )
-    df = ensure_min_parallelism(df)
+    # md5-per-word is moderate CPU; still bounded by the same input-size
+    # floor as the rest of the dedup family (r17 A/B: no 32-core loss).
+    df = ensure_min_parallelism(
+        df, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    )
     n_nibbles = bits // 4
     lanes_per_long = 3
     lane_bits = 21
@@ -966,7 +977,11 @@ def dup_span_coverage(
     — odds ~m²/2⁶⁵ corpus-wide, harmless for a coverage metric and far
     below the oracle's value-hash sensitivity at any tested SF.
     """
-    d = ensure_min_parallelism(df)
+    # CPU-light gram hashing: bound the widen by input size (r17 A/B:
+    # dup_span 1.69→1.35 s at 32 cores, flat at 8); no-op at real scale.
+    d = ensure_min_parallelism(
+        df, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    )
     words = F.split(F.col(text_col), " ")
     base = d.select(F.col(id_col), F.size(words).alias("n_tokens"))
     # short-doc guard as an index-array slice, not a CASE WHEN — the
@@ -1047,7 +1062,9 @@ def dup_span_removal(
     first scan and the final rewrite.
     """
     pos_limit = 1 << 20
-    d = ensure_min_parallelism(df)
+    d = ensure_min_parallelism(
+        df, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    )
     words = F.split(F.col(text_col), " ")
     base = d.select(F.col(id_col), words.alias("_w"), F.size(words).alias("n_tokens"))
     grams = d.select(

@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import ensure_min_parallelism
+from ..functions import CPU_LIGHT_BYTES_PER_PARTITION, ensure_min_parallelism
 from .dedup import _dot_seq, _dot_seq_sql
 
 
@@ -41,7 +41,12 @@ def _q(col: str) -> str:
 def _with_norm(df: DataFrame, vec_col: str) -> DataFrame:
     # Corpus-side math (norms, bucket hashes, candidate dots) must not be
     # serialized onto the 1-2 partitions a small single-file scan yields.
-    return ensure_min_parallelism(df).withColumn(
+    # Norms/bucket hashes are CPU-light per byte: bound the widen by
+    # input size (r17 A/B: semdedup 1.65→1.28 s at 32 cores, flat at 8);
+    # a real-scale scan already exceeds the floor, so this is a no-op.
+    return ensure_min_parallelism(
+        df, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    ).withColumn(
         "_norm", F.expr(f"sqrt({_dot_seq_sql(_q(vec_col), _q(vec_col))})")
     )
 
@@ -731,9 +736,9 @@ def quantize_embeddings(
     array row), then a map-side zip of each vector with the scales
     array. The corpus never shuffles.
     """
-    ex = ensure_min_parallelism(corpus).select(
-        F.posexplode(F.col(vec_col)).alias("_pos", "_val")
-    )
+    ex = ensure_min_parallelism(
+        corpus, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+    ).select(F.posexplode(F.col(vec_col)).alias("_pos", "_val"))
     scales = (
         ex.groupBy("_pos")
         .agg(F.max(F.abs(F.col("_val").cast("double"))).alias("_amax"))

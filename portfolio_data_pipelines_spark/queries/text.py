@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import ensure_min_parallelism
+from ..functions import CPU_LIGHT_BYTES_PER_PARTITION, ensure_min_parallelism
 from ..sources.parquet import scan_table
 from . import extra_query, query
 
@@ -882,10 +882,16 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_backoff column doubles as the OOV-rate diagnostic every corpus
     report wants.
 
-    The scan widens to cluster parallelism first (r16): the transition
-    explode + count map stages are the heavy work and the one-split
-    fixture scan would serialize them; no-op on an already-wide scan."""
-    d = ensure_min_parallelism(scan_table(spark, sf_dir, "documents"))
+    The scan widens toward cluster parallelism first (r16): the
+    transition explode + count map stages would otherwise serialize on
+    the one-split fixture scan. r17 bounds the widen by input size —
+    this query runs FASTER at 8 cores than 32 (BENCH_r16_c8 ratio 0.72):
+    the 32-way exchange under two generators costs more than the cores
+    return; the bytes floor keeps full width at real scale."""
+    d = ensure_min_parallelism(
+        scan_table(spark, sf_dir, "documents"),
+        bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION,
+    )
     docs = d.select("doc_id", _ws_tokens().alias("w"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 == 1)
