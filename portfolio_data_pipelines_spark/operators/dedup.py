@@ -456,6 +456,14 @@ def minhash_lsh_pairs(
     # ≤ n_bands per pair, ≈1 for typical corpora where near-dups are
     # rare) cost less than the extra full dedup shuffle distinct() adds
     # (~30% of query wall-clock measured at sf0.1).
+    # Measured-and-rejected (r17): building candidates as ONE
+    # (band, h) aggregation + map-side pair explode (_posting_pairs
+    # shape) wins in isolation (0.74 s vs 1.04 s — the self-join's two
+    # exchanges re-compute the 64 array_min scans) but LOSES in the
+    # full query (interleaved A/B 2.77-3.34 s vs 2.62-2.66 s): the
+    # self-join's two independent subtrees overlap across idle cores,
+    # while the single agg serializes the signature scan ahead of the
+    # verify join's own work.
     candidates = (
         ca.join(cb, ["band", "h"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -559,10 +567,11 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _dup_clusters_driver(spark, sym: DataFrame) -> DataFrame:
+def _dup_clusters_driver(spark, edge_rows, id_type) -> DataFrame:
     """Driver-side component resolution for bounded edge lists:
     union-find with path halving, union-to-min (the root is always the
     smallest id seen, so the final root IS the component minimum).
+    ``edge_rows`` is one direction only — union-find is symmetric.
     Output schema matches the distributed path exactly."""
     parent: dict = {}
 
@@ -573,14 +582,13 @@ def _dup_clusters_driver(spark, sym: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in sym.collect():
+    for row in edge_rows:
         ra, rb = find(row["src"]), find(row["dst"])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(x, find(x)) for x in parent]
     from pyspark.sql.types import StructField, StructType
 
-    id_type = sym.schema["src"].dataType
     schema = StructType(
         [
             StructField("doc_id", id_type, nullable=False),
@@ -607,10 +615,15 @@ def dup_clusters(
     ≤ ``driver_threshold`` (default 10⁶ ≈ 16 MB of id pairs), the
     components resolve driver-side with union-find (exact, near-linear,
     zero iterative jobs) and the labels parallelize back; above it, the
-    distributed pointer-jumping loop below runs. The edge count is known
-    for free — the edge list is materialized (localCheckpoint) for the
-    loop anyway. Pass ``driver_threshold=0`` to force the distributed
-    path.
+    distributed pointer-jumping loop below runs. The bound probe IS the
+    edge fetch (r17, guide §1.2): ``take(threshold + 1)`` — short by
+    one ⇒ the driver already holds the complete one-direction edge
+    list, so the old materialize-symmetrize-count-collect sequence
+    (localCheckpoint write + 2 actions over 2× the rows) collapses into
+    one action; full ⇒ the graph is over-bound and the distributed
+    loop builds its own checkpoint exactly as before, having paid at
+    most one partial scan for the probe. Pass ``driver_threshold=0``
+    to force the distributed path.
 
     Scale design: each round is one neighbor-min propagation (labels
     move one hop) followed by one pointer jump — label composition
@@ -630,14 +643,18 @@ def dup_clusters(
     still changing (r2 silently returned partially-propagated labels).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if driver_threshold:
+        head = edges.take(driver_threshold + 1)
+        if len(head) <= driver_threshold:
+            return _dup_clusters_driver(
+                pairs.sparkSession, head, edges.schema["src"].dataType
+            )
     # Materialize the edge list once: every iteration joins against it,
     # and without the checkpoint each round would re-run the (possibly
     # expensive) upstream pair generator.
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
-    if sym.count() <= 2 * driver_threshold:  # sym holds both directions
-        return _dup_clusters_driver(pairs.sparkSession, sym)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

@@ -287,6 +287,28 @@ class TestDupClusters:
         }
         assert dist == want
 
+    def test_driver_threshold_boundary_both_sides(self, spark):
+        """The take(threshold+1) probe (r17) must pick the driver path
+        when edges == threshold and the distributed path when edges ==
+        threshold + 1, with identical labels either way."""
+        from portfolio_data_pipelines_spark.operators.dedup import dup_clusters
+
+        edges = [(i, i + 1) for i in range(8)]  # one 9-node chain
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        want = {i: 0 for i in range(9)}
+        at = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(pairs, driver_threshold=len(edges)).collect()
+        }
+        assert at == want
+        below = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(
+                pairs, driver_threshold=len(edges) - 1
+            ).collect()
+        }
+        assert below == want
+
     def test_adversarial_chain_converges_logarithmically(self, spark):
         """A path graph is the worst case for plain label propagation
         (min label travels one hop per round → O(n) rounds). Pointer
