@@ -1603,6 +1603,18 @@ def _stage_commit_files(
             ]
         )
         partition_cols = [l2p.get(c, c) for c in partition_cols]
+    if partition_cols:
+        # Optimized write (r17, guide §6 file sizing): without this a
+        # K-partition input fans out up to K files per partition VALUE
+        # (the identity mart's 4-way frame × 6 days staged 24 files per
+        # commit; every later MERGE discovery and feed read pays per
+        # file). The AQE rebalance concentrates each partition value's
+        # rows — splitting oversized values at the advisory partition
+        # size and coalescing tiny ones — so staged file count tracks
+        # data volume, not input parallelism, at any scale. Identity /
+        # generated values are already bound to rows by this point, so
+        # the extra exchange only moves rows.
+        df = df.hint("rebalance", *partition_cols)
     writer = df.write.mode("overwrite").option("compression", "zstd")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

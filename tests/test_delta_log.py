@@ -1773,13 +1773,20 @@ class TestRowLevelCDF:
             path, partition_col="date", mode="overwrite",
             replace_partitions=["2024-01-02"],
         )
-        optimize_delta(spark, path)  # v4 layout only
-        restore_delta(spark, path, 2)  # v5 rollback to post-merge state
-        write_delta(  # v6 truncating overwrite
+        write_delta(  # v4 second small append into day 2 — gives
+            # OPTIMIZE a ≥2-file partition to compact (r17: staged
+            # writes rebalance per partition value, so single commits
+            # no longer leave multi-file partitions behind)
+            spark, _df(spark, [(6, 6.0, _day("2024-01-02"))]),
+            path, partition_col="date",
+        )
+        optimize_delta(spark, path)  # v5 layout only
+        restore_delta(spark, path, 2)  # v6 rollback to post-merge state
+        write_delta(  # v7 truncating overwrite
             spark, _df(spark, [(9, 9.0, _day("2024-02-01"))]),
             path, partition_col="date", mode="overwrite",
         )
-        return path, list(range(7))
+        return path, list(range(8))
 
     def test_merge_does_not_redeliver_carried_rows(self, spark, tmp_path):
         """The append feed re-delivers every row of a rewritten file;
@@ -1858,11 +1865,11 @@ class TestRowLevelCDF:
 
     def test_optimize_range_is_empty(self, spark, tmp_path):
         path, _ = self._lifecycle(spark, tmp_path)
-        assert self._cdf(spark, path, 3, 4).count() == 0  # v4 = OPTIMIZE
+        assert self._cdf(spark, path, 4, 5).count() == 0  # v5 = OPTIMIZE
 
     def test_empty_feed_schema(self, spark, tmp_path):
         path, _ = self._lifecycle(spark, tmp_path)
-        empty = self._cdf(spark, path, 3, 4)
+        empty = self._cdf(spark, path, 4, 5)
         assert empty.columns == [
             "id", "v", "date",
             "_change_type", "_commit_version", "_commit_timestamp",
