@@ -919,8 +919,19 @@ def rp_lsh_topk(
             .agg(F.sum("_term").alias("_bucket"))
         )
 
+    # The corpus bucket projection does n_tables·n_planes·dim
+    # multiply-adds per row and arrives as a 1-split scan at sf scale —
+    # serialized on one core without a widen (r17: 1.13 s → 0.32 s at
+    # sf0.1/32c with the input-size-bounded widen, which also beat the
+    # full 32-way widen's 0.47 s). The query side stays unwidened: it
+    # is a small filtered frame that broadcasts.
     candidates = (
-        buckets(corpus, "neighbor_id")
+        buckets(
+            ensure_min_parallelism(
+                corpus, bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION
+            ),
+            "neighbor_id",
+        )
         .join(F.broadcast(buckets(queries, "query_id")), ["t", "_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
