@@ -882,16 +882,16 @@ def bigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_backoff column doubles as the OOV-rate diagnostic every corpus
     report wants.
 
-    The scan widens toward cluster parallelism first (r16): the
-    transition explode + count map stages would otherwise serialize on
-    the one-split fixture scan. r17 bounds the widen by input size —
-    this query runs FASTER at 8 cores than 32 (BENCH_r16_c8 ratio 0.72):
-    the 32-way exchange under two generators costs more than the cores
-    return; the bytes floor keeps full width at real scale."""
-    d = ensure_min_parallelism(
-        scan_table(spark, sf_dir, "documents"),
-        bytes_per_partition=CPU_LIGHT_BYTES_PER_PARTITION,
-    )
+    No scan widen (r17): r16 added one (together with the llog2 CASE
+    hoisting that round) but a three-way A/B isolating it shows the
+    widen was the hoisting's passenger, not a win — at 32 cores
+    no-widen 0.97 s vs capped-widen 1.04 s vs full-widen 1.21 s, and at
+    8 cores no-widen 1.07 s vs capped 1.41 s (sf0.1, min of 3 warm).
+    The per-row map work here is light and the transition aggregation
+    re-parallelizes at its own exchange, so the widen's extra exchange
+    + materialization barrier never pays; this also restores the
+    8-vs-32-core ratio to ~1.1 (was 0.72, r16 verdict item 4)."""
+    d = scan_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", _ws_tokens().alias("w"))
     train = docs.filter(F.col("doc_id") % 2 == 0)
     score = docs.filter(F.col("doc_id") % 2 == 1)
