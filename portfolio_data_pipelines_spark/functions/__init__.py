@@ -86,7 +86,13 @@ CPU_LIGHT_BYTES_PER_PARTITION = 64 * 1024
 def _memo_probe(df, kind: str, probe):
     """LRU-memoized per-(session, plan) metadata probe (partition
     count, optimizer size estimate) — each costs a py4j round trip
-    (~30-80 ms) and is a pure function of the plan within one session."""
+    (~30-80 ms). Scope (ADVICE r16): a scan's split count/size is a
+    pure function of the plan only while the underlying FILES are
+    static — true for the bench/test fixtures this fast-path serves.
+    A path re-scanned after in-session appends may return the stale
+    probe; the only effect is a skipped (or redundant) widen, never a
+    wrong result, and callers that mutate-and-rescan can
+    ``_NUM_PARTITIONS_CACHE.clear()``."""
     key = (
         df.sparkSession.sparkContext.applicationId,
         df.semanticHash(),
