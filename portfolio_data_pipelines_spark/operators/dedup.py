@@ -448,15 +448,19 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.expr(f"array({band_exprs})")).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
-    # Materialize the bucket table ONCE (lazy checkpoint, r17): the
-    # candidate self-join's two exchanges each re-ran the k array_min
-    # signature scans + band explode (no ReusedExchange across the
-    # id_a/id_b aliasing) — full-query interleaved A/B 2.18 → 1.62 s at
-    # sf0.1/32c. Lazy (eager=False) so the first consuming job does the
-    # one materialization; the rows stored are exactly the rows the
-    # self-join already shuffled twice, so the storage footprint is
-    # bounded by the former shuffle size at any scale.
-    buckets = buckets.localCheckpoint(eager=False)
+    # Materialize the bucket table ONCE (r17): the candidate
+    # self-join's two exchanges each re-ran the k array_min signature
+    # scans + band explode (no ReusedExchange across the id_a/id_b
+    # aliasing) — full-query interleaved A/B 2.18 → 1.62-1.83 s at
+    # sf0.1/32c. EAGER: the two join-side stages consume the checkpoint
+    # concurrently, and a lazy one lets both race the unmaterialized
+    # partitions and double-compute them (measured: eager median 1.83 s
+    # vs lazy 2.11 s over 5 interleaved runs; the same race made lazy
+    # lose for semdedup/dup_span/kmeans, so every multi-consumer
+    # checkpoint in this package stays eager). The rows stored are
+    # exactly the rows the self-join already shuffled twice, so the
+    # storage footprint is bounded by the former shuffle at any scale.
+    buckets = buckets.localCheckpoint(eager=True)
 
     ca = buckets.select(F.col(id_col).alias("id_a"), "band", "h")
     cb = buckets.select(F.col(id_col).alias("id_b"), "band", "h")
